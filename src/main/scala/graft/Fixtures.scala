@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.DatasetSpec
+import graft.sources.WideMatrix
+
+/**
+ * Fixture definitions shared by queries, tests, and the parquet generator
+ * (FIXTURES.md F-1..F-6). The parquet copies live under
+ * `/root/repo/fixtures/parquet/` so the driver's DuckDB oracle reads byte-
+ * identical inputs via `read_parquet` over the same files.
+ */
+object Fixtures {
+  val Dir = "/root/repo/fixtures"
+  val F1Csv = s"$Dir/f1_temperature_min_day.csv"
+  val F2Csv = s"$Dir/f2_rainfall_month.csv"
+  val WideParquet = s"$Dir/parquet/station_wide"
+  val Wide2Parquet = s"$Dir/parquet/station_wide_month"
+  val StoreParquet = s"$Dir/parquet/station_store"
+  val StoreDupParquet = s"$Dir/parquet/station_store_dup"
+  val MediaParquet = s"$Dir/parquet/media"
+
+  /** Canonical job spec — FIXTURES.md F-3 / `example_config.json:13-32`. */
+  val F1Spec: DatasetSpec = DatasetSpec(
+    files = Seq(F1Csv),
+    datatype = "temperature", period = "day", fill = "raw",
+    dataColStart = 13, idCol = 0, nodata = "NA",
+    startDate = Some(java.time.LocalDate.parse("2022-03-01")),
+    endDate = Some(java.time.LocalDate.parse("2022-03-02")),
+    additionalProperties = Map("aggregation" -> "min"),
+    additionalKeyProperties = Seq("aggregation"))
+
+  /** Month-period default-shape spec — FIXTURES.md F-2. */
+  val F2Spec: DatasetSpec = DatasetSpec(
+    files = Seq(F2Csv),
+    datatype = "rainfall", period = "month", fill = "partial",
+    dataColStart = 1, idCol = 0)
+
+  def wide(spark: SparkSession): DataFrame = WideMatrix.readCsv(spark, F1Csv)
+
+  /**
+   * Pre-existing store table (F-5): seeded so the F-1 increment classifies
+   * one row unchanged (39.2 @03-01), one replaced (39.2 @03-02 stored 99.9),
+   * one created (147.0 @03-01 absent), plus an untouched bystander row.
+   */
+  def store(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("temperature", "day", "raw", "39.2", "2022-03-01", 17.2, "min", "u-0001"),
+      ("temperature", "day", "raw", "39.2", "2022-03-02", 99.9, "min", "u-0002"),
+      ("temperature", "day", "raw", "500.1", "2022-03-01", 5.0, "min", "u-0003"))
+      .toDF("datatype", "period", "fill", "station_id", "date", "value", "aggregation", "uuid")
+  }
+
+  /** Store variant with a duplicated key — the `RecordKeyException` path (F-5). */
+  def storeDup(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    store(spark).unionByName(Seq(
+      ("temperature", "day", "raw", "39.2", "2022-03-01", 18.0, "min", "u-0004"))
+      .toDF("datatype", "period", "fill", "station_id", "date", "value", "aggregation", "uuid"))
+  }
+
+  /**
+   * Multimodal fixture: opaque binary payloads + typed metadata. Payload
+   * bytes are a deterministic pseudo-image (no real codecs in this
+   * container); the Spark-side plumbing (binary column, metadata, batch
+   * shape) is real.
+   */
+  def media(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 64).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val w = 32 + (i % 4) * 16
+      val h = 32 + (i % 3) * 16
+      val payload = Array.tabulate[Byte](w * h % 997 + 64)(j => ((i * 131 + j * 31) % 251).toByte)
+      (i.toLong, kind, payload, w, h, 16000 + (i % 3) * 8000, s"doc-${i % 16}")
+    }.toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "doc_ref")
+  }
+}
+
+/** One-shot generator: writes the parquet fixtures the oracle reads. */
+object FixtureGen {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Fixtures.wide(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.WideParquet)
+    WideMatrix.readCsv(spark, Fixtures.F2Csv).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.Wide2Parquet)
+    Fixtures.store(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.StoreParquet)
+    Fixtures.storeDup(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.StoreDupParquet)
+    Fixtures.media(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.MediaParquet)
+    spark.stop()
+  }
+}

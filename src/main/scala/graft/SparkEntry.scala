@@ -1,13 +1,278 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{KeyedStore, Reshape}
+import graft.sources.WideMatrix
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §2.11/§7.
+ *
+ * Each `queries` key is one operator of the engine; `oracleSql` carries the
+ * ANSI-SQL equivalent the driver runs in DuckDB over the SAME parquet
+ * inputs (testdata tables by name; station fixtures via absolute-path
+ * `read_parquet`). Column names are aliased identically on both sides —
+ * the driver's compare sorts columns by name before hashing.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark rejects natively — read nanos as long, convert to micros
+    * (integer `div`: a double division would lose precision at 1e18). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ keeps the written parquet at naive micros — matching both the
+    // source data's wall-clock semantics and DuckDB's TIMESTAMP.
+    t(s, dir, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** Shared station-value increment: F-1 wide fixture through the full value
+    * pipeline (classify → unpivot → nodata filter → cast → enrich). */
+  private def stationValues(s: SparkSession): DataFrame =
+    Reshape.pipeline(
+      WideMatrix.valuesWide(s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec),
+      Fixtures.F1Spec)
+
+  private val keys = Fixtures.F1Spec.keyFields // datatype, period, date, fill, station_id, aggregation
+
+  /** Flagship: the reference's canonical job end-to-end — wide CSV scan →
+    * classify/unpivot/filter/cast/enrich → upsert-classify against the
+    * seeded store. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val wide = WideMatrix.readCsv(spark, Fixtures.F1Csv)
+    val inc = Reshape.pipeline(WideMatrix.valuesWide(wide, Fixtures.F1Spec), Fixtures.F1Spec)
+    KeyedStore.classify(inc, Fixtures.store(spark), keys)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- station reference parity (SURVEY §2.1-§2.5) ---
+    "station_metadata" -> ((s, _) =>
+      WideMatrix.metadata(s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec)),
+    "station_values" -> ((s, _) => stationValues(s)),
+    "station_values_month" -> ((s, _) =>
+      Reshape.pipeline(
+        WideMatrix.valuesWide(s.read.parquet(Fixtures.Wide2Parquet), Fixtures.F2Spec),
+        Fixtures.F2Spec)),
+    // --- upsert / MERGE engine (SURVEY §2.4, §2.7) ---
+    "upsert_classify" -> ((s, _) =>
+      KeyedStore.classify(stationValues(s), s.read.parquet(Fixtures.StoreParquet), keys)),
+    "upsert_creates" -> ((s, _) =>
+      KeyedStore.creates(stationValues(s), s.read.parquet(Fixtures.StoreParquet), keys)),
+    "upsert_replaces" -> ((s, _) =>
+      KeyedStore.replaces(stationValues(s), s.read.parquet(Fixtures.StoreParquet), keys)),
+    "upsert_stats" -> ((s, _) =>
+      KeyedStore.stats(
+        KeyedStore.classify(stationValues(s), s.read.parquet(Fixtures.StoreParquet), keys))),
+    "upsert_merge" -> ((s, _) =>
+      KeyedStore.merge(stationValues(s), s.read.parquet(Fixtures.StoreParquet), keys)),
+    "unique_key_check" -> ((s, _) =>
+      KeyedStore.uniquenessViolations(s.read.parquet(Fixtures.StoreDupParquet), keys)),
+    // --- query surface (S8/S9/W1) ---
+    "point_lookup" -> ((s, _) =>
+      KeyedStore.pointLookup(s.read.parquet(Fixtures.StoreParquet), "u-0002")),
+    "query_filter" -> ((s, _) =>
+      KeyedStore.queryFilter(s.read.parquet(Fixtures.StoreParquet),
+        Map("datatype" -> "temperature", "station_id" -> "39.2"))),
+    "paginate" -> ((s, dir) =>
+      KeyedStore.paginate(t(s, dir, "orders"), Seq("o_orderkey"), limit = 100, offset = 3)),
+    // --- relational core on the TPC-H-ish tables (oracle substrate for the
+    //     join/agg machinery backing the upsert; also the bench workload) ---
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    "q3_top_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1997-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+    "anti_no_orders" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "window_top_parts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+    }),
+    "events_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))),
+    // --- training-data ops: text (SURVEY north star) ---
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))),
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+            .cast(LongType).as("n_tokens"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+            .as("fingerprint"))))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val wideRp = s"read_parquet('${Fixtures.WideParquet}/*.parquet')"
+  private val wide2Rp = s"read_parquet('${Fixtures.Wide2Parquet}/*.parquet')"
+  private val storeRp = s"read_parquet('${Fixtures.StoreParquet}/*.parquet')"
+  private val storeDupRp = s"read_parquet('${Fixtures.StoreDupParquet}/*.parquet')"
+
+  /** F-1 increment as SQL (mirrors `stationValues`). */
+  private val incSql =
+    s"""SELECT station_id, "date", CAST(value AS DOUBLE) AS value,
+       | 'min' AS aggregation, 'temperature' AS datatype, 'raw' AS fill, 'day' AS period
+       |FROM (
+       |  SELECT SKN AS station_id, '2022-03-01' AS "date", "X2022.03.01" AS value FROM $wideRp
+       |  UNION ALL
+       |  SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp
+       |) u WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin
+
+  private val joinOn = keys.map(k => s"""inc."$k" = ex."$k"""").mkString(" AND ")
+  private val clsJoinOn = keys.map(k => s"""cls."$k" = ex."$k"""").mkString(" AND ")
+  private val classifySql =
+    s"""WITH inc AS ($incSql), ex AS (SELECT * FROM $storeRp)
+       |SELECT inc.*,
+       | CASE WHEN ex.uuid IS NULL THEN 'create'
+       |      WHEN inc.value IS NOT DISTINCT FROM ex.value THEN 'unchanged'
+       |      ELSE 'replace' END AS action,
+       | ex.uuid AS uuid
+       |FROM inc LEFT JOIN ex ON $joinOn""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "station_metadata" ->
+      (WideMatrix.MetadataColTranslations.map { case (orig, canon) =>
+        s"""CASE WHEN "$orig" = 'NA' THEN NULL ELSE "$orig" END AS $canon"""
+      }.mkString("SELECT ", ", ", "") +
+        s", 'skn' AS id_field, 'hawaii_climate_primary' AS station_group FROM $wideRp"),
+    "station_values" -> incSql,
+    "station_values_month" ->
+      s"""SELECT station_id, "date", CAST(value AS DOUBLE) AS value,
+         | 'rainfall' AS datatype, 'partial' AS fill, 'month' AS period
+         |FROM (
+         |  SELECT SKN AS station_id, '2021-11' AS "date", "X2021.11" AS value FROM $wide2Rp
+         |  UNION ALL SELECT SKN, '2021-12', "X2021.12" FROM $wide2Rp
+         |  UNION ALL SELECT SKN, '2022-01', "X2022.01" FROM $wide2Rp
+         |) u WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin,
+    "upsert_classify" -> classifySql,
+    "upsert_creates" ->
+      s"""WITH inc AS ($incSql), ex AS (SELECT * FROM $storeRp)
+         |SELECT inc.* FROM inc WHERE NOT EXISTS (SELECT 1 FROM ex WHERE $joinOn)""".stripMargin,
+    "upsert_replaces" ->
+      s"""SELECT * FROM ($classifySql) WHERE action = 'replace'""",
+    "upsert_stats" ->
+      s"""SELECT action, count(*) AS n FROM ($classifySql) GROUP BY action""",
+    "upsert_merge" ->
+      s"""WITH inc AS ($incSql), ex AS (SELECT * FROM $storeRp),
+         |cls AS (SELECT inc.*, ex.uuid AS ex_uuid,
+         |  CASE WHEN ex.uuid IS NULL THEN 'create'
+         |       WHEN inc.value IS NOT DISTINCT FROM ex.value THEN 'unchanged'
+         |       ELSE 'replace' END AS action
+         |  FROM inc LEFT JOIN ex ON $joinOn)
+         |SELECT ex.* FROM ex WHERE NOT EXISTS (
+         |  SELECT 1 FROM cls WHERE cls.action = 'replace' AND $clsJoinOn)
+         |UNION ALL
+         |SELECT datatype, period, fill, station_id, "date", value, aggregation, ex_uuid AS uuid
+         |FROM cls WHERE action = 'replace'
+         |UNION ALL
+         |SELECT datatype, period, fill, station_id, "date", value, aggregation,
+         |  md5(datatype || period || "date" || fill || station_id || aggregation) AS uuid
+         |FROM cls WHERE action = 'create'""".stripMargin,
+    "unique_key_check" ->
+      s"""SELECT datatype, period, "date", fill, station_id, aggregation, count(*) AS n
+         |FROM $storeDupRp
+         |GROUP BY 1, 2, 3, 4, 5, 6 HAVING count(*) > 1""".stripMargin,
+    "point_lookup" -> s"SELECT * FROM $storeRp WHERE uuid = 'u-0002'",
+    "query_filter" ->
+      s"SELECT * FROM $storeRp WHERE datatype = 'temperature' AND station_id = '39.2'",
+    "paginate" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 300",
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, supplier, nation, region
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "anti_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "window_top_parts" ->
+      """SELECT * FROM (
+        | SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3""".stripMargin,
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        | round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin)
 }

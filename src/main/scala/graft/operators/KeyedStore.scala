@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyed document store + join-based MERGE — the engine's replacement for the
+ * reference's `V3Handler` (`src/modules/ingestion_handler.py`), SURVEY §2.4.
+ *
+ * The reference deduplicates by issuing ONE store round-trip per incoming
+ * document (`ingestion_handler.py:218-219`, asyncio fan-out) and classifies
+ * each as create / replace / skip (`ingestion_handler.py:182-202`). Here the
+ * whole probe fan-out collapses into a single equi-join on the compound key
+ * — N RPCs become one shuffle (or zero, when one side broadcasts). This is
+ * the headline algorithmic win over the reference (SURVEY §4).
+ *
+ * Scale posture (100 TB store, small daily increment):
+ *  - `pruneExisting` narrows the store scan to the increment's key slice
+ *    (static datatype/period/fill values + date bounds) so partition pruning
+ *    and predicate pushdown keep the big side small BEFORE the join;
+ *  - after pruning, the store side is usually broadcastable; otherwise AQE
+ *    picks a shuffled hash join on near-uniform station×date keys;
+ *  - the rewrite only touches pruned partitions in a real deployment.
+ */
+object KeyedStore {
+
+  val ActionCreate = "create"
+  val ActionReplace = "replace"
+  val ActionUnchanged = "unchanged"
+
+  /** Payload = every shared non-key column (uuid is store-side identity). */
+  private def payloadCols(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): Seq[String] = {
+    val ex = existing.columns.toSet
+    incoming.columns.filterNot(keyCols.contains).filterNot(_ == "uuid").filter(ex.contains).toSeq
+  }
+
+  /**
+   * Deterministic within-increment key-dedup (SURVEY §7.4: the reference's
+   * per-doc serial probes hide increment-internal dupes; a parallel merge
+   * must resolve them explicitly). Keeps one row per key, chosen by a total
+   * order over the payload — deterministic under any partitioning.
+   */
+  def dedupIncrement(incoming: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val payload = incoming.columns.filterNot(keyCols.contains)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(payload.map(c => col(c).desc_nulls_last): _*)
+    incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Uniqueness violations in the base table (A2): keys with >1 row — the
+   * relational form of `RecordKeyException` (`ingestion_handler.py:193-195`).
+   */
+  def uniquenessViolations(table: DataFrame, keyCols: Seq[String]): DataFrame =
+    table.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /**
+   * Scale-path store pruning: restrict the existing side to the increment's
+   * key envelope before joining. `staticKeys` are columns known constant (or
+   * low-cardinality) in the increment — datatype/period/fill — collected
+   * driver-side (tiny); the date envelope becomes a min/max range predicate
+   * that pushes into the store scan (partition pruning at 100 TB).
+   */
+  def pruneExisting(existing: DataFrame, incoming: DataFrame, staticKeys: Seq[String],
+      dateCol: String = "date"): DataFrame = {
+    val bounds = incoming.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi")).head()
+    val statics = incoming.select(staticKeys.map(col): _*).distinct().collect()
+    val staticPred = statics.map { row =>
+      staticKeys.zipWithIndex.map { case (k, i) => col(k) === lit(row.get(i)) }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(true))
+    existing.filter(
+      staticPred && col(dateCol) >= lit(bounds.get(0)) && col(dateCol) <= lit(bounds.get(1)))
+  }
+
+  /**
+   * Dedup-probe classification (A1/A3/A4): one left join of incoming against
+   * existing on the compound key; each incoming row labeled
+   * create / replace / unchanged. Change detection is a null-safe struct
+   * comparison over the shared payload columns — field-order-insensitive
+   * deep equality, like the reference's dict compare
+   * (`ingestion_handler.py:197`).
+   */
+  def classify(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
+      replace: Boolean = true): DataFrame = {
+    val payload = payloadCols(incoming, existing, keyCols)
+    val exPayload = existing.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"__ex_$c")) ++ Seq(
+        lit(true).as("__ex_exists"),
+        (if (existing.columns.contains("uuid")) col("uuid")
+         else lit(null).cast("string")).as("__ex_uuid")): _*)
+    val joined = incoming.join(exPayload, keyCols, "left")
+    val matched = col("__ex_exists").isNotNull
+    val same = payload.map(c => col(c) <=> col(s"__ex_$c")).reduceOption(_ && _).getOrElse(lit(true))
+    val action = when(!matched, lit(ActionCreate))
+      .when(lit(replace) && !same, lit(ActionReplace))
+      .otherwise(lit(ActionUnchanged))
+    joined
+      .withColumn("action", action)
+      .withColumn("uuid", col("__ex_uuid"))
+      .drop(payload.map(c => s"__ex_$c") ++ Seq("__ex_uuid", "__ex_exists"): _*)
+  }
+
+  /** Creates (A4): incoming rows with no existing key — a left-anti join. */
+  def creates(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame =
+    incoming.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti")
+
+  /**
+   * Replaces (A4): matched rows whose payload differs — inner join +
+   * inequality. Carries the existing uuid (the reference replaces by docId,
+   * `ingestion_handler.py:140-141,233-234`).
+   */
+  def replaces(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame =
+    classify(incoming, existing, keyCols, replace = true)
+      .filter(col("action") === ActionReplace)
+
+  /**
+   * Merge statistics (A6): `{created, replaced, unchanged}` counts — the
+   * reference's run stats (`ingestion_handler.py:251-254`), one aggregate.
+   */
+  def stats(classified: DataFrame): DataFrame =
+    classified.groupBy(col("action")).agg(count(lit(1)).as("n"))
+
+  /**
+   * Full MERGE (A5): returns the post-merge table state.
+   *  - kept: existing rows whose key is absent from the increment, or whose
+   *    incoming copy is identical / replace=false;
+   *  - replaced: incoming payload under the existing uuid;
+   *  - created: new keys, uuid = deterministic hash of the compound key
+   *    (idempotence by construction — the reference's documented-but-
+   *    unimplemented resume contract, `README.md:41-43`, comes free).
+   */
+  def merge(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
+      replace: Boolean = true): DataFrame = {
+    // Each union branch derives from the BASE frames with its own join --
+    // deliberately NOT three filters over one shared `classify` frame.
+    // Reusing a complex derived frame (window + join lineage) across union
+    // branches trips Spark 4.1.2's relation deduplication into rebinding
+    // expression inputs across branches (observed: md5 over the key concat
+    // evaluating to a wrong hash). Fresh per-branch lineage is also what a
+    // real MERGE planner emits.
+    val inc = dedupIncrement(incoming, keyCols)
+    val outCols = existing.columns.toSeq
+    val payload = payloadCols(inc, existing, keyCols)
+    val replaced = classify(inc, existing, keyCols, replace)
+      .filter(col("action") === ActionReplace)
+      .select(outCols.map(col): _*)
+    val incMarked = inc.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"__in_$c")) :+
+        lit(true).as("__in_exists"): _*)
+    val sameAsIncoming = payload.map(c => col(c) <=> col(s"__in_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val kept = existing.join(incMarked, keyCols, "left")
+      .filter(col("__in_exists").isNull || lit(!replace) || sameAsIncoming)
+      .select(outCols.map(col): _*)
+    val created = creates(inc, existing, keyCols)
+      .withColumn("uuid", md5(concat_ws("", keyCols.map(col): _*)))
+      .select(outCols.map(col): _*)
+    kept.unionByName(replaced).unionByName(created)
+  }
+
+  // ---- query surface (`V3Handler` read path, SURVEY §2.1 S8/S9, §2.6 W1) ----
+
+  /** Point lookup by document id (S8; `ingestion_handler.py:144-151`). */
+  def pointLookup(table: DataFrame, id: String, idCol: String = "uuid"): DataFrame =
+    table.filter(col(idCol) === lit(id))
+
+  /**
+   * Equality-conjunction filter query (S9; `ingestion_handler.py:154-167`,
+   * Mongo filter incl. dotted `value.<field>` paths → plain columns here).
+   */
+  def queryFilter(table: DataFrame, eq: Map[String, String]): DataFrame =
+    eq.foldLeft(table) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+
+  /**
+   * Deterministic pagination (W1): the reference's `offset` is a PAGE index,
+   * not a row offset (`ingestion_handler.py:154-167` — page=offset+1,
+   * pagesize=limit, default 1000). Mongo's implicit ordering becomes an
+   * explicit total order on the key columns (SURVEY §7.4).
+   *
+   * Note: row_number over a global Window is a single-partition sort — fine
+   * for page-sized results; at 100 TB serve pages from the sorted, bucketed
+   * store instead (orderBy + limit push down to a TopK physical plan for
+   * early pages).
+   */
+  def paginate(table: DataFrame, orderCols: Seq[String], limit: Int = 1000,
+      offset: Int = 0): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    table.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > offset * limit && col("__rn") <= (offset + 1) * limit)
+      .drop("__rn")
+  }
+}
