@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+
 
 import graft.config.DatasetSpec
 
@@ -45,16 +45,19 @@ object Reshape {
    * null, so `strict=true` asserts no surviving cell failed the cast.
    */
   def castNumeric(long: DataFrame, strict: Boolean = true): DataFrame = {
-    val casted = long.withColumn("value", col("value").cast(DoubleType))
-    if (strict) {
-      // Cheap distributed assertion: raise inside the expression on bad
-      // cells instead of collecting — stays in codegen, zero extra pass.
-      casted.withColumn(
-        "value",
-        when(col("value").isNull,
-          raise_error(lit("non-numeric value cell survived nodata filter")))
-          .otherwise(col("value")))
-    } else casted
+    // try_cast is mode-independent (plain cast THROWS under Spark 4's
+    // default ANSI mode and nulls under legacy — neither is controllable
+    // from library code). Strictness is then an explicit in-expression
+    // assertion: raise on cells that fail the cast, inside codegen, no
+    // extra pass.
+    val tried = expr("try_cast(value AS DOUBLE)")
+    val v =
+      if (strict)
+        when(col("value").isNotNull && tried.isNull,
+          raise_error(concat(lit("non-numeric value cell: "), col("value"))))
+          .otherwise(tried)
+      else tried
+    long.withColumn("value", v)
   }
 
   /** Static-property enrichment (P8): attach constant columns to every row. */

@@ -1,0 +1,58 @@
+package graft
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.JobConfig
+
+class JobConfigSpec extends AnyFunSuite {
+
+  private val exampleJson =
+    """{
+      |  "additional_properties": {"location": "hawaii"},
+      |  "data": [{
+      |    "files": ["fixtures/f1_temperature_min_day.csv"],
+      |    "datatype": "temperature", "period": "day", "fill": "raw",
+      |    "data_col_start": 13, "id_col": 0, "nodata": "NA",
+      |    "start_date": "2022-03-01", "end_date": "2022-03-02",
+      |    "additional_properties": {"aggregation": "min"},
+      |    "additional_key_properties": ["aggregation"],
+      |    "replace_duplicates": true
+      |  }]
+      |}""".stripMargin
+
+  test("parses the reference config shape with defaults") {
+    val cfg = JobConfig.parse(exampleJson)
+    val d = cfg.data.head
+    assert(d.datatype == "temperature" && d.period == "day" && d.fill == "raw")
+    assert(d.dataColStart == 13 && d.idCol == 0 && d.nodata == "NA")
+    assert(d.startDate.contains(LocalDate.of(2022, 3, 1)))
+    assert(d.keyFields == Seq("datatype", "period", "date", "fill", "station_id", "aggregation"))
+    assert(d.staticProperties == Map("datatype" -> "temperature", "period" -> "day",
+      "fill" -> "raw", "aggregation" -> "min"))
+    assert(d.replaceDuplicates && d.writeMetadata)
+    assert(cfg.location == "hawaii")
+  }
+
+  test("defaults mirror the reference: data_col_start=1, id_col=0, nodata=NA") {
+    val d = JobConfig.parse(
+      """{"data":[{"files":[],"datatype":"x","period":"month","fill":"raw"}]}""").data.head
+    assert(d.dataColStart == 1 && d.idCol == 0 && d.nodata == "NA")
+    assert(d.startDate.isEmpty && d.endDate.isEmpty && d.additionalKeyProperties.isEmpty)
+  }
+
+  test("invalid period / inverted range rejected at parse") {
+    intercept[IllegalArgumentException](JobConfig.parse(
+      """{"data":[{"files":[],"datatype":"x","period":"week","fill":"raw"}]}"""))
+    intercept[IllegalArgumentException](JobConfig.parse(
+      """{"data":[{"files":[],"datatype":"x","period":"day","fill":"raw",
+        |"start_date":"2022-03-02","end_date":"2022-03-01"}]}""".stripMargin))
+  }
+
+  test("date templating: %y/%m/%d zero-padded substitution") {
+    assert(JobConfig.templateDates("f_%y-%m-%d.csv", LocalDate.of(2022, 3, 2)) == "f_2022-03-02.csv")
+    // default is yesterday
+    val y = LocalDate.now.minusDays(1)
+    assert(JobConfig.templateDates("%y%m%d").contains(f"${y.getYear}%04d"))
+  }
+}

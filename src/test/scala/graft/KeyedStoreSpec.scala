@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KeyedStore, Reshape}
+import graft.sources.WideMatrix
+
+class KeyedStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val keys = Fixtures.F1Spec.keyFields
+
+  private lazy val incoming: DataFrame = Reshape.pipeline(
+    WideMatrix.valuesWide(WideMatrix.readCsv(spark, Fixtures.F1Csv), Fixtures.F1Spec),
+    Fixtures.F1Spec)
+  private lazy val existing: DataFrame = Fixtures.store(spark)
+
+  test("classify: create / replace / unchanged exactly as the reference probe") {
+    val byStation = KeyedStore.classify(incoming, existing, keys)
+      .collect().map(r => (r.getAs[String]("station_id"), r.getAs[String]("date")) ->
+        r.getAs[String]("action")).toMap
+    assert(byStation(("39.2", "2022-03-01")) == "unchanged") // identical value -> skip
+    assert(byStation(("39.2", "2022-03-02")) == "replace") // stored 99.9 != 16.8
+    assert(byStation(("147.0", "2022-03-01")) == "create") // no match
+  }
+
+  test("replace=false: matched rows never classified replace") {
+    val actions = KeyedStore.classify(incoming, existing, keys, replace = false)
+      .select("action").collect().map(_.getString(0)).toSet
+    assert(actions == Set("create", "unchanged"))
+  }
+
+  test("stats conservation: created + replaced + unchanged == |increment|") {
+    val st = KeyedStore.stats(KeyedStore.classify(incoming, existing, keys))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st.values.sum == incoming.count())
+    assert(st == Map("create" -> 1L, "replace" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("merge: post-state has replaced payload, new uuid for creates, bystander kept") {
+    val merged = KeyedStore.merge(incoming, existing, keys)
+    val rows = merged.collect().map(r => r.getAs[String]("station_id") ->
+      (r.getAs[String]("date"), r.getAs[Double]("value"), r.getAs[String]("uuid")))
+    assert(rows.length == 4)
+    val m = rows.groupBy(_._1)
+    assert(m("39.2").map(_._2).toSet ==
+      Set(("2022-03-01", 17.2, "u-0001"), ("2022-03-02", 16.8, "u-0002"))) // replace keeps uuid
+    assert(m("500.1").head._2 == ("2022-03-01", 5.0, "u-0003")) // untouched bystander
+    val created = m("147.0").head._2
+    assert(created._3 == "b55f3b66118e091ad5abb471629e4836") // md5 of compound key
+  }
+
+  test("merge idempotency: merge(merge(T, inc), inc) == merge(T, inc)") {
+    val m1 = KeyedStore.merge(incoming, existing, keys)
+    val m2 = KeyedStore.merge(incoming, m1, keys)
+    assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty)
+  }
+
+  test("merge with replace=false keeps existing payloads") {
+    val merged = KeyedStore.merge(incoming, existing, keys, replace = false)
+    val v = merged.filter(col("station_id") === "39.2" && col("date") === "2022-03-02")
+      .head().getAs[Double]("value")
+    assert(v == 99.9) // not overwritten
+  }
+
+  test("dedupIncrement: within-increment key dupes resolve deterministically") {
+    import spark.implicits._
+    val dup = Seq(
+      ("temperature", "day", "2022-03-01", "raw", "39.2", "min", 1.0),
+      ("temperature", "day", "2022-03-01", "raw", "39.2", "min", 2.0))
+      .toDF("datatype", "period", "date", "fill", "station_id", "aggregation", "value")
+    val out = KeyedStore.dedupIncrement(dup, keys).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 2.0) // payload desc order
+  }
+
+  test("uniqueness violations: duplicated key flagged with its count") {
+    val v = KeyedStore.uniquenessViolations(Fixtures.storeDup(spark), keys).collect()
+    assert(v.length == 1)
+    assert(v.head.getAs[String]("station_id") == "39.2" && v.head.getAs[Long]("n") == 2L)
+  }
+
+  test("pruneExisting narrows the store to the increment envelope") {
+    val pruned = KeyedStore.pruneExisting(existing, incoming, Seq("datatype", "period", "fill"))
+    assert(pruned.count() == existing.count()) // same slice here
+    import spark.implicits._
+    val otherInc = incoming.withColumn("datatype", lit("rainfall"))
+    assert(KeyedStore.pruneExisting(existing, otherInc, Seq("datatype")).count() == 0)
+  }
+
+  test("pagination: page semantics (offset is a page index), deterministic order") {
+    import spark.implicits._
+    val df = (1 to 25).map(i => (f"k$i%03d", i)).toDF("k", "v")
+    val page2 = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 1).collect()
+    assert(page2.map(_.getString(0)).toSeq == (11 to 20).map(i => f"k$i%03d"))
+    val lastPage = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 2).collect()
+    assert(lastPage.length == 5)
+  }
+
+  test("point lookup and equality-filter query") {
+    assert(KeyedStore.pointLookup(existing, "u-0002").count() == 1)
+    assert(KeyedStore.queryFilter(existing,
+      Map("datatype" -> "temperature", "station_id" -> "39.2")).count() == 2)
+  }
+}

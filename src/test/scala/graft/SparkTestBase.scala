@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared session for the whole test JVM (guide: one per suite via
+  * lazy val; sharing across suites avoids N× startup in `sbt test`). */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
