@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{KeyedStore, Reshape}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, KeyedStore, Multimodal, Reshape, Similarity}
 import graft.sources.WideMatrix
+import graft.streaming.StreamingOps
 
 /**
  * Driver contract — see /root/repo/SURVEY.md §2.11/§7.
@@ -149,9 +151,46 @@ object SparkEntry {
             .cast(LongType).as("n_tokens"))),
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
-            .as("fingerprint"))))
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+    "text_quality" -> ((s, dir) => {
+      val cols = TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))),
+    // --- dedup family (SURVEY north star; documents table) ---
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 16, bands = 4)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+    // --- similarity search (embeddings table) ---
+    "sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.topK(e, q, k = 10)
+    }),
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.topKLsh(Similarity.buildLshIndex(e, dim = 64), q, k = 10)
+    }),
+    "sim_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairsExact(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.45)),
+    "sim_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500), dim = 64, minCosine = 0.45)),
+    // --- multimodal plumbing (fixture media table; stub decode) ---
+    "media_stats" -> ((s, _) => Multimodal.stats(s.read.parquet(Fixtures.MediaParquet))),
+    "media_features" -> ((s, _) =>
+      Multimodal.extractFeatures(s.read.parquet(Fixtures.MediaParquet))(s)
+        .drop("feature")), // array col dropped: rows-only check, stable schema
+    // --- sessionization (gap-based; batch form of the streaming op) ---
+    "events_sessionize" -> ((s, dir) =>
+      StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -274,5 +313,82 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        | round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 /
+        |   greatest(length(text), 1), 6) AS punct_ratio,
+        | round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+        |   greatest(length(text), 1), 6) AS digit_ratio,
+        | round(len(regexp_extract_all(lower(text), '[a-z0-9]')) * 1.0 /
+        |   greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "text_langid" -> {
+      val hits = TextFunctions.StopwordSets.map { case (lang, words) =>
+        s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT) AS $lang"
+      }.mkString(", ")
+      val langs = TextFunctions.StopwordSets.map(_._1)
+      // first-listed language wins ties: branch k needs k >= every LATER
+      // language only (an earlier branch failing implies that lang lost)
+      val cases = langs.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1)
+        val geq = (s"$l > 0" +: later.map(o => s"$l >= $o")).mkString(" AND ")
+        s"WHEN $geq THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |      $cases ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, lang, text, $hits FROM documents)""".stripMargin
+    },
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+        |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |       ELSE array_to_string(t, ' ') END AS shingle FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6) AS jaccard
+        |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
+        |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_neardup" ->
+      """SELECT id_a, id_b, cos FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id < 500 AND b.vec_id < 500)
+        |WHERE cos >= 0.45""".stripMargin,
+    "media_stats" ->
+      s"""SELECT kind, count(*) AS n, sum(octet_length(payload)) AS total_bytes,
+         | round(avg(width), 4) AS avg_w, round(avg(height), 4) AS avg_h
+         |FROM read_parquet('${Fixtures.MediaParquet}/*.parquet') GROUP BY kind""".stripMargin,
+    "events_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+        |f AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN pts IS NOT NULL AND epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END AS nw
+        |  FROM l),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin)
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for large-scale training-data pipelines
+ * (BASELINE.json north star: beyond-reference LLM-data operators).
+ *
+ * All built from `org.apache.spark.sql.functions` primitives (codegen'd /
+ * vectorized) — no UDFs, so the whole pipeline stays inside whole-stage
+ * codegen and pushes down through Catalyst.
+ *
+ * Every function is expressible in ANSI SQL too (the DuckDB oracle mirrors
+ * each one), keeping the operators hash-verifiable at sf scale.
+ */
+object TextFunctions {
+
+  /** Word tokens: maximal alphanumeric runs. Language-neutral, cheap. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Token count (BPE-ish proxy: alnum runs; CJK counted per char below). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Whitespace-split tokens — shingling basis (matches SQL string_split). */
+  def wsTokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /**
+   * Word n-gram shingles via higher-order functions: for token array t,
+   * shingle_i = t[i] ⧺ ' ' ⧺ … ⧺ t[i+n-1]. `transform(sequence(...))`
+   * evaluates vectorized per row with no UDF.
+   */
+  def shingles(text: Column, n: Int): Column = {
+    val t = wsTokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text (document identity robust to formatting noise). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Ratio helpers — each a single divide over regexp counts. */
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /**
+   * Quality signals per document: length, token stats, punctuation and
+   * digit ratios, mean token length — the standard cheap filters
+   * (C4/Gopher-style rules) a 100 TB text pipeline runs first.
+   */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    val nTok = tokenCount(text)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> round(countMatches(text, "[.,;:!?]").cast("double") /
+        greatest(nChars, lit(1L)), 6),
+      "digit_ratio" -> round(countMatches(text, "[0-9]").cast("double") /
+        greatest(nChars, lit(1L)), 6),
+      "mean_token_len" -> round(
+        countMatches(lower(text), "[a-z0-9]").cast("double") / greatest(nTok, lit(1L)), 6))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + deterministic (SQL-mirrorable). */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "con"))
+
+  /** Per-language stopword hit count (word-boundary regexp, one pass each). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    countMatches(lower(text), s"\\b(${words.mkString("|")})\\b").cast("long")
+
+  /**
+   * Language-ID heuristic: argmax of stopword hits; CJK scripts win by
+   * character-class presence first (stopwords don't apply). Ties resolve
+   * by the fixed language order — deterministic.
+   */
+  def langId(text: Column): Column = {
+    val cjk = countMatches(text, "[\\x{4e00}-\\x{9fff}]")
+    val scored = StopwordSets.map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: lexicographic => highest hits, then
+    // latest lang alphabetically — make order explicit instead: reduce with
+    // greatest-by-hits keeping first-listed language on ties.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(cjk > 0, lit("zh")).otherwise(
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Document deduplication for training-data pipelines, at 100 TB posture:
+ *
+ *  - exact: one hash-groupBy (single shuffle on a 16-byte key).
+ *  - MinHash/LSH: shingle → per-band min-hash signature → band-bucket join.
+ *    Candidate generation never compares all pairs: docs meet only inside a
+ *    NON-TRIVIAL bucket (band value shared by ≥2 docs), so the self-join is
+ *    bounded by bucket sizes, not n².
+ *  - SimHash: 64-bit weighted-bit signature; near-dups collide on rotated
+ *    16-bit bands (Hamming ≤ 3 over 4 bands guarantees one exact band hit).
+ *  - n-gram Jaccard: inverted-index join on distinct shingles (classic
+ *    candidate-pair generation), exact Jaccard verification on candidates.
+ *
+ * Determinism: every hash is md5/xxhash64 over explicit strings — no RNG,
+ * no partition-order dependence, so results are reproducible and (where
+ * SQL-expressible) oracle-verifiable.
+ */
+object Dedup {
+
+  /** Exact dedup: survivor (min id) per content hash + multiplicity. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Distinct (doc, shingle) pairs — the substrate for LSH and Jaccard. */
+  def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /**
+   * MinHash signature per (doc, seed): min over shingles of
+   * xxhash64(seed ⧺ shingle). One aggregation produces all seeds' minima
+   * via map-side combine (no per-seed pass).
+   */
+  def minhash(sh: DataFrame, numHashes: Int, idCol: String): DataFrame = {
+    val mins: Seq[Column] = (0 until numHashes).map { j =>
+      min(xxhash64(concat(lit(s"$j|"), col("shingle")))).as(s"mh_$j")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: signature split into `bands`; docs sharing
+   * any band value become a candidate pair. Returns (id_a, id_b, n_bands)
+   * with id_a < id_b. Probability a pair with Jaccard j is caught:
+   * 1 - (1 - j^r)^b for r rows/band, b bands.
+   */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhash(shingleTable(docs, n, textCol, idCol), numHashes, idCol)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (lit(b) +: (0 until r).map(i => col(s"mh_${b * r + i}"))): _*))
+        .as(s"band_$b")
+    }
+    val banded = sig.select(col(idCol) +: bandCols: _*)
+    // long format: (doc, band_idx, band_hash) — one shuffle keyed by bucket
+    val longForm = banded.select(col(idCol), explode(map(
+      (0 until bands).flatMap(b => Seq(lit(b), col(s"band_$b"))): _*)).as(Seq("band", "bucket")))
+    val a = longForm.as("a")
+    val b = longForm.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /**
+   * 64-bit SimHash per document: for each token-hash bit, sum ±1 across
+   * tokens; signature bit = sign. Expressed with higher-order functions over
+   * the token array — no UDF, no driver loop.
+   */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val h = transform(toks, t => xxhash64(t))
+    // bit b of signature = 1 iff sum over tokens of (bit set ? 1 : -1) > 0
+    val bits: Column = (0 until 64).map { b =>
+      val votes = aggregate(h, lit(0L),
+        (acc, hv) => acc + when(shiftright(hv, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol), bits.as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup candidates: split the 64-bit signature into 4 16-bit
+   * bands; Hamming distance ≤ 3 ⇒ at least one band identical (pigeonhole).
+   * Verification computes the exact Hamming distance on candidates only.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = simhash(docs, textCol, idCol)
+    val banded = sig.select(col(idCol), col("simhash"), explode(map(
+      (0 until 4).flatMap { b =>
+        Seq(lit(b), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram Jaccard over candidate pairs from an inverted-index join:
+   * docs sharing ≥1 shingle are candidates; J = |∩| / |∪| from shingle-set
+   * sizes. `minJaccard` prunes the (large) candidate set after one
+   * aggregation; the shared-shingle join is the only shuffle-heavy step and
+   * is bounded by posting-list sizes (cap hot shingles upstream at scale).
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleTable(docs, n, textCol, idCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "n_sh" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "n_sh" -> "n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Baseline: brute-force cosine top-k — one scan, one TopK (orderBy+limit
+ * plans as TakeOrderedAndProject: per-partition heaps + driver merge of k
+ * rows, no global sort shuffle).
+ *
+ * Scale path: LSH bucketing by random-hyperplane signs (deterministic
+ * hyperplanes derived from xxhash64 — no RNG state, reproducible across
+ * runs/executors) so the candidate set shrinks ~2^bits-fold before exact
+ * re-scoring; recall is tuned by probing neighboring buckets (multi-probe)
+ * or multiple tables. An IVF variant would k-means the corpus; hyperplane
+ * LSH avoids the training pass and stays fully declarative.
+ *
+ * All math in double via higher-order functions (`aggregate`/`zip_with`
+ * equivalents) — no UDF; dot products evaluate in array order, bit-exact
+ * reproducible and mirrorable in the DuckDB oracle.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, sequential array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k against one query vector (as a literal array —
+   * shipped in the plan, evaluated per row, no join). Deterministic
+   * tiebreak on id. Rounded to 6dp so cross-engine float summation agrees.
+   */
+  def topK(embeddings: DataFrame, query: Seq[Float], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embeddings
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (table, bit, dim):
+   * hash → uniform in [-1, 1). Stable across sessions/executors — the
+   * "model" is pure code, no RNG state to ship.
+   */
+  private def planeComponent(table: Int, bit: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$table:$bit:$d").toLong & 0xFFFFFFFFL
+    (h.toDouble / 0x80000000L.toDouble) - 1.0
+  }
+
+  /** Sign-bit bucket of one LSH table for a vector column. */
+  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int): Column =
+    (0 until bits).map { b =>
+      val proj: Column = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(table, b, d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side bucket of a concrete query vector. */
+  private def bucketOf(query: Seq[Float], bits: Int, table: Int): Long =
+    (0 until bits).map { b =>
+      val proj = query.indices.map(d => query(d) * planeComponent(table, b, d)).sum
+      if (proj >= 0) 1L << b else 0L
+    }.sum
+
+  /**
+   * LSH index build: one pass computing `tables` bucket ids per vector,
+   * exploded to (id, table, bucket, vec). This is the write-once pass — at
+   * corpus scale it is persisted partitioned/bucketed by (table, bucket) so
+   * a query reads only its probed buckets (partition pruning), instead of
+   * re-projecting hyperplanes per query as an inline filter would.
+   *
+   * Recall tuning: P(candidate | angle θ) = 1-(1-p^bits)^tables with
+   * p = 1-θ/π. Loose neighbors (this synthetic corpus, cos≈0.5) want few
+   * bits / many tables; near-dup regimes (cos ≥ 0.9) support 16+ bits.
+   */
+  def buildLshIndex(embeddings: DataFrame, dim: Int, bits: Int = 4, tables: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    embeddings.select(col(idCol), col(vecCol), explode(map(
+      (0 until tables).flatMap(t =>
+        Seq(lit(t), lshBucket(col(vecCol), dim, bits, t))): _*)).as(Seq("table", "bucket")))
+
+  /** ANN top-k through the index: probe the query's bucket in every table,
+    * union candidates (distinct ids), exact-rescore only those. */
+  def topKLsh(index: DataFrame, query: Seq[Float], k: Int, bits: Int = 4, tables: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pred = (0 until tables).map { tt =>
+      col("table") === tt && col("bucket") === bucketOf(query, bits, tt)
+    }.reduce(_ || _)
+    val q = array(query.map(v => lit(v)): _*)
+    index.filter(pred)
+      .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Embedding near-duplicate pairs via the index: candidates = pairs
+   * sharing a (table, bucket); exact cosine verification on candidates
+   * only (the scale path for embedding-based corpus dedup).
+   */
+  def nearDupPairs(embeddings: DataFrame, dim: Int, minCosine: Double, bits: Int = 4,
+      tables: Int = 8, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val idx = buildLshIndex(embeddings, dim, bits, tables, vecCol, idCol)
+    val a = idx.as("a")
+    val b = idx.as("b")
+    a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** Exact all-pairs cosine above threshold — the oracle-checkable
+    * baseline the LSH variant approximates (O(n²), small-SF only). */
+  def nearDupPairsExact(embeddings: DataFrame, minCosine: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val a = embeddings.as("a")
+    val b = embeddings.as("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class TrainingDataOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "der hund ist nicht ein katze und das ist gut"),
+    (3L, "completely different words entirely unrelated tokens here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (5L, "短 文 本 with 漢字 characters"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: identical texts collapse to min id with multiplicity") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(out(0L) == 2L) // doc 4 collapsed into 0
+    assert(!out.contains(4L) && out.size == 5)
+  }
+
+  test("shingles: sliding word 3-grams; short docs fall back to whole text") {
+    val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(col("doc_id") === 0).head.getSeq[String](1)
+    assert(sh.head == "the quick brown" && sh.size == 7)
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(TextFunctions.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(short == Seq("two words"))
+  }
+
+  test("ngram jaccard: near-dup pair found with high score, unrelated not") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.6)
+    assert(pairs.contains((0L, 4L)) && pairs((0L, 4L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("minhash LSH: exact dup shares all bands; candidates include near-dup") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 16, bands = 4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_bands"))
+      .toMap
+    assert(pairs((0L, 4L)) == 4L) // identical docs agree on every band
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; pairs surfaced") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(0L) == sig(4L))
+    val ham01 = java.lang.Long.bitCount(sig(0L) ^ sig(1L))
+    assert(ham01 <= 16, s"near-dup hamming was $ham01")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("language id: stopword heuristic + CJK class") {
+    val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en" && out(2L) == "de" && out(5L) == "zh")
+    assert(out(3L) == "und") // no stopwords at all
+  }
+
+  test("quality columns: ratios bounded, token counts exact") {
+    val q = docs.filter(col("doc_id") === 0)
+      .select(TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(q.getAs[Long]("n_tokens") == 9L)
+    assert(q.getAs[Double]("punct_ratio") == 0.0)
+    assert(q.getAs[Double]("mean_token_len") > 3.0)
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val nearDup = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.05f else v }
+    val others = (2 until 40).map(i => i.toLong -> Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    ((0L -> base) +: (1L -> nearDup) +: others).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k: self first, planted near-dup second") {
+    val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val top = Similarity.topK(vecs, q, k = 3).collect()
+    assert(top(0).getAs[Long]("vec_id") == 0L && top(0).getAs[Double]("cos") == 1.0)
+    assert(top(1).getAs[Long]("vec_id") == 1L && top(1).getAs[Double]("cos") > 0.99)
+  }
+
+  test("LSH index top-k finds the planted near-dup; near-dup pairs too") {
+    val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val idx = Similarity.buildLshIndex(vecs, dim = 16)
+    val ids = Similarity.topKLsh(idx, q, k = 3).collect().map(_.getAs[Long]("vec_id"))
+    assert(ids.take(2).toSet == Set(0L, 1L)) // planted pair always shares buckets
+    val nd = Similarity.nearDupPairs(vecs, dim = 16, minCosine = 0.99).collect()
+    assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
+  }
+
+  test("multimodal: stub decode is deterministic; metadata-only stats prune payload") {
+    implicit val s = spark
+    val media = Fixtures.media(spark)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 16))
+    assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
+    assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
+    val st = Multimodal.stats(media).collect()
+    assert(st.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+  }
+}
