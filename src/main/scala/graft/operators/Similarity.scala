@@ -37,11 +37,18 @@ object Similarity {
    * shipped in the plan, evaluated per row, no join). Deterministic
    * tiebreak on id. Rounded to 6dp so cross-engine float summation agrees.
    */
+  /** Driver-side norm with the same fold order as the `norm` column fn —
+    * substituting it as a literal keeps results bit-identical while saving
+    * one 64-op aggregate per row. */
+  private def normOf(query: Seq[Float]): Double =
+    math.sqrt(query.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))
+
   def topK(embeddings: DataFrame, query: Seq[Float], k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     embeddings
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .select(col(idCol),
+        round(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -55,15 +62,6 @@ object Similarity {
     val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$table:$bit:$d").toLong & 0xFFFFFFFFL
     (h.toDouble / 0x80000000L.toDouble) - 1.0
   }
-
-  /** Sign-bit bucket of one LSH table for a vector column. */
-  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int): Column =
-    (0 until bits).map { b =>
-      val proj: Column = (0 until dim).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeComponent(table, b, d))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** Driver-side bucket of a concrete query vector. */
   private def bucketOf(query: Seq[Float], bits: Int, table: Int): Long =
@@ -84,10 +82,28 @@ object Similarity {
    * bits / many tables; near-dup regimes (cos ≥ 0.9) support 16+ bits.
    */
   def buildLshIndex(embeddings: DataFrame, dim: Int, bits: Int = 4, tables: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
-    embeddings.select(col(idCol), col(vecCol), explode(map(
-      (0 until tables).flatMap(t =>
-        Seq(lit(t), lshBucket(col(vecCol), dim, bits, t))): _*)).as(Seq("table", "bucket")))
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // Hyperplane projection as a join-aggregate "matrix multiply":
+    // posexplode the vector, broadcast-join the (tables·bits·dim) weight
+    // table, two codegen'd aggregations → bucket per (vec, table). An
+    // inline expression tree (dim·bits·tables element_at multiplies per
+    // row) is ~20× slower — giant exprs defeat codegen.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val weights = (for {
+      t <- 0 until tables; b <- 0 until bits; d <- 0 until dim
+    } yield (t, b, d, planeComponent(t, b, d))).toDF("table", "bit", "d", "w")
+    val exploded = embeddings.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+    val buckets = exploded
+      .join(broadcast(weights), "d")
+      .groupBy(col(idCol), col("table"), col("bit"))
+      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
+      .groupBy(col(idCol), col("table"))
+      .agg(sum(when(col("proj") >= 0,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("bucket"))
+    buckets.join(embeddings.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol), col(vecCol), col("table"), col("bucket"))
+  }
 
   /** ANN top-k through the index: probe the query's bucket in every table,
     * union candidates (distinct ids), exact-rescore only those. */
@@ -99,7 +115,8 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     index.filter(pred)
       .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .select(col(idCol),
+        round(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -112,14 +129,17 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, dim: Int, minCosine: Double, bits: Int = 4,
       tables: Int = 8, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val idx = buildLshIndex(embeddings, dim, bits, tables, vecCol, idCol)
+      .withColumn("__n", norm(col(vecCol)))
     val a = idx.as("a")
     val b = idx.as("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
+        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"),
+        col("a.__n").as("__na"), col("b.__n").as("__nb"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
@@ -127,11 +147,13 @@ object Similarity {
     * baseline the LSH variant approximates (O(n²), small-SF only). */
   def nearDupPairsExact(embeddings: DataFrame, minCosine: Double,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val a = embeddings.as("a")
-    val b = embeddings.as("b")
+    val withNorm = embeddings.withColumn("__n", norm(col(vecCol)))
+    val a = withNorm.as("a")
+    val b = withNorm.as("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos"))
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__n") * col("b.__n")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }
