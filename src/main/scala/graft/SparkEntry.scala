@@ -56,8 +56,42 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- station reference parity (SURVEY §2.1-§2.5) ---
+    "scan_csv" -> ((s, _) => WideMatrix.readCsv(s, Fixtures.F1Csv)),
     "station_metadata" -> ((s, _) =>
       WideMatrix.metadata(s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec)),
+    "filter_nodata" -> ((s, _) =>
+      Reshape.filterNodata(
+        Reshape.unpivot(WideMatrix.valuesWide(
+          s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec.copy(endDate = None))),
+        "NA")),
+    "cast_numeric" -> ((s, _) =>
+      Reshape.castNumeric(Reshape.filterNodata(
+        Reshape.unpivot(WideMatrix.valuesWide(
+          s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec.copy(endDate = None))),
+        "NA"), strict = false)),
+    "enrich_static" -> ((s, _) =>
+      Reshape.enrich(
+        Reshape.unpivot(WideMatrix.valuesWide(
+          s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec)),
+        Fixtures.F1Spec.staticProperties)),
+    "date_range_filter" -> ((s, _) =>
+      Reshape.unpivot(WideMatrix.valuesWide(
+          s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec.copy(endDate = None)))
+        .filter(col("date") >= "2022-03-02" && col("date") <= "2022-03-03")),
+    "date_parse" -> ((s, _) =>
+      Reshape.filterNodata(
+        Reshape.unpivot(WideMatrix.valuesWide(
+          s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec.copy(endDate = None))),
+        "NA")
+        .select(col("station_id"), col("date"),
+          to_date(col("date"), "yyyy-MM-dd").as("parsed"),
+          date_format(to_date(col("date"), "yyyy-MM-dd"), "yyyy-MM").as("month_value"))),
+    "sparse_strip" -> ((s, _) =>
+      WideMatrix.metadata(s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec)
+        .select(col("skn"),
+          WideMatrix.MetadataColTranslations.map(_._2).drop(1)
+            .map(c => when(col(c).isNotNull, 1).otherwise(0).cast("long"))
+            .reduce(_ + _).as("n_present"))),
     "station_values" -> ((s, _) => stationValues(s)),
     "station_values_month" -> ((s, _) =>
       Reshape.pipeline(
@@ -199,6 +233,12 @@ object SparkEntry {
   private val storeRp = s"read_parquet('${Fixtures.StoreParquet}/*.parquet')"
   private val storeDupRp = s"read_parquet('${Fixtures.StoreDupParquet}/*.parquet')"
 
+  /** F-1 unpivot over ALL three date columns, raw string values. */
+  private val unpivotAllSql =
+    s"""SELECT SKN AS station_id, '2022-03-01' AS "date", "X2022.03.01" AS value FROM $wideRp
+       |UNION ALL SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp
+       |UNION ALL SELECT SKN, '2022-03-03', "X2022.03.03" FROM $wideRp""".stripMargin
+
   /** F-1 increment as SQL (mirrors `stationValues`). */
   private val incSql =
     s"""SELECT station_id, "date", CAST(value AS DOUBLE) AS value,
@@ -221,6 +261,32 @@ object SparkEntry {
        |FROM inc LEFT JOIN ex ON $joinOn""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "scan_csv" ->
+      s"SELECT * FROM read_csv('${Fixtures.F1Csv}', header = true, all_varchar = true)",
+    "filter_nodata" ->
+      s"""SELECT * FROM ($unpivotAllSql) WHERE value IS NOT NULL AND value <> 'NA'""",
+    "cast_numeric" ->
+      s"""SELECT station_id, "date", CAST(value AS DOUBLE) AS value
+         |FROM ($unpivotAllSql) WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin,
+    "enrich_static" ->
+      s"""SELECT station_id, "date", value, 'min' AS aggregation,
+         | 'temperature' AS datatype, 'raw' AS fill, 'day' AS period
+         |FROM (
+         |  SELECT SKN AS station_id, '2022-03-01' AS "date", "X2022.03.01" AS value FROM $wideRp
+         |  UNION ALL SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp)""".stripMargin,
+    "date_range_filter" ->
+      s"""SELECT * FROM ($unpivotAllSql)
+         |WHERE "date" >= '2022-03-02' AND "date" <= '2022-03-03'""".stripMargin,
+    "date_parse" ->
+      s"""SELECT station_id, "date", CAST("date" AS DATE) AS parsed,
+         | strftime(CAST("date" AS DATE), '%Y-%m') AS month_value
+         |FROM ($unpivotAllSql) WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin,
+    "sparse_strip" ->
+      (s"""SELECT CASE WHEN SKN = 'NA' THEN NULL ELSE SKN END AS skn, CAST(""" +
+        WideMatrix.MetadataColTranslations.drop(1).map { case (orig, _) =>
+          s"""CASE WHEN "$orig" = 'NA' THEN 0 ELSE 1 END"""
+        }.mkString(" + ") +
+        s""" AS BIGINT) AS n_present FROM $wideRp"""),
     "station_metadata" ->
       (WideMatrix.MetadataColTranslations.map { case (orig, canon) =>
         s"""CASE WHEN "$orig" = 'NA' THEN NULL ELSE "$orig" END AS $canon"""
@@ -343,7 +409,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, text, $hits FROM documents)""".stripMargin
     },
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
         |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
         |sh AS (SELECT DISTINCT doc_id,

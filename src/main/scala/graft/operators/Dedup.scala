@@ -107,7 +107,7 @@ object Dedup {
    */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tokenHashes = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), explode(TextFunctions.wsTokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
     val votes: Seq[Column] = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
