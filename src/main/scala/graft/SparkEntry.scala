@@ -158,6 +158,23 @@ object SparkEntry {
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
+    "semi_customers" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+    "except_parts" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"))
+        .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))),
+    "rollup_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+    "station_pivot" -> ((s, _) =>
+      stationValues(s)
+        .groupBy(col("station_id"))
+        .pivot(col("date"), Seq("2022-03-01", "2022-03-02"))
+        .agg(max(col("value")))),
     "window_top_parts" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
@@ -361,6 +378,20 @@ object SparkEntry {
     "anti_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "semi_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "except_parts" ->
+      "SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem",
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "station_pivot" ->
+      s"""SELECT station_id,
+         | max(CASE WHEN "date" = '2022-03-01' THEN value END) AS "2022-03-01",
+         | max(CASE WHEN "date" = '2022-03-02' THEN value END) AS "2022-03-02"
+         |FROM ($incSql) GROUP BY station_id""".stripMargin,
     "window_top_parts" ->
       """SELECT * FROM (
         | SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, l_extendedprice,
