@@ -213,6 +213,9 @@ object SparkEntry {
     // --- dedup family (SURVEY north star; documents table) ---
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5)),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 16, bands = 4)),
     "dedup_simhash" -> ((s, dir) =>
@@ -265,6 +268,25 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp
        |) u WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin
+
+  /** 3-gram Jaccard pairs (mirrors `Dedup.ngramJaccardPairs`); also the
+    * edge set for the connected-components oracle. */
+  private val oracleJaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+      |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |       ELSE array_to_string(t, ' ') END AS shingle FROM pos),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6) AS jaccard
+      |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
 
   private val joinOn = keys.map(k => s"""inc."$k" = ex."$k"""").mkString(" AND ")
   private val clsJoinOn = keys.map(k => s"""cls."$k" = ex."$k"""").mkString(" AND ")
@@ -439,22 +461,19 @@ object SparkEntry {
          |      $cases ELSE 'und' END AS pred_lang
          |FROM (SELECT doc_id, lang, text, $hits FROM documents)""".stripMargin
     },
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-        |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |       ELSE array_to_string(t, ' ') END AS shingle FROM pos),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6) AS jaccard
-        |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
-        |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_ngram_jaccard" -> oracleJaccardSql,
+    "dedup_clusters" -> {
+      val jac = oracleJaccardSql
+      s"""WITH RECURSIVE pairs AS ($jac),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+         |FROM reach GROUP BY src""".stripMargin
+    },
     "sim_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

@@ -142,6 +142,50 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair graph — the step that turns
+   * pairwise matches into dedup CLUSTERS (survivor = min id per component).
+   *
+   * Algorithm: iterative min-label propagation. Each node starts labeled
+   * with itself; every round each node takes the min label in its
+   * neighborhood (both edge directions); converges in O(diameter) rounds —
+   * near-dup clusters are small and dense, so a handful. Each round is two
+   * shuffles (join + groupBy) — the standard Spark shape for this; at
+   * corpus scale swap in large-star/small-star to bound skew on giant
+   * components.
+   *
+   * Returns (id, cluster) for every node that appears in `pairs`.
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor labels: for edge (src,dst), dst's label is a candidate for src
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "nb_cluster")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nb_cluster")).as("nb_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true) // truncate lineage per round (iterative joins)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /**
    * Exact n-gram Jaccard over candidate pairs from an inverted-index join:
    * docs sharing ≥1 shingle are candidates; J = |∩| / |∪| from shingle-set
    * sizes. `minJaccard` prunes the (large) candidate set after one
