@@ -203,6 +203,18 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+    "text_tokens_bpe" -> ((s, dir) =>
+      // BPE-ish pre-tokenization (GPT-2-style): letter runs, digit runs,
+      // or single non-space symbols each become one pre-token
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast(LongType).as("n_pretokens"))),
+    "distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
     "text_quality" -> ((s, dir) => {
       val cols = TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
@@ -433,6 +445,16 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |   AS n_pretokens
+        |FROM documents""".stripMargin,
+    "distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars,

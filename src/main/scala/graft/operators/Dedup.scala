@@ -172,14 +172,14 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "nb_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nb_cluster")).as("nb_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // one checkpointed frame carries (old, new) so the convergence probe
+      // is a filter over materialized blocks, not another join
+      val step = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true) // truncate lineage per round (iterative joins)
-      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
+      converged = step.filter(col("cluster") =!= col("old")).limit(1).isEmpty
+      labels = step.select(col("id"), col("cluster"))
       i += 1
     }
     labels
