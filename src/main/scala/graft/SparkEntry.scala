@@ -210,6 +210,12 @@ object SparkEntry {
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
             .cast(LongType).as("n_pretokens"))),
+    "value_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
     "distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -450,6 +456,11 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
         |   AS n_pretokens
         |FROM documents""".stripMargin,
+    "value_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "distinct_counts" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
