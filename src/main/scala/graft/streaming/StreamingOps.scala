@@ -87,4 +87,48 @@ object StreamingOps {
     * reference's daily-batch cadence. */
   def readEventStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** A keyed value on the stream: `k` = the compound key rendered to one
+    * string (concat of key fields), `value` = the payload. */
+  final case class KeyedValue(k: String, value: Double)
+  final case class ClassifiedValue(k: String, value: Double, action: String)
+
+  /**
+   * Streaming upsert-classification — the reference's per-document dedup
+   * probe (`ingestion_handler.py:182-202`) as a custom stateful operator:
+   * state per compound key = last stored payload; each arriving record is
+   * labeled create (no state) / unchanged (equal payload) / replace
+   * (differing payload, when `replace`), and the state advances.
+   *
+   * This is the `flatMapGroupsWithState` form of `KeyedStore.classify` —
+   * the batch join becomes a state-store lookup, giving effectively-once
+   * upsert semantics over an unbounded stream (SURVEY §2.8). State is one
+   * double per live key; bound it with key TTL in production
+   * (GroupStateTimeout) when keys churn.
+   */
+  def classifyStream(increments: org.apache.spark.sql.Dataset[KeyedValue],
+      replace: Boolean = true): org.apache.spark.sql.Dataset[ClassifiedValue] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import increments.sparkSession.implicits._
+    increments
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[Double, ClassifiedValue](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[Double]) =>
+          // materialize: state updates must complete before returning
+          val out = scala.collection.mutable.ListBuffer.empty[ClassifiedValue]
+          var cur: Option[Double] = state.getOption
+          rows.foreach { r =>
+            val action = cur match {
+              case None => "create"
+              case Some(v) if v == r.value => "unchanged"
+              case Some(_) if replace => "replace"
+              case Some(_) => "unchanged"
+            }
+            if (action != "unchanged") { cur = Some(r.value); state.update(r.value) }
+            out += ClassifiedValue(key, r.value, action)
+          }
+          out.iterator
+      }
+  }
 }

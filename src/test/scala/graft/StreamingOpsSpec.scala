@@ -66,6 +66,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sessions == Set((10L, 2L, 3.0), (10L, 1L, 3.0), (20L, 1L, 4.0), (20L, 2L, 11.0)))
   }
 
+  test("stateful streaming upsert-classify: create/unchanged/replace across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamingOps.{ClassifiedValue, KeyedValue}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedValue]
+    val q = StreamingOps.classifyStream(in.toDS())
+      .writeStream.format("memory").queryName("cls_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(KeyedValue("k1", 1.0), KeyedValue("k2", 2.0))
+      q.processAllAvailable()
+      in.addData(KeyedValue("k1", 1.0), KeyedValue("k2", 9.0), KeyedValue("k3", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("cls_out").as[ClassifiedValue].collect()
+        .groupBy(c => (c.k, c.value)).view.mapValues(_.map(_.action).toSeq).toMap
+      assert(out(("k1", 1.0)) == Seq("create", "unchanged"))
+      assert(out(("k2", 2.0)) == Seq("create"))
+      assert(out(("k2", 9.0)) == Seq("replace"))
+      assert(out(("k3", 3.0)) == Seq("create"))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops key dupes") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     events.unionByName(events).write.mode("overwrite").parquet(dir) // every event twice
