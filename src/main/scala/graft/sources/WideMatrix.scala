@@ -67,7 +67,15 @@ object WideMatrix {
     // inference would eat "NA" and numeric-looking station IDs).
     val header = spark.read.option("header", "true").csv(path).schema.fieldNames
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read
+      .option("header", "true")
+      // keep empty cells as "" (reference `keep_default_na=False` keeps
+      // them literal and float("") then RAISES, `driver.py:141,163`) —
+      // Spark's default nullValue="" would silently null them instead.
+      // Missing trailing cells of short rows still arrive as null (P6).
+      .option("nullValue", "\u0000")
+      .schema(schema)
+      .csv(path)
   }
 
   /**

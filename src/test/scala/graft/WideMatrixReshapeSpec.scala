@@ -68,6 +68,21 @@ class WideMatrixReshapeSpec extends AnyFunSuite {
     assert(lax.collect().head.get(2) == null)
   }
 
+  test("empty CSV cells: unquoted -> dropped like short rows; quoted \"\" -> strict raise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/e.csv"),
+      "SKN,X2022.03.01,X2022.03.02,X2022.03.03\ns1,,\"\",17.0\n")
+    val wide = WideMatrix.readCsv(spark, s"$dir/e.csv")
+    val spec = Fixtures.F1Spec.copy(dataColStart = 1, endDate = None)
+    val long = Reshape.filterNodata(
+      Reshape.unpivot(WideMatrix.valuesWide(wide, spec, byPosition = true)), "NA")
+    // unquoted empty -> null -> dropped (documented divergence, P6 path);
+    // quoted "" survives the nodata filter...
+    assert(long.count() == 2)
+    // ...and strict cast raises on it, mirroring the reference's float("")
+    intercept[Exception](Reshape.castNumeric(long, strict = true).collect())
+  }
+
   test("month-period fixture: default col layout, X%Y.%m headers") {
     val w2 = WideMatrix.readCsv(spark, Fixtures.F2Csv)
     val out = Reshape.pipeline(
