@@ -69,10 +69,13 @@ object WideMatrix {
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     spark.read
       .option("header", "true")
-      // keep empty cells as "" (reference `keep_default_na=False` keeps
-      // them literal and float("") then RAISES, `driver.py:141,163`) —
-      // Spark's default nullValue="" would silently null them instead.
-      // Missing trailing cells of short rows still arrive as null (P6).
+      // The reference (`keep_default_na=False`, `driver.py:141`) keeps empty
+      // cells literal and float("") RAISES (`tapis_direct_driver.py:145`).
+      // Spark's parser nulls UNQUOTED empties unconditionally -- documented
+      // divergence: those fall into the P6 skip path. Quoted empty strings
+      // CAN be preserved: the default nullValue="" would null them too, so
+      // pin nullValue to a never-occurring sentinel; strict cast then
+      // raises on "" exactly like the reference.
       .option("nullValue", "\u0000")
       .schema(schema)
       .csv(path)
