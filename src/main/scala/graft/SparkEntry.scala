@@ -524,7 +524,8 @@ object SparkEntry {
         | WHERE a.vec_id < 500 AND b.vec_id < 500)
         |WHERE cos >= 0.45""".stripMargin,
     "media_stats" ->
-      s"""SELECT kind, count(*) AS n, sum(octet_length(payload)) AS total_bytes,
+      s"""SELECT kind, count(*) AS n,
+         | CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
          | round(avg(width), 4) AS avg_w, round(avg(height), 4) AS avg_h
          |FROM read_parquet('${Fixtures.MediaParquet}/*.parquet') GROUP BY kind""".stripMargin,
     "events_sessionize" ->
