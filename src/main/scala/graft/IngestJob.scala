@@ -55,6 +55,44 @@ object IngestJob {
     for (ds <- cfg.data; f <- ds.files)
       yield runFile(spark, ds, f, root, cfg.location, byPosition)
 
+  /**
+   * Continuous ingestion: watch a directory for arriving wide CSVs and
+   * MERGE each micro-batch into the store — the Structured-Streaming
+   * upgrade of the reference's scheduled daily container run (SURVEY §2.8).
+   * `foreachBatch` reuses the exact batch MERGE (idempotent, so the
+   * at-least-once file source still converges); checkpointing makes file
+   * discovery exactly-once. Pass `Trigger.AvailableNow` for a drain-and-
+   * stop run, or a processing-time trigger to tail the directory.
+   */
+  def runStream(spark: SparkSession, ds: DatasetSpec, watchDir: String, root: String,
+      checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger,
+      byPosition: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    // streaming CSV needs a fixed schema: probe one existing file
+    val probe = WideMatrix.readCsv(spark,
+      new Path(watchDir).toString + "/*.csv")
+    val schema = probe.schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("nullValue", "\u0000") // match WideMatrix.readCsv semantics
+      .csv(watchDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val values = Reshape.pipeline(WideMatrix.valuesWide(batch, ds, byPosition), ds)
+          val st = KeyedStore.mergeIntoTable(values, valuesDir(root), ds.keyFields,
+            partitionCol = Some("date"), replace = ds.replaceDuplicates)
+          // surfaced like the reference's per-file stats log lines
+          println(s"""{"batch":$batchId,"created":${st.created},""" +
+            s""""replaced":${st.replaced},"unchanged":${st.unchanged}}""")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Per-file state marker (resume contract, `README.md:41-43`). */
   private def writeState(spark: SparkSession, root: String, file: String,
       complete: Boolean): Unit = {

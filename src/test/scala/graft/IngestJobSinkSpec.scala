@@ -70,6 +70,27 @@ class IngestJobSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v").count() == 2)
   }
 
+  test("streaming ingestion: file arrivals merge incrementally, exactly-once discovery") {
+    import org.apache.spark.sql.streaming.Trigger
+    val watch = Files.createTempDirectory("graft_watch").toString
+    val root = Files.createTempDirectory("graft_sroot").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val spec = Fixtures.F2Spec
+    Files.writeString(java.nio.file.Paths.get(s"$watch/day1.csv"),
+      "SKN,X2021.11,X2021.12,X2022.01\n39.2,210.5,188.0,NA\n")
+    val q1 = IngestJob.runStream(spark, spec, watch, root, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(IngestJob.valuesDir(root)).count() == 2)
+    // second file arrives; same checkpoint -> only the new file is read
+    Files.writeString(java.nio.file.Paths.get(s"$watch/day2.csv"),
+      "SKN,X2021.11,X2021.12,X2022.01\n147.0,NA,95.25,101.0\n")
+    val q2 = IngestJob.runStream(spark, spec, watch, root, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val vals = spark.read.parquet(IngestJob.valuesDir(root))
+    assert(vals.count() == 4)
+    assert(vals.select("station_id").distinct().count() == 2)
+  }
+
   test("document sink: envelope shape, 500-chunking, retry on flaky transport") {
     RecordingTransport.reset()
     RecordingTransport.failuresToInject = 2
