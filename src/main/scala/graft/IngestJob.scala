@@ -57,41 +57,62 @@ object IngestJob {
 
   /**
    * Continuous ingestion: watch a directory for arriving wide CSVs and
-   * MERGE each micro-batch into the store — the Structured-Streaming
-   * upgrade of the reference's scheduled daily container run (SURVEY §2.8).
-   * `foreachBatch` reuses the exact batch MERGE (idempotent, so the
-   * at-least-once file source still converges); checkpointing makes file
-   * discovery exactly-once. Pass `Trigger.AvailableNow` for a drain-and-
-   * stop run, or a processing-time trigger to tail the directory.
+   * MERGE each one into the store — the Structured-Streaming upgrade of the
+   * reference's scheduled daily container run (SURVEY §2.8).
+   *
+   * The stream carries file PATHS (binaryFile source, content column never
+   * selected → pruned), and each discovered file goes through `runFile`,
+   * which re-reads it with ITS OWN header. This matters because the wide
+   * matrix's columns ARE dates: a fixed readStream-csv schema probed at
+   * start would silently mis-align tomorrow's rolling-window files
+   * (positional parsing against a stale header). Path-driven per-file
+   * ingestion also starts cleanly on an empty landing directory.
+   *
+   * Checkpointing makes file discovery exactly-once; the MERGE is
+   * idempotent anyway, so at-least-once redelivery converges. Pass
+   * `Trigger.AvailableNow` for a drain-and-stop run, or a processing-time
+   * trigger to tail the directory.
    */
   def runStream(spark: SparkSession, ds: DatasetSpec, watchDir: String, root: String,
       checkpoint: String, trigger: org.apache.spark.sql.streaming.Trigger,
-      byPosition: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
-    // streaming CSV needs a fixed schema: probe one existing file
-    val probe = WideMatrix.readCsv(spark,
-      new Path(watchDir).toString + "/*.csv")
-    val schema = probe.schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("header", "true")
-      .option("nullValue", "\u0000") // match WideMatrix.readCsv semantics
-      .csv(watchDir)
-    stream.writeStream
+      byPosition: Boolean = true, location: String = "hawaii")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.csv")
+      .load(watchDir)
+      .select("path")
+    files.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val values = Reshape.pipeline(WideMatrix.valuesWide(batch, ds, byPosition), ds)
-          val st = KeyedStore.mergeIntoTable(values, valuesDir(root), ds.keyFields,
-            partitionCol = Some("date"), replace = ds.replaceDuplicates)
-          // surfaced like the reference's per-file stats log lines
-          println(s"""{"batch":$batchId,"created":${st.created},""" +
-            s""""replaced":${st.replaced},"unchanged":${st.unchanged}}""")
+        // a micro-batch is a handful of newly-arrived files (driver-side
+        // loop over paths is the reference's own per-file granularity and
+        // keeps per-file header classification + stats)
+        batch.collect().map(_.getString(0)).sorted.foreach { path =>
+          val r = runFile(spark, ds, path, root, location, byPosition)
+          println(s"""{"batch":$batchId,"file":"${jsonEscape(r.file)}",""" +
+            s""""created":${r.created},"replaced":${r.replaced},"unchanged":${r.unchanged}}""")
         }
         ()
       }
       .start()
   }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** Per-file state marker (resume contract, `README.md:41-43`). */
   private def writeState(spark: SparkSession, root: String, file: String,
@@ -101,7 +122,8 @@ object IngestJob {
     fs.mkdirs(new Path(stateDir(root)))
     val name = java.util.UUID.nameUUIDFromBytes(file.getBytes("UTF-8")).toString
     val out = fs.create(new Path(s"${stateDir(root)}/$name.json"), true)
-    out.write(s"""{"file": "$file", "complete": $complete}""".getBytes("UTF-8"))
+    out.write(s"""{"file": "${jsonEscape(file)}", "complete": $complete}"""
+      .getBytes("UTF-8"))
     out.close()
   }
 

@@ -191,10 +191,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))),
     // --- training-data ops: text (SURVEY north star) ---
-    "dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -341,7 +338,7 @@ object SparkEntry {
     "sparse_strip" ->
       (s"""SELECT CASE WHEN SKN = 'NA' THEN NULL ELSE SKN END AS skn, CAST(""" +
         WideMatrix.MetadataColTranslations.drop(1).map { case (orig, _) =>
-          s"""CASE WHEN "$orig" = 'NA' THEN 0 ELSE 1 END"""
+          s"""CASE WHEN "$orig" IS NULL OR "$orig" = 'NA' THEN 0 ELSE 1 END"""
         }.mkString(" + ") +
         s""" AS BIGINT) AS n_present FROM $wideRp"""),
     "station_metadata" ->
@@ -380,7 +377,10 @@ object SparkEntry {
          |FROM cls WHERE action = 'replace'
          |UNION ALL
          |SELECT datatype, period, fill, station_id, "date", value, aggregation,
-         |  md5(datatype || period || "date" || fill || station_id || aggregation) AS uuid
+         |  md5(concat_ws(chr(1),
+         |    coalesce(datatype, chr(2)), coalesce(period, chr(2)),
+         |    coalesce("date", chr(2)), coalesce(fill, chr(2)),
+         |    coalesce(station_id, chr(2)), coalesce(aggregation, chr(2)))) AS uuid
          |FROM cls WHERE action = 'create'""".stripMargin,
     "unique_key_check" ->
       s"""SELECT datatype, period, "date", fill, station_id, aggregation, count(*) AS n

@@ -29,6 +29,12 @@ object KeyedStore {
   val ActionReplace = "replace"
   val ActionUnchanged = "unchanged"
 
+  /** Deterministic key rendering for created-row uuids: unit-separator
+    * joined, null fields marked — distinct null patterns stay distinct
+    * (plain concat_ws would collapse ("a",null) and (null,"a")). */
+  private[graft] def keyConcat(keyCols: Seq[String]): Column =
+    concat_ws("\u0001", keyCols.map(k => coalesce(col(k), lit("\u0002"))): _*)
+
   /** Payload = every shared non-key column (uuid is store-side identity). */
   private def payloadCols(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): Seq[String] = {
     val ex = existing.columns.toSet
@@ -85,12 +91,18 @@ object KeyedStore {
   def classify(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
       replace: Boolean = true): DataFrame = {
     val payload = payloadCols(incoming, existing, keyCols)
+    // keys join NULL-SAFELY (<=>): a null key field must still match itself,
+    // or rows with a stripped/absent key re-create forever and idempotency
+    // breaks. The existing side's keys are renamed so the join condition is
+    // unambiguous, then dropped.
     val exPayload = existing.select(
-      keyCols.map(col) ++ payload.map(c => col(c).as(s"__ex_$c")) ++ Seq(
+      keyCols.map(c => col(c).as(s"__exk_$c")) ++ payload.map(c => col(c).as(s"__ex_$c")) ++ Seq(
         lit(true).as("__ex_exists"),
         (if (existing.columns.contains("uuid")) col("uuid")
          else lit(null).cast("string")).as("__ex_uuid")): _*)
-    val joined = incoming.join(exPayload, keyCols, "left")
+    val joinCond = keyCols.map(k => col(k) <=> col(s"__exk_$k")).reduce(_ && _)
+    val joined = incoming.join(exPayload, joinCond, "left")
+      .drop(keyCols.map(k => s"__exk_$k"): _*)
     val matched = col("__ex_exists").isNotNull
     val same = payload.map(c => col(c) <=> col(s"__ex_$c")).reduceOption(_ && _).getOrElse(lit(true))
     val action = when(!matched, lit(ActionCreate))
@@ -102,9 +114,13 @@ object KeyedStore {
       .drop(payload.map(c => s"__ex_$c") ++ Seq("__ex_uuid", "__ex_exists"): _*)
   }
 
-  /** Creates (A4): incoming rows with no existing key — a left-anti join. */
-  def creates(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame =
-    incoming.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti")
+  /** Creates (A4): incoming rows with no existing key — a null-safe
+    * left-anti join. */
+  def creates(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val exKeys = existing.select(keyCols.map(c => col(c).as(s"__exk_$c")): _*)
+    val joinCond = keyCols.map(k => col(k) <=> col(s"__exk_$k")).reduce(_ && _)
+    incoming.join(exKeys, joinCond, "left_anti")
+  }
 
   /**
    * Replaces (A4): matched rows whose payload differs — inner join +
@@ -132,30 +148,31 @@ object KeyedStore {
    *    unimplemented resume contract, `README.md:41-43`, comes free).
    */
   def merge(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
-      replace: Boolean = true): DataFrame = {
+      replace: Boolean = true, assumeDeduped: Boolean = false): DataFrame = {
     // Each union branch derives from the BASE frames with its own join --
     // deliberately NOT three filters over one shared `classify` frame.
     // Reusing a complex derived frame (window + join lineage) across union
-    // branches trips Spark 4.1.2's relation deduplication into rebinding
-    // expression inputs across branches (observed: md5 over the key concat
-    // evaluating to a wrong hash). Fresh per-branch lineage is also what a
-    // real MERGE planner emits.
-    val inc = dedupIncrement(incoming, keyCols)
+    // branches trips Spark 4.1.2's relation deduplication into corrupting
+    // an expression in one branch (observed: a concat_ws separator literal
+    // silently evaluated as "\u0001" instead of ""). Fresh per-branch
+    // lineage avoids it and is what a real MERGE planner emits anyway.
+    val inc = if (assumeDeduped) incoming else dedupIncrement(incoming, keyCols)
     val outCols = existing.columns.toSeq
     val payload = payloadCols(inc, existing, keyCols)
     val replaced = classify(inc, existing, keyCols, replace)
       .filter(col("action") === ActionReplace)
       .select(outCols.map(col): _*)
     val incMarked = inc.select(
-      keyCols.map(col) ++ payload.map(c => col(c).as(s"__in_$c")) :+
+      keyCols.map(c => col(c).as(s"__ink_$c")) ++ payload.map(c => col(c).as(s"__in_$c")) :+
         lit(true).as("__in_exists"): _*)
     val sameAsIncoming = payload.map(c => col(c) <=> col(s"__in_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val kept = existing.join(incMarked, keyCols, "left")
+    val keptCond = keyCols.map(k => col(k) <=> col(s"__ink_$k")).reduce(_ && _)
+    val kept = existing.join(incMarked, keptCond, "left")
       .filter(col("__in_exists").isNull || lit(!replace) || sameAsIncoming)
       .select(outCols.map(col): _*)
     val created = creates(inc, existing, keyCols)
-      .withColumn("uuid", md5(concat_ws("", keyCols.map(col): _*)))
+      .withColumn("uuid", md5(keyConcat(keyCols)))
       .select(outCols.map(col): _*)
     kept.unionByName(replaced).unionByName(created)
   }
@@ -185,6 +202,7 @@ object KeyedStore {
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(storeDir))
     val inc = dedupIncrement(incoming, keyCols)
+    val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
 
     def write(df: DataFrame): Unit = {
       val w = df.write.mode("overwrite")
@@ -194,28 +212,38 @@ object KeyedStore {
       }
     }
 
-    if (!exists) {
-      val created = inc.withColumn("uuid", md5(concat_ws("", keyCols.map(col): _*)))
-      write(created)
-      MergeStats(created.count(), 0L, 0L)
-    } else {
-      val existing = spark.read.parquet(storeDir)
-      val slice = partitionCol match {
-        case Some(p) =>
-          val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
-          existing.filter(col(p).isin(parts: _*)) // → partition pruning
-        case None => existing
+    try {
+      if (!exists) {
+        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+        write(created)
+        // count the written files, not the lineage (no recompute)
+        MergeStats(spark.read.parquet(storeDir).count(), 0L, 0L)
+      } else {
+        val existing = spark.read.parquet(storeDir)
+        val slice = partitionCol match {
+          case Some(p) =>
+            val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
+            existing.filter(col(p).isin(parts: _*)) // → partition pruning
+          case None => existing
+        }
+        val st = stats(classify(inc, slice, keyCols, replace)).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // localCheckpoint truncates lineage so the overwrite below doesn't
+        // read from the path it writes (cluster deployments would stage +
+        // commit instead; dynamic overwrite keeps it partition-scoped).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val merged = merge(inc, slice, keyCols, replace, assumeDeduped = true)
+          .localCheckpoint(true)
+        write(merged)
+        MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
+          st.getOrElse(ActionUnchanged, 0L))
       }
-      val st = stats(classify(inc, slice, keyCols, replace)).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // localCheckpoint truncates lineage so the overwrite below doesn't
-      // read from the path it writes (cluster deployments would stage +
-      // commit instead; dynamic overwrite keeps it partition-scoped).
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val merged = merge(inc, slice, keyCols, replace).localCheckpoint(true)
-      write(merged)
-      MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
-        st.getOrElse(ActionUnchanged, 0L))
+    } finally {
+      // session-global conf must not leak past this call
+      prevOverwriteMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
   }
 

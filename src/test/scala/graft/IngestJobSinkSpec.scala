@@ -89,6 +89,15 @@ class IngestJobSinkSpec extends AnyFunSuite {
     val vals = spark.read.parquet(IngestJob.valuesDir(root))
     assert(vals.count() == 4)
     assert(vals.select("station_id").distinct().count() == 2)
+    // header DRIFT: a later file with different date columns (the daily
+    // rolling-window case) must be parsed against ITS OWN header
+    Files.writeString(java.nio.file.Paths.get(s"$watch/day3.csv"),
+      "SKN,X2022.02,X2022.03\n39.2,7.5,8.5\n")
+    val q3 = IngestJob.runStream(spark, spec, watch, root, ckpt, Trigger.AvailableNow())
+    q3.awaitTermination(60000)
+    val vals3 = spark.read.parquet(IngestJob.valuesDir(root))
+    assert(vals3.count() == 6)
+    assert(vals3.filter(col("date") === "2022-02").head.getAs[Double]("value") == 7.5)
   }
 
   test("document sink: envelope shape, 500-chunking, retry on flaky transport") {

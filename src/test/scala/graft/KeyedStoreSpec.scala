@@ -48,7 +48,7 @@ class KeyedStoreSpec extends AnyFunSuite {
       Set(("2022-03-01", 17.2, "u-0001"), ("2022-03-02", 16.8, "u-0002"))) // replace keeps uuid
     assert(m("500.1").head._2 == ("2022-03-01", 5.0, "u-0003")) // untouched bystander
     val created = m("147.0").head._2
-    assert(created._3 == "b55f3b66118e091ad5abb471629e4836") // md5 of compound key
+    assert(created._3 == "12b129c19f619fa6ca7e14a305be7293") // md5 of \u0001-joined key
   }
 
   test("merge idempotency: merge(merge(T, inc), inc) == merge(T, inc)") {
@@ -72,6 +72,25 @@ class KeyedStoreSpec extends AnyFunSuite {
       .toDF("datatype", "period", "date", "fill", "station_id", "aggregation", "value")
     val out = KeyedStore.dedupIncrement(dup, keys).collect()
     assert(out.length == 1 && out.head.getAs[Double]("value") == 2.0) // payload desc order
+  }
+
+  test("null key fields merge null-safely: no re-create on re-run") {
+    import spark.implicits._
+    val inc = Seq(("m", null.asInstanceOf[String], 1.0), ("m", "k2", 2.0))
+      .toDF("datatype", "station_id", "value")
+    val empty = Seq.empty[(String, String, Double, String)]
+      .toDF("datatype", "station_id", "value", "uuid")
+    val ks = Seq("datatype", "station_id")
+    val m1 = KeyedStore.merge(inc, empty, ks)
+    assert(m1.count() == 2)
+    // the null-key row must MATCH itself on the second merge, not duplicate
+    val m2 = KeyedStore.merge(inc, m1, ks)
+    assert(m2.count() == 2)
+    val acts = KeyedStore.classify(inc, m1, ks).select("action")
+      .collect().map(_.getString(0)).toSeq
+    assert(acts == Seq("unchanged", "unchanged"))
+    // distinct null patterns get distinct uuids
+    assert(m1.select("uuid").distinct().count() == 2)
   }
 
   test("uniqueness violations: duplicated key flagged with its count") {
