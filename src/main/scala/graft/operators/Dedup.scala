@@ -156,11 +156,39 @@ object Dedup {
    * Returns (id, cluster) for every node that appears in `pairs`.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Adaptive execution: near-dup graphs are usually tiny relative to the
+    // corpus — below the threshold, a driver-side union-find replaces the
+    // iterative shuffles entirely (the same size-based switch AQE makes for
+    // broadcasts). Above it, distributed min-label propagation runs.
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    val edgeCount = edges.count()
+    if (integralIds && edgeCount <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)

@@ -63,15 +63,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 4L)))
   }
 
-  test("connected components: chains merge into one cluster, min-id label") {
+  test("connected components: chains merge into one cluster, min-id label (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 20L))
       .toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
-    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L && out(4L) == 1L) // chain
-    assert(out(10L) == 10L && out(11L) == 10L)
-    assert(out(20L) == 20L && out(21L) == 20L)
-    assert(out.size == 8)
+    // driver union-find path (small graph) and distributed label
+    // propagation (threshold 0) must agree exactly
+    for (threshold <- Seq(1000000L, 0L)) {
+      val out = Dedup.connectedComponents(pairs, driverThreshold = threshold).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+      assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L && out(4L) == 1L) // chain
+      assert(out(10L) == 10L && out(11L) == 10L)
+      assert(out(20L) == 20L && out(21L) == 20L)
+      assert(out.size == 8)
+    }
   }
 
   test("language id: stopword heuristic + CJK class") {
