@@ -218,6 +218,26 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))),
+    "text_repetition" -> ((s, dir) => {
+      // within-document repetition (Gopher-style quality signal):
+      // distinct-token ratio; 1.0 = no repetition
+      val toks = TextFunctions.wsTokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        round(size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1)), 6).as("distinct_ratio"))
+    }),
+    "vocab_top100" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.wsTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+    "token_df" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.wsTokens(col("text"))).as("token"))
+        .distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 10)),
     "text_quality" -> ((s, dir) => {
       val cols = TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
@@ -466,6 +486,20 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        | round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 /
+        |   greatest(len(string_split(lower(text), ' ')), 1), 6) AS distinct_ratio
+        |FROM documents""".stripMargin,
+    "vocab_top100" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "token_df" ->
+      """SELECT token, count(*) AS df FROM (
+        | SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        | FROM documents)
+        |GROUP BY token HAVING count(*) >= 10""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars,
