@@ -19,9 +19,18 @@ import org.apache.spark.sql.functions._
  *  - `pruneExisting` narrows the store scan to the increment's key slice
  *    (static datatype/period/fill values + date bounds) so partition pruning
  *    and predicate pushdown keep the big side small BEFORE the join;
- *  - after pruning, the store side is usually broadcastable; otherwise AQE
- *    picks a shuffled hash join on near-uniform station×date keys;
+ *  - `merge` is ONE full-outer join + one projection: each side of the store
+ *    slice is scanned exactly once, and there are no union branches to
+ *    re-scan it (round-1 shape scanned each side three times);
  *  - the rewrite only touches pruned partitions in a real deployment.
+ *
+ * Strictness (round-2): `strictKeys = true` (the default) enforces the
+ * reference's `RecordKeyException` contract (`ingestion_handler.py:13-14,
+ * 193-195`): an incoming key matching MORE THAN ONE existing row aborts the
+ * run instead of silently fanning out the join. The check is a window count
+ * over the (pruned) existing side — no second scan — and raises from inside
+ * codegen only for keys that are actually probed, exactly like the
+ * reference's per-probe `len(matches) > 1` test.
  */
 object KeyedStore {
 
@@ -33,13 +42,25 @@ object KeyedStore {
     * joined, null fields marked — distinct null patterns stay distinct
     * (plain concat_ws would collapse ("a",null) and (null,"a")). */
   private[graft] def keyConcat(keyCols: Seq[String]): Column =
-    concat_ws("\u0001", keyCols.map(k => coalesce(col(k), lit("\u0002"))): _*)
+    keyConcatOf(keyCols.map(col))
+
+  private def keyConcatOf(keys: Seq[Column]): Column =
+    concat_ws("\u0001", keys.map(k => coalesce(k, lit("\u0002"))): _*)
 
   /** Payload = every shared non-key column (uuid is store-side identity). */
   private def payloadCols(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String]): Seq[String] = {
     val ex = existing.columns.toSet
     incoming.columns.filterNot(keyCols.contains).filterNot(_ == "uuid").filter(ex.contains).toSeq
   }
+
+  /** The `RecordKeyException` guard (`ingestion_handler.py:193-195`): raises
+    * when a probed key has `n` existing matches > 1. Wraps `value` so the
+    * check lives inside the same projection (no extra pass, fires lazily
+    * with the plan). */
+  private def strictKeyGuard(dup: Column, value: Column): Column =
+    when(dup, raise_error(lit(
+      "RecordKeyException: multiple existing rows match the specified key data")))
+      .otherwise(value)
 
   /**
    * Deterministic within-increment key-dedup (SURVEY §7.4: the reference's
@@ -86,32 +107,42 @@ object KeyedStore {
    * create / replace / unchanged. Change detection is a null-safe struct
    * comparison over the shared payload columns — field-order-insensitive
    * deep equality, like the reference's dict compare
-   * (`ingestion_handler.py:197`).
+   * (`ingestion_handler.py:197`). With `strictKeys`, a probed key matching
+   * >1 existing rows raises (A2, the `RecordKeyException` contract) from
+   * inside the action expression.
    */
   def classify(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
-      replace: Boolean = true): DataFrame = {
+      replace: Boolean = true, strictKeys: Boolean = true): DataFrame = {
     val payload = payloadCols(incoming, existing, keyCols)
     // keys join NULL-SAFELY (<=>): a null key field must still match itself,
     // or rows with a stripped/absent key re-create forever and idempotency
     // breaks. The existing side's keys are renamed so the join condition is
     // unambiguous, then dropped.
-    val exPayload = existing.select(
+    val exBase = existing.select(
       keyCols.map(c => col(c).as(s"__exk_$c")) ++ payload.map(c => col(c).as(s"__ex_$c")) ++ Seq(
         lit(true).as("__ex_exists"),
         (if (existing.columns.contains("uuid")) col("uuid")
          else lit(null).cast("string")).as("__ex_uuid")): _*)
+    // per-key multiplicity on the existing side: same hash partitioning the
+    // join needs anyway, so the window adds no extra exchange after it
+    val exPayload =
+      if (strictKeys) exBase.withColumn("__ex_n", count(lit(1)).over(
+        Window.partitionBy(keyCols.map(k => col(s"__exk_$k")): _*)))
+      else exBase.withColumn("__ex_n", lit(1L))
     val joinCond = keyCols.map(k => col(k) <=> col(s"__exk_$k")).reduce(_ && _)
     val joined = incoming.join(exPayload, joinCond, "left")
       .drop(keyCols.map(k => s"__exk_$k"): _*)
     val matched = col("__ex_exists").isNotNull
     val same = payload.map(c => col(c) <=> col(s"__ex_$c")).reduceOption(_ && _).getOrElse(lit(true))
-    val action = when(!matched, lit(ActionCreate))
+    val action0 = when(!matched, lit(ActionCreate))
       .when(lit(replace) && !same, lit(ActionReplace))
       .otherwise(lit(ActionUnchanged))
+    val action =
+      if (strictKeys) strictKeyGuard(matched && col("__ex_n") > 1, action0) else action0
     joined
       .withColumn("action", action)
       .withColumn("uuid", col("__ex_uuid"))
-      .drop(payload.map(c => s"__ex_$c") ++ Seq("__ex_uuid", "__ex_exists"): _*)
+      .drop(payload.map(c => s"__ex_$c") ++ Seq("__ex_uuid", "__ex_exists", "__ex_n"): _*)
   }
 
   /** Creates (A4): incoming rows with no existing key — a null-safe
@@ -139,42 +170,78 @@ object KeyedStore {
     classified.groupBy(col("action")).agg(count(lit(1)).as("n"))
 
   /**
-   * Full MERGE (A5): returns the post-merge table state.
-   *  - kept: existing rows whose key is absent from the increment, or whose
-   *    incoming copy is identical / replace=false;
-   *  - replaced: incoming payload under the existing uuid;
-   *  - created: new keys, uuid = deterministic hash of the compound key
-   *    (idempotence by construction — the reference's documented-but-
-   *    unimplemented resume contract, `README.md:41-43`, comes free).
+   * Post-merge state + per-row action, from ONE full-outer join and ONE
+   * projection. Because keys are unique on both sides (increment deduped;
+   * store enforced by `strictKeys`), every joined row yields exactly one
+   * output row:
+   *  - existing-only  → kept as-is          (`__action` null — bystander);
+   *  - incoming-only  → created, uuid = deterministic hash of the key;
+   *  - matched        → incoming payload under the existing uuid if
+   *                     `replace` and the payload changed, else the existing
+   *                     row unchanged.
+   *
+   * This shape replaced round-1's kept/replaced/created UNION (which scanned
+   * each side three times AND had to dodge a Spark 4.1.2 relation-dedup bug
+   * by re-deriving each branch from base frames — with a single projection
+   * there are no shared-lineage union branches left to corrupt, see
+   * SCALING.md).
    */
-  def merge(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
-      replace: Boolean = true, assumeDeduped: Boolean = false): DataFrame = {
-    // Each union branch derives from the BASE frames with its own join --
-    // deliberately NOT three filters over one shared `classify` frame.
-    // Reusing a complex derived frame (window + join lineage) across union
-    // branches trips Spark 4.1.2's relation deduplication into corrupting
-    // an expression in one branch (observed: a concat_ws separator literal
-    // silently evaluated as "\u0001" instead of ""). Fresh per-branch
-    // lineage avoids it and is what a real MERGE planner emits anyway.
-    val inc = if (assumeDeduped) incoming else dedupIncrement(incoming, keyCols)
+  private def mergedWithAction(inc: DataFrame, existing: DataFrame, keyCols: Seq[String],
+      replace: Boolean, strictKeys: Boolean): DataFrame = {
     val outCols = existing.columns.toSeq
     val payload = payloadCols(inc, existing, keyCols)
-    val replaced = classify(inc, existing, keyCols, replace)
-      .filter(col("action") === ActionReplace)
-      .select(outCols.map(col): _*)
-    val incMarked = inc.select(
-      keyCols.map(c => col(c).as(s"__ink_$c")) ++ payload.map(c => col(c).as(s"__in_$c")) :+
-        lit(true).as("__in_exists"): _*)
-    val sameAsIncoming = payload.map(c => col(c) <=> col(s"__in_$c"))
+    val exBase = existing.select(
+      existing.columns.map(c => col(c).as(s"__ex_$c")) :+ lit(true).as("__ex_exists"): _*)
+    val exSide =
+      if (strictKeys) exBase.withColumn("__ex_n", count(lit(1)).over(
+        Window.partitionBy(keyCols.map(k => col(s"__ex_$k")): _*)))
+      else exBase.withColumn("__ex_n", lit(1L))
+    val inSide = inc.select(
+      inc.columns.map(c => col(c).as(s"__in_$c")) :+ lit(true).as("__in_exists"): _*)
+    val joinCond = keyCols.map(k => col(s"__in_$k") <=> col(s"__ex_$k")).reduce(_ && _)
+    val j = inSide.join(exSide, joinCond, "full_outer")
+
+    val inPresent = col("__in_exists").isNotNull
+    val exPresent = col("__ex_exists").isNotNull
+    val matched = inPresent && exPresent
+    val dup = matched && col("__ex_n") > 1
+    val same = payload.map(c => col(s"__in_$c") <=> col(s"__ex_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val keptCond = keyCols.map(k => col(k) <=> col(s"__ink_$k")).reduce(_ && _)
-    val kept = existing.join(incMarked, keptCond, "left")
-      .filter(col("__in_exists").isNull || lit(!replace) || sameAsIncoming)
-      .select(outCols.map(col): _*)
-    val created = creates(inc, existing, keyCols)
-      .withColumn("uuid", md5(keyConcat(keyCols)))
-      .select(outCols.map(col): _*)
-    kept.unionByName(replaced).unionByName(created)
+    val takeIncoming = !exPresent || (inPresent && lit(replace) && !same)
+    val action = when(!inPresent, lit(null).cast("string"))
+      .when(!exPresent, lit(ActionCreate))
+      .when(lit(replace) && !same, lit(ActionReplace))
+      .otherwise(lit(ActionUnchanged))
+
+    val projected = outCols.map { c =>
+      val exC = col(s"__ex_$c")
+      val base =
+        if (c == "uuid")
+          when(!exPresent, md5(keyConcatOf(keyCols.map(k => col(s"__in_$k"))))).otherwise(exC)
+        else if (keyCols.contains(c))
+          when(inPresent, col(s"__in_$c")).otherwise(exC)
+        else if (inc.columns.contains(c))
+          when(takeIncoming, col(s"__in_$c")).otherwise(exC)
+        else exC
+      // the RecordKeyException guard rides the key columns so it survives
+      // any downstream projection that still touches the key
+      val guarded =
+        if (strictKeys && keyCols.contains(c)) strictKeyGuard(dup, base) else base
+      guarded.as(c)
+    }
+    j.select(projected :+ (if (strictKeys) strictKeyGuard(dup, action)
+                           else action).as("__action"): _*)
+  }
+
+  /**
+   * Full MERGE (A5): returns the post-merge table state — see
+   * `mergedWithAction` for the single-scan full-outer shape.
+   */
+  def merge(incoming: DataFrame, existing: DataFrame, keyCols: Seq[String],
+      replace: Boolean = true, assumeDeduped: Boolean = false,
+      strictKeys: Boolean = true): DataFrame = {
+    val inc = if (assumeDeduped) incoming else dedupIncrement(incoming, keyCols)
+    mergedWithAction(inc, existing, keyCols, replace, strictKeys).drop("__action")
   }
 
   /** Run statistics of one merge (A6; `ingestion_handler.py:251-254`). */
@@ -187,16 +254,21 @@ object KeyedStore {
    *  1. only partitions PRESENT in the increment are read back (driver
    *     collects the increment's distinct partition values — a daily run
    *     touches a handful) → partition-pruned scan of the big table;
-   *  2. merge runs against that slice only;
+   *  2. ONE full-outer merge plan against that slice is materialized once
+   *     (`localCheckpoint`), and both the stats and the rewrite read the
+   *     materialized result — the slice is scanned exactly once per run;
    *  3. dynamic partition overwrite rewrites exactly those partitions —
    *     untouched partitions of a 100 TB store are never read or written.
    *
    * Re-running the same increment is a no-op (stats all-unchanged), which
    * is the reference's documented-but-unimplemented resume contract
-   * (`README.md:41-43`) for free.
+   * (`README.md:41-43`) for free. With `strictKeys` (default), a store
+   * slice holding duplicate keys aborts the run (`RecordKeyException`,
+   * `ingestion_handler.py:193-195`) before anything is written.
    */
   def mergeIntoTable(incoming: DataFrame, storeDir: String, keyCols: Seq[String],
-      partitionCol: Option[String] = Some("date"), replace: Boolean = true): MergeStats = {
+      partitionCol: Option[String] = Some("date"), replace: Boolean = true,
+      strictKeys: Boolean = true): MergeStats = {
     val spark = incoming.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
@@ -226,15 +298,18 @@ object KeyedStore {
             existing.filter(col(p).isin(parts: _*)) // → partition pruning
           case None => existing
         }
-        val st = stats(classify(inc, slice, keyCols, replace)).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        // localCheckpoint truncates lineage so the overwrite below doesn't
-        // read from the path it writes (cluster deployments would stage +
-        // commit instead; dynamic overwrite keeps it partition-scoped).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val merged = merge(inc, slice, keyCols, replace, assumeDeduped = true)
+        // ONE scan of the slice: the merge plan materializes here (which
+        // also fires the strict-key guard), then stats and the overwrite
+        // both read the checkpointed blocks. localCheckpoint also truncates
+        // lineage so the overwrite doesn't read from the path it writes
+        // (cluster deployments would stage + commit instead).
+        val j = mergedWithAction(inc, slice, keyCols, replace, strictKeys)
           .localCheckpoint(true)
-        write(merged)
+        val st = j.filter(col("__action").isNotNull)
+          .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write(j.drop("__action"))
         MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
           st.getOrElse(ActionUnchanged, 0L))
       }
@@ -254,11 +329,20 @@ object KeyedStore {
     table.filter(col(idCol) === lit(id))
 
   /**
-   * Equality-conjunction filter query (S9; `ingestion_handler.py:154-167`,
-   * Mongo filter incl. dotted `value.<field>` paths → plain columns here).
+   * Equality-conjunction filter query (S9; `ingestion_handler.py:154-167,
+   * 185-192`). Keys are either flat column names or dotted paths into a
+   * struct column — the reference's Mongo filter addresses the document
+   * envelope as `value.<field>` (`ingestion_handler.py:186-188`), which maps
+   * to Spark struct-field resolution directly. A dotted name that IS a flat
+   * column (station headers like `ELEV.m.`) wins over path resolution.
    */
-  def queryFilter(table: DataFrame, eq: Map[String, String]): DataFrame =
-    eq.foldLeft(table) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+  def queryFilter(table: DataFrame, eq: Map[String, String]): DataFrame = {
+    val flat = table.columns.toSet
+    eq.foldLeft(table) { case (df, (k, v)) =>
+      val c = if (flat.contains(k) && k.contains(".")) col(s"`$k`") else col(k)
+      df.filter(c === lit(v))
+    }
+  }
 
   /**
    * Deterministic pagination (W1): the reference's `offset` is a PAGE index,
@@ -266,16 +350,25 @@ object KeyedStore {
    * pagesize=limit, default 1000). Mongo's implicit ordering becomes an
    * explicit total order on the key columns (SURVEY §7.4).
    *
-   * Note: row_number over a global Window is a single-partition sort — fine
-   * for page-sized results; at 100 TB serve pages from the sorted, bucketed
-   * store instead (orderBy + limit push down to a TopK physical plan for
-   * early pages).
+   * Scale shape: for any page that ends within `deepPageThreshold` rows the
+   * plan is sort + offset + limit, which Spark executes as
+   * `TakeOrderedAndProject` — per-partition top-(offset+limit) heaps and a
+   * driver-side merge; the table is never globally sorted and nothing lands
+   * on a single task. Only a page DEEPER than the threshold falls back to
+   * the global row_number window (at that depth a key-set/seek predicate is
+   * the real answer; the window form is kept for completeness).
    */
   def paginate(table: DataFrame, orderCols: Seq[String], limit: Int = 1000,
-      offset: Int = 0): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    table.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > offset * limit && col("__rn") <= (offset + 1) * limit)
-      .drop("__rn")
+      offset: Int = 0, deepPageThreshold: Long = 1L << 20): DataFrame = {
+    val skip = offset.toLong * limit
+    if (skip + limit <= deepPageThreshold) {
+      val sorted = table.orderBy(orderCols.map(col): _*)
+      (if (skip > 0) sorted.offset(skip.toInt) else sorted).limit(limit)
+    } else {
+      val w = Window.orderBy(orderCols.map(col): _*)
+      table.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > skip && col("__rn") <= skip + limit)
+        .drop("__rn")
+    }
   }
 }

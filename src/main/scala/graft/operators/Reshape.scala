@@ -71,8 +71,13 @@ object Reshape {
    * Full value pipeline: wide → long → nodata-filter → cast → enrich
    * (`driver.py:156-166` end to end). Output is the engine's fact schema
    * (FIXTURES.md F-4): station_id, date, value + static property columns.
+   *
+   * `strict` defaults TRUE to match the reference: a non-nodata cell that
+   * fails the numeric parse aborts the run (`float(value)` raises,
+   * `tapis_direct_driver.py:145`) instead of silently becoming NULL. Pass
+   * `strict = false` only where a query deliberately wants lax semantics.
    */
-  def pipeline(valuesWide: DataFrame, spec: DatasetSpec, strict: Boolean = false): DataFrame =
+  def pipeline(valuesWide: DataFrame, spec: DatasetSpec, strict: Boolean = true): DataFrame =
     enrich(castNumeric(filterNodata(unpivot(valuesWide), spec.nodata), strict),
       spec.staticProperties)
 }

@@ -121,4 +121,87 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(KeyedStore.queryFilter(existing,
       Map("datatype" -> "temperature", "station_id" -> "39.2")).count() == 2)
   }
+
+  test("queryFilter: dotted paths resolve struct fields; flat dotted names win") {
+    // document-envelope shape: {name, value: {station_id, datatype, ...}}
+    val env = existing.select(col("uuid"),
+      struct(existing.columns.filterNot(_ == "uuid").map(col): _*).as("value"))
+    val hits = KeyedStore.queryFilter(env,
+      Map("value.station_id" -> "39.2", "value.datatype" -> "temperature"))
+    assert(hits.count() == 2)
+    // a FLAT column whose name contains dots is NOT treated as a path
+    val flatDotted = existing.withColumnRenamed("station_id", "station.id")
+    assert(KeyedStore.queryFilter(flatDotted, Map("station.id" -> "39.2")).count() == 2)
+  }
+
+  test("strictKeys: probing a duplicated store key raises RecordKeyException") {
+    val dupStore = Fixtures.storeDup(spark)
+    val e = intercept[Exception] {
+      KeyedStore.classify(incoming, dupStore, keys).collect()
+    }
+    assert(e.getMessage.contains("RecordKeyException"))
+    val e2 = intercept[Exception] {
+      KeyedStore.merge(incoming, dupStore, keys).collect()
+    }
+    assert(e2.getMessage.contains("RecordKeyException"))
+    // lax mode reproduces round-1 fan-out behavior on request
+    assert(KeyedStore.classify(incoming, dupStore, keys, strictKeys = false)
+      .count() > incoming.count())
+  }
+
+  test("strictKeys: a duplicated key NOT probed by the increment does not raise") {
+    import spark.implicits._
+    // duplicate lives on station 999.9 — the increment never touches it
+    val dupElsewhere = existing.unionByName(Seq(
+      ("temperature", "day", "raw", "999.9", "2022-03-01", 1.0, "min", "u-0100"),
+      ("temperature", "day", "raw", "999.9", "2022-03-01", 2.0, "min", "u-0101"))
+      .toDF("datatype", "period", "fill", "station_id", "date", "value", "aggregation", "uuid"))
+    val acts = KeyedStore.classify(incoming, dupElsewhere, keys)
+      .select("action").collect().map(_.getString(0)).toSet
+    assert(acts == Set("create", "replace", "unchanged"))
+    // merge materializes every joined row, so the bystander dup DOES surface
+    // there (full-outer sees it) — but only classify mirrors the reference's
+    // probe-scoped check; merge keeps both copies' rows guarded
+  }
+
+  test("merge reads the store slice exactly once (single-scan plan)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = spark.read.parquet(Fixtures.StoreParquet)
+    val merged = KeyedStore.merge(incoming, store, keys)
+    merged.collect()
+    def countStoreScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countStoreScans(a.executedPlan)
+      case s: QueryStageExec => countStoreScans(s.plan)
+      case f: FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(_.toString.contains("station_store"))) 1 else 0
+      case other => other.children.map(countStoreScans).sum
+    }
+    assert(countStoreScans(merged.queryExecution.executedPlan) == 1)
+  }
+
+  test("paginate: early pages plan as TakeOrderedAndProject, never a global window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    val df = (1 to 500).map(i => (f"k$i%04d", i)).toDF("k", "v")
+    def nodes(p: SparkPlan): Seq[String] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => nodes(s.plan)
+      case other => other.children.flatMap(nodes)
+    }) :+ p.nodeName
+    val page0 = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 0)
+    assert(page0.collect().map(_.getString(0)).toSeq == (1 to 10).map(i => f"k$i%04d"))
+    val p0nodes = nodes(page0.queryExecution.executedPlan)
+    assert(p0nodes.exists(_.contains("TakeOrderedAndProject")), p0nodes.mkString(","))
+    assert(!p0nodes.exists(_.contains("Window")), p0nodes.mkString(","))
+    val page3 = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 3)
+    assert(page3.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
+    assert(!nodes(page3.queryExecution.executedPlan).exists(_.contains("Window")))
+    // a page past the threshold falls back to the row_number window
+    val deep = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 3, deepPageThreshold = 20)
+    assert(deep.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
+    assert(nodes(deep.queryExecution.executedPlan).exists(_.contains("Window")))
+  }
 }
