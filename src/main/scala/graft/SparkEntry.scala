@@ -117,6 +117,17 @@ object SparkEntry {
     "query_filter" -> ((s, _) =>
       KeyedStore.queryFilter(s.read.parquet(Fixtures.StoreParquet),
         Map("datatype" -> "temperature", "station_id" -> "39.2"))),
+    "query_filter_nested" -> ((s, _) => {
+      // the reference's Mongo filter addresses the document envelope by
+      // dotted path (`value.<field>`) — build the envelope, filter through
+      // the dotted surface, flatten back for a stable output schema
+      val store = s.read.parquet(Fixtures.StoreParquet)
+      val env = store.select(col("uuid"),
+        struct(store.columns.filterNot(_ == "uuid").map(col): _*).as("value"))
+      KeyedStore.queryFilter(env,
+          Map("value.station_id" -> "39.2", "value.datatype" -> "temperature"))
+        .select(col("uuid"), col("value.*"))
+    }),
     "paginate" -> ((s, dir) =>
       KeyedStore.paginate(t(s, dir, "orders"), Seq("o_orderkey"), limit = 100, offset = 3)),
     // --- relational core on the TPC-H-ish tables (oracle substrate for the
@@ -248,6 +259,11 @@ object SparkEntry {
     // --- dedup family (SURVEY north star; documents table) ---
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5)),
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      // hot-shingle posting cap: boilerplate shingles (df > 20) leave the
+      // candidate space before the self-join — the 100 TB safety valve
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.35,
+        maxDf = Some(20L))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5))),
@@ -304,24 +320,36 @@ object SparkEntry {
        |  SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp
        |) u WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin
 
-  /** 3-gram Jaccard pairs (mirrors `Dedup.ngramJaccardPairs`); also the
-    * edge set for the connected-components oracle. */
-  private val oracleJaccardSql =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-      |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
-      |sh AS (SELECT DISTINCT doc_id,
-      |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-      |       ELSE array_to_string(t, ' ') END AS shingle FROM pos),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, jaccard FROM (
-      |  SELECT id_a, id_b,
-      |    round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6) AS jaccard
-      |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin
+  /** 3-gram Jaccard pairs (mirrors `Dedup.ngramJaccardPairs`, incl. the
+    * optional hot-shingle df cap); also the edge set for the
+    * connected-components oracle. */
+  private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None): String = {
+    val shingleSrc = maxDf match {
+      case Some(cap) =>
+        s"""(SELECT doc_id, shingle FROM (
+           |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+           | WHERE df <= $cap)""".stripMargin
+      case None => "sh0"
+    }
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+       |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |       ELSE array_to_string(t, ' ') END AS shingle FROM pos),
+       |sh AS (SELECT doc_id, shingle FROM $shingleSrc),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6) AS jaccard
+       |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
+       |WHERE jaccard >= $minJaccard""".stripMargin
+  }
+
+  private val oracleJaccardSql = jaccardSql(0.5)
 
   private val joinOn = keys.map(k => s"""inc."$k" = ex."$k"""").mkString(" AND ")
   private val clsJoinOn = keys.map(k => s"""cls."$k" = ex."$k"""").mkString(" AND ")
@@ -409,6 +437,9 @@ object SparkEntry {
     "point_lookup" -> s"SELECT * FROM $storeRp WHERE uuid = 'u-0002'",
     "query_filter" ->
       s"SELECT * FROM $storeRp WHERE datatype = 'temperature' AND station_id = '39.2'",
+    "query_filter_nested" ->
+      s"""SELECT uuid, datatype, period, fill, station_id, "date", value, aggregation
+         |FROM $storeRp WHERE datatype = 'temperature' AND station_id = '39.2'""".stripMargin,
     "paginate" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 300",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -529,6 +560,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, text, $hits FROM documents)""".stripMargin
     },
     "dedup_ngram_jaccard" -> oracleJaccardSql,
+    "dedup_jaccard_capped" -> jaccardSql(0.35, maxDf = Some(20L)),
     "dedup_clusters" -> {
       val jac = oracleJaccardSql
       s"""WITH RECURSIVE pairs AS ($jac),

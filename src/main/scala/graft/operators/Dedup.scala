@@ -141,36 +141,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Both directions of a pair list in ONE pass (explode, not
+    * union-of-two-selects — a union re-executes the pair-generation lineage
+    * once per branch). */
+  private def bothDirections(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
   /**
    * Connected components over a near-dup pair graph — the step that turns
    * pairwise matches into dedup CLUSTERS (survivor = min id per component).
    *
-   * Algorithm: iterative min-label propagation. Each node starts labeled
-   * with itself; every round each node takes the min label in its
-   * neighborhood (both edge directions); converges in O(diameter) rounds —
-   * near-dup clusters are small and dense, so a handful. Each round is two
-   * shuffles (join + groupBy) — the standard Spark shape for this; at
-   * corpus scale swap in large-star/small-star to bound skew on giant
-   * components.
+   * The pair frame is materialized ONCE (`localCheckpoint`) and every
+   * iteration reads the previous round's materialized blocks — candidate
+   * generation upstream (the expensive part) executes exactly once however
+   * many rounds follow.
+   *
+   * Adaptive: near-dup graphs are usually tiny relative to the corpus —
+   * below `driverThreshold` edges, a driver-side union-find replaces the
+   * iterative shuffles entirely (the same size-based switch AQE makes for
+   * broadcasts). Above it, alternating large-star/small-star rounds run
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14): O(log²) rounds regardless of component diameter, and a giant
+   * component collapses toward its min node instead of chaining — the
+   * skew-bounded form min-label propagation is not.
    *
    * Returns (id, cluster) for every node that appears in `pairs`.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    // Adaptive execution: near-dup graphs are usually tiny relative to the
-    // corpus — below the threshold, a driver-side union-find replaces the
-    // iterative shuffles entirely (the same size-based switch AQE makes for
-    // broadcasts). Above it, distributed min-label propagation runs.
+      maxIters: Int = 30, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = bothDirections(pairs, idA, idB).localCheckpoint(true)
     val integralIds = edges.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
+    // cheap on the already-materialized blocks; decides the path switch
     val edgeCount = edges.count()
     if (integralIds && edgeCount <= driverThreshold) {
-      val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
@@ -189,28 +200,57 @@ object Dedup {
       }
       return parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+
+    // ---- distributed path: alternating large-star / small-star ----
+    // Large-star: every node u points its LARGER neighbors at the min of
+    // its neighborhood (incl. itself). Small-star: every node u points its
+    // smaller neighbors AND itself at the overall min. Both strictly shrink
+    // the potential; alternation converges to per-component stars rooted at
+    // the min id. Each op is one groupBy(min) + one join keyed the same way
+    // — no collect_list, so a giant star never builds a huge array.
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = bothDirections(e, "src", "dst")
+      val mins = both.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+      both.join(mins, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst")).filter(col("src") =!= col("dst"))
+      val mins = oriented.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+      oriented.join(mins, col("src") === col("u"))
+        .filter(col("dst") =!= col("mn"))
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .unionByName(mins.select(col("u").as("src"), col("mn").as("dst")))
+        .distinct()
+    }
+    // convergence probe on materialized blocks: (count, order-insensitive
+    // hash XOR) — deterministic, overflow-free under ANSI (edges are
+    // distinct, so XOR cancellation can't collide two different sets of
+    // the same size except by 64-bit accident), no full except() join
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = smallStar(largeStar(edges)).localCheckpoint(true)
+    var sig = signature(cur)
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIters) {
-      // neighbor labels: for edge (src,dst), dst's label is a candidate for src
-      val neighborMin = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "nb_cluster")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nb_cluster")).as("nb_min"))
-      // one checkpointed frame carries (old, new) so the convergence probe
-      // is a filter over materialized blocks, not another join
-      val step = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true) // truncate lineage per round (iterative joins)
-      converged = step.filter(col("cluster") =!= col("old")).limit(1).isEmpty
-      labels = step.select(col("id"), col("cluster"))
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nsig = signature(next)
+      converged = nsig == sig
+      cur = next
+      sig = nsig
       i += 1
     }
-    labels
+    // stars: (child, root) with child > root; roots label themselves
+    cur.select(col("src").as("id"), col("dst").as("cluster"))
+      .unionByName(cur.select(col("dst").as("id"), col("dst").as("cluster")))
+      .distinct()
   }
 
   /**
@@ -218,11 +258,30 @@ object Dedup {
    * docs sharing ≥1 shingle are candidates; J = |∩| / |∪| from shingle-set
    * sizes. `minJaccard` prunes the (large) candidate set after one
    * aggregation; the shared-shingle join is the only shuffle-heavy step and
-   * is bounded by posting-list sizes (cap hot shingles upstream at scale).
+   * is bounded by posting-list sizes.
+   *
+   * `maxDf` is the corpus-scale guard: a shingle appearing in more than
+   * `maxDf` documents (stopword runs, boilerplate) is dropped from the
+   * shingle space BEFORE the self-join — a posting list of length d
+   * produces d·(d-1)/2 candidate rows, so one boilerplate shingle shared by
+   * 1M docs would otherwise emit 5·10¹¹ pairs. Jaccard is then computed
+   * consistently over the CAPPED shingle space (sizes and intersections
+   * both exclude hot shingles), keeping the score exact for the space it's
+   * defined on and the whole result SQL-expressible/oracle-checkable. The
+   * df filter is a window count partitioned by shingle — the same hash
+   * partitioning the self-join needs, so no extra exchange.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingleTable(docs, n, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id",
+      maxDf: Option[Long] = None): DataFrame = {
+    val shAll = shingleTable(docs, n, textCol, idCol)
+    val sh = maxDf match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        shAll.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => shAll
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")

@@ -78,6 +78,46 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: distributed star rounds handle giant components") {
+    // giant path (worst diameter), giant star (worst skew), plus a random
+    // graph — distributed path (threshold 0) vs in-test union-find oracle
+    val rnd = new scala.util.Random(42)
+    val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (1L to 150L).map(i => (0L, i))
+    val random = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    for (edges <- Seq(path, star, random)) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), driverThreshold = 0L)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+      assert(got == expected, s"mismatch on ${edges.take(3)}…")
+    }
+  }
+
+  test("ngram jaccard maxDf: hot shingles drop out of the candidate space") {
+    // "the quick brown ..." shingles are shared by docs 0/1/4 (df=3);
+    // cap df<=2 removes them, so 0-1 (which share ONLY hot shingles
+    // plus low-df tails) loses candidates while 0-4 (identical, all
+    // shingles at df 2 after the cap... ) — verify against hand math:
+    val capped = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.01, maxDf = Some(2L))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.01)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // shingles common to 0,1,4 have df=3 and vanish: pair (0,1) survived
+    // only via those -> gone; (0,4) still shares its df-2 tail shingles
+    assert(!capped.contains((0L, 1L)))
+    assert(capped.contains((0L, 4L)))
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((0L, 4L)))
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("language id: stopword heuristic + CJK class") {
     val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
