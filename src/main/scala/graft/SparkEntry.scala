@@ -94,8 +94,12 @@ object SparkEntry {
             .reduce(_ + _).as("n_present"))),
     "station_values" -> ((s, _) => stationValues(s)),
     "station_values_month" -> ((s, _) =>
+      // byPosition = true: oracle-covers the POSITIONAL classification path
+      // (P3, `tapis_direct_driver.py:119-131`) — same output as by-name on
+      // the F-2 default layout (id col 0, data cols from 1)
       Reshape.pipeline(
-        WideMatrix.valuesWide(s.read.parquet(Fixtures.Wide2Parquet), Fixtures.F2Spec),
+        WideMatrix.valuesWide(s.read.parquet(Fixtures.Wide2Parquet), Fixtures.F2Spec,
+          byPosition = true),
         Fixtures.F2Spec)),
     // --- upsert / MERGE engine (SURVEY §2.4, §2.7) ---
     "upsert_classify" -> ((s, _) =>

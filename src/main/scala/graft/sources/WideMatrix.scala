@@ -59,13 +59,19 @@ object WideMatrix {
 
   /**
    * Read a wide CSV with header, every column string-typed. Equivalent of
-   * S1/S3 (`driver.py:141`; `tapis_direct_driver.py:91-108`); local paths and
-   * any Hadoop-resolvable URI. Header row is the schema.
+   * S1/S2/S3 (`driver.py:141`; `tapis_direct_driver.py:91-108`): local
+   * paths, any Hadoop-resolvable URI, and `http(s)://` URLs — remote files
+   * spool once through `RemoteFetch` staging (the reference streams the URL
+   * body into the same row loop it feeds local files to) and then both the
+   * header probe and the data read hit the spooled copy. Header row is the
+   * schema.
    */
-  def readCsv(spark: SparkSession, path: String): DataFrame = {
+  def readCsv(spark: SparkSession, path: String,
+      stagingDir: Option[String] = None): DataFrame = {
+    val resolved = RemoteFetch.resolve(spark, path, stagingDir)
     // Probe the header once to force an all-string schema (no inference --
     // inference would eat "NA" and numeric-looking station IDs).
-    val header = spark.read.option("header", "true").csv(path).schema.fieldNames
+    val header = spark.read.option("header", "true").csv(resolved).schema.fieldNames
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     spark.read
       .option("header", "true")
@@ -78,7 +84,7 @@ object WideMatrix {
       // raises on "" exactly like the reference.
       .option("nullValue", "\u0000")
       .schema(schema)
-      .csv(path)
+      .csv(resolved)
   }
 
   /**

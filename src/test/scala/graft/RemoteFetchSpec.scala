@@ -1,0 +1,83 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{RemoteFetch, WideMatrix}
+
+/**
+ * S2/S3: remote CSV ingestion against an in-process HTTP server serving the
+ * F-1 fixture bytes — the engine analog of the reference's
+ * `requests.get(stream = True)` path (`tapis_direct_driver.py:96-107`).
+ */
+class RemoteFetchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def withServer[T](handlers: (String, HttpExchange => Unit)*)(body: Int => T): T = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    handlers.foreach { case (path, h) =>
+      server.createContext(path, (ex: HttpExchange) => { h(ex); ex.close() })
+    }
+    server.start()
+    try body(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def serveFile(file: String)(ex: HttpExchange): Unit = {
+    val bytes = Files.readAllBytes(Paths.get(file))
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  test("readCsv over http yields exactly the local-read frame") {
+    withServer("/f1.csv" -> serveFile(Fixtures.F1Csv) _) { port =>
+      val remote = WideMatrix.readCsv(spark, s"http://127.0.0.1:$port/f1.csv")
+      val local = WideMatrix.readCsv(spark, Fixtures.F1Csv)
+      assert(remote.schema == local.schema)
+      assert(remote.exceptAll(local).isEmpty && local.exceptAll(remote).isEmpty)
+    }
+  }
+
+  test("fetch retries transient failures with backoff, like the reference") {
+    val calls = new AtomicInteger(0)
+    val flaky: HttpExchange => Unit = { ex =>
+      if (calls.incrementAndGet() < 3) ex.sendResponseHeaders(503, -1)
+      else serveFile(Fixtures.F1Csv)(ex)
+    }
+    withServer("/flaky.csv" -> flaky) { port =>
+      val df = WideMatrix.readCsv(spark, s"http://127.0.0.1:$port/flaky.csv")
+      assert(df.count() == 3 && calls.get() == 3)
+    }
+  }
+
+  test("a terminal 404 raises instead of producing an empty frame") {
+    val notFound: HttpExchange => Unit = _.sendResponseHeaders(404, -1)
+    withServer("/missing.csv" -> notFound) { port =>
+      val e = intercept[Exception] {
+        RemoteFetch.fetchToStaging(spark, s"http://127.0.0.1:$port/missing.csv",
+          retries = 1)
+      }
+      assert(e.getMessage.contains("404"))
+    }
+  }
+
+  test("runFile ingests a URL end-to-end into the partitioned store") {
+    withServer("/f1.csv" -> serveFile(Fixtures.F1Csv) _) { port =>
+      val root = Files.createTempDirectory("graft_remote_store").toString
+      val r = IngestJob.runFile(spark, Fixtures.F1Spec,
+        s"http://127.0.0.1:$port/f1.csv", root, "hawaii", byPosition = false)
+      assert(r.created == 3L && r.replaced == 0L)
+      val values = spark.read.parquet(IngestJob.valuesDir(root))
+      assert(values.count() == 3)
+      assert(IngestJob.allComplete(spark, root))
+      // re-running the same URL is a no-op (idempotent staging + MERGE)
+      val r2 = IngestJob.runFile(spark, Fixtures.F1Spec,
+        s"http://127.0.0.1:$port/f1.csv", root, "hawaii", byPosition = false)
+      assert(r2.created == 0L && r2.replaced == 0L && r2.unchanged == 3L)
+    }
+  }
+}
