@@ -247,6 +247,13 @@ object Dedup {
       sig = nsig
       i += 1
     }
+    // The extraction below assumes star form; a non-converged frame could
+    // emit the same id under multiple labels. 30 alternating rounds cover
+    // any real graph (O(log²) bound), so hitting the cap means the caller
+    // passed a pathological maxIters — fail loudly rather than mislabel.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters large/small-star rounds")
     // stars: (child, root) with child > root; roots label themselves
     cur.select(col("src").as("id"), col("dst").as("cluster"))
       .unionByName(cur.select(col("dst").as("id"), col("dst").as("cluster")))

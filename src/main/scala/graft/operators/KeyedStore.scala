@@ -322,6 +322,62 @@ object KeyedStore {
     }
   }
 
+  /**
+   * `mergeIntoTable`, but the store is a catalog-registered parquet table
+   * maintained BUCKETED (+ sorted) by `bucketCols` — the co-located layout
+   * SCALING.md promises for the 100 TB values table (bucket by station_id,
+   * partition by date). Every merge preserves the bucket spec, so any
+   * downstream self-join / join-to-another-table-bucketed-the-same-way or
+   * groupBy on the bucket key plans with ZERO shuffle exchange
+   * (plan-asserted in KeyedStoreSpec, like LayoutSpec).
+   *
+   * Scale shape is `mergeIntoTable`'s: partition-pruned slice read, ONE
+   * materialized full-outer merge, dynamic overwrite of touched partitions
+   * only (`insertInto` keeps the catalog bucket spec — Spark rejects writes
+   * that would break bucketing, so the layout can't silently rot).
+   */
+  def mergeIntoBucketedTable(incoming: DataFrame, table: String, keyCols: Seq[String],
+      bucketCols: Seq[String], nBuckets: Int, partitionCol: Option[String] = Some("date"),
+      replace: Boolean = true, strictKeys: Boolean = true): MergeStats = {
+    val spark = incoming.sparkSession
+    val inc = dedupIncrement(incoming, keyCols)
+    val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      if (!spark.catalog.tableExists(table)) {
+        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+        val w = created.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+        partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
+        MergeStats(spark.table(table).count(), 0L, 0L)
+      } else {
+        val existing = spark.table(table)
+        val slice = partitionCol match {
+          case Some(p) =>
+            val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
+            existing.filter(col(p).isin(parts: _*)) // → partition pruning
+          case None => existing
+        }
+        val j = mergedWithAction(inc, slice, keyCols, replace, strictKeys)
+          .localCheckpoint(true)
+        val st = j.filter(col("__action").isNotNull)
+          .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // insertInto is positional — project to the catalog schema's order
+        j.drop("__action").select(existing.columns.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+        MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
+          st.getOrElse(ActionUnchanged, 0L))
+      }
+    } finally {
+      prevOverwriteMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   // ---- query surface (`V3Handler` read path, SURVEY §2.1 S8/S9, §2.6 W1) ----
 
   /** Point lookup by document id (S8; `ingestion_handler.py:144-151`). */
@@ -361,7 +417,9 @@ object KeyedStore {
   def paginate(table: DataFrame, orderCols: Seq[String], limit: Int = 1000,
       offset: Int = 0, deepPageThreshold: Long = 1L << 20): DataFrame = {
     val skip = offset.toLong * limit
-    if (skip + limit <= deepPageThreshold) {
+    // second bound: offset() takes an Int, so a caller-raised threshold must
+    // not let skip overflow toInt — deep pages route to the window form
+    if (skip + limit <= math.min(deepPageThreshold, Int.MaxValue.toLong)) {
       val sorted = table.orderBy(orderCols.map(col): _*)
       (if (skip > 0) sorted.offset(skip.toInt) else sorted).limit(limit)
     } else {

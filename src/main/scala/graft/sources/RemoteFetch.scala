@@ -44,6 +44,23 @@ object RemoteFetch {
     .connectTimeout(Duration.ofSeconds(30))
     .build()
 
+  /** Terminal (non-retryable) HTTP failure: 4xx means the request itself is
+    * wrong — the reference's `raise_for_status()` aborts immediately, so
+    * retrying with backoff would only delay the same answer. */
+  final class ClientErrorException(msg: String) extends java.io.IOException(msg)
+
+  /** File extension of the URL's last path segment (query/fragment excluded —
+    * `?`/`*` are Hadoop glob chars and must never reach the staged name). */
+  private[graft] def urlExtension(url: String): String = {
+    val path = try { Option(URI.create(url).getPath).getOrElse("") }
+               catch { case _: IllegalArgumentException => "" }
+    val seg = path.substring(path.lastIndexOf('/') + 1)
+    val dot = seg.lastIndexOf('.')
+    if (dot > 0 && seg.length - dot - 1 <= 8 && dot < seg.length - 1)
+      seg.substring(dot)
+    else ""
+  }
+
   /**
    * Download `url` to `<stagingDir>/graft_fetch_<urlhash><ext>` and return
    * that path. The name is a deterministic function of the URL, so re-runs
@@ -52,19 +69,20 @@ object RemoteFetch {
   def fetchToStaging(spark: SparkSession, url: String,
       stagingDir: Option[String] = None, retries: Int = 3): String = {
     val dir = stagingDir.getOrElse("file:" + System.getProperty("java.io.tmpdir"))
-    val ext = url.reverse.takeWhile(c => c != '/' && c != '.').reverse match {
-      case e if e.nonEmpty && e.length <= 8 && url.contains('.') => s".$e"
-      case _ => ""
-    }
+    val ext = urlExtension(url)
     val name = java.util.UUID.nameUUIDFromBytes(url.getBytes("UTF-8")).toString
     val dest = new Path(s"$dir/graft_fetch_$name$ext")
     val fs = FileSystem.get(new URI(dir), spark.sparkContext.hadoopConfiguration)
-    DocumentSink.withRetry(retries) { () =>
+    DocumentSink.withRetry(retries,
+        passThrough = Set(classOf[ClientErrorException])) { () =>
       val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
       val res = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       if (res.statusCode() / 100 != 2) {
         res.body().close()
-        throw new java.io.IOException(s"HTTP ${res.statusCode()} fetching $url")
+        val msg = s"HTTP ${res.statusCode()} fetching $url"
+        // 4xx is terminal (bad request/auth/missing); 5xx/other is transient
+        if (res.statusCode() / 100 == 4) throw new ClientErrorException(msg)
+        throw new java.io.IOException(msg)
       }
       val out = fs.create(dest, true)
       try res.body().transferTo(out)

@@ -181,6 +181,42 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(countStoreScans(merged.queryExecution.executedPlan) == 1)
   }
 
+  test("mergeIntoBucketedTable: layout survives merges; bucket-key join is shuffle-free") {
+    import graft.operators.Layout
+    spark.sql("DROP TABLE IF EXISTS store_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val st1 = KeyedStore.mergeIntoBucketedTable(existing.drop("uuid"), "store_bucketed",
+        keys, bucketCols = Seq("station_id"), nBuckets = 4, partitionCol = Some("date"))
+      assert(st1 == KeyedStore.MergeStats(3, 0, 0))
+      val st2 = KeyedStore.mergeIntoBucketedTable(incoming, "store_bucketed",
+        keys, Seq("station_id"), 4, Some("date"))
+      assert(st2 == KeyedStore.MergeStats(1, 1, 1))
+      // post-merge content matches the logical merge (uuids are store-side)
+      val want = KeyedStore.merge(incoming, existing, keys).drop("uuid")
+        .collect().map(_.toSeq).toSet
+      val got = spark.table("store_bucketed")
+        .select(existing.columns.filterNot(_ == "uuid").map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      // re-running the same increment is a no-op (resume contract)
+      val st3 = KeyedStore.mergeIntoBucketedTable(incoming, "store_bucketed",
+        keys, Seq("station_id"), 4, Some("date"))
+      assert(st3 == KeyedStore.MergeStats(0, 0, 3))
+      // the promised layout: a join on the bucket key plans with no exchange
+      // EVEN AFTER the insertInto merges (bucket spec preserved end-to-end)
+      val t = spark.table("store_bucketed")
+      val self = t.as("a").join(t.as("b"), "station_id")
+      assert(self.count() > 0)
+      assert(Layout.isShuffleFree(self),
+        "bucketed store self-join should not shuffle:\n" +
+          self.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS store_bucketed")
+    }
+  }
+
   test("paginate: early pages plan as TakeOrderedAndProject, never a global window") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -54,15 +54,32 @@ class RemoteFetchSpec extends AnyFunSuite {
     }
   }
 
-  test("a terminal 404 raises instead of producing an empty frame") {
-    val notFound: HttpExchange => Unit = _.sendResponseHeaders(404, -1)
+  test("a terminal 404 raises immediately — client errors are never retried") {
+    val calls = new AtomicInteger(0)
+    val notFound: HttpExchange => Unit =
+      ex => { calls.incrementAndGet(); ex.sendResponseHeaders(404, -1) }
     withServer("/missing.csv" -> notFound) { port =>
       val e = intercept[Exception] {
         RemoteFetch.fetchToStaging(spark, s"http://127.0.0.1:$port/missing.csv",
-          retries = 1)
+          retries = 3)
       }
       assert(e.getMessage.contains("404"))
+      // the reference's raise_for_status fails fast on 4xx: one call, no backoff
+      assert(calls.get() == 1)
     }
+  }
+
+  test("staged-file extension comes from the path segment, never query/host") {
+    assert(RemoteFetch.urlExtension("http://h.example.com/a/f.csv") == ".csv")
+    // query strings must not leak into the staged name (? is a Hadoop glob char)
+    assert(RemoteFetch.urlExtension("http://h.example.com/f.csv?a=1&b=.x") == ".csv")
+    // dot-less last segment on a dotted host: NO bogus extension
+    assert(RemoteFetch.urlExtension("http://h.example.com/data") == "")
+    assert(RemoteFetch.urlExtension("http://h.example.com/archive.tar.gz") == ".gz")
+    // absurdly long "extension" is not an extension
+    assert(RemoteFetch.urlExtension("http://h/x.verylongextension") == "")
+    // hidden-file style name: the leading dot is not an extension separator
+    assert(RemoteFetch.urlExtension("http://h/.hidden") == "")
   }
 
   test("runFile ingests a URL end-to-end into the partitioned store") {
