@@ -36,8 +36,10 @@ object IngestJob {
 
     val metaRows = if (ds.writeMetadata && !byPosition) {
       val meta = WideMatrix.metadata(wide, ds, location)
+      // every increment row is classified exactly once, so the stats sum IS
+      // the row count — no second execution of the metadata pipeline
       KeyedStore.mergeIntoTable(meta, metadataDir(root), Seq("skn"), partitionCol = None)
-      meta.count()
+        .incrementRows
     } else 0L
 
     val values = Reshape.pipeline(WideMatrix.valuesWide(wide, ds, byPosition), ds)

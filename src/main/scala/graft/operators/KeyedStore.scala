@@ -245,7 +245,26 @@ object KeyedStore {
   }
 
   /** Run statistics of one merge (A6; `ingestion_handler.py:251-254`). */
-  final case class MergeStats(created: Long, replaced: Long, unchanged: Long)
+  final case class MergeStats(created: Long, replaced: Long, unchanged: Long) {
+    /** Rows of the (deduped) increment = every incoming row is classified
+      * exactly once. Lets callers report ingest volume without re-scanning
+      * the increment pipeline. */
+    def incrementRows: Long = created + replaced + unchanged
+  }
+
+  /**
+   * Null-safe partition-slice predicate: `isin` follows SQL three-valued
+   * logic, so `col(p).isin(parts: _*)` silently drops the NULL partition
+   * (`p=__HIVE_DEFAULT_PARTITION__`) even when the increment carries null
+   * dates — while dynamic partition overwrite still rewrites that partition
+   * with only incoming rows. Keys elsewhere tolerate nulls (`keyConcat`'s
+   * coalesce), so the slice must too.
+   */
+  private def partitionSlicePred(p: String, parts: Array[Any]): Column = {
+    val (nulls, nonNulls) = parts.partition(_ == null)
+    val base = if (nonNulls.nonEmpty) col(p).isin(nonNulls: _*) else lit(false)
+    if (nulls.nonEmpty) base || col(p).isNull else base
+  }
 
   /**
    * Incremental MERGE into a partitioned parquet table — the engine's
@@ -286,16 +305,18 @@ object KeyedStore {
 
     try {
       if (!exists) {
-        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+        // materialize once: the write streams the checkpointed blocks and the
+        // count reads them too — the increment pipeline runs exactly once
+        // (round-3 shape re-read everything it had just written just to count)
+        val created = inc.withColumn("uuid", md5(keyConcat(keyCols))).localCheckpoint(true)
         write(created)
-        // count the written files, not the lineage (no recompute)
-        MergeStats(spark.read.parquet(storeDir).count(), 0L, 0L)
+        MergeStats(created.count(), 0L, 0L)
       } else {
         val existing = spark.read.parquet(storeDir)
         val slice = partitionCol match {
           case Some(p) =>
             val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
-            existing.filter(col(p).isin(parts: _*)) // → partition pruning
+            existing.filter(partitionSlicePred(p, parts)) // → partition pruning
           case None => existing
         }
         // ONE scan of the slice: the merge plan materializes here (which
@@ -344,18 +365,21 @@ object KeyedStore {
     val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       if (!spark.catalog.tableExists(table)) {
-        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+        val created = inc.withColumn("uuid", md5(keyConcat(keyCols))).localCheckpoint(true)
         val w = created.write.mode("overwrite").format("parquet")
           .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
         partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
-        MergeStats(spark.table(table).count(), 0L, 0L)
+        MergeStats(created.count(), 0L, 0L)
       } else {
+        // the catalog spec wins on the insertInto path — a caller passing a
+        // DIFFERENT spec must hear about it, not silently get the old layout
+        assertBucketSpec(spark, table, bucketCols, nBuckets, partitionCol)
         val existing = spark.table(table)
         val slice = partitionCol match {
           case Some(p) =>
             val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
-            existing.filter(col(p).isin(parts: _*)) // → partition pruning
+            existing.filter(partitionSlicePred(p, parts)) // → partition pruning
           case None => existing
         }
         val j = mergedWithAction(inc, slice, keyCols, replace, strictKeys)
@@ -376,6 +400,31 @@ object KeyedStore {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+  }
+
+  /**
+   * Existing-table layout guard for `mergeIntoBucketedTable`: `insertInto`
+   * keeps the CATALOG's bucket spec regardless of the arguments, so a caller
+   * passing a different spec would silently get the old layout. Compare the
+   * catalog's bucket/partition columns (`spark.catalog.listColumns` flags)
+   * and bucket count (`DESCRIBE TABLE EXTENDED`) against the arguments and
+   * throw on any mismatch.
+   */
+  private def assertBucketSpec(spark: org.apache.spark.sql.SparkSession, table: String,
+      bucketCols: Seq[String], nBuckets: Int, partitionCol: Option[String]): Unit = {
+    val cols = spark.catalog.listColumns(table).collect()
+    val actualBucket = cols.filter(_.isBucket).map(_.name).toSet
+    val actualPart = cols.filter(_.isPartition).map(_.name).toSet
+    val actualN = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
+    def fail(what: String, expected: Any, actual: Any): Nothing =
+      throw new IllegalArgumentException(
+        s"mergeIntoBucketedTable: table '$table' exists with a different $what " +
+          s"(catalog: $actual, requested: $expected); the catalog layout wins on " +
+          "insertInto — drop/migrate the table or pass the matching spec")
+    if (actualBucket != bucketCols.toSet) fail("bucket columns", bucketCols.toSet, actualBucket)
+    if (!actualN.contains(nBuckets)) fail("bucket count", nBuckets, actualN.getOrElse("none"))
+    if (actualPart != partitionCol.toSet) fail("partition columns", partitionCol.toSet, actualPart)
   }
 
   // ---- query surface (`V3Handler` read path, SURVEY §2.1 S8/S9, §2.6 W1) ----

@@ -217,6 +217,57 @@ class KeyedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeIntoTable: null-date increment merges into the null partition without loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("store_nullpart").toString + "/t"
+    // seed: two rows in the NULL partition, one in a dated partition
+    val seed = Seq(("s1", null: String, 1.0), ("s2", null, 2.0), ("s3", "2022-03-01", 3.0))
+      .toDF("station_id", "date", "value")
+    KeyedStore.mergeIntoTable(seed, dir, Seq("station_id", "date"))
+    // increment touches the null partition: replaces s1, creates s4
+    val inc = Seq(("s1", null: String, 10.0), ("s4", null, 4.0))
+      .toDF("station_id", "date", "value")
+    val st = KeyedStore.mergeIntoTable(inc, dir, Seq("station_id", "date"))
+    assert(st == KeyedStore.MergeStats(1, 1, 0))
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("station_id") -> r.getAs[Double]("value")).toMap
+    // s2 lived only in the null partition — a non-null-safe slice filter
+    // excludes it from the merge while dynamic overwrite rewrites its
+    // partition → silent loss. It must survive.
+    assert(rows == Map("s1" -> 10.0, "s2" -> 2.0, "s3" -> 3.0, "s4" -> 4.0))
+  }
+
+  test("mergeIntoBucketedTable: mismatched spec against existing table throws") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS store_speccheck")
+    try {
+      val df = Seq(("s1", "2022-03-01", 1.0)).toDF("station_id", "date", "value")
+      KeyedStore.mergeIntoBucketedTable(df, "store_speccheck", Seq("station_id", "date"),
+        bucketCols = Seq("station_id"), nBuckets = 4, partitionCol = Some("date"))
+      val inc = Seq(("s2", "2022-03-01", 2.0)).toDF("station_id", "date", "value")
+      def expectMismatch(what: String)(f: => Any): Unit = {
+        val e = intercept[IllegalArgumentException](f)
+        assert(e.getMessage.contains(what), e.getMessage)
+      }
+      expectMismatch("bucket count") {
+        KeyedStore.mergeIntoBucketedTable(inc, "store_speccheck", Seq("station_id", "date"),
+          Seq("station_id"), nBuckets = 8, partitionCol = Some("date"))
+      }
+      expectMismatch("bucket columns") {
+        KeyedStore.mergeIntoBucketedTable(inc, "store_speccheck", Seq("station_id", "date"),
+          Seq("value"), nBuckets = 4, partitionCol = Some("date"))
+      }
+      expectMismatch("partition columns") {
+        KeyedStore.mergeIntoBucketedTable(inc, "store_speccheck", Seq("station_id", "date"),
+          Seq("station_id"), nBuckets = 4, partitionCol = None)
+      }
+      // the matching spec still merges fine after the failed attempts
+      val st = KeyedStore.mergeIntoBucketedTable(inc, "store_speccheck", Seq("station_id", "date"),
+        Seq("station_id"), 4, Some("date"))
+      assert(st == KeyedStore.MergeStats(1, 0, 0))
+    } finally spark.sql("DROP TABLE IF EXISTS store_speccheck")
+  }
+
   test("paginate: early pages plan as TakeOrderedAndProject, never a global window") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
