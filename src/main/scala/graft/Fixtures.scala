@@ -98,7 +98,7 @@ object FixtureGen {
       .write.mode("overwrite").parquet(Fixtures.StoreParquet)
     Fixtures.storeDup(spark).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.StoreDupParquet)
-    Fixtures.media(spark).coalesce(1)
+    graft.operators.Multimodal.withByteStats(Fixtures.media(spark)).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.MediaParquet)
     spark.stop()
   }

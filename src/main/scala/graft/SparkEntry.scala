@@ -595,7 +595,7 @@ object SparkEntry {
         |WHERE cos >= 0.45""".stripMargin,
     "media_stats" ->
       s"""SELECT kind, count(*) AS n,
-         | CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+         | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          | round(avg(width), 4) AS avg_w, round(avg(height), 4) AS avg_h
          |FROM read_parquet('${Fixtures.MediaParquet}/*.parquet') GROUP BY kind""".stripMargin,
     "events_sessionize" ->

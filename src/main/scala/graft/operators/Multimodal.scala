@@ -78,12 +78,32 @@ object Multimodal {
     }
   }
 
-  /** Metadata-only stats — must plan WITHOUT reading the payload column
-    * except octet length (column-pruned scan + one agg). */
-  def stats(media: DataFrame): DataFrame =
+  /**
+   * Stamp byte-size metadata at media-WRITE time: `n_bytes` rides next to
+   * the payload so every later metadata query (stats, size filters, skew
+   * planning) aggregates a long column instead of scanning the binary one.
+   * At 100 TB the payload column IS the table — paying `length()` once on
+   * ingest is the difference between a KB-scale and a TB-scale stats query.
+   */
+  def withByteStats(media: DataFrame): DataFrame =
+    media.withColumn("n_bytes", length(col("payload")).cast("long"))
+
+  /**
+   * Metadata-only stats: aggregates the PERSISTED `n_bytes` column (stamped
+   * by `withByteStats` on ingest) — the payload column is never read, and
+   * the parquet scan's ReadSchema excludes it (plan-asserted in
+   * TrainingDataOpsSpec). A frame lacking `n_bytes` fails resolution loudly
+   * rather than silently falling back to a payload scan.
+   */
+  def stats(media: DataFrame): DataFrame = {
+    require(media.columns.contains("n_bytes"),
+      "Multimodal.stats needs the persisted n_bytes column — stamp it at " +
+        "write time with Multimodal.withByteStats (metadata queries must " +
+        "never scan payload bytes)")
     media.groupBy(col("kind")).agg(
       count(lit(1)).as("n"),
-      sum(length(col("payload"))).as("total_bytes"),
+      sum(col("n_bytes")).as("total_bytes"),
       round(avg(col("width")), 4).as("avg_w"),
       round(avg(col("height")), 4).as("avg_h"))
+  }
 }

@@ -167,7 +167,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 16))
     assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
     assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
-    val st = Multimodal.stats(media).collect()
+    // stats refuses a frame without the persisted byte-size metadata …
+    val e = intercept[IllegalArgumentException](Multimodal.stats(media))
+    assert(e.getMessage.contains("n_bytes"))
+    // … and with it, total_bytes matches the actual payload sizes
+    val st = Multimodal.stats(Multimodal.withByteStats(media)).collect()
     assert(st.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+    val wantTotal = media.collect().map(_.getAs[Array[Byte]]("payload").length.toLong).sum
+    assert(st.map(_.getAs[Long]("total_bytes")).sum == wantTotal)
+  }
+
+  test("multimodal: stats over the persisted table never reads payload bytes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = Multimodal.stats(spark.read.parquet(Fixtures.MediaParquet))
+    assert(q.count() == 3)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val sc = scans(q.queryExecution.executedPlan)
+    assert(sc.nonEmpty)
+    // ReadSchema is the pruned set of columns the parquet reader decodes —
+    // the binary payload must not be in it (at 100 TB it IS the table)
+    sc.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(!read.contains("payload"),
+        s"stats scan must prune the payload column, read: $read")
+      assert(read.contains("n_bytes"))
+    }
   }
 }
