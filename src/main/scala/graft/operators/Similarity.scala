@@ -108,6 +108,28 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("table"), col("bucket"))
   }
 
+  /**
+   * Persist the index WRITE-ONCE, partitioned by `(table, bucket)` — the
+   * layout SCALING.md promises: a probe touches only its `tables` probed
+   * bucket directories (partition pruning, plan-asserted in
+   * TrainingDataOpsSpec), so query cost is O(candidates), not O(corpus).
+   * Data files carry only (id, vector): the partition values live in the
+   * directory names.
+   *
+   * Directory-count note: hyperplane regimes up to ~2^12 buckets × tables
+   * partition cleanly; for 16+ bit signatures (near-dup regimes) partition
+   * explosion sets in — switch to `Layout.writeBucketed` on (table, bucket)
+   * there and let bucket pruning do the same job with a fixed file count.
+   */
+  def writeLshIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+  /** Read a persisted index back; feed to `topKLsh` / `nearDupPairsFromIndex`.
+    * (table, bucket) come back as partition columns, so probe predicates
+    * prune at planning time. */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** ANN top-k through the index: probe the query's bucket in every table,
     * union candidates (distinct ids), exact-rescore only those. */
   def topKLsh(index: DataFrame, query: Seq[Float], k: Int, bits: Int = 4, tables: Int = 8,
@@ -130,9 +152,16 @@ object Similarity {
    * only (the scale path for embedding-based corpus dedup).
    */
   def nearDupPairs(embeddings: DataFrame, dim: Int, minCosine: Double, bits: Int = 4,
-      tables: Int = 8, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val idx = buildLshIndex(embeddings, dim, bits, tables, vecCol, idCol)
-      .withColumn("__n", norm(col(vecCol)))
+      tables: Int = 8, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    nearDupPairsFromIndex(buildLshIndex(embeddings, dim, bits, tables, vecCol, idCol),
+      minCosine, vecCol, idCol)
+
+  /** `nearDupPairs` against an already-built (typically persisted) index —
+    * the corpus-scale path: build + `writeLshIndex` once, re-verify pairs
+    * many times without re-hashing the corpus. */
+  def nearDupPairsFromIndex(index: DataFrame, minCosine: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val idx = index.withColumn("__n", norm(col(vecCol)))
     val a = idx.as("a")
     val b = idx.as("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

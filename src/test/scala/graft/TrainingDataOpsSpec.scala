@@ -158,6 +158,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
   }
 
+  test("persisted LSH index: probes prune to probed (table,bucket) partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/idx"
+    val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val idx = Similarity.buildLshIndex(vecs, dim = 16)
+    Similarity.writeLshIndex(idx, dir)
+    val persisted = Similarity.readLshIndex(spark, dir)
+    // same answer through the persisted index as through the in-memory one
+    val wantIds = Similarity.topKLsh(idx, q, k = 3).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val probe = Similarity.topKLsh(persisted, q, k = 3)
+    assert(probe.collect().map(_.getAs[Long]("vec_id")).toSeq == wantIds)
+    // near-dup verification runs off the same persisted index
+    val nd = Similarity.nearDupPairsFromIndex(persisted, minCosine = 0.99).collect()
+    assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
+    // plan: the probe becomes PARTITION filters (pruned at planning), and the
+    // scan reads at most `tables` bucket directories, not the whole index
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val sc = scans(probe.queryExecution.executedPlan)
+    assert(sc.nonEmpty)
+    sc.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, "probe predicate must prune partitions")
+      assert(s.metrics("numFiles").value <= 8,
+        s"probe must read only probed buckets, read ${s.metrics("numFiles").value} files")
+    }
+  }
+
   test("multimodal: stub decode is deterministic; metadata-only stats prune payload") {
     implicit val s = spark
     val media = Fixtures.media(spark)
