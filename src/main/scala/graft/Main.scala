@@ -1,10 +1,9 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
 import graft.config.JobConfig
+import graft.sources.RemoteFetch
 
 /**
  * CLI entry point — the engine's equivalent of the reference's container
@@ -29,9 +28,6 @@ object Main {
       case Array("--date", d) => java.time.LocalDate.parse(d)
     }.getOrElse(java.time.LocalDate.now.minusDays(1))
 
-    val raw = Files.readString(Paths.get(configPath))
-    val cfg = JobConfig.parse(JobConfig.templateDates(raw, date))
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
       .appName("graft-ingest")
@@ -42,6 +38,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val cfg = loadConfig(spark, configPath, date)
     val results = IngestJob.run(spark, cfg, storeRoot, byPosition)
     results.foreach { r =>
       println(s"""{"file":"${r.file}","created":${r.created},"replaced":${r.replaced},""" +
@@ -49,5 +46,22 @@ object Main {
     }
     println(s"""{"all_complete":${IngestJob.allComplete(spark, storeRoot)}}""")
     spark.stop()
+  }
+
+  /**
+   * Load + date-template the job config from a local path, Hadoop URI, or
+   * http(s) URL. The scheduled reference run fetches its config from
+   * `$INGESTION_CONFIG_URL` before the driver even starts
+   * (`utils/task.sh:9` wget) — `RemoteFetch.resolve` folds that step into
+   * the entry point, and the Hadoop FS read makes `hdfs://`/`s3a://` config
+   * paths work on a cluster too.
+   */
+  def loadConfig(spark: SparkSession, pathOrUrl: String,
+      date: java.time.LocalDate): JobConfig = {
+    val resolved = new org.apache.hadoop.fs.Path(RemoteFetch.resolve(spark, pathOrUrl))
+    val fs = resolved.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(resolved)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    JobConfig.parse(JobConfig.templateDates(raw, date))
   }
 }

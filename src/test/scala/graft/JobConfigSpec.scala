@@ -41,6 +41,23 @@ class JobConfigSpec extends AnyFunSuite {
     assert(d.startDate.isEmpty && d.endDate.isEmpty && d.additionalKeyProperties.isEmpty)
   }
 
+  test("nested additional_properties values survive as canonical JSON") {
+    val d = JobConfig.parse(
+      """{"data":[{"files":[],"datatype":"x","period":"day","fill":"raw",
+        |"additional_properties":{
+        |  "aggregation":"min", "n_sensors":3, "active":true,
+        |  "sensor":{"model":"x1","channels":[1,2]},
+        |  "tags":["qc","v2"]}}]}""".stripMargin).data.head
+    assert(d.additionalProperties("aggregation") == "min")
+    assert(d.additionalProperties("n_sensors") == "3")
+    assert(d.additionalProperties("active") == "true")
+    // containers keep their JSON rendering — Jackson asText would give ""
+    assert(d.additionalProperties("sensor") == """{"model":"x1","channels":[1,2]}""")
+    assert(d.additionalProperties("tags") == """["qc","v2"]""")
+    // and they ride into every value doc via staticProperties
+    assert(d.staticProperties("sensor") == """{"model":"x1","channels":[1,2]}""")
+  }
+
   test("invalid period / inverted range rejected at parse") {
     intercept[IllegalArgumentException](JobConfig.parse(
       """{"data":[{"files":[],"datatype":"x","period":"week","fill":"raw"}]}"""))

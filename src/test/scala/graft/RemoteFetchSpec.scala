@@ -69,6 +69,44 @@ class RemoteFetchSpec extends AnyFunSuite {
     }
   }
 
+  test("408/429 are transient members of the 4xx family: retried with backoff") {
+    val calls = new AtomicInteger(0)
+    val rateLimited: HttpExchange => Unit = { ex =>
+      if (calls.incrementAndGet() < 3)
+        ex.sendResponseHeaders(if (calls.get() == 1) 429 else 408, -1)
+      else serveFile(Fixtures.F1Csv)(ex)
+    }
+    withServer("/limited.csv" -> rateLimited) { port =>
+      val staged = RemoteFetch.fetchToStaging(spark,
+        s"http://127.0.0.1:$port/limited.csv", retries = 3)
+      assert(calls.get() == 3) // two retries, then success
+      assert(WideMatrix.readCsv(spark, staged).count() == 3)
+    }
+  }
+
+  test("job config served over http runs end-to-end (task.sh wget parity)") {
+    val cfgJson =
+      s"""{"data":[{"files":["${Fixtures.F1Csv}"],
+         |"datatype":"temperature","period":"day","fill":"raw",
+         |"data_col_start":13,"start_date":"2022-03-01","end_date":"2022-03-02",
+         |"additional_properties":{"aggregation":"min"},
+         |"additional_key_properties":["aggregation"]}]}""".stripMargin
+    val serveCfg: HttpExchange => Unit = { ex =>
+      val body = cfgJson.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+    }
+    withServer("/config.json" -> serveCfg) { port =>
+      val cfg = Main.loadConfig(spark, s"http://127.0.0.1:$port/config.json",
+        java.time.LocalDate.parse("2022-03-01"))
+      assert(cfg.data.head.datatype == "temperature")
+      val root = Files.createTempDirectory("graft_cfg_url_store").toString
+      val results = IngestJob.run(spark, cfg, root)
+      assert(results.map(_.created).sum == 3L)
+      assert(spark.read.parquet(IngestJob.valuesDir(root)).count() == 3)
+    }
+  }
+
   test("staged-file extension comes from the path segment, never query/host") {
     assert(RemoteFetch.urlExtension("http://h.example.com/a/f.csv") == ".csv")
     // query strings must not leak into the staged name (? is a Hadoop glob char)
