@@ -455,27 +455,74 @@ object KeyedStore {
    * pagesize=limit, default 1000). Mongo's implicit ordering becomes an
    * explicit total order on the key columns (SURVEY §7.4).
    *
-   * Scale shape: for any page that ends within `deepPageThreshold` rows the
-   * plan is sort + offset + limit, which Spark executes as
-   * `TakeOrderedAndProject` — per-partition top-(offset+limit) heaps and a
-   * driver-side merge; the table is never globally sorted and nothing lands
-   * on a single task. Only a page DEEPER than the threshold falls back to
-   * the global row_number window (at that depth a key-set/seek predicate is
-   * the real answer; the window form is kept for completeness).
+   * Scale shape — NO offset ever plans a global window:
+   *  - a page ending within `deepPageThreshold` rows is sort + offset +
+   *    limit, which Spark executes as `TakeOrderedAndProject` — per-
+   *    partition top-(offset+limit) heaps and a driver-side merge; the
+   *    table is never globally sorted and nothing lands on a single task;
+   *  - a DEEPER page walks the cursor forward by KEYSET hops of at most
+   *    `deepPageThreshold` rows (each hop a bounded TakeOrderedAndProject
+   *    whose seek predicate pushes into the scan), then serves the page
+   *    with `paginateAfter`. Per-task memory stays bounded by the
+   *    threshold at ANY depth; cost grows linearly with depth, which is
+   *    the honest floor for random deep offsets — sequential consumers
+   *    should carry the cursor (`paginateAfter`) and never pay it.
+   *
+   * `orderCols` must be a TOTAL order (include a unique key, e.g. `uuid`):
+   * keyset resume is exclusive of the cursor row, so ties across a page
+   * boundary would otherwise be skipped.
    */
   def paginate(table: DataFrame, orderCols: Seq[String], limit: Int = 1000,
       offset: Int = 0, deepPageThreshold: Long = 1L << 20): DataFrame = {
     val skip = offset.toLong * limit
     // second bound: offset() takes an Int, so a caller-raised threshold must
-    // not let skip overflow toInt — deep pages route to the window form
+    // not let skip overflow toInt — deeper pages route to the keyset walk
     if (skip + limit <= math.min(deepPageThreshold, Int.MaxValue.toLong)) {
       val sorted = table.orderBy(orderCols.map(col): _*)
       (if (skip > 0) sorted.offset(skip.toInt) else sorted).limit(limit)
     } else {
-      val w = Window.orderBy(orderCols.map(col): _*)
-      table.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > skip && col("__rn") <= skip + limit)
-        .drop("__rn")
+      val hop = math.min(deepPageThreshold, Int.MaxValue.toLong - limit)
+      var cursor: Option[Seq[Any]] = None
+      var remaining = skip
+      var exhausted = false
+      while (remaining > 0 && !exhausted) {
+        val step = math.min(hop, remaining)
+        val base = cursor.fold(table)(c => table.filter(afterPred(orderCols, c)))
+        // the step-th row after the cursor — a bounded ToP, never a window
+        val boundary = base.select(orderCols.map(col): _*)
+          .orderBy(orderCols.map(col): _*)
+          .offset((step - 1).toInt).limit(1).collect()
+        if (boundary.isEmpty) exhausted = true
+        else { cursor = Some(boundary.head.toSeq); remaining -= step }
+      }
+      if (exhausted) table.filter(lit(false)).limit(limit)
+      else cursor.fold(table.orderBy(orderCols.map(col): _*).limit(limit))(
+        c => paginateAfter(table, orderCols, limit, c))
     }
+  }
+
+  /**
+   * Keyset (seek) pagination — the scale path for sequential page
+   * consumption: pass the PREVIOUS page's last row's order-key values and
+   * get the next `limit` rows. The lexicographic `>` predicate pushes into
+   * the scan (min/max pruning skips whole files before the bounded
+   * top-`limit` heap), so page N+1 costs the same as page 1 at any depth.
+   */
+  def paginateAfter(table: DataFrame, orderCols: Seq[String], limit: Int,
+      after: Seq[Any]): DataFrame = {
+    require(after.length == orderCols.length,
+      s"after cursor must carry one value per order column (${orderCols.mkString(",")})")
+    table.filter(afterPred(orderCols, after))
+      .orderBy(orderCols.map(col): _*).limit(limit)
+  }
+
+  /** Lexicographic "row > cursor" under asc_nulls_first ordering: anything
+    * non-null beats a null cursor field; equality ties are null-safe. */
+  private def afterPred(orderCols: Seq[String], last: Seq[Any]): Column = {
+    val gt = orderCols.zip(last).map { case (c, v) =>
+      if (v == null) col(c).isNotNull else col(c) > lit(v)
+    }
+    val eq = orderCols.zip(last).map { case (c, v) => col(c) <=> lit(v) }
+    orderCols.indices.map(i => (eq.take(i) :+ gt(i)).reduce(_ && _)).reduce(_ || _)
   }
 }

@@ -286,9 +286,30 @@ class KeyedStoreSpec extends AnyFunSuite {
     val page3 = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 3)
     assert(page3.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
     assert(!nodes(page3.queryExecution.executedPlan).exists(_.contains("Window")))
-    // a page past the threshold falls back to the row_number window
+    // a page past the threshold walks the cursor by keyset hops — same rows,
+    // STILL no window at any depth (per-task memory bounded by the threshold)
     val deep = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 3, deepPageThreshold = 20)
     assert(deep.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
-    assert(nodes(deep.queryExecution.executedPlan).exists(_.contains("Window")))
+    assert(!nodes(deep.queryExecution.executedPlan).exists(_.contains("Window")))
+    // a deep page beyond the data is empty, not an error
+    val past = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 80, deepPageThreshold = 20)
+    assert(past.collect().isEmpty)
+  }
+
+  test("paginateAfter: page N+1 resumes exactly from page N's last key") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (f"k$i%04d", i)).toDF("k", "v")
+    val pageN = KeyedStore.paginate(df, Seq("k", "v"), limit = 10, offset = 2)
+    val rowsN = pageN.collect()
+    assert(rowsN.map(_.getString(0)).toSeq == (21 to 30).map(i => f"k$i%04d"))
+    val cursor = rowsN.last.toSeq // (k, v) of the last row served
+    val pageN1 = KeyedStore.paginateAfter(df, Seq("k", "v"), limit = 10, after = cursor)
+    assert(pageN1.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
+    // null cursor fields resume before any non-null value (asc_nulls_first)
+    val withNull = (("k0000", null.asInstanceOf[Integer]) +: (1 to 5).map(i =>
+      (f"k$i%04d", Integer.valueOf(i)))).toDF("k", "v")
+    val after = KeyedStore.paginateAfter(withNull, Seq("v"), limit = 10, after = Seq(null))
+    assert(after.collect().map(_.getString(0)).sorted.toSeq ==
+      (1 to 5).map(i => f"k$i%04d"))
   }
 }
