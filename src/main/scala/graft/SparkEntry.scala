@@ -25,9 +25,11 @@ object SparkEntry {
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark rejects natively — read nanos as long, convert to micros
-    * (integer `div`: a double division would lose precision at 1e18). */
+    * (integer `div`: a double division would lose precision at 1e18).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the SESSION
+    * (Bench/Verify/test builders set it) — a query function must not
+    * mutate session conf, that leaks into every later query. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NTZ keeps the written parquet at naive micros — matching both the
     // source data's wall-clock semantics and DuckDB's TIMESTAMP.
     t(s, dir, "events").withColumn("ts",

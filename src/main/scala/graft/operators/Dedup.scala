@@ -76,6 +76,18 @@ object Dedup {
    * 1 - (1 - j^r)^b for r rows/band, b bands.
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashLshPairsFromBanded(
+      minhashBandedTable(docs, n, numHashes, bands, textCol, idCol), idCol)
+
+  /**
+   * The banded signature relation (doc, band, bucket) in long format — the
+   * candidate-generation input. Build ONCE per corpus; at scale persist it
+   * with `writeBandedTable` so every candidate pass (the self-join, incre-
+   * mental probes of new docs against the corpus) starts from co-located
+   * buckets instead of re-hashing 100 TB of text.
+   */
+  def minhashBandedTable(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -86,10 +98,22 @@ object Dedup {
     }
     val banded = sig.select(col(idCol) +: bandCols: _*)
     // long format: (doc, band_idx, band_hash) — one shuffle keyed by bucket
-    val longForm = banded.select(col(idCol), explode(map(
+    banded.select(col(idCol), explode(map(
       (0 until bands).flatMap(b => Seq(lit(b), col(s"band_$b"))): _*)).as(Seq("band", "bucket")))
-    val a = longForm.as("a")
-    val b = longForm.as("b")
+  }
+
+  /** Persist the banded table BUCKETED (+sorted) by (band, bucket): the
+    * candidate self-join over the persisted table then plans with ZERO
+    * shuffle exchange (plan-asserted in TrainingDataOpsSpec) — at corpus
+    * scale the join is the dominant cost and its shuffle disappears. */
+  def writeBandedTable(banded: DataFrame, table: String, nBuckets: Int = 256): Unit =
+    Layout.writeBucketed(banded, table, Seq("band", "bucket"), nBuckets)
+
+  /** Candidate pairs from a banded table (fresh or persisted): docs sharing
+    * any (band, bucket) with id_a < id_b, counted per pair. */
+  def minhashLshPairsFromBanded(banded: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = banded.as("a")
+    val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -170,6 +194,13 @@ object Dedup {
    * component collapses toward its min node instead of chaining — the
    * skew-bounded form min-label propagation is not.
    *
+   * `maxIters` bounds ROUNDS OF REAL WORK and is a hard correctness bound,
+   * not a best-effort budget: convergence is detected by one extra
+   * quiescent confirmation round (free beyond the bound), and a graph that
+   * still hasn't converged after `maxIters` working rounds THROWS rather
+   * than emit potentially mislabeled clusters. The default 30 covers any
+   * real graph (the alternation converges in O(log² n) rounds).
+   *
    * Returns (id, cluster) for every node that appears in `pairs`.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
@@ -239,7 +270,9 @@ object Dedup {
     var sig = signature(cur)
     var converged = false
     var i = 1
-    while (!converged && i < maxIters) {
+    // `i <= maxIters`: the bound counts WORKING rounds — a graph needing
+    // exactly maxIters rounds still gets its quiescent confirmation round
+    while (!converged && i <= maxIters) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nsig = signature(next)
       converged = nsig == sig

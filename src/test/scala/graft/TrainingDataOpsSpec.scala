@@ -52,6 +52,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("persisted banded minhash table: candidate self-join is shuffle-free") {
+    spark.sql("DROP TABLE IF EXISTS mh_banded")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = Dedup.minhashBandedTable(docs, n = 3, numHashes = 16, bands = 4)
+      Dedup.writeBandedTable(banded, "mh_banded", nBuckets = 8)
+      val persisted = spark.table("mh_banded")
+      // identical candidate pairs through the persisted table
+      val want = Dedup.minhashLshPairs(docs, n = 3, numHashes = 16, bands = 4)
+        .collect().map(_.toSeq).toSet
+      val got = Dedup.minhashLshPairsFromBanded(persisted).collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+      // the join itself plans with zero exchange off the bucketed layout
+      val a = persisted.as("a")
+      val b = persisted.as("b")
+      val join = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      assert(join.count() > 0)
+      assert(graft.operators.Layout.isShuffleFree(join),
+        "banded self-join should not shuffle:\n" + join.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS mh_banded")
+    }
+  }
+
   test("simhash: identical docs hamming 0; near-dups close; pairs surfaced") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
