@@ -89,6 +89,77 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("property: simhash pairs are EXACTLY the Hamming<=3 ground truth (pigeonhole)") {
+    // seeded-random corpus (scalacheck bridge not in the offline cache):
+    // bases + lightly-mutated variants + exact duplicates. Candidate
+    // generation over 4 rotated 16-bit bands is LOSSLESS for Hamming<=3
+    // (4 bands, <=3 differing bits: one band must be untouched), so the
+    // operator's output must equal the brute-force signature comparison.
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(300)(i => s"w$i")
+    val corpus = (0 until 20).flatMap { _ =>
+      val base = Array.fill(24)(vocab(rnd.nextInt(vocab.length)))
+      val mutated = base.clone()
+      (0 to rnd.nextInt(2)).foreach(_ =>
+        mutated(rnd.nextInt(mutated.length)) = vocab(rnd.nextInt(vocab.length)))
+      Seq(base, mutated, base.clone()) // third is an exact dup: Hamming 0
+    }
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val ids = sig.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(df, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(truth.size >= 20, s"corpus must exercise the property (${truth.size} true pairs)")
+    assert(got == truth)
+  }
+
+  test("property: minhash-LSH recall respects the 1-(1-j^r)^b bound") {
+    // pairs with CONTROLLED shingle-Jaccard: variant shares a token prefix.
+    // With r=4 rows/band, b=4 bands, a pair with Jaccard j is caught with
+    // p = 1-(1-j^4)^4 — empirical recall on the high-j regime must sit
+    // within sampling tolerance of the bound, and exact dups (j=1) must
+    // ALWAYS be caught on all 4 bands.
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(500)(i => s"w$i")
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    def addPair(keep: Int): (Long, Long) = {
+      val base = Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
+      val variant = base.take(keep) ++
+        Array.fill(30 - keep)(vocab(rnd.nextInt(vocab.length)))
+      docs += ((id, base.mkString(" "))); docs += ((id + 1, variant.mkString(" ")))
+      id += 2; (id - 2, id - 1)
+    }
+    val hiPairs = (0 until 15).map(p => addPair(27 + p % 3))  // j in [0.81, 0.93]
+    val dupPairs = (0 until 5).map(_ => addPair(30))          // j = 1
+    (0 until 10).foreach(p => addPair(18 + p % 8))            // j in [0.4, 0.7] background
+    val df = docs.toSeq.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, n = 3, minJaccard = 0.0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val lsh = Dedup.minhashLshPairs(df, n = 3, numHashes = 16, bands = 4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_bands"))
+      .toMap
+    def bound(j: Double) = 1 - math.pow(1 - math.pow(j, 4), 4)
+    // planted high-j pairs measured against their MEASURED exact jaccard
+    val hi = hiPairs.filter(p => exact.getOrElse(p, 0.0) >= 0.8)
+    assert(hi.size >= 12, s"expected >=12 planted j>=0.8 pairs, got ${hi.size}")
+    val recall = hi.count(lsh.contains).toDouble / hi.size
+    assert(recall >= bound(0.8) - 0.15,
+      f"recall $recall%.2f < bound ${bound(0.8)}%.2f - 0.15 over ${hi.size} pairs")
+    // exact duplicates agree on every minimum, hence on every band — always
+    dupPairs.foreach { p =>
+      assert(exact(p) == 1.0)
+      assert(lsh.get(p).contains(4L), s"exact dup $p must share all 4 bands")
+    }
+  }
+
   test("connected components: chains merge into one cluster, min-id label (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 20L))
       .toDF("id_a", "id_b")
