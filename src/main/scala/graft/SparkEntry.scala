@@ -308,6 +308,21 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
       Similarity.topKLsh(Similarity.buildLshIndex(e, dim = 64), q, k = 10)
     }),
+    "sim_topk_join" -> ((s, dir) => {
+      // batch k-NN: every query row gets its top-k corpus neighbors
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoin(
+        e.filter(col("vec_id") < 300),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5)
+    }),
+    "sim_topk_join_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinLsh(
+        Similarity.buildLshIndex(e.filter(col("vec_id") < 300), dim = 64),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        dim = 64, k = 5)
+    }),
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsExact(
         t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.45)),
@@ -613,6 +628,18 @@ object SparkEntry {
         |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
         |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
         |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_topk_join" ->
+      """WITH s AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |  round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+        | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id < 300)
+        |SELECT q_id, vec_id, cos FROM (
+        | SELECT q_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        | FROM s)
+        |WHERE rn <= 5""".stripMargin,
     "sim_neardup" ->
       """SELECT id_a, id_b, cos FROM (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,

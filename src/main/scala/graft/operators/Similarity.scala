@@ -175,6 +175,59 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /**
+   * Exact k-NN JOIN: for EVERY row of `queries`, the top-k most-similar
+   * corpus rows by cosine — the batch form of `topK` (dedup an incoming
+   * batch against the corpus, nearest-neighbor labeling). Brute force:
+   * score all (query, corpus) pairs — Spark broadcasts the (small) query
+   * side, so the corpus is scanned once with no shuffle — then keep k per
+   * query with a rank window whose only exchange is on the query id.
+   * Oracle-checkable baseline for `topKJoinLsh`.
+   */
+  def topKJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(qIdCol), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val scored = q.crossJoin(c)
+      .select(col(qIdCol), col(idCol),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+    topKPerQuery(scored, k, idCol, qIdCol)
+  }
+
+  /**
+   * ANN k-NN join through a (typically persisted) LSH index: query vectors
+   * are bucketed by the SAME deterministic hyperplanes, candidates = corpus
+   * rows sharing any (table, bucket) with the query, exact re-scoring and
+   * per-query top-k on candidates only. At corpus scale this replaces the
+   * brute-force cross product with a bucket-equi-join — and against an
+   * index written by `writeLshIndex` the probe side prunes partitions.
+   */
+  def topKJoinLsh(corpusIndex: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      bits: Int = 4, tables: Int = 8, vecCol: String = "embedding",
+      idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
+    val qb = buildLshIndex(queries, dim, bits, tables, vecCol, qIdCol)
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("table"), col("bucket"))
+    val cb = corpusIndex
+      .select(col(idCol), col(vecCol).as("__cv"), col("table"), col("bucket"))
+    val scored = qb.join(cb, Seq("table", "bucket"))
+      .dropDuplicates(qIdCol, idCol)
+      .select(col(qIdCol), col(idCol),
+        round(dot(col("__qv"), col("__cv")) /
+          (norm(col("__qv")) * norm(col("__cv"))), 6).as("cos"))
+    topKPerQuery(scored, k, idCol, qIdCol)
+  }
+
+  /** Deterministic per-query top-k: rank window partitioned by query id
+    * (rounded score first, id tiebreak — mirrorable in SQL). */
+  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
+      qIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Exact all-pairs cosine above threshold — the oracle-checkable
     * baseline the LSH variant approximates (O(n²), small-SF only). */
   def nearDupPairsExact(embeddings: DataFrame, minCosine: Double,

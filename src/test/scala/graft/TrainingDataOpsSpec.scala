@@ -255,6 +255,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
   }
 
+  test("k-NN join: per-query top-k equals per-vector topK; LSH variant finds planted pair") {
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val joined = Similarity.topKJoin(vecs, queries, k = 3).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(joined.keySet == Set(0L, 1L))
+    // batch answer == single-query answer, query by query
+    for (qid <- Seq(0L, 1L)) {
+      val qv = vecs.filter(col("vec_id") === qid).head.getSeq[Float](1)
+      val single = Similarity.topK(vecs, qv, k = 3).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+      val batch = joined(qid).sortBy(r => (-r.getAs[Double]("cos"), r.getAs[Long]("vec_id")))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+      assert(batch == single, s"q=$qid")
+    }
+    // ANN variant: each query's self + the planted near-dup both surface
+    val idx = Similarity.buildLshIndex(vecs, dim = 16)
+    val ann = Similarity.topKJoinLsh(idx, queries, dim = 16, k = 3).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    for (qid <- Seq(0L, 1L)) {
+      val ids = ann(qid).map(_.getAs[Long]("vec_id")).toSet
+      assert(Set(0L, 1L).subsetOf(ids), s"q=$qid got $ids")
+    }
+  }
+
   test("persisted LSH index: probes prune to probed (table,bucket) partitions") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
