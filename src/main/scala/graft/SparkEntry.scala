@@ -293,6 +293,13 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5))),
+    "dedup_survivors" -> ((s, dir) => {
+      // the pipeline's real deliverable: the corpus with non-survivor
+      // near-dup cluster members removed
+      val docs = t(s, dir, "documents")
+      Dedup.dedupByClusters(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5))
+    }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 16, bands = 4)),
     "dedup_simhash" -> ((s, dir) =>
@@ -620,6 +627,20 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
          |FROM reach GROUP BY src""".stripMargin
+    },
+    "dedup_survivors" -> {
+      val jac = oracleJaccardSql
+      s"""WITH RECURSIVE pairs AS ($jac),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+         |           FROM reach GROUP BY src)
+         |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin
     },
     "sim_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

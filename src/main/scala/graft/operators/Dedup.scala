@@ -294,6 +294,23 @@ object Dedup {
   }
 
   /**
+   * The deduplicated corpus — the output a training pipeline actually
+   * keeps: drop every document that sits in a near-dup cluster under a
+   * smaller survivor id (survivor = min id per connected component, the
+   * same label `connectedComponents` assigns). One left-anti join against
+   * the non-survivor id set: the corpus is scanned once, and the label
+   * frame (bounded by the number of CLUSTERED docs, a sliver of the
+   * corpus) broadcasts — no corpus shuffle.
+   */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dropIds = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(dropIds), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Exact n-gram Jaccard over candidate pairs from an inverted-index join:
    * docs sharing ≥1 shingle are candidates; J = |∩| / |∪| from shingle-set
    * sizes. `minJaccard` prunes the (large) candidate set after one

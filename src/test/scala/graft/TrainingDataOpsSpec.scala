@@ -198,6 +198,14 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupByClusters keeps one survivor (min id) per near-dup cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+    val kept = Dedup.dedupByClusters(docs, pairs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // cluster {0,1,4} (near/exact dups) collapses to survivor 0
+    assert(kept == Set(0L, 2L, 3L, 5L))
+  }
+
   test("ngram jaccard maxDf: hot shingles drop out of the candidate space") {
     // "the quick brown ..." shingles are shared by docs 0/1/4 (df=3);
     // cap df<=2 removes them, so 0-1 (which share ONLY hot shingles
