@@ -331,13 +331,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
       textCol: String = "text", idCol: String = "doc_id",
       maxDf: Option[Long] = None): DataFrame = {
-    // join key = xxhash64(shingle), not the ~20-byte shingle string: the
-    // self-join shuffles one long instead of text, and the df window
-    // partitions by the same key. Set semantics are unchanged up to 64-bit
-    // collisions (~n²/2⁶⁴ — vanishing at any real corpus size, and the
-    // oracle compare would catch one at test scale).
-    val shAll = shingleTable(docs, n, textCol, idCol)
+    // shingle key = xxhash64(shingle), hashed BEFORE the distinct: every
+    // exchange in this operator (set-dedup, df window, self-join) then
+    // carries an 8-byte long instead of ~20-byte text. Set semantics are
+    // unchanged up to 64-bit collisions (~n²/2⁶⁴ — vanishing at any real
+    // corpus size, and the oracle compare would catch one at test scale).
+    val shAll = shingleTable(docs, n, textCol, idCol, dedup = false)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
     val sh = maxDf match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
