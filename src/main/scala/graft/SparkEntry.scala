@@ -315,6 +315,13 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
       Similarity.topKLsh(Similarity.buildLshIndex(e, dim = 64), q, k = 10)
     }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      // IVF scale path: deterministic k-means cells, nProbe-cell scan
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.topKIvf(Similarity.buildIvfIndex(e, nCells = 16, iters = 2),
+        q, k = 10, nProbe = 4)
+    }),
     "sim_topk_join" -> ((s, dir) => {
       // batch k-NN: every query row gets its top-k corpus neighbors
       val e = t(s, dir, "embeddings")

@@ -92,8 +92,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhash(shingleTable(docs, n, textCol, idCol, dedup = false), numHashes, idCol)
+    // band value = xxhash64 of the band's minima (8-byte long), not an md5
+    // hex string: the bucket join/shuffle and the persisted table carry
+    // longs. Collisions only matter WITHIN a band (the join includes the
+    // band index) — 2⁻⁶⁴ per candidate, noise against LSH's own FP rate.
     val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|", (lit(b) +: (0 until r).map(i => col(s"mh_${b * r + i}"))): _*))
+      xxhash64((lit(b) +: (0 until r).map(i => col(s"mh_${b * r + i}"))): _*)
         .as(s"band_$b")
     }
     val banded = sig.select(col(idCol) +: bandCols: _*)

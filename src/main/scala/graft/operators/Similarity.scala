@@ -175,6 +175,111 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF index: per-vector cell assignments (a DataFrame — the corpus-
+    * sized half) + the trained centroids (driver-side: nCells × dim floats,
+    * the "model" — kilobytes, shipped like any literal). */
+  final case class IvfIndex(assignments: DataFrame,
+      centroids: Array[(Int, Array[Float])])
+
+  /**
+   * IVF (inverted-file) ANN index — the k-means alternative to hyperplane
+   * LSH: vectors are assigned to their nearest centroid's cell; a query
+   * probes only its `nProbe` nearest cells. Training is DETERMINISTIC
+   * k-means: seeds = the `nCells` corpus vectors with smallest
+   * xxhash64(id) (a reproducible pseudo-random sample — no RNG state, same
+   * result on any cluster), refined by `iters` Lloyd rounds. Each round is
+   * declarative: assignment = broadcast-centroid cross join + one
+   * min(struct(dist, cell)) aggregation; new means = posexplode +
+   * groupBy(cell, dim) avg (map-side combined) — the corpus is scanned
+   * once per round, no UDFs, no giant expression trees.
+   *
+   * Unlike LSH this adapts to the data distribution (cells follow corpus
+   * density), at the cost of the training scans; LSH needs no training but
+   * fixes its buckets a priori. Both persist the same way.
+   */
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    // deterministic seed sample, stable cell numbering by seed id
+    val seeds = embeddings.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    var centroids = seeds
+    for (_ <- 0 until iters) {
+      val means = ivfCentroidsOf(
+        assignCells(embeddings, centroids, vecCol, idCol), vecCol).toMap
+      // empty cells keep their previous centroid (can't re-seed mid-train
+      // without breaking determinism)
+      centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
+    }
+    IvfIndex(assignCells(embeddings, centroids, vecCol, idCol), centroids)
+  }
+
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    * keep argmin cell per vector via one min(struct) aggregation.
+    * Distance = ||c||² − 2·v·c (the ||v||² term is constant per vector). */
+  private def assignCells(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
+      vecCol: String, idCol: String): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.map { case (c, v) =>
+      (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }.toSeq.toDF("__cell", "__cv", "__cn2")
+    vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        struct((col("__cn2") - lit(2.0) * dot(col(vecCol), col("__cv"))).as("d"),
+          col("__cell").as("c")).as("__sc"))
+      .groupBy(col(idCol))
+      .agg(any_value(col(vecCol)).as(vecCol), min(col("__sc")).getField("c").as("cell"))
+  }
+
+  /** Persist IVF assignments partitioned by cell — probes prune to their
+    * `nProbe` cell directories, exactly like the LSH layout. Centroids are
+    * recomputable from the assignments (`ivfCentroidsOf`), so the persisted
+    * table is self-contained. */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit =
+    index.assignments.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assignments = spark.read.parquet(path)
+    IvfIndex(assignments, ivfCentroidsOf(assignments))
+  }
+
+  /** Cell means of an assignment table (restores the driver-side model
+    * from a persisted index). */
+  def ivfCentroidsOf(assignments: DataFrame,
+      vecCol: String = "embedding"): Array[(Int, Array[Float])] =
+    assignments.select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        e => e.getField("m").cast("float")).as("cvec"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+
+  /**
+   * ANN top-k through an IVF index: rank cells by centroid distance
+   * DRIVER-side (the model is local), scan only the `nProbe` nearest cells
+   * (partition-pruned against a persisted index), exact-rescore those.
+   * `nProbe = nCells` degrades gracefully to exact brute force.
+   */
+  def topKIvf(index: IvfIndex, query: Seq[Float], k: Int, nProbe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val probed = index.centroids.map { case (c, v) =>
+      val qn2 = v.indices.foldLeft(0.0) { (a, i) =>
+        val d = v(i).toDouble - query(i).toDouble; a + d * d
+      }
+      (c, qn2)
+    }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+    val q = array(query.map(v => lit(v)): _*)
+    index.assignments.filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col(idCol),
+        round(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /**
    * Exact k-NN JOIN: for EVERY row of `queries`, the top-k most-similar
    * corpus rows by cosine — the batch form of `topK` (dedup an incoming

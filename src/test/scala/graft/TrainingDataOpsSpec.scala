@@ -263,6 +263,39 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
   }
 
+  test("IVF index: full probe equals exact topK; persisted probes prune cells") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val idx = Similarity.buildIvfIndex(vecs, nCells = 4, iters = 2)
+    // probing EVERY cell must degrade exactly to brute force
+    val full = Similarity.topKIvf(idx, q, k = 5, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    val exact = Similarity.topK(vecs, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(full == exact)
+    // the planted near-dup shares the query's cell: one probe finds it
+    val one = Similarity.topKIvf(idx, q, k = 3, nProbe = 1).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(one.take(2).toSet == Set(0L, 1L))
+    // persisted index: model restored from cell means, probe prunes partitions
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    Similarity.writeIvfIndex(idx, dir)
+    val restored = Similarity.readIvfIndex(spark, dir)
+    assert(restored.centroids.map(_._1).sorted.sameElements(idx.centroids.map(_._1).sorted))
+    val probe = Similarity.topKIvf(restored, q, k = 3, nProbe = 1)
+    assert(probe.collect().map(_.getAs[Long]("vec_id")).take(2).toSet == Set(0L, 1L))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val sc = scans(probe.queryExecution.executedPlan)
+    assert(sc.nonEmpty && sc.forall(_.partitionFilters.nonEmpty),
+      "IVF probe must prune cell partitions")
+  }
+
   test("k-NN join: per-query top-k equals per-vector topK; LSH variant finds planted pair") {
     val queries = vecs.filter(col("vec_id") < 2)
       .select(col("vec_id").as("q_id"), col("embedding"))
