@@ -158,6 +158,13 @@ object SparkEntry {
       KeyedStore.paginate(t(s, dir, "orders"), Seq("o_orderkey"), limit = 100, offset = 3)),
     // --- relational core on the TPC-H-ish tables (oracle substrate for the
     //     join/agg machinery backing the upsert; also the bench workload) ---
+    "salted_sum" -> ((s, dir) =>
+      // skew-safe two-phase aggregation: result-identical to plain
+      // groupBy-sum (oracle-proven), partials spread over 16 salt shards
+      graft.operators.Layout.saltedSum(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", col("l_orderkey"), salts = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))),
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
@@ -503,6 +510,10 @@ object SparkEntry {
       s"""SELECT uuid, datatype, period, fill, station_id, "date", value, aggregation
          |FROM $storeRp WHERE datatype = 'temperature' AND station_id = '39.2'""".stripMargin,
     "paginate" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 300",
+    "salted_sum" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
