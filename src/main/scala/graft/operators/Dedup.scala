@@ -304,14 +304,16 @@ object Dedup {
    * same label `connectedComponents` assigns). One left-anti join against
    * the non-survivor id set: the corpus is scanned once, and the label
    * frame (bounded by the number of CLUSTERED docs, a sliver of the
-   * corpus) broadcasts — no corpus shuffle.
+   * corpus) broadcasts WHEN SMALL — AQE's size-based choice, not a forced
+   * hint: a pathological high-dup corpus would OOM a mandatory broadcast,
+   * and a shuffled anti-join on the 8-byte id is the right fallback there.
    */
   def dedupByClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val dropIds = connectedComponents(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(dropIds), Seq(idCol), "left_anti")
+    docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
   /**
