@@ -20,25 +20,26 @@ object Bench {
     // Each query runs twice and reports the MIN: a one-off GC pause or
     // background compile otherwise poisons a single-shot number (round-1
     // recorded 14.4s for a query that reproduces at ~1s idle).
-    var failed = List.empty[String]
+    var failed = Set.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case t: Throwable =>
-          // a failed query must be VISIBLE in the output, not a silent
-          // elapsed-time-of-the-failure number
-          if (!failed.contains(name)) failed ::= name
+          // a failed query must be VISIBLE, and its failure-fast elapsed
+          // time must not masquerade as a measurement
+          failed += name
           System.err.println(s"[bench] $name failed: ${t.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total covers SUCCESSFUL queries only — failures are listed, not summed
+    val total = results.values.filter(_ >= 0).sum
+    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -413,16 +413,23 @@ object KeyedStore {
   private def assertBucketSpec(spark: org.apache.spark.sql.SparkSession, table: String,
       bucketCols: Seq[String], nBuckets: Int, partitionCol: Option[String]): Unit = {
     val cols = spark.catalog.listColumns(table).collect()
-    val actualBucket = cols.filter(_.isBucket).map(_.name).toSet
     val actualPart = cols.filter(_.isPartition).map(_.name).toSet
-    val actualN = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
-      .find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
+    val describe = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+    def descRow(key: String): Option[String] =
+      describe.find(_.getString(0) == key).map(_.getString(1).trim)
+    val actualN = descRow("Num Buckets").map(_.toInt)
+    // ORDERED compare from the DESCRIBE spec (rendered as [`c1`, `c2`]):
+    // bucket hashing and sortBy both depend on column order, so a set
+    // compare would wave through a reordered spec
+    val actualBucket = descRow("Bucket Columns").toSeq.flatMap(
+      _.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty))
     def fail(what: String, expected: Any, actual: Any): Nothing =
       throw new IllegalArgumentException(
         s"mergeIntoBucketedTable: table '$table' exists with a different $what " +
           s"(catalog: $actual, requested: $expected); the catalog layout wins on " +
           "insertInto — drop/migrate the table or pass the matching spec")
-    if (actualBucket != bucketCols.toSet) fail("bucket columns", bucketCols.toSet, actualBucket)
+    if (actualBucket != bucketCols) fail("bucket columns", bucketCols, actualBucket)
     if (!actualN.contains(nBuckets)) fail("bucket count", nBuckets, actualN.getOrElse("none"))
     if (actualPart != partitionCol.toSet) fail("partition columns", partitionCol.toSet, actualPart)
   }
@@ -481,7 +488,9 @@ object KeyedStore {
       val sorted = table.orderBy(orderCols.map(col): _*)
       (if (skip > 0) sorted.offset(skip.toInt) else sorted).limit(limit)
     } else {
-      val hop = math.min(deepPageThreshold, Int.MaxValue.toLong - limit)
+      // hop >= 1 keeps a degenerate caller-supplied threshold (<= 0) from
+      // planning offset(-1); the walk just takes 1-row hops in that case
+      val hop = math.max(1L, math.min(deepPageThreshold, Int.MaxValue.toLong - limit))
       var cursor: Option[Seq[Any]] = None
       var remaining = skip
       var exhausted = false

@@ -235,20 +235,29 @@ object Similarity {
       .agg(any_value(col(vecCol)).as(vecCol), min(col("__sc")).getField("c").as("cell"))
   }
 
-  /** Persist IVF assignments partitioned by cell — probes prune to their
-    * `nProbe` cell directories, exactly like the LSH layout. Centroids are
-    * recomputable from the assignments (`ivfCentroidsOf`), so the persisted
-    * table is self-contained. */
-  def writeIvfIndex(index: IvfIndex, path: String): Unit =
-    index.assignments.write.mode("overwrite").partitionBy("cell").parquet(path)
-
-  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val assignments = spark.read.parquet(path)
-    IvfIndex(assignments, ivfCentroidsOf(assignments))
+  /** Persist the index: assignments under `$path/assignments` partitioned
+    * by cell (probes prune to their `nProbe` cell directories, exactly like
+    * the LSH layout) and the TRAINED centroids under `$path/centroids` —
+    * so restore is an exact model round-trip (recomputing means from the
+    * assignments would shift cell ranking by half a Lloyd step). */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assignments")
+    index.centroids.toSeq.toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Cell means of an assignment table (restores the driver-side model
-    * from a persisted index). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    IvfIndex(spark.read.parquet(s"$path/assignments"), centroids)
+  }
+
+  /** Cell means of an assignment table — the Lloyd-round update step (also
+    * a fallback model if only an assignments table survives; note it is
+    * half a Lloyd step past the trained centroids `readIvfIndex` restores). */
   def ivfCentroidsOf(assignments: DataFrame,
       vecCol: String = "embedding"): Array[(Int, Array[Float])] =
     assignments.select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
@@ -311,15 +320,18 @@ object Similarity {
   def topKJoinLsh(corpusIndex: DataFrame, queries: DataFrame, dim: Int, k: Int,
       bits: Int = 4, tables: Int = 8, vecCol: String = "embedding",
       idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
+    // norms precomputed ONCE per side before the bucket join — a hot bucket
+    // of b members would otherwise pay 2 extra dot products per candidate
     val qb = buildLshIndex(queries, dim, bits, tables, vecCol, qIdCol)
-      .select(col(qIdCol), col(vecCol).as("__qv"), col("table"), col("bucket"))
+      .select(col(qIdCol), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+        col("table"), col("bucket"))
     val cb = corpusIndex
-      .select(col(idCol), col(vecCol).as("__cv"), col("table"), col("bucket"))
+      .select(col(idCol), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+        col("table"), col("bucket"))
     val scored = qb.join(cb, Seq("table", "bucket"))
       .dropDuplicates(qIdCol, idCol)
       .select(col(qIdCol), col(idCol),
-        round(dot(col("__qv"), col("__cv")) /
-          (norm(col("__qv")) * norm(col("__cv"))), 6).as("cos"))
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 

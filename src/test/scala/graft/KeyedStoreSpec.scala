@@ -265,32 +265,41 @@ class KeyedStoreSpec extends AnyFunSuite {
       val st = KeyedStore.mergeIntoBucketedTable(inc, "store_speccheck", Seq("station_id", "date"),
         Seq("station_id"), 4, Some("date"))
       assert(st == KeyedStore.MergeStats(1, 0, 0))
-    } finally spark.sql("DROP TABLE IF EXISTS store_speccheck")
+      // bucket-column ORDER matters (hashing + sortBy): reorder must throw
+      spark.sql("DROP TABLE IF EXISTS store_speccheck2")
+      KeyedStore.mergeIntoBucketedTable(df, "store_speccheck2", Seq("station_id", "date"),
+        Seq("station_id", "value"), 4, Some("date"))
+      expectMismatch("bucket columns") {
+        KeyedStore.mergeIntoBucketedTable(inc, "store_speccheck2", Seq("station_id", "date"),
+          Seq("value", "station_id"), 4, Some("date"))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS store_speccheck")
+      spark.sql("DROP TABLE IF EXISTS store_speccheck2")
+    }
   }
 
   test("paginate: early pages plan as TakeOrderedAndProject, never a global window") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import spark.implicits._
     val df = (1 to 500).map(i => (f"k$i%04d", i)).toDF("k", "v")
-    def nodes(p: SparkPlan): Seq[String] = (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case s: QueryStageExec => nodes(s.plan)
-      case other => other.children.flatMap(nodes)
-    }) :+ p.nodeName
+    def nodes(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      SparkTestBase.planNodeNames(d)
     val page0 = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 0)
     assert(page0.collect().map(_.getString(0)).toSeq == (1 to 10).map(i => f"k$i%04d"))
-    val p0nodes = nodes(page0.queryExecution.executedPlan)
+    val p0nodes = nodes(page0)
     assert(p0nodes.exists(_.contains("TakeOrderedAndProject")), p0nodes.mkString(","))
     assert(!p0nodes.exists(_.contains("Window")), p0nodes.mkString(","))
     val page3 = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 3)
     assert(page3.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
-    assert(!nodes(page3.queryExecution.executedPlan).exists(_.contains("Window")))
+    assert(!nodes(page3).exists(_.contains("Window")))
     // a page past the threshold walks the cursor by keyset hops — same rows,
     // STILL no window at any depth (per-task memory bounded by the threshold)
     val deep = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 3, deepPageThreshold = 20)
     assert(deep.collect().map(_.getString(0)).toSeq == (31 to 40).map(i => f"k$i%04d"))
-    assert(!nodes(deep.queryExecution.executedPlan).exists(_.contains("Window")))
+    assert(!nodes(deep).exists(_.contains("Window")))
+    // a degenerate threshold still pages correctly (1-row keyset hops)
+    val degen = KeyedStore.paginate(df, Seq("k"), limit = 5, offset = 2, deepPageThreshold = 0)
+    assert(degen.collect().map(_.getString(0)).toSeq == (11 to 15).map(i => f"k$i%04d"))
     // a deep page beyond the data is empty, not an error
     val past = KeyedStore.paginate(df, Seq("k"), limit = 10, offset = 80, deepPageThreshold = 20)
     assert(past.collect().isEmpty)

@@ -18,4 +18,23 @@ object SparkTestBase {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  /** AQE-aware executed-plan walk: descends into materialized query stages
+    * (a plain `children` descent misses what `QueryStageExec` wraps).
+    * Shared by every spec that asserts on plans. */
+  def planSeq(p: SparkPlan): Seq[SparkPlan] = (p match {
+    case a: AdaptiveSparkPlanExec => planSeq(a.executedPlan)
+    case s: QueryStageExec => planSeq(s.plan)
+    case other => other.children.flatMap(planSeq)
+  }) :+ p
+
+  def fileScans(df: DataFrame): Seq[FileSourceScanExec] =
+    planSeq(df.queryExecution.executedPlan).collect { case f: FileSourceScanExec => f }
+
+  def planNodeNames(df: DataFrame): Seq[String] =
+    planSeq(df.queryExecution.executedPlan).map(_.nodeName)
 }

@@ -264,8 +264,6 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   }
 
   test("IVF index: full probe equals exact topK; persisted probes prune cells") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
     val idx = Similarity.buildIvfIndex(vecs, nCells = 4, iters = 2)
     // probing EVERY cell must degrade exactly to brute force
@@ -282,16 +280,12 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
     Similarity.writeIvfIndex(idx, dir)
     val restored = Similarity.readIvfIndex(spark, dir)
-    assert(restored.centroids.map(_._1).sorted.sameElements(idx.centroids.map(_._1).sorted))
+    // exact model round-trip: the TRAINED centroids come back, not means
+    assert(restored.centroids.sortBy(_._1).map(_._2.toSeq).toSeq ==
+      idx.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
     val probe = Similarity.topKIvf(restored, q, k = 3, nProbe = 1)
     assert(probe.collect().map(_.getAs[Long]("vec_id")).take(2).toSet == Set(0L, 1L))
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec => scans(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val sc = scans(probe.queryExecution.executedPlan)
+    val sc = SparkTestBase.fileScans(probe)
     assert(sc.nonEmpty && sc.forall(_.partitionFilters.nonEmpty),
       "IVF probe must prune cell partitions")
   }
@@ -322,8 +316,6 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   }
 
   test("persisted LSH index: probes prune to probed (table,bucket) partitions") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/idx"
     val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
     val idx = Similarity.buildLshIndex(vecs, dim = 16)
@@ -338,13 +330,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
     // plan: the probe becomes PARTITION filters (pruned at planning), and the
     // scan reads at most `tables` bucket directories, not the whole index
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec => scans(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val sc = scans(probe.queryExecution.executedPlan)
+    val sc = SparkTestBase.fileScans(probe)
     assert(sc.nonEmpty)
     sc.foreach { s =>
       assert(s.partitionFilters.nonEmpty, "probe predicate must prune partitions")
@@ -373,17 +359,9 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   }
 
   test("multimodal: stats over the persisted table never reads payload bytes") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val q = Multimodal.stats(spark.read.parquet(Fixtures.MediaParquet))
     assert(q.count() == 3)
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec => scans(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val sc = scans(q.queryExecution.executedPlan)
+    val sc = SparkTestBase.fileScans(q)
     assert(sc.nonEmpty)
     // ReadSchema is the pruned set of columns the parquet reader decodes —
     // the binary payload must not be in it (at 100 TB it IS the table)
