@@ -131,11 +131,21 @@ object Similarity {
     spark.read.parquet(path)
 
   /** ANN top-k through the index: probe the query's bucket in every table,
-    * union candidates (distinct ids), exact-rescore only those. */
+    * union candidates (distinct ids), exact-rescore only those.
+    * `probeRadius = 1` is MULTI-PROBE: each table also probes the buckets
+    * one sign-flip away (bits × tables extra buckets) — recall rises
+    * without growing the index, the standard trade against more tables.
+    * Probe predicates stay partition-prunable against a persisted index. */
   def topKLsh(index: DataFrame, query: Seq[Float], k: Int, bits: Int = 4, tables: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      probeRadius: Int = 0): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
     val pred = (0 until tables).map { tt =>
-      col("table") === tt && col("bucket") === bucketOf(query, bits, tt)
+      val base = bucketOf(query, bits, tt)
+      val buckets =
+        if (probeRadius == 0) Seq(base)
+        else base +: (0 until bits).map(b => base ^ (1L << b))
+      col("table") === tt && col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*)
     }.reduce(_ || _)
     val q = array(query.map(v => lit(v)): _*)
     index.filter(pred)

@@ -261,6 +261,15 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(ids.take(2).toSet == Set(0L, 1L)) // planted pair always shares buckets
     val nd = Similarity.nearDupPairs(vecs, dim = 16, minCosine = 0.99).collect()
     assert(nd.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
+    // multi-probe widens the candidate set (never narrows it): at least as
+    // many results, and identical exact scores where ids overlap
+    val r0 = Similarity.topKLsh(idx, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    val r1 = Similarity.topKLsh(idx, q, k = 10, probeRadius = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    assert(r1.size >= r0.size)
+    val shared = r0.keySet.intersect(r1.keySet)
+    assert(shared.nonEmpty && shared.forall(id => r0(id) == r1(id)))
   }
 
   test("IVF index: full probe equals exact topK; persisted probes prune cells") {
