@@ -17,23 +17,28 @@ object Bench {
     // reader) so the first measured query doesn't absorb ~4s of JVM init.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Each query runs twice and reports the MIN: a one-off GC pause or
-    // background compile otherwise poisons a single-shot number (round-1
-    // recorded 14.4s for a query that reproduces at ~1s idle).
+    // Each query runs twice and reports the MIN over SUCCESSFUL runs: a
+    // one-off GC pause or background compile otherwise poisons a single-shot
+    // number (round-1 recorded 14.4s for a query that reproduces at ~1s
+    // idle), and a transient failure on run 1 must not discard a valid
+    // run-2 measurement. Only NonFatal failures are swallowed per attempt —
+    // a VM error (OOM, stack overflow) aborts the bench loudly.
     var failed = Set.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case t: Throwable =>
-          // a failed query must be VISIBLE, and its failure-fast elapsed
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case scala.util.control.NonFatal(t) =>
+          // a failed attempt must be VISIBLE, and its failure-fast elapsed
           // time must not masquerade as a measurement
-          failed += name
-          System.err.println(s"[bench] $name failed: ${t.getMessage}")
+          System.err.println(s"[bench] $name attempt failed: ${t.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> (if (failed.contains(name)) -1.0 else times.min)
+      if (times.isEmpty) failed += name
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -165,6 +165,18 @@ object SparkEntry {
           Seq("l_returnflag"), "l_quantity", col("l_orderkey"), salts = 16)
         .select(col("l_returnflag"),
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))),
+    "salted_join" -> ((s, dir) => {
+      // skew-safe replicated-dim join: result-identical to the plain join
+      // (oracle-proven via the post-join aggregate) — one hot suppkey
+      // spreads over 16 salt shards instead of one reducer
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_quantity"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.Layout.saltedJoin(fact, dim, "suppkey", col("l_orderkey"), salts = 16)
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    }),
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
@@ -329,6 +341,22 @@ object SparkEntry {
       Similarity.topKIvf(Similarity.buildIvfIndex(e, nCells = 16, iters = 2),
         q, k = 10, nProbe = 4)
     }),
+    "sim_topk_ivf_full" -> ((s, dir) => {
+      // nProbe = nCells degrades to exact brute force — the hash-verified
+      // oracle bridge for the whole IVF path (train, assign, probe, rescore)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.topKIvf(Similarity.buildIvfIndex(e, nCells = 16, iters = 2),
+        q, k = 10, nProbe = 16)
+    }),
+    "sim_topk_lsh_full" -> ((s, dir) => {
+      // probe-ALL through the LSH index: provably equal to brute force, so
+      // the index round-trip (build, norm column, dedup, rescore) is
+      // hash-verified by the same oracle as sim_topk
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.topKLshAll(Similarity.buildLshIndex(e, dim = 64), q, k = 10)
+    }),
     "sim_topk_join" -> ((s, dir) => {
       // batch k-NN: every query row gets its top-k corpus neighbors
       val e = t(s, dir, "embeddings")
@@ -360,6 +388,17 @@ object SparkEntry {
       StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)))
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Brute-force cosine top-10 — oracles `sim_topk` AND the two full-probe
+    * index paths (`sim_topk_ivf_full`, `sim_topk_lsh_full`), which provably
+    * equal brute force. */
+  private val simTopkSql =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+      |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
+      |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
   private val wideRp = s"read_parquet('${Fixtures.WideParquet}/*.parquet')"
   private val wide2Rp = s"read_parquet('${Fixtures.Wide2Parquet}/*.parquet')"
@@ -660,13 +699,15 @@ object SparkEntry {
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin
     },
-    "sim_topk" ->
-      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
-        |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
-        |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_topk" -> simTopkSql,
+    // both full-probe paths provably degrade to exact brute force, so the
+    // same SQL hash-verifies the IVF and LSH index machinery end-to-end
+    "sim_topk_ivf_full" -> simTopkSql,
+    "sim_topk_lsh_full" -> simTopkSql,
+    "salted_join" ->
+      """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "sim_topk_join" ->
       """WITH s AS (
         | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

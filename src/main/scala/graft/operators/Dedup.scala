@@ -76,9 +76,10 @@ object Dedup {
    * 1 - (1 - j^r)^b for r rows/band, b bands.
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Option[Long] = None): DataFrame =
     minhashLshPairsFromBanded(
-      minhashBandedTable(docs, n, numHashes, bands, textCol, idCol), idCol)
+      minhashBandedTable(docs, n, numHashes, bands, textCol, idCol), idCol, maxBucket)
 
   /**
    * The banded signature relation (doc, band, bucket) in long format — the
@@ -113,15 +114,67 @@ object Dedup {
   def writeBandedTable(banded: DataFrame, table: String, nBuckets: Int = 256): Unit =
     Layout.writeBucketed(banded, table, Seq("band", "bucket"), nBuckets)
 
+  /**
+   * Hot-bucket occupancy valve — the `maxDf` analog for bucket-keyed
+   * candidate generation. A bucket of d members emits d·(d-1)/2 candidate
+   * rows from the self-join, so ONE degenerate bucket (N boilerplate docs
+   * sharing every band, a mass of zero/constant embeddings) turns the join
+   * quadratic: 1M docs in one bucket is 5·10¹¹ pairs. Rows in buckets with
+   * occupancy above `cap` leave the candidate space BEFORE the join; a
+   * genuine near-dup pair caught only by a hot band survives via its other
+   * bands (identical docs share ALL bands by construction — run `exact`
+   * first so they never reach LSH at all). The count is a window over the
+   * same bucket-key partitioning the self-join needs, so no extra exchange
+   * shape is introduced.
+   */
+  private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+      cap: Option[Long]): DataFrame = cap match {
+    case Some(c) =>
+      import org.apache.spark.sql.expressions.Window
+      banded
+        .withColumn("__occ", count(lit(1)).over(Window.partitionBy(bucketCols.map(col): _*)))
+        .filter(col("__occ") <= c).drop("__occ")
+    case None => banded
+  }
+
   /** Candidate pairs from a banded table (fresh or persisted): docs sharing
-    * any (band, bucket) with id_a < id_b, counted per pair. */
-  def minhashLshPairsFromBanded(banded: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val a = banded.as("a")
-    val b = banded.as("b")
+    * any (band, bucket) with id_a < id_b, counted per pair. `maxBucket`
+    * (default off) drops buckets above the occupancy cap before the join —
+    * see [[capBuckets]] for why corpus-scale runs want it on. */
+  def minhashLshPairsFromBanded(banded: DataFrame, idCol: String = "doc_id",
+      maxBucket: Option[Long] = None): DataFrame = {
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /**
+   * Incremental candidate probe — new documents against an existing
+   * (typically persisted, (band,bucket)-bucketed) corpus banded table,
+   * WITHOUT re-pairing the corpus against itself. Returns the same
+   * (id_a, id_b, n_bands) shape as the self-join, restricted to pairs
+   * touching the increment: increment-vs-corpus matches from a bucket
+   * equi-join (the corpus side reads its bucketed layout exchange-free —
+   * plan-asserted in TrainingDataOpsSpec) plus increment-vs-increment
+   * matches from the (tiny) increment self-join. Increment ids must be
+   * disjoint from corpus ids. `maxBucket` caps occupancy on each side
+   * before the join, exactly as in [[minhashLshPairsFromBanded]].
+   */
+  def probeBanded(incrementBanded: DataFrame, corpusBanded: DataFrame,
+      idCol: String = "doc_id", maxBucket: Option[Long] = None): DataFrame = {
+    val inc = capBuckets(incrementBanded, Seq("band", "bucket"), maxBucket)
+    val corp = capBuckets(corpusBanded, Seq("band", "bucket"), maxBucket)
+    val cross = inc.as("a").join(corp.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+    // disjoint pair sets (ids disjoint across sides) → plain union, no dedup
+    cross.unionByName(minhashLshPairsFromBanded(inc, idCol))
   }
 
   /**
@@ -151,14 +204,19 @@ object Dedup {
    * SimHash near-dup candidates: split the 64-bit signature into 4 16-bit
    * bands; Hamming distance ≤ 3 ⇒ at least one band identical (pigeonhole).
    * Verification computes the exact Hamming distance on candidates only.
+   * `maxBucket` (default off) is the hot-bucket valve ([[capBuckets]]);
+   * note it trades the lossless pigeonhole guarantee for boundedness on
+   * degenerate corpora — a pair whose ONLY shared band is a capped bucket
+   * is dropped (identical docs belong in `exact` dedup, not here).
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Option[Long] = None): DataFrame = {
     val sig = simhash(docs, textCol, idCol)
-    val banded = sig.select(col(idCol), col("simhash"), explode(map(
+    val banded = capBuckets(sig.select(col(idCol), col("simhash"), explode(map(
       (0 until 4).flatMap { b =>
         Seq(lit(b), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
-      }: _*)).as(Seq("band", "bucket")))
+      }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"), maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
@@ -198,6 +256,12 @@ object Dedup {
    * component collapses toward its min node instead of chaining — the
    * skew-bounded form min-label propagation is not.
    *
+   * `checkpointDir` selects reliable checkpoints for the per-round
+   * materializations (see [[Materialize]]): on a real cluster an executor
+   * loss would destroy `localCheckpoint` blocks mid-iteration; a long
+   * corpus-scale run passes a fault-tolerant directory instead. Local
+   * behavior (the default) is unchanged.
+   *
    * `maxIters` bounds ROUNDS OF REAL WORK and is a hard correctness bound,
    * not a best-effort budget: convergence is detected by one extra
    * quiescent confirmation round (free beyond the bound), and a graph that
@@ -208,9 +272,10 @@ object Dedup {
    * Returns (id, cluster) for every node that appears in `pairs`.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 30, driverThreshold: Long = 1000000L): DataFrame = {
+      maxIters: Int = 30, driverThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = bothDirections(pairs, idA, idB).localCheckpoint(true)
+    val edges = Materialize(bothDirections(pairs, idA, idB), checkpointDir)
     val integralIds = edges.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
@@ -270,14 +335,14 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var cur = smallStar(largeStar(edges)).localCheckpoint(true)
+    var cur = Materialize(smallStar(largeStar(edges)), checkpointDir)
     var sig = signature(cur)
     var converged = false
     var i = 1
     // `i <= maxIters`: the bound counts WORKING rounds — a graph needing
     // exactly maxIters rounds still gets its quiescent confirmation round
     while (!converged && i <= maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = Materialize(smallStar(largeStar(cur)), checkpointDir)
       val nsig = signature(next)
       converged = nsig == sig
       cur = next
@@ -309,8 +374,8 @@ object Dedup {
    * and a shuffled anti-join on the 8-byte id is the right fallback there.
    */
   def dedupByClusters(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val dropIds = connectedComponents(pairs)
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
+    val dropIds = connectedComponents(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     docs.join(dropIds, Seq(idCol), "left_anti")

@@ -287,7 +287,7 @@ object KeyedStore {
    */
   def mergeIntoTable(incoming: DataFrame, storeDir: String, keyCols: Seq[String],
       partitionCol: Option[String] = Some("date"), replace: Boolean = true,
-      strictKeys: Boolean = true): MergeStats = {
+      strictKeys: Boolean = true, checkpointDir: Option[String] = None): MergeStats = {
     val spark = incoming.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
@@ -305,12 +305,15 @@ object KeyedStore {
 
     try {
       if (!exists) {
-        // materialize once: the write streams the checkpointed blocks and the
-        // count reads them too — the increment pipeline runs exactly once
-        // (round-3 shape re-read everything it had just written just to count)
-        val created = inc.withColumn("uuid", md5(keyConcat(keyCols))).localCheckpoint(true)
+        // created-row count observed DURING the streaming write (one pass,
+        // no materialization): a first bulk load may be the whole dataset,
+        // and checkpointing it just to count would pin dataset-sized blocks
+        // in executor storage + double the write amplification
+        val obs = org.apache.spark.sql.Observation()
+        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+          .observe(obs, count(lit(1)).as("n"))
         write(created)
-        MergeStats(created.count(), 0L, 0L)
+        MergeStats(obs.get("n").asInstanceOf[Long], 0L, 0L)
       } else {
         val existing = spark.read.parquet(storeDir)
         val slice = partitionCol match {
@@ -321,11 +324,12 @@ object KeyedStore {
         }
         // ONE scan of the slice: the merge plan materializes here (which
         // also fires the strict-key guard), then stats and the overwrite
-        // both read the checkpointed blocks. localCheckpoint also truncates
-        // lineage so the overwrite doesn't read from the path it writes
-        // (cluster deployments would stage + commit instead).
-        val j = mergedWithAction(inc, slice, keyCols, replace, strictKeys)
-          .localCheckpoint(true)
+        // both read the checkpointed blocks. The checkpoint also truncates
+        // lineage so the overwrite doesn't read from the path it writes.
+        // Long cluster runs pass `checkpointDir` for a reliable checkpoint
+        // (localCheckpoint blocks die with a lost executor — Materialize).
+        val j = Materialize(
+          mergedWithAction(inc, slice, keyCols, replace, strictKeys), checkpointDir)
         val st = j.filter(col("__action").isNotNull)
           .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -359,18 +363,22 @@ object KeyedStore {
    */
   def mergeIntoBucketedTable(incoming: DataFrame, table: String, keyCols: Seq[String],
       bucketCols: Seq[String], nBuckets: Int, partitionCol: Option[String] = Some("date"),
-      replace: Boolean = true, strictKeys: Boolean = true): MergeStats = {
+      replace: Boolean = true, strictKeys: Boolean = true,
+      checkpointDir: Option[String] = None): MergeStats = {
     val spark = incoming.sparkSession
     val inc = dedupIncrement(incoming, keyCols)
     val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       if (!spark.catalog.tableExists(table)) {
-        val created = inc.withColumn("uuid", md5(keyConcat(keyCols))).localCheckpoint(true)
+        // count observed during the streaming write — see mergeIntoTable
+        val obs = org.apache.spark.sql.Observation()
+        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+          .observe(obs, count(lit(1)).as("n"))
         val w = created.write.mode("overwrite").format("parquet")
           .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
         partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
-        MergeStats(created.count(), 0L, 0L)
+        MergeStats(obs.get("n").asInstanceOf[Long], 0L, 0L)
       } else {
         // the catalog spec wins on the insertInto path — a caller passing a
         // DIFFERENT spec must hear about it, not silently get the old layout
@@ -382,8 +390,8 @@ object KeyedStore {
             existing.filter(partitionSlicePred(p, parts)) // → partition pruning
           case None => existing
         }
-        val j = mergedWithAction(inc, slice, keyCols, replace, strictKeys)
-          .localCheckpoint(true)
+        val j = Materialize(
+          mergedWithAction(inc, slice, keyCols, replace, strictKeys), checkpointDir)
         val st = j.filter(col("__action").isNotNull)
           .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -405,25 +413,20 @@ object KeyedStore {
   /**
    * Existing-table layout guard for `mergeIntoBucketedTable`: `insertInto`
    * keeps the CATALOG's bucket spec regardless of the arguments, so a caller
-   * passing a different spec would silently get the old layout. Compare the
-   * catalog's bucket/partition columns (`spark.catalog.listColumns` flags)
-   * and bucket count (`DESCRIBE TABLE EXTENDED`) against the arguments and
-   * throw on any mismatch.
+   * passing a different spec would silently get the old layout. The spec is
+   * read STRUCTURALLY from catalog metadata (`CatalogTable.bucketSpec` /
+   * `partitionColumnNames` via the Bridge shim — `sessionState` is
+   * `private[sql]`), not by string-parsing DESCRIBE output, which would
+   * mis-parse column names containing commas or backticks. Bucket columns
+   * compare ORDERED: bucket hashing and sortBy both depend on column order,
+   * so a set compare would wave through a reordered spec.
    */
   private def assertBucketSpec(spark: org.apache.spark.sql.SparkSession, table: String,
       bucketCols: Seq[String], nBuckets: Int, partitionCol: Option[String]): Unit = {
-    val cols = spark.catalog.listColumns(table).collect()
-    val actualPart = cols.filter(_.isPartition).map(_.name).toSet
-    val describe = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
-    def descRow(key: String): Option[String] =
-      describe.find(_.getString(0) == key).map(_.getString(1).trim)
-    val actualN = descRow("Num Buckets").map(_.toInt)
-    // ORDERED compare from the DESCRIBE spec (rendered as [`c1`, `c2`]):
-    // bucket hashing and sortBy both depend on column order, so a set
-    // compare would wave through a reordered spec
-    val actualBucket = descRow("Bucket Columns").toSeq.flatMap(
-      _.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty))
+    val meta = org.apache.spark.sql.graftbridge.Bridge.tableMetadata(spark, table)
+    val actualPart = meta.partitionColumnNames.toSet
+    val actualBucket = meta.bucketSpec.map(_.bucketColumnNames).getOrElse(Nil)
+    val actualN = meta.bucketSpec.map(_.numBuckets)
     def fail(what: String, expected: Any, actual: Any): Nothing =
       throw new IllegalArgumentException(
         s"mergeIntoBucketedTable: table '$table' exists with a different $what " +
@@ -478,6 +481,14 @@ object KeyedStore {
    * `orderCols` must be a TOTAL order (include a unique key, e.g. `uuid`):
    * keyset resume is exclusive of the cursor row, so ties across a page
    * boundary would otherwise be skipped.
+   *
+   * EAGERNESS / SNAPSHOT SEMANTICS: the deep branch runs its keyset hops —
+   * O(skip / deepPageThreshold) sequential bounded Spark jobs — AT CALL
+   * TIME, unlike the usual lazy DataFrame contract, and the returned frame
+   * embeds the cursor found then: rows inserted before the cursor after
+   * this call shift later pages rather than this one. Sequential consumers
+   * should carry their own cursor through [[paginateAfter]], which is
+   * fully lazy and never walks.
    */
   def paginate(table: DataFrame, orderCols: Seq[String], limit: Int = 1000,
       offset: Int = 0, deepPageThreshold: Long = 1L << 20): DataFrame = {

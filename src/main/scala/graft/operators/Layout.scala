@@ -76,4 +76,38 @@ object Layout {
     }
     !hasShuffle(df.queryExecution.executedPlan)
   }
+
+  /** True iff, at EVERY join in `df`'s executed plan, the child subtree
+    * containing a scan of `table` reaches the join with no shuffle exchange
+    * in between — the table entered its joins through its bucketed layout.
+    * The other join side and any post-join aggregation may shuffle freely
+    * (that's the point: only the corpus-sized side must stay in place).
+    * Used to assert incremental probes never re-shuffle the corpus. */
+  def joinSideShuffleFree(df: DataFrame, table: String): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def containsScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => f.tableIdentifier.exists(_.table == table)
+      case a: AdaptiveSparkPlanExec => containsScan(a.executedPlan)
+      case s: QueryStageExec => containsScan(s.plan)
+      case other => other.children.exists(containsScan)
+    }
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case s: QueryStageExec => hasShuffle(s.plan)
+      case other => other.children.exists(hasShuffle)
+    }
+    def ok(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => ok(a.executedPlan)
+      case s: QueryStageExec => ok(s.plan)
+      case j: BaseJoinExec =>
+        j.children.forall(c => (!containsScan(c) || !hasShuffle(c)) && ok(c))
+      case other => other.children.forall(ok)
+    }
+    val plan = df.queryExecution.executedPlan
+    containsScan(plan) && ok(plan)
+  }
 }

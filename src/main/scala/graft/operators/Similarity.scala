@@ -104,8 +104,14 @@ object Similarity {
       .groupBy(col(idCol), col("table"))
       .agg(sum(when(col("proj") >= 0,
         expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("bucket"))
-    buckets.join(embeddings.select(col(idCol), col(vecCol)), idCol)
-      .select(col(idCol), col(vecCol), col("table"), col("bucket"))
+    // the norm rides along as an index column: computed ONCE per vector
+    // here (the embeddings side of the join is scanned once), persisted
+    // with the index, and reused by every candidate verification — the
+    // index carries `tables` replicas of each vector, so recomputing at
+    // probe time would pay the 64-op dot product `tables`× per id
+    buckets.join(
+        embeddings.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")), idCol)
+      .select(col(idCol), col(vecCol), col("nrm"), col("table"), col("bucket"))
   }
 
   /**
@@ -113,8 +119,9 @@ object Similarity {
    * layout SCALING.md promises: a probe touches only its `tables` probed
    * bucket directories (partition pruning, plan-asserted in
    * TrainingDataOpsSpec), so query cost is O(candidates), not O(corpus).
-   * Data files carry only (id, vector): the partition values live in the
-   * directory names.
+   * Data files carry only (id, vector, norm): the partition values live in
+   * the directory names, and the persisted norm saves every future probe
+   * one 64-op dot product per candidate replica.
    *
    * Directory-count note: hyperplane regimes up to ~2^12 buckets × tables
    * partition cleanly; for 16+ bit signatures (near-dup regimes) partition
@@ -148,10 +155,26 @@ object Similarity {
       col("table") === tt && col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*)
     }.reduce(_ || _)
     val q = array(query.map(v => lit(v)): _*)
+    val n = if (index.columns.contains("nrm")) col("nrm") else norm(col(vecCol))
     index.filter(pred)
-      .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      .select(col(idCol), col(vecCol), n.as("__n")).dropDuplicates(idCol)
       .select(col(idCol),
-        round(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
+        round(dot(col(vecCol), q) / (col("__n") * lit(normOf(query))), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Probe-ALL top-k through an LSH index: dedup ids across table replicas,
+    * exact-rescore everything. Provably equal to brute-force [[topK]] (the
+    * index holds every vector), so the DuckDB brute-force SQL oracles the
+    * whole index round-trip — build, norm column, dedup, rescore. */
+  def topKLshAll(index: DataFrame, query: Seq[Float], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val n = if (index.columns.contains("nrm")) col("nrm") else norm(col(vecCol))
+    val q = array(query.map(v => lit(v)): _*)
+    index.select(col(idCol), col(vecCol), n.as("__n")).dropDuplicates(idCol)
+      .select(col(idCol),
+        round(dot(col(vecCol), q) / (col("__n") * lit(normOf(query))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -162,16 +185,26 @@ object Similarity {
    * only (the scale path for embedding-based corpus dedup).
    */
   def nearDupPairs(embeddings: DataFrame, dim: Int, minCosine: Double, bits: Int = 4,
-      tables: Int = 8, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+      tables: Int = 8, vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Option[Long] = None): DataFrame =
     nearDupPairsFromIndex(buildLshIndex(embeddings, dim, bits, tables, vecCol, idCol),
-      minCosine, vecCol, idCol)
+      minCosine, vecCol, idCol, maxBucket)
 
   /** `nearDupPairs` against an already-built (typically persisted) index —
     * the corpus-scale path: build + `writeLshIndex` once, re-verify pairs
-    * many times without re-hashing the corpus. */
+    * many times without re-hashing the corpus. Uses the index's persisted
+    * `nrm` column when present (indexes written before norms existed fall
+    * back to one recompute per replica row). `maxBucket` (default off) is
+    * the hot-bucket occupancy valve — a mass of zero/constant embeddings
+    * lands in one (table, bucket) and would otherwise emit O(N²) candidate
+    * rows (see [[Dedup.capBuckets]]).
+    */
   def nearDupPairsFromIndex(index: DataFrame, minCosine: Double,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val idx = index.withColumn("__n", norm(col(vecCol)))
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Option[Long] = None): DataFrame = {
+    val withN = if (index.columns.contains("nrm")) index.withColumn("__n", col("nrm"))
+      else index.withColumn("__n", norm(col(vecCol)))
+    val idx = Dedup.capBuckets(withN, Seq("table", "bucket"), maxBucket)
     val a = idx.as("a")
     val b = idx.as("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -196,14 +229,27 @@ object Similarity {
   /**
    * IVF (inverted-file) ANN index — the k-means alternative to hyperplane
    * LSH: vectors are assigned to their nearest centroid's cell; a query
-   * probes only its `nProbe` nearest cells. Training is DETERMINISTIC
-   * k-means: seeds = the `nCells` corpus vectors with smallest
-   * xxhash64(id) (a reproducible pseudo-random sample — no RNG state, same
-   * result on any cluster), refined by `iters` Lloyd rounds. Each round is
-   * declarative: assignment = broadcast-centroid cross join + one
-   * min(struct(dist, cell)) aggregation; new means = posexplode +
-   * groupBy(cell, dim) avg (map-side combined) — the corpus is scanned
-   * once per round, no UDFs, no giant expression trees.
+   * probes only its `nProbe` nearest cells. Training is deterministic
+   * GIVEN a fixed partitioning: seeds = the `nCells` corpus vectors with
+   * smallest xxhash64(id) (a reproducible pseudo-random sample — no RNG
+   * state), refined by `iters` Lloyd rounds. The mean update is a
+   * distributed avg() over doubles, so centroids are reproducible per
+   * session but NOT bit-identical across different cluster layouts
+   * (float summation order follows partitioning; a near-tie vector can
+   * flip cells between layouts — recall-neutral, but not a bit-for-bit
+   * contract). Each round is declarative: assignment = broadcast-centroid
+   * cross join + one min(struct(dist, cell)) aggregation; new means =
+   * posexplode + groupBy(cell, dim) avg (map-side combined) — the corpus
+   * is scanned once per round, no UDFs, no giant expression trees.
+   *
+   * METRIC CONSISTENCY: the index SERVES cosine, so training and cell
+   * assignment run on L2-NORMALIZED vectors — nearest-euclidean on the
+   * unit sphere ranks cells exactly like cosine. Training on raw vectors
+   * would let cell membership follow vector NORMS (a high-cosine neighbor
+   * with a large norm lands in a far-euclidean cell and low-nProbe probes
+   * miss it). Zero vectors stay as-is (their cosine is undefined anyway).
+   * The assignments keep the ORIGINAL vector plus its `nrm`, so serving
+   * needs no per-candidate norm recompute.
    *
    * Unlike LSH this adapts to the data distribution (cells follow corpus
    * density), at the cost of the training scans; LSH needs no training but
@@ -211,24 +257,42 @@ object Similarity {
    */
   def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
     // deterministic seed sample, stable cell numbering by seed id
-    val seeds = embeddings.select(col(idCol), col(vecCol))
+    val seeds = prepped.select(col(idCol), col("__unit"))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     var centroids = seeds
+    val unitVecs = prepped.select(col(idCol), col("__unit").as(vecCol),
+      col("__unit"), lit(1.0).as("nrm"))
     for (_ <- 0 until iters) {
+      // Lloyd rounds train in the unit space: means of unit vectors
       val means = ivfCentroidsOf(
-        assignCells(embeddings, centroids, vecCol, idCol), vecCol).toMap
+        assignCells(unitVecs, centroids, vecCol, idCol), vecCol).toMap
       // empty cells keep their previous centroid (can't re-seed mid-train
       // without breaking determinism)
       centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
     }
-    IvfIndex(assignCells(embeddings, centroids, vecCol, idCol), centroids)
+    // final assignments carry the ORIGINAL vector (serving rescoring wants
+    // it) + its norm; the cell is still decided in the unit space
+    IvfIndex(assignCells(prepped, centroids, vecCol, idCol), centroids)
   }
+
+  /** (id, vec, __unit, nrm): the L2-normalized copy rides alongside the
+    * original — `__unit` decides cell membership, `nrm` is persisted so
+    * serving never recomputes it. Zero vectors pass through unchanged. */
+  private def withUnit(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("nrm", norm(col(vecCol)))
+      .withColumn("__unit", when(col("nrm") > 0,
+        transform(col(vecCol), x => (x.cast("double") / col("nrm")).cast("float")))
+        .otherwise(col(vecCol)))
 
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
     * keep argmin cell per vector via one min(struct) aggregation.
-    * Distance = ||c||² − 2·v·c (the ||v||² term is constant per vector). */
+    * Distance (in the unit space, against unit-space centroids) =
+    * ||c||² − 2·û·c (the ||û||² term is constant per vector). Input must
+    * carry `__unit` and `nrm` (see [[withUnit]]); output keeps the
+    * original `vecCol` and `nrm`. */
   private def assignCells(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
       vecCol: String, idCol: String): DataFrame = {
     val spark = vecs.sparkSession
@@ -236,13 +300,14 @@ object Similarity {
     val cents = centroids.map { case (c, v) =>
       (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
     }.toSeq.toDF("__cell", "__cv", "__cn2")
-    vecs.select(col(idCol), col(vecCol))
+    vecs.select(col(idCol), col(vecCol), col("__unit"), col("nrm"))
       .crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol),
-        struct((col("__cn2") - lit(2.0) * dot(col(vecCol), col("__cv"))).as("d"),
+      .select(col(idCol), col(vecCol), col("nrm"),
+        struct((col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("d"),
           col("__cell").as("c")).as("__sc"))
       .groupBy(col(idCol))
-      .agg(any_value(col(vecCol)).as(vecCol), min(col("__sc")).getField("c").as("cell"))
+      .agg(any_value(col(vecCol)).as(vecCol), any_value(col("nrm")).as("nrm"),
+        min(col("__sc")).getField("c").as("cell"))
   }
 
   /** Persist the index: assignments under `$path/assignments` partitioned
@@ -285,16 +350,23 @@ object Similarity {
    */
   def topKIvf(index: IvfIndex, query: Seq[Float], k: Int, nProbe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // centroids live in the unit space (buildIvfIndex trains on normalized
+    // vectors) — rank cells against the NORMALIZED query so the probe order
+    // agrees with the cosine serving metric
+    val qn = normOf(query)
+    val qUnit = if (qn > 0) query.map(v => (v / qn).toFloat) else query
     val probed = index.centroids.map { case (c, v) =>
-      val qn2 = v.indices.foldLeft(0.0) { (a, i) =>
-        val d = v(i).toDouble - query(i).toDouble; a + d * d
+      val d2 = v.indices.foldLeft(0.0) { (a, i) =>
+        val d = v(i).toDouble - qUnit(i).toDouble; a + d * d
       }
-      (c, qn2)
+      (c, d2)
     }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
     val q = array(query.map(v => lit(v)): _*)
+    val n = if (index.assignments.columns.contains("nrm")) col("nrm")
+      else norm(col(vecCol)) // pre-norm-column assignments tables
     index.assignments.filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
       .select(col(idCol),
-        round(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
+        round(dot(col(vecCol), q) / (n * lit(qn)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -331,12 +403,15 @@ object Similarity {
       bits: Int = 4, tables: Int = 8, vecCol: String = "embedding",
       idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
     // norms precomputed ONCE per side before the bucket join — a hot bucket
-    // of b members would otherwise pay 2 extra dot products per candidate
+    // of b members would otherwise pay 2 extra dot products per candidate.
+    // Both sides ride the index's `nrm` column when it exists (every index
+    // built since norms were persisted); older indexes recompute once here.
     val qb = buildLshIndex(queries, dim, bits, tables, vecCol, qIdCol)
-      .select(col(qIdCol), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"),
         col("table"), col("bucket"))
+    val cn = if (corpusIndex.columns.contains("nrm")) col("nrm") else norm(col(vecCol))
     val cb = corpusIndex
-      .select(col(idCol), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+      .select(col(idCol), col(vecCol).as("__cv"), cn.as("__cn"),
         col("table"), col("bucket"))
     val scored = qb.join(cb, Seq("table", "bucket"))
       .dropDuplicates(qIdCol, idCol)

@@ -217,6 +217,27 @@ class KeyedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeIntoTable with a reliable checkpoint dir: stats and content unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("store_ckpt").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("merge_ckpt").toString
+    val seed = Seq(("s1", "2022-03-01", 1.0), ("s2", "2022-03-01", 2.0))
+      .toDF("station_id", "date", "value")
+    // create path: count observed during the streaming write, no checkpoint
+    val st1 = KeyedStore.mergeIntoTable(seed, dir, Seq("station_id", "date"))
+    assert(st1 == KeyedStore.MergeStats(2, 0, 0))
+    // merge path through a RELIABLE checkpoint (executor-loss-safe on a
+    // cluster); results must be byte-identical to the localCheckpoint path
+    val inc = Seq(("s1", "2022-03-01", 10.0), ("s3", "2022-03-01", 3.0))
+      .toDF("station_id", "date", "value")
+    val st2 = KeyedStore.mergeIntoTable(inc, dir, Seq("station_id", "date"),
+      checkpointDir = Some(ckpt))
+    assert(st2 == KeyedStore.MergeStats(1, 1, 0))
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("station_id") -> r.getAs[Double]("value")).toMap
+    assert(rows == Map("s1" -> 10.0, "s2" -> 2.0, "s3" -> 3.0))
+  }
+
   test("mergeIntoTable: null-date increment merges into the null partition without loss") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("store_nullpart").toString + "/t"

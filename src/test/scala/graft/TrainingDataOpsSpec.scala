@@ -348,6 +348,134 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBucket: degenerate banded bucket capped; pair survives via remaining bands") {
+    // one boilerplate bucket of 100 docs would emit 4950 candidate pairs;
+    // docs 1 and 2 also meet in a small band-1 bucket, so capping the hot
+    // bucket must keep exactly that pair (found via its remaining band)
+    val hot = (0L until 100L).map(i => (i, 0, 999L))
+    val good = Seq((1L, 1, 7L), (2L, 1, 7L))
+    val banded = (hot ++ good).toDF("doc_id", "band", "bucket")
+    assert(Dedup.minhashLshPairsFromBanded(banded).count() == 100L * 99 / 2)
+    val capped = Dedup.minhashLshPairsFromBanded(banded, maxBucket = Some(10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((1L, 2L, 1L)))
+  }
+
+  test("maxBucket: simhash boilerplate clones capped; genuine pair survives") {
+    // 50 identical boilerplate docs share every band (C(50,2)=1225 pairs);
+    // the planted pair (1,2) is identical too but sits in its own small
+    // buckets — the cap drops the clone blowup, keeps the real pair
+    val clones = (100L until 150L).map(i =>
+      (i, "boilerplate navigation header terms conditions copyright footer"))
+    val pair = Seq(
+      (1L, "ein kurzer deutscher text ueber etwas anderes ganz eigenes"),
+      (2L, "ein kurzer deutscher text ueber etwas anderes ganz eigenes"))
+    val df = (clones ++ pair).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(df, maxHamming = 3).count() == 50L * 49 / 2 + 1)
+    val capped = Dedup.simhashPairs(df, maxHamming = 3, maxBucket = Some(10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
+  test("maxBucket: hot embedding bucket capped in the near-dup index join") {
+    // a mass of identical embeddings in one (table,bucket) — the LSH analog
+    // of boilerplate text; the cap bounds candidates, the small bucket's
+    // genuine pair survives
+    val hot = (0 until 50).map(i => (i.toLong, Seq(1.0f, 0.0f), 0, 0L))
+    val ok = Seq((100L, Seq(0.0f, 1.0f), 1, 5L), (101L, Seq(0.0f, 0.5f), 1, 5L))
+    val idx = (hot ++ ok).toDF("vec_id", "embedding", "table", "bucket")
+    assert(Similarity.nearDupPairsFromIndex(idx, minCosine = 0.9).count() == 50L * 49 / 2 + 1)
+    val capped = Similarity
+      .nearDupPairsFromIndex(idx, minCosine = 0.9, maxBucket = Some(10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
+  test("probeBanded: increment pairs equal full-corpus pairs restricted to the increment") {
+    // minhash signatures are per-document, so banding the corpus and the
+    // increment separately must reproduce exactly the full self-join pairs
+    // that touch an increment id (incl. increment-vs-increment)
+    val corpus = docs.filter(col("doc_id") < 4)
+    val increment = docs.filter(col("doc_id") >= 4) // 4 = exact dup of 0
+    val incIds = Set(4L, 5L)
+    val want = Dedup.minhashLshPairs(docs, n = 3, numHashes = 16, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .filter(p => incIds.contains(p._1) || incIds.contains(p._2))
+    val probe = Dedup.probeBanded(
+        Dedup.minhashBandedTable(increment, n = 3, numHashes = 16, bands = 4),
+        Dedup.minhashBandedTable(corpus, n = 3, numHashes = 16, bands = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe == want && probe.nonEmpty)
+  }
+
+  test("probeBanded against the persisted corpus: corpus side joins exchange-free") {
+    import graft.operators.Layout
+    spark.sql("DROP TABLE IF EXISTS mh_corpus")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.writeBandedTable(
+        Dedup.minhashBandedTable(docs.filter(col("doc_id") < 4), n = 3,
+          numHashes = 16, bands = 4), "mh_corpus", nBuckets = 8)
+      val probe = Dedup.probeBanded(
+        Dedup.minhashBandedTable(docs.filter(col("doc_id") >= 4), n = 3,
+          numHashes = 16, bands = 4), spark.table("mh_corpus"))
+      assert(probe.count() > 0)
+      // the 100 TB contract: only the (small) increment shuffles into the
+      // corpus's bucketing — the corpus enters the join from its layout
+      assert(Layout.joinSideShuffleFree(probe, "mh_corpus"),
+        "corpus side must not re-shuffle:\n" + probe.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS mh_corpus")
+    }
+  }
+
+  test("IVF metric consistency: high-norm cosine neighbor found at nProbe=1") {
+    // Cells are assigned in the UNIT space. Under raw-vector (euclidean)
+    // training, v = (3,1) minimizes ||c||² − 2v·c at the tiny-norm cluster
+    // (≈ −1) over the huge-norm one (≈ 9400), while the PARALLEL query
+    // q = 100·v flips sign on the same formula (≈ −50000 vs −19) and probes
+    // the huge-norm cell — a guaranteed top-1 miss at nProbe=1. Normalized,
+    // v and q share a direction, so v's cell IS q's first probe.
+    val a = (0 until 20).map(i => (i.toLong, Seq(100.0f, 0.2f * i)))
+    val b = (20 until 40).map(i => (i.toLong, Seq(0.01f * (i - 20), 1.0f)))
+    val emb = (a ++ b :+ (99L, Seq(3.0f, 1.0f))).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb, nCells = 4, iters = 2)
+    val q = Seq(300.0f, 100.0f) // parallel to v, 100× the norm
+    val top = Similarity.topKIvf(idx, q, k = 1, nProbe = 1).collect()
+    assert(top.head.getLong(0) == 99L, s"nProbe=1 must find the parallel vector, got ${top.toSeq}")
+    assert(top.head.getAs[Double]("cos") >= 0.999999)
+    // full probe still degrades exactly to brute force on this corpus
+    val full = Similarity.topKIvf(idx, q, k = 5, nProbe = 4).collect().map(_.toSeq).toSeq
+    val exact = Similarity.topK(emb, q, k = 5).collect().map(_.toSeq).toSeq
+    assert(full == exact)
+    // norms persisted with the assignments (no per-candidate recompute)
+    assert(idx.assignments.columns.contains("nrm"))
+  }
+
+  test("topKLshAll: probe-all through the index equals brute force; norms persisted") {
+    val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val idx = Similarity.buildLshIndex(vecs, dim = 16)
+    assert(idx.columns.contains("nrm"))
+    val all = Similarity.topKLshAll(idx, q, k = 5).collect().map(_.toSeq).toSeq
+    val exact = Similarity.topK(vecs, q, k = 5).collect().map(_.toSeq).toSeq
+    assert(all == exact)
+  }
+
+  test("connectedComponents with a reliable checkpoint dir: same labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // distributed path (threshold 0) forced so the checkpoints actually run
+    val got = Dedup.connectedComponents(pairs, driverThreshold = 0L,
+        checkpointDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the reliable checkpoints landed in the directory (not executor-local)
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
+  }
+
   test("multimodal: stub decode is deterministic; metadata-only stats prune payload") {
     implicit val s = spark
     val media = Fixtures.media(spark)
