@@ -21,6 +21,7 @@ object Fixtures {
   val StoreParquet = s"$Dir/parquet/station_store"
   val StoreDupParquet = s"$Dir/parquet/station_store_dup"
   val MediaParquet = s"$Dir/parquet/media"
+  val PiiParquet = s"$Dir/parquet/pii_docs"
 
   /** Canonical job spec — FIXTURES.md F-3 / `example_config.json:13-32`. */
   val F1Spec: DatasetSpec = DatasetSpec(
@@ -63,6 +64,29 @@ object Fixtures {
   }
 
   /**
+   * PII-laden corpus fixture (the synthetic `documents` table is word-salad
+   * with no PII shapes, so redaction needs its own input). Each row
+   * exercises one or more `TextFunctions.PiiPatterns` plus clean rows and
+   * near-misses (a version string that looks IP-ish, a short digit run).
+   * All addresses/numbers are RFC-5737/fictional-range style examples.
+   */
+  def piiDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "contact alice.smith@example.com for the quarterly report"),
+      (1L, "servers 192.0.2.17 and 198.51.100.4 rotated their keys"),
+      (2L, "call 555-867-5309 or 555 234 1122 before noon"),
+      (3L, "card 4111111111111111 was declined; account 987654321 flagged"),
+      (4L, "cc bob+spam@sub.mail.example.org and carol@example.net please"),
+      (5L, "no identifiers here, just ordinary prose about weather"),
+      (6L, "build v1.2.3.4000 shipped; ticket 1234 closed"),
+      (7L, "fax 555.867.1234 listed next to 203.0.113.99 in the footer"),
+      (8L, "ssn 123456789 must never appear in logs"),
+      (9L, "mixed: dave@example.com at 192.0.2.200 dialed 555-000-1111"))
+      .toDF("pii_id", "text")
+  }
+
+  /**
    * Multimodal fixture: opaque binary payloads + typed metadata. Payload
    * bytes are a deterministic pseudo-image (no real codecs in this
    * container); the Spark-side plumbing (binary column, metadata, batch
@@ -100,6 +124,8 @@ object FixtureGen {
       .write.mode("overwrite").parquet(Fixtures.StoreDupParquet)
     graft.operators.Multimodal.withByteStats(Fixtures.media(spark)).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.MediaParquet)
+    Fixtures.piiDocs(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.PiiParquet)
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, KeyedStore, Multimodal, Reshape, Similarity}
+import graft.operators.{Corpus, Dedup, KeyedStore, Multimodal, Reshape, Similarity}
 import graft.sources.WideMatrix
 import graft.streaming.StreamingOps
 
@@ -383,6 +383,30 @@ object SparkEntry {
     "media_features" -> ((s, _) =>
       Multimodal.extractFeatures(s.read.parquet(Fixtures.MediaParquet))(s)
         .drop("feature")), // array col dropped: rows-only check, stable schema
+    // --- corpus management: splits, samples, tf-idf, packing, PII ---
+    "split_assign" -> ((s, dir) =>
+      // deterministic 80/10/10 split — engine- and partitioning-stable
+      Corpus.splitAssign(t(s, dir, "documents"))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+    "sample_hash" -> ((s, dir) =>
+      // deterministic 10% sample: a pushdown-friendly filter, same rows on
+      // any cluster layout (unlike DataFrame.sample)
+      Corpus.sampleByHash(t(s, dir, "documents"), pct = 10)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "text_tfidf" -> ((s, dir) =>
+      Corpus.tfidfTop(t(s, dir, "documents"), k = 3)),
+    "pack_sequences" -> ((s, dir) =>
+      // token-budget bin assignment (parallel next-fit over 8 hash groups)
+      Corpus.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        budget = 512, groups = 8)),
+    "pii_redact" -> ((s, _) => {
+      val raw = s.read.parquet(Fixtures.PiiParquet)
+      val counts = TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+      raw.select(Seq(col("pii_id"),
+        TextFunctions.redactPii(col("text")).as("redacted")) ++ counts: _*)
+    }),
     // --- sessionization (gap-based; batch form of the streaming op) ---
     "events_sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)))
@@ -399,6 +423,10 @@ object SparkEntry {
       |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
       |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
       |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id), mod N. */
+  private def hashBucketSql(idCol: String, buckets: Int): String =
+    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $buckets"
 
   private val wideRp = s"read_parquet('${Fixtures.WideParquet}/*.parquet')"
   private val wide2Rp = s"read_parquet('${Fixtures.Wide2Parquet}/*.parquet')"
@@ -734,6 +762,56 @@ object SparkEntry {
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          | round(avg(width), 4) AS avg_w, round(avg(height), 4) AS avg_h
          |FROM read_parquet('${Fixtures.MediaParquet}/*.parquet') GROUP BY kind""".stripMargin,
+    // md5-prefix hash bucket — the SQL twin of Corpus.hashBucket (hex prefix
+    // of md5(id) mod N); interpolated so both engines share one definition
+    "split_assign" ->
+      s"""SELECT doc_id, bucket,
+         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${hashBucketSql("doc_id", 100)} AS bucket
+         |      FROM documents)""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hashBucketSql("doc_id", 100)} < 10""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT doc_id, term, tf, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM scored)
+        |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (
+         | SELECT doc_id, ${hashBucketSql("doc_id", 8)} AS grp,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, grp, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         | FROM d)
+         |SELECT doc_id, grp, (greatest(running, 1) - 1) // 512 AS bin,
+         | n_tokens, running FROM r""".stripMargin,
+    "pii_redact" -> {
+      // redaction chain + per-pattern counts generated from PiiPatterns —
+      // one definition, two engines, no drift
+      val chain = TextFunctions.PiiPatterns.foldLeft("text") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      val counts = TextFunctions.PiiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n ")
+      s"""SELECT pii_id, $chain AS redacted,
+         | $counts
+         |FROM read_parquet('${Fixtures.PiiParquet}/*.parquet')""".stripMargin
+    },
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, ts, value, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),

@@ -91,6 +91,40 @@ object TextFunctions {
     countMatches(lower(text), s"\\b(${words.mkString("|")})\\b").cast("long")
 
   /**
+   * PII patterns, applied in order: (name, regex, replacement). Order
+   * matters — emails go first (their local parts contain digits), IPs
+   * before bare digit runs (an octet is not an account number), phones
+   * before digit runs (separators keep phone digits out of the 9+-run
+   * class). Patterns are deliberately RE2-compatible (no backrefs, no
+   * lookaround) so the DuckDB oracle applies the IDENTICAL regexes —
+   * redaction is hash-verified, not spot-checked.
+   *
+   * These are the cheap high-recall filters a 100 TB scrub runs in the
+   * scan projection (one codegen'd `regexp_replace` chain, no UDF, no
+   * shuffle); precision-critical redaction (names, addresses) needs a
+   * model pass and is out of scope here.
+   */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+    ("idnum", "\\b[0-9]{9,}\\b", "<ID>"))
+
+  /** Redact all [[PiiPatterns]] occurrences (every match — Spark's
+    * `regexp_replace` is global, mirrored by the oracle's `'g'` flag). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  /** Per-pattern match counts on the RAW text (`n_<name>` columns) — the
+    * audit signal (how much PII a source emits) next to the scrubbed text. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> countMatches(text, pat).cast("long")
+    }
+
+  /**
    * Language-ID heuristic: argmax of stopword hits; CJK scripts win by
    * character-class presence first (stopwords don't apply). Ties resolve
    * by the fixed language order — deterministic.

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Corpus-management operators a training-data pipeline needs between
+ * cleaning and training: deterministic splits and samples, tf-idf term
+ * scoring, and sequence packing (token-budget bin assignment).
+ *
+ * Everything here is pure `functions._` (whole-stage codegen, no UDFs) and
+ * deterministic ACROSS engines and partitionings — splits use an md5-prefix
+ * hash, not `rand(seed)` (whose draw order follows partitioning, so the
+ * "same" seed yields different samples on a different cluster layout).
+ * Every operator is SQL-expressible and hash-verified against the DuckDB
+ * oracle (`split_assign`, `sample_hash`, `text_tfidf`, `pack_sequences`).
+ */
+object Corpus {
+
+  /**
+   * Deterministic hash bucket in `[0, buckets)`: the first 8 hex chars of
+   * `md5(id)` read as an integer, mod `buckets`. Properties a 100 TB
+   * pipeline needs from a split function:
+   *  - engine-independent (any system that can md5 reproduces the
+   *    assignment — the DuckDB oracle computes the identical value);
+   *  - stable under repartitioning, re-runs, and corpus growth (a doc's
+   *    split never changes when other docs are added — unlike
+   *    `ntile`/`rand` based splits);
+   *  - uniform enough for split purposes (md5 avalanche on the id).
+   * 32 hash bits, not 64: `0xffffffff` fits a long with headroom and the
+   * oracle-side `('0x'||hex)::BIGINT` cast stays exact.
+   */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /**
+   * Train/val/test assignment by hash bucket: bucket < trainPct → train,
+   * < trainPct+valPct → val, else test. Adds `bucket` and `split` columns;
+   * one projection, no shuffle — the split of a 100 TB corpus is a map-only
+   * pass (and usually fused into whatever scan follows it).
+   */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be within [0,100]: train=$trainPct val=$valPct")
+    docs.withColumn("bucket", hashBucket(col(idCol)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /**
+   * Deterministic `pct`% sample — the same rows every run, on any cluster,
+   * in any engine (contrast `DataFrame.sample`, which is partition-order
+   * dependent). A plain filter: pushes down, fuses, never shuffles.
+   */
+  def sampleByHash(docs: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100]: $pct")
+    docs.filter(hashBucket(col(idCol)) < pct)
+  }
+
+  /**
+   * Per-document top-`k` terms by tf-idf (idf = ln(N/df), raw-count tf).
+   *
+   * Scale shape: explode → tf groupBy (shuffle on (doc, term)) → df
+   * groupBy (map-side-combined shuffle on term, output = vocabulary size,
+   * tiny vs corpus) → join back on term → per-DOC window top-k. Every
+   * stage is key-partitioned; the only window is partitioned by doc_id, so
+   * no task ever sees more than one document's terms. N arrives via a
+   * broadcast 1-row aggregate, not a driver-side collect — the whole thing
+   * is one lazy plan.
+   */
+  def tfidfTop(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rnk"))
+  }
+
+  /**
+   * Sequence packing: assign each document to a token-budget bin, the
+   * precursor to concatenating examples into fixed-length training
+   * sequences. Exact bin packing is inherently sequential, so the scalable
+   * form is PARALLEL NEXT-FIT: docs hash into `groups` independent
+   * streams; within a group, docs are ordered by id and a running token
+   * total assigns `bin = (running-1) div budget` — a doc lands in the bin
+   * where its cumulative span ends. Each group packs in isolation (one
+   * window partition), so parallelism = `groups` and per-task state is one
+   * running sum; waste vs optimal is bounded by one partially-filled bin
+   * per group plus boundary-straddling docs, which training-data packing
+   * tolerates (oversized docs simply span bins — callers should truncate
+   * to `budget` upstream if that is the contract).
+   *
+   * Deterministic everywhere (hash groups + id order), hash-verified
+   * against the oracle's identical window computation. `(grp, bin)` is the
+   * packed-sequence key; `running` is kept so a consumer can compute its
+   * offset within the bin without re-aggregating.
+   */
+  def packSequences(docs: DataFrame, budget: Long, groups: Int = 32,
+      tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), hashBucket(col(idCol), groups).as("grp"),
+        col(tokenCol).cast("long").as(tokenCol))
+      .withColumn("running", sum(col(tokenCol)).over(w))
+      // `div` (integer division) on both engines; greatest() keeps a
+      // zero-token prefix off the negative path, where Spark's `div`
+      // truncates but the oracle's `//` floors
+      .withColumn("bin", expr(s"(greatest(running, 1L) - 1L) div ${budget}L"))
+      .select(col(idCol), col("grp"), col("bin"), col(tokenCol), col("running"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Corpus, Dedup}
+
+/** Encoder-visible row type for the streaming-probe test's MemoryStream. */
+case class ProbeDoc(doc_id: Long, text: String)
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 1000).toDF("doc_id")
+
+  test("hashBucket: in range, partitioning-invariant, roughly uniform") {
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id"), Corpus.hashBucket(col("doc_id")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1 = buckets(ids)
+    val b2 = buckets(ids.repartition(7)) // layout must not change assignments
+    assert(b1 == b2)
+    assert(b1.values.forall(v => v >= 0 && v < 100))
+    assert(b1.values.toSet.size > 90) // 1000 draws over 100 buckets: near-full
+  }
+
+  test("splitAssign: ~80/10/10, and a doc's split survives corpus growth") {
+    val counts = Corpus.splitAssign(ids).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 160)
+    assert(counts("test") > 50 && counts("test") < 160)
+    // adding docs 500..999 must not move docs 0..499 (hash, not ntile/rand)
+    val small = Corpus.splitAssign(ids.filter(col("doc_id") < 500))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val large = Corpus.splitAssign(ids).filter(col("doc_id") < 500)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == large)
+  }
+
+  test("sampleByHash: exactly the bucket<pct rows, every run") {
+    val sampled = Corpus.sampleByHash(ids, pct = 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Corpus.splitAssign(ids).filter(col("bucket") < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled == expected && sampled.nonEmpty)
+    assert(Corpus.sampleByHash(ids, 0).count() == 0)
+    assert(Corpus.sampleByHash(ids, 100).count() == 1000)
+  }
+
+  test("tfidfTop: rare terms outrank corpus-wide terms; ubiquitous terms score 0") {
+    val docs = Seq(
+      (0L, "apple banana banana"),
+      (1L, "apple cherry"),
+      (2L, "apple durian")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTop(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+    // df(apple)=3 of N=3 → idf=ln(1)=0; any unique term beats it
+    assert(out((0L, 1L))._1 == "banana")
+    assert(out((1L, 1L))._1 == "cherry")
+    assert(out((0L, 2L)) == ("apple", 0.0))
+    assert(out((0L, 1L))._2 == math.round(2 * math.log(3.0) * 1e6) / 1e6)
+    assert(out.keys.map(_._2).max <= 2) // k bound
+  }
+
+  test("packSequences: next-fit bins from running token totals; zero-token prefix safe") {
+    // groups=1 puts every doc in one stream → hand-checkable bins
+    val docs = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 0L), (4L, 25L))
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus.packSequences(docs, budget = 10, groups = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("running"))).toMap
+    // running: 4, 8, 12, 12, 37 → bin = (running-1) div 10: 0, 0, 1, 1, 3
+    assert(out == Map(0L -> (0L, 4L), 1L -> (0L, 8L), 2L -> (1L, 12L),
+      3L -> (1L, 12L), 4L -> (3L, 37L)))
+    // zero-token doc FIRST in the stream: running=0 must not go negative
+    val zeroFirst = Seq((0L, 0L), (1L, 5L)).toDF("doc_id", "n_tokens")
+    val z = Corpus.packSequences(zeroFirst, budget = 10, groups = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(z == Map(0L -> 0L, 1L -> 0L))
+  }
+
+  test("packSequences: bins partition each group contiguously") {
+    val docs = ids.withColumn("n_tokens", (col("doc_id") % 97 + 1).cast("long"))
+    val out = Corpus.packSequences(docs, budget = 512, groups = 8).collect()
+    val byGroup = out.groupBy(_.getAs[Long]("grp"))
+    assert(byGroup.size == 8)
+    byGroup.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // running is a prefix sum in id order
+      var acc = 0L
+      sorted.foreach { r =>
+        acc += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("running") == acc)
+      }
+      // bins are non-decreasing along the stream and start at 0
+      val bins = sorted.map(_.getAs[Long]("bin"))
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("redactPii: every pattern scrubbed; counts audit the raw text; clean rows intact") {
+    val counts = TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val out = Fixtures.piiDocs(spark)
+      .select(Seq(col("pii_id"), col("text"),
+        TextFunctions.redactPii(col("text")).as("redacted")) ++ counts: _*)
+      .collect().map(r => r.getAs[Long]("pii_id") -> r).toMap
+    assert(out(0L).getAs[String]("redacted") ==
+      "contact <EMAIL> for the quarterly report")
+    assert(out(1L).getAs[String]("redacted") == "servers <IP> and <IP> rotated their keys")
+    assert(out(2L).getAs[String]("redacted") == "call <PHONE> or <PHONE> before noon")
+    assert(out(3L).getAs[String]("redacted") ==
+      "card <ID> was declined; account <ID> flagged")
+    // clean + near-miss rows byte-identical
+    assert(out(5L).getAs[String]("redacted") == out(5L).getAs[String]("text"))
+    assert(out(6L).getAs[String]("redacted") == out(6L).getAs[String]("text"))
+    // mixed row: one of each kind, none double-counted
+    val r9 = out(9L)
+    assert(r9.getAs[String]("redacted") == "mixed: <EMAIL> at <IP> dialed <PHONE>")
+    assert(r9.getAs[Long]("n_email") == 1 && r9.getAs[Long]("n_ip") == 1 &&
+      r9.getAs[Long]("n_phone") == 1 && r9.getAs[Long]("n_idnum") == 0)
+  }
+
+  test("streaming incremental probe: micro-batches pair against the persisted corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // corpus: two near-identical docs + two unrelated; banded table persisted
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words entirely unrelated tokens here"),
+      (2L, "der hund ist nicht ein katze und das ist gut"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    Dedup.writeBandedTable(Dedup.minhashBandedTable(corpus), "probe_stream_corpus",
+      nBuckets = 8)
+    val corpusBanded = spark.table("probe_stream_corpus")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch: band the increment, probe the persisted corpus
+        found ++= Dedup.probeBanded(Dedup.minhashBandedTable(batch), corpusBanded)
+          .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        ()
+    }.start()
+    try {
+      // doc 10 duplicates corpus doc 0 → shares ALL bands, must pair
+      in.addData(ProbeDoc(10L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      in.addData(ProbeDoc(11L, "unseen fresh vocabulary nothing matches this"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(found.contains((0L, 10L)))
+    // no corpus-only pairs ever emitted: every pair touches the increment
+    assert(found.forall { case (a, b) => a >= 10L || b >= 10L })
+  }
+}
