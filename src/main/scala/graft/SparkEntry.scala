@@ -378,6 +378,14 @@ object SparkEntry {
     "sim_neardup_lsh" -> ((s, dir) =>
       Similarity.nearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") < 500), dim = 64, minCosine = 0.45)),
+    "sim_dedup_survivors" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup: min vec_id per cosine-cluster
+      // survives; embedding column dropped for the compare (ids + labels
+      // ARE the result)
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Similarity.semanticDedup(e.select(col("vec_id"), col("label")),
+        Similarity.nearDupPairsExact(e, minCosine = 0.45))
+    }),
     // --- multimodal plumbing (fixture media table; stub decode) ---
     "media_stats" -> ((s, _) => Multimodal.stats(s.read.parquet(Fixtures.MediaParquet))),
     "media_features" -> ((s, _) =>
@@ -423,6 +431,18 @@ object SparkEntry {
       |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
       |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
       |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** Exact all-pairs cosine near-dup — oracles `sim_neardup` directly and
+    * seeds the `sim_dedup_survivors` recursive-CTE cluster pass. */
+  private val simNearDupSql =
+    """SELECT id_a, id_b, cos FROM (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      | WHERE a.vec_id < 500 AND b.vec_id < 500)
+      |WHERE cos >= 0.45""".stripMargin
 
   /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id), mod N. */
   private def hashBucketSql(idCol: String, buckets: Int): String =
@@ -748,15 +768,23 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
         | FROM s)
         |WHERE rn <= 5""".stripMargin,
-    "sim_neardup" ->
-      """SELECT id_a, id_b, cos FROM (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
-        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        | WHERE a.vec_id < 500 AND b.vec_id < 500)
-        |WHERE cos >= 0.45""".stripMargin,
+    "sim_neardup" -> simNearDupSql,
+    "sim_dedup_survivors" ->
+      // semantic dedup = CC over the cosine near-dup graph (same recursive
+      // CTE as dedup_survivors, text and embedding modalities share the
+      // survivor rule: min id per cluster lives)
+      s"""WITH RECURSIVE pairs AS ($simNearDupSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+         |           FROM reach GROUP BY src)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id < 500
+         |  AND vec_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
     "media_stats" ->
       s"""SELECT kind, count(*) AS n,
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -430,6 +430,20 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /**
+   * SemDeDup-style semantic dedup: connected components over the cosine
+   * near-dup graph; within each cluster the smallest id survives, every
+   * other member is dropped. `pairs` decides the cost/recall point —
+   * [[nearDupPairsExact]] (all-pairs, oracle-able, small corpora) or
+   * [[nearDupPairs]]/[[nearDupPairsFromIndex]] (LSH-bucketed with
+   * `maxBucket`, the 100 TB path). The CC + anti-join machinery is shared
+   * with the text-side `Dedup.dedupByClusters` — one survivor algorithm,
+   * both modalities.
+   */
+  def semanticDedup(embeddings: DataFrame, pairs: DataFrame,
+      idCol: String = "vec_id", checkpointDir: Option[String] = None): DataFrame =
+    Dedup.dedupByClusters(embeddings, pairs, idCol, checkpointDir)
+
   /** Exact all-pairs cosine above threshold — the oracle-checkable
     * baseline the LSH variant approximates (O(n²), small-SF only). */
   def nearDupPairsExact(embeddings: DataFrame, minCosine: Double,

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** Encoder-visible row type for the streaming-probe test's MemoryStream. */
 case class ProbeDoc(doc_id: Long, text: String)
@@ -124,6 +124,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(r9.getAs[String]("redacted") == "mixed: <EMAIL> at <IP> dialed <PHONE>")
     assert(r9.getAs[Long]("n_email") == 1 && r9.getAs[Long]("n_ip") == 1 &&
       r9.getAs[Long]("n_phone") == 1 && r9.getAs[Long]("n_idnum") == 0)
+  }
+
+  test("semanticDedup: min id per cosine cluster survives, singletons untouched") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // cosine ~0.995 with 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0/1
+      (3L, Array(0.0f, 0.98f, 0.2f))) // cosine ~0.98 with 2
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsExact(vecs, minCosine = 0.9)
+    val out = Similarity.semanticDedup(vecs.select(col("vec_id")), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 2L)) // 1 collapsed into 0, 3 into 2
   }
 
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
