@@ -64,24 +64,45 @@ object Corpus {
     docs.filter(hashBucket(col(idCol)) < pct)
   }
 
+  /** Per-(doc, term) counts — the reusable base relation of every
+    * term-statistics operator (tf-idf, df tables, vocabulary). One
+    * explode + one map-side-combined aggregation. */
+  def termFrequencies(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
   /**
    * Per-document top-`k` terms by tf-idf (idf = ln(N/df), raw-count tf).
    *
-   * Scale shape: explode → tf groupBy (shuffle on (doc, term)) → df
-   * groupBy (map-side-combined shuffle on term, output = vocabulary size,
-   * tiny vs corpus) → join back on term → per-DOC window top-k. Every
+   * Scale shape: tf groupBy (shuffle on (doc, term)) → df groupBy
+   * (map-side-combined shuffle on term, output = vocabulary size, tiny vs
+   * corpus, BROADCAST back) → join on term → per-DOC window top-k. Every
    * stage is key-partitioned; the only window is partitioned by doc_id, so
-   * no task ever sees more than one document's terms. N arrives via a
-   * broadcast 1-row aggregate, not a driver-side collect — the whole thing
-   * is one lazy plan.
+   * no task ever sees more than one document's terms (and Spark's
+   * WindowGroupLimit keeps per-partition heaps of k before the sort). N
+   * arrives via a broadcast 1-row aggregate, not a driver-side collect —
+   * the whole thing stays one lazy plan.
+   *
+   * COST NOTE: this one-shot form computes [[termFrequencies]] twice (the
+   * tf branch and the df branch prune different columns, so Catalyst
+   * cannot exchange-reuse one subtree; the alternative — df as a window
+   * over term — would shuffle every (doc,term) row to hot-term partitions,
+   * a skew magnet). Scans are the cheap, skew-free currency, so two passes
+   * is the right default; a pipeline that already materializes tf should
+   * call [[tfidfTopFromTf]] and pay ZERO corpus scans.
    */
   def tfidfTop(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    tfidfTopFromTf(termFrequencies(docs, textCol, idCol),
+      docs.agg(count(lit(1)).as("n_docs")), k, idCol)
+
+  /** tf-idf top-k from a precomputed (persisted) [[termFrequencies]]
+    * relation plus a 1-row `n_docs` aggregate — the corpus-scale entry:
+    * no document text is touched at all. */
+  def tfidfTopFromTf(tf: DataFrame, nDocs: DataFrame, k: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val terms = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
