@@ -409,6 +409,10 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         budget = 512, groups = 8)),
+    "corpus_clean" -> ((s, dir) =>
+      // the flagship composition: quality gate → language gate → exact-dup
+      // collapse → near-dup survivors → split assignment, end-to-end
+      Corpus.cleanCorpus(t(s, dir, "documents"))),
     "pii_redact" -> ((s, _) => {
       val raw = s.read.parquet(Fixtures.PiiParquet)
       val counts = TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
@@ -448,6 +452,25 @@ object SparkEntry {
   private def hashBucketSql(idCol: String, buckets: Int): String =
     s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $buckets"
 
+  /** Per-language stopword hit-count columns (one per StopwordSets entry). */
+  private val langHitsSql = TextFunctions.StopwordSets.map { case (lang, words) =>
+    s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT) AS $lang"
+  }.mkString(", ")
+
+  /** The langId decision CASE over [[langHitsSql]] columns. First-listed
+    * language wins ties: branch k needs k >= every LATER language only (an
+    * earlier branch failing implies that lang lost). */
+  private val langCaseSql = {
+    val langs = TextFunctions.StopwordSets.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1)
+      val geq = (s"$l > 0" +: later.map(o => s"$l >= $o")).mkString(" AND ")
+      s"WHEN $geq THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh' " +
+      s"$cases ELSE 'und' END"
+  }
+
   private val wideRp = s"read_parquet('${Fixtures.WideParquet}/*.parquet')"
   private val wide2Rp = s"read_parquet('${Fixtures.Wide2Parquet}/*.parquet')"
   private val storeRp = s"read_parquet('${Fixtures.StoreParquet}/*.parquet')"
@@ -472,7 +495,8 @@ object SparkEntry {
   /** 3-gram Jaccard pairs (mirrors `Dedup.ngramJaccardPairs`, incl. the
     * optional hot-shingle df cap); also the edge set for the
     * connected-components oracle. */
-  private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None): String = {
+  private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None,
+      src: String = "documents"): String = {
     val shingleSrc = maxDf match {
       case Some(cap) =>
         s"""(SELECT doc_id, shingle FROM (
@@ -480,7 +504,7 @@ object SparkEntry {
            | WHERE df <= $cap)""".stripMargin
       case None => "sh0"
     }
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
        |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
        |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
        |sh0 AS (SELECT DISTINCT doc_id,
@@ -702,23 +726,9 @@ object SparkEntry {
         | round(len(regexp_extract_all(lower(text), '[a-z0-9]')) * 1.0 /
         |   greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS mean_token_len
         |FROM documents""".stripMargin,
-    "text_langid" -> {
-      val hits = TextFunctions.StopwordSets.map { case (lang, words) =>
-        s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT) AS $lang"
-      }.mkString(", ")
-      val langs = TextFunctions.StopwordSets.map(_._1)
-      // first-listed language wins ties: branch k needs k >= every LATER
-      // language only (an earlier branch failing implies that lang lost)
-      val cases = langs.zipWithIndex.map { case (l, i) =>
-        val later = langs.drop(i + 1)
-        val geq = (s"$l > 0" +: later.map(o => s"$l >= $o")).mkString(" AND ")
-        s"WHEN $geq THEN '$l'"
-      }.mkString(" ")
-      s"""SELECT doc_id, lang,
-         | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-         |      $cases ELSE 'und' END AS pred_lang
-         |FROM (SELECT doc_id, lang, text, $hits FROM documents)""".stripMargin
-    },
+    "text_langid" ->
+      s"""SELECT doc_id, lang, $langCaseSql AS pred_lang
+         |FROM (SELECT doc_id, lang, text, $langHitsSql FROM documents)""".stripMargin,
     "dedup_ngram_jaccard" -> oracleJaccardSql,
     "dedup_jaccard_capped" -> jaccardSql(0.35, maxDf = Some(20L)),
     "dedup_clusters" -> {
@@ -827,6 +837,36 @@ object SparkEntry {
          | FROM d)
          |SELECT doc_id, grp, (greatest(running, 1) - 1) // 512 AS bin,
          | n_tokens, running FROM r""".stripMargin,
+    "corpus_clean" -> {
+      // the whole pipeline as ONE statement, assembled from the same
+      // verified fragments the individual oracles use: quality + langid
+      // gates, md5 exact-dup collapse, Jaccard pairs over the gated set
+      // (nested WITH inside the CTE), recursive-CTE clusters, hash split
+      val jac = jaccardSql(0.5, src = "e")
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, $langHitsSql FROM documents
+         |  WHERE CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= 10
+         |    AND round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+         |        greatest(length(text), 1), 6) <= 0.3)
+         | WHERE ($langCaseSql) = 'en'),
+         |e AS (SELECT doc_id, text FROM q
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+         |pairs AS ($jac),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+         |           FROM reach GROUP BY src)
+         |SELECT doc_id, bucket,
+         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${hashBucketSql("doc_id", 100)} AS bucket FROM e
+         |      WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster))""".stripMargin
+    },
     "pii_redact" -> {
       // redaction chain + per-pattern counts generated from PiiPatterns —
       // one definition, two engines, no drift

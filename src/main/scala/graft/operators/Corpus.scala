@@ -112,6 +112,37 @@ object Corpus {
   }
 
   /**
+   * The end-to-end cleaning pipeline a training corpus actually runs,
+   * composed from the individually-verified operators: quality gate
+   * (token count, digit ratio) → language gate ([[TextFunctions.langId]])
+   * → exact-dup collapse (min id per md5 survives) → near-dup survivor
+   * pass (n-gram Jaccard clusters, [[Dedup.dedupByClusters]]) → split
+   * assignment. Returns (id, bucket, split) for the surviving docs.
+   *
+   * Scale notes: the gates are map-only predicates fused into the scan;
+   * exact dedup is one hash-groupBy + semi-join; the near-dup pass is the
+   * df-capped inverted-index shape (`maxDf` on by default here — the
+   * composed pipeline is the scale entry point, unlike the uncapped
+   * oracle-baseline query). Composition is hash-verified end-to-end by
+   * the `corpus_clean` oracle.
+   */
+  def cleanCorpus(docs: DataFrame, lang: String = "en", minTokens: Long = 10,
+      maxDigitRatio: Double = 0.3, n: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Option[Long] = None, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val qc = TextFunctions.qualityColumns(col(textCol)).toMap
+    val gated = docs.filter(qc("n_tokens") >= minTokens &&
+      qc("digit_ratio") <= maxDigitRatio &&
+      TextFunctions.langId(col(textCol)) === lang)
+    val exactKept = gated.join(
+      Dedup.exact(gated, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+    val survivors = Dedup.dedupByClusters(exactKept,
+      Dedup.ngramJaccardPairs(exactKept, n = n, minJaccard = minJaccard,
+        textCol = textCol, idCol = idCol, maxDf = maxDf), idCol)
+    splitAssign(survivors, idCol).select(col(idCol), col("bucket"), col("split"))
+  }
+
+  /**
    * Sequence packing: assign each document to a token-budget bin, the
    * precursor to concatenating examples into fixed-length training
    * sequences. Exact bin packing is inherently sequential, so the scalable

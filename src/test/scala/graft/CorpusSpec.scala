@@ -126,6 +126,20 @@ class CorpusSpec extends AnyFunSuite {
       r9.getAs[Long]("n_phone") == 1 && r9.getAs[Long]("n_idnum") == 0)
   }
 
+  test("cleanCorpus: every gate and both dedup passes fire; survivors get splits") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and that is for the win"),
+      (1L, "the quick brown fox jumps over the lazy dog and that is for the win"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat and that is for the win"), // near dup of 0
+      (3L, "der hund und die katze das ist nicht ein mit und der die das und der"), // wrong language
+      (4L, "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 1111 2222 3333"), // digit-heavy
+      (5L, "short text the")) // too few tokens
+      .toDF("doc_id", "text")
+    val out = Corpus.cleanCorpus(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(0L))
+    assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
   test("semanticDedup: min id per cosine cluster survives, singletons untouched") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
