@@ -274,6 +274,24 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))),
+    "distinct_counts_approx" -> ((s, dir) =>
+      // the 100 TB form: HLL sketches merge in fixed space where the exact
+      // multi-countDistinct expands the input N× and shuffles each copy.
+      // rows-only by design (sketch estimates are engine-specific);
+      // CorpusSpec bounds the error against the exact counts.
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"))),
+    "value_quantiles_approx" -> ((s, dir) =>
+      // the 100 TB form: exact percentile() buffers every group value in
+      // memory; approx_percentile streams a bounded KLL-style sketch.
+      // rows-only by design; CorpusSpec bounds the rank error vs exact.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
     "text_repetition" -> ((s, dir) => {
       // within-document repetition (Gopher-style quality signal):
       // distinct-token ratio; 1.0 = no repetition

@@ -126,6 +126,25 @@ class CorpusSpec extends AnyFunSuite {
       r9.getAs[Long]("n_phone") == 1 && r9.getAs[Long]("n_idnum") == 0)
   }
 
+  test("approx sketches track their exact twins within declared error") {
+    val dir = "/root/testdata/sf0.001"
+    val exactD = SparkEntry.queries("distinct_counts")(spark, dir).head()
+    val approxD = SparkEntry.queries("distinct_counts_approx")(spark, dir).head()
+    for (c <- Seq("n_parts", "n_supps", "n_orders")) {
+      val e = exactD.getAs[Long](c).toDouble
+      val a = approxD.getAs[Long](c).toDouble
+      assert(math.abs(a - e) / e < 0.1, s"$c: approx $a vs exact $e") // rsd 0.02, 5σ slack
+    }
+    val exactQ = SparkEntry.queries("value_quantiles")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val approxQ = SparkEntry.queries("value_quantiles_approx")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    for ((flag, (p50, p95)) <- exactQ; (a50, a95) = approxQ(flag)) {
+      assert(math.abs(a50 - p50) / p50 < 0.05, s"$flag p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 < 0.05, s"$flag p95: $a95 vs $p95")
+    }
+  }
+
   test("cleanCorpus: every gate and both dedup passes fire; survivors get splits") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and that is for the win"),
