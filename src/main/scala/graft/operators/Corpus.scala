@@ -125,20 +125,29 @@ object Corpus {
    * composed pipeline is the scale entry point, unlike the uncapped
    * oracle-baseline query). Composition is hash-verified end-to-end by
    * the `corpus_clean` oracle.
+   *
+   * The exact-surviving set is MATERIALIZED before the near-dup stage
+   * (lineage-truncated like the CC rounds; `checkpointDir` upgrades to a
+   * reliable checkpoint for multi-hour cluster runs): four downstream
+   * consumers (shingle pairs, cluster anti-join, split) would otherwise
+   * each re-run the regex-heavy gates over the full corpus — measured
+   * 5.5× slower at sf0.1 when left as pure lineage.
    */
   def cleanCorpus(docs: DataFrame, lang: String = "en", minTokens: Long = 10,
       maxDigitRatio: Double = 0.3, n: Int = 3, minJaccard: Double = 0.5,
       maxDf: Option[Long] = None, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
     val qc = TextFunctions.qualityColumns(col(textCol)).toMap
     val gated = docs.filter(qc("n_tokens") >= minTokens &&
       qc("digit_ratio") <= maxDigitRatio &&
       TextFunctions.langId(col(textCol)) === lang)
-    val exactKept = gated.join(
+    val exactKept = Materialize(gated.join(
       Dedup.exact(gated, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol)), checkpointDir)
     val survivors = Dedup.dedupByClusters(exactKept,
       Dedup.ngramJaccardPairs(exactKept, n = n, minJaccard = minJaccard,
-        textCol = textCol, idCol = idCol, maxDf = maxDf), idCol)
+        textCol = textCol, idCol = idCol, maxDf = maxDf),
+      idCol, checkpointDir)
     splitAssign(survivors, idCol).select(col(idCol), col("bucket"), col("split"))
   }
 
