@@ -23,12 +23,20 @@ object Bench {
     // idle), and a transient failure on run 1 must not discard a valid
     // run-2 measurement. Only NonFatal failures are swallowed per attempt —
     // a VM error (OOM, stack overflow) aborts the bench loudly.
+    //
+    // toRdd.count(), NOT Dataset.count(): counting through a fresh
+    // Aggregate lets Catalyst prune the query's own projections, so a
+    // pure-projection query (text scoring, redaction, fingerprints) would
+    // "benchmark" as a scan+count with none of its expressions evaluated.
+    // toRdd executes the query's own optimized plan with every output
+    // column materialized — the same work Verify's parquet write measures,
+    // and the same work the DuckDB comparator does materializing results.
     var failed = Set.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case scala.util.control.NonFatal(t) =>
           // a failed attempt must be VISIBLE, and its failure-fast elapsed
