@@ -466,6 +466,22 @@ object SparkEntry {
       | WHERE a.vec_id < 500 AND b.vec_id < 500)
       |WHERE cos >= 0.45""".stripMargin
 
+  /** Connected-components CTE chain over a `pairs` relation with (id_a,
+    * id_b) columns: defines `edges` (symmetrized), `reach` (recursive
+    * closure), and `labels` (member id → cluster = min reachable id, for
+    * every NON-singleton member). Embed after `WITH RECURSIVE pairs AS
+    * (…),` — shared by every cluster/survivor oracle so the labeling rule
+    * lives in exactly one place. */
+  private val ccCtesSql =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+      |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |           FROM reach GROUP BY src)""".stripMargin
+
   /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id), mod N. */
   private def hashBucketSql(idCol: String, buckets: Int): String =
     s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $buckets"
@@ -749,32 +765,16 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, text, $langHitsSql FROM documents)""".stripMargin,
     "dedup_ngram_jaccard" -> oracleJaccardSql,
     "dedup_jaccard_capped" -> jaccardSql(0.35, maxDf = Some(20L)),
-    "dedup_clusters" -> {
-      val jac = oracleJaccardSql
-      s"""WITH RECURSIVE pairs AS ($jac),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
-         |FROM reach GROUP BY src""".stripMargin
-    },
-    "dedup_survivors" -> {
-      val jac = oracleJaccardSql
-      s"""WITH RECURSIVE pairs AS ($jac),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
-         |           FROM reach GROUP BY src)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
+         |$ccCtesSql
+         |SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
+         |FROM labels""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
+         |$ccCtesSql
          |SELECT * FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin
-    },
+         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
     "sim_topk" -> simTopkSql,
     // both full-probe paths provably degrade to exact brute force, so the
     // same SQL hash-verifies the IVF and LSH index machinery end-to-end
@@ -798,18 +798,11 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
     "sim_neardup" -> simNearDupSql,
     "sim_dedup_survivors" ->
-      // semantic dedup = CC over the cosine near-dup graph (same recursive
-      // CTE as dedup_survivors, text and embedding modalities share the
-      // survivor rule: min id per cluster lives)
+      // semantic dedup = CC over the cosine near-dup graph (same shared
+      // CTE as dedup_survivors: text and embedding modalities share the
+      // survivor rule, min id per cluster lives)
       s"""WITH RECURSIVE pairs AS ($simNearDupSql),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
-         |           FROM reach GROUP BY src)
+         |$ccCtesSql
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id < 500
          |  AND vec_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
@@ -871,14 +864,7 @@ object SparkEntry {
          |e AS (SELECT doc_id, text FROM q
          |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
          |pairs AS ($jac),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
-         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
-         |           FROM reach GROUP BY src)
+         |$ccCtesSql
          |SELECT doc_id, bucket,
          | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |      ELSE 'test' END AS split
@@ -887,14 +873,17 @@ object SparkEntry {
     },
     "pii_redact" -> {
       // redaction chain + per-pattern counts generated from PiiPatterns —
-      // one definition, two engines, no drift
-      val chain = TextFunctions.PiiPatterns.foldLeft("text") {
+      // one definition, two engines, no drift. Counts mirror piiCounts'
+      // progressive semantics: pattern i is counted on the prefix with
+      // patterns 0..i-1 already applied (what its replace stage sees).
+      val prefixes = TextFunctions.PiiPatterns.scanLeft("text") {
         case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
       }
-      val counts = TextFunctions.PiiPatterns.map { case (name, pat, _) =>
-        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      val counts = TextFunctions.PiiPatterns.zip(prefixes).map {
+        case ((name, pat, _), pre) =>
+          s"CAST(len(regexp_extract_all($pre, '$pat')) AS BIGINT) AS n_$name"
       }.mkString(",\n ")
-      s"""SELECT pii_id, $chain AS redacted,
+      s"""SELECT pii_id, ${prefixes.last} AS redacted,
          | $counts
          |FROM read_parquet('${Fixtures.PiiParquet}/*.parquet')""".stripMargin
     },

@@ -89,10 +89,6 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans"),
     "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "con"))
 
-  /** Per-language stopword hit count (word-boundary regexp, one pass each). */
-  def stopwordHits(text: Column, words: Seq[String]): Column =
-    countMatches(lower(text), s"\\b(${words.mkString("|")})\\b").cast("long")
-
   /**
    * PII patterns, applied in order: (name, regex, replacement). Order
    * matters — emails go first (their local parts contain digits), IPs
@@ -120,12 +116,21 @@ object TextFunctions {
       regexp_replace(c, lit(pat), lit(repl))
     }
 
-  /** Per-pattern match counts on the RAW text (`n_<name>` columns) — the
-    * audit signal (how much PII a source emits) next to the scrubbed text. */
-  def piiCounts(text: Column): Seq[(String, Column)] =
-    PiiPatterns.map { case (name, pat, _) =>
-      s"n_$name" -> countMatches(text, pat).cast("long")
+  /** Per-pattern audit counts (`n_<name>` columns): how many matches each
+    * redaction stage ACTUALLY replaced. Pattern i is counted on the text
+    * with patterns 0..i-1 already applied — the same prefix its
+    * `regexp_replace` sees in [[redactPii]] — so the counts always
+    * reconcile with the redacted output (counting every pattern on the raw
+    * text would report phantom PII when patterns overlap, e.g. the 9-digit
+    * local part of an already-redacted `123456789@example.com`). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val prefixes = PiiPatterns.scanLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
     }
+    PiiPatterns.zip(prefixes).map { case ((name, pat, _), pre) =>
+      s"n_$name" -> countMatches(pre, pat).cast("long")
+    }
+  }
 
   /**
    * Language-ID heuristic: argmax of stopword hits; CJK scripts win by

@@ -121,10 +121,11 @@ object Corpus {
    *
    * Scale notes: the gates are map-only predicates fused into the scan;
    * exact dedup is one hash-groupBy + semi-join; the near-dup pass is the
-   * df-capped inverted-index shape (`maxDf` on by default here — the
-   * composed pipeline is the scale entry point, unlike the uncapped
-   * oracle-baseline query). Composition is hash-verified end-to-end by
-   * the `corpus_clean` oracle.
+   * inverted-index shape, and corpus-scale runs should PASS `maxDf` (the
+   * hot-shingle valve — default None keeps the composition identical to
+   * the uncapped oracle statement that hash-verifies it; the cap only
+   * drops boilerplate shingles, see `Dedup.ngramJaccardPairs`).
+   * Composition is hash-verified end-to-end by the `corpus_clean` oracle.
    *
    * The exact-surviving set is MATERIALIZED before the near-dup stage
    * (lineage-truncated like the CC rounds; `checkpointDir` upgrades to a

@@ -126,6 +126,19 @@ class CorpusSpec extends AnyFunSuite {
       r9.getAs[Long]("n_phone") == 1 && r9.getAs[Long]("n_idnum") == 0)
   }
 
+  test("piiCounts reconcile with the redaction chain when patterns overlap") {
+    // the 9-digit local part is consumed by the email redaction; counting
+    // idnum on RAW text would report phantom unredacted PII (n_idnum=1
+    // with no <ID> in the output) — progressive counts must say 0
+    val counts = TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val row = Seq((0L, "reach me at 123456789@example.com today"))
+      .toDF("pii_id", "text")
+      .select(Seq(TextFunctions.redactPii(col("text")).as("redacted")) ++ counts: _*)
+      .head()
+    assert(row.getAs[String]("redacted") == "reach me at <EMAIL> today")
+    assert(row.getAs[Long]("n_email") == 1 && row.getAs[Long]("n_idnum") == 0)
+  }
+
   test("approx sketches track their exact twins within declared error") {
     val dir = "/root/testdata/sf0.001"
     val exactD = SparkEntry.queries("distinct_counts")(spark, dir).head()
