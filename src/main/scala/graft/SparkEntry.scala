@@ -427,6 +427,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         budget = 512, groups = 8)),
+    "decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: a deterministic 5% hash sample stands
+      // in as the "eval set"; corpus docs sharing >= 5 word-3-grams with
+      // any eval doc are dropped (eval members remove themselves)
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(Corpus.hashBucket(col("doc_id")) < 5)
+        .select(col("doc_id"), col("text"))
+      Corpus.decontaminate(docs, ev, n = 3, minOverlap = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "corpus_clean" -> ((s, dir) =>
       // the flagship composition: quality gate → language gate → exact-dup
       // collapse → near-dup survivors → split assignment, end-to-end
@@ -529,6 +539,19 @@ object SparkEntry {
   /** 3-gram Jaccard pairs (mirrors `Dedup.ngramJaccardPairs`, incl. the
     * optional hot-shingle df cap); also the edge set for the
     * connected-components oracle. */
+  /** Word-3-gram shingle CTE chain over `src` (doc_id, text) — emits
+    * `<p>toks`, `<p>pos`, `<p>sh0` (the distinct (doc_id, shingle) set).
+    * Callers define `nums AS (SELECT generate_series AS i FROM
+    * generate_series(1, 65536))` once. Shared by the Jaccard family and
+    * the decontamination oracle so the shingling rule (including the
+    * short-doc whole-text fallback) lives in one place. */
+  private def shingleCtesSql(src: String, p: String = ""): String =
+    s"""${p}toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
+       |${p}pos AS (SELECT doc_id, t, i FROM ${p}toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
+       |${p}sh0 AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |       ELSE array_to_string(t, ' ') END AS shingle FROM ${p}pos)""".stripMargin
+
   private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None,
       src: String = "documents"): String = {
     val shingleSrc = maxDf match {
@@ -538,12 +561,8 @@ object SparkEntry {
            | WHERE df <= $cap)""".stripMargin
       case None => "sh0"
     }
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
-       |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-       |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
-       |sh0 AS (SELECT DISTINCT doc_id,
-       |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-       |       ELSE array_to_string(t, ' ') END AS shingle FROM pos),
+    s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+       |${shingleCtesSql(src)},
        |sh AS (SELECT doc_id, shingle FROM $shingleSrc),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
@@ -848,6 +867,16 @@ object SparkEntry {
          | FROM d)
          |SELECT doc_id, grp, (greatest(running, 1) - 1) // 512 AS bin,
          | n_tokens, running FROM r""".stripMargin,
+    "decontaminate" ->
+      s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+         |${shingleCtesSql("documents", "c")},
+         |${shingleCtesSql(
+        s"(SELECT doc_id, text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 5)", "v")},
+         |hits AS (
+         | SELECT c.doc_id AS doc_id, v.doc_id AS eval_id, count(*) AS n_shared
+         | FROM csh0 c JOIN vsh0 v ON c.shingle = v.shingle GROUP BY 1, 2)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits WHERE n_shared >= 5)""".stripMargin,
     "corpus_clean" -> {
       // the whole pipeline as ONE statement, assembled from the same
       // verified fragments the individual oracles use: quality + langid

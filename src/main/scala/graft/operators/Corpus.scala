@@ -64,6 +64,46 @@ object Corpus {
     docs.filter(hashBucket(col(idCol)) < pct)
   }
 
+  /**
+   * Benchmark-contamination pairs: corpus docs sharing at least
+   * `minOverlap` distinct word n-grams with an evaluation-set document.
+   * Returns (idCol, eval_id, n_shared).
+   *
+   * Decontamination differs from dedup in shape: the join is CROSS-dataset
+   * and wildly asymmetric — a 100 TB corpus against benchmark suites of
+   * thousands of docs — so the eval shingle set is BROADCAST
+   * (`broadcastEval`, on by default) and the corpus side streams map-only
+   * through the hash join; no corpus shuffle happens until the surviving
+   * (doc, eval) pairs are counted, a relation bounded by matches, not
+   * corpus size. Shingles are xxhash64'd to 8-byte longs on both sides
+   * before the distinct, like the Jaccard path. A deliberately common
+   * n-gram in an eval doc flags MANY corpus docs — for contamination that
+   * is signal, not skew to cap (minOverlap is the precision knob).
+   */
+  def contaminationPairs(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      minOverlap: Long = 5, textCol: String = "text", idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame = {
+    def hashedShingles(d: DataFrame) =
+      Dedup.shingleTable(d, n, textCol, idCol, dedup = false)
+        .select(col(idCol), xxhash64(col("shingle")).as("shingle")).distinct()
+    val ev = hashedShingles(evalDocs).withColumnRenamed(idCol, "eval_id")
+    hashedShingles(docs)
+      .join(if (broadcastEval) broadcast(ev) else ev, "shingle")
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /** The corpus with every contaminated doc removed — one anti-join on the
+    * distinct flagged ids (tiny vs corpus; AQE broadcasts it). */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      minOverlap: Long = 5, textCol: String = "text", idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame =
+    docs.join(
+      contaminationPairs(docs, evalDocs, n, minOverlap, textCol, idCol, broadcastEval)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Per-(doc, term) counts — the reusable base relation of every
     * term-statistics operator (tf-idf, df tables, vocabulary). One
     * explode + one map-side-combined aggregation. */

@@ -172,6 +172,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 
+  test("decontaminate: corpus docs overlapping the eval set drop; others survive") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"), // contains eval text
+      (1L, "entirely unrelated corpus content speaks of other things"),
+      (2L, "the quick brown fox appears briefly here")) // shares only 2 shingles
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val pairs = Corpus.contaminationPairs(corpus, ev, n = 3, minOverlap = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared")))
+    assert(pairs.toSeq == Seq((0L, 100L, 7L))) // eval doc has 7 shingles, all in doc 0
+    val kept = Corpus.decontaminate(corpus, ev, n = 3, minOverlap = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L)) // doc 2's 2-shingle brush is under the threshold
+  }
+
   test("semanticDedup: min id per cosine cluster survives, singletons untouched") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
