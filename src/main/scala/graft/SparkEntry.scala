@@ -421,6 +421,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))),
     "text_tfidf" -> ((s, dir) =>
       Corpus.tfidfTop(t(s, dir, "documents"), k = 3)),
+    "text_logprob" -> ((s, dir) =>
+      // statistical-LM quality proxy: mean unigram logprob under the
+      // corpus's own token distribution
+      Corpus.unigramLogProb(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
       // token-budget bin assignment (parallel next-fit over 8 hash groups)
       Corpus.packSequences(
@@ -855,6 +859,15 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM scored)
         |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "text_logprob" ->
+      """WITH terms AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        | FROM documents),
+        |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
+        |SELECT doc_id, round(avg(ln(cnt * 1.0 / total)), 6) AS logprob
+        |FROM terms JOIN counts USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          | SELECT doc_id, ${hashBucketSql("doc_id", 8)} AS grp,

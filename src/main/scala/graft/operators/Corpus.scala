@@ -193,6 +193,32 @@ object Corpus {
   }
 
   /**
+   * Corpus-statistics quality score: a document's mean unigram
+   * log-probability under the corpus's own token distribution,
+   * `avg(ln(count(token)/total_tokens))` over the doc's token instances.
+   * The poor man's LM perplexity filter — documents full of corpus-rare
+   * tokens (mojibake, hashes, boilerplate IDs) score very negative;
+   * stopword-heavy text scores high. Deterministic, model-free, and fully
+   * SQL-expressible (oracled as `text_logprob`), unlike a real LM pass.
+   *
+   * Scale shape: explode → vocab count (map-side combined; output =
+   * vocabulary size) → join back on term (AQE broadcasts the vocab when
+   * it fits; at open-vocabulary scale it stays a shuffle join keyed by
+   * term) → one groupBy(doc) average. Total arrives via broadcast 1-row
+   * agg; the whole plan is lazy.
+   */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    terms.join(counts, "term").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("cnt") / col("total"))), 6).as("logprob"))
+  }
+
+  /**
    * Sequence packing: assign each document to a token-budget bin, the
    * precursor to concatenating examples into fixed-length training
    * sequences. Exact bin packing is inherently sequential, so the scalable

@@ -67,6 +67,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.keys.map(_._2).max <= 2) // k bound
   }
 
+  test("unigramLogProb: corpus-rare tokens drag the score down") {
+    val docs = Seq(
+      (0L, "common common common common"),
+      (1L, "common common zzqy common")).toDF("doc_id", "text")
+    // corpus: common=7, zzqy=1, total=8
+    val out = Corpus.unigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logprob")).toMap
+    assert(out(0L) == math.round(math.log(7.0 / 8) * 1e6) / 1e6)
+    assert(out(1L) ==
+      math.round((3 * math.log(7.0 / 8) + math.log(1.0 / 8)) / 4 * 1e6) / 1e6)
+    assert(out(0L) > out(1L))
+  }
+
   test("packSequences: next-fit bins from running token totals; zero-token prefix safe") {
     // groups=1 puts every doc in one stream → hand-checkable bins
     val docs = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 0L), (4L, 25L))
@@ -170,6 +183,30 @@ class CorpusSpec extends AnyFunSuite {
     val out = Corpus.cleanCorpus(docs).collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(0L))
     assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
+  test("plan shapes: splits/sample/redaction are map-only; decontamination broadcasts eval") {
+    val docsPath = java.nio.file.Files.createTempDirectory("corpus_plan").toString
+    ids.withColumn("text", concat(lit("alpha beta gamma delta epsilon zeta eta doc "),
+      col("doc_id"))).write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+    // split / sample / redact: pure scan+project/filter — ZERO exchanges
+    // (the 100 TB claim: assigning splits costs nothing beyond the scan)
+    for (df <- Seq(
+        graft.operators.Corpus.splitAssign(docs),
+        graft.operators.Corpus.sampleByHash(docs, 10),
+        docs.select(TextFunctions.redactPii(col("text"))))) {
+      df.queryExecution.toRdd.count()
+      val nodes = SparkTestBase.planNodeNames(df)
+      assert(!nodes.exists(_.contains("Exchange")), s"unexpected shuffle in: $nodes")
+    }
+    // decontamination: eval side reaches the shingle join as a BROADCAST —
+    // the corpus side must NOT shuffle before the join
+    val ev = docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val pairs = Corpus.contaminationPairs(docs, ev, n = 3, minOverlap = 1)
+    pairs.queryExecution.toRdd.count()
+    val names = SparkTestBase.planNodeNames(pairs)
+    assert(names.exists(_.contains("BroadcastHashJoin")), s"no broadcast join in: $names")
   }
 
   test("decontaminate: corpus docs overlapping the eval set drop; others survive") {
