@@ -72,25 +72,31 @@ object Corpus {
    * Decontamination differs from dedup in shape: the join is CROSS-dataset
    * and wildly asymmetric — a 100 TB corpus against benchmark suites of
    * thousands of docs — so the eval shingle set is BROADCAST
-   * (`broadcastEval`, on by default) and the corpus side streams map-only
-   * through the hash join; no corpus shuffle happens until the surviving
-   * (doc, eval) pairs are counted, a relation bounded by matches, not
-   * corpus size. Shingles are xxhash64'd to 8-byte longs on both sides
-   * before the distinct, like the Jaccard path. A deliberately common
-   * n-gram in an eval doc flags MANY corpus docs — for contamination that
-   * is signal, not skew to cap (minOverlap is the precision knob).
+   * (`broadcastEval`, on by default) and the corpus side streams MAP-ONLY
+   * through the hash join: corpus shingles are deliberately NOT
+   * pre-distinct'd (that would shuffle the whole corpus before the join);
+   * instead the post-join aggregate counts DISTINCT shared shingles, so
+   * within-doc repetition dedups in the only shuffle of the plan — the
+   * (doc, eval, shingle) triples, bounded by matches, not corpus size.
+   * Shingles are xxhash64'd to 8-byte longs on both sides, like the
+   * Jaccard path. A deliberately common n-gram in an eval doc flags MANY
+   * corpus docs — for contamination that is signal, not skew to cap
+   * (minOverlap is the precision knob).
    */
   def contaminationPairs(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
       minOverlap: Long = 5, textCol: String = "text", idCol: String = "doc_id",
       broadcastEval: Boolean = true): DataFrame = {
     def hashedShingles(d: DataFrame) =
       Dedup.shingleTable(d, n, textCol, idCol, dedup = false)
-        .select(col(idCol), xxhash64(col("shingle")).as("shingle")).distinct()
-    val ev = hashedShingles(evalDocs).withColumnRenamed(idCol, "eval_id")
+        .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    // eval side IS distinct'd (it's tiny); with it unique, (doc, eval,
+    // shingle) multiplicity comes only from within-corpus-doc repetition,
+    // which countDistinct collapses — same result as distinct-both-sides
+    val ev = hashedShingles(evalDocs).distinct().withColumnRenamed(idCol, "eval_id")
     hashedShingles(docs)
       .join(if (broadcastEval) broadcast(ev) else ev, "shingle")
       .groupBy(col(idCol), col("eval_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)
   }
 

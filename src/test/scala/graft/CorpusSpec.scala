@@ -200,13 +200,28 @@ class CorpusSpec extends AnyFunSuite {
       val nodes = SparkTestBase.planNodeNames(df)
       assert(!nodes.exists(_.contains("Exchange")), s"unexpected shuffle in: $nodes")
     }
-    // decontamination: eval side reaches the shingle join as a BROADCAST —
-    // the corpus side must NOT shuffle before the join
-    val ev = docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    // decontamination: eval side reaches the shingle join as a BROADCAST,
+    // and the CORPUS side streams map-only into it — no shuffle exchange
+    // anywhere beneath a corpus scan (the only exchanges aggregate the
+    // post-join matches; the eval branch may shuffle, it is tiny)
+    val evPath = java.nio.file.Files.createTempDirectory("corpus_plan_ev").toString
+    docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(evPath)
+    val ev = spark.read.parquet(evPath)
     val pairs = Corpus.contaminationPairs(docs, ev, n = 3, minOverlap = 1)
     pairs.queryExecution.toRdd.count()
-    val names = SparkTestBase.planNodeNames(pairs)
-    assert(names.exists(_.contains("BroadcastHashJoin")), s"no broadcast join in: $names")
+    val plan = pairs.queryExecution.executedPlan
+    val joins = SparkTestBase.planSeq(plan).filter(_.nodeName.contains("BroadcastHashJoin"))
+    assert(joins.nonEmpty, s"no broadcast join in: ${SparkTestBase.planNodeNames(pairs)}")
+    // the join's STREAMED side is the corpus scan with no shuffle between
+    val streamed = SparkTestBase.planSeq(joins.head.children.head)
+    assert(streamed.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.exists(_.metadata.get("Location").exists(_.contains(docsPath))),
+      "streamed join side is not the corpus scan")
+    assert(!streamed.exists(p =>
+      p.nodeName.contains("Exchange") && !p.nodeName.contains("Broadcast")),
+      s"corpus-side shuffle below the contamination join: ${streamed.map(_.nodeName)}")
   }
 
   test("decontaminate: corpus docs overlapping the eval set drop; others survive") {
