@@ -451,6 +451,17 @@ object SparkEntry {
       raw.select(Seq(col("pii_id"),
         TextFunctions.redactPii(col("text")).as("redacted")) ++ counts: _*)
     }),
+    // --- time series: as-of join (clicks annotated with latest purchase) ---
+    "events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.TimeSeries
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
+        .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
+    }),
     // --- sessionization (gap-based; batch form of the streaming op) ---
     "events_sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)))
@@ -929,6 +940,13 @@ object SparkEntry {
          | $counts
          |FROM read_parquet('${Fixtures.PiiParquet}/*.parquet')""".stripMargin
     },
+    "events_asof" ->
+      // DuckDB's native ASOF JOIN oracles the union+window Spark shape
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |          WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, ts, value, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),

@@ -254,6 +254,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Set(0L, 2L)) // 1 collapsed into 0, 3 into 2
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key, inclusive ties") {
+    import graft.operators.TimeSeries
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), // key 10 at t=100,205,300
+      (4L, 20L, 150L), // key 20: no prior right row at t=150
+      (5L, 20L, 210L))
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, 100L, 1.0), (10L, 200L, 2.0), (10L, 205L, 3.0), // tie with left t=205
+      (20L, 200L, 9.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("v_asof")).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(
+      1L -> Some(1.0), // exact-ts match is inclusive
+      2L -> Some(3.0), // tie at 205 → the right row at the same ts wins
+      3L -> Some(3.0), // latest of the three right rows
+      4L -> None,      // nothing at-or-before t=150 for key 20
+      5L -> Some(9.0)))
+  }
+
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus: two near-identical docs + two unrelated; banded table persisted
