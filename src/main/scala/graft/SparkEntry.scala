@@ -462,6 +462,20 @@ object SparkEntry {
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
         .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
     }),
+    "events_range" -> ((s, dir) => {
+      // interval join via time bucketing: clicks within 10 minutes after
+      // a purchase by the same user (equi-join on (user, bucket), exact
+      // range filter after — no nested loop)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("wstart"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("wend"))
+      graft.operators.TimeSeries
+        .rangeJoin(clicks, windows, Seq("user_id"), "ts", "wstart", "wend")
+        .select(col("event_id"), col("purchase_id"), col("user_id"), col("ts"))
+    }),
     // --- sessionization (gap-based; batch form of the streaming op) ---
     "events_sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)))
@@ -947,6 +961,16 @@ object SparkEntry {
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "events_range" ->
+      // plain inequality join — hash parity proves the Spark-side
+      // bucketing is lossless
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, p.purchase_id, c.user_id, c.ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |WHERE c.ts >= p.pts AND c.ts <= p.pts + INTERVAL '10 minutes'""".stripMargin,
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, ts, value, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),

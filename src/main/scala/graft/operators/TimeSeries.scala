@@ -48,4 +48,40 @@ object TimeSeries {
       df.withColumn(v + suffix, last(col(v + suffix), ignoreNulls = true).over(w))
     }.filter(col("__src") === 1).drop("__src")
   }
+
+  /**
+   * Keyed interval (range) join: every (left, right) pair on the same key
+   * with `left.ts ∈ [right.start, right.end]` (inclusive both ends).
+   *
+   * Spark plans a raw `BETWEEN` join condition as an equi-join on the key
+   * with the range as a post-join filter — fine — but with NO key (or a
+   * hot key) it degrades to a nested loop over every (event, interval)
+   * pair. The scalable shape buckets time into `bucketSeconds` cells:
+   * each left row lands in exactly ONE bucket, each right interval
+   * EXPLODES into the buckets it covers (sized so that's a handful), and
+   * the join becomes a plain equi-join on (key, bucket) + exact range
+   * filter. Each qualifying pair emerges exactly once — the left row has
+   * one bucket, and the interval covers it once — so no dedup pass.
+   * Choose `bucketSeconds` ≈ the typical interval length: shorter wastes
+   * join fan-out, longer packs too many rows per cell.
+   *
+   * The oracle (`events_range`) states the plain inequality join in
+   * DuckDB — hash parity proves the bucketing is lossless.
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long = 600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // UTC-session epoch seconds; internal only (any monotonic mapping
+    // works — the oracle never sees the buckets)
+    def sec(c: org.apache.spark.sql.Column) =
+      unix_seconds(c.cast("timestamp"))
+    val lB = left.withColumn("__bucket", floor(sec(col(tsCol)) / bucketSeconds))
+    val rB = right.withColumn("__bucket",
+      explode(sequence(floor(sec(col(startCol)) / bucketSeconds),
+        floor(sec(col(endCol)) / bucketSeconds))))
+    lB.join(rB, keyCols :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
 }

@@ -276,6 +276,27 @@ class CorpusSpec extends AnyFunSuite {
       5L -> Some(9.0)))
   }
 
+  test("rangeJoin: inclusive bounds, multi-bucket intervals, keys isolate") {
+    import graft.operators.TimeSeries
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 00:00:00")), // == start: inclusive
+      (2L, 10L, t("2024-01-01 00:05:00")), // inside
+      (3L, 10L, t("2024-01-01 00:10:00")), // == end: inclusive
+      (4L, 10L, t("2024-01-01 00:10:01")), // just past end
+      (5L, 20L, t("2024-01-01 00:05:00"))) // other key, same time window
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, 7L, t("2024-01-01 00:00:00"), t("2024-01-01 00:10:00")))
+      .toDF("k", "interval_id", "wstart", "wend")
+    // bucketSeconds=60 << the 10-min interval: it must explode across 11
+    // buckets and still emit each qualifying pair exactly once
+    val out = TimeSeries.rangeJoin(left, right, Seq("k"), "ts", "wstart", "wend",
+      bucketSeconds = 60).collect()
+    assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(out.length == 3) // exactly once each, despite 11 bucket replicas
+  }
+
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus: two near-identical docs + two unrelated; banded table persisted
