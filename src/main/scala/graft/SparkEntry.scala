@@ -462,6 +462,17 @@ object SparkEntry {
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
         .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
     }),
+    "events_props" -> ((s, dir) =>
+      // semi-structured path: typed JSON extraction with from_json (schema
+      // known → codegen'd struct access, no per-row JSON re-parse per field)
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
     "events_range" -> ((s, dir) => {
       // interval join via time bucketing: clicks within 10 minutes after
       // a purchase by the same user (equi-join on (user, bucket), exact
@@ -961,6 +972,12 @@ object SparkEntry {
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "events_props" ->
+      """SELECT event_type, count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
+        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_range" ->
       // plain inequality join — hash parity proves the Spark-side
       // bucketing is lossless
