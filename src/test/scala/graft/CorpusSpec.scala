@@ -297,6 +297,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length == 3) // exactly once each, despite 11 bucket replicas
   }
 
+  test("corpus ops are streaming-safe: split+redact+langId run in a readStream pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    // stateless projections compose into structured streaming untouched
+    val q = Corpus.splitAssign(in.toDS().toDF())
+      .withColumn("redacted", TextFunctions.redactPii(col("text")))
+      .withColumn("pred_lang", TextFunctions.langId(col("text")))
+      .select("doc_id", "split", "redacted", "pred_lang")
+      .writeStream.format("memory").queryName("corpus_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(ProbeDoc(1L, "email bob@example.com and the word the"),
+        ProbeDoc(2L, "der hund ist nicht das katze und"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("corpus_stream_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[String]("redacted"), r.getAs[String]("pred_lang")))
+      .toMap
+    assert(rows(1L)._2 == "email <EMAIL> and the word the" && rows(1L)._3 == "en")
+    assert(rows(2L)._3 == "de")
+    // streaming assignments match the batch operator exactly
+    val batch = Corpus.splitAssign(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(rows.view.mapValues(_._1).toMap == batch)
+  }
+
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus: two near-identical docs + two unrelated; banded table persisted
