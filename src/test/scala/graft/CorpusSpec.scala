@@ -297,6 +297,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length == 3) // exactly once each, despite 11 bucket replicas
   }
 
+  test("asofJoin and rangeJoin match brute force on randomized inputs") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      // small key/ts space forces collisions, ties, and empty matches;
+      // right rows unique per (key, ts) per the operator contract
+      val left = (1 to 60).map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+      val right = rnd.shuffle(
+        (for (k <- 0 to 3; t <- 0 to 39) yield (k.toLong, t.toLong)).toSeq)
+        .take(25).map { case (k, t) => (k, t, rnd.nextDouble()) }
+      val lDf = left.toDF("event_id", "k", "t")
+      val rDf = right.toDF("k", "t", "v")
+      // as-of: latest right at-or-before, per key
+      val asof = TimeSeries.asofJoin(lDf, rDf, Seq("k"), "t", Seq("v"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v_asof"))).toMap
+      for ((id, k, t) <- left) {
+        val expect = right.filter(p => p._1 == k && p._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(asof(id) == expect, s"asof round $round id=$id k=$k t=$t")
+      }
+      // range: every pair within [start, start+7], via 3-second buckets
+      val rWin = rDf.withColumn("wend", col("t") + 7)
+        .select(col("k"), col("t").as("wstart"), col("wend"), col("v"))
+      val got = TimeSeries.rangeJoin(lDf, rWin, Seq("k"), "t", "wstart", "wend",
+          bucketSeconds = 3)
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("v"))).sorted.toSeq
+      val want = (for ((id, k, t) <- left; (rk, rt, v) <- right
+        if rk == k && t >= rt && t <= rt + 7) yield (id, v)).sorted
+      assert(got == want, s"range round $round")
+    }
+  }
+
   test("corpus ops are streaming-safe: split+redact+langId run in a readStream pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
