@@ -419,6 +419,11 @@ object SparkEntry {
       // any cluster layout (unlike DataFrame.sample)
       Corpus.sampleByHash(t(s, dir, "documents"), pct = 10)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "sample_stratified" -> ((s, dir) =>
+      // rebalancing sample: downsample dominant English, keep the tail
+      Corpus.sampleStratified(t(s, dir, "documents"), "lang",
+        Map("en" -> 20, "zh" -> 60), defaultPct = 90)
+        .select(col("doc_id"), col("lang"))),
     "text_tfidf" -> ((s, dir) =>
       Corpus.tfidfTop(t(s, dir, "documents"), k = 3)),
     "text_logprob" -> ((s, dir) =>
@@ -881,6 +886,10 @@ object SparkEntry {
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hashBucketSql("doc_id", 100)} < 10""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hashBucketSql("doc_id", 100)} <
+         |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 60 ELSE 90 END""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (

@@ -65,6 +65,26 @@ object Corpus {
   }
 
   /**
+   * Stratified deterministic sampling: a per-stratum percentage (e.g.
+   * downsample the dominant language, keep the tail whole) — the corpus
+   * REBALANCING primitive. Same hash contract as [[sampleByHash]]
+   * (engine/partitioning/growth stable), and because the hash ignores the
+   * stratum, a doc sampled at 10% stays sampled when its stratum's rate
+   * rises — rate changes only ADD or REMOVE the delta, never reshuffle
+   * the kept set. Still a pure filter: map-only, pushdown-friendly.
+   */
+  def sampleStratified(docs: DataFrame, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0,
+      idCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"rates must be in [0,100]: $rates default=$defaultPct")
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === lit(k), lit(p)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol)) < pct)
+  }
+
+  /**
    * Benchmark-contamination pairs: corpus docs sharing at least
    * `minOverlap` distinct word n-grams with an evaluation-set document.
    * Returns (idCol, eval_id, n_shared).

@@ -51,6 +51,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.sampleByHash(ids, 100).count() == 1000)
   }
 
+  test("sampleStratified: per-stratum rates; raising a rate only adds rows") {
+    val docs = ids.withColumn("stratum",
+      when(col("doc_id") % 2 === 0, "big").otherwise("small"))
+    val out = Corpus.sampleStratified(docs, "stratum", Map("big" -> 10), defaultPct = 80)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("big") < 100 && out("small") > 320) // ~10% of 500 vs ~80% of 500
+    // monotonicity: the 10% kept set is a subset of the 30% kept set
+    def kept(p: Int) = Corpus.sampleStratified(docs, "stratum", Map("big" -> p),
+      defaultPct = 0).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept(10).subsetOf(kept(30)))
+  }
+
   test("tfidfTop: rare terms outrank corpus-wide terms; ubiquitous terms score 0") {
     val docs = Seq(
       (0L, "apple banana banana"),
