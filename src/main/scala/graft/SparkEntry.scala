@@ -426,6 +426,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "text_tfidf" -> ((s, dir) =>
       Corpus.tfidfTop(t(s, dir, "documents"), k = 3)),
+    "text_entropy" -> ((s, dir) =>
+      // distribution-shape quality signal: ~0 = one token repeated
+      Corpus.tokenEntropy(t(s, dir, "documents"))),
+    "dedup_containment" -> ((s, dir) =>
+      // asymmetric near-dup: a template inside a long doc scores 1.0 here
+      // where Jaccard sees ~0
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), n = 3,
+        minContainment = 0.6)),
     "text_logprob" -> ((s, dir) =>
       // statistical-LM quality proxy: mean unigram logprob under the
       // corpus's own token distribution
@@ -597,8 +605,11 @@ object SparkEntry {
        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |       ELSE array_to_string(t, ' ') END AS shingle FROM ${p}pos)""".stripMargin
 
-  private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None,
-      src: String = "documents"): String = {
+  /** Exact set-overlap oracle skeleton shared by the Jaccard and
+    * containment statements — `scoreExpr` ranges over `ni` (intersection),
+    * `x.n_sh` / `y.n_sh` (set sizes of id_a / id_b). */
+  private def overlapSql(scoreExpr: String, alias: String, minScore: Double,
+      maxDf: Option[Long], src: String): String = {
     val shingleSrc = maxDf match {
       case Some(cap) =>
         s"""(SELECT doc_id, shingle FROM (
@@ -613,12 +624,16 @@ object SparkEntry {
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, jaccard FROM (
-       |  SELECT id_a, id_b,
-       |    round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6) AS jaccard
+       |SELECT id_a, id_b, $alias FROM (
+       |  SELECT id_a, id_b, $scoreExpr AS $alias
        |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
-       |WHERE jaccard >= $minJaccard""".stripMargin
+       |WHERE $alias >= $minScore""".stripMargin
   }
+
+  private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None,
+      src: String = "documents"): String =
+    overlapSql("round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6)", "jaccard",
+      minJaccard, maxDf, src)
 
   private val oracleJaccardSql = jaccardSql(0.5)
 
@@ -904,6 +919,18 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM scored)
         |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "text_entropy" ->
+      """WITH tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents) GROUP BY doc_id, term)
+        |SELECT doc_id,
+        | round(ln(CAST(sum(c) AS BIGINT)) - sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6)
+        |   AS entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      overlapSql("round(ni * 1.0 / least(x.n_sh, y.n_sh), 6)", "containment",
+        0.6, None, "documents"),
     "text_logprob" ->
       """WITH terms AS (
         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -245,6 +245,21 @@ object Corpus {
   }
 
   /**
+   * Per-document token Shannon entropy (nats): H = ln(n) − Σ c·ln(c) / n
+   * over token counts c, total n — the distribution-shape quality signal
+   * that length and distinct-ratio miss: near-zero entropy = one token
+   * repeated (spam/padding), high entropy with low [[unigramLogProb]] =
+   * random noise. One explode + one aggregation; the identity form keeps
+   * it a single agg pass (no second join against per-doc totals).
+   */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    termFrequencies(docs, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(round(log(sum(col("tf"))) -
+        sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"))
+
+  /**
    * Sequence packing: assign each document to a token-budget bin, the
    * precursor to concatenating examples into fixed-length training
    * sequences. Exact bin packing is inherently sequential, so the scalable

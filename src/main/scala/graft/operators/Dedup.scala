@@ -401,12 +401,39 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
       textCol: String = "text", idCol: String = "doc_id",
-      maxDf: Option[Long] = None): DataFrame = {
-    // shingle key = xxhash64(shingle), hashed BEFORE the distinct: every
-    // exchange in this operator (set-dedup, df window, self-join) then
-    // carries an 8-byte long instead of ~20-byte text. Set semantics are
-    // unchanged up to 64-bit collisions (~n²/2⁶⁴ — vanishing at any real
-    // corpus size, and the oracle compare would catch one at test scale).
+      maxDf: Option[Long] = None): DataFrame =
+    shingleOverlapPairs(docs, n, textCol, idCol, maxDf)
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /**
+   * Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — 1.0 when
+   * the smaller shingle set lies entirely inside the larger. Catches what
+   * Jaccard structurally cannot: a short boilerplate template embedded in
+   * a long document scores J = |T|/|D| ≈ 0 but containment = 1. Same
+   * candidate machinery (inverted-index join, df cap), same oracle
+   * skeleton, different final formula.
+   */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
+      minContainment: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id", maxDf: Option[Long] = None): DataFrame =
+    shingleOverlapPairs(docs, n, textCol, idCol, maxDf)
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Shared candidate machinery for the exact set-overlap family:
+    * (id_a, id_b, n_inter, n_a, n_b) for every doc pair sharing ≥1
+    * (df-capped) shingle, id_a < id_b. Shingle keys are xxhash64'd BEFORE
+    * the distinct so every exchange (set-dedup, df window, self-join)
+    * carries an 8-byte long instead of ~20-byte text; set semantics are
+    * unchanged up to 64-bit collisions (~n²/2⁻⁶⁴ — vanishing at any real
+    * corpus size, and the oracle compare would catch one at test scale). */
+  private def shingleOverlapPairs(docs: DataFrame, n: Int, textCol: String,
+      idCol: String, maxDf: Option[Long]): DataFrame = {
     val shAll = shingleTable(docs, n, textCol, idCol, dedup = false)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .distinct()
@@ -420,16 +447,11 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+    a.join(b, col("a.shingle") === col("b.shingle") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
       .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "n_sh" -> "n_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "n_sh" -> "n_b")), "id_b")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

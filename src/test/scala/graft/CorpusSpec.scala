@@ -80,6 +80,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.keys.map(_._2).max <= 2) // k bound
   }
 
+  test("tokenEntropy: zero for repetition, ln(k) for uniform k tokens") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"),
+      (1L, "one two three four")).toDF("doc_id", "text")
+    val out = Corpus.tokenEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(out(0L) == 0.0)
+    assert(out(1L) == math.round(math.log(4.0) * 1e6) / 1e6)
+  }
+
+  test("ngramContainmentPairs: embedded template scores 1.0 where Jaccard is low") {
+    val tpl = "please unsubscribe from this mailing list here"
+    val docs = Seq(
+      (0L, tpl), // the template itself: 7 tokens → 5 shingles
+      (1L, s"a very long and entirely different document body follows now $tpl"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(cont((0L, 1L)) == 1.0) // every template shingle inside doc 1
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5).collect()
+    assert(jac.isEmpty) // Jaccard can't see it: |T|/|D| under threshold
+  }
+
   test("unigramLogProb: corpus-rare tokens drag the score down") {
     val docs = Seq(
       (0L, "common common common common"),
