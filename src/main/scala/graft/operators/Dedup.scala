@@ -123,17 +123,29 @@ object Dedup {
    * occupancy above `cap` leave the candidate space BEFORE the join; a
    * genuine near-dup pair caught only by a hot band survives via its other
    * bands (identical docs share ALL bands by construction — run `exact`
-   * first so they never reach LSH at all). The count is a window over the
-   * same bucket-key partitioning the self-join needs, so no extra exchange
-   * shape is introduced.
+   * first so they never reach LSH at all).
+   *
+   * The valve itself must be SKEW-PROOF — it exists precisely for the
+   * degenerate bucket, so it must not buffer that bucket anywhere. A
+   * window count (`count().over(partitionBy(bucket))`) would: WindowExec
+   * buffers its whole partition in one task, i.e. the exact 100M-row
+   * boilerplate bucket the cap is guarding against becomes a multi-GB
+   * single-task spill INSIDE the guard. Instead, occupancy comes from a
+   * map-side-combined `groupBy(bucket).count()` — reducers receive at most
+   * one partial count per map task, never the raw rows — and the over-cap
+   * key list (tiny by construction: at most totalRows/cap keys exceed the
+   * cap) broadcasts into a LEFT ANTI join that drops hot-bucket rows
+   * map-only. No task ever holds a bucket's rows; plan-asserted
+   * window-free in TrainingDataOpsSpec.
    */
   private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
       cap: Option[Long]): DataFrame = cap match {
     case Some(c) =>
-      import org.apache.spark.sql.expressions.Window
-      banded
-        .withColumn("__occ", count(lit(1)).over(Window.partitionBy(bucketCols.map(col): _*)))
-        .filter(col("__occ") <= c).drop("__occ")
+      val overCap = banded.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") > c)
+        .select(bucketCols.map(col): _*)
+      banded.join(broadcast(overCap), bucketCols, "left_anti")
     case None => banded
   }
 
@@ -396,8 +408,9 @@ object Dedup {
    * consistently over the CAPPED shingle space (sizes and intersections
    * both exclude hot shingles), keeping the score exact for the space it's
    * defined on and the whole result SQL-expressible/oracle-checkable. The
-   * df filter is a window count partitioned by shingle — the same hash
-   * partitioning the self-join needs, so no extra exchange.
+   * df filter is a map-side-combined grouped count + broadcast anti-join
+   * of the (tiny) over-cap shingle list — skew-proof like [[capBuckets]]:
+   * no task ever buffers a hot shingle's posting list.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
       textCol: String = "text", idCol: String = "doc_id",
@@ -437,11 +450,19 @@ object Dedup {
     val shAll = shingleTable(docs, n, textCol, idCol, dedup = false)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .distinct()
+    // df cap via groupBy + broadcast anti-join, NOT a window count: the cap
+    // targets the 1M-doc boilerplate shingle, and a window partitioned by
+    // shingle would buffer exactly that posting list in one task. The
+    // grouped count map-side-combines; the over-cap shingle list (≤
+    // totalRows/cap keys) broadcasts; hot shingles drop map-only. The
+    // shAll subtree feeds both join sides, but its distinct() exchange is
+    // identical on each — AQE exchange reuse evaluates it once.
     val sh = maxDf match {
       case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        shAll.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-          .filter(col("__df") <= cap).drop("__df")
+        val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap)
+          .select(col("shingle"))
+        shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => shAll
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))

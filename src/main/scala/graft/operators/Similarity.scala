@@ -230,9 +230,11 @@ object Similarity {
    * IVF (inverted-file) ANN index — the k-means alternative to hyperplane
    * LSH: vectors are assigned to their nearest centroid's cell; a query
    * probes only its `nProbe` nearest cells. Training is deterministic
-   * GIVEN a fixed partitioning: seeds = the `nCells` corpus vectors with
+   * GIVEN a fixed partitioning: seeds = the `nCells` training vectors with
    * smallest xxhash64(id) (a reproducible pseudo-random sample — no RNG
-   * state), refined by `iters` Lloyd rounds. The mean update is a
+   * state), refined by `iters` Lloyd rounds over the training set —
+   * `trainPct` < 100 trains on a deterministic hash sample and is the
+   * 100 TB path (see the body note). The mean update is a
    * distributed avg() over doubles, so centroids are reproducible per
    * session but NOT bit-identical across different cluster layouts
    * (float summation order follows partitioning; a near-tie vector can
@@ -256,14 +258,31 @@ object Similarity {
    * fixes its buckets a priori. Both persist the same way.
    */
   def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
-      vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      trainPct: Int = 100): IvfIndex = {
+    require(trainPct > 0 && trainPct <= 100, s"trainPct must be in (0,100]: $trainPct")
     val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
+    // SAMPLE-TRAINED at scale: each Lloyd round is a full scan of its
+    // training set (broadcast cross-join + two aggs), so `iters` rounds
+    // over a 100 TB corpus pay `iters` corpus scans for centroids that a
+    // deterministic hash sample (Corpus.sampleByHash — engine/partitioning/
+    // growth stable, a pushdown-friendly filter) estimates just as well:
+    // k-means cells only need the sample to dwarf nCells. The one
+    // FULL-corpus pass left is the final cell assignment, which every
+    // build needs anyway. trainPct=100 (default) trains on everything —
+    // identical to the pre-sampling behavior; correctness of serving never
+    // depends on WHICH centroids trained (the full-probe oracle
+    // `sim_topk_ivf_full` equals brute force for any centroids).
+    val trainSet = if (trainPct >= 100) prepped
+      else Corpus.sampleByHash(prepped, trainPct, idCol)
     // deterministic seed sample, stable cell numbering by seed id
-    val seeds = prepped.select(col(idCol), col("__unit"))
+    val seeds = trainSet.select(col(idCol), col("__unit"))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    require(seeds.length == nCells,
+      s"training set has only ${seeds.length} vectors for $nCells cells — raise trainPct")
     var centroids = seeds
-    val unitVecs = prepped.select(col(idCol), col("__unit").as(vecCol),
+    val unitVecs = trainSet.select(col(idCol), col("__unit").as(vecCol),
       col("__unit"), lit(1.0).as("nrm"))
     for (_ <- 0 until iters) {
       // Lloyd rounds train in the unit space: means of unit vectors

@@ -299,6 +299,40 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       "IVF probe must prune cell partitions")
   }
 
+  test("sample-trained IVF: full probe stays exact; nProbe recall near full-trained") {
+    // clustered corpus (8 anchor directions, 25 vectors each): centroids
+    // estimated from a 40% deterministic hash sample should serve nProbe
+    // probes about as well as full-corpus training
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val many = (0 until 200).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, a.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.buildIvfIndex(many, nCells = 8, iters = 2)
+    val sampled = Similarity.buildIvfIndex(many, nCells = 8, iters = 2, trainPct = 40)
+    // full probe degrades exactly to brute force REGARDLESS of which
+    // vectors trained the centroids — the invariant the oracle leans on
+    val q0 = many.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pairs(Similarity.topKIvf(sampled, q0, k = 5, nProbe = 8)) ==
+      pairs(Similarity.topK(many, q0, k = 5)))
+    def recall(idx: Similarity.IvfIndex): Double = {
+      val qids = Seq(0L, 3L, 7L, 10L)
+      qids.map { qid =>
+        val q = many.filter(col("vec_id") === qid).head.getSeq[Float](1)
+        val exact = Similarity.topK(many, q, k = 10).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        val ann = Similarity.topKIvf(idx, q, k = 10, nProbe = 4).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        exact.intersect(ann).size.toDouble / 10
+      }.sum / qids.size
+    }
+    val (rf, rs) = (recall(full), recall(sampled))
+    assert(rs >= rf - 0.2, s"sample-trained recall $rs too far below full-trained $rf")
+  }
+
   test("k-NN join: per-query top-k equals per-vector topK; LSH variant finds planted pair") {
     val queries = vecs.filter(col("vec_id") < 2)
       .select(col("vec_id").as("q_id"), col("embedding"))
@@ -359,6 +393,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val capped = Dedup.minhashLshPairsFromBanded(banded, maxBucket = Some(10L)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(capped == Seq((1L, 2L, 1L)))
+  }
+
+  test("cap valves are skew-proof: no window buffers the degenerate partition") {
+    // The guard exists FOR the degenerate bucket — so the guard itself must
+    // never funnel that bucket into one task. Skew-proof shape: grouped
+    // occupancy count (map-side combined) + broadcast anti-join of the
+    // over-cap keys. Assert the executed plans carry no Window node and
+    // that the anti-join is a broadcast build.
+    val hot = (0L until 100L).map(i => (i, 0, 999L))
+    val banded = (hot ++ Seq((1L, 1, 7L), (2L, 1, 7L))).toDF("doc_id", "band", "bucket")
+    val capped = Dedup.minhashLshPairsFromBanded(banded, maxBucket = Some(10L))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val nodes = SparkTestBase.planNodeNames(capped)
+    assert(!nodes.exists(_.contains("Window")), s"occupancy valve planned a window: $nodes")
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"over-cap key list must broadcast into the anti-join: $nodes")
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.01, maxDf = Some(2L))
+    jac.collect()
+    val jNodes = SparkTestBase.planNodeNames(jac)
+    assert(!jNodes.exists(_.contains("Window")), s"df valve planned a window: $jNodes")
+    assert(jNodes.exists(_.contains("BroadcastHashJoin")))
   }
 
   test("maxBucket: simhash boilerplate clones capped; genuine pair survives") {
