@@ -444,6 +444,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         budget = 512, groups = 8)),
+    "chunk_docs" -> ((s, dir) =>
+      // budget-sized document pieces (sequence+explode+slice, map-only);
+      // chunks concatenate back to the ws-normalized original
+      Corpus.chunkDocs(t(s, dir, "documents"), budget = 64)),
+    "pack_chunks" -> ((s, dir) =>
+      // chunk first, then pack the pieces: every packed unit fits the
+      // budget, so no unit straddles more than one bin boundary
+      Corpus.packSequences(
+        Corpus.chunkDocs(t(s, dir, "documents"), budget = 64),
+        budget = 64, groups = 8, tokenCol = "n_tokens", idCol = "chunk_id")),
     "decontaminate" -> ((s, dir) => {
       // benchmark decontamination: a deterministic 5% hash sample stands
       // in as the "eval set"; corpus docs sharing >= 5 word-3-grams with
@@ -458,6 +468,16 @@ object SparkEntry {
       // the flagship composition: quality gate → language gate → exact-dup
       // collapse → near-dup survivors → split assignment, end-to-end
       Corpus.cleanCorpus(t(s, dir, "documents"))),
+    "corpus_clean_full" -> ((s, dir) => {
+      // the PRODUCTION clean: everything corpus_clean runs PLUS
+      // decontamination against a 5% hash-sample "eval set", PII redaction
+      // of the surviving text, and stratified source rebalancing
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(Corpus.hashBucket(col("doc_id")) < 5)
+        .select(col("doc_id"), col("text"))
+      Corpus.cleanCorpus(docs, evalDocs = Some(ev), redact = true,
+        strata = Some(("source", Map("src18" -> 40, "src7" -> 40), 90)))
+    }),
     "pii_redact" -> ((s, _) => {
       val raw = s.read.parquet(Fixtures.PiiParquet)
       val counts = TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
@@ -548,6 +568,21 @@ object SparkEntry {
   /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id), mod N. */
   private def hashBucketSql(idCol: String, buckets: Int): String =
     s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $buckets"
+
+  /** Shared chunking CTEs (nums/toks/ch) — the DuckDB twin of
+    * `Corpus.chunkDocs(documents, budget = 64)`. DuckDB list slices are
+    * 1-based inclusive and clip out-of-range, exactly like Spark's
+    * `slice(arr, start, length)`; the nums join replaces the lateral
+    * `generate_series` DuckDB can't drive from a column. */
+  private val chunkDocsSql =
+    s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(0, 4095)),
+       |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |ch AS (
+       | SELECT doc_id, i AS chunk,
+       |  printf('%s#%05d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
+       |  array_to_string(t[i*64+1 : i*64+64], ' ') AS chunk_text,
+       |  CAST(len(t[i*64+1 : i*64+64]) AS BIGINT) AS n_tokens
+       | FROM toks JOIN nums ON i <= greatest(len(t) - 1, 0) // 64)""".stripMargin
 
   /** Per-language stopword hit-count columns (one per StopwordSets entry). */
   private val langHitsSql = TextFunctions.StopwordSets.map { case (lang, words) =>
@@ -952,6 +987,18 @@ object SparkEntry {
          | FROM d)
          |SELECT doc_id, grp, (greatest(running, 1) - 1) // 512 AS bin,
          | n_tokens, running FROM r""".stripMargin,
+    "chunk_docs" ->
+      (chunkDocsSql + "\nSELECT doc_id, chunk, chunk_id, chunk_text, n_tokens FROM ch"),
+    "pack_chunks" ->
+      s"""${chunkDocsSql},
+         |d AS (SELECT chunk_id, ${hashBucketSql("chunk_id", 8)} AS grp, n_tokens FROM ch),
+         |r AS (
+         | SELECT chunk_id, grp, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         | FROM d)
+         |SELECT chunk_id, grp, (greatest(running, 1) - 1) // 64 AS bin,
+         | n_tokens, running FROM r""".stripMargin,
     "decontaminate" ->
       s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
          |${shingleCtesSql("documents", "c")},
@@ -984,6 +1031,47 @@ object SparkEntry {
          |      ELSE 'test' END AS split
          |FROM (SELECT doc_id, ${hashBucketSql("doc_id", 100)} AS bucket FROM e
          |      WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster))""".stripMargin
+    },
+    "corpus_clean_full" -> {
+      // corpus_clean + the production stages in the same ONE statement:
+      // decontamination (shared shingle CTEs vs the 5% eval sample), PII
+      // redaction of the surviving text (shared PiiPatterns chain), and
+      // stratified source rebalancing (shared hash-bucket expr)
+      val jac = jaccardSql(0.5, src = "e")
+      val redacted = TextFunctions.PiiPatterns.foldLeft("text") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      val rateCase = "CASE WHEN source = 'src18' THEN 40 " +
+        "WHEN source = 'src7' THEN 40 ELSE 90 END"
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, text, source FROM (
+         |  SELECT doc_id, text, source, $langHitsSql FROM documents
+         |  WHERE CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= 10
+         |    AND round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+         |        greatest(length(text), 1), 6) <= 0.3)
+         | WHERE ($langCaseSql) = 'en'),
+         |e AS (SELECT doc_id, text, source FROM q
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+         |pairs AS ($jac),
+         |$ccCtesSql,
+         |surv AS (SELECT doc_id, text, source FROM e
+         |         WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)),
+         |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+         |${shingleCtesSql("surv", "c")},
+         |${shingleCtesSql(
+        s"(SELECT doc_id, text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 5)", "v")},
+         |hits AS (
+         | SELECT c.doc_id AS doc_id, v.doc_id AS eval_id, count(*) AS n_shared
+         | FROM csh0 c JOIN vsh0 v ON c.shingle = v.shingle GROUP BY 1, 2),
+         |decon AS (SELECT doc_id, text, source FROM surv
+         |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits WHERE n_shared >= 5)),
+         |bal AS (SELECT doc_id, $redacted AS text,
+         |   ${hashBucketSql("doc_id", 100)} AS bucket FROM decon
+         |  WHERE ${hashBucketSql("doc_id", 100)} < $rateCase)
+         |SELECT doc_id, text, bucket,
+         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM bal""".stripMargin
     },
     "pii_redact" -> {
       // redaction chain + per-pattern counts generated from PiiPatterns —

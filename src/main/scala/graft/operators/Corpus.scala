@@ -200,22 +200,56 @@ object Corpus {
    * each re-run the regex-heavy gates over the full corpus — measured
    * 5.5× slower at sf0.1 when left as pure lineage.
    */
+  /**
+   * Optional production stages (each default-off keeps the base
+   * composition byte-identical to the `corpus_clean` oracle):
+   *  - `evalDocs`: decontamination — near-dup survivors sharing ≥
+   *    `evalMinOverlap` word n-grams with any eval doc are dropped
+   *    ([[decontaminate]]: eval shingles broadcast, corpus side map-only);
+   *  - `redact`: PII scrub of the surviving text
+   *    ([[TextFunctions.redactPii]] — a codegen'd regexp_replace chain in
+   *    the output projection), and the redacted `textCol` joins the
+   *    output so redaction is part of the hash-verified result;
+   *  - `strata`: (column, rates, defaultPct) stratified rebalancing
+   *    ([[sampleStratified]] — a map-only hash filter), e.g. downsample
+   *    the dominant source. The strata column is carried through the
+   *    pipeline only when requested.
+   * All four stages on are hash-verified end-to-end by the
+   * `corpus_clean_full` one-statement oracle.
+   */
   def cleanCorpus(docs: DataFrame, lang: String = "en", minTokens: Long = 10,
       maxDigitRatio: Double = 0.3, n: Int = 3, minJaccard: Double = 0.5,
       maxDf: Option[Long] = None, textCol: String = "text",
-      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
+      idCol: String = "doc_id", checkpointDir: Option[String] = None,
+      evalDocs: Option[DataFrame] = None, evalMinOverlap: Long = 5,
+      redact: Boolean = false,
+      strata: Option[(String, Map[String, Int], Int)] = None): DataFrame = {
     val qc = TextFunctions.qualityColumns(col(textCol)).toMap
     val gated = docs.filter(qc("n_tokens") >= minTokens &&
       qc("digit_ratio") <= maxDigitRatio &&
       TextFunctions.langId(col(textCol)) === lang)
+    val keepCols = (Seq(idCol, textCol) ++ strata.map(_._1)).distinct
     val exactKept = Materialize(gated.join(
       Dedup.exact(gated, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol), col(textCol)), checkpointDir)
+      .select(keepCols.map(col): _*), checkpointDir)
     val survivors = Dedup.dedupByClusters(exactKept,
       Dedup.ngramJaccardPairs(exactKept, n = n, minJaccard = minJaccard,
         textCol = textCol, idCol = idCol, maxDf = maxDf),
       idCol, checkpointDir)
-    splitAssign(survivors, idCol).select(col(idCol), col("bucket"), col("split"))
+    // decontaminate on the ORIGINAL text (contamination is about overlap
+    // with the eval set as published), redact after, rebalance last —
+    // the filters commute, so this order just keeps semantics obvious
+    val decontaminated = evalDocs.fold(survivors)(ev =>
+      decontaminate(survivors, ev, n, evalMinOverlap, textCol, idCol))
+    val redacted = if (redact)
+      decontaminated.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    else decontaminated
+    val balanced = strata.fold(redacted) { case (sc, rates, dflt) =>
+      sampleStratified(redacted, sc, rates, dflt, idCol)
+    }
+    val outCols = col(idCol) +: ((if (redact) Seq(col(textCol)) else Nil) ++
+      Seq(col("bucket"), col("split")))
+    splitAssign(balanced, idCol).select(outCols: _*)
   }
 
   /**
@@ -260,6 +294,41 @@ object Corpus {
         sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"))
 
   /**
+   * Document chunking: split each document's whitespace-token stream into
+   * consecutive `budget`-sized pieces — the upstream companion of
+   * [[packSequences]], which documents that oversized docs span bins and
+   * defers splitting here. After chunking, every unit is ≤ `budget`
+   * tokens, so a packed unit never straddles more than one bin boundary.
+   *
+   * Shape: sequence + explode + bulk slice (no UDF) — one projection per
+   * row with fan-out ceil(tokens/budget); NO shuffle, so a 100 TB chunk
+   * pass is map-only and fuses into whatever scan feeds it.
+   *
+   * Output per piece: (idCol, chunk, chunk_id, chunk_text, n_tokens) —
+   * `chunk` is the 0-based piece index, `chunk_id` = "<id>#00007"
+   * (zero-padded so string order within a doc follows chunk order),
+   * `chunk_text` the space-rejoined slice, `n_tokens` its ws-token count
+   * (= budget everywhere but the tail). Chunk texts concatenate back to
+   * the lowercased ws-normalized original (round-trip property in
+   * CorpusSpec); a doc with no tokens still emits one empty chunk, so no
+   * document silently disappears. Hash-verified end-to-end (chunk +
+   * pack) by the `pack_chunks` oracle.
+   */
+  def chunkDocs(docs: DataFrame, budget: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    docs.select(col(idCol), TextFunctions.wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), explode(sequence(lit(0L),
+        expr(s"greatest(size(__toks) - 1, 0) div $budget"))).as("chunk"))
+      .withColumn("__ctoks",
+        slice(col("__toks"), (col("chunk") * budget + 1).cast("int"), lit(budget)))
+      .select(col(idCol), col("chunk"),
+        format_string("%s#%05d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
+        concat_ws(" ", col("__ctoks")).as("chunk_text"),
+        size(col("__ctoks")).cast("long").as("n_tokens"))
+  }
+
+  /**
    * Sequence packing: assign each document to a token-budget bin, the
    * precursor to concatenating examples into fixed-length training
    * sequences. Exact bin packing is inherently sequential, so the scalable
@@ -270,8 +339,8 @@ object Corpus {
    * window partition), so parallelism = `groups` and per-task state is one
    * running sum; waste vs optimal is bounded by one partially-filled bin
    * per group plus boundary-straddling docs, which training-data packing
-   * tolerates (oversized docs simply span bins — callers should truncate
-   * to `budget` upstream if that is the contract).
+   * tolerates (oversized docs simply span bins — run [[chunkDocs]] first
+   * when units must fit the budget).
    *
    * Deterministic everywhere (hash groups + id order), hash-verified
    * against the oracle's identical window computation. `(grp, bin)` is the

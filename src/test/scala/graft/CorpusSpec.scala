@@ -154,6 +154,49 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: chunks within budget, round-trip concat, packing units fit") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k"),         // 11 tokens → 3+ chunks at budget 4
+      (1L, "one two three"),                  // under budget → 1 chunk
+      (2L, ""),                               // empty → still 1 (empty) chunk
+      (3L, (1 to 64).map(i => s"t$i").mkString(" "))) // exact multiples
+      .toDF("doc_id", "text")
+    val ch = Corpus.chunkDocs(docs, budget = 4).collect()
+    // every chunk within budget
+    assert(ch.forall(_.getAs[Long]("n_tokens") <= 4L))
+    // every doc represented; chunk indices contiguous from 0
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L))
+    byDoc.foreach { case (id, rows) =>
+      val idxs = rows.map(_.getAs[Long]("chunk")).sorted.toSeq
+      assert(idxs == (0L until idxs.length.toLong).toSeq, s"doc $id chunks $idxs")
+      // concatenation round-trips to the lowercased ws-normalized text
+      val joined = rows.sortBy(_.getAs[Long]("chunk"))
+        .map(_.getAs[String]("chunk_text")).mkString(" ")
+      val want = docs.filter(col("doc_id") === id).head.getString(1).toLowerCase
+      assert(joined == want, s"doc $id round-trip")
+      // zero-padded chunk_id string order == numeric chunk order
+      val byIdOrder = rows.sortBy(_.getAs[String]("chunk_id")).map(_.getAs[Long]("chunk"))
+      assert(byIdOrder.toSeq == idxs.toSeq)
+    }
+    // doc 0: 11 tokens → chunks of 4,4,3; doc 3: 64 tokens → 16 full chunks
+    assert(byDoc(0L).map(_.getAs[Long]("n_tokens")).sorted.toSeq == Seq(3L, 4L, 4L))
+    assert(byDoc(3L).length == 16 && byDoc(3L).forall(_.getAs[Long]("n_tokens") == 4L))
+    assert(byDoc(2L).map(r => (r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
+      .toSeq == Seq((1L, ""))) // split("") = [""] — one empty token, like the oracle
+    // chunk then pack at the same budget: every unit fits, so a unit never
+    // straddles more than one bin boundary (bin span per unit <= 2)
+    val packed = Corpus.packSequences(
+      Corpus.chunkDocs(docs, budget = 4), budget = 4,
+      groups = 2, tokenCol = "n_tokens", idCol = "chunk_id").collect()
+    packed.foreach { r =>
+      val (run, n, bin) = (r.getAs[Long]("running"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin"))
+      val startBin = math.max(run - n, 0L) / 4
+      assert(bin - startBin <= 1, s"unit spans ${bin - startBin + 1} bins")
+    }
+  }
+
   test("redactPii: every pattern scrubbed; counts audit the raw text; clean rows intact") {
     val counts = TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
     val out = Fixtures.piiDocs(spark)
@@ -220,6 +263,28 @@ class CorpusSpec extends AnyFunSuite {
     val out = Corpus.cleanCorpus(docs).collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(0L))
     assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
+  test("cleanCorpus full: decontamination, redaction, and rebalancing stages fire") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and that is the winner here", "a"),
+      // survives base clean but matches the eval doc's n-grams → decontaminated
+      (1L, "for the record the exam answer is strictly forty two and that is final", "a"),
+      // survives; carries PII that must come out redacted
+      (2L, "contact the office for details and email me at bob@example.com for the data", "b"),
+      // survives base clean but stratum 'c' samples at 0% → rebalanced away
+      (3L, "an entirely different sentence about the weather and the tides for today", "c"))
+      .toDF("doc_id", "text", "source")
+    val ev = Seq((100L, "the exam answer is strictly forty two")).toDF("doc_id", "text")
+    // base clean keeps all four (no dups, all en, long enough)
+    assert(Corpus.cleanCorpus(docs).collect().map(_.getAs[Long]("doc_id")).toSet ==
+      Set(0L, 1L, 2L, 3L))
+    val full = Corpus.cleanCorpus(docs, evalDocs = Some(ev), evalMinOverlap = 3,
+      redact = true, strata = Some(("source", Map("c" -> 0), 100))).collect()
+    val byId = full.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId.keySet == Set(0L, 2L)) // 1 decontaminated, 3 rebalanced out
+    assert(byId(2L).contains("<EMAIL>") && !byId(2L).contains("bob@example.com"))
+    assert(full.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 
   test("plan shapes: splits/sample/redaction are map-only; decontamination broadcasts eval") {
