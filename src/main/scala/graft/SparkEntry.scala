@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, KeyedStore, Multimodal, Reshape, Similarity}
+import graft.operators.{Corpus, Dedup, KeyedStore, Multimodal, Reshape, Similarity, Sketches}
 import graft.sources.WideMatrix
 import graft.streaming.StreamingOps
 
@@ -263,6 +263,13 @@ object SparkEntry {
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
             .cast(LongType).as("n_pretokens"))),
+    "tokens_bpe_ranks" -> ((s, dir) =>
+      // tokenizer-FAITHFUL counts: merged-BPE segments under the
+      // merge-ranks table (native codegen'd expression; no SQL twin →
+      // rows-only, property-tested vs an independent driver-side
+      // reference implementation in TrainingDataOpsSpec)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.bpeCount(col("text")).as("n_tokens_bpe"))),
     "value_quantiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -283,6 +290,20 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.02).as("n_parts"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"))),
+    "sketch_merge" -> ((s, dir) => {
+      // the INCREMENTAL form of the approx twins: two disjoint increments
+      // each persist a per-lang HLL sketch row; corpus-wide distincts come
+      // from merging the sketch rows, never rescanning the increments.
+      // rows-only by design (binary sketch state is engine-specific);
+      // CorpusSpec proves merge == one-pass sketch and bounds error.
+      val docs = t(s, dir, "documents")
+      val incA = docs.filter(Corpus.hashBucket(col("doc_id")) < 50)
+      val incB = docs.filter(Corpus.hashBucket(col("doc_id")) >= 50)
+      Sketches.hllMerge(
+        Sketches.hllIncrement(incA, Seq("lang"), "doc_id")
+          .unionByName(Sketches.hllIncrement(incB, Seq("lang"), "doc_id")),
+        Seq("lang"), "doc_id")
+    }),
     "value_quantiles_approx" -> ((s, dir) =>
       // the 100 TB form: exact percentile() buffers every group value in
       // memory; approx_percentile streams a bounded KLL-style sketch.

@@ -20,8 +20,36 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Token count (BPE-ish proxy: alnum runs; CJK counted per char below). */
+  /** Token count (BPE-ish proxy: alnum runs; CJK counted per char below).
+    * For packing budgets that must match a real tokenizer, use
+    * [[bpeCount]] — merged-BPE counts under a merge-ranks table. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /**
+   * Demonstration merge-ranks table (rank = position, the shape a real
+   * tokenizer ships as `merges.txt`): common English character pairs,
+   * each later merge only referencing segments earlier ranks can build.
+   * Swap in a production merges list for real counting — the expression
+   * takes any table.
+   */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("th", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("s", "t"), ("e", "s"),
+    ("in", "g"), ("a", "r"), ("a", "l"), ("o", "u"), ("e", "d"), ("i", "s"),
+    ("i", "t"), ("l", "e"), ("an", "d"), ("r", "o"), ("e", "l"), ("o", "f"),
+    ("u", "s"), ("a", "s"), ("i", "c"), ("o", "m"), ("i", "l"), ("e", "t"),
+    ("v", "e"), ("c", "h"), ("a", "m"), ("u", "r"), ("c", "o"), ("th", "er"),
+    ("l", "y"), ("s", "e"), ("m", "e"), ("d", "e"), ("o", "w"), ("w", "h"),
+    ("n", "e"), ("l", "i"), ("t", "o"), ("h", "a"), ("es", "t"), ("er", "s"))
+
+  /** Tokenizer-faithful token count: merged-BPE segments under `merges`
+    * (reference merge loop, native codegen'd expression —
+    * [[graft.plans.BpeTokenCount]] documents why this one can't be
+    * declarative). Drop-in for [[tokenCount]] wherever budgets must match
+    * what a real tokenizer would produce, e.g. `Corpus.packSequences`
+    * fed with this as its `tokenCol`. */
+  def bpeCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    graft.plans.BpeExpressions.bpeCount(text, merges)
 
   /**
    * Space-split tokens — the shingling basis. Literal single-space split

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,23 +30,94 @@ object TimeSeries {
    * Determinism: callers must make `right` unique per (key, ts) — e.g.
    * aggregate first — otherwise "the" latest row at a timestamp is
    * arbitrary (every engine shares this caveat; DuckDB picks one too).
-   * Skew note: the window partitions by key; a pathologically hot key
-   * serializes through one task — pre-filter or split such keys upstream.
+   *
+   * Skew: the window partitions by key, so a pathologically hot key
+   * serializes through one task. `sliceSeconds` is the bounded-parallelism
+   * valve: the window re-partitions by (key, time-slice) — parallelism =
+   * #slices even for a single-key stream — and cross-slice history arrives
+   * via carry rows (the latest right row from any earlier slice, injected
+   * per slice; see [[slicedAsof]]). Result-identical to the plain path
+   * (unit-proven on a hot-key fixture); costs one extra small aggregation
+   * + window over per-slice aggregates, so leave it off (default) unless
+   * keys are hot. Pick slices ≈ hot-key event density you want per task.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      tsCol: String, valueCols: Seq[String], suffix: String = "_asof"): DataFrame = {
+      tsCol: String, valueCols: Seq[String], suffix: String = "_asof",
+      sliceSeconds: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "keyCols and valueCols required")
-    val rPrepped = right.select(
+    sliceSeconds match {
+      case Some(sec) => slicedAsof(left, right, keyCols, tsCol, valueCols, suffix, sec)
+      case None =>
+        val rPrepped = right.select(
+          (keyCols :+ tsCol).map(col) ++ valueCols.map(c => col(c).as(c + suffix)): _*)
+          .withColumn("__src", lit(0))
+        val unioned = left.withColumn("__src", lit(1))
+          .unionByName(rPrepped, allowMissingColumns = true)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol).asc, col("__src").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        valueCols.foldLeft(unioned) { (df, v) =>
+          df.withColumn(v + suffix, last(col(v + suffix), ignoreNulls = true).over(w))
+        }.filter(col("__src") === 1).drop("__src")
+    }
+  }
+
+  /**
+   * The hot-key form of [[asofJoin]]: identical results, windows
+   * partitioned by (key, slice) instead of key.
+   *
+   * The only cross-slice dependency of an as-of join is "the latest right
+   * row at-or-before the slice start", so each (key, left-slice) gets
+   * CARRY rows injected: per VALUE COLUMN (matching the plain path's
+   * per-column `last(ignoreNulls)` semantics when right rows hold nulls),
+   * the latest right row with that column non-null from any strictly
+   * earlier slice. Carries are computed over per-(key, slice) AGGREGATES —
+   * one row per slice, not per event — so the only per-key window in the
+   * plan is over #slices rows: a key with 100M events in 1000 slices costs
+   * a 1000-row window task, while the event-level windows run 1000-way
+   * parallel. A carry row keeps its ORIGINAL ts (strictly below the slice
+   * start), so within-slice ordering needs no special casing.
+   */
+  private def slicedAsof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String], suffix: String, sec: Long): DataFrame = {
+    require(sec > 0, "sliceSeconds must be positive")
+    def sliceOf(c: Column) = floor(unix_seconds(c.cast("timestamp")) / sec)
+    val rPre = right.select(
       (keyCols :+ tsCol).map(col) ++ valueCols.map(c => col(c).as(c + suffix)): _*)
-      .withColumn("__src", lit(0))
-    val unioned = left.withColumn("__src", lit(1))
-      .unionByName(rPrepped, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+      .withColumn("__slice", sliceOf(col(tsCol))).withColumn("__src", lit(0))
+    // slices that need history injected = slices where the LEFT has rows
+    val lSlices = left
+      .select(keyCols.map(col) :+ sliceOf(col(tsCol)).as("__slice"): _*).distinct()
+    val carryRows: Seq[DataFrame] = valueCols.map { v =>
+      val lastPer = rPre.filter(col(v + suffix).isNotNull)
+        .groupBy(keyCols.map(col) :+ col("__slice"): _*)
+        .agg(max(struct(col(tsCol), col(v + suffix))).as("__last"))
+      // markers (__m=0) sort BEFORE the same slice's right aggregate
+      // (__m=1), so a marker's running last() sees strictly earlier slices
+      val marked = lastPer.withColumn("__m", lit(1)).unionByName(
+        lSlices.withColumn("__last",
+            lit(null).cast(lastPer.schema("__last").dataType))
+          .withColumn("__m", lit(0)))
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__slice").asc, col("__m").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marked.withColumn("__carry", last(col("__last"), ignoreNulls = true).over(w))
+        .filter(col("__m") === 0 && col("__carry").isNotNull)
+        .select(keyCols.map(col) ++ Seq(col("__slice"),
+          col("__carry").getField(tsCol).as(tsCol),
+          col("__carry").getField(v + suffix).as(v + suffix),
+          lit(0).as("__src")): _*)
+    }
+    val lPre = left.withColumn("__slice", sliceOf(col(tsCol))).withColumn("__src", lit(1))
+    val unioned = carryRows.foldLeft(
+      lPre.unionByName(rPre, allowMissingColumns = true))(
+      (acc, c) => acc.unionByName(c, allowMissingColumns = true))
+    val w = Window.partitionBy((keyCols :+ "__slice").map(col): _*)
       .orderBy(col(tsCol).asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     valueCols.foldLeft(unioned) { (df, v) =>
       df.withColumn(v + suffix, last(col(v + suffix), ignoreNulls = true).over(w))
-    }.filter(col("__src") === 1).drop("__src")
+    }.filter(col("__src") === 1).drop("__src", "__slice")
   }
 
   /**

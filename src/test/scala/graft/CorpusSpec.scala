@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity, Sketches}
 
 /** Encoder-visible row type for the streaming-probe test's MemoryStream. */
 case class ProbeDoc(doc_id: Long, text: String)
@@ -251,6 +251,39 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeable HLL sketches: disjoint increments merge to the one-pass estimate") {
+    val docs = ids.withColumn("lang",
+      when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    val incA = docs.filter(Corpus.hashBucket(col("doc_id")) < 50)
+    val incB = docs.filter(Corpus.hashBucket(col("doc_id")) >= 50)
+    // per-increment sketch rows survive a parquet round-trip (binary col)
+    val dir = java.nio.file.Files.createTempDirectory("hll_inc").toString
+    Sketches.hllIncrement(incA, Seq("lang"), "doc_id").write.parquet(s"$dir/a")
+    Sketches.hllIncrement(incB, Seq("lang"), "doc_id").write.parquet(s"$dir/b")
+    val persisted = spark.read.parquet(s"$dir/a")
+      .unionByName(spark.read.parquet(s"$dir/b"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("doc_id_distinct"), r.getAs[Long]("n_rows"))).toMap
+    val merged = asMap(Sketches.hllMerge(persisted, Seq("lang"), "doc_id"))
+    // HLL union is register-wise max: merging disjoint increment sketches
+    // must equal sketching the whole corpus in one pass, byte-for-byte
+    val onePass = asMap(Sketches.hllMerge(
+      Sketches.hllIncrement(docs, Seq("lang"), "doc_id"), Seq("lang"), "doc_id"))
+    assert(merged == onePass)
+    // row counts are exact; distinct estimates within HLL error of exact
+    val exact = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("d"), count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("d"), r.getAs[Long]("n"))).toMap
+    assert(merged.keySet == exact.keySet)
+    exact.foreach { case (lang, (d, n)) =>
+      assert(merged(lang)._2 == n, s"$lang row count")
+      assert(math.abs(merged(lang)._1 - d) <= math.max(1L, (d * 0.05).toLong),
+        s"$lang distinct estimate ${merged(lang)._1} vs exact $d")
+    }
+  }
+
   test("cleanCorpus: every gate and both dedup passes fire; survivors get splits") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and that is for the win"),
@@ -376,6 +409,33 @@ class CorpusSpec extends AnyFunSuite {
       3L -> Some(3.0), // latest of the three right rows
       4L -> None,      // nothing at-or-before t=150 for key 20
       5L -> Some(9.0)))
+  }
+
+  test("asofJoin sliced: identical to the plain path on a hot-key fixture") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(19)
+    // ONE pathologically hot key (7) plus a sparse one; right rows carry
+    // nulls in one value column to exercise the per-column carry semantics
+    val left = (1 to 400).map(i =>
+      (i.toLong, if (i % 50 == 0) 99L else 7L, rnd.nextInt(5000).toLong))
+    val right = rnd.shuffle((0 until 5000 by 7).toVector).take(150).map { t =>
+      (7L, t.toLong,
+        if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None,
+        rnd.nextInt(100).toLong)
+    } :+ ((99L, 100L, Some(1.5), 5L))
+    val lDf = left.toDF("event_id", "k", "t")
+    val rDf = right.toDF("k", "t", "v", "u")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "k", "t", "v_asof", "u_asof").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+    val plain = norm(TimeSeries.asofJoin(lDf, rDf, Seq("k"), "t", Seq("v", "u")))
+    // slice widths spanning every regime: per-ts slices, mid, one-slice
+    for (sec <- Seq(1L, 100L, 1000L, 100000L)) {
+      val sliced = norm(TimeSeries.asofJoin(lDf, rDf, Seq("k"), "t",
+        Seq("v", "u"), sliceSeconds = Some(sec)))
+      assert(sliced == plain, s"sliceSeconds=$sec")
+    }
   }
 
   test("rangeJoin: inclusive bounds, multi-bucket intervals, keys isolate") {

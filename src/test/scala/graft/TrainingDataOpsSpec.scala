@@ -223,6 +223,52 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("bpeCount equals an independent reference BPE on fixtures and random text") {
+    // independent (deliberately naive) reference: repeatedly merge every
+    // occurrence of the lowest-rank adjacent pair until quiescent
+    val rank = TextFunctions.BpeMerges.zipWithIndex.toMap
+    def refWord(w: String): Long = {
+      var parts = w.map(_.toString).toVector
+      var go = true
+      while (go && parts.size > 1) {
+        val cands = parts.zip(parts.tail).flatMap(p => rank.get(p).map(r => (r, p)))
+        if (cands.isEmpty) go = false
+        else {
+          val (_, (a, b)) = cands.minBy(_._1)
+          val out = Vector.newBuilder[String]
+          var k = 0
+          while (k < parts.size) {
+            if (k < parts.size - 1 && parts(k) == a && parts(k + 1) == b) {
+              out += (a + b); k += 2
+            } else { out += parts(k); k += 1 }
+          }
+          parts = out.result()
+        }
+      }
+      parts.size.toLong
+    }
+    def refText(text: String): Long =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).map(refWord).sum
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefghinorst!,3 "
+    val rndTexts = (0 until 60).map { i =>
+      (100L + i, (0 until rnd.nextInt(12)).map(_ =>
+        (0 to rnd.nextInt(10)).map(_ =>
+          alphabet.charAt(rnd.nextInt(alphabet.length))).mkString).mkString(" "))
+    }
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ rndTexts
+    val got = all.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.bpeCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all.foreach { case (id, text) =>
+      assert(got(id) == refText(text), s"doc $id: '${text.take(60)}'")
+    }
+    // merges only ever compress: count <= plain char-run token char total,
+    // and the common-English fixture text must actually compress
+    val doc0 = docs.filter(col("doc_id") === 0).head.getString(1)
+    assert(got(0L) < doc0.count(_ != ' ')) // fewer segments than characters
+  }
+
   test("language id: stopword heuristic + CJK class") {
     val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
