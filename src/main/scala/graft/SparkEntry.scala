@@ -411,6 +411,24 @@ object SparkEntry {
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         dim = 64, k = 5)
     }),
+    "sim_topk_join_ivf" -> ((s, dir) => {
+      // batch ANN join through IVF cells (rows-only; the _full bridge
+      // below hash-verifies the machinery)
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinIvf(
+        Similarity.buildIvfIndex(e.filter(col("vec_id") < 300), nCells = 16, iters = 2),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, nProbe = 4)
+    }),
+    "sim_topk_join_ivf_full" -> ((s, dir) => {
+      // nProbe = nCells probes every cell → exactly the brute-force batch
+      // join; the sim_topk_join oracle hash-verifies the IVF join path
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinIvf(
+        Similarity.buildIvfIndex(e.filter(col("vec_id") < 300), nCells = 16, iters = 2),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, nProbe = 16)
+    }),
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsExact(
         t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.45)),
@@ -585,6 +603,22 @@ object SparkEntry {
       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
       |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
       |           FROM reach GROUP BY src)""".stripMargin
+
+  /** Brute-force batch k-NN join oracle — shared by `sim_topk_join` and
+    * the full-probe IVF bridge (`sim_topk_join_ivf_full`), which equals
+    * it by construction. */
+  private val simTopkJoinSql =
+    """WITH s AS (
+      | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |  round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+      | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id < 300)
+      |SELECT q_id, vec_id, cos FROM (
+      | SELECT q_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      | FROM s)
+      |WHERE rn <= 5""".stripMargin
 
   /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id), mod N. */
   private def hashBucketSql(idCol: String, buckets: Int): String =
@@ -919,18 +953,10 @@ object SparkEntry {
       """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
-    "sim_topk_join" ->
-      """WITH s AS (
-        | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-        |  round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-        |   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
-        | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id < 300)
-        |SELECT q_id, vec_id, cos FROM (
-        | SELECT q_id, vec_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-        | FROM s)
-        |WHERE rn <= 5""".stripMargin,
+    "sim_topk_join" -> simTopkJoinSql,
+    // probing every IVF cell IS the brute-force batch join — same oracle
+    // hash-verifies the IVF join machinery (train, assign, probe, rescore)
+    "sim_topk_join_ivf_full" -> simTopkJoinSql,
     "sim_neardup" -> simNearDupSql,
     "sim_dedup_survivors" ->
       // semantic dedup = CC over the cosine near-dup graph (same shared

@@ -439,6 +439,49 @@ object Similarity {
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
+  /**
+   * ANN k-NN JOIN through an IVF index — the batch form of [[topKIvf]],
+   * completing the join family (exact [[topKJoin]], LSH [[topKJoinLsh]],
+   * IVF here). Cell ranking is DISTRIBUTED per query row: queries
+   * cross-join the broadcast centroid table, keep their `nProbe` nearest
+   * cells (ranked in the unit space — the index's training metric, same
+   * (distance, cell) tiebreak as [[topKIvf]]), then equi-join the
+   * cell-partitioned assignments on cell: candidates stream through a
+   * hash join keyed by cell instead of the brute-force cross product,
+   * and against a persisted index the probed cells prune partitions.
+   * Each (query, corpus) pair appears at most once (cells partition the
+   * corpus; the probe list is distinct cells), so no dedup pass.
+   * `nProbe = nCells` degrades EXACTLY to [[topKJoin]] — the
+   * hash-verified bridge (`sim_topk_join_ivf_full`).
+   */
+  def topKJoinIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = index.centroids.map { case (c, v) =>
+      (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }.toSeq.toDF("cell", "__cv", "__cn2")
+    val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"), col("__unit"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__d"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"),
+        (col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("__d"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"))
+    val cn = if (index.assignments.columns.contains("nrm")) col("nrm")
+      else norm(col(vecCol))
+    val scored = probes.join(
+        index.assignments.select(col(idCol), col(vecCol).as("__corp"),
+          cn.as("__cn"), col("cell")), "cell")
+      .select(col(qIdCol), col(idCol),
+        round(dot(col("__qv"), col("__corp")) / (col("__qn") * col("__cn")), 6).as("cos"))
+    topKPerQuery(scored, k, idCol, qIdCol)
+  }
+
   /** Deterministic per-query top-k: rank window partitioned by query id
     * (rounded score first, id tiebreak — mirrorable in SQL). */
   private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,

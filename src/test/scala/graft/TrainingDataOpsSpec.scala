@@ -404,6 +404,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF k-NN join: full probe equals exact topKJoin; one probe finds planted pair") {
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val idx = Similarity.buildIvfIndex(vecs, nCells = 4, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    // probing every cell must equal the brute-force batch join exactly
+    assert(rows(Similarity.topKJoinIvf(idx, queries, k = 3, nProbe = 4)) ==
+      rows(Similarity.topKJoin(vecs, queries, k = 3)))
+    // the planted near-dup shares each query's own cell: nProbe=1 finds it
+    val one = Similarity.topKJoinIvf(idx, queries, k = 3, nProbe = 1).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    for (qid <- Seq(0L, 1L))
+      assert(Set(0L, 1L).subsetOf(one(qid).map(_.getAs[Long]("vec_id")).toSet), s"q=$qid")
+  }
+
   test("persisted LSH index: probes prune to probed (table,bucket) partitions") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/idx"
     val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
