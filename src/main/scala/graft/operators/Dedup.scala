@@ -133,10 +133,17 @@ object Dedup {
    * single-task spill INSIDE the guard. Instead, occupancy comes from a
    * map-side-combined `groupBy(bucket).count()` — reducers receive at most
    * one partial count per map task, never the raw rows — and the over-cap
-   * key list (tiny by construction: at most totalRows/cap keys exceed the
-   * cap) broadcasts into a LEFT ANTI join that drops hot-bucket rows
+   * key list broadcasts into a LEFT ANTI join that drops hot-bucket rows
    * map-only. No task ever holds a bucket's rows; plan-asserted
    * window-free in TrainingDataOpsSpec.
+   *
+   * The broadcast is deliberate, not AQE-elective: a SHUFFLED anti-join
+   * would hash-partition the banded rows by the bucket key — funneling the
+   * degenerate bucket into one task, the exact shape this valve removes.
+   * The list is bounded by totalRows/cap keys (every over-cap key owns
+   * > cap rows), so keep `cap` ≥ ~100 at corpus scale and the list stays
+   * comfortably broadcast-sized (1e11 rows / 1e3 cap → ≤ 1e8 worst-case —
+   * pick the cap with the candidate budget, not at single digits).
    */
   private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
       cap: Option[Long]): DataFrame = cap match {

@@ -520,6 +520,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.view.mapValues(_._1).toMap == batch)
   }
 
+  test("streaming sketch increments: per-batch HLL rows merge to whole-stream stats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the incremental-stats contract in its streaming form: each
+    // micro-batch persists one tiny sketch row per group; corpus-wide
+    // stats at any point = merge of the persisted rows, raw data never
+    // revisited
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Sketches.hllIncrement(
+            batch.withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de")),
+            Seq("lang"), "doc_id")
+          .write.mode("append").parquet(dir)
+        ()
+    }.start()
+    try {
+      in.addData((0 until 300).map(i => ProbeDoc(i.toLong, s"doc $i")): _*)
+      q.processAllAvailable()
+      in.addData((300 until 500).map(i => ProbeDoc(i.toLong, s"doc $i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = Sketches.hllMerge(spark.read.parquet(dir), Seq("lang"), "doc_id")
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("doc_id_distinct"), r.getAs[Long]("n_rows"))).toMap
+    assert(merged("en")._2 == 250L && merged("de")._2 == 250L) // exact row counts
+    // distinct estimates within HLL error of the true 250 per group
+    merged.values.foreach { case (d, _) => assert(math.abs(d - 250L) <= 13L, s"est $d") }
+  }
+
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus: two near-identical docs + two unrelated; banded table persisted
