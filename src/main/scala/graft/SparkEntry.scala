@@ -477,6 +477,12 @@ object SparkEntry {
       // statistical-LM quality proxy: mean unigram logprob under the
       // corpus's own token distribution
       Corpus.unigramLogProb(t(s, dir, "documents"))),
+    "quality_quantile_gate" -> ((s, dir) =>
+      // the perplexity-filter stage: score by corpus-LM logprob, drop the
+      // worst decile (exact percentile threshold — the oracle-checkable
+      // form; approx=true is the extreme-count scale twin)
+      Corpus.dropBottomQuantile(
+        Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 0.1)),
     "pack_sequences" -> ((s, dir) =>
       // token-budget bin assignment (parallel next-fit over 8 hash groups)
       Corpus.packSequences(
@@ -603,6 +609,18 @@ object SparkEntry {
       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
       |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
       |           FROM reach GROUP BY src)""".stripMargin
+
+  /** Corpus-LM unigram logprob oracle — shared by `text_logprob` and the
+    * `quality_quantile_gate` threshold statement. */
+  private val logprobSql =
+    """WITH terms AS (
+      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      | FROM documents),
+      |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY term),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
+      |SELECT doc_id, round(avg(ln(cnt * 1.0 / total)), 6) AS logprob
+      |FROM terms JOIN counts USING (term) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
 
   /** Brute-force batch k-NN join oracle — shared by `sim_topk_join` and
     * the full-probe IVF bridge (`sim_topk_join_ivf_full`), which equals
@@ -1013,15 +1031,11 @@ object SparkEntry {
     "dedup_containment" ->
       overlapSql("round(ni * 1.0 / least(x.n_sh, y.n_sh), 6)", "containment",
         0.6, None, "documents"),
-    "text_logprob" ->
-      """WITH terms AS (
-        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        | FROM documents),
-        |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY term),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
-        |SELECT doc_id, round(avg(ln(cnt * 1.0 / total)), 6) AS logprob
-        |FROM terms JOIN counts USING (term) CROSS JOIN tot
-        |GROUP BY doc_id""".stripMargin,
+    "text_logprob" -> logprobSql,
+    "quality_quantile_gate" ->
+      s"""WITH lp AS ($logprobSql),
+         |thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM lp)
+         |SELECT doc_id, logprob FROM lp, thr WHERE logprob >= t""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          | SELECT doc_id, ${hashBucketSql("doc_id", 8)} AS grp,

@@ -279,6 +279,32 @@ object Corpus {
   }
 
   /**
+   * Quality-quantile gate: drop the bottom `q`-quantile of rows by
+   * `scoreCol` — the "perplexity filter" stage of a real pipeline (score
+   * with [[unigramLogProb]] or a model pass, then cut the worst X%).
+   * The threshold is a 1-row aggregate broadcast back as a filter — the
+   * corpus side stays one scan, no shuffle of the data itself. Ties at
+   * the threshold are kept (`>=`), so the gate is deterministic.
+   *
+   * `approx = false` uses exact `percentile` — interpolation matches
+   * DuckDB's `quantile_cont`, so the gate is hash-verifiable
+   * (`quality_quantile_gate`); exact percentile buffers every score in
+   * the aggregate, which is fine for per-DOCUMENT scores well past sf1
+   * but at extreme corpus counts pass `approx = true` for the
+   * bounded-memory `approx_percentile` sketch (the `value_quantiles` /
+   * `value_quantiles_approx` twin pattern).
+   */
+  def dropBottomQuantile(scored: DataFrame, scoreCol: String, q: Double,
+      approx: Boolean = false): DataFrame = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    val thrExpr = if (approx) s"approx_percentile($scoreCol, $q)"
+      else s"percentile($scoreCol, $q)"
+    val thr = scored.agg(expr(thrExpr).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("__thr")).drop("__thr")
+  }
+
+  /**
    * Per-document token Shannon entropy (nats): H = ln(n) − Σ c·ln(c) / n
    * over token counts c, total n — the distribution-shape quality signal
    * that length and distinct-ratio miss: near-zero entropy = one token

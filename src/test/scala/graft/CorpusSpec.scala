@@ -251,6 +251,17 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dropBottomQuantile: bottom decile cut exactly; approx twin close") {
+    // scores 0..99, each 10 times: the 0.1-quantile interpolates to 9.9,
+    // so exactly the 900 rows scoring >= 10 survive
+    val scored = ids.withColumn("score", (col("doc_id") % 100).cast("double"))
+    val kept = Corpus.dropBottomQuantile(scored, "score", 0.1).collect()
+    assert(kept.length == 900)
+    assert(kept.map(_.getAs[Double]("score")).min == 10.0)
+    val approxKept = Corpus.dropBottomQuantile(scored, "score", 0.1, approx = true).count()
+    assert(math.abs(approxKept - 900L) <= 30L)
+  }
+
   test("mergeable HLL sketches: disjoint increments merge to the one-pass estimate") {
     val docs = ids.withColumn("lang",
       when(col("doc_id") % 3 === 0, "en").otherwise("de"))
