@@ -349,6 +349,23 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$path/assignments"), centroids)
   }
 
+  /**
+   * Incremental index growth: assign NEW vectors to an EXISTING index's
+   * cells without retraining — the IVF analog of `Dedup.probeBanded`.
+   * One broadcast-centroid pass over the increment only; append the
+   * result to the persisted assignments (same partitioned layout) and
+   * every probe sees the grown corpus. Centroids drift from the true
+   * cell means as the corpus grows — retrain on a sample
+   * (`buildIvfIndex(trainPct = …)`) when recall at fixed `nProbe` decays,
+   * not on every increment. Assignment is deterministic given the model,
+   * so an increment assigned now equals the same rows assigned at build
+   * time (unit-asserted).
+   */
+  def assignToCells(index: IvfIndex, embeddings: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    assignCells(withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol),
+      index.centroids, vecCol, idCol)
+
   /** Cell means of an assignment table — the Lloyd-round update step (also
     * a fallback model if only an assignments table survives; note it is
     * half a Lloyd step past the trained centroids `readIvfIndex` restores). */

@@ -421,6 +421,28 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       assert(Set(0L, 1L).subsetOf(one(qid).map(_.getAs[Long]("vec_id")).toSet), s"q=$qid")
   }
 
+  test("IVF incremental assignment: increment rows land in their build-time cells") {
+    val idx = Similarity.buildIvfIndex(vecs, nCells = 4, iters = 2)
+    // "increment" = a slice of the corpus assigned AFTER the fact: its
+    // cells must equal what the full build assigned those same rows
+    val inc = vecs.filter(col("vec_id") >= 30)
+    val assigned = Similarity.assignToCells(idx, inc).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val atBuild = idx.assignments.filter(col("vec_id") >= 30).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(assigned == atBuild)
+    // grown index (original + increment of genuinely new vectors) serves
+    // probes over the union of assignments
+    val fresh = Seq((100L, vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    val grown = Similarity.IvfIndex(
+      idx.assignments.unionByName(Similarity.assignToCells(idx, fresh)), idx.centroids)
+    val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val top = Similarity.topKIvf(grown, q, k = 3, nProbe = 1).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(top.take(2).toSet.subsetOf(Set(0L, 100L))) // clone found in the grown index
+  }
+
   test("persisted LSH index: probes prune to probed (table,bucket) partitions") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/idx"
     val q = vecs.filter(col("vec_id") === 0).head.getSeq[Float](1)
