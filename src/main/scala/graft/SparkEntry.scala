@@ -610,6 +610,26 @@ object SparkEntry {
       |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
       |           FROM reach GROUP BY src)""".stripMargin
 
+  /** The base-clean CTE chain (quality + langid gates → md5 exact-dup
+    * collapse → Jaccard pairs → recursive-CTE cluster labels) — ONE
+    * definition shared by `corpus_clean` and `corpus_clean_full`, so a
+    * gate constant (minTokens 10, digit ratio 0.3, minJaccard 0.5) can
+    * never drift between the two statements. `cols` is the projected
+    * document column list (must include doc_id and text). */
+  private def baseCleanCtes(cols: String): String = {
+    val jac = jaccardSql(0.5, src = "e")
+    s"""q AS (SELECT $cols FROM (
+       |  SELECT $cols, $langHitsSql FROM documents
+       |  WHERE CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= 10
+       |    AND round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+       |        greatest(length(text), 1), 6) <= 0.3)
+       | WHERE ($langCaseSql) = 'en'),
+       |e AS (SELECT $cols FROM q
+       |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+       |pairs AS ($jac),
+       |$ccCtesSql""".stripMargin
+  }
+
   /** Corpus-LM unigram logprob oracle — shared by `text_logprob` and the
     * `quality_quantile_gate` threshold statement. */
   private val logprobSql =
@@ -638,21 +658,28 @@ object SparkEntry {
       | FROM s)
       |WHERE rn <= 5""".stripMargin
 
-  /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id), mod N. */
-  private def hashBucketSql(idCol: String, buckets: Int): String =
-    s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $buckets"
+  /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id ++ salt),
+    * mod N. Non-empty `salt` selects the independent SAMPLING stream
+    * (`Corpus.SampleSalt`); assignment expressions stay unsalted. */
+  private def hashBucketSql(idCol: String, buckets: Int, salt: String = ""): String = {
+    val id = if (salt.isEmpty) s"CAST($idCol AS VARCHAR)"
+      else s"CAST($idCol AS VARCHAR) || '$salt'"
+    s"('0x' || substr(md5($id), 1, 8))::BIGINT % $buckets"
+  }
 
   /** Shared chunking CTEs (nums/toks/ch) — the DuckDB twin of
     * `Corpus.chunkDocs(documents, budget = 64)`. DuckDB list slices are
     * 1-based inclusive and clip out-of-range, exactly like Spark's
     * `slice(arr, start, length)`; the nums join replaces the lateral
-    * `generate_series` DuckDB can't drive from a column. */
+    * `generate_series` DuckDB can't drive from a column. The nums bound
+    * (4096 chunks = 256k tokens/doc at budget 64) is a FIXTURE bound for
+    * this oracle statement only — the Spark operator has no cap. */
   private val chunkDocsSql =
     s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(0, 4095)),
        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        |ch AS (
        | SELECT doc_id, i AS chunk,
-       |  printf('%s#%05d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
+       |  printf('%s#%09d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
        |  array_to_string(t[i*64+1 : i*64+64], ' ') AS chunk_text,
        |  CAST(len(t[i*64+1 : i*64+64]) AS BIGINT) AS n_tokens
        | FROM toks JOIN nums ON i <= greatest(len(t) - 1, 0) // 64)""".stripMargin
@@ -1000,10 +1027,10 @@ object SparkEntry {
          |      FROM documents)""".stripMargin,
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE ${hashBucketSql("doc_id", 100)} < 10""".stripMargin,
+         |WHERE ${hashBucketSql("doc_id", 100, Corpus.SampleSalt)} < 10""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ${hashBucketSql("doc_id", 100)} <
+         |WHERE ${hashBucketSql("doc_id", 100, Corpus.SampleSalt)} <
          |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 60 ELSE 90 END""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
@@ -1075,18 +1102,8 @@ object SparkEntry {
       // verified fragments the individual oracles use: quality + langid
       // gates, md5 exact-dup collapse, Jaccard pairs over the gated set
       // (nested WITH inside the CTE), recursive-CTE clusters, hash split
-      val jac = jaccardSql(0.5, src = "e")
       s"""WITH RECURSIVE
-         |q AS (SELECT doc_id, text FROM (
-         |  SELECT doc_id, text, $langHitsSql FROM documents
-         |  WHERE CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= 10
-         |    AND round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
-         |        greatest(length(text), 1), 6) <= 0.3)
-         | WHERE ($langCaseSql) = 'en'),
-         |e AS (SELECT doc_id, text FROM q
-         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
-         |pairs AS ($jac),
-         |$ccCtesSql
+         |${baseCleanCtes("doc_id, text")}
          |SELECT doc_id, bucket,
          | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |      ELSE 'test' END AS split
@@ -1094,27 +1111,18 @@ object SparkEntry {
          |      WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster))""".stripMargin
     },
     "corpus_clean_full" -> {
-      // corpus_clean + the production stages in the same ONE statement:
-      // decontamination (shared shingle CTEs vs the 5% eval sample), PII
-      // redaction of the surviving text (shared PiiPatterns chain), and
-      // stratified source rebalancing (shared hash-bucket expr)
-      val jac = jaccardSql(0.5, src = "e")
+      // corpus_clean's shared base CTEs + the production stages in the
+      // same ONE statement: decontamination (shared shingle CTEs vs the
+      // 5% eval sample), PII redaction of the surviving text (shared
+      // PiiPatterns chain), and stratified source rebalancing (shared
+      // salted hash-bucket expr)
       val redacted = TextFunctions.PiiPatterns.foldLeft("text") {
         case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
       }
       val rateCase = "CASE WHEN source = 'src18' THEN 40 " +
         "WHEN source = 'src7' THEN 40 ELSE 90 END"
       s"""WITH RECURSIVE
-         |q AS (SELECT doc_id, text, source FROM (
-         |  SELECT doc_id, text, source, $langHitsSql FROM documents
-         |  WHERE CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= 10
-         |    AND round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
-         |        greatest(length(text), 1), 6) <= 0.3)
-         | WHERE ($langCaseSql) = 'en'),
-         |e AS (SELECT doc_id, text, source FROM q
-         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
-         |pairs AS ($jac),
-         |$ccCtesSql,
+         |${baseCleanCtes("doc_id, text, source")},
          |surv AS (SELECT doc_id, text, source FROM e
          |         WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)),
          |nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
@@ -1128,7 +1136,7 @@ object SparkEntry {
          |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits WHERE n_shared >= 5)),
          |bal AS (SELECT doc_id, $redacted AS text,
          |   ${hashBucketSql("doc_id", 100)} AS bucket FROM decon
-         |  WHERE ${hashBucketSql("doc_id", 100)} < $rateCase)
+         |  WHERE ${hashBucketSql("doc_id", 100, Corpus.SampleSalt)} < $rateCase)
          |SELECT doc_id, text, bucket,
          | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |      ELSE 'test' END AS split

@@ -32,10 +32,21 @@ object Corpus {
    *  - uniform enough for split purposes (md5 avalanche on the id).
    * 32 hash bits, not 64: `0xffffffff` fits a long with headroom and the
    * oracle-side `('0x'||hex)::BIGINT` cast stays exact.
+   *
+   * `salt` selects an INDEPENDENT hash stream: operators that FILTER rows
+   * by hash (sampling, rebalancing) must not share the stream that
+   * ASSIGNS rows (splits, pack groups) — a sample taken at rate r on the
+   * split stream keeps only buckets < r, so a later `splitAssign` would
+   * see a censored bucket range and emit distorted (or empty) val/test
+   * splits. [[sampleByHash]]/[[sampleStratified]] use [[SampleSalt]];
+   * assignment operators use the unsalted stream.
    */
-  def hashBucket(id: Column, buckets: Int = 100): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+  def hashBucket(id: Column, buckets: Int = 100, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 8), 16, 10)
       .cast("long") % buckets
+
+  /** The sampling family's hash-stream salt (see [[hashBucket]]). */
+  val SampleSalt = "#smpl"
 
   /**
    * Train/val/test assignment by hash bucket: bucket < trainPct → train,
@@ -58,20 +69,26 @@ object Corpus {
    * Deterministic `pct`% sample — the same rows every run, on any cluster,
    * in any engine (contrast `DataFrame.sample`, which is partition-order
    * dependent). A plain filter: pushes down, fuses, never shuffles.
+   * Runs on the SALTED hash stream so sampling composes with
+   * [[splitAssign]]: a 20% sample still carries train/val/test at their
+   * declared rates (on the split stream it would keep only buckets 0–19 —
+   * all train).
    */
   def sampleByHash(docs: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100]: $pct")
-    docs.filter(hashBucket(col(idCol)) < pct)
+    docs.filter(hashBucket(col(idCol), 100, SampleSalt) < pct)
   }
 
   /**
    * Stratified deterministic sampling: a per-stratum percentage (e.g.
    * downsample the dominant language, keep the tail whole) — the corpus
    * REBALANCING primitive. Same hash contract as [[sampleByHash]]
-   * (engine/partitioning/growth stable), and because the hash ignores the
-   * stratum, a doc sampled at 10% stays sampled when its stratum's rate
-   * rises — rate changes only ADD or REMOVE the delta, never reshuffle
-   * the kept set. Still a pure filter: map-only, pushdown-friendly.
+   * (engine/partitioning/growth stable, SALTED stream — so rebalancing
+   * before [[splitAssign]] cannot censor the split buckets), and because
+   * the hash ignores the stratum, a doc sampled at 10% stays sampled when
+   * its stratum's rate rises — rate changes only ADD or REMOVE the delta,
+   * never reshuffle the kept set. Still a pure filter: map-only,
+   * pushdown-friendly.
    */
   def sampleStratified(docs: DataFrame, strataCol: String,
       rates: Map[String, Int], defaultPct: Int = 0,
@@ -81,7 +98,7 @@ object Corpus {
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
       when(col(strataCol) === lit(k), lit(p)).otherwise(acc)
     }
-    docs.filter(hashBucket(col(idCol)) < pct)
+    docs.filter(hashBucket(col(idCol), 100, SampleSalt) < pct)
   }
 
   /**
@@ -331,8 +348,9 @@ object Corpus {
    * pass is map-only and fuses into whatever scan feeds it.
    *
    * Output per piece: (idCol, chunk, chunk_id, chunk_text, n_tokens) —
-   * `chunk` is the 0-based piece index, `chunk_id` = "<id>#00007"
-   * (zero-padded so string order within a doc follows chunk order),
+   * `chunk` is the 0-based piece index, `chunk_id` = "<id>#000000007"
+   * (zero-padded to 9 digits so string order within a doc follows chunk
+   * order up to 10⁹ chunks per doc — beyond any real document),
    * `chunk_text` the space-rejoined slice, `n_tokens` its ws-token count
    * (= budget everywhere but the tail). Chunk texts concatenate back to
    * the lowercased ws-normalized original (round-trip property in
@@ -349,7 +367,7 @@ object Corpus {
       .withColumn("__ctoks",
         slice(col("__toks"), (col("chunk") * budget + 1).cast("int"), lit(budget)))
       .select(col(idCol), col("chunk"),
-        format_string("%s#%05d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
+        format_string("%s#%09d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
         concat_ws(" ", col("__ctoks")).as("chunk_text"),
         size(col("__ctoks")).cast("long").as("n_tokens"))
   }

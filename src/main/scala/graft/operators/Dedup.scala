@@ -141,9 +141,13 @@ object Dedup {
    * would hash-partition the banded rows by the bucket key — funneling the
    * degenerate bucket into one task, the exact shape this valve removes.
    * The list is bounded by totalRows/cap keys (every over-cap key owns
-   * > cap rows), so keep `cap` ≥ ~100 at corpus scale and the list stays
-   * comfortably broadcast-sized (1e11 rows / 1e3 cap → ≤ 1e8 worst-case —
-   * pick the cap with the candidate budget, not at single digits).
+   * > cap rows); size the cap so that bound stays in broadcast range
+   * (≲ 10⁷ keys): at 10¹¹ banded rows, cap ≥ ~10⁴ gives ≤ 10⁷ worst-case
+   * keys — and real corpora sit far under the worst case, since only
+   * DEGENERATE buckets exceed a 10⁴ cap. A cap small enough to push the
+   * list past the broadcast limit fails loudly at the broadcast (never
+   * silently skews) — raise the cap; candidate volume per kept bucket is
+   * cap², so tight caps buy little anyway.
    */
   private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
       cap: Option[Long]): DataFrame = cap match {

@@ -88,30 +88,49 @@ object TimeSeries {
     // slices that need history injected = slices where the LEFT has rows
     val lSlices = left
       .select(keyCols.map(col) :+ sliceOf(col(tsCol)).as("__slice"): _*).distinct()
-    val carryRows: Seq[DataFrame] = valueCols.map { v =>
-      val lastPer = rPre.filter(col(v + suffix).isNotNull)
-        .groupBy(keyCols.map(col) :+ col("__slice"): _*)
-        .agg(max(struct(col(tsCol), col(v + suffix))).as("__last"))
-      // markers (__m=0) sort BEFORE the same slice's right aggregate
-      // (__m=1), so a marker's running last() sees strictly earlier slices
-      val marked = lastPer.withColumn("__m", lit(1)).unionByName(
-        lSlices.withColumn("__last",
-            lit(null).cast(lastPer.schema("__last").dataType))
-          .withColumn("__m", lit(0)))
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col("__slice").asc, col("__m").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      marked.withColumn("__carry", last(col("__last"), ignoreNulls = true).over(w))
-        .filter(col("__m") === 0 && col("__carry").isNotNull)
-        .select(keyCols.map(col) ++ Seq(col("__slice"),
-          col("__carry").getField(tsCol).as(tsCol),
-          col("__carry").getField(v + suffix).as(v + suffix),
-          lit(0).as("__src")): _*)
+    // ONE grouped pass computes every column's per-slice last non-null
+    // right row (conditional max keyed by ts), and ONE per-key window over
+    // the slice-level aggregates carries them forward — cost does not
+    // multiply with valueCols. Markers (__m=0) sort BEFORE the same
+    // slice's aggregate (__m=1), so a marker's running last() sees
+    // strictly earlier slices only.
+    val lastCols = valueCols.map(v => max(when(col(v + suffix).isNotNull,
+      struct(col(tsCol), col(v + suffix)))).as(s"__last_$v"))
+    val lastPer = rPre.groupBy(keyCols.map(col) :+ col("__slice"): _*)
+      .agg(lastCols.head, lastCols.tail: _*)
+    val nullLasts = valueCols.map(v =>
+      lit(null).cast(lastPer.schema(s"__last_$v").dataType).as(s"__last_$v"))
+    val marked = lastPer.withColumn("__m", lit(1)).unionByName(
+      lSlices.select(keyCols.map(col) ++ (col("__slice") +: nullLasts): _*)
+        .withColumn("__m", lit(0)))
+    val wc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__slice").asc, col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(marked)((df, v) =>
+      df.withColumn(s"__carry_$v", last(col(s"__last_$v"), ignoreNulls = true).over(wc)))
+      .filter(col("__m") === 0)
+    // ONE carry frame via explode (per-column rows, each holding only its
+    // column), not V union branches sharing this window lineage — Spark
+    // 4.1.2's relation dedup mis-rebinds expressions when one derived
+    // frame feeds multiple union branches (see KeyedStore.merge)
+    val carryElems = valueCols.map { v =>
+      struct((col(s"__carry_$v").getField(tsCol).as(tsCol) +:
+        valueCols.map { u =>
+          (if (u == v) col(s"__carry_$u").getField(u + suffix)
+           else lit(null).cast(rPre.schema(u + suffix).dataType)).as(u + suffix)
+        }): _*)
     }
+    val carryRows = carried
+      .select(keyCols.map(col) ++ Seq(col("__slice"),
+        explode(array(carryElems: _*)).as("__e")): _*)
+      .filter(col("__e").getField(tsCol).isNotNull) // no earlier right row
+      .select(keyCols.map(col) ++ Seq(col("__slice"),
+        col("__e").getField(tsCol).as(tsCol)) ++
+        valueCols.map(v => col("__e").getField(v + suffix).as(v + suffix)) :+
+        lit(0).as("__src"): _*)
     val lPre = left.withColumn("__slice", sliceOf(col(tsCol))).withColumn("__src", lit(1))
-    val unioned = carryRows.foldLeft(
-      lPre.unionByName(rPre, allowMissingColumns = true))(
-      (acc, c) => acc.unionByName(c, allowMissingColumns = true))
+    val unioned = lPre.unionByName(rPre, allowMissingColumns = true)
+      .unionByName(carryRows, allowMissingColumns = true)
     val w = Window.partitionBy((keyCols :+ "__slice").map(col): _*)
       .orderBy(col(tsCol).asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -121,13 +121,18 @@ final class BpeMatcher(merges: Seq[(String, String)]) extends Serializable {
     n
   }
 
-  /** Sum of [[countWord]] over the text's lowercased `[a-z0-9]+` runs. */
+  /** Sum of [[countWord]] over the text's lowercased `[a-z0-9]+` runs.
+    * Lowercasing is FULL-STRING under Locale.ROOT, not per-char: per-char
+    * `Character.toLowerCase` diverges from `lower()` on code points whose
+    * lowercase is multi-char (e.g. U+0130 → "i" + combining dot), which
+    * would change the run segmentation vs `TextFunctions.tokens`. */
   def countText(text: String): Long = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     var total = 0L
     val sb = new java.lang.StringBuilder()
     var i = 0
-    while (i <= text.length) {
-      val c = if (i < text.length) Character.toLowerCase(text.charAt(i)) else ' '
+    while (i <= t.length) {
+      val c = if (i < t.length) t.charAt(i) else ' '
       val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       if (alnum) sb.append(c)
       else if (sb.length() > 0) { total += countWord(sb.toString); sb.setLength(0) }

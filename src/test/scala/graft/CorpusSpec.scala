@@ -41,14 +41,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(small == large)
   }
 
-  test("sampleByHash: exactly the bucket<pct rows, every run") {
+  test("sampleByHash: exactly the salted-bucket<pct rows, every run") {
     val sampled = Corpus.sampleByHash(ids, pct = 10).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    val expected = Corpus.splitAssign(ids).filter(col("bucket") < 10)
+    val expected = ids
+      .filter(Corpus.hashBucket(col("doc_id"), 100, Corpus.SampleSalt) < 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sampled == expected && sampled.nonEmpty)
     assert(Corpus.sampleByHash(ids, 0).count() == 0)
     assert(Corpus.sampleByHash(ids, 100).count() == 1000)
+  }
+
+  test("sampling is hash-independent of split assignment") {
+    // REGRESSION: when sampling shared the split hash stream, a 20% sample
+    // kept only buckets 0-19 — all 'train' — and stratified rebalancing at
+    // rate < 90 could never emit a 'test' row
+    val splits = Corpus.splitAssign(Corpus.sampleByHash(ids, 20))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"),
+      s"a 20% sample must still carry every split: $splits")
+    assert(splits("train") > splits("val") * 3) // rates still ~80/10/10
+    val docs = ids.withColumn("src", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val bal = Corpus.splitAssign(Corpus.sampleStratified(docs, "src", Map("a" -> 40), 60))
+    assert(bal.filter(col("split") === "test").count() > 0)
   }
 
   test("sampleStratified: per-stratum rates; raising a rate only adds rows") {

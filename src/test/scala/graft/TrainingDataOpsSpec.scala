@@ -248,9 +248,9 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       parts.size.toLong
     }
     def refText(text: String): Long =
-      "[a-z0-9]+".r.findAllIn(text.toLowerCase).map(refWord).sum
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).map(refWord).sum
     val rnd = new scala.util.Random(13)
-    val alphabet = "abcdefghinorst!,3 "
+    val alphabet = "abcdefghinorst!,3 İß"
     val rndTexts = (0 until 60).map { i =>
       (100L + i, (0 until rnd.nextInt(12)).map(_ =>
         (0 to rnd.nextInt(10)).map(_ =>
