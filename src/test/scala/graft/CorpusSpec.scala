@@ -357,6 +357,7 @@ class CorpusSpec extends AnyFunSuite {
     for (df <- Seq(
         graft.operators.Corpus.splitAssign(docs),
         graft.operators.Corpus.sampleByHash(docs, 10),
+        graft.operators.Corpus.chunkDocs(docs, budget = 4),
         docs.select(TextFunctions.redactPii(col("text"))))) {
       df.queryExecution.toRdd.count()
       val nodes = SparkTestBase.planNodeNames(df)
