@@ -358,6 +358,13 @@ object SparkEntry {
       Dedup.dedupByClusters(docs,
         Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5))
     }),
+    "dedup_best_survivors" -> ((s, dir) => {
+      // quality-aware survivor policy: the LONGEST member of each
+      // near-dup cluster survives (ties -> min id), not the smallest id
+      val docs = t(s, dir, "documents")
+      Dedup.dedupByClustersBest(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5), "n_chars")
+    }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 16, bands = 4)),
     "dedup_simhash" -> ((s, dir) =>
@@ -989,6 +996,16 @@ object SparkEntry {
          |$ccCtesSql
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
+    "dedup_best_survivors" ->
+      s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
+         |$ccCtesSql,
+         |ranked AS (
+         | SELECT l.id AS doc_id,
+         |  row_number() OVER (PARTITION BY l.cluster
+         |    ORDER BY d.n_chars DESC, l.id) AS rn
+         | FROM labels l JOIN documents d ON l.id = d.doc_id)
+         |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin,
     "sim_topk" -> simTopkSql,
     // both full-probe paths provably degrade to exact brute force, so the
     // same SQL hash-verifies the IVF and LSH index machinery end-to-end

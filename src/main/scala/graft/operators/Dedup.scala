@@ -405,6 +405,32 @@ object Dedup {
   }
 
   /**
+   * [[dedupByClusters]] with a QUALITY-AWARE survivor policy: per cluster
+   * the row with the highest `scoreCol` survives (ties → min id), instead
+   * of blindly keeping the smallest id. Real pipelines keep the best
+   * cluster member — longest text, highest LM score ([[Corpus
+   * .unigramLogProb]]), lowest repetition — because near-dup clusters
+   * often mix a full document with its truncated or boilerplate-wrapped
+   * variants.
+   *
+   * Same scale shape as the min-id form: the ranking window runs over the
+   * CLUSTERED docs only (labels ⋈ scores — a sliver of the corpus, one
+   * small shuffle on the cluster id), and the corpus is touched by one
+   * scan + one anti-join against the loser id set.
+   */
+  def dedupByClustersBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(pairs, checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol)
+    val scored = docs.select(col(idCol), col(scoreCol)).join(labels, idCol)
+    val w = Window.partitionBy(col("cluster")).orderBy(col(scoreCol).desc, col(idCol))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Exact n-gram Jaccard over candidate pairs from an inverted-index join:
    * docs sharing ≥1 shingle are candidates; J = |∩| / |∪| from shingle-set
    * sizes. `minJaccard` prunes the (large) candidate set after one

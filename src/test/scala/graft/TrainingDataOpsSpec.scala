@@ -206,6 +206,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 3L, 5L))
   }
 
+  test("dedupByClustersBest keeps the highest-scoring member per cluster") {
+    // cluster {0,1,4}: doc 1 gets the top score, so it survives instead
+    // of min id 0; unclustered docs always survive
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 1, 10.0).otherwise(col("doc_id").cast("double")))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+    val kept = Dedup.dedupByClustersBest(scored, pairs, "score").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+    // equal scores tie-break to min id — identical to dedupByClusters
+    val keptFlat = Dedup.dedupByClustersBest(
+        docs.withColumn("score", lit(1.0)), pairs, "score").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keptFlat == Set(0L, 2L, 3L, 5L))
+  }
+
   test("ngram jaccard maxDf: hot shingles drop out of the candidate space") {
     // "the quick brown ..." shingles are shared by docs 0/1/4 (df=3);
     // cap df<=2 removes them, so 0-1 (which share ONLY hot shingles
