@@ -21,5 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "float_vector_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
       }))
+    // merged-BPE token count under the default demo merge table; callers
+    // needing a production merges list use the Scala surface
+    // (TextFunctions.bpeCount(col, merges))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_token_count takes exactly 1 argument")
+        BpeTokenCount(children.head, graft.functions.TextFunctions.BpeMerges)
+      }))
   }
 }

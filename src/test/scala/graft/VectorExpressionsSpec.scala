@@ -70,4 +70,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
       "SELECT id, float_vector_dot(a, b) AS d FROM vecs WHERE id = 1").head()
     assert(r.getDouble(1) == 32.0)
   }
+
+  test("bpe_token_count SQL registration matches the Column surface") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[graft.plans.BpeTokenCount].getName, "bpe_token_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.BpeTokenCount(children.head,
+          graft.functions.TextFunctions.BpeMerges))
+    val docs = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    docs.createOrReplaceTempView("bpe_docs")
+    val viaSql = spark.sql(
+      "SELECT bpe_token_count(text) AS n FROM bpe_docs").head().getLong(0)
+    val viaCol = docs.select(
+      graft.functions.TextFunctions.bpeCount(col("text")).as("n")).head().getLong(0)
+    assert(viaSql == viaCol && viaSql > 0)
+  }
 }
