@@ -22,6 +22,7 @@ object Fixtures {
   val StoreDupParquet = s"$Dir/parquet/station_store_dup"
   val MediaParquet = s"$Dir/parquet/media"
   val PiiParquet = s"$Dir/parquet/pii_docs"
+  val ParaParquet = s"$Dir/parquet/para_docs"
 
   /** Canonical job spec — FIXTURES.md F-3 / `example_config.json:13-32`. */
   val F1Spec: DatasetSpec = DatasetSpec(
@@ -87,6 +88,38 @@ object Fixtures {
   }
 
   /**
+   * Multi-paragraph corpus fixture (the synthetic `documents` table is
+   * single-paragraph word salad, so paragraph-level dedup needs its own
+   * input). Boilerplate header/footer/cookie paragraphs repeat across
+   * docs; doc 7 is boilerplate-only (vanishes entirely after dedup);
+   * doc 3 repeats a paragraph within itself; docs 8/9 re-use body
+   * paragraphs first seen in docs 0/1; doc 5 duplicates up to trimming;
+   * doc 6 carries an empty paragraph (dropped by normalization).
+   */
+  def paraDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val header = "subscribe to our newsletter for weekly updates"
+    val footer = "copyright example corp all rights reserved"
+    val cookie = "this site uses cookies to improve your experience"
+    Seq(
+      (0L, Seq(header, "the first unique body paragraph about weather", footer)),
+      (1L, Seq(header, "a second body paragraph describing the harbor", footer)),
+      (2L, Seq("standalone prose with no boilerplate at all")),
+      (3L, Seq("a repeated stanza inside one document",
+               "a repeated stanza inside one document",
+               "plus a distinct middle paragraph", cookie)),
+      (4L, Seq(cookie, header, "fourth document body text on navigation menus")),
+      (5L, Seq("  surrounded by spaces this paragraph is  ",
+               "surrounded by spaces this paragraph is")),
+      (6L, Seq("sixth doc only paragraph", "", footer)),
+      (7L, Seq(header, footer, cookie)),
+      (8L, Seq("eighth doc opens fresh", "the first unique body paragraph about weather")),
+      (9L, Seq("a second body paragraph describing the harbor", "ninth doc closer")))
+      .map { case (id, ps) => (id, ps.mkString("\n\n")) }
+      .toDF("doc_id", "text")
+  }
+
+  /**
    * Multimodal fixture: opaque binary payloads + typed metadata. Payload
    * bytes are a deterministic pseudo-image (no real codecs in this
    * container); the Spark-side plumbing (binary column, metadata, batch
@@ -126,6 +159,8 @@ object FixtureGen {
       .write.mode("overwrite").parquet(Fixtures.MediaParquet)
     Fixtures.piiDocs(spark).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.PiiParquet)
+    Fixtures.paraDocs(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.ParaParquet)
     spark.stop()
   }
 }

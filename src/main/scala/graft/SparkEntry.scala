@@ -248,6 +248,12 @@ object SparkEntry {
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))),
     // --- training-data ops: text (SURVEY north star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_paragraphs" -> ((s, _) =>
+      // C4/Dolma-style paragraph dedup: each distinct paragraph survives
+      // once (first occurrence), docs rebuilt from surviving paragraphs;
+      // runs on the multi-paragraph fixture (the synthetic documents
+      // table is single-paragraph)
+      Dedup.dedupParagraphs(s.read.parquet(Fixtures.ParaParquet))),
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -514,6 +520,19 @@ object SparkEntry {
       val ev = docs.filter(Corpus.hashBucket(col("doc_id")) < 5)
         .select(col("doc_id"), col("text"))
       Corpus.decontaminate(docs, ev, n = 3, minOverlap = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+    "decontaminate_bloom" -> ((s, dir) => {
+      // the LARGE-reference decontamination shape: eval shingles compress
+      // into a Bloom filter probed map-only by a codegen'd
+      // BloomFilterMightContain literal. Union-overlap criterion + bloom
+      // false positives make removals a SUPERSET of the exact operator's
+      // (no false negatives) — rows-only by design, containment
+      // spec-asserted in CorpusSpec
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(Corpus.hashBucket(col("doc_id")) < 5)
+        .select(col("doc_id"), col("text"))
+      Corpus.decontaminateBloom(docs, ev, n = 3, minOverlap = 5)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
     "corpus_clean" -> ((s, dir) =>
@@ -935,6 +954,20 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_paragraphs" ->
+      s"""WITH p0 AS (SELECT doc_id, text
+         |  FROM read_parquet('${Fixtures.ParaParquet}/*.parquet')),
+         |nums AS (SELECT generate_series AS i FROM generate_series(1, 64)),
+         |sp AS (SELECT doc_id, string_split(text, e'\\n\\n') AS parts FROM p0),
+         |paras AS (
+         | SELECT doc_id, i AS pos, trim(parts[i]) AS para
+         | FROM sp, nums WHERE i <= len(parts) AND len(trim(parts[i])) > 0),
+         |kept AS (
+         | SELECT doc_id, pos, para FROM paras
+         | QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1)
+         |SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text,
+         | count(*) AS n_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,

@@ -512,4 +512,53 @@ object Dedup {
       .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "n_sh" -> "n_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "n_sh" -> "n_b")), "id_b")
   }
+
+  /**
+   * Paragraph-level exact dedup (the C4/Dolma line-dedup stage): every
+   * distinct paragraph survives exactly ONCE across the whole corpus — at
+   * its first occurrence in (idCol, position) order — and each document is
+   * rebuilt from its surviving paragraphs. Catches what DOCUMENT-level
+   * dedup structurally cannot: headers, footers, cookie banners and nav
+   * blocks repeated across millions of otherwise-unique pages.
+   *
+   * Shape (skew-proof, windowless): split + posexplode (map-only fan-out)
+   * → keeper per paragraph = `groupBy(md5(para)).agg(min(struct(id, pos)))`
+   * — map-side combined, so a boilerplate paragraph repeated 100M times
+   * sends ONE partial per map task, never its posting list, and no task
+   * buffers a hot paragraph's occurrences (a `row_number` window
+   * partitioned by paragraph would buffer exactly that) → join back on the
+   * 16-byte hash (1 build row per key; AQE splits a skewed probe side) →
+   * per-DOC reassembly via `array_sort(collect_list(struct(pos, para)))`,
+   * partitioned by document and bounded by document size.
+   *
+   * Matching is on the TRIMMED paragraph (leading/trailing spaces don't
+   * defeat the match); empty/whitespace-only paragraphs are dropped, so
+   * rebuilt text is also sep-run-normalized. A document whose every
+   * paragraph loses its race disappears from the output. `sep` is a
+   * LITERAL (regex-quoted before Spark's `split`), matching the oracle's
+   * literal `string_split`. Output: (idCol, textCol rebuilt with `sep`,
+   * n_kept). Hash-verified against the DuckDB oracle
+   * (`dedup_paragraphs`).
+   */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("para", trim(col("para")))
+      .filter(length(col("para")) > 0)
+      .withColumn("ph", md5(col("para").cast("binary")))
+    val keeper = paras.groupBy(col("ph"))
+      .agg(min(struct(col(idCol), col("pos"))).as("k"))
+      .select(col("ph"), col("k").getField(idCol).as("__kid"),
+        col("k").getField("pos").as("__kpos"))
+    paras.join(keeper, "ph")
+      .filter(col(idCol) === col("__kid") && col("pos") === col("__kpos"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para"))).as(textCol),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -26,6 +26,46 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!out.contains(4L) && out.size == 5)
   }
 
+  test("paragraph dedup: first occurrence survives, boilerplate-only doc vanishes") {
+    val out = Dedup.dedupParagraphs(Fixtures.paraDocs(spark)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_kept")))).toMap
+    // doc 0 keeps all three paragraphs (first occurrence of each)
+    assert(out(0L)._2 == 3L)
+    // doc 1 loses header+footer to doc 0, keeps its unique body
+    assert(out(1L) == (("a second body paragraph describing the harbor", 1L)))
+    // doc 3's within-doc repeat collapses; cookie banner first seen here
+    assert(out(3L)._2 == 3L && out(3L)._1.startsWith("a repeated stanza"))
+    // doc 4 loses cookie (doc 3) and header (doc 0)
+    assert(out(4L) == (("fourth document body text on navigation menus", 1L)))
+    // doc 5: the two paragraphs are equal after trimming -> one survives,
+    // and the rebuilt text is the TRIMMED form
+    assert(out(5L) == (("surrounded by spaces this paragraph is", 1L)))
+    // doc 6: empty paragraph dropped, footer lost to doc 0
+    assert(out(6L) == (("sixth doc only paragraph", 1L)))
+    // doc 7 is boilerplate-only: every paragraph lost its race -> doc gone
+    assert(!out.contains(7L))
+    // docs 8/9 keep only their fresh paragraphs
+    assert(out(8L) == (("eighth doc opens fresh", 1L)))
+    assert(out(9L) == (("ninth doc closer", 1L)))
+    // untouched doc round-trips unchanged
+    assert(out(2L) == (("standalone prose with no boilerplate at all", 1L)))
+  }
+
+  test("paragraph dedup is windowless: keeper selection never buffers a hot paragraph") {
+    // a paragraph repeated across MANY docs is exactly the case the
+    // operator exists for — keeper choice must be a map-side-combined
+    // groupBy, not a row_number window over the paragraph partition
+    val boiler = (0L until 50L).map(i => (i, s"unique paragraph $i\n\nshared boilerplate"))
+    val out = Dedup.dedupParagraphs(boiler.toDF("doc_id", "text"))
+    val rows = out.collect()
+    assert(rows.length == 50 &&
+      rows.count(_.getAs[String]("text").contains("shared boilerplate")) == 1)
+    val nodes = SparkTestBase.planNodeNames(out)
+    assert(!nodes.exists(_.contains("Window")),
+      s"paragraph keeper planned a window: $nodes")
+  }
+
   test("shingles: sliding word 3-grams; short docs fall back to whole text") {
     val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
       .filter(col("doc_id") === 0).head.getSeq[String](1)
