@@ -147,6 +147,59 @@ object Corpus {
         .select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /**
+   * Bloom-filter decontamination — the shape for a LARGE reference set.
+   * [[decontaminate]] broadcasts the eval shingle set exactly, which is
+   * right for benchmark suites (thousands of docs) but breaks down when
+   * the reference is itself corpus-sized (held-out split, a licensed
+   * corpus to exclude, a previous training run): billions of distinct
+   * 8-byte shingle keys would blow the broadcast and force a corpus-wide
+   * shuffle join. Here the reference compresses into a Bloom filter
+   * (`fpp` sizes it: ~1.2 GB per 10⁹ items at 1%) built DISTRIBUTED by
+   * `stat.bloomFilter` (per-partition filters OR-merged treewise; only
+   * the finished sketch reaches the driver — the IVF-centroid precedent),
+   * then probed by Spark's codegen'd `BloomFilterMightContain` as a
+   * binary literal: the corpus side stays MAP-ONLY (scan → shingle
+   * explode → bloom probe filter) with one shuffle on the surviving
+   * (doc, shingle) matches — bounded by contamination, not corpus size.
+   *
+   * SEMANTICS vs [[decontaminate]]: the bloom cannot attribute a match to
+   * one reference doc, so the criterion is ≥ `minOverlap` distinct
+   * shingles in the reference UNION (exact counts per (doc, eval_id)
+   * pair). One-sided error only: a doc flagged by the exact criterion is
+   * ALWAYS flagged here (its ≥ minOverlap truly-shared shingles are in
+   * the union; blooms have no false negatives), so the result is a
+   * SUBSET of the exact survivors — decontamination errs toward dropping
+   * (union counting + false positives at rate `fpp`), never toward
+   * leaking a contaminated doc. Rows-only by design (sketch internals
+   * are engine-specific); the containment property is spec-asserted.
+   */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      minOverlap: Long = 5, fpp: Double = 0.001, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    def hashedShingles(d: DataFrame) =
+      Dedup.shingleTable(d, n, textCol, idCol, dedup = false)
+        .select(xxhash64(col("shingle")).as("shingle"))
+    val evalSh = hashedShingles(evalDocs).distinct()
+    // two jobs over the (small-relative-to-corpus) reference side only:
+    // an exact count to size the filter, then the treewise bloom build
+    val expected = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray), Bridge.expression(col("shingle"))))
+    val flagged = Dedup.shingleTable(docs, n, textCol, idCol, dedup = false)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .filter(probe)
+      .groupBy(col(idCol)).agg(countDistinct(col("shingle")).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Per-(doc, term) counts — the reusable base relation of every
     * term-statistics operator (tf-idf, df tables, vocabulary). One
     * explode + one map-side-combined aggregation. */

@@ -404,6 +404,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L)) // doc 2's 2-shingle brush is under the threshold
   }
 
+  test("decontaminateBloom: removals contain the exact operator's; clean docs survive") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"), // 7 shared
+      (1L, "entirely unrelated corpus content speaks of other things"),
+      (2L, "the quick brown fox appears briefly here"), // 2 shared < minOverlap
+      // 3 shingles shared with eval doc A + 3 with eval doc B: exact
+      // per-pair counting keeps it, bloom UNION counting (6 >= 5) drops
+      // it — the documented one-sided difference
+      (3L, "the quick brown fox jumps past seven green bottles stood on shelves"))
+      .toDF("doc_id", "text")
+    val ev = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "seven green bottles stood on the wall"))
+      .toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(corpus, ev, n = 3, minOverlap = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val bloom = Corpus.decontaminateBloom(corpus, ev, n = 3, minOverlap = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact == Set(1L, 2L, 3L))
+    assert(bloom == Set(1L, 2L)) // union criterion drops 3; never leaks 0
+    assert(bloom.subsetOf(exact), "bloom survivors must be a subset of exact survivors")
+  }
+
+  test("decontaminateBloom plan: corpus side is map-only up to the match aggregation") {
+    // the probe must be a filter fused into the corpus scan+explode — no
+    // join, no exchange before the flagged-shingle aggregation
+    val docs = ids.withColumn("text",
+      concat(lit("alpha beta gamma delta epsilon zeta doc "), col("doc_id")))
+    val ev = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Corpus.decontaminateBloom(docs, ev, n = 3, minOverlap = 4)
+    assert(out.collect().isEmpty) // every doc shares the 4-shingle boilerplate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe expression missing from the plan:\n$plan")
+    val joins = SparkTestBase.planNodeNames(out).count(_.contains("Join"))
+    assert(joins == 1, s"expected ONLY the final anti-join, got $joins joins")
+  }
+
   test("semanticDedup: min id per cosine cluster survives, singletons untouched") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
