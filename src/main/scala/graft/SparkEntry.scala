@@ -466,6 +466,10 @@ object SparkEntry {
       // deterministic 80/10/10 split — engine- and partitioning-stable
       Corpus.splitAssign(t(s, dir, "documents"))
         .select(col("doc_id"), col("bucket"), col("split"))),
+    "shard_assign" -> ((s, dir) =>
+      // writer layout: independent-stream shard + md5 sort_key = the
+      // deterministic global shuffle, map-only (no orderBy, no window)
+      Corpus.shardAssign(t(s, dir, "documents").select(col("doc_id")), nShards = 16)),
     "sample_hash" -> ((s, dir) =>
       // deterministic 10% sample: a pushdown-friendly filter, same rows on
       // any cluster layout (unlike DataFrame.sample)
@@ -1075,6 +1079,11 @@ object SparkEntry {
          |      ELSE 'test' END AS split
          |FROM (SELECT doc_id, ${hashBucketSql("doc_id", 100)} AS bucket
          |      FROM documents)""".stripMargin,
+    "shard_assign" ->
+      s"""SELECT doc_id,
+         | ${hashBucketSql("doc_id", 16, Corpus.ShardSalt)} AS shard,
+         | md5(CAST(doc_id AS VARCHAR) || '${Corpus.ShardSalt}') AS sort_key
+         |FROM documents""".stripMargin,
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hashBucketSql("doc_id", 100, Corpus.SampleSalt)} < 10""".stripMargin,

@@ -48,6 +48,13 @@ object Corpus {
   /** The sampling family's hash-stream salt (see [[hashBucket]]). */
   val SampleSalt = "#smpl"
 
+  /** The sharding stream's salt: shards must be INDEPENDENT of split
+    * buckets — on the shared stream, `shard = h % nShards` and
+    * `bucket = h % 100` correlate (at nShards = 100 they coincide, so
+    * shard 5 would hold only bucket-5 docs: all train), and a reader
+    * sampling "a few shards" would silently sample a censored split mix. */
+  val ShardSalt = "#shard"
+
   /**
    * Train/val/test assignment by hash bucket: bucket < trainPct → train,
    * < trainPct+valPct → val, else test. Adds `bucket` and `split` columns;
@@ -146,6 +153,44 @@ object Corpus {
       contaminationPairs(docs, evalDocs, n, minOverlap, textCol, idCol, broadcastEval)
         .select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /**
+   * Deterministic shard assignment — the training-data WRITER's layout
+   * primitive: `shard` in [0, nShards) on the dedicated [[ShardSalt]]
+   * stream (independent of split buckets and sample gates, see the salt
+   * note), plus `sort_key` = the full md5 hex of the same salted id — a
+   * deterministic TOTAL order within each shard with no window, no global
+   * row numbering, no sequential anything. Two docs never tie (md5 of
+   * distinct ids) and the order is engine-/partitioning-/growth-stable,
+   * so a re-run of the writer produces byte-identical shards. Also the
+   * "shuffle the corpus for training" primitive: ordering by an avalanche
+   * hash IS the deterministic global shuffle, done as a map-only
+   * projection + per-shard sort instead of an orderBy over the corpus.
+   * Map-only; balanced by md5 uniformity (spec asserts the spread).
+   * Hash-verified as `shard_assign`.
+   */
+  def shardAssign(docs: DataFrame, nShards: Int = 1024,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    docs.withColumn("shard", hashBucket(col(idCol), nShards, ShardSalt))
+      .withColumn("sort_key",
+        md5(concat(col(idCol).cast("string"), lit(ShardSalt)).cast("binary")))
+  }
+
+  /**
+   * The writer itself: one directory per shard (`shard=<n>/`), rows
+   * hash-shuffle-ordered within each shard. `repartition(nShards, shard)`
+   * gives each output task one shard's rows (plus hash-collision
+   * neighbors — harmless, `partitionBy` still splits the directories);
+   * `sortWithinPartitions(shard, sort_key)` keeps collided shards
+   * contiguous and each shard internally ordered without any global sort.
+   */
+  def writeShards(docs: DataFrame, path: String, nShards: Int = 1024,
+      idCol: String = "doc_id"): Unit =
+    shardAssign(docs, nShards, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /**
    * Bloom-filter decontamination — the shape for a LARGE reference set.

@@ -404,6 +404,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L)) // doc 2's 2-shingle brush is under the threshold
   }
 
+  test("shardAssign: map-only, balanced, independent of split buckets; keys unique") {
+    val out = Corpus.shardAssign(ids, nShards = 16)
+    val rows = out.collect()
+    val nodes = SparkTestBase.planNodeNames(out)
+    assert(!nodes.exists(_.contains("Exchange")), s"shard assignment shuffled: $nodes")
+    val byShard = rows.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length)
+    assert(byShard.size == 16 && byShard.values.forall(n => n > 30 && n < 100),
+      s"unbalanced shards: ${byShard.toMap}")
+    // sort_key is a total order: no ties across 1000 docs
+    assert(rows.map(_.getAs[String]("sort_key")).distinct.length == rows.length)
+    // independent streams: one shard mixes many split buckets (on a shared
+    // stream, shard s would hold only buckets ≡ s mod 16)
+    val shard0Buckets = Corpus.splitAssign(Corpus.shardAssign(ids, nShards = 16))
+      .filter(col("shard") === 0).select(col("bucket")).distinct().count()
+    assert(shard0Buckets > 16, s"shard 0 holds only $shard0Buckets split buckets")
+  }
+
+  test("writeShards: one directory per shard, rows hash-ordered within, re-run identical") {
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    Corpus.writeShards(ids, path, nShards = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000)
+    assert(back.select(col("shard")).distinct().count() == 8)
+    // within one shard directory the file rows are sorted by sort_key
+    val one = spark.read.parquet(s"$path/shard=3").select(col("sort_key"))
+      .collect().map(_.getString(0)).toSeq
+    assert(one.nonEmpty && one == one.sorted, "shard 3 not internally sorted")
+    // determinism: a second writer run reproduces the same membership
+    val path2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Corpus.writeShards(ids, path2, nShards = 8)
+    val a = spark.read.parquet(s"$path/shard=3").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val b = spark.read.parquet(s"$path2/shard=3").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("decontaminateBloom: removals contain the exact operator's; clean docs survive") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight again"), // 7 shared
