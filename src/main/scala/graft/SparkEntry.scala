@@ -319,6 +319,10 @@ object SparkEntry {
         .agg(
           round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
           round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
+    "text_rep_ngram" -> ((s, dir) =>
+      // duplicate 3-gram INSTANCE fraction — catches looped sentences that
+      // token-level distinct_ratio scores as diverse
+      Corpus.ngramRepetition(t(s, dir, "documents"), n = 3)),
     "text_repetition" -> ((s, dir) => {
       // within-document repetition (Gopher-style quality signal):
       // distinct-token ratio; 1.0 = no repetition
@@ -568,6 +572,32 @@ object SparkEntry {
         .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
       graft.operators.TimeSeries
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
+        .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
+    }),
+    "events_asof_fwd" -> ((s, dir) => {
+      // forward as-of: each click annotated with the NEXT purchase value
+      // at-or-after it (same one-pass window, descending traversal)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.TimeSeries
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"),
+          suffix = "", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
+    }),
+    "events_asof_tol" -> ((s, dir) => {
+      // staleness-capped as-of: a purchase more than an hour old no longer
+      // annotates the click (merge_asof tolerance semantics)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.TimeSeries
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"),
+          suffix = "", toleranceSeconds = Some(3600L))
         .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
     }),
     "events_props" -> ((s, dir) =>
@@ -993,6 +1023,17 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "text_rep_ngram" ->
+      // non-distinct shingle stream (the sh0 CTE dedups, so restate the
+      // CASE over pos) → 1 − distinct/total per doc
+      """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, i FROM toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |       ELSE array_to_string(t, ' ') END AS g FROM pos)
+        |SELECT doc_id, round(1 - count(DISTINCT g) * 1.0 / count(*), 6) AS dup_ngram_ratio
+        |FROM g GROUP BY doc_id""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id,
         | round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 /
@@ -1224,6 +1265,26 @@ object SparkEntry {
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "events_asof_fwd" ->
+      // ASOF with the inequality flipped: nearest right row ABOVE
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |          WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+    "events_asof_tol" ->
+      // no native tolerance in DuckDB ASOF — the plain inequality-join
+      // statement (quadratic per key, fine at oracle scale) proves the
+      // windowed Spark shape
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |          WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (SELECT c.event_id, p.pval,
+        |       row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
+        |      FROM c JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |       AND p.ts >= c.ts - INTERVAL 1 HOUR)
+        |SELECT c.event_id, c.user_id, c.ts, round(m.pval, 4) AS pval
+        |FROM c LEFT JOIN m ON c.event_id = m.event_id AND m.rn = 1""".stripMargin,
     "events_props" ->
       """SELECT event_type, count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,

@@ -420,6 +420,26 @@ object Corpus {
   }
 
   /**
+   * Duplicate n-gram ratio (the Gopher-family repetition signal): the
+   * fraction of a document's word n-gram INSTANCES that are repeats of an
+   * n-gram already seen in the same document — `1 − distinct/total`. The
+   * token-level `distinct_ratio` (text_repetition) misses structured
+   * repetition: a document looping one sentence scores high token
+   * diversity inside the sentence but ~1.0 here. n=2..4 are the published
+   * choices; short docs (< n tokens) fall back to one whole-text shingle
+   * and score 0. One explode + one per-DOC aggregation (group size
+   * bounded by document length, never corpus-shaped). Oracled as
+   * `text_rep_ngram`.
+   */
+  def ngramRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .groupBy(col(idCol))
+      .agg(round(lit(1) - countDistinct(col("g")).cast("double") / count(lit(1)), 6)
+        .as("dup_ngram_ratio"))
+
+  /**
    * Per-document token Shannon entropy (nats): H = ln(n) − Σ c·ln(c) / n
    * over token counts c, total n — the distribution-shape quality signal
    * that length and distinct-ratio miss: near-zero entropy = one token

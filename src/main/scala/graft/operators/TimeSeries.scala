@@ -40,11 +40,30 @@ object TimeSeries {
    * (unit-proven on a hot-key fixture); costs one extra small aggregation
    * + window over per-slice aggregates, so leave it off (default) unless
    * keys are hot. Pick slices ≈ hot-key event density you want per task.
+   *
+   * `direction` / `toleranceSeconds` complete the pandas-`merge_asof`
+   * surface: `"forward"` matches the EARLIEST right row at-or-after the
+   * left ts (the same one-pass window, traversed in ts-descending order —
+   * right rows still sort first at equal ts, so ties stay inclusive);
+   * `toleranceSeconds` nulls a match farther than `tol` from the left row
+   * (staleness cap — a quote from last week should not annotate today's
+   * trade). Tolerance carries the matched right ts through the window as
+   * a (ts, value) struct and compares at MICROsecond precision, so the
+   * cut is exactly `r.ts >= l.ts - tol` (no whole-second rounding drift
+   * vs the oracle's interval arithmetic). Both oracle-verified
+   * (`events_asof_fwd` via DuckDB ASOF with `<=`; `events_asof_tol` via a
+   * plain inequality join). The sliced valve supports the default
+   * backward/no-tolerance form only.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, valueCols: Seq[String], suffix: String = "_asof",
-      sliceSeconds: Option[Long] = None): DataFrame = {
+      sliceSeconds: Option[Long] = None, direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "keyCols and valueCols required")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward: $direction")
+    require(sliceSeconds.isEmpty || (direction == "backward" && toleranceSeconds.isEmpty),
+      "sliceSeconds supports the backward/no-tolerance form only")
     sliceSeconds match {
       case Some(sec) => slicedAsof(left, right, keyCols, tsCol, valueCols, suffix, sec)
       case None =>
@@ -53,12 +72,33 @@ object TimeSeries {
           .withColumn("__src", lit(0))
         val unioned = left.withColumn("__src", lit(1))
           .unionByName(rPrepped, allowMissingColumns = true)
+        val tsOrd = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
         val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(tsCol).asc, col("__src").asc)
+          .orderBy(tsOrd, col("__src").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        valueCols.foldLeft(unioned) { (df, v) =>
-          df.withColumn(v + suffix, last(col(v + suffix), ignoreNulls = true).over(w))
-        }.filter(col("__src") === 1).drop("__src")
+        toleranceSeconds match {
+          case None =>
+            valueCols.foldLeft(unioned) { (df, v) =>
+              df.withColumn(v + suffix, last(col(v + suffix), ignoreNulls = true).over(w))
+            }.filter(col("__src") === 1).drop("__src")
+          case Some(tol) =>
+            require(tol >= 0, s"toleranceSeconds must be non-negative: $tol")
+            val usec = unix_micros(col(tsCol).cast("timestamp"))
+            val picked = valueCols.foldLeft(unioned) { (df, v) =>
+              df.withColumn("__pick_" + v,
+                last(when(col(v + suffix).isNotNull,
+                    struct(usec.as("rusec"), col(v + suffix).as("v"))),
+                  ignoreNulls = true).over(w))
+            }
+            valueCols.foldLeft(picked) { (df, v) =>
+              val p = col("__pick_" + v)
+              val gap = if (direction == "backward") usec - p.getField("rusec")
+                        else p.getField("rusec") - usec
+              df.withColumn(v + suffix,
+                  when(p.isNotNull && gap <= tol * 1000000L, p.getField("v")))
+                .drop("__pick_" + v)
+            }.filter(col("__src") === 1).drop("__src")
+        }
     }
   }
 

@@ -404,6 +404,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L)) // doc 2's 2-shingle brush is under the threshold
   }
 
+  test("ngramRepetition: looped sentence scores ~1, diverse text 0, short doc 0") {
+    val docs = Seq(
+      // one sentence repeated: every 3-gram after the first pass is a dup
+      (0L, Array.fill(10)("the cat sat on the mat").mkString(" ")),
+      (1L, "each word here appears exactly once in this document"),
+      (2L, "two words")) // < n tokens: whole-text fallback, one shingle
+      .toDF("doc_id", "text")
+    val out = Corpus.ngramRepetition(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ngram_ratio")).toMap
+    assert(out(0L) > 0.85, s"looped doc scored ${out(0L)}")
+    assert(out(1L) == 0.0 && out(2L) == 0.0)
+    // token-level distinct_ratio cannot see it: the looped doc's sentence
+    // is internally diverse (6 distinct tokens of 60 -> 0.1 is LOW here,
+    // but a loop of a LONG diverse sentence defeats it; the 3-gram
+    // instance ratio catches both)
+    val looped = Array.fill(4)(
+      "every token in this long sentence is distinct and carefully chosen").mkString(" ")
+    val one = Corpus.ngramRepetition(Seq((9L, looped)).toDF("doc_id", "text"), n = 3)
+      .head.getAs[Double]("dup_ngram_ratio")
+    assert(one > 0.7, s"long-loop doc scored $one")
+  }
+
   test("shardAssign: map-only, balanced, independent of split buckets; keys unique") {
     val out = Corpus.shardAssign(ids, nShards = 16)
     val rows = out.collect()
@@ -582,6 +604,27 @@ class CorpusSpec extends AnyFunSuite {
         val expect = right.filter(p => p._1 == k && p._2 <= t)
           .sortBy(_._2).lastOption.map(_._3)
         assert(asof(id) == expect, s"asof round $round id=$id k=$k t=$t")
+      }
+      // forward as-of: EARLIEST right at-or-after, per key
+      val fwd = TimeSeries.asofJoin(lDf, rDf, Seq("k"), "t", Seq("v"),
+          direction = "forward")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v_asof"))).toMap
+      for ((id, k, t) <- left) {
+        val expect = right.filter(p => p._1 == k && p._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        assert(fwd(id) == expect, s"fwd round $round id=$id k=$k t=$t")
+      }
+      // tolerance: a match staler than 5s is nulled, never substituted by
+      // an older one
+      val tolr = TimeSeries.asofJoin(lDf, rDf, Seq("k"), "t", Seq("v"),
+          toleranceSeconds = Some(5L))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v_asof"))).toMap
+      for ((id, k, t) <- left) {
+        val expect = right.filter(p => p._1 == k && p._2 <= t && p._2 >= t - 5)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(tolr(id) == expect, s"tol round $round id=$id k=$k t=$t")
       }
       // range: every pair within [start, start+7], via 3-second buckets
       val rWin = rDf.withColumn("wend", col("t") + 7)
