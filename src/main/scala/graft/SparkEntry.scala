@@ -254,6 +254,15 @@ object SparkEntry {
       // runs on the multi-paragraph fixture (the synthetic documents
       // table is single-paragraph)
       Dedup.dedupParagraphs(s.read.parquet(Fixtures.ParaParquet))),
+    "dedup_paragraphs_inc" -> ((s, _) => {
+      // incremental: docs >= 5 deduped against the registry of docs < 5 —
+      // oracled as the FULL dedup statement restricted to increment ids
+      // (the equivalence the operator guarantees)
+      val all = s.read.parquet(Fixtures.ParaParquet)
+      Dedup.dedupParagraphsIncremental(
+        all.filter(col("doc_id") >= 5),
+        Dedup.paragraphRegistry(all.filter(col("doc_id") < 5)))
+    }),
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -793,6 +802,24 @@ object SparkEntry {
     * generate_series(1, 65536))` once. Shared by the Jaccard family and
     * the decontamination oracle so the shingling rule (including the
     * short-doc whole-text fallback) lives in one place. */
+  /** DuckDB twin of `Dedup.dedupParagraphs` over the para_docs fixture;
+    * `finalClause` restricts the reassembled output (the incremental
+    * oracle appends `HAVING doc_id >= 5`). */
+  private def paraDedupSql(finalClause: String = ""): String =
+    s"""WITH p0 AS (SELECT doc_id, text
+       |  FROM read_parquet('${Fixtures.ParaParquet}/*.parquet')),
+       |nums AS (SELECT generate_series AS i FROM generate_series(1, 64)),
+       |sp AS (SELECT doc_id, string_split(text, e'\\n\\n') AS parts FROM p0),
+       |paras AS (
+       | SELECT doc_id, i AS pos, trim(parts[i]) AS para
+       | FROM sp, nums WHERE i <= len(parts) AND len(trim(parts[i])) > 0),
+       |kept AS (
+       | SELECT doc_id, pos, para FROM paras
+       | QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1)
+       |SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text,
+       | count(*) AS n_kept
+       |FROM kept GROUP BY doc_id $finalClause""".stripMargin
+
   private def shingleCtesSql(src: String, p: String = ""): String =
     s"""${p}toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
        |${p}pos AS (SELECT doc_id, t, i FROM ${p}toks JOIN nums ON i <= greatest(len(t) - 2, 1)),
@@ -988,20 +1015,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "dedup_paragraphs" ->
-      s"""WITH p0 AS (SELECT doc_id, text
-         |  FROM read_parquet('${Fixtures.ParaParquet}/*.parquet')),
-         |nums AS (SELECT generate_series AS i FROM generate_series(1, 64)),
-         |sp AS (SELECT doc_id, string_split(text, e'\\n\\n') AS parts FROM p0),
-         |paras AS (
-         | SELECT doc_id, i AS pos, trim(parts[i]) AS para
-         | FROM sp, nums WHERE i <= len(parts) AND len(trim(parts[i])) > 0),
-         |kept AS (
-         | SELECT doc_id, pos, para FROM paras
-         | QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1)
-         |SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text,
-         | count(*) AS n_kept
-         |FROM kept GROUP BY doc_id""".stripMargin,
+    "dedup_paragraphs" -> paraDedupSql(),
+    "dedup_paragraphs_inc" ->
+      // incremental ≡ full dedup restricted to increment ids (corpus docs
+      // always win their first-occurrence races) — so the oracle IS the
+      // full statement plus the restriction
+      paraDedupSql("HAVING doc_id >= 5"),
     "text_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,

@@ -541,24 +541,66 @@ object Dedup {
    * (`dedup_paragraphs`).
    */
   def dedupParagraphs(docs: DataFrame, sep: String = "\n\n",
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val paras = docs.select(col(idCol),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    reassemble(firstOccurrence(explodeParas(docs, sep, textCol, idCol), idCol),
+      sep, textCol, idCol)
+
+  /** (id, pos, para, ph): trimmed non-empty paragraphs with their md5. */
+  private def explodeParas(docs: DataFrame, sep: String, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
       .withColumn("para", trim(col("para")))
       .filter(length(col("para")) > 0)
       .withColumn("ph", md5(col("para").cast("binary")))
+
+  /** Keep each paragraph's first (id, pos) occurrence — the windowless
+    * keeper groupBy + hash join described in [[dedupParagraphs]]. */
+  private def firstOccurrence(paras: DataFrame, idCol: String): DataFrame = {
     val keeper = paras.groupBy(col("ph"))
       .agg(min(struct(col(idCol), col("pos"))).as("k"))
       .select(col("ph"), col("k").getField(idCol).as("__kid"),
         col("k").getField("pos").as("__kpos"))
     paras.join(keeper, "ph")
       .filter(col(idCol) === col("__kid") && col("pos") === col("__kpos"))
-      .groupBy(col(idCol))
+      .drop("__kid", "__kpos")
+  }
+
+  private def reassemble(kept: DataFrame, sep: String, textCol: String,
+      idCol: String): DataFrame =
+    kept.groupBy(col(idCol))
       .agg(
         concat_ws(sep, transform(
           array_sort(collect_list(struct(col("pos"), col("para")))),
           x => x.getField("para"))).as(textCol),
         count(lit(1)).as("n_kept"))
+
+  /** The paragraph REGISTRY to persist for incremental ingestion: the
+    * distinct md5 of every paragraph ever seen (kept and dropped sets
+    * have identical hash sets, so registry(corpus) ==
+    * registry(dedup(corpus))). At corpus scale, persist it BUCKETED by
+    * `ph` so [[dedupParagraphsIncremental]]'s anti-join reads it
+    * exchange-free; append `registry(increment-result)` after each batch. */
+  def paragraphRegistry(docs: DataFrame, sep: String = "\n\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    explodeParas(docs, sep, textCol, idCol).select(col("ph")).distinct()
+
+  /**
+   * Incremental paragraph dedup: rebuild the INCREMENT's documents,
+   * dropping every paragraph already in the persisted `registry` plus
+   * within-increment repeats — without touching corpus text at all.
+   * Provided increment ids sort after corpus ids, the result is EXACTLY
+   * `dedupParagraphs(corpus ∪ increment)` restricted to increment docs
+   * (spec-proven): corpus docs always win their races, so the registry
+   * anti-join (keyed on the 16-byte hash; one exchange on the increment
+   * side only when the registry is bucketed) replaces the corpus re-scan.
+   */
+  def dedupParagraphsIncremental(increment: DataFrame, registry: DataFrame,
+      sep: String = "\n\n", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fresh = firstOccurrence(explodeParas(increment, sep, textCol, idCol), idCol)
+      .join(registry.select(col("ph")), Seq("ph"), "left_anti")
+    reassemble(fresh, sep, textCol, idCol)
   }
 }

@@ -66,6 +66,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       s"paragraph keeper planned a window: $nodes")
   }
 
+  test("incremental paragraph dedup equals full-corpus dedup restricted to the increment") {
+    val all = Fixtures.paraDocs(spark)
+    val corpus = all.filter(col("doc_id") < 5)
+    val inc = all.filter(col("doc_id") >= 5)
+    val full = Dedup.dedupParagraphs(all).filter(col("doc_id") >= 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_kept"))).toSet
+    val incremental = Dedup.dedupParagraphsIncremental(
+        inc, Dedup.paragraphRegistry(corpus)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_kept"))).toSet
+    assert(incremental == full)
+    // registry is dedup-invariant: hashes of the deduped corpus match the
+    // raw corpus's (kept and dropped paragraph sets share their hash set)
+    val regRaw = Dedup.paragraphRegistry(corpus).collect().map(_.getString(0)).toSet
+    val regDeduped = Dedup.paragraphRegistry(
+      Dedup.dedupParagraphs(corpus)).collect().map(_.getString(0)).toSet
+    assert(regRaw == regDeduped)
+  }
+
   test("shingles: sliding word 3-grams; short docs fall back to whole text") {
     val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
       .filter(col("doc_id") === 0).head.getSeq[String](1)
