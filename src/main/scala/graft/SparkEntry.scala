@@ -328,6 +328,10 @@ object SparkEntry {
         .agg(
           round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
           round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
+    "text_rep_lines" -> ((s, _) =>
+      // duplicate-line instance + character fractions per doc (Gopher
+      // family) — over the multi-paragraph fixture, "\n\n"-separated
+      Corpus.lineRepetition(s.read.parquet(Fixtures.ParaParquet), sep = "\n\n")),
     "text_rep_ngram" -> ((s, dir) =>
       // duplicate 3-gram INSTANCE fraction — catches looped sentences that
       // token-level distinct_ratio scores as diverse
@@ -1042,6 +1046,21 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "text_rep_lines" ->
+      s"""WITH p0 AS (SELECT doc_id, text
+         |  FROM read_parquet('${Fixtures.ParaParquet}/*.parquet')),
+         |nums AS (SELECT generate_series AS i FROM generate_series(1, 64)),
+         |sp AS (SELECT doc_id, string_split(text, e'\\n\\n') AS parts FROM p0),
+         |paras AS (
+         | SELECT doc_id, trim(parts[i]) AS para
+         | FROM sp, nums WHERE i <= len(parts) AND len(trim(parts[i])) > 0),
+         |c AS (SELECT doc_id, para, count(*) AS cnt, length(para) AS chars
+         |      FROM paras GROUP BY doc_id, para)
+         |SELECT doc_id,
+         | round(1 - count(*) * 1.0 / sum(cnt), 6) AS dup_line_ratio,
+         | round(sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) * 1.0 /
+         |   sum(cnt * chars), 6) AS dup_char_ratio
+         |FROM c GROUP BY doc_id""".stripMargin,
     "text_rep_ngram" ->
       // non-distinct shingle stream (the sh0 CTE dedups, so restate the
       // CASE over pos) → 1 − distinct/total per doc

@@ -440,6 +440,32 @@ object Corpus {
         .as("dup_ngram_ratio"))
 
   /**
+   * Duplicate-line fractions (the Gopher repetition pair [[ngramRepetition]]
+   * doesn't cover): per document, the share of line INSTANCES that repeat
+   * a line already seen in the same document (`dup_line_ratio` =
+   * 1 − distinct/total) and the share of CHARACTERS living in lines that
+   * occur more than once (`dup_char_ratio`, all occurrences counted) — the
+   * char form catches one huge line duplicated once among many short
+   * unique lines, which the instance ratio underweights. Lines are
+   * `sep`-separated, trimmed, empties dropped ([[Dedup.explodeParas]] —
+   * the same normalization paragraph dedup matches on). Two keyed
+   * aggregations, groups bounded by document size. Oracled as
+   * `text_rep_lines` over the multi-paragraph fixture.
+   */
+  def lineRepetition(docs: DataFrame, sep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    Dedup.explodeParas(docs, sep, textCol, idCol)
+      .groupBy(col(idCol), col("para"))
+      .agg(count(lit(1)).as("cnt"), length(col("para")).cast("long").as("chars"))
+      .groupBy(col(idCol))
+      .agg(
+        round(lit(1) - count(lit(1)).cast("double") / sum(col("cnt")), 6)
+          .as("dup_line_ratio"),
+        round(sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L))
+          .cast("double") / sum(col("cnt") * col("chars")), 6)
+          .as("dup_char_ratio"))
+
+  /**
    * Per-document token Shannon entropy (nats): H = ln(n) − Σ c·ln(c) / n
    * over token counts c, total n — the distribution-shape quality signal
    * that length and distinct-ratio miss: near-zero entropy = one token

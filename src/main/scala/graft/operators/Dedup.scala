@@ -545,8 +545,9 @@ object Dedup {
     reassemble(firstOccurrence(explodeParas(docs, sep, textCol, idCol), idCol),
       sep, textCol, idCol)
 
-  /** (id, pos, para, ph): trimmed non-empty paragraphs with their md5. */
-  private def explodeParas(docs: DataFrame, sep: String, textCol: String,
+  /** (id, pos, para, ph): trimmed non-empty paragraphs with their md5.
+    * Shared with Corpus's line-repetition quality signal. */
+  private[operators] def explodeParas(docs: DataFrame, sep: String, textCol: String,
       idCol: String): DataFrame =
     docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))

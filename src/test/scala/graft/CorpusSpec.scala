@@ -426,6 +426,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(one > 0.7, s"long-loop doc scored $one")
   }
 
+  test("lineRepetition: one huge duplicated line dominates chars, not instances") {
+    val docs = Seq(
+      (0L, "a\nb\nc\nd"),                       // all unique
+      (1L, "same line\nsame line\nsame line"),  // all dup
+      // 1 big line twice + 4 short uniques: instance ratio 1/6 is small,
+      // char ratio is dominated by the big line — the signal the char
+      // form exists for
+      (2L, Seq("x", "y", "z", "w",
+        "this enormously long boilerplate line occurs exactly twice here",
+        "this enormously long boilerplate line occurs exactly twice here")
+        .mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = Corpus.lineRepetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("dup_line_ratio"), r.getAs[Double]("dup_char_ratio")))).toMap
+    assert(out(0L) == ((0.0, 0.0)))
+    assert(out(1L) == ((0.666667, 1.0))) // rounded to 6dp by the operator
+    val (lr, cr) = out(2L)
+    assert(lr < 0.2 && cr > 0.9, s"instance=$lr char=$cr")
+  }
+
   test("shardAssign: map-only, balanced, independent of split buckets; keys unique") {
     val out = Corpus.shardAssign(ids, nShards = 16)
     val rows = out.collect()
