@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.TrainingSetConfig
+import graft.operators.{Corpus, Materialize}
+
+/**
+ * Config-driven end-to-end training-set production — the training-data
+ * analog of [[IngestJob]]: one JSON config
+ * ([[graft.config.TrainingSetConfig]]) drives the full pipeline a corpus
+ * actually runs between a raw document table and training input:
+ *
+ *   cleanCorpus (quality gate → language gate → exact dedup → near-dup
+ *   survivors [→ decontamination → PII redaction → stratified rebalance]
+ *   → split assignment)
+ *   → shard write of the clean corpus (deterministic writer layout)
+ *   → chunk + pack of the train split (budget-sized sequence bins)
+ *   → manifest.
+ *
+ * Output layout under `outRoot`:
+ *  - `shards/` — the clean corpus, one directory per [[Corpus.shardAssign]]
+ *    shard, internally hash-ordered (the deterministic global shuffle);
+ *    carries (doc_id, text, bucket, split), so any split is a partition-
+ *    pruned filter away.
+ *  - `packed/` — train-split sequences: chunk rows (chunk_id, chunk_text,
+ *    n_tokens) with their (grp, bin, running) packing assignment,
+ *    partitioned by `grp`, rows sorted (bin, chunk_id) so a trainer reads
+ *    each bin's members contiguously.
+ *  - `manifest.json` — row counts per stage + the effective config echo.
+ *
+ * Every stage is the individually-verified operator — this class only
+ * composes and writes. The clean set is materialized ONCE before its three
+ * consumers (shard write, train-split packing, counts) — pass
+ * `checkpoint_dir` for a reliable checkpoint on long cluster runs, exactly
+ * like [[Corpus.cleanCorpus]]'s own internal stage. Counts for the
+ * manifest are read from the WRITTEN outputs (column-pruned scans of two
+ * small columns), never by re-executing pipeline lineage.
+ */
+object TrainingSetJob {
+
+  final case class Result(cleanDocs: Long, trainChunks: Long, trainBins: Long,
+      shardsWritten: Long)
+
+  def shardsDir(root: String) = s"$root/shards"
+  def packedDir(root: String) = s"$root/packed"
+  def manifestPath(root: String) = s"$root/manifest.json"
+
+  def run(spark: SparkSession, docsDir: String, outRoot: String,
+      cfg: TrainingSetConfig = TrainingSetConfig()): Result = {
+    val docs = spark.read.parquet(docsDir)
+    val evalDocs = cfg.evalDir.map(d =>
+      spark.read.parquet(d).select(col("doc_id"), col("text")))
+    val cleaned0 = Corpus.cleanCorpus(docs, cfg.lang, cfg.minTokens,
+      cfg.maxDigitRatio, cfg.ngram, cfg.minJaccard, cfg.maxDf, "text",
+      "doc_id", cfg.checkpointDir, evalDocs, cfg.evalMinOverlap, cfg.redact,
+      cfg.strata)
+    // without redaction cleanCorpus returns ids only — join the text back
+    // (semi-shaped inner join on the id; AQE broadcasts the smaller side)
+    val cleaned = Materialize(
+      if (cfg.redact) cleaned0
+      else cleaned0.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+      cfg.checkpointDir)
+
+    Corpus.writeShards(cleaned, shardsDir(outRoot), cfg.nShards)
+
+    val train = cleaned.filter(col("split") === "train")
+    val chunks = Corpus.chunkDocs(train, cfg.chunkBudget)
+    val packed = Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
+      cfg.packGroups, "n_tokens", "chunk_id")
+    packed.join(chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
+      .repartition(cfg.packGroups, col("grp"))
+      .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
+      .write.mode("overwrite").partitionBy("grp").parquet(packedDir(outRoot))
+
+    val shardsBack = spark.read.parquet(shardsDir(outRoot))
+    val packedBack = spark.read.parquet(packedDir(outRoot))
+    val cleanDocs = shardsBack.count()
+    val shardsWritten = shardsBack.select(col("shard")).distinct().count()
+    val Array(chunkCount, binCount) = packedBack
+      .agg(count(lit(1)), count_distinct(struct(col("grp"), col("bin"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+
+    val result = Result(cleanDocs, chunkCount, binCount, shardsWritten)
+    writeManifest(spark, outRoot, cfg, result)
+    result
+  }
+
+  private def writeManifest(spark: SparkSession, root: String,
+      cfg: TrainingSetConfig, r: Result): Unit = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(manifestPath(root)), true)
+    val strata = cfg.strataCol.map(c =>
+      s""","strata_col":"$c","strata_default_pct":${cfg.strataDefaultPct}""").getOrElse("")
+    out.write(
+      (s"""{"clean_docs":${r.cleanDocs},"train_chunks":${r.trainChunks},""" +
+        s""""train_bins":${r.trainBins},"shards":${r.shardsWritten},""" +
+        s""""lang":"${cfg.lang}","min_tokens":${cfg.minTokens},""" +
+        s""""chunk_budget":${cfg.chunkBudget},"n_shards":${cfg.nShards},""" +
+        s""""redact":${cfg.redact}$strata}""").getBytes("UTF-8"))
+    out.close()
+  }
+}

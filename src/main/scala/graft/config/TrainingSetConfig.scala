@@ -1,0 +1,73 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Configuration for the end-to-end training-set job
+ * (`graft.TrainingSetJob`) — the training-data analog of the reference's
+ * ingestion config ([[JobConfig]]): one JSON document declares the whole
+ * clean → decontaminate → redact → rebalance → split → chunk → pack →
+ * shard pipeline. Every default matches the corresponding operator's
+ * default, so an empty `{}` config runs the same pipeline as
+ * `Corpus.cleanCorpus(docs)` plus packing and sharding at their
+ * defaults.
+ */
+final case class TrainingSetConfig(
+    lang: String = "en",
+    minTokens: Long = 10,
+    maxDigitRatio: Double = 0.3,
+    ngram: Int = 3,
+    minJaccard: Double = 0.5,
+    maxDf: Option[Long] = None,
+    evalDir: Option[String] = None,
+    evalMinOverlap: Long = 5,
+    redact: Boolean = false,
+    strataCol: Option[String] = None,
+    strataRates: Map[String, Int] = Map.empty,
+    strataDefaultPct: Int = 100,
+    chunkBudget: Int = 512,
+    packGroups: Int = 32,
+    nShards: Int = 64,
+    checkpointDir: Option[String] = None) {
+  require(chunkBudget > 0, s"chunk_budget must be positive: $chunkBudget")
+  require(nShards > 0, s"n_shards must be positive: $nShards")
+
+  def strata: Option[(String, Map[String, Int], Int)] =
+    strataCol.map(c => (c, strataRates, strataDefaultPct))
+}
+
+object TrainingSetConfig {
+  private val mapper = new ObjectMapper()
+
+  /** Parse the job's JSON shape; absent fields keep operator defaults. */
+  def parse(json: String): TrainingSetConfig = {
+    val n = mapper.readTree(json)
+    def optNode(f: String): Option[JsonNode] =
+      Option(n.get(f)).filterNot(_.isNull)
+    def text(f: String, d: String) = optNode(f).map(_.asText).getOrElse(d)
+    def long(f: String, d: Long) = optNode(f).map(_.asLong).getOrElse(d)
+    def int(f: String, d: Int) = optNode(f).map(_.asInt).getOrElse(d)
+    def dbl(f: String, d: Double) = optNode(f).map(_.asDouble).getOrElse(d)
+    def bool(f: String, d: Boolean) = optNode(f).map(_.asBoolean).getOrElse(d)
+    TrainingSetConfig(
+      lang = text("lang", "en"),
+      minTokens = long("min_tokens", 10),
+      maxDigitRatio = dbl("max_digit_ratio", 0.3),
+      ngram = int("ngram", 3),
+      minJaccard = dbl("min_jaccard", 0.5),
+      maxDf = optNode("max_df").map(_.asLong),
+      evalDir = optNode("eval_dir").map(_.asText),
+      evalMinOverlap = long("eval_min_overlap", 5),
+      redact = bool("redact", d = false),
+      strataCol = optNode("strata_col").map(_.asText),
+      strataRates = optNode("strata_rates").map(r =>
+        r.properties.asScala.map(e => e.getKey -> e.getValue.asInt).toMap)
+        .getOrElse(Map.empty),
+      strataDefaultPct = int("strata_default_pct", 100),
+      chunkBudget = int("chunk_budget", 512),
+      packGroups = int("pack_groups", 32),
+      nShards = int("n_shards", 64),
+      checkpointDir = optNode("checkpoint_dir").map(_.asText))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.config.TrainingSetConfig
+import graft.operators.Corpus
+
+class TrainingSetJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("config parse: empty object keeps operator defaults; full object round-trips") {
+    val dflt = TrainingSetConfig.parse("{}")
+    assert(dflt == TrainingSetConfig())
+    val cfg = TrainingSetConfig.parse(
+      """{"lang":"en","min_tokens":5,"max_digit_ratio":0.5,"ngram":2,
+        |"min_jaccard":0.7,"max_df":100,"eval_dir":"/tmp/eval",
+        |"eval_min_overlap":3,"redact":true,"strata_col":"source",
+        |"strata_rates":{"src7":40,"src18":40},"strata_default_pct":90,
+        |"chunk_budget":64,"pack_groups":8,"n_shards":4}""".stripMargin)
+    assert(cfg.minTokens == 5 && cfg.maxDf.contains(100L) &&
+      cfg.evalDir.contains("/tmp/eval") && cfg.redact &&
+      cfg.strata.contains(("source", Map("src7" -> 40, "src18" -> 40), 90)) &&
+      cfg.chunkBudget == 64 && cfg.nShards == 4)
+  }
+
+  test("end-to-end: clean corpus sharded, train split chunked+packed, manifest written") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":4,"n_shards":8,
+        |"strata_col":"source","strata_default_pct":100}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+
+    // clean-doc count equals the standalone composition's
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expectClean = Corpus.cleanCorpus(docs).count()
+    assert(r.cleanDocs == expectClean && r.cleanDocs > 0)
+
+    // shards: within bounds, union reproduces the clean set, split column rides
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    assert(r.shardsWritten <= 8 && shards.count() == r.cleanDocs)
+    assert(shards.columns.toSet == Set("doc_id", "text", "bucket", "split", "shard", "sort_key"))
+
+    // packed: every chunk fits the budget; bins never exceed one straddle;
+    // chunk membership == chunkDocs over the train split
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    assert(packed.filter(col("n_tokens") > 64).count() == 0)
+    val overPacked = packed.groupBy(col("grp"), col("bin"))
+      .agg(sum(col("n_tokens")).as("s")).filter(col("s") > 2 * 64).count()
+    assert(overPacked == 0, "a packed bin exceeded budget + one straddle")
+    assert(r.trainChunks == packed.count() && r.trainBins > 0)
+    val trainDocs = shards.filter(col("split") === "train")
+    assert(packed.count() == Corpus.chunkDocs(trainDocs, 64).count())
+
+    // manifest: present, parseable, counts agree
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("clean_docs").asLong == r.cleanDocs &&
+      m.get("train_bins").asLong == r.trainBins &&
+      m.get("strata_col").asText == "source")
+  }
+}
