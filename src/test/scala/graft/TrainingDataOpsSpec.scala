@@ -66,6 +66,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       s"paragraph keeper planned a window: $nodes")
   }
 
+  test("map-only minhash signatures equal the explode+agg path; banded build is exchange-free") {
+    val mixed = docs.unionByName(Seq(
+      (10L, "a b"), (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")) // short-doc fallback + longer doc
+    def sigs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 16).map(j => r.getAs[Long](s"mh_$j"))).toMap
+    val viaAgg = sigs(Dedup.minhash(
+      Dedup.shingleTable(mixed, 3, "text", "doc_id", dedup = false), 16, "doc_id"))
+    val viaMap = sigs(Dedup.minhashSignatures(mixed))
+    assert(viaMap == viaAgg)
+    // the whole banded build plans with no exchange before the write
+    val banded = Dedup.minhashBandedTable(mixed, mapOnly = true)
+    banded.collect()
+    val nodes = SparkTestBase.planNodeNames(banded)
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"map-only banded build shuffled: $nodes")
+    // and band values agree with the default path
+    val dflt = Dedup.minhashBandedTable(mixed).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("band"), r.getAs[Long]("bucket"))).toSet
+    val mo = banded.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("band"), r.getAs[Long]("bucket"))).toSet
+    assert(mo == dflt)
+  }
+
   test("incremental paragraph dedup equals full-corpus dedup restricted to the increment") {
     val all = Fixtures.paraDocs(spark)
     val corpus = all.filter(col("doc_id") < 5)
