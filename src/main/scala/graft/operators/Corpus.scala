@@ -427,17 +427,19 @@ object Corpus {
    * repetition: a document looping one sentence scores high token
    * diversity inside the sentence but ~1.0 here. n=2..4 are the published
    * choices; short docs (< n tokens) fall back to one whole-text shingle
-   * and score 0. One explode + one per-DOC aggregation (group size
-   * bounded by document length, never corpus-shaped). Oracled as
-   * `text_rep_ngram`.
+   * and score 0. A PURE PROJECTION — `1 − size(array_distinct)/size`
+   * over the in-row shingle array, no explode, no shuffle, fuses into
+   * the scan (both repetition ratios and the quality columns ride one
+   * pass). Oracled as `text_rep_ngram`.
    */
   def ngramRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
-      .groupBy(col(idCol))
-      .agg(round(lit(1) - countDistinct(col("g")).cast("double") / count(lit(1)), 6)
-        .as("dup_ngram_ratio"))
+    // two projections: `__sh` is referenced twice and CollapseProject
+    // declines to inline a non-cheap producer, so shingling runs once
+    docs.select(col(idCol), TextFunctions.shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol),
+        round(lit(1) - size(array_distinct(col("__sh"))).cast("double") /
+          size(col("__sh")), 6).as("dup_ngram_ratio"))
 
   /**
    * Duplicate-line fractions (the Gopher repetition pair [[ngramRepetition]]

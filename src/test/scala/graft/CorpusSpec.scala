@@ -424,6 +424,10 @@ class CorpusSpec extends AnyFunSuite {
     val one = Corpus.ngramRepetition(Seq((9L, looped)).toDF("doc_id", "text"), n = 3)
       .head.getAs[Double]("dup_ngram_ratio")
     assert(one > 0.7, s"long-loop doc scored $one")
+    // a pure projection: no explode fan-out, no shuffle
+    val nodes = SparkTestBase.planNodeNames(Corpus.ngramRepetition(docs))
+    assert(!nodes.exists(n => n.contains("Exchange") || n.contains("Generate")),
+      s"repetition ratio should be map-only: $nodes")
   }
 
   test("lineRepetition: one huge duplicated line dominates chars, not instances") {
