@@ -722,6 +722,45 @@ class CorpusSpec extends AnyFunSuite {
     merged.values.foreach { case (d, _) => assert(math.abs(d - 250L) <= 13L, s"est $d") }
   }
 
+  test("streaming paragraph dedup: registry grows per batch, late repeats drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the foreachBatch wiring of dedupParagraphsIncremental: each
+    // micro-batch dedups against the registry-so-far, then appends its
+    // surviving paragraph hashes — boilerplate seen in batch 1 never
+    // survives in batch 2
+    val regDir = java.nio.file.Files.createTempDirectory("para_reg").toString
+    val outDir = java.nio.file.Files.createTempDirectory("para_out").toString
+    // seed the registry dir so the first batch reads an empty-but-typed table
+    Seq.empty[String].toDF("ph").write.mode("overwrite").parquet(regDir)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val reg = spark.read.parquet(regDir)
+        val deduped = Dedup.dedupParagraphsIncremental(batch, reg)
+          .localCheckpoint(true) // two consumers below; also unpins regDir
+        deduped.write.mode("append").parquet(outDir)
+        Dedup.paragraphRegistry(deduped).join(spark.read.parquet(regDir),
+            Seq("ph"), "left_anti")
+          .write.mode("append").parquet(regDir)
+        ()
+    }.start()
+    try {
+      in.addData(ProbeDoc(1L, "unique first body\n\nshared boilerplate footer"))
+      q.processAllAvailable()
+      in.addData(ProbeDoc(2L, "unique second body\n\nshared boilerplate footer"),
+        ProbeDoc(3L, "shared boilerplate footer"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(
+      1L -> "unique first body\n\nshared boilerplate footer", // first sight keeps it
+      2L -> "unique second body")) // footer registered in batch 1; doc 3 vanishes
+    // registry holds exactly the three distinct paragraph hashes
+    assert(spark.read.parquet(regDir).distinct().count() == 3)
+  }
+
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus: two near-identical docs + two unrelated; banded table persisted
