@@ -398,6 +398,15 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
       Similarity.topK(e, q, k = 10)
     }),
+    "sim_topk_pq" -> ((s, dir) => {
+      // PQ: the memory side of the ANN triad — d·4 bytes → m codes.
+      // Scores are approximate by design (lossy quantization) → rows-only;
+      // the spec pins recall vs brute force and exactness on-codebook
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      Similarity.topKPq(Similarity.pqEncode(e, model), model, q, k = 10)
+    }),
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
@@ -417,6 +426,17 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
       Similarity.topKIvf(Similarity.buildIvfIndex(e, nCells = 16, iters = 2),
         q, k = 10, nProbe = 16)
+    }),
+    "sim_topk_pq_full" -> ((s, dir) => {
+      // overscan spans the whole corpus → the ADC shortlist is everything
+      // and the exact rerank IS brute force: one oracle hash-verifies the
+      // full PQ machinery (train, encode, distance tables, ADC, rerank)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      val n = e.count().toInt
+      Similarity.topKPqRescored(Similarity.pqEncode(e, model), e, model,
+        q, k = 10, overscan = n / 10 + 1)
     }),
     "sim_topk_lsh_full" -> ((s, dir) => {
       // probe-ALL through the LSH index: provably equal to brute force, so
@@ -1127,6 +1147,9 @@ object SparkEntry {
     // same SQL hash-verifies the IVF and LSH index machinery end-to-end
     "sim_topk_ivf_full" -> simTopkSql,
     "sim_topk_lsh_full" -> simTopkSql,
+    // a corpus-spanning ADC shortlist + exact rerank IS brute force — the
+    // shared oracle hash-verifies the PQ path end-to-end
+    "sim_topk_pq_full" -> simTopkSql,
     "salted_join" ->
       """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

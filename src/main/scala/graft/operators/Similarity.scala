@@ -536,4 +536,221 @@ object Similarity {
           (col("a.__n") * col("b.__n")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebooks: `centroids(m)(code)` = the code-th
+    * centroid of subspace m, trained in the UNIT space (cosine serving,
+    * like IVF). Size m·k·(dim/m) floats — kilobytes, a driver value. */
+  final case class PqModel(m: Int, k: Int, dim: Int,
+      centroids: Array[Array[Array[Float]]])
+
+  /**
+   * Product quantization — the memory side of the ANN triad (LSH prunes
+   * by bucket, IVF by cell, PQ shrinks the VECTORS): each unit vector
+   * splits into `m` subvectors, each quantized to its subspace's nearest
+   * of `k` codebook centroids, so a d-float embedding becomes `m` small
+   * codes (d·4 bytes → m bytes at k ≤ 256 — 32× at d=64, m=8). Training
+   * is per-subspace k-means, all `m` subspaces in the SAME Lloyd pass:
+   * one explode to (id, m, subvec), one broadcast-codebook join keyed by
+   * subspace, one min(struct) argmin, one mean aggregation per round —
+   * `iters + 1` scans of the training set total, sample-trainable via
+   * `trainPct` exactly like [[buildIvfIndex]]. Seeds: the k
+   * smallest-xxhash64(id) training vectors' m-th slices (deterministic,
+   * no RNG; same caveat as IVF — distributed avg() means centroids are
+   * per-session reproducible, not bit-identical across cluster layouts).
+   */
+  def trainPq(embeddings: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      trainPct: Int = 100): PqModel = {
+    require(trainPct > 0 && trainPct <= 100, s"trainPct must be in (0,100]: $trainPct")
+    val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
+    val dim = prepped.select(size(col("__unit"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val trainSet = if (trainPct >= 100) prepped
+      else Corpus.sampleByHash(prepped, trainPct, idCol)
+    val seedVecs = trainSet.select(col(idCol), col("__unit"))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seedVecs.length == k,
+      s"training set has only ${seedVecs.length} vectors for $k codes — raise trainPct")
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
+      (mi, ci) => seedVecs(ci).slice(mi * sub, (mi + 1) * sub)
+    }
+    val subvecs = subvecsOf(trainSet, sub, m, idCol)
+    for (_ <- 0 until iters) {
+      val means = subMeans(assignCodes(subvecs, books, idCol), idCol).toMap
+      books = Array.tabulate(m, k) { (mi, ci) =>
+        means.getOrElse((mi, ci), books(mi)(ci)) // empty code keeps its centroid
+      }
+    }
+    PqModel(m, k, dim, books)
+  }
+
+  /** (id, __m, __sv): the m unit-space slices of each vector. */
+  private def subvecsOf(prepped: DataFrame, sub: Int, m: Int,
+      idCol: String): DataFrame =
+    prepped.select(col(idCol), col("__unit"),
+        explode(sequence(lit(0), lit(m - 1))).as("__m"))
+      .select(col(idCol), col("__m"),
+        slice(col("__unit"), col("__m") * sub + 1, lit(sub)).as("__sv"))
+
+  /** Argmin code per (id, subspace): broadcast codebook join keyed by
+    * subspace + one min(struct) — the per-subspace [[assignCells]]. */
+  private def assignCodes(subvecs: DataFrame,
+      books: Array[Array[Array[Float]]], idCol: String): DataFrame = {
+    val spark = subvecs.sparkSession
+    import spark.implicits._
+    val cents = (for (mi <- books.indices; ci <- books(mi).indices) yield {
+      val v = books(mi)(ci)
+      (mi, ci, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }).toDF("__m", "__code", "__cv", "__cn2")
+    subvecs.join(broadcast(cents), "__m")
+      .select(col(idCol), col("__m"), col("__sv"),
+        struct((col("__cn2") - lit(2.0) * dot(col("__sv"), col("__cv"))).as("d"),
+          col("__code").as("c")).as("__sc"))
+      .groupBy(col(idCol), col("__m"))
+      .agg(any_value(col("__sv")).as("__sv"), min(col("__sc")).getField("c").as("__code"))
+  }
+
+  /** Per-(subspace, code) means — the Lloyd update, all subspaces in one
+    * aggregation pass (mirrors [[ivfCentroidsOf]] per subspace). */
+  private def subMeans(assigned: DataFrame,
+      idCol: String): Map[(Int, Int), Array[Float]] =
+    assigned.select(col("__m"), col("__code"), posexplode(col("__sv")).as(Seq("d", "x")))
+      .groupBy(col("__m"), col("__code"), col("d")).agg(avg(col("x")).as("mn"))
+      .groupBy(col("__m"), col("__code"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+        e => e.getField("mn").cast("float")).as("cvec"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+      .toMap
+
+  /** Encode the corpus: (id, codes array<int> ordered by subspace) — the
+    * compressed relation to persist; `m` bytes of information per vector.
+    * One explode + argmin + per-id sorted collect. */
+  def pqEncode(embeddings: DataFrame, model: PqModel,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
+    val assigned = assignCodes(
+      subvecsOf(prepped, model.dim / model.m, model.m, idCol), model.centroids, idCol)
+    assigned.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("__m"), col("__code")))),
+        e => e.getField("__code")).as("codes"))
+  }
+
+  /**
+   * ADC (asymmetric-distance) top-k over the ENCODED corpus: the query
+   * stays exact; each (subspace, code) pair's squared distance to the
+   * query's subvector is computed DRIVER-side from the model (m·k doubles)
+   * and broadcast; a candidate's approximate distance is the sum of its
+   * codes' table entries — posexplode(codes) → broadcast join on
+   * (subspace, code) → one keyed sum → TopK. `approx_cos` = 1 − d²/2
+   * (unit space); scores are approximate BY DESIGN (quantization is
+   * lossy), so the query is rows-only — the spec pins recall vs brute
+   * force, and exactness when the corpus lies ON the codebook (k ≥
+   * distinct subvectors: quantization error 0, top-k ≡ brute force).
+   */
+  def topKPq(encoded: DataFrame, model: PqModel, query: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qn = normOf(query)
+    val qUnit = (if (qn > 0) query.map(v => (v / qn).toFloat) else query).toArray
+    val sub = model.dim / model.m
+    val table = (for (mi <- 0 until model.m; ci <- 0 until model.k) yield {
+      val cv = model.centroids(mi)(ci)
+      val d2 = (0 until sub).foldLeft(0.0) { (a, i) =>
+        val d = cv(i).toDouble - qUnit(mi * sub + i).toDouble; a + d * d
+      }
+      (mi, ci, d2)
+    }).toDF("__m", "__code", "__d2")
+    encoded.select(col(idCol), posexplode(col("codes")).as(Seq("__m", "__code")))
+      .join(broadcast(table), Seq("__m", "__code"))
+      .groupBy(col(idCol))
+      .agg(round(lit(1) - sum(col("__d2")) / 2, 6).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * The PRODUCTION PQ serving shape: ADC shortlists `k · overscan`
+   * candidates from the compressed codes, then ONLY those few read their
+   * full vectors for an exact cosine rerank — quantization error decides
+   * membership of a generous shortlist, never the final ranking. This is
+   * how PQ engines actually serve (compressed scan + tiny exact rerank):
+   * the full-vector relation is touched for `k · overscan` rows — a
+   * broadcast-able sliver — while the corpus-wide scan reads `m`-byte
+   * codes instead of `4d`-byte vectors.
+   */
+  def topKPqRescored(encoded: DataFrame, embeddings: DataFrame, model: PqModel,
+      query: Seq[Float], k: Int, overscan: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val shortlist = topKPq(encoded, model, query, k * overscan, idCol)
+      .select(col(idCol))
+    topK(embeddings.join(broadcast(shortlist), idCol), query, k, vecCol, idCol)
+  }
+
+  /** Persist codes + codebooks; exact model round-trip like
+    * [[writeIvfIndex]] (re-deriving codebooks from codes is impossible —
+    * they ARE the model). Codes are the corpus-sized relation (`m` small
+    * ints per id); the model is kilobytes. */
+  def writePqIndex(encoded: DataFrame, model: PqModel, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for (mi <- 0 until model.m; ci <- 0 until model.k)
+      yield (mi, ci, model.centroids(mi)(ci).toSeq)
+    rows.toDF("m", "code", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/model")
+    Seq((model.m, model.k, model.dim)).toDF("m", "k", "dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, PqModel) = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, k, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cents = Array.ofDim[Array[Float]](m, k)
+    spark.read.parquet(s"$path/model").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    (spark.read.parquet(s"$path/codes"), PqModel(m, k, dim, cents))
+  }
+
+  /**
+   * IVF-PQ — the composed layout real billion-scale ANN serves from: IVF
+   * prunes WHICH vectors to look at (cell-partitioned codes, probes read
+   * `nProbe` directories), PQ shrinks WHAT each look costs (`m` codes vs
+   * `4d` bytes), and the exact rerank touches full vectors only for the
+   * shortlist. Build = one join of the two per-id relations, persisted
+   * `partitionBy("cell")`; probe = driver-side cell ranking (the IVF
+   * model is local) → partition-pruned ADC over the probed cells' codes →
+   * [[topK]] rerank of `k · overscan` ids against the full-vector
+   * relation. Both models ride along — serving reads kilobytes of model
+   * and only the probed slivers of data.
+   */
+  def topKIvfPq(cellCodes: DataFrame, embeddings: DataFrame, ivf: IvfIndex,
+      pq: PqModel, query: Seq[Float], k: Int, nProbe: Int = 4,
+      overscan: Int = 10, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qn = normOf(query)
+    val qUnit = if (qn > 0) query.map(v => (v / qn).toFloat) else query
+    val probed = ivf.centroids.map { case (c, v) =>
+      val d2 = v.indices.foldLeft(0.0) { (a, i) =>
+        val d = v(i).toDouble - qUnit(i).toDouble; a + d * d
+      }
+      (c, d2)
+    }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+    val shortlist = topKPq(cellCodes.filter(col("cell").isin(probed: _*)),
+      pq, query, k * overscan, idCol).select(col(idCol))
+    topK(embeddings.join(broadcast(shortlist), idCol), query, k, vecCol, idCol)
+  }
+
+  /** The persisted IVF-PQ data relation: (id, cell, codes), written
+    * cell-partitioned so probes prune directories like [[writeIvfIndex]]. */
+  def buildCellCodes(ivf: IvfIndex, encoded: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    ivf.assignments.select(col(idCol), col("cell"))
+      .join(encoded, Seq(idCol))
 }

@@ -91,6 +91,81 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(mo == dflt)
   }
 
+  test("PQ on-codebook: zero quantization error makes ADC top-k equal brute force") {
+    // basis: 4 vectors whose two subspace slices are 4 distinct values of
+    // EQUAL norm, so full-vector normalization scales every slice the same
+    // way and the trained codebooks are exactly the (normalized) values
+    val vals = Seq(
+      Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f), Array(0f, -1f))
+    val basis = vals.zipWithIndex.map { case (v, i) => (i.toLong, v ++ v) }
+      .toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(basis, m = 2, k = 4, iters = 2)
+    assert(model.dim == 4 && model.centroids.length == 2 &&
+      model.centroids.forall(_.length == 4))
+    // corpus: all 16 subvector combinations — same norm √2, every slice ON
+    // the codebook → quantization error 0 → PQ ranking ≡ brute force
+    val corpus = (for (a <- vals; b <- vals) yield a ++ b).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val encoded = Similarity.pqEncode(corpus, model)
+    val codes = encoded.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Int](1))
+    assert(codes.forall { case (_, c) => c.length == 2 && c.forall(x => x >= 0 && x < 4) })
+    assert(codes.map(_._2).distinct.length == 16) // all combinations distinct
+    val q = Seq(0.9f, 0.1f, 0.05f, 0.95f)
+    val exact = Similarity.topK(corpus, q, k = 5).collect().map(_.getLong(0)).toSeq
+    val viaPq = Similarity.topKPq(encoded, model, q, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaPq == exact)
+  }
+
+  test("PQ on the embeddings fixture: compresses 64 floats to 8 codes, useful recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+    val encoded = Similarity.pqEncode(e, model)
+    assert(encoded.head.getSeq[Int](1).length == 8)
+    val exact = Similarity.topK(e, q, k = 10).collect().map(_.getLong(0)).toSet
+    // raw ADC: 8×16 codes = 32 bits against near-random 64-d synthetic
+    // data is the hardest case for PQ — pin that it stays useful (finds
+    // the query itself + a nontrivial overlap), not that it's precise
+    val approx = Similarity.topKPq(encoded, model, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.2, s"PQ recall@10 collapsed: $recall (got $approx vs $exact)")
+    assert(approx.contains(0L)) // the query vector itself must surface
+    // the production shape: ADC shortlist + exact rerank of k·overscan
+    // rows recovers what quantization loses
+    val rescored = Similarity.topKPqRescored(encoded, e, model, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = (exact & rescored).size / 10.0
+    assert(rr >= 0.7, s"rescored recall@10: $rr (got $rescored vs $exact)")
+  }
+
+  test("IVF-PQ: model round-trips exactly; full-probe full-overscan equals brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val ivf = Similarity.buildIvfIndex(e, nCells = 8, iters = 1)
+    val pq = Similarity.trainPq(e, m = 8, k = 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.writePqIndex(Similarity.pqEncode(e, pq), pq, dir)
+    val (enc2, pq2) = Similarity.readPqIndex(spark, dir)
+    assert(pq2.m == pq.m && pq2.k == pq.k && pq2.dim == pq.dim)
+    assert(pq2.centroids.flatten.map(_.toSeq) sameElements pq.centroids.flatten.map(_.toSeq))
+    assert(enc2.count() == 500)
+    val cellCodes = Similarity.buildCellCodes(ivf, enc2)
+    // probing every cell with a corpus-spanning overscan degrades to brute
+    // force — the same bridge argument as the LSH/IVF/PQ full paths
+    val full = Similarity.topKIvfPq(cellCodes, e, ivf, pq2, q, k = 10,
+      nProbe = 8, overscan = 51).collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topK(e, q, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // the real serving point: few cells, small overscan, still finds the
+    // query vector and returns a full k
+    val approx = Similarity.topKIvfPq(cellCodes, e, ivf, pq2, q, k = 10,
+      nProbe = 3, overscan = 5).collect().map(_.getLong(0))
+    assert(approx.length == 10 && approx.contains(0L))
+  }
+
   test("incremental paragraph dedup equals full-corpus dedup restricted to the increment") {
     val all = Fixtures.paraDocs(spark)
     val corpus = all.filter(col("doc_id") < 5)
