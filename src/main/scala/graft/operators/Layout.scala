@@ -77,37 +77,33 @@ object Layout {
     !hasShuffle(df.queryExecution.executedPlan)
   }
 
-  /** True iff, at EVERY join in `df`'s executed plan, the child subtree
-    * containing a scan of `table` reaches the join with no shuffle exchange
-    * in between — the table entered its joins through its bucketed layout.
-    * The other join side and any post-join aggregation may shuffle freely
-    * (that's the point: only the corpus-sized side must stay in place).
+  /** True iff the scan of `table` reaches its NEAREST ancestor join with
+    * no shuffle exchange in between — the table entered ITS join through
+    * its bucketed layout. Everything above that join (the other side, later
+    * joins over the join's derived output, post-join aggregation) may
+    * shuffle freely: that's the point — only the corpus-sized side must
+    * stay in place; its join's OUTPUT is a different, derived relation.
     * Used to assert incremental probes never re-shuffle the corpus. */
   def joinSideShuffleFree(df: DataFrame, table: String): Boolean = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    def containsScan(p: SparkPlan): Boolean = p match {
-      case f: FileSourceScanExec => f.tableIdentifier.exists(_.table == table)
-      case a: AdaptiveSparkPlanExec => containsScan(a.executedPlan)
-      case s: QueryStageExec => containsScan(s.plan)
-      case other => other.children.exists(containsScan)
-    }
-    def hasShuffle(p: SparkPlan): Boolean = p match {
-      case _: ShuffleExchangeLike => true
-      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
-      case s: QueryStageExec => hasShuffle(s.plan)
-      case other => other.children.exists(hasShuffle)
-    }
-    def ok(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => ok(a.executedPlan)
-      case s: QueryStageExec => ok(s.plan)
+    // walk down to the scan carrying "no shuffle seen since the last join
+    // boundary"; at the scan, that flag IS the answer. Joins reset it (a
+    // shuffle above a closer-to-root join constrains a different relation).
+    def free(p: SparkPlan, clean: Boolean): Option[Boolean] = p match {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) =>
+        Some(clean)
+      case a: AdaptiveSparkPlanExec => free(a.executedPlan, clean)
+      case s: QueryStageExec => free(s.plan, clean)
       case j: BaseJoinExec =>
-        j.children.forall(c => (!containsScan(c) || !hasShuffle(c)) && ok(c))
-      case other => other.children.forall(ok)
+        j.children.iterator.flatMap(free(_, clean = true)).nextOption()
+      case e: ShuffleExchangeLike =>
+        e.children.iterator.flatMap(free(_, clean = false)).nextOption()
+      case other =>
+        other.children.iterator.flatMap(free(_, clean)).nextOption()
     }
-    val plan = df.queryExecution.executedPlan
-    containsScan(plan) && ok(plan)
+    free(df.queryExecution.executedPlan, clean = true).getOrElse(false)
   }
 }

@@ -724,6 +724,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(probe == want && probe.nonEmpty)
   }
 
+  test("paragraph registry persisted bucketed: the incremental anti-join reads it in place") {
+    import graft.operators.Layout
+    spark.sql("DROP TABLE IF EXISTS para_registry")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val all = Fixtures.paraDocs(spark)
+      Layout.writeBucketed(Dedup.paragraphRegistry(all.filter(col("doc_id") < 5)),
+        "para_registry", Seq("ph"), 8)
+      val inc = Dedup.dedupParagraphsIncremental(
+        all.filter(col("doc_id") >= 5), spark.table("para_registry"))
+      assert(inc.count() > 0)
+      // the registry (corpus-sized at scale) enters the anti-join from its
+      // bucketed layout; only the increment shuffles
+      assert(Layout.joinSideShuffleFree(inc, "para_registry"),
+        "registry side must not re-shuffle:\n" + inc.queryExecution.executedPlan)
+      // checker sanity: an UNBUCKETED registry must fail the assertion
+      // (its scan reaches the anti-join through an inserted exchange)
+      spark.sql("DROP TABLE IF EXISTS para_registry_flat")
+      Dedup.paragraphRegistry(all.filter(col("doc_id") < 5))
+        .write.saveAsTable("para_registry_flat")
+      val flat = Dedup.dedupParagraphsIncremental(
+        all.filter(col("doc_id") >= 5), spark.table("para_registry_flat"))
+      flat.count()
+      assert(!Layout.joinSideShuffleFree(flat, "para_registry_flat"),
+        "checker failed to flag a shuffled registry side")
+      spark.sql("DROP TABLE IF EXISTS para_registry_flat")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS para_registry")
+    }
+  }
+
   test("probeBanded against the persisted corpus: corpus side joins exchange-free") {
     import graft.operators.Layout
     spark.sql("DROP TABLE IF EXISTS mh_corpus")
