@@ -17,10 +17,20 @@ import graft.sources.RemoteFetch
  * default, `--date` overrides — `utils/update_date_string_in_config.py`
  * semantics), and every dataset file is ingested with per-file
  * create/replace/unchanged stats printed as JSON lines.
+ *
+ * The training-data side ships the same way:
+ *
+ *   spark-submit --class graft.Main engine.jar trainset \
+ *       <config.json> <docsParquet> <outRoot>
+ *
+ * which runs [[TrainingSetJob]] (clean → shards → chunk/pack → manifest)
+ * and prints the manifest counts as one JSON line.
  */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.Main <config.json> <storeRoot> [--by-position] [--date YYYY-MM-DD]")
+    if (args.headOption.contains("trainset")) return trainsetMain(args.drop(1))
+    require(args.length >= 2, "usage: graft.Main <config.json> <storeRoot> [--by-position] [--date YYYY-MM-DD]" +
+      " | graft.Main trainset <config.json> <docsParquet> <outRoot>")
     val configPath = args(0)
     val storeRoot = args(1)
     val byPosition = args.contains("--by-position")
@@ -45,6 +55,31 @@ object Main {
         s""""unchanged":${r.unchanged},"metadata_rows":${r.metadataRows}}""")
     }
     println(s"""{"all_complete":${IngestJob.allComplete(spark, storeRoot)}}""")
+    spark.stop()
+  }
+
+  /** `trainset <config.json> <docsParquet> <outRoot>`: the training-set
+    * pipeline under the same session defaults as ingestion. */
+  private def trainsetMain(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: graft.Main trainset <config.json> <docsParquet> <outRoot>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
+      .appName("graft-trainset")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val resolved = new org.apache.hadoop.fs.Path(RemoteFetch.resolve(spark, args(0)))
+    val fs = resolved.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(resolved)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val r = TrainingSetJob.run(spark, args(1), args(2),
+      graft.config.TrainingSetConfig.parse(raw))
+    println(s"""{"clean_docs":${r.cleanDocs},"train_chunks":${r.trainChunks},""" +
+      s""""train_bins":${r.trainBins},"shards":${r.shardsWritten}}""")
     spark.stop()
   }
 

@@ -546,8 +546,10 @@ object Similarity {
       centroids: Array[Array[Array[Float]]])
 
   /**
-   * Product quantization — the memory side of the ANN triad (LSH prunes
-   * by bucket, IVF by cell, PQ shrinks the VECTORS): each unit vector
+   * Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+   * Nearest Neighbor Search", TPAMI 2011 — public literature, not a
+   * reference-repo behavior) — the memory side of the ANN triad (LSH
+   * prunes by bucket, IVF by cell, PQ shrinks the VECTORS): each unit vector
    * splits into `m` subvectors, each quantized to its subspace's nearest
    * of `k` codebook centroids, so a d-float embedding becomes `m` small
    * codes (d·4 bytes → m bytes at k ≤ 256 — 32× at d=64, m=8). Training
