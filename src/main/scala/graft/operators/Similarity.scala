@@ -630,47 +630,66 @@ object Similarity {
 
   /** Encode the corpus: (id, codes array<int> ordered by subspace) — the
     * compressed relation to persist; `m` bytes of information per vector.
-    * One explode + argmin + per-id sorted collect. */
+    * MAP-ONLY: the codebooks are kilobytes, so they ride in the plan as a
+    * literal array and each row computes its own argmins in place — no
+    * explode, no join, no shuffle; a 100 TB encode fuses into the scan
+    * (plan-asserted Exchange- and Generate-free). Distances use the same
+    * `‖c‖² − 2·v̂·c` form and first-min tie-break as the training-side
+    * [[assignCodes]], so encode-time codes agree with training-time
+    * assignments by construction (and the on-codebook / full-bridge
+    * specs pin the end-to-end result). */
   def pqEncode(embeddings: DataFrame, model: PqModel,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val sub = model.dim / model.m
     val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
-    val assigned = assignCodes(
-      subvecsOf(prepped, model.dim / model.m, model.m, idCol), model.centroids, idCol)
-    assigned.groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("__m"), col("__code")))),
-        e => e.getField("__code")).as("codes"))
+    // slices bound in their own projection: each is referenced k times
+    // below and CollapseProject declines to inline non-cheap producers
+    val sliced = prepped.select(col(idCol) +: (0 until model.m).map(mi =>
+      slice(col("__unit"), mi * sub + 1, sub).as(s"__sv_$mi")): _*)
+    val codeCols = (0 until model.m).map { mi =>
+      val dists = array(model.centroids(mi).map { cv =>
+        val cn2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        lit(cn2) - lit(2.0) * dot(col(s"__sv_$mi"), array(cv.map(lit(_)): _*))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    sliced.select(col(idCol), array(codeCols: _*).as("codes"))
   }
 
   /**
    * ADC (asymmetric-distance) top-k over the ENCODED corpus: the query
    * stays exact; each (subspace, code) pair's squared distance to the
-   * query's subvector is computed DRIVER-side from the model (m·k doubles)
-   * and broadcast; a candidate's approximate distance is the sum of its
-   * codes' table entries — posexplode(codes) → broadcast join on
-   * (subspace, code) → one keyed sum → TopK. `approx_cos` = 1 − d²/2
-   * (unit space); scores are approximate BY DESIGN (quantization is
-   * lossy), so the query is rows-only — the spec pins recall vs brute
-   * force, and exactness when the corpus lies ON the codebook (k ≥
-   * distinct subvectors: quantization error 0, top-k ≡ brute force).
+   * query's subvector is computed DRIVER-side from the model (m·k
+   * doubles) and shipped as a LITERAL 2-D lookup table in the plan — a
+   * candidate's approximate distance is a per-row sum of `m` array
+   * lookups, so the scan is MAP-ONLY (no explode, no join, no
+   * aggregation exchange) feeding straight into TakeOrderedAndProject.
+   * `approx_cos` = 1 − d²/2 (unit space); scores are approximate BY
+   * DESIGN (quantization is lossy), so the query is rows-only — the spec
+   * pins recall vs brute force, and exactness when the corpus lies ON
+   * the codebook (k ≥ distinct subvectors: quantization error 0, top-k ≡
+   * brute force).
    */
   def topKPq(encoded: DataFrame, model: PqModel, query: Seq[Float], k: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val spark = encoded.sparkSession
-    import spark.implicits._
     val qn = normOf(query)
     val qUnit = (if (qn > 0) query.map(v => (v / qn).toFloat) else query).toArray
     val sub = model.dim / model.m
-    val table = (for (mi <- 0 until model.m; ci <- 0 until model.k) yield {
-      val cv = model.centroids(mi)(ci)
-      val d2 = (0 until sub).foldLeft(0.0) { (a, i) =>
-        val d = cv(i).toDouble - qUnit(mi * sub + i).toDouble; a + d * d
-      }
-      (mi, ci, d2)
-    }).toDF("__m", "__code", "__d2")
-    encoded.select(col(idCol), posexplode(col("codes")).as(Seq("__m", "__code")))
-      .join(broadcast(table), Seq("__m", "__code"))
-      .groupBy(col(idCol))
-      .agg(round(lit(1) - sum(col("__d2")) / 2, 6).as("approx_cos"))
+    val tableLit = array((0 until model.m).map { mi =>
+      array((0 until model.k).map { ci =>
+        val cv = model.centroids(mi)(ci)
+        lit((0 until sub).foldLeft(0.0) { (a, i) =>
+          val d = cv(i).toDouble - qUnit(mi * sub + i).toDouble; a + d * d
+        })
+      }: _*)
+    }: _*)
+    // d² = Σ_m table[m][code_m]: zip the code array with its index via a
+    // size-m sequence, fold the lookups — one projection per row
+    val d2 = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+        (c, m) => element_at(element_at(tableLit, m + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    encoded.select(col(idCol), round(lit(1) - d2 / 2, 6).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(idCol))
       .limit(k)
   }

@@ -124,6 +124,14 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
     val encoded = Similarity.pqEncode(e, model)
     assert(encoded.head.getSeq[Int](1).length == 8)
+    // the compressed paths are MAP-ONLY: encode fuses into the scan, and
+    // ADC is a per-row literal-table lookup feeding TakeOrderedAndProject
+    // — no explode, no join, no aggregation exchange anywhere
+    for (df <- Seq(encoded, Similarity.topKPq(encoded, model, q, k = 10))) {
+      val nodes = SparkTestBase.planNodeNames(df)
+      assert(!nodes.exists(n => n.contains("Exchange") || n.contains("Generate") ||
+        n.contains("Join")), s"PQ path should be map-only: $nodes")
+    }
     val exact = Similarity.topK(e, q, k = 10).collect().map(_.getLong(0)).toSet
     // raw ADC: 8×16 codes = 32 bits against near-random 64-d synthetic
     // data is the hardest case for PQ — pin that it stays useful (finds
