@@ -454,6 +454,27 @@ object SparkEntry {
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5)
     }),
+    "sim_topk_join_pq" -> ((s, dir) => {
+      // batch ADC: per-query distance tables amortize the codebook work,
+      // each pair costs m lookups over m-int codes. Lossy → rows-only
+      val e = t(s, dir, "embeddings")
+      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      Similarity.topKJoinPq(
+        Similarity.pqEncode(e.filter(col("vec_id") < 300), model),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        model, k = 5)
+    }),
+    "sim_topk_join_pq_full" -> ((s, dir) => {
+      // corpus-spanning shortlist + exact rerank of exactly the
+      // shortlisted pairs ≡ brute-force batch join — shared oracle
+      val e = t(s, dir, "embeddings")
+      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      Similarity.topKJoinPqRescored(
+        Similarity.pqEncode(e.filter(col("vec_id") < 300), model),
+        e.filter(col("vec_id") < 300),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        model, k = 5, overscan = 60)
+    }),
     "sim_topk_join_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.topKJoinLsh(
@@ -1158,6 +1179,9 @@ object SparkEntry {
     // probing every IVF cell IS the brute-force batch join — same oracle
     // hash-verifies the IVF join machinery (train, assign, probe, rescore)
     "sim_topk_join_ivf_full" -> simTopkJoinSql,
+    // a corpus-spanning ADC shortlist reranked exactly IS the brute-force
+    // batch join — same oracle hash-verifies the PQ batch machinery
+    "sim_topk_join_pq_full" -> simTopkJoinSql,
     "sim_neardup" -> simNearDupSql,
     "sim_dedup_survivors" ->
       // semantic dedup = CC over the cosine near-dup graph (same shared

@@ -774,4 +774,62 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame =
     ivf.assignments.select(col(idCol), col("cell"))
       .join(encoded, Seq(idCol))
+
+  /**
+   * Batch ADC k-NN join — the PQ member of the join family
+   * ([[topKJoin]]/[[topKJoinLsh]]/[[topKJoinIvf]]): each QUERY row first
+   * computes its own (subspace, code) distance table in ONE projection
+   * from the literal codebooks (`k·dim` work per query — the classic ADC
+   * precompute, amortized over the whole corpus), then the broadcast
+   * query×table side joins the encoded corpus and each pair costs `m`
+   * array lookups instead of `dim` multiply-adds — and the corpus side
+   * reads m-int codes, not 4d-byte vectors.
+   */
+  def topKJoinPq(encoded: DataFrame, queries: DataFrame, model: PqModel,
+      k: Int, vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    val sub = model.dim / model.m
+    val prepped = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
+    // per-query table[m][c] = ‖c‖² − 2·q̂_m·c (+‖q̂_m‖², constant per
+    // (query, subspace) — irrelevant to ranking but kept so approx_cos is
+    // the honest 1 − d²/2)
+    val tableCol = array((0 until model.m).map { mi =>
+      val sv = slice(col("__unit"), mi * sub + 1, sub)
+      array(model.centroids(mi).map { cv =>
+        val cn2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        lit(cn2) - lit(2.0) * dot(sv, array(cv.map(lit(_)): _*)) +
+          dot(sv, sv)
+      }: _*)
+    }: _*)
+    val q = prepped.select(col(qIdCol), tableCol.as("__tbl"))
+    val d2 = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+        (c, m) => element_at(element_at(col("__tbl"), m + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col(qIdCol), col(idCol), round(lit(1) - d2 / 2, 6).as("cos"))
+    topKPerQuery(scored, k, idCol, qIdCol)
+      .withColumnRenamed("cos", "approx_cos")
+  }
+
+  /** Production batch shape: ADC shortlist per query, exact rerank of the
+    * `k · overscan` sliver against full vectors — [[topKPqRescored]] for
+    * many queries at once. A corpus-spanning overscan provably degrades
+    * to [[topKJoin]] (the hash-verified `sim_topk_join_pq_full` bridge). */
+  def topKJoinPqRescored(encoded: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, model: PqModel, k: Int, overscan: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    val shortlist = topKJoinPq(encoded, queries, model, k * overscan,
+      idCol = idCol, qIdCol = qIdCol).select(col(qIdCol), col(idCol))
+    // exact rescoring of exactly the shortlisted (query, candidate) pairs
+    val c = embeddings.select(col(idCol), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val scored = shortlist.join(c, idCol).join(broadcast(q), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+    topKPerQuery(scored, k, idCol, qIdCol)
+  }
 }

@@ -149,6 +149,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(rr >= 0.7, s"rescored recall@10: $rr (got $rescored vs $exact)")
   }
 
+  test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val model = Similarity.trainPq(e, m = 8, k = 16, iters = 1)
+    val encoded = Similarity.pqEncode(corpus, model)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(Similarity.topKJoin(corpus, queries, k = 5))
+    val full = pairs(Similarity.topKJoinPqRescored(encoded, corpus, queries,
+      model, k = 5, overscan = 60))
+    assert(full == exact)
+    // raw ADC: every query's own vector is its best compressed match
+    val raw = Similarity.topKJoinPq(encoded, queries, model, k = 5)
+    val best = raw.collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.maxBy(_.getAs[Double]("approx_cos")) }
+    best.foreach { case (q, r) => assert(r.getAs[Long]("vec_id") == q,
+      s"query $q's best compressed match was ${r.getAs[Long]("vec_id")}") }
+  }
+
   test("IVF-PQ: model round-trips exactly; full-probe full-overscan equals brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
