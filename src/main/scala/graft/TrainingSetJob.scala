@@ -67,7 +67,10 @@ object TrainingSetJob {
     Corpus.writeShards(cleaned, shardsDir(outRoot), cfg.nShards)
 
     val train = cleaned.filter(col("split") === "train")
-    val chunks = Corpus.chunkDocs(train, cfg.chunkBudget)
+    // chunks feed TWO consumers (the packer and the chunk_text join) —
+    // materialized so the regex-heavy chunking pass runs once, not twice
+    val chunks = Materialize(Corpus.chunkDocs(train, cfg.chunkBudget),
+      cfg.checkpointDir)
     val packed = Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
       cfg.packGroups, "n_tokens", "chunk_id")
     packed.join(chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
@@ -93,14 +96,24 @@ object TrainingSetJob {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(manifestPath(root)), true)
-    val strata = cfg.strataCol.map(c =>
-      s""","strata_col":"$c","strata_default_pct":${cfg.strataDefaultPct}""").getOrElse("")
-    out.write(
-      (s"""{"clean_docs":${r.cleanDocs},"train_chunks":${r.trainChunks},""" +
-        s""""train_bins":${r.trainBins},"shards":${r.shardsWritten},""" +
-        s""""lang":"${cfg.lang}","min_tokens":${cfg.minTokens},""" +
-        s""""chunk_budget":${cfg.chunkBudget},"n_shards":${cfg.nShards},""" +
-        s""""redact":${cfg.redact}$strata}""").getBytes("UTF-8"))
+    // Jackson, not string concatenation: config strings (lang, strata
+    // column) are user input and must be escaped to stay parseable
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("clean_docs", r.cleanDocs)
+    node.put("train_chunks", r.trainChunks)
+    node.put("train_bins", r.trainBins)
+    node.put("shards", r.shardsWritten)
+    node.put("lang", cfg.lang)
+    node.put("min_tokens", cfg.minTokens)
+    node.put("chunk_budget", cfg.chunkBudget)
+    node.put("n_shards", cfg.nShards)
+    node.put("redact", cfg.redact)
+    cfg.strataCol.foreach { c =>
+      node.put("strata_col", c)
+      node.put("strata_default_pct", cfg.strataDefaultPct)
+    }
+    out.write(mapper.writeValueAsBytes(node))
     out.close()
   }
 }

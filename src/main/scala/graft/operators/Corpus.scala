@@ -412,9 +412,11 @@ object Corpus {
   def dropBottomQuantile(scored: DataFrame, scoreCol: String, q: Double,
       approx: Boolean = false): DataFrame = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
-    val thrExpr = if (approx) s"approx_percentile($scoreCol, $q)"
-      else s"percentile($scoreCol, $q)"
-    val thr = scored.agg(expr(thrExpr).as("__thr"))
+    // Column API, not an interpolated expr() string — a score column
+    // named with a dot/space would otherwise mis-parse
+    val thrCol = if (approx) approx_percentile(col(scoreCol), lit(q), lit(10000))
+      else percentile(col(scoreCol), lit(q))
+    val thr = scored.agg(thrCol.as("__thr"))
     scored.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
@@ -450,8 +452,12 @@ object Corpus {
    * char form catches one huge line duplicated once among many short
    * unique lines, which the instance ratio underweights. Lines are
    * `sep`-separated, trimmed, empties dropped ([[Dedup.explodeParas]] —
-   * the same normalization paragraph dedup matches on). Two keyed
-   * aggregations, groups bounded by document size. Oracled as
+   * the same normalization paragraph dedup matches on). CONTRACT: a
+   * document with NO non-empty lines has nothing to score and is ABSENT
+   * from the output (its DuckDB twin agrees) — a gating pipeline should
+   * left-join this signal and treat null as "no lines", unlike
+   * [[ngramRepetition]] whose whole-text fallback scores every doc. Two
+   * keyed aggregations, groups bounded by document size. Oracled as
    * `text_rep_lines` over the multi-paragraph fixture.
    */
   def lineRepetition(docs: DataFrame, sep: String = "\n",

@@ -99,7 +99,12 @@ object Dedup {
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, consts,
         (m, c) => least(m, h * c.getField("a") + c.getField("b"))))
-    // two projections on purpose: `__sig` is referenced numHashes times
+    // Null-text parity: shingles()' whole-text fallback wraps a null text
+    // as array(null), xxhash64 skips the null → BOTH paths give every
+    // null/empty doc the same deterministic signature (they ARE exact
+    // duplicates as texts; the maxBucket valve bounds the shared banded
+    // bucket). Equality including nulls is spec-asserted.
+    // Two projections on purpose: `__sig` is referenced numHashes times
     // below, and CollapseProject declines to inline a non-cheap producer —
     // so the fold runs ONCE per row, not once per output column
     docs.select(col(idCol), sig.as("__sig"))

@@ -89,21 +89,21 @@ object Layout {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    // walk down to the scan carrying "no shuffle seen since the last join
-    // boundary"; at the scan, that flag IS the answer. Joins reset it (a
-    // shuffle above a closer-to-root join constrains a different relation).
-    def free(p: SparkPlan, clean: Boolean): Option[Boolean] = p match {
+    // walk down to EVERY scan of `table` carrying "no shuffle seen since
+    // the last join boundary"; at each scan, that flag is its verdict.
+    // Joins reset it (a shuffle above a closer-to-root join constrains a
+    // different, derived relation); a self-join contributes two scans and
+    // BOTH must hold.
+    def free(p: SparkPlan, clean: Boolean): Seq[Boolean] = p match {
       case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) =>
-        Some(clean)
+        Seq(clean)
       case a: AdaptiveSparkPlanExec => free(a.executedPlan, clean)
       case s: QueryStageExec => free(s.plan, clean)
-      case j: BaseJoinExec =>
-        j.children.iterator.flatMap(free(_, clean = true)).nextOption()
-      case e: ShuffleExchangeLike =>
-        e.children.iterator.flatMap(free(_, clean = false)).nextOption()
-      case other =>
-        other.children.iterator.flatMap(free(_, clean)).nextOption()
+      case j: BaseJoinExec => j.children.flatMap(free(_, clean = true))
+      case e: ShuffleExchangeLike => e.children.flatMap(free(_, clean = false))
+      case other => other.children.flatMap(free(_, clean))
     }
-    free(df.queryExecution.executedPlan, clean = true).getOrElse(false)
+    val verdicts = free(df.queryExecution.executedPlan, clean = true)
+    verdicts.nonEmpty && verdicts.forall(identity)
   }
 }

@@ -582,7 +582,7 @@ object Similarity {
     }
     val subvecs = subvecsOf(trainSet, sub, m, idCol)
     for (_ <- 0 until iters) {
-      val means = subMeans(assignCodes(subvecs, books, idCol), idCol).toMap
+      val means = subMeans(assignCodes(subvecs, books, idCol))
       books = Array.tabulate(m, k) { (mi, ci) =>
         means.getOrElse((mi, ci), books(mi)(ci)) // empty code keeps its centroid
       }
@@ -618,8 +618,7 @@ object Similarity {
 
   /** Per-(subspace, code) means — the Lloyd update, all subspaces in one
     * aggregation pass (mirrors [[ivfCentroidsOf]] per subspace). */
-  private def subMeans(assigned: DataFrame,
-      idCol: String): Map[(Int, Int), Array[Float]] =
+  private def subMeans(assigned: DataFrame): Map[(Int, Int), Array[Float]] =
     assigned.select(col("__m"), col("__code"), posexplode(col("__sv")).as(Seq("d", "x")))
       .groupBy(col("__m"), col("__code"), col("d")).agg(avg(col("x")).as("mn"))
       .groupBy(col("__m"), col("__code"))

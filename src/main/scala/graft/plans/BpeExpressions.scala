@@ -122,12 +122,14 @@ final class BpeMatcher(merges: Seq[(String, String)]) extends Serializable {
   }
 
   /** Sum of [[countWord]] over the text's lowercased `[a-z0-9]+` runs.
-    * Lowercasing is FULL-STRING under Locale.ROOT, not per-char: per-char
-    * `Character.toLowerCase` diverges from `lower()` on code points whose
-    * lowercase is multi-char (e.g. U+0130 → "i" + combining dot), which
-    * would change the run segmentation vs `TextFunctions.tokens`. */
+    * Lowercasing goes through Spark's OWN `UTF8String.toLowerCase` — the
+    * exact code `lower()` runs — so run segmentation can never diverge
+    * from `TextFunctions.tokens` by JVM default locale (a tr_TR executor
+    * lowercases 'I' differently under plain `String.toLowerCase`) or by
+    * multi-char expansions (U+0130 → "i" + combining dot). */
   def countText(text: String): Long = {
-    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString
     var total = 0L
     val sb = new java.lang.StringBuilder()
     var i = 0

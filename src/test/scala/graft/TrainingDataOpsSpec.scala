@@ -68,8 +68,11 @@ class TrainingDataOpsSpec extends AnyFunSuite {
 
   test("map-only minhash signatures equal the explode+agg path; banded build is exchange-free") {
     val mixed = docs.unionByName(Seq(
-      (10L, "a b"), (11L, "one two three four five six seven eight"))
-      .toDF("doc_id", "text")) // short-doc fallback + longer doc
+      (10L, Some("a b")), (11L, Some("one two three four five six seven eight")),
+      (12L, None)) // short-doc fallback, longer doc, NULL text
+      .toDF("doc_id", "text")) // null text rides the whole-text fallback
+      // as array(null) in BOTH paths: same deterministic signature (null
+      // docs are exact duplicates of each other; maxBucket bounds them)
     def sigs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (0 until 16).map(j => r.getAs[Long](s"mh_$j"))).toMap
