@@ -328,6 +328,21 @@ object SparkEntry {
         .agg(
           round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
           round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
+    "corpus_report" -> ((s, dir) =>
+      // the dataset-card aggregate: per-(source, lang) volume and quality
+      // profile in ONE map-side-combined pass (the report a corpus release
+      // ships with; at 100 TB this is the cheap query — keyed agg over a
+      // scan, output = #groups)
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(size(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0)))), 4).as("avg_tokens"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))),
     "text_rep_lines" -> ((s, _) =>
       // duplicate-line instance + character fractions per doc (Gopher
       // family) — over the multi-paragraph fixture, "\n\n"-separated
@@ -1087,6 +1102,13 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "corpus_report" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | sum(n_chars) AS total_chars,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens,
+        | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "text_rep_lines" ->
       s"""WITH p0 AS (SELECT doc_id, text
          |  FROM read_parquet('${Fixtures.ParaParquet}/*.parquet')),
