@@ -10,16 +10,23 @@ import org.apache.spark.sql.functions._
  * plans as TakeOrderedAndProject: per-partition heaps + driver merge of k
  * rows, no global sort shuffle).
  *
- * Scale path: LSH bucketing by random-hyperplane signs (deterministic
- * hyperplanes derived from xxhash64 — no RNG state, reproducible across
- * runs/executors) so the candidate set shrinks ~2^bits-fold before exact
- * re-scoring; recall is tuned by probing neighboring buckets (multi-probe)
- * or multiple tables. An IVF variant would k-means the corpus; hyperplane
- * LSH avoids the training pass and stays fully declarative.
+ * Scale paths — the ANN triad, each attacking a different axis:
+ *  - LSH (no training): bucketing by random-hyperplane signs
+ *    (deterministic hyperplanes derived from hashes — no RNG state) so
+ *    the candidate set shrinks ~2^bits-fold before exact re-scoring;
+ *    recall tuned by multi-probe / more tables.
+ *  - IVF (data-adapted): k-means cells, probes read the `nProbe` nearest
+ *    cells from a cell-partitioned index; sample-trainable,
+ *    increment-assignable without retraining.
+ *  - PQ (memory): vectors compress to m codebook codes served by ADC
+ *    lookup tables, with exact rerank of the shortlist; IVF-PQ composes
+ *    cell pruning with compressed scans.
+ * Every index path carries a provable bridge to brute force (probe-all /
+ * corpus-spanning shortlist), hash-verified by the shared oracle.
  *
- * All math in double via higher-order functions (`aggregate`/`zip_with`
- * equivalents) — no UDF; dot products evaluate in array order, bit-exact
- * reproducible and mirrorable in the DuckDB oracle.
+ * All math in double, sequential array order — no UDF; dot products are
+ * a native codegen'd expression, bit-exact reproducible and mirrorable
+ * in the DuckDB oracle.
  */
 object Similarity {
 
