@@ -328,6 +328,12 @@ object SparkEntry {
         .agg(
           round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
           round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
+    "mix_weights" -> ((s, dir) =>
+      // mixture stage: per-source weights + a char budget → deterministic
+      // per-source sampling rates (min(1, w·B/total)); unlisted sources
+      // drop. Rates are IEEE-double identical across engines → hash-match
+      Corpus.mixByBudget(t(s, dir, "documents"), MixWeights, MixBudget)
+        .select(col("doc_id"), col("source"), col("lang"))),
     "corpus_report" -> ((s, dir) =>
       // the dataset-card aggregate: per-(source, lang) volume and quality
       // profile in ONE map-side-combined pass (the report a corpus release
@@ -862,6 +868,10 @@ object SparkEntry {
     * generate_series(1, 65536))` once. Shared by the Jaccard family and
     * the decontamination oracle so the shingling rule (including the
     * short-doc whole-text fallback) lives in one place. */
+  /** One mixture definition, two engines (the `mix_weights` query). */
+  private val MixWeights = Map("src7" -> 0.5, "src18" -> 0.3, "src3" -> 0.2)
+  private val MixBudget = 50000.0
+
   /** DuckDB twin of `Dedup.dedupParagraphs` over the para_docs fixture;
     * `finalClause` restricts the reassembled output (the incremental
     * oracle appends `HAVING doc_id >= 5`). */
@@ -1102,6 +1112,25 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "mix_weights" -> {
+      // identical IEEE-double arithmetic, stated once: w·B/total in the
+      // same operation order, decimal literals cast to DOUBLE (DuckDB
+      // parses bare 0.5 as DECIMAL), floor at 1e-6 rate granularity
+      val srcs = MixWeights.keys.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+      val wCase = MixWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+        s"WHEN '$s' THEN CAST($w AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH tot AS (SELECT source, sum(n_chars) AS t FROM documents
+         |  WHERE source IN ($srcs) GROUP BY source),
+         |thr AS (SELECT source,
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |    (CASE source $wCase END) * CAST($MixBudget AS DOUBLE) / t)
+         |    * 1000000) AS BIGINT) AS th
+         |  FROM tot)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d
+         |JOIN thr ON d.source = thr.source
+         |WHERE ${hashBucketSql("d.doc_id", 1000000, Corpus.SampleSalt)} < thr.th""".stripMargin
+    },
     "corpus_report" ->
       """SELECT source, lang, count(*) AS n_docs,
         | sum(n_chars) AS total_chars,

@@ -155,6 +155,45 @@ object Corpus {
       Seq(idCol), "left_anti")
 
   /**
+   * Data mixing — the mixture-weights stage between cleaning and
+   * training: given per-stratum WEIGHTS (fractions of the training
+   * budget each source should contribute) and a total `budget` in
+   * `unitCol` units (tokens, chars), compute each stratum's
+   * deterministic sampling rate `min(1, weight·budget / stratum_total)`
+   * and keep that fraction of its documents. Strata without a weight
+   * drop entirely (an explicit mixture lists what it trains on).
+   *
+   * Shape: ONE map-side-combined aggregation for the per-stratum totals
+   * (output = #strata, collected driver-side like every other
+   * driver-known-small model), then a map-only hash filter at 10⁻⁶
+   * granularity on the SAMPLING stream — so mixing composes with
+   * [[splitAssign]] without censoring split buckets, and a rate change
+   * only adds/removes the delta (same hash-stability argument as
+   * [[sampleStratified]]). Rates are computed in IEEE double with the
+   * same expression both engines evaluate, so the result is
+   * hash-verifiable (`mix_weights`). Expected (not exact) per-stratum
+   * mass: each doc is kept whole — the right granularity for
+   * training-data mixes, where budgets are targets, not invariants.
+   */
+  def mixByBudget(docs: DataFrame, weights: Map[String, Double], budget: Double,
+      strataCol: String = "source", unitCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      s"weights must be non-negative: $weights")
+    val totals = docs.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(sum(col(unitCol)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = weights.flatMap { case (s, w) =>
+      totals.get(s).filter(_ > 0).map(t =>
+        s -> math.floor(math.min(1.0, w * budget / t) * 1000000).toLong)
+    }
+    val thr = thresholds.foldLeft(lit(-1L)) { case (acc, (s, th)) =>
+      when(col(strataCol) === lit(s), lit(th)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol), 1000000, SampleSalt) < thr)
+  }
+
+  /**
    * Deterministic shard assignment — the training-data WRITER's layout
    * primitive: `shard` in [0, nShards) on the dedicated [[ShardSalt]]
    * stream (independent of split buckets and sample gates, see the salt

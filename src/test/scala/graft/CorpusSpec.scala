@@ -451,6 +451,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(lr < 0.2 && cr > 0.9, s"instance=$lr char=$cr")
   }
 
+  test("mixByBudget: per-stratum mass tracks weight·budget; unlisted strata drop") {
+    // 3 strata × 300 docs of 100 chars each (30k chars per stratum)
+    val docs = ids.limit(900)
+      .withColumn("src", concat(lit("s"), col("doc_id") % 3))
+      .withColumn("n_chars", lit(100L))
+    val mixed = Corpus.mixByBudget(docs, Map("s0" -> 0.6, "s1" -> 0.4),
+      budget = 20000, strataCol = "src")
+    val mass = mixed.groupBy(col("src")).agg(sum(col("n_chars")).as("m"))
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("m")).toMap
+    // targets: s0 → 12k of 30k (rate .4), s1 → 8k (rate .267), s2 → gone
+    assert(!mass.contains("s2"))
+    assert(math.abs(mass("s0") - 12000L) < 3000, s"s0 mass ${mass("s0")}")
+    assert(math.abs(mass("s1") - 8000L) < 3000, s"s1 mass ${mass("s1")}")
+    // weight large enough → rate caps at 1.0, stratum kept whole
+    val whole = Corpus.mixByBudget(docs, Map("s0" -> 10.0), budget = 1e9,
+      strataCol = "src")
+    assert(whole.count() == 300)
+    // deterministic: same inputs, same rows
+    assert(mixed.collect().map(_.getLong(0)).toSet ==
+      Corpus.mixByBudget(docs, Map("s0" -> 0.6, "s1" -> 0.4), budget = 20000,
+        strataCol = "src").collect().map(_.getLong(0)).toSet)
+  }
+
   test("shardAssign: map-only, balanced, independent of split buckets; keys unique") {
     val out = Corpus.shardAssign(ids, nShards = 16)
     val rows = out.collect()
