@@ -16,6 +16,8 @@ import graft.operators.{Corpus, Materialize}
  *   cleanCorpus (quality gate → language gate → exact dedup → near-dup
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
  *   → split assignment)
+ *   [→ mixture weights: per-stratum `min(1, w·B/total)` sampling —
+ *      [[Corpus.mixByBudget]] over the cleaned text]
  *   → shard write of the clean corpus (deterministic writer layout)
  *   → chunk + pack of the train split (budget-sized sequence bins)
  *   → manifest.
@@ -64,9 +66,21 @@ object TrainingSetJob {
       else cleaned0.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
       cfg.checkpointDir)
 
-    Corpus.writeShards(cleaned, shardsDir(outRoot), cfg.nShards)
+    // optional mixture stage: per-stratum weights + char budget over the
+    // CLEANED text (strata joined back from the source table; the unit is
+    // length(text) so redaction-shortened text counts as shipped)
+    val mixed = if (cfg.mixWeights.isEmpty) cleaned else {
+      val sc = cfg.strataCol.getOrElse("source")
+      val withStrata = cleaned
+        .join(docs.select(col("doc_id"), col(sc)), Seq("doc_id"))
+        .withColumn("__units", length(col("text")).cast("long"))
+      Corpus.mixByBudget(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
+        .drop("__units", sc)
+    }
 
-    val train = cleaned.filter(col("split") === "train")
+    Corpus.writeShards(mixed, shardsDir(outRoot), cfg.nShards)
+
+    val train = mixed.filter(col("split") === "train")
     // chunks feed TWO consumers (the packer and the chunk_text join) —
     // materialized so the regex-heavy chunking pass runs once, not twice
     val chunks = Materialize(Corpus.chunkDocs(train, cfg.chunkBudget),
@@ -112,6 +126,11 @@ object TrainingSetJob {
     cfg.strataCol.foreach { c =>
       node.put("strata_col", c)
       node.put("strata_default_pct", cfg.strataDefaultPct)
+    }
+    if (cfg.mixWeights.nonEmpty) {
+      node.put("mix_budget", cfg.mixBudget)
+      val mw = node.putObject("mix_weights")
+      cfg.mixWeights.foreach { case (s, w) => mw.put(s, w) }
     }
     out.write(mapper.writeValueAsBytes(node))
     out.close()

@@ -26,10 +26,14 @@ final case class TrainingSetConfig(
     strataCol: Option[String] = None,
     strataRates: Map[String, Int] = Map.empty,
     strataDefaultPct: Int = 100,
+    mixWeights: Map[String, Double] = Map.empty,
+    mixBudget: Double = 0.0,
     chunkBudget: Int = 512,
     packGroups: Int = 32,
     nShards: Int = 64,
     checkpointDir: Option[String] = None) {
+  require(mixWeights.isEmpty == (mixBudget <= 0),
+    "mix_weights and mix_budget come together")
   require(chunkBudget > 0, s"chunk_budget must be positive: $chunkBudget")
   require(nShards > 0, s"n_shards must be positive: $nShards")
 
@@ -65,6 +69,10 @@ object TrainingSetConfig {
         r.properties.asScala.map(e => e.getKey -> e.getValue.asInt).toMap)
         .getOrElse(Map.empty),
       strataDefaultPct = int("strata_default_pct", 100),
+      mixWeights = optNode("mix_weights").map(r =>
+        r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
+        .getOrElse(Map.empty),
+      mixBudget = dbl("mix_budget", 0.0),
       chunkBudget = int("chunk_budget", 512),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),

@@ -61,4 +61,26 @@ class TrainingSetJobSpec extends AnyFunSuite {
       m.get("train_bins").asLong == r.trainBins &&
       m.get("strata_col").asText == "source")
   }
+
+  test("mixture stage: weighted sources survive in proportion, others drop") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_mix").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":4,"n_shards":8,
+        |"mix_weights":{"src3":0.7,"src7":0.3},"mix_budget":20000}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    // only the weighted sources remain (joined back to check membership)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val srcs = shards.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.subsetOf(Set("src3", "src7")) && srcs.nonEmpty, s"sources: $srcs")
+    assert(r.cleanDocs == shards.count() && r.cleanDocs > 0)
+    // manifest records the mixture
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("mix_weights").get("src3").asDouble == 0.7 &&
+      m.get("mix_budget").asDouble == 20000.0)
+  }
 }
