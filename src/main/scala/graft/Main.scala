@@ -78,8 +78,9 @@ object Main {
     val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val r = TrainingSetJob.run(spark, args(1), args(2),
       graft.config.TrainingSetConfig.parse(raw))
-    println(s"""{"clean_docs":${r.cleanDocs},"train_chunks":${r.trainChunks},""" +
-      s""""train_bins":${r.trainBins},"shards":${r.shardsWritten}}""")
+    println(s"""{"clean_docs":${r.cleanDocs},"mixed_docs":${r.mixedDocs},""" +
+      s""""train_chunks":${r.trainChunks},"train_bins":${r.trainBins},""" +
+      s""""shards":${r.shardsWritten}}""")
     spark.stop()
   }
 

@@ -345,8 +345,7 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           round(avg(col("n_chars")), 4).as("avg_chars"),
-          round(avg(size(regexp_extract_all(lower(col("text")),
-            lit("[a-z0-9]+"), lit(0)))), 4).as("avg_tokens"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))),
     "text_rep_lines" -> ((s, _) =>
@@ -859,18 +858,12 @@ object SparkEntry {
        |  SELECT SKN, '2022-03-02', "X2022.03.02" FROM $wideRp
        |) u WHERE value IS NOT NULL AND value <> 'NA'""".stripMargin
 
-  /** 3-gram Jaccard pairs (mirrors `Dedup.ngramJaccardPairs`, incl. the
-    * optional hot-shingle df cap); also the edge set for the
-    * connected-components oracle. */
-  /** Word-3-gram shingle CTE chain over `src` (doc_id, text) — emits
-    * `<p>toks`, `<p>pos`, `<p>sh0` (the distinct (doc_id, shingle) set).
-    * Callers define `nums AS (SELECT generate_series AS i FROM
-    * generate_series(1, 65536))` once. Shared by the Jaccard family and
-    * the decontamination oracle so the shingling rule (including the
-    * short-doc whole-text fallback) lives in one place. */
-  /** One mixture definition, two engines (the `mix_weights` query). */
+  /** One mixture definition, two engines (the `mix_weights` query).
+    * Budget 5000 keeps every rate FRACTIONAL at sf0.01 (totals ≈ 7.5–8.2k
+    * per source), so the primary correctness gate exercises the threshold
+    * arithmetic and the sampling filter, not just the keep-all cap. */
   private val MixWeights = Map("src7" -> 0.5, "src18" -> 0.3, "src3" -> 0.2)
-  private val MixBudget = 50000.0
+  private val MixBudget = 5000.0
 
   /** DuckDB twin of `Dedup.dedupParagraphs` over the para_docs fixture;
     * `finalClause` restricts the reassembled output (the incremental
@@ -890,6 +883,12 @@ object SparkEntry {
        | count(*) AS n_kept
        |FROM kept GROUP BY doc_id $finalClause""".stripMargin
 
+  /** Word-3-gram shingle CTE chain over `src` (doc_id, text) — emits
+    * `<p>toks`, `<p>pos`, `<p>sh0` (the distinct (doc_id, shingle) set).
+    * Callers define `nums AS (SELECT generate_series AS i FROM
+    * generate_series(1, 65536))` once. Shared by the Jaccard family and
+    * the decontamination oracle so the shingling rule (including the
+    * short-doc whole-text fallback) lives in one place. */
   private def shingleCtesSql(src: String, p: String = ""): String =
     s"""${p}toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
        |${p}pos AS (SELECT doc_id, t, i FROM ${p}toks JOIN nums ON i <= greatest(len(t) - 2, 1)),

@@ -43,8 +43,12 @@ import graft.operators.{Corpus, Materialize}
  */
 object TrainingSetJob {
 
-  final case class Result(cleanDocs: Long, trainChunks: Long, trainBins: Long,
-      shardsWritten: Long)
+  /** `cleanDocs` = cleaning yield (before any mixture); `mixedDocs` =
+    * what actually shipped (equal when no mixture is configured) — kept
+    * separate so a weight change never masquerades as a cleaning-yield
+    * shift. */
+  final case class Result(cleanDocs: Long, mixedDocs: Long, trainChunks: Long,
+      trainBins: Long, shardsWritten: Long)
 
   def shardsDir(root: String) = s"$root/shards"
   def packedDir(root: String) = s"$root/packed"
@@ -67,10 +71,13 @@ object TrainingSetJob {
       cfg.checkpointDir)
 
     // optional mixture stage: per-stratum weights + char budget over the
-    // CLEANED text (strata joined back from the source table; the unit is
-    // length(text) so redaction-shortened text counts as shipped)
+    // CLEANED text (strata joined back from the source table via the
+    // DEDICATED mix_strata_col — never the rebalance column, whose values
+    // a source-keyed weight map would silently miss; the unit is
+    // length(text) so redaction-shortened text counts as shipped). The
+    // budget spans all splits — scale by 1/trainPct for train-only units.
     val mixed = if (cfg.mixWeights.isEmpty) cleaned else {
-      val sc = cfg.strataCol.getOrElse("source")
+      val sc = cfg.mixStrataCol
       val withStrata = cleaned
         .join(docs.select(col("doc_id"), col(sc)), Seq("doc_id"))
         .withColumn("__units", length(col("text")).cast("long"))
@@ -94,13 +101,16 @@ object TrainingSetJob {
 
     val shardsBack = spark.read.parquet(shardsDir(outRoot))
     val packedBack = spark.read.parquet(packedDir(outRoot))
-    val cleanDocs = shardsBack.count()
+    // cleaning yield from the materialized clean set (a checkpoint count,
+    // not re-executed lineage); shipped count from the written shards
+    val cleanDocs = cleaned.count()
+    val mixedDocs = shardsBack.count()
     val shardsWritten = shardsBack.select(col("shard")).distinct().count()
     val Array(chunkCount, binCount) = packedBack
       .agg(count(lit(1)), count_distinct(struct(col("grp"), col("bin"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
 
-    val result = Result(cleanDocs, chunkCount, binCount, shardsWritten)
+    val result = Result(cleanDocs, mixedDocs, chunkCount, binCount, shardsWritten)
     writeManifest(spark, outRoot, cfg, result)
     result
   }
@@ -115,6 +125,7 @@ object TrainingSetJob {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("clean_docs", r.cleanDocs)
+    node.put("mixed_docs", r.mixedDocs)
     node.put("train_chunks", r.trainChunks)
     node.put("train_bins", r.trainBins)
     node.put("shards", r.shardsWritten)

@@ -28,6 +28,7 @@ final case class TrainingSetConfig(
     strataDefaultPct: Int = 100,
     mixWeights: Map[String, Double] = Map.empty,
     mixBudget: Double = 0.0,
+    mixStrataCol: String = "source",
     chunkBudget: Int = 512,
     packGroups: Int = 32,
     nShards: Int = 64,
@@ -73,6 +74,7 @@ object TrainingSetConfig {
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
         .getOrElse(Map.empty),
       mixBudget = dbl("mix_budget", 0.0),
+      mixStrataCol = text("mix_strata_col", "source"),
       chunkBudget = int("chunk_budget", 512),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),

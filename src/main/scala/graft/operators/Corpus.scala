@@ -174,6 +174,11 @@ object Corpus {
    * hash-verifiable (`mix_weights`). Expected (not exact) per-stratum
    * mass: each doc is kept whole — the right granularity for
    * training-data mixes, where budgets are targets, not invariants.
+   * `budget` spans the INPUT corpus: applied before a split filter, each
+   * split receives its own fraction of the kept mass (scale the budget
+   * by 1/trainPct when it means train-split units). A weighted stratum
+   * with zero/null total units is kept whole — it has no mass to budget
+   * (and the SQL twin's NULL-skipping `least` agrees).
    */
   def mixByBudget(docs: DataFrame, weights: Map[String, Double], budget: Double,
       strataCol: String = "source", unitCol: String = "n_chars",
@@ -182,10 +187,17 @@ object Corpus {
       s"weights must be non-negative: $weights")
     val totals = docs.filter(col(strataCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(strataCol)).agg(sum(col(unitCol)).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    // an all-misses mixture (typo'd source names, wrong strata column)
+    // would silently drop the whole corpus — fail loudly instead
+    require(totals.nonEmpty,
+      s"no stratum in '$strataCol' matches any weight key ${weights.keys}")
     val thresholds = weights.flatMap { case (s, w) =>
-      totals.get(s).filter(_ > 0).map(t =>
-        s -> math.floor(math.min(1.0, w * budget / t) * 1000000).toLong)
+      // zero/null-unit strata have no mass to budget: kept WHOLE (rate 1),
+      // matching the oracle's NULL-skipping least() on divide-by-zero
+      totals.get(s).map(t => s -> (if (t <= 0) 1000000L
+        else math.floor(math.min(1.0, w * budget / t) * 1000000).toLong))
     }
     val thr = thresholds.foldLeft(lit(-1L)) { case (acc, (s, th)) =>
       when(col(strataCol) === lit(s), lit(th)).otherwise(acc)

@@ -32,10 +32,12 @@ class TrainingSetJobSpec extends AnyFunSuite {
     val r = TrainingSetJob.run(spark,
       "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
 
-    // clean-doc count equals the standalone composition's
+    // clean-doc count equals the standalone composition's; without a
+    // mixture, shipped == cleaned
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val expectClean = Corpus.cleanCorpus(docs).count()
     assert(r.cleanDocs == expectClean && r.cleanDocs > 0)
+    assert(r.mixedDocs == r.cleanDocs)
 
     // shards: within bounds, union reproduces the clean set, split column rides
     val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
@@ -75,7 +77,11 @@ class TrainingSetJobSpec extends AnyFunSuite {
     val srcs = shards.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source")).distinct().collect().map(_.getString(0)).toSet
     assert(srcs.subsetOf(Set("src3", "src7")) && srcs.nonEmpty, s"sources: $srcs")
-    assert(r.cleanDocs == shards.count() && r.cleanDocs > 0)
+    // the mixture genuinely downsampled: shipped < cleaned, and the
+    // shipped count is what the shards hold
+    assert(r.mixedDocs == shards.count() && r.mixedDocs > 0)
+    assert(r.mixedDocs < r.cleanDocs,
+      s"mixture kept everything: ${r.mixedDocs} of ${r.cleanDocs}")
     // manifest records the mixture
     val body = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
