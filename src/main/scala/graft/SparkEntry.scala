@@ -334,6 +334,12 @@ object SparkEntry {
       // drop. Rates are IEEE-double identical across engines → hash-match
       Corpus.mixByBudget(t(s, dir, "documents"), MixWeights, MixBudget)
         .select(col("doc_id"), col("source"), col("lang"))),
+    "mix_repeat" -> ((s, dir) =>
+      // upsampling mixture: rates > 1 ship whole epochs + a fractional
+      // hash-gated extra copy — map-only explode(sequence), no join
+      Corpus.mixWithRepeats(t(s, dir, "documents"), RepeatWeights,
+        RepeatBudget)
+        .select(col("doc_id"), col("source"), col("copy_idx"))),
     "corpus_report" -> ((s, dir) =>
       // the dataset-card aggregate: per-(source, lang) volume and quality
       // profile in ONE map-side-combined pass (the report a corpus release
@@ -348,6 +354,12 @@ object SparkEntry {
           round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))),
+    "text_normalize" -> ((s, _) =>
+      // pre-cleaning normalization: punctuation fold + regex chain in the
+      // scan projection, hash-verified over the messy-text fixture
+      s.read.parquet(Fixtures.MessyParquet)
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("text"))),
     "text_rep_lines" -> ((s, _) =>
       // duplicate-line instance + character fractions per doc (Gopher
       // family) — over the multi-paragraph fixture, "\n\n"-separated
@@ -558,6 +570,17 @@ object SparkEntry {
       Corpus.sampleStratified(t(s, dir, "documents"), "lang",
         Map("en" -> 20, "zh" -> 60), defaultPct = 90)
         .select(col("doc_id"), col("lang"))),
+    "cap_per_source" -> ((s, dir) =>
+      // domain balancing: EXACT ≤10-doc cap per source (head of the
+      // salted-hash order) — a rank-limit plan (WindowGroupLimit both
+      // sides of the exchange), never a full per-stratum sort
+      Corpus.capPerStratum(t(s, dir, "documents"), "source", maxDocs = 10)
+        .select(col("doc_id"), col("source"))),
+    "split_leakage" -> ((s, dir) =>
+      // cross-split contamination audit: near-dup pairs straddling
+      // train/val/test — split labels are projections of the pair ids,
+      // so the audit costs one pair generation plus a map
+      Corpus.splitLeakage(t(s, dir, "documents"), n = 3, minJaccard = 0.5)),
     "text_tfidf" -> ((s, dir) =>
       Corpus.tfidfTop(t(s, dir, "documents"), k = 3)),
     "text_entropy" -> ((s, dir) =>
@@ -568,6 +591,11 @@ object SparkEntry {
       // where Jaccard sees ~0
       Dedup.ngramContainmentPairs(t(s, dir, "documents"), n = 3,
         minContainment = 0.6)),
+    "dedup_verbatim" -> ((s, dir) =>
+      // maximal shared verbatim token runs (substring-dedup signal):
+      // order-SENSITIVE, unlike the set-overlap family — windows join on
+      // 8-byte keys, spans fuse per alignment diagonal
+      Dedup.verbatimSpans(t(s, dir, "documents"), window = 8)),
     "text_logprob" -> ((s, dir) =>
       // statistical-LM quality proxy: mean unigram logprob under the
       // corpus's own token distribution
@@ -795,10 +823,15 @@ object SparkEntry {
   /** DuckDB twin of `Corpus.hashBucket`: hex prefix of md5(id ++ salt),
     * mod N. Non-empty `salt` selects the independent SAMPLING stream
     * (`Corpus.SampleSalt`); assignment expressions stay unsalted. */
-  private def hashBucketSql(idCol: String, buckets: Int, salt: String = ""): String = {
+  private def hashBucketSql(idCol: String, buckets: Int, salt: String = ""): String =
+    s"${hashValueSql(idCol, salt)} % $buckets"
+
+  /** The full 32-bit hash value (no modulo) — the SQL twin of the rank
+    * key behind `Corpus.capPerStratum`. */
+  private def hashValueSql(idCol: String, salt: String = ""): String = {
     val id = if (salt.isEmpty) s"CAST($idCol AS VARCHAR)"
       else s"CAST($idCol AS VARCHAR) || '$salt'"
-    s"('0x' || substr(md5($id), 1, 8))::BIGINT % $buckets"
+    s"('0x' || substr(md5($id), 1, 8))::BIGINT"
   }
 
   /** Shared chunking CTEs (nums/toks/ch) — the DuckDB twin of
@@ -864,6 +897,13 @@ object SparkEntry {
     * arithmetic and the sampling filter, not just the keep-all cap. */
   private val MixWeights = Map("src7" -> 0.5, "src18" -> 0.3, "src3" -> 0.2)
   private val MixBudget = 5000.0
+
+  /** Upsampling mixture (`mix_repeat`): budget 30000 over two sources
+    * whose sf0.01 totals are ~7.6k/8.2k chars, so BOTH rates land above 1
+    * (≈2.4 and ≈1.5) — whole-epoch repeats AND the fractional hash gate
+    * are exercised by the primary gate. */
+  private val RepeatWeights = Map("src3" -> 0.6, "src7" -> 0.4)
+  private val RepeatBudget = 30000.0
 
   /** DuckDB twin of `Dedup.dedupParagraphs` over the para_docs fixture;
     * `finalClause` restricts the reassembled output (the incremental
@@ -1130,6 +1170,29 @@ object SparkEntry {
          |JOIN thr ON d.source = thr.source
          |WHERE ${hashBucketSql("d.doc_id", 1000000, Corpus.SampleSalt)} < thr.th""".stripMargin
     },
+    "mix_repeat" -> {
+      // same IEEE-double discipline as mix_weights: r = w·B/total in one
+      // operation order, whole = floor(r), fractional remainder gated at
+      // 1e-6 granularity; the copies come from a generate_series join
+      // (the oracle's stand-in for Spark's explode(sequence))
+      val srcs = RepeatWeights.keys.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+      val wCase = RepeatWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+        s"WHEN '$s' THEN CAST($w AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH tot AS (SELECT source, sum(n_chars) AS t FROM documents
+         |  WHERE source IN ($srcs) GROUP BY source),
+         |rate AS (SELECT source,
+         |  (CASE source $wCase END) * CAST($RepeatBudget AS DOUBLE) / t AS r
+         |  FROM tot),
+         |thr AS (SELECT source, CAST(floor(r) AS BIGINT) AS whole,
+         |  CAST(floor((r - floor(r)) * 1000000) AS BIGINT) AS fth FROM rate),
+         |nc AS (SELECT d.doc_id, d.source,
+         |  whole + CASE WHEN ${hashBucketSql("d.doc_id", 1000000, Corpus.SampleSalt)} < fth
+         |    THEN 1 ELSE 0 END AS n
+         |  FROM documents d JOIN thr ON d.source = thr.source),
+         |nums AS (SELECT generate_series AS i FROM generate_series(0, 1023))
+         |SELECT doc_id, source, i AS copy_idx FROM nc JOIN nums ON i < n""".stripMargin
+    },
     "corpus_report" ->
       """SELECT source, lang, count(*) AS n_docs,
         | sum(n_chars) AS total_chars,
@@ -1267,6 +1330,40 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${hashBucketSql("doc_id", 100, Corpus.SampleSalt)} <
          |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 60 ELSE 90 END""".stripMargin,
+    "cap_per_source" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${hashValueSql("doc_id", Corpus.SampleSalt)}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 10""".stripMargin,
+    "dedup_verbatim" ->
+      // windows join on the raw window STRING here (xxhash64 has no DuckDB
+      // twin); counts/positions agree as long as the 8-byte keys don't
+      // collide — the same contract the Jaccard-family oracles rely on
+      """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |wins AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM toks JOIN nums ON i <= len(t) - 7),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |g AS (SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+        |  pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+        |  FROM m)
+        |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,
+        | CAST(min(pb) AS BIGINT) AS b_start,
+        | CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
+        |FROM g GROUP BY id_a, id_b, diag, grp""".stripMargin,
+    "split_leakage" ->
+      s"""WITH pairs AS ($oracleJaccardSql),
+         |lab AS (SELECT id_a, id_b, jaccard,
+         |  CASE WHEN ${hashBucketSql("id_a", 100)} < 80 THEN 'train'
+         |       WHEN ${hashBucketSql("id_a", 100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split_a,
+         |  CASE WHEN ${hashBucketSql("id_b", 100)} < 80 THEN 'train'
+         |       WHEN ${hashBucketSql("id_b", 100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split_b
+         |  FROM pairs)
+         |SELECT * FROM lab WHERE split_a <> split_b""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
@@ -1392,6 +1489,19 @@ object SparkEntry {
       s"""SELECT pii_id, ${prefixes.last} AS redacted,
          | $counts
          |FROM read_parquet('${Fixtures.PiiParquet}/*.parquet')""".stripMargin
+    },
+    "text_normalize" -> {
+      // fold + chain generated from FoldFrom/FoldTo/NormalizePatterns —
+      // one definition, two engines (same discipline as pii_redact);
+      // replacements holding literal newlines are legal in SQL literals
+      def lit(s: String) = s.replace("'", "''")
+      val fold = s"translate(text, '${lit(TextFunctions.FoldFrom)}', '${lit(TextFunctions.FoldTo)}')"
+      val chain = TextFunctions.NormalizePatterns.foldLeft(fold) {
+        case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '${lit(pat)}', '${lit(repl)}', 'g')"
+      }
+      s"""SELECT doc_id, $chain AS text
+         |FROM read_parquet('${Fixtures.MessyParquet}/*.parquet')""".stripMargin
     },
     "events_asof" ->
       // DuckDB's native ASOF JOIN oracles the union+window Spark shape

@@ -42,8 +42,14 @@ object Corpus {
    * assignment operators use the unsalted stream.
    */
   def hashBucket(id: Column, buckets: Int = 100, salt: String = ""): Column =
+    hashValue(id, salt) % buckets
+
+  /** The full 32-bit hash value behind [[hashBucket]] (no modulo) — the
+    * deterministic RANK key for exact-k selections ([[capPerStratum]]),
+    * where 100 buckets is far too coarse a total order. */
+  private def hashValue(id: Column, salt: String): Column =
     conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 8), 16, 10)
-      .cast("long") % buckets
+      .cast("long")
 
   /** The sampling family's hash-stream salt (see [[hashBucket]]). */
   val SampleSalt = "#smpl"
@@ -66,11 +72,20 @@ object Corpus {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"split percentages must be within [0,100]: train=$trainPct val=$valPct")
     docs.withColumn("bucket", hashBucket(col(idCol)))
-      .withColumn("split",
-        when(col("bucket") < trainPct, lit("train"))
-          .when(col("bucket") < trainPct + valPct, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitFromBucket(col("bucket"), trainPct, valPct))
   }
+
+  /** The split label of an id as a PURE column expression — what
+    * [[splitAssign]] adds as a column, usable anywhere a join back to the
+    * assigned corpus would otherwise be needed (e.g. labeling both sides
+    * of a pair in [[splitLeakage]]). */
+  def splitExpr(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    splitFromBucket(hashBucket(id), trainPct, valPct)
+
+  private def splitFromBucket(bucket: Column, trainPct: Int, valPct: Int): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
 
   /**
    * Deterministic `pct`% sample — the same rows every run, on any cluster,
@@ -106,6 +121,35 @@ object Corpus {
       when(col(strataCol) === lit(k), lit(p)).otherwise(acc)
     }
     docs.filter(hashBucket(col(idCol), 100, SampleSalt) < pct)
+  }
+
+  /**
+   * Per-stratum document cap ("domain balancing"): keep at most `maxDocs`
+   * docs per stratum — the head of the stratum's salted-hash order, ties
+   * broken by id. Web-scale curation caps pages per domain so no single
+   * host dominates the corpus; unlike a rate sample ([[sampleStratified]])
+   * the cap is EXACT (min(n, maxDocs) per stratum, no rate to mis-guess
+   * when stratum sizes are unknown), and still deterministic: engine- and
+   * partitioning-independent, and growth in one stratum never touches
+   * another stratum's kept set (within a stratum, a new doc hashing below
+   * the k-th displaces only the tail — inherent to any exact-k rule).
+   *
+   * Scale shape: `row_number <= k` compiles to a rank-LIMIT, not a full
+   * sort — Spark inserts WindowGroupLimit on BOTH sides of the exchange
+   * (plan-asserted in CorpusSpec), so every map task forwards at most
+   * `maxDocs` rows per stratum and the mega-domain the cap exists for
+   * reaches its reducer pre-pruned (≤ maxDocs·mapTasks rows), never raw.
+   * Runs on the sampling hash stream — the op FILTERS rows (see
+   * [[hashBucket]] on stream separation).
+   */
+  def capPerStratum(docs: DataFrame, strataCol: String, maxDocs: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive: $maxDocs")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashValue(col(idCol), SampleSalt).asc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxDocs)
+      .drop("__rk")
   }
 
   /**
@@ -155,6 +199,30 @@ object Corpus {
       Seq(idCol), "left_anti")
 
   /**
+   * Cross-split leakage audit: near-duplicate pairs (word-n-gram Jaccard
+   * ≥ `minJaccard`) whose two documents landed in DIFFERENT
+   * train/val/test splits — the contamination a hash split cannot
+   * prevent (near-duplicates hash independently, so a doc and its
+   * mutation land in train and test at the background cross-split rate)
+   * and the reason production pipelines dedup BEFORE splitting. Returns
+   * `(id_a, id_b, jaccard, split_a, split_b)`; an empty result is the
+   * audit passing.
+   *
+   * Shape: [[Dedup.ngramJaccardPairs]] generates the pairs (inverted-
+   * index equi-join with the optional hot-shingle `maxDf` valve); the
+   * split labels are PURE PROJECTIONS of the pair ids ([[splitExpr]]) —
+   * no join back to the assigned corpus — so the audit costs exactly one
+   * pair generation plus a map.
+   */
+  def splitLeakage(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+      trainPct: Int = 80, valPct: Int = 10, textCol: String = "text",
+      idCol: String = "doc_id", maxDf: Option[Long] = None): DataFrame =
+    Dedup.ngramJaccardPairs(docs, n, minJaccard, textCol, idCol, maxDf)
+      .withColumn("split_a", splitExpr(col("id_a"), trainPct, valPct))
+      .withColumn("split_b", splitExpr(col("id_b"), trainPct, valPct))
+      .filter(col("split_a") =!= col("split_b"))
+
+  /**
    * Data mixing — the mixture-weights stage between cleaning and
    * training: given per-stratum WEIGHTS (fractions of the training
    * budget each source should contribute) and a total `budget` in
@@ -183,16 +251,7 @@ object Corpus {
   def mixByBudget(docs: DataFrame, weights: Map[String, Double], budget: Double,
       strataCol: String = "source", unitCol: String = "n_chars",
       idCol: String = "doc_id"): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ >= 0),
-      s"weights must be non-negative: $weights")
-    val totals = docs.filter(col(strataCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(strataCol)).agg(sum(col(unitCol)).as("__t"))
-      .collect().map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
-    // an all-misses mixture (typo'd source names, wrong strata column)
-    // would silently drop the whole corpus — fail loudly instead
-    require(totals.nonEmpty,
-      s"no stratum in '$strataCol' matches any weight key ${weights.keys}")
+    val totals = strataTotals(docs, weights, strataCol, unitCol)
     val thresholds = weights.flatMap { case (s, w) =>
       // zero/null-unit strata have no mass to budget: kept WHOLE (rate 1),
       // matching the oracle's NULL-skipping least() on divide-by-zero
@@ -203,6 +262,68 @@ object Corpus {
       when(col(strataCol) === lit(s), lit(th)).otherwise(acc)
     }
     docs.filter(hashBucket(col(idCol), 1000000, SampleSalt) < thr)
+  }
+
+  /** Per-stratum unit totals for the mixing family: one map-side-combined
+    * aggregation (output = #strata), collected as a driver-known-small
+    * model. Fails loudly on an all-misses mixture (typo'd source names,
+    * wrong strata column), which would otherwise silently drop the whole
+    * corpus. */
+  private def strataTotals(docs: DataFrame, weights: Map[String, Double],
+      strataCol: String, unitCol: String): Map[String, Long] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      s"weights must be non-negative: $weights")
+    val totals = docs.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(sum(col(unitCol)).as("__t"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    require(totals.nonEmpty,
+      s"no stratum in '$strataCol' matches any weight key ${weights.keys}")
+    totals
+  }
+
+  /**
+   * Data mixing WITH upsampling: like [[mixByBudget]], but a rate above 1
+   * REPEATS documents (training epochs) instead of clipping at keep-all —
+   * the mixture shape where a scarce high-quality source contributes more
+   * than one pass over its data. rate = weight·budget/total; each doc
+   * ships `floor(rate)` whole copies plus one more iff its salted hash
+   * clears the fractional remainder, so expected per-stratum mass is
+   * exactly weight·budget. Emits `copy_idx` (0-based epoch index) —
+   * downstream packing/shuffling treats copies as distinct rows. Unlisted
+   * strata drop; zero/null-unit strata ship one copy (no mass to budget,
+   * as in [[mixByBudget]]); `maxRepeat` is a loud guard against a tiny
+   * stratum exploding into thousands of epochs.
+   *
+   * Shape: still MAP-ONLY. The per-doc copy count is a when-chain literal
+   * plus one hash compare, and the repeats come from
+   * `explode(sequence(0, n-1))`, which expands rows in place — no
+   * shuffle, no join, no window; a 100 TB mixture is one streamed pass.
+   */
+  def mixWithRepeats(docs: DataFrame, weights: Map[String, Double],
+      budget: Double, strataCol: String = "source", unitCol: String = "n_chars",
+      idCol: String = "doc_id", maxRepeat: Int = 100): DataFrame = {
+    val totals = strataTotals(docs, weights, strataCol, unitCol)
+    val rates = weights.flatMap { case (s, w) =>
+      totals.get(s).map(t => s -> (if (t <= 0) 1.0 else w * budget / t))
+    }
+    rates.foreach { case (s, r) => require(r <= maxRepeat,
+      s"stratum '$s' rate $r exceeds maxRepeat=$maxRepeat epochs") }
+    // identical IEEE arithmetic to the oracle: whole = floor(r), then the
+    // remainder thresholded at 1e-6 granularity on the sampling stream
+    val whole = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === lit(s), lit(math.floor(r).toLong)).otherwise(acc)
+    }
+    val fracThr = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === lit(s),
+        lit(math.floor((r - math.floor(r)) * 1000000).toLong)).otherwise(acc)
+    }
+    val extra = when(hashBucket(col(idCol), 1000000, SampleSalt) < fracThr, 1L)
+      .otherwise(0L)
+    docs.withColumn("__n", whole + extra)
+      .filter(col("__n") > 0) // BEFORE explode: sequence(0,-1) would count down
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
   }
 
   /**

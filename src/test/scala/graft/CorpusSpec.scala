@@ -80,6 +80,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept(10).subsetOf(kept(30)))
   }
 
+  test("capPerStratum: exact cap, stable under growth elsewhere, rank-limit plan") {
+    val docs = ids.withColumn("stratum",
+      when(col("doc_id") % 10 === 0, "small").otherwise("mega"))
+    val out = Corpus.capPerStratum(docs, "stratum", maxDocs = 50)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mega (900 docs) capped exactly; small (100) capped exactly too
+    assert(counts == Map("mega" -> 50L, "small" -> 50L))
+    // growth in one stratum never touches another stratum's kept set
+    val megaKept = out.filter(col("stratum") === "mega")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val grown = docs.union(spark.range(10000, 11000).toDF("doc_id")
+      .withColumn("stratum", lit("small")))
+    val megaKept2 = Corpus.capPerStratum(grown, "stratum", maxDocs = 50)
+      .filter(col("stratum") === "mega")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(megaKept == megaKept2)
+    // the plan is a rank LIMIT, not a full per-stratum sort: Spark's
+    // WindowGroupLimit prunes each map task to <= maxDocs rows per
+    // stratum BEFORE the exchange (the skew posture the cap exists for)
+    val nodes = SparkTestBase.planNodeNames(out)
+    assert(nodes.exists(_.contains("WindowGroupLimit")),
+      s"no WindowGroupLimit in: $nodes")
+  }
+
+  test("splitLeakage: exactly the cross-split near-dup pairs, labels from ids") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta run $i"))
+    // near-dup mutations of the first 20 docs: ids offset by 1000, one
+    // token changed -> high but sub-1.0 Jaccard with their originals
+    val dups = (1 to 20).map(i =>
+      (1000L + i, s"alpha beta gamma delta epsilon zeta eta theta jog $i"))
+    val docs = spark.createDataFrame(base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.3).collect()
+    assert(pairs.nonEmpty)
+    val leaks = Corpus.splitLeakage(docs, n = 3, minJaccard = 0.3).collect()
+    // every reported pair is a real pair whose id-derived splits differ
+    def splitOf(id: Long): String = {
+      val r = spark.range(id, id + 1).toDF("doc_id")
+        .select(Corpus.splitExpr(col("doc_id"))).head()
+      r.getString(0)
+    }
+    val expected = pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splitOf(a) != splitOf(b) }.toSet
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(leaks.forall(r => r.getString(3) != r.getString(4)))
+  }
+
   test("tfidfTop: rare terms outrank corpus-wide terms; ubiquitous terms score 0") {
     val docs = Seq(
       (0L, "apple banana banana"),
@@ -211,6 +259,34 @@ class CorpusSpec extends AnyFunSuite {
       val startBin = math.max(run - n, 0L) / 4
       assert(bin - startBin <= 1, s"unit spans ${bin - startBin + 1} bins")
     }
+  }
+
+  test("normalizeText: every rule fires; clean text and empty string are fixpoints") {
+    val cases = Seq(
+      "curly ‘quotes’ and “double” ones" -> "curly 'quotes' and \"double\" ones",
+      "dashes – en and — em" -> "dashes - en and - em",
+      "windows\r\nline\rendings" -> "windows\nline\nendings",
+      "control\u0001chars\u0007here\u007F" -> "controlcharshere",
+      "nbsp\u00A0separated" -> "nbsp separated",
+      "  pad  " -> "pad",
+      "tabs\t\tand   runs" -> "tabs and runs",
+      "a\n\n\n\n\nb" -> "a\n\nb",
+      " x \n y " -> "x\ny",
+      "already clean text" -> "already clean text",
+      "" -> "")
+    val df = spark.createDataFrame(cases.zipWithIndex.map { case ((in, _), i) =>
+      (i.toLong, in)
+    }).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i.toLong) == want, s"case $i: ${out(i.toLong)} != $want (in: $in)")
+    }
+    // idempotent: normalizing normalized text is the identity
+    val twice = df.select(col("id"),
+      TextFunctions.normalizeText(TextFunctions.normalizeText(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == out)
   }
 
   test("redactPii: every pattern scrubbed; counts audit the raw text; clean rows intact") {
@@ -472,6 +548,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(mixed.collect().map(_.getLong(0)).toSet ==
       Corpus.mixByBudget(docs, Map("s0" -> 0.6, "s1" -> 0.4), budget = 20000,
         strataCol = "src").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixWithRepeats: rates above 1 ship epochs; mass tracks weight·budget; map-only") {
+    // 2 strata × 300 docs of 100 chars (30k chars per stratum)
+    val docs = spark.range(0, 600).toDF("doc_id")
+      .withColumn("src", concat(lit("s"), col("doc_id") % 2))
+      .withColumn("n_chars", lit(100L))
+    val mixed = Corpus.mixWithRepeats(docs, Map("s0" -> 0.7, "s1" -> 0.3),
+      budget = 100000, strataCol = "src")
+    // s0 rate = 70k/30k ≈ 2.33: every doc ships >= 2 epochs, ~1/3 ship 3
+    val s0 = mixed.filter(col("src") === "s0")
+    val perDoc = s0.groupBy(col("doc_id")).count().collect().map(_.getLong(1))
+    assert(perDoc.forall(n => n == 2 || n == 3))
+    // copy_idx is a dense 0-based epoch index per doc
+    val idx = s0.filter(col("doc_id") === s0.agg(min(col("doc_id"))).head().getLong(0))
+      .select(col("copy_idx")).collect().map(_.getLong(0)).sorted
+    assert(idx.headOption.contains(0L) && idx.sameElements(idx.indices.map(_.toLong)))
+    // shipped mass tracks weight·budget for both the >1 and <1 rate
+    val mass = mixed.groupBy(col("src")).agg(sum(col("n_chars")).as("m"))
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("m")).toMap
+    assert(math.abs(mass("s0") - 70000L) < 5000, s"s0 mass ${mass("s0")}")
+    assert(math.abs(mass("s1") - 30000L) < 5000, s"s1 mass ${mass("s1")}")
+    // map-only plan: no exchange anywhere (the totals agg is a separate job)
+    val nodes = SparkTestBase.planNodeNames(mixed)
+    assert(!nodes.exists(_.contains("Exchange")), s"shuffle in: $nodes")
+    // epoch-cap guard fails loudly
+    intercept[IllegalArgumentException] {
+      Corpus.mixWithRepeats(docs, Map("s0" -> 1.0), budget = 1e9,
+        strataCol = "src", maxRepeat = 100)
+    }
   }
 
   test("shardAssign: map-only, balanced, independent of split buckets; keys unique") {
