@@ -23,6 +23,7 @@ object Fixtures {
   val MediaParquet = s"$Dir/parquet/media"
   val PiiParquet = s"$Dir/parquet/pii_docs"
   val ParaParquet = s"$Dir/parquet/para_docs"
+  val MessyParquet = s"$Dir/parquet/messy_docs"
 
   /** Canonical job spec — FIXTURES.md F-3 / `example_config.json:13-32`. */
   val F1Spec: DatasetSpec = DatasetSpec(
@@ -119,6 +120,29 @@ object Fixtures {
       .toDF("doc_id", "text")
   }
 
+  /** Messy-text fixture for the normalization oracle (`text_normalize`):
+    * curly punctuation, CRLF/CR endings, control bytes, NBSP, ragged
+    * whitespace, over-long paragraph gaps — each row exercises one rule
+    * of `TextFunctions.NormalizePatterns`, plus an already-clean row and
+    * an empty row as identities. */
+  def messyDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "plain text stays untouched"),
+      (1L, "curly ‘quotes’ and “double” ones"),
+      (2L, "dashes – en and — em — folded"),
+      (3L, "windows\r\nline\rendings"),
+      (4L, "control\u0001chars\u0007here\u001Ftoo\u007F"),
+      (5L, "nbsp\u00A0separated\u00A0words"),
+      (6L, "  leading and trailing   "),
+      (7L, "tabs\t\tand   space \t runs"),
+      (8L, "para one\n\n\n\n\npara two"),
+      (9L, " spaces \n around \n newlines "),
+      (10L, "\n\nleading newlines and trailing\n\n"),
+      (11L, ""))
+      .toDF("doc_id", "text")
+  }
+
   /**
    * Multimodal fixture: opaque binary payloads + typed metadata. Payload
    * bytes are a deterministic pseudo-image (no real codecs in this
@@ -161,6 +185,8 @@ object FixtureGen {
       .write.mode("overwrite").parquet(Fixtures.PiiParquet)
     Fixtures.paraDocs(spark).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.ParaParquet)
+    Fixtures.messyDocs(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.MessyParquet)
     spark.stop()
   }
 }

@@ -137,6 +137,41 @@ object TextFunctions {
     ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
     ("idnum", "\\b[0-9]{9,}\\b", "<ID>"))
 
+  /** Unicode punctuation folded to ASCII by [[normalizeText]]: curly
+    * single/double quotes, en/em dashes, NBSP — a 1:1 codepoint map, so
+    * any engine's `translate` reproduces it exactly. */
+  val FoldFrom = "‘’“”–— "
+  val FoldTo = "''\"\"-- "
+
+  /**
+   * Normalization regex chain, applied in order after the punctuation
+   * fold: (pattern, replacement). RE2-compatible like [[PiiPatterns]], so
+   * the DuckDB oracle applies the IDENTICAL steps and normalization is
+   * hash-verified. Order matters: CR folding feeds the whitespace rules,
+   * horizontal collapse feeds the newline-hugging rule, and the
+   * paragraph-gap cap sees only clean newline runs.
+   */
+  val NormalizePatterns: Seq[(String, String)] = Seq(
+    ("\\r\\n?", "\n"), // CRLF / bare CR → LF
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), // control chars (not \t\n\r) out
+    ("[ \\t]+", " "), // horizontal whitespace runs → one space
+    (" ?\\n ?", "\n"), // spaces hugging a newline
+    ("\\n{3,}", "\n\n"), // paragraph gap cap
+    ("^[ \\n]+|[ \\n]+$", "")) // leading/trailing whitespace
+
+  /**
+   * Text normalization — the pre-cleaning stage every web-scale corpus
+   * runs before quality scoring and dedup (ragged whitespace and curly
+   * punctuation otherwise split near-duplicate shingles that differ only
+   * typographically). One codegen'd `translate` + `regexp_replace` chain
+   * in the scan projection: map-only, no UDF, fuses with whatever gate
+   * follows.
+   */
+  def normalizeText(text: Column): Column =
+    NormalizePatterns.foldLeft(translate(text, FoldFrom, FoldTo)) {
+      case (c, (pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+
   /** Redact all [[PiiPatterns]] occurrences (every match — Spark's
     * `regexp_replace` is global, mirrored by the oracle's `'g'` flag). */
   def redactPii(text: Column): Column =
