@@ -652,4 +652,66 @@ object Dedup {
       .join(registry.select(col("ph")), Seq("ph"), "left_anti")
     reassemble(fresh, sep, textCol, idCol)
   }
+
+  /**
+   * Maximal shared verbatim token spans — the substring-dedup signal of
+   * Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better" (ACL 2022): every maximal run of ≥ `window` consecutive
+   * whitespace tokens shared verbatim between two documents, with both
+   * start positions (1-based) and the run's token length. Catches what
+   * the rest of the family structurally cannot: Jaccard is order-blind
+   * set overlap, [[dedupParagraphs]] needs the copy to align with
+   * paragraph boundaries — a long verbatim quote inside otherwise-unique
+   * documents only shows up here.
+   *
+   * Shape: per-doc window hashes are a pure PROJECTION (`transform` +
+   * `slice` over the token array, hashed to 8-byte keys) before the
+   * (doc, window) fan-out; candidates come from the same inverted-index
+   * equi-join as the Jaccard family, with the same skew valve (`maxDf`
+   * drops ubiquitous boilerplate windows via map-side-combined count +
+   * broadcast anti-join — never a window count); span merging is
+   * gaps-and-islands per alignment DIAGONAL (pos_a − pos_b): matches on
+   * one diagonal with consecutive positions fuse into one maximal span.
+   * The only WindowExec is partitioned by (id_a, id_b, diagonal) —
+   * bounded by one pair's matches on one alignment, never a posting
+   * list. Docs shorter than `window` tokens emit nothing (no whole-text
+   * fallback: a span shorter than the window is not a span).
+   */
+  def verbatimSpans(docs: DataFrame, window: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"window must be >= 2: $window")
+    val t = TextFunctions.wsTokens(col(textCol))
+    val winArr = when(size(t) >= window,
+      transform(sequence(lit(1), size(t) - (window - 1)),
+        i => xxhash64(concat_ws(" ", slice(t, i, lit(window))))))
+      .otherwise(array().cast("array<bigint>"))
+    val winsAll = docs
+      .select(col(idCol), posexplode(winArr))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("w"))
+    val wins = maxDf match {
+      case Some(cap) =>
+        val hot = winsAll.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("w"))
+        winsAll.join(broadcast(hot), Seq("w"), "left_anti")
+      case None => winsAll
+    }
+    val a = wins.as("a")
+    val b = wins.as("b")
+    val m = a.join(b, col("a.w") === col("b.w") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val byDiag = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + window).as("n_tokens"))
+      .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
+        col("n_tokens"))
+  }
 }

@@ -236,6 +236,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("verbatimSpans: maximal runs on the right diagonals; maxDf valve; short docs silent") {
+    val vdocs = Seq(
+      // 0 and 1 share tokens 3..8 of doc 0 (= 1..6 of doc 1), a 6-run
+      (0L, "aa bb cc dd ee ff gg hh ii jj"),
+      (1L, "cc dd ee ff gg hh zz yy xx ww"),
+      // 2 repeats doc 0's FULL text -> one maximal 10-run, not many sub-runs
+      (2L, "aa bb cc dd ee ff gg hh ii jj"),
+      // 3 shares nothing long enough; 4 is shorter than the window
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "aa bb cc")).toDF("doc_id", "text")
+    val spans = Dedup.verbatimSpans(vdocs, window = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("a_start"), r.getAs[Long]("b_start"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(spans((0L, 1L)) == ((3L, 1L, 6L)))
+    assert(spans((0L, 2L)) == ((1L, 1L, 10L)))
+    assert(spans((1L, 2L)) == ((1L, 3L, 6L)))
+    assert(!spans.keys.exists { case (a, b) => Set(a, b).exists(Set(3L, 4L)) })
+    // df valve: a window shared by every doc drops from the candidate space
+    val boiler = Seq.tabulate(5)(i =>
+      (i.toLong, s"common boiler plate text here unique$i tail$i")).toDF("doc_id", "text")
+    assert(Dedup.verbatimSpans(boiler, window = 5, maxDf = Some(3L)).count() == 0)
+    assert(Dedup.verbatimSpans(boiler, window = 5).count() == 10) // all C(5,2) pairs
+  }
+
   test("minhash LSH: exact dup shares all bands; candidates include near-dup") {
     val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 16, bands = 4).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_bands"))
