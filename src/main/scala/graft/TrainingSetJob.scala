@@ -13,9 +13,13 @@ import graft.operators.{Corpus, Materialize}
  * ([[graft.config.TrainingSetConfig]]) drives the full pipeline a corpus
  * actually runs between a raw document table and training input:
  *
- *   cleanCorpus (quality gate → language gate → exact dedup → near-dup
+ *   [normalizeText: punctuation fold + whitespace/control chain —
+ *      applied to the source frame, so every later text consumer sees
+ *      normalized text]
+ *   → cleanCorpus (quality gate → language gate → exact dedup → near-dup
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
  *   → split assignment)
+ *   [→ domain cap: exact ≤k docs per stratum — [[Corpus.capPerStratum]]]
  *   [→ mixture weights: per-stratum `min(1, w·B/total)` sampling —
  *      [[Corpus.mixByBudget]] over the cleaned text]
  *   → shard write of the clean corpus (deterministic writer layout)
@@ -56,7 +60,14 @@ object TrainingSetJob {
 
   def run(spark: SparkSession, docsDir: String, outRoot: String,
       cfg: TrainingSetConfig = TrainingSetConfig()): Result = {
-    val docs = spark.read.parquet(docsDir)
+    // optional normalization BEFORE any gate: applied to the source frame
+    // itself so every later text consumer (gates, shingles, the
+    // join-back when redaction is off) sees normalized text — ragged
+    // whitespace would otherwise plant empty whitespace-tokens in the
+    // near-dup shingles
+    val raw = spark.read.parquet(docsDir)
+    val docs = if (!cfg.normalize) raw else raw.withColumn("text",
+      graft.functions.TextFunctions.normalizeText(col("text")))
     val evalDocs = cfg.evalDir.map(d =>
       spark.read.parquet(d).select(col("doc_id"), col("text")))
     val cleaned0 = Corpus.cleanCorpus(docs, cfg.lang, cfg.minTokens,
@@ -70,15 +81,27 @@ object TrainingSetJob {
       else cleaned0.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
       cfg.checkpointDir)
 
+    // optional domain cap BEFORE the mixture: an exact ≤k docs per
+    // stratum bounds any single domain's contribution, so the mixture's
+    // per-source totals are computed over the already-balanced set
+    val capped = cfg.capPerStratum match {
+      case Some(k) =>
+        val cc = cfg.capStrataCol
+        Corpus.capPerStratum(
+          cleaned.join(docs.select(col("doc_id"), col(cc)), Seq("doc_id")),
+          cc, k).drop(cc)
+      case None => cleaned
+    }
+
     // optional mixture stage: per-stratum weights + char budget over the
     // CLEANED text (strata joined back from the source table via the
     // DEDICATED mix_strata_col — never the rebalance column, whose values
     // a source-keyed weight map would silently miss; the unit is
     // length(text) so redaction-shortened text counts as shipped). The
     // budget spans all splits — scale by 1/trainPct for train-only units.
-    val mixed = if (cfg.mixWeights.isEmpty) cleaned else {
+    val mixed = if (cfg.mixWeights.isEmpty) capped else {
       val sc = cfg.mixStrataCol
-      val withStrata = cleaned
+      val withStrata = capped
         .join(docs.select(col("doc_id"), col(sc)), Seq("doc_id"))
         .withColumn("__units", length(col("text")).cast("long"))
       Corpus.mixByBudget(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
@@ -134,6 +157,11 @@ object TrainingSetJob {
     node.put("chunk_budget", cfg.chunkBudget)
     node.put("n_shards", cfg.nShards)
     node.put("redact", cfg.redact)
+    node.put("normalize", cfg.normalize)
+    cfg.capPerStratum.foreach { k =>
+      node.put("cap_per_stratum", k)
+      node.put("cap_strata_col", cfg.capStrataCol)
+    }
     cfg.strataCol.foreach { c =>
       node.put("strata_col", c)
       node.put("strata_default_pct", cfg.strataDefaultPct)

@@ -14,6 +14,7 @@ import scala.jdk.CollectionConverters._
  * defaults.
  */
 final case class TrainingSetConfig(
+    normalize: Boolean = false,
     lang: String = "en",
     minTokens: Long = 10,
     maxDigitRatio: Double = 0.3,
@@ -26,6 +27,8 @@ final case class TrainingSetConfig(
     strataCol: Option[String] = None,
     strataRates: Map[String, Int] = Map.empty,
     strataDefaultPct: Int = 100,
+    capPerStratum: Option[Int] = None,
+    capStrataCol: String = "source",
     mixWeights: Map[String, Double] = Map.empty,
     mixBudget: Double = 0.0,
     mixStrataCol: String = "source",
@@ -37,6 +40,8 @@ final case class TrainingSetConfig(
     "mix_weights and mix_budget come together")
   require(chunkBudget > 0, s"chunk_budget must be positive: $chunkBudget")
   require(nShards > 0, s"n_shards must be positive: $nShards")
+  require(capPerStratum.forall(_ > 0),
+    s"cap_per_stratum must be positive: $capPerStratum")
 
   def strata: Option[(String, Map[String, Int], Int)] =
     strataCol.map(c => (c, strataRates, strataDefaultPct))
@@ -56,6 +61,7 @@ object TrainingSetConfig {
     def dbl(f: String, d: Double) = optNode(f).map(_.asDouble).getOrElse(d)
     def bool(f: String, d: Boolean) = optNode(f).map(_.asBoolean).getOrElse(d)
     TrainingSetConfig(
+      normalize = bool("normalize", d = false),
       lang = text("lang", "en"),
       minTokens = long("min_tokens", 10),
       maxDigitRatio = dbl("max_digit_ratio", 0.3),
@@ -70,6 +76,8 @@ object TrainingSetConfig {
         r.properties.asScala.map(e => e.getKey -> e.getValue.asInt).toMap)
         .getOrElse(Map.empty),
       strataDefaultPct = int("strata_default_pct", 100),
+      capPerStratum = optNode("cap_per_stratum").map(_.asInt),
+      capStrataCol = text("cap_strata_col", "source"),
       mixWeights = optNode("mix_weights").map(r =>
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
         .getOrElse(Map.empty),

@@ -89,4 +89,39 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("mix_weights").get("src3").asDouble == 0.7 &&
       m.get("mix_budget").asDouble == 20000.0)
   }
+
+  test("normalize + domain cap stages: mangled text round-trips, per-source bound holds") {
+    // mangle the corpus: double every space (normalization collapses it
+    // back, so shipped text must equal the ORIGINAL text)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mangledDir = java.nio.file.Files.createTempDirectory("trainset_mangled").toString
+    docs.withColumn("text", regexp_replace(col("text"), " ", "  "))
+      .write.mode("overwrite").parquet(s"$mangledDir/docs")
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_norm").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"normalize":true,"cap_per_stratum":2,"chunk_budget":64,
+        |"pack_groups":4,"n_shards":8}""".stripMargin)
+    val r = TrainingSetJob.run(spark, s"$mangledDir/docs", outRoot, cfg)
+
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    // normalization undid the mangling: shipped text equals the original
+    val mismatched = shards.select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("text").as("orig")), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    assert(mismatched == 0, s"$mismatched docs shipped non-original text")
+    // with normalize off, the mangled text would ship mangled (stage wiring)
+    assert(r.mixedDocs > 0)
+    // cap: no source contributes more than 2 docs
+    val over = shards.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).count().filter(col("count") > 2).count()
+    assert(over == 0)
+    // and the cleaning yield equals cleanCorpus over the NORMALIZED corpus
+    // (which equals the original corpus here, mangling being reversible)
+    assert(r.cleanDocs == Corpus.cleanCorpus(docs).count())
+    // manifest records both stages
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("normalize").asBoolean && m.get("cap_per_stratum").asInt == 2)
+  }
 }
