@@ -606,6 +606,15 @@ object SparkEntry {
       // form; approx=true is the extreme-count scale twin)
       Corpus.dropBottomQuantile(
         Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 0.1)),
+    "quality_gate_stratified" -> ((s, dir) => {
+      // per-SOURCE decile floor: each source drops its own worst 10% — a
+      // noisy source cannot consume the global cut for everyone
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.unigramLogProb(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Corpus.dropBottomQuantileByStratum(scored, "logprob", 0.1, "source")
+        .select(col("doc_id"), col("source"), col("logprob"))
+    }),
     "pack_sequences" -> ((s, dir) =>
       // token-budget bin assignment (parallel next-fit over 8 hash groups)
       Corpus.packSequences(
@@ -1395,6 +1404,14 @@ object SparkEntry {
       s"""WITH lp AS ($logprobSql),
          |thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM lp)
          |SELECT doc_id, logprob FROM lp, thr WHERE logprob >= t""".stripMargin,
+    "quality_gate_stratified" ->
+      s"""WITH lp AS ($logprobSql),
+         |ls AS (SELECT lp.doc_id, lp.logprob, d.source
+         |  FROM lp JOIN documents d USING (doc_id)),
+         |thr AS (SELECT source, quantile_cont(logprob, 0.1) AS t
+         |  FROM ls GROUP BY source)
+         |SELECT doc_id, source, logprob FROM ls JOIN thr USING (source)
+         |WHERE logprob >= t""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          | SELECT doc_id, ${hashBucketSql("doc_id", 8)} AS grp,

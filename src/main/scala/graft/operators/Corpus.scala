@@ -594,6 +594,27 @@ object Corpus {
   }
 
   /**
+   * Per-stratum quality floor: [[dropBottomQuantile]] with the threshold
+   * computed WITHIN each stratum — the flooring a multi-source corpus
+   * actually wants: under one global cut, a noisy source's tail consumes
+   * the whole quantile while a clean source sails through untouched;
+   * per-source cuts drop each source's own worst `q`. Thresholds are one
+   * aggregation (exact `percentile` buffers per-GROUP values — fine at
+   * #strata ≪ corpus; `approx = true` swaps in the bounded-memory sketch
+   * when group cardinality explodes), broadcast back as a tiny
+   * (#strata)-row join.
+   */
+  def dropBottomQuantileByStratum(scored: DataFrame, scoreCol: String,
+      q: Double, strataCol: String, approx: Boolean = false): DataFrame = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    val thrCol = if (approx) approx_percentile(col(scoreCol), lit(q), lit(10000))
+      else percentile(col(scoreCol), lit(q))
+    val thr = scored.groupBy(col(strataCol)).agg(thrCol.as("__thr"))
+    scored.join(broadcast(thr), Seq(strataCol))
+      .filter(col(scoreCol) >= col("__thr")).drop("__thr")
+  }
+
+  /**
    * Duplicate n-gram ratio (the Gopher-family repetition signal): the
    * fraction of a document's word n-gram INSTANCES that are repeats of an
    * n-gram already seen in the same document — `1 − distinct/total`. The

@@ -354,6 +354,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(approxKept - 900L) <= 30L)
   }
 
+  test("dropBottomQuantileByStratum: each stratum loses ITS worst decile, not the global one") {
+    // stratum a scores 0..99, stratum b scores 1000..1099 (500 rows each):
+    // a global 10% cut would fall entirely on stratum a
+    val scored = ids.withColumn("stratum",
+      when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("score",
+        (col("doc_id") % 100 + when(col("stratum") === "b", 1000).otherwise(0))
+          .cast("double"))
+    val kept = Corpus.dropBottomQuantileByStratum(scored, "score", 0.1, "stratum")
+    val byStratum = kept.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), min(col("score")).as("lo"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 10 rows per score value (a: even residues, b: odd+1000): the
+    // within-stratum 0.1-quantile interpolates to 9.8 / 1010.8, so each
+    // stratum keeps exactly its top 450
+    assert(byStratum("a") == ((450L, 10.0)), s"a: ${byStratum("a")}")
+    assert(byStratum("b") == ((450L, 1011.0)), s"b: ${byStratum("b")}")
+    // contrast: the global cut takes everything from stratum a
+    val globalKept = Corpus.dropBottomQuantile(scored, "score", 0.1)
+    assert(globalKept.filter(col("stratum") === "b").count() == 500)
+  }
+
   test("mergeable HLL sketches: disjoint increments merge to the one-pass estimate") {
     val docs = ids.withColumn("lang",
       when(col("doc_id") % 3 === 0, "en").otherwise("de"))
