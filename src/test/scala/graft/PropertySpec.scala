@@ -72,4 +72,47 @@ class PropertySpec extends AnyFunSuite {
       assert(st2.keySet == Set("unchanged"))
     }
   }
+
+  test("property: verbatimSpans equals a brute-force reference on random corpora") {
+    // driver-side reference: all maximal >= w runs of shared tokens per
+    // pair, by direct diagonal walk over the token arrays
+    def reference(docs: Seq[(Long, Array[String])], w: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        diag <- -(tb.length - 1) to (ta.length - 1)
+      } {
+        // walk the diagonal: positions pa = pb + diag
+        var run = 0
+        var pa = math.max(0, diag)
+        val end = math.min(ta.length, tb.length + diag)
+        var runStart = pa
+        def flush(endPos: Int): Unit = if (run >= w) {
+          out += ((ia, ib, runStart + 1L, runStart + 1L - diag, run.toLong))
+        }
+        while (pa < end) {
+          if (ta(pa) == tb(pa - diag)) { if (run == 0) runStart = pa; run += 1 }
+          else { flush(pa); run = 0 }
+          pa += 1
+        }
+        flush(end)
+      }
+      out.toSet
+    }
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    for (round <- 1 to 3) {
+      val w = 3 + round % 2 // windows 4, 3, 4
+      // small vocab => plenty of accidental shared runs, in and out of range
+      val docs = (0L until 12L).map { i =>
+        i -> Array.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+      }
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.verbatimSpans(df, window = w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("a_start"),
+          r.getAs[Long]("b_start"), r.getAs[Long]("n_tokens"))).toSet
+      val want = reference(docs, w)
+      assert(got == want,
+        s"round $round w=$w: extra=${got.diff(want).take(3)} missing=${want.diff(got).take(3)}")
+    }
+  }
 }
