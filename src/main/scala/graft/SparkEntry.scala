@@ -1191,7 +1191,9 @@ object SparkEntry {
       s"""WITH tot AS (SELECT source, sum(n_chars) AS t FROM documents
          |  WHERE source IN ($srcs) GROUP BY source),
          |rate AS (SELECT source,
-         |  (CASE source $wCase END) * CAST($RepeatBudget AS DOUBLE) / t AS r
+         |  CASE WHEN t IS NULL OR t <= 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE (CASE source $wCase END) * CAST($RepeatBudget AS DOUBLE) / t
+         |  END AS r
          |  FROM tot),
          |thr AS (SELECT source, CAST(floor(r) AS BIGINT) AS whole,
          |  CAST(floor((r - floor(r)) * 1000000) AS BIGINT) AS fth FROM rate),
@@ -1343,7 +1345,7 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source, row_number() OVER (
          |    PARTITION BY source
-         |    ORDER BY ${hashValueSql("doc_id", Corpus.SampleSalt)}, doc_id) AS rk
+         |    ORDER BY ${hashValueSql("doc_id", Corpus.CapSalt)}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 10""".stripMargin,
     "dedup_verbatim" ->
       // windows join on the raw window STRING here (xxhash64 has no DuckDB

@@ -41,9 +41,11 @@ import graft.operators.{Corpus, Materialize}
  * composes and writes. The clean set is materialized ONCE before its three
  * consumers (shard write, train-split packing, counts) — pass
  * `checkpoint_dir` for a reliable checkpoint on long cluster runs, exactly
- * like [[Corpus.cleanCorpus]]'s own internal stage. Counts for the
+ * like [[Corpus.cleanCorpus]]'s own internal stage. Shipped counts for the
  * manifest are read from the WRITTEN outputs (column-pruned scans of two
- * small columns), never by re-executing pipeline lineage.
+ * small columns); the pre-mixture cleaning yield is a count of the
+ * materialized clean frame (it exists in no written output once a
+ * mixture or cap has filtered it).
  */
 object TrainingSetJob {
 
@@ -66,10 +68,15 @@ object TrainingSetJob {
     // whitespace would otherwise plant empty whitespace-tokens in the
     // near-dup shingles
     val raw = spark.read.parquet(docsDir)
-    val docs = if (!cfg.normalize) raw else raw.withColumn("text",
-      graft.functions.TextFunctions.normalizeText(col("text")))
+    def normalized(df: DataFrame): DataFrame = if (!cfg.normalize) df
+      else df.withColumn("text",
+        graft.functions.TextFunctions.normalizeText(col("text")))
+    val docs = normalized(raw)
+    // eval docs get the SAME normalization: decontamination shingles must
+    // compare like with like, or a copy differing only typographically
+    // (curly quotes, CRLF) slips under eval_min_overlap
     val evalDocs = cfg.evalDir.map(d =>
-      spark.read.parquet(d).select(col("doc_id"), col("text")))
+      normalized(spark.read.parquet(d).select(col("doc_id"), col("text"))))
     val cleaned0 = Corpus.cleanCorpus(docs, cfg.lang, cfg.minTokens,
       cfg.maxDigitRatio, cfg.ngram, cfg.minJaccard, cfg.maxDf, "text",
       "doc_id", cfg.checkpointDir, evalDocs, cfg.evalMinOverlap, cfg.redact,
@@ -83,13 +90,16 @@ object TrainingSetJob {
 
     // optional domain cap BEFORE the mixture: an exact ≤k docs per
     // stratum bounds any single domain's contribution, so the mixture's
-    // per-source totals are computed over the already-balanced set
+    // per-source totals are computed over the already-balanced set. When
+    // the mixture keys on the SAME column, it is carried through instead
+    // of re-joined (one corpus-sized join, not two).
     val capped = cfg.capPerStratum match {
       case Some(k) =>
         val cc = cfg.capStrataCol
-        Corpus.capPerStratum(
-          cleaned.join(docs.select(col("doc_id"), col(cc)), Seq("doc_id")),
-          cc, k).drop(cc)
+        val keepCol = cfg.mixWeights.nonEmpty && cfg.mixStrataCol == cc
+        val out = Corpus.capPerStratum(
+          cleaned.join(docs.select(col("doc_id"), col(cc)), Seq("doc_id")), cc, k)
+        if (keepCol) out else out.drop(cc)
       case None => cleaned
     }
 
@@ -101,8 +111,8 @@ object TrainingSetJob {
     // budget spans all splits — scale by 1/trainPct for train-only units.
     val mixed = if (cfg.mixWeights.isEmpty) capped else {
       val sc = cfg.mixStrataCol
-      val withStrata = capped
-        .join(docs.select(col("doc_id"), col(sc)), Seq("doc_id"))
+      val withStrata = (if (capped.columns.contains(sc)) capped
+        else capped.join(docs.select(col("doc_id"), col(sc)), Seq("doc_id")))
         .withColumn("__units", length(col("text")).cast("long"))
       Corpus.mixByBudget(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
         .drop("__units", sc)

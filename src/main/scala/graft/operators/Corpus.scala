@@ -61,6 +61,15 @@ object Corpus {
     * sampling "a few shards" would silently sample a censored split mix. */
   val ShardSalt = "#shard"
 
+  /** The per-stratum cap's rank salt: the cap keeps the LOW-HASH head of
+    * each stratum, so ranking on the sampling stream would hand a
+    * downstream hash-threshold filter (mixing, sampling) a censored
+    * range — a tightly-capped stratum's survivors all sit below any
+    * realistic threshold and ship at ~100% regardless of rate. A
+    * dedicated stream keeps the cap composable with both the sampling
+    * family and split assignment. */
+  val CapSalt = "#cap"
+
   /**
    * Train/val/test assignment by hash bucket: bucket < trainPct → train,
    * < trainPct+valPct → val, else test. Adds `bucket` and `split` columns;
@@ -139,14 +148,15 @@ object Corpus {
    * (plan-asserted in CorpusSpec), so every map task forwards at most
    * `maxDocs` rows per stratum and the mega-domain the cap exists for
    * reaches its reducer pre-pruned (≤ maxDocs·mapTasks rows), never raw.
-   * Runs on the sampling hash stream — the op FILTERS rows (see
-   * [[hashBucket]] on stream separation).
+   * Ranks on the DEDICATED [[CapSalt]] stream: the survivors are the
+   * low-hash head of their stratum, so ranking on the sampling stream
+   * would censor exactly the range downstream hash thresholds filter on.
    */
   def capPerStratum(docs: DataFrame, strataCol: String, maxDocs: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(maxDocs > 0, s"maxDocs must be positive: $maxDocs")
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(hashValue(col(idCol), SampleSalt).asc, col(idCol).asc)
+      .orderBy(hashValue(col(idCol), CapSalt).asc, col(idCol).asc)
     docs.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxDocs)
       .drop("__rk")

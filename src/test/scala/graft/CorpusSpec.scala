@@ -103,6 +103,13 @@ class CorpusSpec extends AnyFunSuite {
     val nodes = SparkTestBase.planNodeNames(out)
     assert(nodes.exists(_.contains("WindowGroupLimit")),
       s"no WindowGroupLimit in: $nodes")
+    // REGRESSION: the cap ranks on its own salt stream. When it ranked on
+    // the sampling stream, survivors were exactly the low-hash head, so a
+    // downstream hash sample kept ~100% of them regardless of rate — here
+    // a 20% sample of the 100 capped docs must keep roughly 20
+    val sampledAfterCap = Corpus.sampleByHash(out, pct = 20).count()
+    assert(sampledAfterCap >= 5 && sampledAfterCap <= 40,
+      s"sample-after-cap biased: kept $sampledAfterCap of 100")
   }
 
   test("splitLeakage: exactly the cross-split near-dup pairs, labels from ids") {
