@@ -219,18 +219,30 @@ object Corpus {
    * audit passing.
    *
    * Shape: [[Dedup.ngramJaccardPairs]] generates the pairs (inverted-
-   * index equi-join with the optional hot-shingle `maxDf` valve); the
-   * split labels are PURE PROJECTIONS of the pair ids ([[splitExpr]]) —
-   * no join back to the assigned corpus — so the audit costs exactly one
-   * pair generation plus a map.
+   * index equi-join with the optional hot-shingle `maxDf` valve); split
+   * labels are computed ONCE PER DOCUMENT (a doc_id-only projection of
+   * the corpus, N md5s) and attached to the aggregated pairs — the naive
+   * `withColumn(splitExpr(id_a)) … filter` form lets Catalyst push the
+   * `split_a ≠ split_b` predicate into the shingle-match join, where the
+   * two md5 CASE chains re-evaluate on EVERY candidate (doc, doc,
+   * shingle) row (measured 2.4× the bare pair generation at sf0.1). The
+   * post-aggregation pair side is the small side, so AQE broadcasts it
+   * and the label projections stream map-only.
    */
   def splitLeakage(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
       trainPct: Int = 80, valPct: Int = 10, textCol: String = "text",
-      idCol: String = "doc_id", maxDf: Option[Long] = None): DataFrame =
+      idCol: String = "doc_id", maxDf: Option[Long] = None): DataFrame = {
+    val labels = docs.select(col(idCol),
+      splitExpr(col(idCol), trainPct, valPct).as("__split"))
     Dedup.ngramJaccardPairs(docs, n, minJaccard, textCol, idCol, maxDf)
-      .withColumn("split_a", splitExpr(col("id_a"), trainPct, valPct))
-      .withColumn("split_b", splitExpr(col("id_b"), trainPct, valPct))
+      .join(labels.withColumnsRenamed(
+        Map(idCol -> "id_a", "__split" -> "split_a")), Seq("id_a"))
+      .join(labels.withColumnsRenamed(
+        Map(idCol -> "id_b", "__split" -> "split_b")), Seq("id_b"))
       .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
 
   /**
    * Data mixing — the mixture-weights stage between cleaning and
