@@ -109,21 +109,34 @@ object TrainingSetJob {
     // a source-keyed weight map would silently miss; the unit is
     // length(text) so redaction-shortened text counts as shipped). The
     // budget spans all splits — scale by 1/trainPct for train-only units.
-    val mixed = if (cfg.mixWeights.isEmpty) capped else {
+    val mixed0 = if (cfg.mixWeights.isEmpty) capped else {
       val sc = cfg.mixStrataCol
       val withStrata = (if (capped.columns.contains(sc)) capped
         else capped.join(docs.select(col("doc_id"), col(sc)), Seq("doc_id")))
         .withColumn("__units", length(col("text")).cast("long"))
-      Corpus.mixByBudget(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
-        .drop("__units", sc)
+      val m = if (cfg.mixRepeats)
+        Corpus.mixWithRepeats(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
+      else
+        Corpus.mixByBudget(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
+      m.drop("__units", sc)
     }
 
-    Corpus.writeShards(mixed, shardsDir(outRoot), cfg.nShards)
+    // upsampling duplicates doc_id, so every keyed downstream — shard
+    // sort keys, chunk ids, packing order — keys on the per-copy
+    // identity `copy_uid` instead; copy_idx rides into the shards so a
+    // reader can distinguish (or cap) epochs
+    val (mixed, shipId) =
+      if (cfg.mixRepeats)
+        (mixed0.withColumn("copy_uid",
+          concat_ws("#", col("doc_id"), col("copy_idx"))), "copy_uid")
+      else (mixed0, "doc_id")
+
+    Corpus.writeShards(mixed, shardsDir(outRoot), cfg.nShards, shipId)
 
     val train = mixed.filter(col("split") === "train")
     // chunks feed TWO consumers (the packer and the chunk_text join) —
     // materialized so the regex-heavy chunking pass runs once, not twice
-    val chunks = Materialize(Corpus.chunkDocs(train, cfg.chunkBudget),
+    val chunks = Materialize(Corpus.chunkDocs(train, cfg.chunkBudget, "text", shipId),
       cfg.checkpointDir)
     val packed = Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
       cfg.packGroups, "n_tokens", "chunk_id")
@@ -178,6 +191,7 @@ object TrainingSetJob {
     }
     if (cfg.mixWeights.nonEmpty) {
       node.put("mix_budget", cfg.mixBudget)
+      node.put("mix_repeats", cfg.mixRepeats)
       val mw = node.putObject("mix_weights")
       cfg.mixWeights.foreach { case (s, w) => mw.put(s, w) }
     }

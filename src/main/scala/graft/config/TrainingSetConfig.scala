@@ -32,12 +32,15 @@ final case class TrainingSetConfig(
     mixWeights: Map[String, Double] = Map.empty,
     mixBudget: Double = 0.0,
     mixStrataCol: String = "source",
+    mixRepeats: Boolean = false,
     chunkBudget: Int = 512,
     packGroups: Int = 32,
     nShards: Int = 64,
     checkpointDir: Option[String] = None) {
   require(mixWeights.isEmpty == (mixBudget <= 0),
     "mix_weights and mix_budget come together")
+  require(!mixRepeats || mixWeights.nonEmpty,
+    "mix_repeats requires mix_weights")
   require(chunkBudget > 0, s"chunk_budget must be positive: $chunkBudget")
   require(nShards > 0, s"n_shards must be positive: $nShards")
   require(capPerStratum.forall(_ > 0),
@@ -83,6 +86,7 @@ object TrainingSetConfig {
         .getOrElse(Map.empty),
       mixBudget = dbl("mix_budget", 0.0),
       mixStrataCol = text("mix_strata_col", "source"),
+      mixRepeats = bool("mix_repeats", d = false),
       chunkBudget = int("chunk_budget", 512),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),

@@ -827,13 +827,16 @@ class CorpusSpec extends AnyFunSuite {
     val in = MemoryStream[ProbeDoc]
     // stateless projections compose into structured streaming untouched
     val q = Corpus.splitAssign(in.toDS().toDF())
-      .withColumn("redacted", TextFunctions.redactPii(col("text")))
+      .withColumn("normalized", TextFunctions.normalizeText(col("text")))
+      .withColumn("redacted", TextFunctions.redactPii(col("normalized")))
       .withColumn("pred_lang", TextFunctions.langId(col("text")))
       .select("doc_id", "split", "redacted", "pred_lang")
       .writeStream.format("memory").queryName("corpus_stream_out")
       .outputMode("append").start()
     try {
-      in.addData(ProbeDoc(1L, "email bob@example.com and the word the"),
+      // doc 1 arrives with ragged double spaces: the assertion below only
+      // holds if normalizeText actually ran inside the stream
+      in.addData(ProbeDoc(1L, "email  bob@example.com  and the  word the"),
         ProbeDoc(2L, "der hund ist nicht das katze und"))
       q.processAllAvailable()
     } finally q.stop()

@@ -90,6 +90,40 @@ class TrainingSetJobSpec extends AnyFunSuite {
       m.get("mix_budget").asDouble == 20000.0)
   }
 
+  test("upsampling mixture: copies ship with distinct identities end to end") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // budget chosen so src3's rate lands at ~2 epochs over its CLEANED mass
+    val t3 = Corpus.cleanCorpus(docs)
+      .join(docs.select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
+      .filter(col("source") === "src3")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(t3 > 0, "fixture assumption: src3 has cleaned docs")
+    val budget = math.ceil(2.0 * t3 / 0.6).toLong
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_rep").toString
+    val cfg = TrainingSetConfig.parse(
+      s"""{"chunk_budget":64,"pack_groups":4,"n_shards":8,"mix_repeats":true,
+         |"mix_weights":{"src3":0.6,"src7":0.4},"mix_budget":$budget}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    // rate ~2 means src3 docs ship multiple epochs: duplicate doc_ids exist,
+    // each copy with its own copy_idx / copy_uid
+    assert(shards.groupBy(col("doc_id")).count().filter(col("count") > 1).count() > 0,
+      "no doc shipped more than one epoch")
+    assert(shards.select(col("copy_uid")).distinct().count() == shards.count())
+    // shipped rows exceed shipped distinct docs — upsampling added epochs
+    assert(r.mixedDocs == shards.count() &&
+      r.mixedDocs > shards.select(col("doc_id")).distinct().count())
+    // chunk identities stay unique through packing
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    assert(packed.select(col("chunk_id")).distinct().count() == packed.count())
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("mix_repeats").asBoolean)
+  }
+
   test("normalize + domain cap stages: mangled text round-trips, per-source bound holds") {
     // mangle the corpus: double every space (normalization collapses it
     // back, so shipped text must equal the ORIGINAL text)
