@@ -83,6 +83,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Engine-reproducible 32-bit string hash (md5-prefix long) — for
+    * operators whose SELECTION depends on hash ORDER (winnowing): any
+    * engine that can md5 reproduces not just the match set but the
+    * chosen positions, so the oracle can hash-verify them. */
+  def strHash32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
   /** Ratio helpers — each a single divide over regexp counts.
     * `regexp_count` counts matches WITHOUT materializing them as an array
     * (`size(regexp_extract_all(...))` allocates every match string first —

@@ -685,6 +685,60 @@ object Dedup {
    * than `window` tokens emit nothing (no whole-text fallback: a span
    * shorter than the window is not a span).
    */
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+   * Local Algorithms for Document Fingerprinting", SIGMOD 2003; the MOSS
+   * algorithm): from the sequence of word `k`-gram hashes, select the
+   * RIGHTMOST MINIMUM of every window of `g` consecutive hashes. The
+   * selected set is a position-robust document fingerprint with the
+   * winnowing guarantee: any shared run of ≥ `g + k − 1` tokens between
+   * two documents shares at least one selected fingerprint — so
+   * fingerprint equality is a candidate generator for [[verbatimSpans]]
+   * at a `~2/(g+1)` fraction of the window count.
+   *
+   * Selection is ONE sliding-frame aggregate, no per-window explosion:
+   * each window start's rightmost-min is `min(struct(h, −pos))` over the
+   * g-row frame (struct order: smallest hash, then LARGEST position on
+   * ties), a count guard keeps only complete windows, and a distinct
+   * collapses windows that elected the same position — all over the same
+   * per-doc ordering the k-gram leads already need, so the operator is
+   * one exchange per document plus the final dedup. Hashes are
+   * md5-prefix longs ([[graft.functions.TextFunctions.strHash32]]) —
+   * engine-reproducible, so selected POSITIONS are identical in any
+   * engine and the operator is hash-verified end-to-end
+   * (`fingerprint_winnow`), which a selection rule over engine-private
+   * hashes could never be. Docs with fewer than `g` k-grams emit
+   * nothing. Returns (idCol, pos 1-based k-gram start, fp).
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, g: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && g >= 1, s"k and g must be positive: k=$k g=$g")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = (0 until k).map { j =>
+      if (j == 0) col("__t") else lead(col("__t"), j).over(byPos)
+    }
+    val hashed = docs
+      .select(col(idCol), posexplode(TextFunctions.wsTokens(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("__t"))
+      .withColumn("__h", TextFunctions.strHash32(concat_ws(" ", grams: _*)))
+      .withColumn("__tail", grams.last)
+      .filter(col("__tail").isNotNull)
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("__h"))
+    if (g == 1) return hashed.select(col(idCol), col("pos"), col("__h").as("fp"))
+    // every window start's rightmost-min in one frame aggregate: struct
+    // order = (smallest hash, then largest position); the count guard
+    // drops the trailing partial windows
+    val frame = byPos.rowsBetween(0, g - 1)
+    hashed
+      .withColumn("__m",
+        min(struct(col("__h").as("h"), (-col("pos")).as("np"))).over(frame))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .filter(col("__n") === g)
+      .select(col(idCol), (-col("__m.np")).as("pos"), col("__m.h").as("fp"))
+      .distinct()
+  }
+
   def verbatimSpans(docs: DataFrame, window: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
       maxDf: Option[Long] = None): DataFrame = {

@@ -261,6 +261,44 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Dedup.verbatimSpans(boiler, window = 5).count() == 10) // all C(5,2) pairs
   }
 
+  test("winnowFingerprints: equals brute force; the winnowing guarantee holds") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val (k, g) = (3, 4)
+    val wdocs = (0L until 8L).map { i =>
+      i -> Array.fill(k + g + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val df = wdocs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, k, g).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pos"))).toSet
+    // driver-side reference: rightmost-min of every window, same md5 hash
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+      d.foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL))
+    }
+    val want = (for {
+      (id, t) <- wdocs
+      hs = t.sliding(k).map(w => h32(w.mkString(" "))).toArray
+      s <- 0 to hs.length - g
+      win = (s until s + g)
+    } yield {
+      val m = win.map(hs).min
+      (id, win.filter(p => hs(p) == m).max + 1L) // rightmost min, 1-based
+    }).toSet
+    assert(got == want, s"extra=${got.diff(want).take(3)} missing=${want.diff(got).take(3)}")
+    // the guarantee: every g-window elected someone => gaps between
+    // consecutive selected positions within a doc are < g
+    for ((id, t) <- wdocs) {
+      val sel = got.collect { case (i, p) if i == id => p }.toSeq.sorted
+      assert(sel.nonEmpty)
+      sel.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= g, s"doc $id gap $a -> $b exceeds g")
+        case _ =>
+      }
+    }
+  }
+
   test("minhash LSH: exact dup shares all bands; candidates include near-dup") {
     val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 16, bands = 4).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_bands"))
