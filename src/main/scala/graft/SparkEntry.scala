@@ -601,6 +601,10 @@ object SparkEntry {
       // md5-prefix hashes make the SELECTED POSITIONS engine-stable, so
       // even the selection is hash-verified
       Dedup.winnowFingerprints(t(s, dir, "documents"), k = 5, g = 4)),
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      // the MOSS match step: pairs sharing >= 2 distinct winnowed
+      // fingerprints — candidates at ~2/(g+1) of the full window join
+      Dedup.winnowPairs(t(s, dir, "documents"), k = 5, g = 4, minShared = 2)),
     "text_logprob" -> ((s, dir) =>
       // statistical-LM quality proxy: mean unigram logprob under the
       // corpus's own token distribution
@@ -981,6 +985,28 @@ object SparkEntry {
       minJaccard, maxDf, src)
 
   private val oracleJaccardSql = jaccardSql(0.5)
+
+  /** Winnowing selection (k=5, g=4), the explicit per-window form:
+    * explode window starts via the nums join, rank rightmost-min per
+    * window, distinct the elected positions — same md5-prefix hashes as
+    * `Dedup.winnowFingerprints`, so the selected positions must agree
+    * exactly with Spark's sliding-frame form. Shared by
+    * `fingerprint_winnow` and `dedup_winnow_pairs`. */
+  private val winnowSelectSql =
+    """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |grams AS (SELECT doc_id, i AS pos,
+      |  ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT AS h
+      |  FROM toks JOIN nums ON i <= len(t) - 4),
+      |m AS (SELECT doc_id, max(pos) AS mp FROM grams GROUP BY doc_id),
+      |starts AS (SELECT g.doc_id, n.i AS s FROM m g JOIN nums n ON n.i <= g.mp - 3),
+      |win AS (SELECT s.doc_id, s.s, g.pos, g.h,
+      |  row_number() OVER (PARTITION BY s.doc_id, s.s
+      |    ORDER BY g.h ASC, g.pos DESC) AS rk
+      |  FROM starts s JOIN grams g
+      |    ON g.doc_id = s.doc_id AND g.pos BETWEEN s.s AND s.s + 3)
+      |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+      |FROM win WHERE rk = 1""".stripMargin
 
   private val joinOn = keys.map(k => s"""inc."$k" = ex."$k"""").mkString(" AND ")
   private val clsJoinOn = keys.map(k => s"""cls."$k" = ex."$k"""").mkString(" AND ")
@@ -1369,25 +1395,13 @@ object SparkEntry {
         | CAST(min(pb) AS BIGINT) AS b_start,
         | CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
         |FROM g GROUP BY id_a, id_b, diag, grp""".stripMargin,
-    "fingerprint_winnow" ->
-      // the oracle takes the explicit per-window form (explode window
-      // starts via the nums join, rank rightmost-min per window, distinct
-      // the elected positions) — same md5-prefix hashes, so the selected
-      // positions must agree exactly with Spark's sliding-frame form
-      """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |grams AS (SELECT doc_id, i AS pos,
-        |  ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT AS h
-        |  FROM toks JOIN nums ON i <= len(t) - 4),
-        |m AS (SELECT doc_id, max(pos) AS mp FROM grams GROUP BY doc_id),
-        |starts AS (SELECT g.doc_id, n.i AS s FROM m g JOIN nums n ON n.i <= g.mp - 3),
-        |win AS (SELECT s.doc_id, s.s, g.pos, g.h,
-        |  row_number() OVER (PARTITION BY s.doc_id, s.s
-        |    ORDER BY g.h ASC, g.pos DESC) AS rk
-        |  FROM starts s JOIN grams g
-        |    ON g.doc_id = s.doc_id AND g.pos BETWEEN s.s AND s.s + 3)
-        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
-        |FROM win WHERE rk = 1""".stripMargin,
+    "fingerprint_winnow" -> winnowSelectSql,
+    "dedup_winnow_pairs" ->
+      s"""WITH sel AS ($winnowSelectSql),
+         |d AS (SELECT DISTINCT doc_id, fp FROM sel)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "split_leakage" ->
       s"""WITH pairs AS ($oracleJaccardSql),
          |lab AS (SELECT id_a, id_b, jaccard,

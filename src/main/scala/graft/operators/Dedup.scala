@@ -739,6 +739,34 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Candidate near-dup pairs from shared winnowing fingerprints — the
+   * MOSS match step: document pairs sharing ≥ `minShared` DISTINCT
+   * selected fingerprint values, with the shared count. Only the
+   * winnowed ~`2/(g+1)` fraction of the k-gram table feeds the
+   * inverted-index join, so candidate generation costs that much less
+   * than a full window join; feed survivors to [[verbatimSpans]] for
+   * exact span extents. Same skew posture as the shingle family: the
+   * join key is an 8-byte hash, and a ubiquitous boilerplate fingerprint
+   * is exactly what [[winnowFingerprints]]' local-min selection does NOT
+   * protect against, so apply the usual df-cap thinking upstream if the
+   * corpus has one (the pair threshold `minShared` is the precision
+   * knob).
+   */
+  def winnowPairs(docs: DataFrame, k: Int = 5, g: Int = 4,
+      minShared: Long = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = winnowFingerprints(docs, k, g, textCol, idCol)
+      .select(col(idCol), col("fp")).distinct()
+    val a = fp.as("a")
+    val b = fp.as("b")
+    a.join(b, col("a.fp") === col("b.fp") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def verbatimSpans(docs: DataFrame, window: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
       maxDf: Option[Long] = None): DataFrame = {
