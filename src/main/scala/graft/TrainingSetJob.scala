@@ -20,8 +20,9 @@ import graft.operators.{Corpus, Materialize}
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
  *   → split assignment)
  *   [→ domain cap: exact ≤k docs per stratum — [[Corpus.capPerStratum]]]
- *   [→ mixture weights: per-stratum `min(1, w·B/total)` sampling —
- *      [[Corpus.mixByBudget]] over the cleaned text]
+ *   [→ mixture weights over the cleaned text: per-stratum
+ *      `min(1, w·B/total)` sampling ([[Corpus.mixByBudget]]) or, with
+ *      `mix_repeats`, upsampling epochs ([[Corpus.mixWithRepeats]])]
  *   → shard write of the clean corpus (deterministic writer layout)
  *   → chunk + pack of the train split (budget-sized sequence bins)
  *   → manifest.
@@ -29,8 +30,9 @@ import graft.operators.{Corpus, Materialize}
  * Output layout under `outRoot`:
  *  - `shards/` — the clean corpus, one directory per [[Corpus.shardAssign]]
  *    shard, internally hash-ordered (the deterministic global shuffle);
- *    carries (doc_id, text, bucket, split), so any split is a partition-
- *    pruned filter away.
+ *    carries (doc_id, text, bucket, split) — plus (copy_idx, copy_uid)
+ *    under `mix_repeats`, where shard and sort keys derive from the
+ *    per-copy copy_uid — so any split is a partition-pruned filter away.
  *  - `packed/` — train-split sequences: chunk rows (chunk_id, chunk_text,
  *    n_tokens) with their (grp, bin, running) packing assignment,
  *    partitioned by `grp`, rows sorted (bin, chunk_id) so a trainer reads

@@ -653,38 +653,31 @@ object Dedup {
     reassemble(fresh, sep, textCol, idCol)
   }
 
-  /**
-   * Maximal shared verbatim token spans — the substring-dedup signal of
-   * Lee et al., "Deduplicating Training Data Makes Language Models
-   * Better" (ACL 2022): every maximal run of ≥ `window` consecutive
-   * whitespace tokens shared verbatim between two documents, with both
-   * start positions (1-based) and the run's token length. Catches what
-   * the rest of the family structurally cannot: Jaccard is order-blind
-   * set overlap, [[dedupParagraphs]] needs the copy to align with
-   * paragraph boundaries — a long verbatim quote inside otherwise-unique
-   * documents only shows up here.
-   *
-   * Shape: each token is hashed ONCE (one codegen'd `xxhash64` per
-   * token, O(n) string work), then each window key is a codegen'd
-   * multi-argument `xxhash64` over the `window` leading token hashes —
-   * pure long arithmetic, no per-window string building (an interpreted
-   * `transform` lambda concatenating 8-token strings measured 13×
-   * slower than the DuckDB comparator; this shape is ~7× faster). The
-   * leads need one exchange + sort per DOCUMENT — bounded by document
-   * length, and the two join sides share the identical subtree, so AQE
-   * exchange reuse evaluates it once; the window rows get shuffled by
-   * the candidate join anyway, so the added shuffle volume is bounded by
-   * what the join already moves. Candidates come from the same
-   * inverted-index equi-join as the Jaccard family, with the same skew
-   * valve (`maxDf` drops ubiquitous boilerplate windows via
-   * map-side-combined count + broadcast anti-join — never a window
-   * count); span merging is gaps-and-islands per alignment DIAGONAL
-   * (pos_a − pos_b): matches on one diagonal with consecutive positions
-   * fuse into one maximal span, and that WindowExec is bounded by one
-   * pair's matches on one alignment, never a posting list. Docs shorter
-   * than `window` tokens emit nothing (no whole-text fallback: a span
-   * shorter than the window is not a span).
-   */
+  /** Shared k-gram scaffold for the order-sensitive family
+    * ([[winnowFingerprints]], [[verbatimSpans]]): posexplode tokens,
+    * gather each start position's `n` leading tokens in ONE per-doc
+    * WindowExec, combine them into a gram key, and keep only complete
+    * grams (the last lead is null exactly when fewer than `n` tokens
+    * remain at that start — so docs shorter than `n` tokens emit
+    * nothing). `tokenProj` runs once per TOKEN before the leads — the
+    * place for a per-token hash so `combine` stays pure arithmetic.
+    * Returns (idCol, pos = 1-based gram start, `out` = combine(leads)). */
+  private def slidingGrams(docs: DataFrame, n: Int, textCol: String,
+      idCol: String, out: String, tokenProj: Column => Column,
+      combine: Seq[Column] => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (0 until n).map { j =>
+      if (j == 0) col("__t") else lead(col("__t"), j).over(byPos)
+    }
+    docs.select(col(idCol), posexplode(TextFunctions.wsTokens(col(textCol))))
+      .select(col(idCol), col("pos"), tokenProj(col("col")).as("__t"))
+      .withColumn(out, combine(leads))
+      .withColumn("__tail", leads.last)
+      .filter(col("__tail").isNotNull)
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col(out))
+  }
+
   /**
    * Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
    * Local Algorithms for Document Fingerprinting", SIGMOD 2003; the MOSS
@@ -714,22 +707,17 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && g >= 1, s"k and g must be positive: k=$k g=$g")
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val grams = (0 until k).map { j =>
-      if (j == 0) col("__t") else lead(col("__t"), j).over(byPos)
-    }
-    val hashed = docs
-      .select(col(idCol), posexplode(TextFunctions.wsTokens(col(textCol))))
-      .select(col(idCol), col("pos"), col("col").as("__t"))
-      .withColumn("__h", TextFunctions.strHash32(concat_ws(" ", grams: _*)))
-      .withColumn("__tail", grams.last)
-      .filter(col("__tail").isNotNull)
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("__h"))
+    // md5-prefix gram hash: SELECTION depends on hash order, so the hash
+    // must be engine-reproducible (contrast verbatimSpans, which only
+    // needs equality and takes the cheaper all-arithmetic xxhash64 path)
+    val hashed = slidingGrams(docs, k, textCol, idCol, "__h",
+      identity, ls => TextFunctions.strHash32(concat_ws(" ", ls: _*)))
     if (g == 1) return hashed.select(col(idCol), col("pos"), col("__h").as("fp"))
     // every window start's rightmost-min in one frame aggregate: struct
     // order = (smallest hash, then largest position); the count guard
     // drops the trailing partial windows
-    val frame = byPos.rowsBetween(0, g - 1)
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, g - 1)
     hashed
       .withColumn("__m",
         min(struct(col("__h").as("h"), (-col("pos")).as("np"))).over(frame))
@@ -767,24 +755,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * Maximal shared verbatim token spans — the substring-dedup signal of
+   * Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better" (ACL 2022): every maximal run of ≥ `window` consecutive
+   * whitespace tokens shared verbatim between two documents, with both
+   * start positions (1-based) and the run's token length. Catches what
+   * the rest of the family structurally cannot: Jaccard is order-blind
+   * set overlap, [[dedupParagraphs]] needs the copy to align with
+   * paragraph boundaries — a long verbatim quote inside otherwise-unique
+   * documents only shows up here.
+   *
+   * Shape: each token is hashed ONCE (one codegen'd `xxhash64` per
+   * token, O(n) string work), then each window key is a codegen'd
+   * multi-argument `xxhash64` over the `window` leading token hashes —
+   * pure long arithmetic, no per-window string building (an interpreted
+   * `transform` lambda concatenating 8-token strings measured 13×
+   * slower than the DuckDB comparator; this shape is ~7× faster). The
+   * leads ([[slidingGrams]]) need one exchange + sort per DOCUMENT —
+   * bounded by document length, and the two join sides share the
+   * identical subtree, so AQE exchange reuse evaluates it once; the
+   * window rows get shuffled by the candidate join anyway, so the added
+   * shuffle volume is bounded by what the join already moves. Candidates
+   * come from the same inverted-index equi-join as the Jaccard family,
+   * with the same skew valve (`maxDf` drops ubiquitous boilerplate
+   * windows via map-side-combined count + broadcast anti-join — never a
+   * window count); span merging is gaps-and-islands per alignment
+   * DIAGONAL (pos_a − pos_b): matches on one diagonal with consecutive
+   * positions fuse into one maximal span, and that WindowExec is bounded
+   * by one pair's matches on one alignment, never a posting list. Docs
+   * shorter than `window` tokens emit nothing (no whole-text fallback: a
+   * span shorter than the window is not a span).
+   */
   def verbatimSpans(docs: DataFrame, window: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
       maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 2, s"window must be >= 2: $window")
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = (0 until window).map { k =>
-      if (k == 0) col("__h") else lead(col("__h"), k).over(byPos)
-    }
-    val winsAll = docs
-      .select(col(idCol), posexplode(TextFunctions.wsTokens(col(textCol))))
-      .select(col(idCol), col("pos"), xxhash64(col("col")).as("__h"))
-      // one WindowExec carries every lead (same spec); the last lead is
-      // null exactly when fewer than `window` tokens remain at this start
-      .withColumn("w", xxhash64(leads: _*))
-      .withColumn("__tail", leads.last)
-      .filter(col("__tail").isNotNull)
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("w"))
+    val winsAll = slidingGrams(docs, window, textCol, idCol, "w",
+      tok => xxhash64(tok), ls => xxhash64(ls: _*))
     val wins = maxDf match {
       case Some(cap) =>
         val hot = winsAll.groupBy(col("w")).agg(count(lit(1)).as("__df"))

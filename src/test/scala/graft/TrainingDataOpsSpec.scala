@@ -302,13 +302,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   test("winnowPairs: guaranteed candidates for long shared runs, silent on unrelated docs") {
     val docs = Seq(
       (0L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
-      (1L, "zz aa bb cc dd ee ff gg hh ii yy xx"), // 10-token shared run
+      (1L, "zz aa bb cc dd ee ff gg hh ii yy xx"), // 9-token shared run
       (2L, "one two three four five six seven eight nine ten eleven twelve"))
       .toDF("doc_id", "text")
     val (k, g) = (3, 4)
     val pairs = Dedup.winnowPairs(docs, k, g, minShared = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared")).toMap
-    // shared run of 10 >= g + k - 1 = 6: the winnowing guarantee promises
+    // shared run of 9 >= g + k - 1 = 6: the winnowing guarantee promises
     // at least one shared fingerprint for (0, 1)
     assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 1)
     assert(!pairs.keys.exists { case (a, b) => Set(a, b)(2L) })
