@@ -340,6 +340,17 @@ object SparkEntry {
       Corpus.mixWithRepeats(t(s, dir, "documents"), RepeatWeights,
         RepeatBudget)
         .select(col("doc_id"), col("source"), col("copy_idx"))),
+    "corpus_diff" -> ((s, dir) => {
+      // release diff between two synthetic snapshot views of the corpus:
+      // prev = salted buckets [0,90); cur = [5,100) with [5,20) texts
+      // mutated — exercises all four statuses deterministically
+      val docs = t(s, dir, "documents")
+      val hb = Corpus.hashBucket(col("doc_id"), 100, Corpus.SampleSalt)
+      val prev = docs.filter(hb < 90)
+      val cur = docs.filter(hb >= 5).withColumn("text",
+        when(hb < 20, concat(col("text"), lit(" mutated"))).otherwise(col("text")))
+      Corpus.corpusDiff(prev, cur)
+    }),
     "corpus_report" -> ((s, dir) =>
       // the dataset-card aggregate: per-(source, lang) volume and quality
       // profile in ONE map-side-combined pass (the report a corpus release
@@ -1176,6 +1187,21 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "corpus_diff" -> {
+      val hb = hashBucketSql("doc_id", 100, Corpus.SampleSalt)
+      val fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+      s"""WITH prev AS (SELECT doc_id, $fp AS fa FROM documents WHERE $hb < 90),
+         |cur0 AS (SELECT doc_id,
+         |  CASE WHEN $hb < 20 THEN text || ' mutated' ELSE text END AS text
+         |  FROM documents WHERE $hb >= 5),
+         |cur AS (SELECT doc_id, $fp AS fb FROM cur0)
+         |SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+         | CASE WHEN fa IS NULL THEN 'added'
+         |      WHEN fb IS NULL THEN 'removed'
+         |      WHEN fa = fb THEN 'unchanged'
+         |      ELSE 'changed' END AS status
+         |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id""".stripMargin
+    },
     "text_tokens_bpe" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)

@@ -439,6 +439,32 @@ object Corpus {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Snapshot diff for corpus releases: classify every document as
+   * `added` / `removed` / `changed` / `unchanged` between two corpus
+   * versions by canonical text fingerprint
+   * ([[TextFunctions.fingerprint]] — identity robust to formatting
+   * noise, so a re-crawl that only reflows whitespace reads as
+   * unchanged). The release-notes primitive: what actually moved
+   * between v(n-1) and v(n), and the denominator for per-source churn.
+   *
+   * Shape: each side reduces to (id, 16-byte fingerprint) in its scan
+   * projection, then ONE full-outer equi-join on the id — no text
+   * leaves the scan, so diffing two 100 TB snapshots moves two
+   * id+hash columns through one shuffle. Returns (idCol, status).
+   */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def fp(df: DataFrame, out: String) = df.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as(out))
+    fp(prev, "__fa").join(fp(cur, "__fb"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-(doc, term) counts — the reusable base relation of every
     * term-statistics operator (tf-idf, df tables, vocabulary). One
     * explode + one map-side-combined aggregation. */

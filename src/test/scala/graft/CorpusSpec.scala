@@ -383,6 +383,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(globalKept.filter(col("stratum") === "b").count() == 500)
   }
 
+  test("corpusDiff: all four statuses; whitespace reflow reads as unchanged") {
+    val prev = Seq((1L, "kept the same"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "spaced   out text")).toDF("doc_id", "text")
+    val cur = Seq((1L, "kept the same"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "  spaced out   text ")).toDF("doc_id", "text")
+    val st = Corpus.corpusDiff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "unchanged"))
+  }
+
   test("mergeable HLL sketches: disjoint increments merge to the one-pass estimate") {
     val docs = ids.withColumn("lang",
       when(col("doc_id") % 3 === 0, "en").otherwise("de"))
