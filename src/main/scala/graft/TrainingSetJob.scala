@@ -136,10 +136,22 @@ object TrainingSetJob {
     Corpus.writeShards(mixed, shardsDir(outRoot), cfg.nShards, shipId)
 
     val train = mixed.filter(col("split") === "train")
+    // chunk + pack budgets count merged-BPE tokens when a merges table is
+    // configured — packing budgets that drift from the real tokenizer are
+    // the #1 practical gap for a training-data user. The merges file is
+    // driver-local kilobytes riding in the plan (a codegen reference
+    // object); chunk boundaries fall at BPE budgets via the cost-aware
+    // chunker, and packSequences packs on the same BPE n_tokens.
+    val chunker: DataFrame => DataFrame = cfg.bpeMergesPath match {
+      case Some(p) =>
+        val merges = graft.functions.TextFunctions.loadBpeMerges(p)
+        df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
+          tok => graft.functions.TextFunctions.bpeCount(tok, merges), "text", shipId)
+      case None => df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", shipId)
+    }
     // chunks feed TWO consumers (the packer and the chunk_text join) —
     // materialized so the regex-heavy chunking pass runs once, not twice
-    val chunks = Materialize(Corpus.chunkDocs(train, cfg.chunkBudget, "text", shipId),
-      cfg.checkpointDir)
+    val chunks = Materialize(chunker(train), cfg.checkpointDir)
     val packed = Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
       cfg.packGroups, "n_tokens", "chunk_id")
     packed.join(chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
@@ -180,6 +192,7 @@ object TrainingSetJob {
     node.put("lang", cfg.lang)
     node.put("min_tokens", cfg.minTokens)
     node.put("chunk_budget", cfg.chunkBudget)
+    cfg.bpeMergesPath.foreach(p => node.put("bpe_merges_path", p))
     node.put("n_shards", cfg.nShards)
     node.put("redact", cfg.redact)
     node.put("normalize", cfg.normalize)

@@ -34,6 +34,7 @@ final case class TrainingSetConfig(
     mixStrataCol: String = "source",
     mixRepeats: Boolean = false,
     chunkBudget: Int = 512,
+    bpeMergesPath: Option[String] = None,
     packGroups: Int = 32,
     nShards: Int = 64,
     checkpointDir: Option[String] = None) {
@@ -88,6 +89,7 @@ object TrainingSetConfig {
       mixStrataCol = text("mix_strata_col", "source"),
       mixRepeats = bool("mix_repeats", d = false),
       chunkBudget = int("chunk_budget", 512),
+      bpeMergesPath = optNode("bpe_merges_path").map(_.asText),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),
       checkpointDir = optNode("checkpoint_dir").map(_.asText))

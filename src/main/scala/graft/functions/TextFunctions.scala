@@ -52,6 +52,40 @@ object TextFunctions {
     graft.plans.BpeExpressions.bpeCount(text, merges)
 
   /**
+   * Load a production merges table in the GPT-2 `merges.txt` format: one
+   * merge per line, the two segments space-separated, rank = line order;
+   * an optional leading `#version:` header and blank lines are skipped.
+   * Driver-side (the table is kilobytes and rides in the plan as a
+   * codegen reference object, like a broadcast) — read the file locally
+   * and pass the result to [[bpeCount]], or set
+   * `TrainingSetConfig.bpeMergesPath` to have `TrainingSetJob` budget its
+   * chunking and packing in merged-BPE tokens.
+   *
+   * Fidelity note: this engine pre-tokenizes on lowercased alnum runs
+   * (see [[graft.plans.BpeMatcher.countText]]), which carries no
+   * leading-space marker — byte-level vocab entries like GPT-2's `Ġ`-
+   * prefixed segments are loaded verbatim and simply never match, so
+   * counts under such a table approximate the real tokenizer from above
+   * (fewer merges fire → more tokens counted). A merges table built on
+   * word-internal pairs (the common case for packing budgets) reproduces
+   * exactly.
+   */
+  def loadBpeMerges(path: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).asScala
+    lines.iterator.zipWithIndex
+      .filterNot { case (l, i) => l.isEmpty || (i == 0 && l.startsWith("#version")) }
+      .map { case (l, i) =>
+        val parts = l.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"$path:${i + 1}: expected 'left right', got '$l'")
+        (parts(0), parts(1))
+      }.toSeq
+  }
+
+  /**
    * Space-split tokens — the shingling basis. Literal single-space split
    * (matches SQL `string_split(lower(text), ' ')`): ~7× faster than a
    * `\s+` regex split and exact on whitespace-normalized text. For raw

@@ -295,8 +295,13 @@ object Corpus {
       strataCol: String, unitCol: String): Map[String, Long] = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0),
       s"weights must be non-negative: $weights")
-    val totals = docs.filter(col(strataCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(strataCol)).agg(sum(col(unitCol)).as("__t"))
+    // strata compared AS STRINGS (weight keys are strings): an int strata
+    // column would otherwise miss every isin() key silently and then
+    // ClassCastException on getString — cast once here so non-string
+    // strata work, and the all-misses require stays the only failure mode
+    val s = col(strataCol).cast("string")
+    val totals = docs.filter(s.isin(weights.keys.toSeq: _*))
+      .groupBy(s.as("__s")).agg(sum(col(unitCol)).as("__t"))
       .collect().map(r => r.getString(0) ->
         (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     require(totals.nonEmpty,
@@ -356,7 +361,9 @@ object Corpus {
    * deterministic TOTAL order within each shard with no window, no global
    * row numbering, no sequential anything. Two docs never tie (md5 of
    * distinct ids) and the order is engine-/partitioning-/growth-stable,
-   * so a re-run of the writer produces byte-identical shards. Also the
+   * so a re-run of the writer reproduces each shard's membership and row
+   * order exactly (the parquet FILES still differ in footer metadata /
+   * task-attempt ids — the spec asserts membership, not bytes). Also the
    * "shuffle the corpus for training" primitive: ordering by an avalanche
    * hash IS the deterministic global shuffle, done as a map-only
    * projection + per-shard sort instead of an orderBy over the corpus.
@@ -763,6 +770,53 @@ object Corpus {
         format_string("%s#%09d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
         concat_ws(" ", col("__ctoks")).as("chunk_text"),
         size(col("__ctoks")).cast("long").as("n_tokens"))
+  }
+
+  /**
+   * Cost-aware document chunking: like [[chunkDocs]], but the budget
+   * counts a PLUGGABLE per-token cost instead of "1 per whitespace
+   * token" — pass `TextFunctions.bpeCount(_, merges)` and chunk
+   * boundaries fall at merged-BPE token budgets, so packing budgets match
+   * what a real tokenizer would produce (the #1 drift risk for training
+   * input: a 512-"token" chunk that is 680 BPE tokens).
+   *
+   * Boundaries are next-fit on the running cost: a token lands in the
+   * chunk where its cumulative span ENDS, so a chunk exceeds the budget
+   * by at most its boundary-straddling token's cost − 1 — the same
+   * tolerance [[packSequences]] documents for docs spanning bins. With a
+   * unit cost (`lit(1)`) this degrades EXACTLY to [[chunkDocs]]
+   * (running = position + 1 ⇒ chunk = pos div budget — identical
+   * membership, text, and counts), which is the hash-verified
+   * `chunk_docs_cost` bridge; BPE costs are rows-only (no BPE in the
+   * oracle engine) with the equality property pinned in spec.
+   *
+   * Shape: posexplode (map-only fan-out) → per-DOC running sum + per-doc
+   * reassembly — one exchange partitioned by document, window state
+   * bounded by document length (the [[Dedup.dedupParagraphs]] posture),
+   * never by a corpus-wide key. Splitting on whitespace never splits an
+   * alnum run, so per-chunk BPE costs sum exactly to the document's
+   * total. Output schema = [[chunkDocs]]'s.
+   */
+  def chunkDocsByCost(docs: DataFrame, budget: Long, costOf: Column => Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive: $budget")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol),
+        posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__cost", costOf(col("__tok")).cast("long"))
+      .withColumn("__run", sum(col("__cost")).over(byDoc))
+      .withColumn("chunk", expr(s"(greatest(__run, 1L) - 1L) div $budget"))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          e => e.getField("__tok"))).as("chunk_text"),
+        sum(col("__cost")).as("n_tokens"))
+      .select(col(idCol), col("chunk"),
+        format_string("%s#%09d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
+        col("chunk_text"), col("n_tokens"))
   }
 
   /**

@@ -639,15 +639,28 @@ object Dedup {
    * Incremental paragraph dedup: rebuild the INCREMENT's documents,
    * dropping every paragraph already in the persisted `registry` plus
    * within-increment repeats — without touching corpus text at all.
-   * Provided increment ids sort after corpus ids, the result is EXACTLY
-   * `dedupParagraphs(corpus ∪ increment)` restricted to increment docs
-   * (spec-proven): corpus docs always win their races, so the registry
-   * anti-join (keyed on the 16-byte hash; one exchange on the increment
-   * side only when the registry is bucketed) replaces the corpus re-scan.
+   * CORRECTNESS PRECONDITION — increment ids must sort AFTER every
+   * corpus id. Then the result is EXACTLY `dedupParagraphs(corpus ∪
+   * increment)` restricted to increment docs (spec-proven): corpus docs
+   * always win their races, so the registry anti-join (keyed on the
+   * 16-byte hash; one exchange on the increment side only when the
+   * registry is bucketed) replaces the corpus re-scan. VIOLATING the
+   * precondition silently diverges from that equivalence (a corpus
+   * paragraph would have lost its race to a lower increment id) — pass
+   * `maxCorpusId` to turn the contract into a runtime check: ids are
+   * compared in the same ordering the keeper groupBy uses, and any
+   * increment id at or below the bound fails loudly.
    */
   def dedupParagraphsIncremental(increment: DataFrame, registry: DataFrame,
       sep: String = "\n\n", textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxCorpusId: Option[Any] = None): DataFrame = {
+    maxCorpusId.foreach { bound =>
+      val offenders = increment.filter(col(idCol) <= lit(bound)).count()
+      require(offenders == 0,
+        s"dedupParagraphsIncremental precondition violated: $offenders increment " +
+          s"ids sort at or below maxCorpusId=$bound — such ids would win races " +
+          "corpus paragraphs already won, diverging from dedupParagraphs(corpus ∪ increment)")
+    }
     val fresh = firstOccurrence(explodeParas(increment, sep, textCol, idCol), idCol)
       .join(registry.select(col("ph")), Seq("ph"), "left_anti")
     reassemble(fresh, sep, textCol, idCol)
@@ -737,15 +750,26 @@ object Dedup {
    * exact span extents. Same skew posture as the shingle family: the
    * join key is an 8-byte hash, and a ubiquitous boilerplate fingerprint
    * is exactly what [[winnowFingerprints]]' local-min selection does NOT
-   * protect against, so apply the usual df-cap thinking upstream if the
-   * corpus has one (the pair threshold `minShared` is the precision
-   * knob).
+   * protect against — so the family's df valve applies HERE too: with
+   * `maxDf = Some(cap)`, fingerprints selected by more than `cap`
+   * documents drop before the self-join (map-side-combined count +
+   * broadcast anti-join, never a window count), bounding any
+   * fingerprint's contribution to cap·(cap−1)/2 pairs. Off by default —
+   * dropping a fingerprint can only lose candidates, and `minShared` is
+   * the precision knob for corpora without a boilerplate monster.
    */
   def winnowPairs(docs: DataFrame, k: Int = 5, g: Int = 4,
       minShared: Long = 2, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val fp = winnowFingerprints(docs, k, g, textCol, idCol)
+      idCol: String = "doc_id", maxDf: Option[Long] = None): DataFrame = {
+    val fpAll = winnowFingerprints(docs, k, g, textCol, idCol)
       .select(col(idCol), col("fp")).distinct()
+    val fp = maxDf match {
+      case Some(cap) =>
+        val hot = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("fp"))
+        fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => fpAll
+    }
     val a = fp.as("a")
     val b = fp.as("b")
     a.join(b, col("a.fp") === col("b.fp") &&

@@ -689,12 +689,11 @@ object Similarity {
         })
       }: _*)
     }: _*)
-    // d² = Σ_m table[m][code_m]: zip the code array with its index via a
-    // size-m sequence, fold the lookups — one projection per row
-    val d2 = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
-        (c, m) => element_at(element_at(tableLit, m + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // d² = Σ_m table[m][code_m]: native codegen'd lookup-sum
+    // (graft.plans.PqAdcDistance) — ADC is the inner loop of every PQ
+    // probe, and the HOF formulation it replaces evaluated interpreted
+    // per row. Same double accumulation in subspace order → bit-identical.
+    val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), tableLit)
     encoded.select(col(idCol), round(lit(1) - d2 / 2, 6).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(idCol))
       .limit(k)
@@ -791,15 +790,14 @@ object Similarity {
    * array lookups instead of `dim` multiply-adds — and the corpus side
    * reads m-int codes, not 4d-byte vectors.
    */
-  def topKJoinPq(encoded: DataFrame, queries: DataFrame, model: PqModel,
-      k: Int, vecCol: String = "embedding", idCol: String = "vec_id",
-      qIdCol: String = "q_id"): DataFrame = {
+  /** Per-query ADC table over the `__unit` column:
+    * `table[m][c] = ‖c‖² − 2·q̂_m·c + ‖q̂_m‖²` — the per-(query, subspace)
+    * norm is constant (irrelevant to ranking) but kept so approx_cos is
+    * the honest 1 − d²/2. `k·dim` work per query row, amortized over the
+    * whole corpus — shared by [[topKJoinPq]] and [[topKJoinIvfPq]]. */
+  private def adcTableFor(model: PqModel): Column = {
     val sub = model.dim / model.m
-    val prepped = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
-    // per-query table[m][c] = ‖c‖² − 2·q̂_m·c (+‖q̂_m‖², constant per
-    // (query, subspace) — irrelevant to ranking but kept so approx_cos is
-    // the honest 1 − d²/2)
-    val tableCol = array((0 until model.m).map { mi =>
+    array((0 until model.m).map { mi =>
       val sv = slice(col("__unit"), mi * sub + 1, sub)
       array(model.centroids(mi).map { cv =>
         val cn2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
@@ -807,11 +805,17 @@ object Similarity {
           dot(sv, sv)
       }: _*)
     }: _*)
-    val q = prepped.select(col(qIdCol), tableCol.as("__tbl"))
-    val d2 = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
-        (c, m) => element_at(element_at(col("__tbl"), m + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+  }
+
+  def topKJoinPq(encoded: DataFrame, queries: DataFrame, model: PqModel,
+      k: Int, vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    val prepped = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
+    val q = prepped.select(col(qIdCol), adcTableFor(model).as("__tbl"))
+    // per-pair cost: m codegen'd array lookups (PqAdcDistance), not an
+    // interpreted HOF chain — the batch join evaluates this |corpus|·|Q|
+    // times, so it must stay inside whole-stage codegen
+    val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), col("__tbl"))
     val scored = encoded.crossJoin(broadcast(q))
       .select(col(qIdCol), col(idCol), round(lit(1) - d2 / 2, 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
@@ -837,5 +841,62 @@ object Similarity {
       .select(col(qIdCol), col(idCol),
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
+  }
+
+  /**
+   * IVF-PQ batch k-NN join — the composed member of the join family, and
+   * the batch form of [[topKIvfPq]]: each query row ranks its `nProbe`
+   * nearest cells against the broadcast centroid table (as
+   * [[topKJoinIvf]]), carries its own ADC distance table (as
+   * [[topKJoinPq]]), and the cell equi-join streams only the probed
+   * cells' CODES — the corpus side reads `m` small ints per vector from
+   * the partition-pruned `cellCodes` relation, each pair costs `m`
+   * codegen'd lookups ([[PqAdcDistance]]), and full vectors are touched
+   * only for the `k · overscan` rerank sliver. This is billion-scale
+   * batch dedup-against-corpus: IVF prunes WHICH vectors, PQ shrinks WHAT
+   * each look costs, the exact rerank fixes the final ranking.
+   *
+   * `nProbe = nCells` + a corpus-spanning `overscan` probes every cell
+   * and reranks every candidate exactly — provably [[topKJoin]], the
+   * hash-verified `sim_topk_join_ivfpq_full` bridge.
+   */
+  def topKJoinIvfPq(cellCodes: DataFrame, embeddings: DataFrame,
+      ivf: IvfIndex, pq: PqModel, queries: DataFrame, k: Int,
+      nProbe: Int = 4, overscan: Int = 10, vecCol: String = "embedding",
+      idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivf.centroids.map { case (c, v) =>
+      (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }.toSeq.toDF("cell", "__cv", "__cn2")
+    // one pass per query row computes BOTH the ADC table and the unit
+    // vector the cell ranking needs — same (distance, cell) tiebreak as
+    // topKJoinIvf/topKIvf
+    val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
+      .select(col(qIdCol), adcTableFor(pq).as("__tbl"), col("__unit"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__d"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col(qIdCol), col("__tbl"), col("cell"),
+        (col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("__d"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col(qIdCol), col("__tbl"), col("cell"))
+    // probes = |Q|·nProbe rows of kilobyte tables — broadcast, so the
+    // (cell-partitioned) code relation streams map-only through the join
+    val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), col("__tbl"))
+    val scored = cellCodes.join(broadcast(probes), "cell")
+      .select(col(qIdCol), col(idCol), round(lit(1) - d2 / 2, 6).as("cos"))
+    val shortlist = topKPerQuery(scored, k * overscan, idCol, qIdCol)
+      .select(col(qIdCol), col(idCol))
+    // exact rescoring of exactly the shortlisted (query, candidate) pairs
+    val c = embeddings.select(col(idCol), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val qv = queries.select(col(qIdCol), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val rescored = shortlist.join(c, idCol).join(broadcast(qv), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+    topKPerQuery(rescored, k, idCol, qIdCol)
   }
 }

@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
  * the concatenated corpus in one pass — asserted in CorpusSpec, along
  * with a parquet round-trip of the binary sketch column.
  *
- * Quantiles have no mergeable public form in Spark's function surface
- * (`percentile_approx` exposes only the final value, not its KLL state),
- * so incremental quantile state is scoped out until Spark exposes it;
- * `value_quantiles_approx` remains the bounded-memory one-shot form.
+ * Quantiles have no mergeable form in Spark's own function surface
+ * (`percentile_approx` exposes only the final value, not its KLL state) —
+ * so the engine supplies one: [[kllIncrement]]/[[kllMerge]] persist and
+ * union binary DataSketches-KLL rows through the native
+ * [[graft.plans.KllExpressions]] aggregates, giving percentiles the same
+ * never-rescan incremental shape the HLL pair gives distinct counts.
+ * Unlike HLL union (register-wise max, byte-deterministic), KLL
+ * compaction is randomized — merge ≡ one-pass holds in the error-bound
+ * sense (both within the sketch's ~1.65% rank error at k=200), asserted
+ * in CorpusSpec; the query surface is rows-only by design.
  */
 object Sketches {
 
@@ -53,4 +59,35 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col(s"${valueCol}_hll"), lit(false)))
           .as(s"${valueCol}_distinct"),
         sum(col("n_rows")).as("n_rows"))
+
+  /**
+   * Per-increment QUANTILE sketch rows — the percentile analog of
+   * [[hllIncrement]]: one row per group carrying binary KLL state of
+   * `valueCol`'s distribution plus the exact row count. Map-side combined
+   * (TypedImperativeAggregate partials merge per exchange); the sketch
+   * column is plain `binary`, parquet-safe, kilobytes per group at the
+   * default k.
+   */
+  def kllIncrement(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = graft.plans.KllExpressions.DefaultK): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.KllExpressions.kllAgg(col(valueCol), k).as(s"${valueCol}_kll"),
+        count(lit(1)).as("n_rows"))
+
+  /**
+   * Corpus-wide quantile estimates from persisted increment sketches:
+   * group-wise KLL union + one [[graft.plans.KllExpressions.kllQuantile]]
+   * per requested rank. Cost is O(groups × increments) sketch rows —
+   * percentiles over a growing corpus without rescanning any increment.
+   */
+  def kllMerge(sketches: DataFrame, groupCols: Seq[String], valueCol: String,
+      ranks: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.KllExpressions.kllUnion(col(s"${valueCol}_kll")).as("__sk"),
+        sum(col("n_rows")).as("n_rows"))
+    val qCols = ranks.map(r =>
+      graft.plans.KllExpressions.kllQuantile(col("__sk"), r)
+        .as(s"p${(r * 100).round}"))
+    merged.select(groupCols.map(col) ++ qCols :+ col("n_rows"): _*)
+  }
 }

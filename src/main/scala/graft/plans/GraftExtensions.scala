@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "float_vector_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_distance"),
+      new ExpressionInfo(classOf[PqAdcDistance].getName, "pq_adc_distance"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "pq_adc_distance takes exactly 2 arguments")
+        PqAdcDistance(children.head, children(1))
+      }))
     // merged-BPE token count under the default demo merge table; callers
     // needing a production merges list use the Scala surface
     // (TextFunctions.bpeCount(col, merges))

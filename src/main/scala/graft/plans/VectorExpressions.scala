@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /**
  * Native Catalyst expression for the similarity hot path (SURVEY §2.9
@@ -70,8 +70,80 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * ADC (asymmetric-distance) lookup-sum: `Σ_m table[m][codes[m]]` — the
+ * inner loop of every PQ probe. `codes` is the per-row `array<int>` of
+ * subspace codes; `table` is an `array<array<double>>` distance table
+ * (a literal for single-query probes, a per-query column in the batch
+ * join).
+ *
+ * The higher-order formulation
+ * `aggregate(zip_with(codes, sequence(0, m-1), (c, m) ->
+ * element_at(element_at(table, m+1), c+1)), 0d, (a, x) -> a + x)`
+ * computes the same sum but evaluates its lambdas interpreted per row —
+ * at corpus scale ADC is exactly the hot loop that must stay inside
+ * whole-stage codegen (the [[FloatVectorDot]] precedent). Accumulation is
+ * double in subspace order, so results are bit-identical to the HOF chain
+ * and the bridges' brute-force oracle stays hash-green.
+ */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val tableOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (codesOk && tableOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<array<double>>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), table.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += table.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, table) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = java.lang.Math.min($codes.numElements(), $table.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $acc += $table.getArray($i).getDouble($codes.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Σ aᵢ·bᵢ in double, sequential order — codegen'd. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Σ_m table[m][codes[m]] in double, subspace order — codegen'd. */
+  def pqAdc(codes: Column, table: Column): Column =
+    Bridge.column(PqAdcDistance(Bridge.expression(codes), Bridge.expression(table)))
 }

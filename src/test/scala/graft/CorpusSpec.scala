@@ -268,6 +268,55 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocsByCost: unit cost equals chunkDocs exactly; BPE costs conserve totals") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (0L, "the thing of the other thing and another thing here now"),
+      (1L, "one two three"),
+      (2L, ""),
+      (3L, (1 to 64).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk"), r.getAs[String]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).toSet
+    // the hash-verified bridge's claim, pinned in spec: unit cost makes
+    // running = position + 1, so membership, text and counts are identical
+    assert(rows(Corpus.chunkDocsByCost(docs, 4, _ => lit(1L))) ==
+      rows(Corpus.chunkDocs(docs, budget = 4)))
+    // BPE costs: chunk boundaries fall at merged-token budgets
+    val budget = 6L
+    val ch = Corpus.chunkDocsByCost(docs, budget,
+      tok => TextFunctions.bpeCount(tok)).collect()
+    val costOfText = docs.select(col("doc_id"),
+      TextFunctions.bpeCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L)) // empty doc still chunks
+    byDoc.foreach { case (id, rs) =>
+      // whitespace splitting never splits an alnum run: per-chunk BPE
+      // costs sum exactly to the document's total
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum == costOfText(id), s"doc $id")
+      // n_tokens IS the BPE count of the chunk's own text
+      rs.foreach { r =>
+        val recount = Seq(Tuple1(r.getAs[String]("chunk_text"))).toDF("t")
+          .select(TextFunctions.bpeCount(col("t"))).head.getLong(0)
+        assert(r.getAs[Long]("n_tokens") == recount)
+      }
+      // round-trip: chunks concatenate back to the ws-normalized original
+      val joined = rs.sortBy(_.getAs[Long]("chunk"))
+        .map(_.getAs[String]("chunk_text")).mkString(" ")
+      assert(joined == docs.filter(col("doc_id") === id).head.getString(1).toLowerCase)
+      // next-fit bound: a chunk exceeds the budget by at most its
+      // straddling token's cost − 1 (single-word costs are small here)
+      val maxWordCost = docs.filter(col("doc_id") === id)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .select(TextFunctions.bpeCount(col("w"))).collect()
+        .map(_.getLong(0)).foldLeft(0L)(math.max)
+      rs.foreach(r => assert(r.getAs[Long]("n_tokens") <= budget + maxWordCost - 1,
+        s"doc $id chunk ${r.getAs[Long]("chunk")} overflows"))
+    }
+  }
+
   test("normalizeText: every rule fires; clean text and empty string are fixpoints") {
     val cases = Seq(
       "curly ‘quotes’ and “double” ones" -> "curly 'quotes' and \"double\" ones",
@@ -424,6 +473,53 @@ class CorpusSpec extends AnyFunSuite {
       assert(merged(lang)._2 == n, s"$lang row count")
       assert(math.abs(merged(lang)._1 - d) <= math.max(1L, (d * 0.05).toLong),
         s"$lang distinct estimate ${merged(lang)._1} vs exact $d")
+    }
+  }
+
+  test("KLL quantile sketches: increments merge within rank error, counts exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val incA = li.filter(Corpus.hashBucket(col("l_orderkey")) < 50)
+    val incB = li.filter(Corpus.hashBucket(col("l_orderkey")) >= 50)
+    // per-increment sketch rows survive a parquet round-trip (binary col)
+    val dir = java.nio.file.Files.createTempDirectory("kll_inc").toString
+    Sketches.kllIncrement(incA, Seq("l_returnflag"), "l_extendedprice")
+      .write.parquet(s"$dir/a")
+    Sketches.kllIncrement(incB, Seq("l_returnflag"), "l_extendedprice")
+      .write.parquet(s"$dir/b")
+    val persisted = spark.read.parquet(s"$dir/a")
+      .unionByName(spark.read.parquet(s"$dir/b"))
+    val merged = Sketches.kllMerge(persisted, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n_rows")))
+      .toMap
+    // exact values per group, collected once for rank evaluation
+    val exactVals = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).sorted }
+    assert(merged.keySet == exactVals.keySet)
+    // KLL guarantee (merge preserves it): the estimate's NORMALIZED RANK
+    // in the exact data is within the sketch's rank error of the target
+    // — KLL bounds rank, not value, so that is the honest assertion.
+    // k=200 gives ~1.65% at 99% conf; 4% absorbs randomized compaction.
+    def rankOf(vs: Array[Double], q: Double): Double =
+      vs.count(_ <= q).toDouble / vs.length
+    exactVals.foreach { case (flag, vs) =>
+      val (p50, p95, n) = merged(flag)
+      assert(n == vs.length, s"$flag row count") // counts are exact sums
+      assert(math.abs(rankOf(vs, p50) - 0.5) <= 0.04, s"$flag p50 rank drift")
+      assert(math.abs(rankOf(vs, p95) - 0.95) <= 0.04, s"$flag p95 rank drift")
+    }
+    // merge ≡ one-pass in the ERROR-BOUND sense (not bytewise — KLL
+    // compaction is randomized): the one-pass sketch's estimates obey the
+    // same rank bound, so both routes answer within tolerance of exact
+    val onePass = Sketches.kllMerge(
+      Sketches.kllIncrement(li, Seq("l_returnflag"), "l_extendedprice"),
+      Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    exactVals.foreach { case (flag, vs) =>
+      assert(math.abs(rankOf(vs, onePass(flag)._1) - 0.5) <= 0.04)
+      assert(math.abs(rankOf(vs, onePass(flag)._2) - 0.95) <= 0.04)
     }
   }
 

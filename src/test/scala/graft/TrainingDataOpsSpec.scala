@@ -198,6 +198,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(approx.length == 10 && approx.contains(0L))
   }
 
+  test("IVF-PQ batch join: full-probe full-overscan equals exact topKJoin; serving point finds self") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val ivf = Similarity.buildIvfIndex(corpus, nCells = 8, iters = 1)
+    val pq = Similarity.trainPq(e, m = 8, k = 16, iters = 1)
+    val cellCodes = Similarity.buildCellCodes(ivf, Similarity.pqEncode(corpus, pq))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // every cell probed + corpus-spanning overscan ≡ brute-force batch join
+    val full = pairs(Similarity.topKJoinIvfPq(cellCodes, corpus, ivf, pq,
+      queries, k = 5, nProbe = 8, overscan = 60))
+    val exact = pairs(Similarity.topKJoin(corpus, queries, k = 5))
+    assert(full == exact)
+    // serving point: pruned cells + small overscan still returns a full k
+    // per query, and the exact rerank surfaces each query's own vector
+    val approx = Similarity.topKJoinIvfPq(cellCodes, corpus, ivf, pq,
+      queries, k = 5, nProbe = 3, overscan = 5).collect()
+    val byQ = approx.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.exists(_.getAs[Long]("vec_id") == q),
+        s"query $q's own vector missing from its IVF-PQ top-5") }
+  }
+
   test("incremental paragraph dedup equals full-corpus dedup restricted to the increment") {
     val all = Fixtures.paraDocs(spark)
     val corpus = all.filter(col("doc_id") < 5)
@@ -312,6 +338,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // at least one shared fingerprint for (0, 1)
     assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 1)
     assert(!pairs.keys.exists { case (a, b) => Set(a, b)(2L) })
+  }
+
+  test("winnowPairs df valve: ubiquitous boilerplate fingerprint bounded; off by default") {
+    // every doc shares the same long boilerplate run, so its selected
+    // fingerprints appear in all 6 docs — without a valve the self-join
+    // fans out to all C(6,2) = 15 pairs
+    val boiler = (0L until 6L).map(i =>
+      (i, s"common boiler plate text repeated here always unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val open = Dedup.winnowPairs(boiler, k = 3, g = 2, minShared = 1).collect()
+    assert(open.length == 15, s"expected all pairs, got ${open.length}")
+    // cap at 3: the all-docs fingerprints drop before the join; only
+    // fingerprints private to <= 3 docs may pair (the unique tails pair
+    // with nothing), so candidates collapse
+    val capped = Dedup.winnowPairs(boiler, k = 3, g = 2, minShared = 1,
+      maxDf = Some(3L)).collect()
+    assert(capped.isEmpty, s"valve should drop the shared-by-all fingerprints: ${capped.length}")
   }
 
   test("minhash LSH: exact dup shares all bands; candidates include near-dup") {
@@ -553,6 +596,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // and the common-English fixture text must actually compress
     val doc0 = docs.filter(col("doc_id") === 0).head.getString(1)
     assert(got(0L) < doc0.count(_ != ' ')) // fewer segments than characters
+  }
+
+  test("loadBpeMerges: GPT-2 format round-trips into bpeCount; malformed lines fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("merges")
+    val f = dir.resolve("merges.txt")
+    // GPT-2 shape: #version header, rank = line order, blank line skipped
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "#version: 0.2", "t h", "th e", "", "i n", "in g"))
+    val merges = TextFunctions.loadBpeMerges(f.toString)
+    assert(merges == Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")))
+    // counts under the loaded table: "the" merges t+h then th+e → 1 token;
+    // "thing" → th,i,n,g → th,in,g → th,ing → 2; "ox" has no merges → 2
+    val got = Seq((0L, "the thing ox")).toDF("doc_id", "text")
+      .select(TextFunctions.bpeCount(col("text"), merges)).head.getLong(0)
+    assert(got == 1L + 2L + 2L)
+    val bad = dir.resolve("bad.txt")
+    java.nio.file.Files.write(bad, java.util.Arrays.asList("t h", "three part line"))
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.loadBpeMerges(bad.toString)
+    }
+    assert(e.getMessage.contains("bad.txt:2"))
   }
 
   test("language id: stopword heuristic + CJK class") {

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.config.TrainingSetConfig
 import graft.operators.Corpus
@@ -122,6 +123,44 @@ class TrainingSetJobSpec extends AnyFunSuite {
       java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
     assert(m.get("mix_repeats").asBoolean)
+  }
+
+  test("BPE budgets: bpe_merges_path makes chunk+pack count merged-BPE tokens") {
+    val mergesDir = java.nio.file.Files.createTempDirectory("trainset_merges")
+    val mergesFile = mergesDir.resolve("merges.txt")
+    // a real-shaped merges file: version header + the demo table's pairs
+    java.nio.file.Files.write(mergesFile,
+      ("#version: 0.2" +: graft.functions.TextFunctions.BpeMerges.map {
+        case (a, b) => s"$a $b" }).asJava)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_bpe").toString
+    val cfg = TrainingSetConfig.parse(
+      s"""{"chunk_budget":64,"pack_groups":4,"n_shards":8,
+         |"bpe_merges_path":"$mergesFile"}""".stripMargin)
+    assert(cfg.bpeMergesPath.contains(mergesFile.toString))
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    assert(r.trainChunks > 0)
+
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    val merges = graft.functions.TextFunctions.loadBpeMerges(mergesFile.toString)
+    // every packed chunk's n_tokens IS the merged-BPE count of its text
+    // under the loaded table — the budget the trainer's tokenizer sees
+    val mismatch = packed.withColumn("recount",
+      graft.functions.TextFunctions.bpeCount(col("chunk_text"), merges))
+      .filter(col("recount") =!= col("n_tokens")).count()
+    assert(mismatch == 0, s"$mismatch chunks with drifted BPE counts")
+    // chunks respect the BPE budget up to one straddling word's cost
+    assert(packed.filter(col("n_tokens") > 64 + 32).count() == 0)
+    // BPE merges compress: chunk token counts differ from ws counts, so
+    // the wiring demonstrably changed the budget metric
+    val wsEq = packed.withColumn("ws", size(split(col("chunk_text"), " ")))
+      .filter(col("ws") === col("n_tokens")).count()
+    assert(wsEq < packed.count(), "BPE counts never diverged from ws counts")
+    // manifest records the merges path
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("bpe_merges_path").asText == mergesFile.toString)
   }
 
   test("normalize + domain cap stages: mangled text round-trips, per-source bound holds") {

@@ -71,6 +71,52 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 32.0)
   }
 
+  test("pqAdc equals the higher-order lookup chain bit-for-bit; both eval paths agree") {
+    val enc = Seq(
+      (1L, Array(0, 2, 1), Array(Array(0.1, 0.2, 0.3), Array(1.0, 2.0, 3.0), Array(-0.5, 0.5, 1.5))),
+      (2L, Array(1, 1, 1), Array(Array(0.1, 0.2, 0.3), Array(1.0, 2.0, 3.0), Array(-0.5, 0.5, 1.5))),
+      (3L, Array.empty[Int], Array.empty[Array[Double]]))
+      .toDF("id", "codes", "tbl")
+    // the HOF formulation PqAdcDistance replaces (same fold order)
+    val hof = aggregate(
+      zip_with(col("codes"), sequence(lit(0), greatest(size(col("codes")) - 1, lit(0))),
+        (c, m) => element_at(element_at(col("tbl"), m + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = enc.select(col("id"),
+      VectorExpressions.pqAdc(col("codes"), col("tbl")).as("n"), hof.as("h")).collect()
+    rows.filter(_.getLong(0) != 3L).foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getLong(0)}")
+    }
+    // table[0][0] + table[1][2] + table[2][1] = 0.1 + 3.0 + 0.5
+    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 0.1 + 3.0 + 0.5)
+    assert(rows.find(_.getLong(0) == 3L).get.getDouble(1) == 0.0) // empty codes
+    // interpreted vs codegen agreement
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = enc.select(VectorExpressions.pqAdc(col("codes"), col("tbl")))
+        .collect().map(_.getDouble(0))
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      val gen = enc.select(VectorExpressions.pqAdc(col("codes"), col("tbl")))
+        .collect().map(_.getDouble(0))
+      assert(interp.toSeq == gen.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null propagation + type check
+    val withNull = Seq((Option.empty[Array[Int]], Option(Array(Array(1.0)))))
+      .toDF("codes", "tbl")
+    assert(withNull.select(VectorExpressions.pqAdc(col("codes"), col("tbl")))
+      .head.isNullAt(0))
+    intercept[Exception] {
+      Seq((Array(1.0), "x")).toDF("codes", "tbl")
+        .select(VectorExpressions.pqAdc(col("codes"), col("tbl"))).collect()
+    }
+  }
+
   test("bpe_token_count SQL registration matches the Column surface") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
