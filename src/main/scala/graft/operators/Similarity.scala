@@ -780,6 +780,34 @@ object Similarity {
     ivf.assignments.select(col(idCol), col("cell"))
       .join(encoded, Seq(idCol))
 
+  /** Persist the IVF-PQ serving relation: one directory per cell, `m`
+    * small ints per vector — the layout [[topKIvfPq]]/[[topKJoinIvfPq]]
+    * serve from at corpus scale (probes read `nProbe` directories of
+    * codes; full vectors are touched only by the rerank sliver). Build
+    * it once with [[buildCellCodes]] — the join never runs at serve
+    * time. The MODELS persist via their own writers ([[writeIvfIndex]]
+    * for the trained centroids, [[writePqIndex]] for the codebooks):
+    * both are exact round-trips, and serving needs only kilobytes of
+    * model plus this relation. */
+  def writeCellCodes(cellCodes: DataFrame, path: String): Unit =
+    cellCodes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def readCellCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Incremental IVF-PQ growth: cell-assign AND encode NEW vectors under
+    * the EXISTING models — no retraining, one broadcast-model pass over
+    * the increment (the [[assignToCells]] / `Dedup.probeBanded` posture).
+    * Append to the persisted [[writeCellCodes]] relation and every probe
+    * sees the grown corpus. Both steps are deterministic given the
+    * models, so an increment encoded now equals the same rows encoded at
+    * build time (unit-asserted); like IVF growth, retrain on a sample
+    * when recall at fixed `nProbe` decays — not on every increment. */
+  def growCellCodes(ivf: IvfIndex, pq: PqModel, embeddings: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    assignToCells(ivf, embeddings, idCol = idCol).select(col(idCol), col("cell"))
+      .join(pqEncode(embeddings, pq, idCol = idCol), Seq(idCol))
+
   /**
    * Batch ADC k-NN join — the PQ member of the join family
    * ([[topKJoin]]/[[topKJoinLsh]]/[[topKJoinIvf]]): each QUERY row first

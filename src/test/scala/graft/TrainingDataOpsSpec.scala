@@ -196,6 +196,29 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val approx = Similarity.topKIvfPq(cellCodes, e, ivf, pq2, q, k = 10,
       nProbe = 3, overscan = 5).collect().map(_.getLong(0))
     assert(approx.length == 10 && approx.contains(0L))
+    // persisted serving layout: cell directories of m-int codes; a pruned
+    // probe over the PERSISTED relation reads only its nProbe partitions
+    // and returns the same rows as the in-memory relation
+    val ccDir = java.nio.file.Files.createTempDirectory("cellcodes").toString + "/cc"
+    Similarity.writeCellCodes(cellCodes, ccDir)
+    val persisted = Similarity.readCellCodes(spark, ccDir)
+    val probe = Similarity.topKIvfPq(persisted, e, ivf, pq2, q, k = 10,
+      nProbe = 3, overscan = 5)
+    assert(probe.collect().map(_.getLong(0)).toSeq == approx.toSeq)
+    val sc = SparkTestBase.fileScans(probe)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/cc")))
+    assert(sc.nonEmpty && sc.forall(_.partitionFilters.nonEmpty),
+      "IVF-PQ probe must prune cell partitions of the code relation")
+    // incremental growth: new vectors assigned + encoded under the
+    // existing models equal their build-time rows exactly (both steps
+    // deterministic given the models — no retrain, no re-encode of corpus)
+    def ccRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Seq[Int]]("codes"))).toSet
+    val grown = ccRows(Similarity.growCellCodes(ivf, pq2,
+      e.filter(col("vec_id") >= 450)))
+    assert(grown == ccRows(cellCodes.filter(col("vec_id") >= 450)) &&
+      grown.nonEmpty)
   }
 
   test("IVF-PQ batch join: full-probe full-overscan equals exact topKJoin; serving point finds self") {

@@ -77,20 +77,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
       (2L, Array(1, 1, 1), Array(Array(0.1, 0.2, 0.3), Array(1.0, 2.0, 3.0), Array(-0.5, 0.5, 1.5))),
       (3L, Array.empty[Int], Array.empty[Array[Double]]))
       .toDF("id", "codes", "tbl")
-    // the HOF formulation PqAdcDistance replaces (same fold order)
+    // the HOF formulation PqAdcDistance replaces (same fold order) — only
+    // on non-empty rows: ANSI element_at throws on the empty table, which
+    // is itself part of why the native expression is nicer
     val hof = aggregate(
       zip_with(col("codes"), sequence(lit(0), greatest(size(col("codes")) - 1, lit(0))),
         (c, m) => element_at(element_at(col("tbl"), m + 1), c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val rows = enc.select(col("id"),
+    val rows = enc.filter(col("id") =!= 3L).select(col("id"),
       VectorExpressions.pqAdc(col("codes"), col("tbl")).as("n"), hof.as("h")).collect()
-    rows.filter(_.getLong(0) != 3L).foreach { r =>
+    rows.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getLong(0)}")
     }
     // table[0][0] + table[1][2] + table[2][1] = 0.1 + 3.0 + 0.5
     assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 0.1 + 3.0 + 0.5)
-    assert(rows.find(_.getLong(0) == 3L).get.getDouble(1) == 0.0) // empty codes
+    assert(enc.filter(col("id") === 3L)
+      .select(VectorExpressions.pqAdc(col("codes"), col("tbl")))
+      .head.getDouble(0) == 0.0) // empty codes → 0 distance
     // interpreted vs codegen agreement
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -115,6 +119,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
       Seq((Array(1.0), "x")).toDF("codes", "tbl")
         .select(VectorExpressions.pqAdc(col("codes"), col("tbl"))).collect()
     }
+  }
+
+  test("kll SQL registration: sketch -> union -> quantile pipeline answers within rank error") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[graft.plans.KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) =>
+        graft.plans.KllSketchAgg(children.head, graft.plans.KllExpressions.DefaultK))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("kll_union_agg"),
+      new ExpressionInfo(classOf[graft.plans.KllMergeAgg].getName, "kll_union_agg"),
+      (children: Seq[Expression]) =>
+        graft.plans.KllMergeAgg(children.head, graft.plans.KllExpressions.DefaultK))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.plans.KllQuantileOf].getName, "kll_quantile"),
+      (children: Seq[Expression]) =>
+        graft.plans.KllQuantileOf(children.head, children(1)))
+    (1 to 1000).map(i => (i % 2, i.toDouble)).toDF("half", "v")
+      .createOrReplaceTempView("kll_vals")
+    val p50 = spark.sql(
+      """SELECT kll_quantile(kll_union_agg(sk), CAST(0.5 AS DOUBLE)) AS p50
+        |FROM (SELECT kll_sketch_agg(v) AS sk FROM kll_vals GROUP BY half)""".stripMargin)
+      .head().getDouble(0)
+    // k=200 rank error ~1.65%: the p50 estimate's rank sits within ~±40
+    // of 500 over 1..1000 (generous for randomized compaction)
+    assert(math.abs(p50 - 500.0) <= 40.0, s"p50 drifted: $p50")
   }
 
   test("bpe_token_count SQL registration matches the Column surface") {
