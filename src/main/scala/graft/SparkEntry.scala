@@ -698,6 +698,18 @@ object SparkEntry {
       // machinery (the same oracle as chunk_docs)
       Corpus.chunkDocsByCost(t(s, dir, "documents"), budget = 64,
         costOf = _ => lit(1L))),
+    "bpe_train" -> ((s, dir) => {
+      // BPE merge training on the corpus itself (Sennrich learning loop
+      // over the one-pass word histogram): emits the learned merge table
+      // as (rank, left, right). Deterministic (exact counts, lex
+      // tie-break) but not SQL-expressible → rows-only; spec proves
+      // equality with an independent reference implementation.
+      val merges = TextFunctions.trainBpeMerges(
+        t(s, dir, "documents"), numMerges = 40)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    }),
     "chunk_docs_bpe" -> ((s, dir) =>
       // production form: boundaries fall at merged-BPE token budgets, so
       // packed sequences match what a real tokenizer counts (rows-only:

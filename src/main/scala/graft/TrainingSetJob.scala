@@ -61,6 +61,17 @@ object TrainingSetJob {
   def shardsDir(root: String) = s"$root/shards"
   def packedDir(root: String) = s"$root/packed"
   def manifestPath(root: String) = s"$root/manifest.json"
+  def mergesPath(root: String) = s"$root/merges.txt"
+
+  /** Small text artifact through the Hadoop FS (outRoot may be hdfs/s3). */
+  private def writeTextFile(spark: SparkSession, path: String,
+      body: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path), true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+  }
 
   def run(spark: SparkSession, docsDir: String, outRoot: String,
       cfg: TrainingSetConfig = TrainingSetConfig()): Result = {
@@ -138,13 +149,25 @@ object TrainingSetJob {
     val train = mixed.filter(col("split") === "train")
     // chunk + pack budgets count merged-BPE tokens when a merges table is
     // configured — packing budgets that drift from the real tokenizer are
-    // the #1 practical gap for a training-data user. The merges file is
+    // the #1 practical gap for a training-data user. The merges table is
     // driver-local kilobytes riding in the plan (a codegen reference
     // object); chunk boundaries fall at BPE budgets via the cost-aware
-    // chunker, and packSequences packs on the same BPE n_tokens.
-    val chunker: DataFrame => DataFrame = cfg.bpeMergesPath match {
-      case Some(p) =>
-        val merges = graft.functions.TextFunctions.loadBpeMerges(p)
+    // chunker, and packSequences packs on the same BPE n_tokens. It comes
+    // from a file (`bpe_merges_path`, an existing tokenizer) or is
+    // TRAINED on the shipped train split itself (`bpe_train_merges`:
+    // Sennrich merge learning over the word histogram) and saved next to
+    // the outputs so the trainer's tokenizer can load what the budgets
+    // were counted with.
+    val mergesOpt: Option[Seq[(String, String)]] = cfg.bpeMergesPath
+      .map(graft.functions.TextFunctions.loadBpeMerges)
+      .orElse(cfg.bpeTrainMerges.map { n =>
+        val m = graft.functions.TextFunctions.trainBpeMerges(train, n, "text")
+        writeTextFile(spark, mergesPath(outRoot),
+          ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
+        m
+      })
+    val chunker: DataFrame => DataFrame = mergesOpt match {
+      case Some(merges) =>
         df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
           tok => graft.functions.TextFunctions.bpeCount(tok, merges), "text", shipId)
       case None => df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", shipId)
@@ -193,6 +216,10 @@ object TrainingSetJob {
     node.put("min_tokens", cfg.minTokens)
     node.put("chunk_budget", cfg.chunkBudget)
     cfg.bpeMergesPath.foreach(p => node.put("bpe_merges_path", p))
+    cfg.bpeTrainMerges.foreach { n =>
+      node.put("bpe_train_merges", n)
+      node.put("bpe_merges_file", mergesPath(root))
+    }
     node.put("n_shards", cfg.nShards)
     node.put("redact", cfg.redact)
     node.put("normalize", cfg.normalize)

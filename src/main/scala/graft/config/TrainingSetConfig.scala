@@ -35,9 +35,14 @@ final case class TrainingSetConfig(
     mixRepeats: Boolean = false,
     chunkBudget: Int = 512,
     bpeMergesPath: Option[String] = None,
+    bpeTrainMerges: Option[Int] = None,
     packGroups: Int = 32,
     nShards: Int = 64,
     checkpointDir: Option[String] = None) {
+  require(bpeMergesPath.isEmpty || bpeTrainMerges.isEmpty,
+    "bpe_merges_path and bpe_train_merges are mutually exclusive")
+  require(bpeTrainMerges.forall(_ > 0),
+    s"bpe_train_merges must be positive: $bpeTrainMerges")
   require(mixWeights.isEmpty == (mixBudget <= 0),
     "mix_weights and mix_budget come together")
   require(!mixRepeats || mixWeights.nonEmpty,
@@ -90,6 +95,7 @@ object TrainingSetConfig {
       mixRepeats = bool("mix_repeats", d = false),
       chunkBudget = int("chunk_budget", 512),
       bpeMergesPath = optNode("bpe_merges_path").map(_.asText),
+      bpeTrainMerges = optNode("bpe_train_merges").map(_.asInt),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),
       checkpointDir = optNode("checkpoint_dir").map(_.asText))

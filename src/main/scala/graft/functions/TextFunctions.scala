@@ -85,6 +85,82 @@ object TextFunctions {
       }.toSeq
   }
 
+  /** Write a merges table in the same GPT-2 format [[loadBpeMerges]]
+    * reads (version header, rank = line order) — the save half of the
+    * train → save → load → count → budget tokenizer loop. */
+  def saveBpeMerges(merges: Seq[(String, String)], path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      ("#version: 0.2" +: merges.map { case (a, b) => s"$a $b" }).asJava,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /**
+   * Distributed BPE merge TRAINING (Sennrich et al. 2016's learning
+   * loop) — the piece that closes the tokenizer loop: a pipeline that
+   * only COUNTS under someone else's merges still drifts if that table
+   * wasn't trained on this corpus.
+   *
+   * Architecture is the standard tokenizer-training reduction: the
+   * corpus collapses to an exact WORD HISTOGRAM in one map-side-combined
+   * `groupBy(word).count()` — the only distributed pass, reading each
+   * document once — and the merge loop runs driver-side over the
+   * histogram (Zipf makes distinct words a driver-sized model at any
+   * corpus scale, the codebook/centroid precedent; `maxWords` caps it
+   * deterministically by (count desc, word) BEFORE the collect so driver
+   * memory is bounded even on adversarial vocabularies). Each iteration
+   * counts adjacent symbol pairs weighted by word count, merges the most
+   * frequent pair everywhere, and records it; ties break to the
+   * lexicographically smallest pair, so the trained table is
+   * DETERMINISTIC across partitionings and engines (counts are exact).
+   *
+   * Pre-tokenization matches [[tokens]]/`BpeMatcher.countText`
+   * (lowercased alnum runs), so the trained table plugs straight into
+   * [[bpeCount]] and ranks are consistent by construction (merge i can
+   * only reference segments buildable from merges < i).
+   */
+  def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
+      textCol: String = "text", maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be non-negative: $numMerges")
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val hist = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      hist.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words if syms.length > 1; j <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(j), syms(j + 1)))(o => Some(o.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // most frequent pair; ties → lexicographically smallest (a, b)
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Array.newBuilder[String]
+            var k = 0
+            while (k < syms.length) {
+              if (k < syms.length - 1 && syms(k) == best._1 && syms(k + 1) == best._2) {
+                out += (best._1 + best._2); k += 2
+              } else { out += syms(k); k += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
   /**
    * Space-split tokens — the shingling basis. Literal single-space split
    * (matches SQL `string_split(lower(text), ' ')`): ~7× faster than a

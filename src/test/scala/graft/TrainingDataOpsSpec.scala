@@ -621,6 +621,52 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(0L) < doc0.count(_ != ' ')) // fewer segments than characters
   }
 
+  test("trainBpeMerges: equals an independent reference; deterministic under repartition") {
+    // independent (deliberately naive) reference: flat word-INSTANCE list
+    // per doc — no histogram reduction — so the distributed word-count
+    // collapse is itself under test
+    def toks(t: String) =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector
+    var words: Vector[Vector[String]] = docs.collect().map(_.getString(1))
+      .toVector.flatMap(toks).map(_.map(_.toString).toVector)
+    val want = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    for (_ <- 0 until 30 if !stop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for (w <- words if w.size > 1; j <- 0 until w.size - 1)
+        counts.updateWith((w(j), w(j + 1)))(o => Some(o.getOrElse(0L) + 1))
+      if (counts.isEmpty) stop = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        want += best
+        words = words.map { w =>
+          val out = Vector.newBuilder[String]
+          var k = 0
+          while (k < w.size) {
+            if (k < w.size - 1 && w(k) == best._1 && w(k + 1) == best._2) {
+              out += (best._1 + best._2); k += 2
+            } else { out += w(k); k += 1 }
+          }
+          out.result()
+        }
+      }
+    }
+    val got = TextFunctions.trainBpeMerges(docs, 30)
+    assert(got == want.toSeq)
+    // exact counts + lex tie-break ⇒ partitioning-independent
+    assert(TextFunctions.trainBpeMerges(docs.repartition(7), 30) == got)
+    // save → load round-trips; counting under the trained table plugs
+    // into bpeCount and genuinely compresses the corpus it was trained on
+    val f = java.nio.file.Files.createTempDirectory("trained").resolve("merges.txt")
+    TextFunctions.saveBpeMerges(got, f.toString)
+    assert(TextFunctions.loadBpeMerges(f.toString) == got)
+    val agg = docs.agg(
+      sum(TextFunctions.bpeCount(col("text"), got)),
+      sum(length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))).head()
+    val (bpe, chars) = (agg.getLong(0), agg.getLong(1))
+    assert(bpe < chars, s"trained merges failed to compress: $bpe vs $chars")
+  }
+
   test("loadBpeMerges: GPT-2 format round-trips into bpeCount; malformed lines fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("merges")
     val f = dir.resolve("merges.txt")

@@ -163,6 +163,36 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("bpe_merges_path").asText == mergesFile.toString)
   }
 
+  test("trained BPE budgets: bpe_train_merges learns, saves, and budgets with the table") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_bpetrain").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":4,"n_shards":8,"bpe_train_merges":32}""")
+    assert(cfg.bpeTrainMerges.contains(32))
+    // mutual exclusion with an explicit merges file is a config error
+    intercept[IllegalArgumentException] {
+      TrainingSetConfig.parse(
+        """{"bpe_train_merges":32,"bpe_merges_path":"/tmp/m.txt"}""")
+    }
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    assert(r.trainChunks > 0)
+    // the learned table was saved in loadable GPT-2 format next to outputs
+    val merges = graft.functions.TextFunctions.loadBpeMerges(
+      TrainingSetJob.mergesPath(outRoot))
+    assert(merges.nonEmpty && merges.length <= 32)
+    // and the packed budgets were counted under exactly that table
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    val mismatch = packed.withColumn("recount",
+      graft.functions.TextFunctions.bpeCount(col("chunk_text"), merges))
+      .filter(col("recount") =!= col("n_tokens")).count()
+    assert(mismatch == 0, s"$mismatch chunks with drifted trained-BPE counts")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("bpe_train_merges").asInt == 32 &&
+      m.get("bpe_merges_file").asText == TrainingSetJob.mergesPath(outRoot))
+  }
+
   test("normalize + domain cap stages: mangled text round-trips, per-source bound holds") {
     // mangle the corpus: double every space (normalization collapses it
     // back, so shipped text must equal the ORIGINAL text)
