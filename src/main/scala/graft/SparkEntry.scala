@@ -667,6 +667,11 @@ object SparkEntry {
       // statistical-LM quality proxy: mean unigram logprob under the
       // corpus's own token distribution
       Corpus.unigramLogProb(t(s, dir, "documents"))),
+    "text_logprob2" -> ((s, dir) =>
+      // the ORDER-sensitive LM proxy: mean ln P(w2|w1) under the corpus's
+      // own bigram transitions — word salad of common words scores low
+      // here and high under unigrams
+      Corpus.bigramLogProb(t(s, dir, "documents"))),
     "quality_quantile_gate" -> ((s, dir) =>
       // the perplexity-filter stage: score by corpus-LM logprob, drop the
       // worst decile (exact percentile threshold — the oracle-checkable
@@ -1538,6 +1543,19 @@ object SparkEntry {
       overlapSql("round(ni * 1.0 / least(x.n_sh, y.n_sh), 6)", "containment",
         0.6, None, "documents"),
     "text_logprob" -> logprobSql,
+    "text_logprob2" ->
+      """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+        |toks AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        | FROM toks JOIN nums ON i <= len(ts) - 1),
+        |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, round(avg(ln(c2 * 1.0 / c1)), 6) AS logprob2
+        |FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
+        |GROUP BY doc_id""".stripMargin,
     "quality_quantile_gate" ->
       s"""WITH lp AS ($logprobSql),
          |thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM lp)

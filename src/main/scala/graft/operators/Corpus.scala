@@ -621,6 +621,40 @@ object Corpus {
   }
 
   /**
+   * Bigram LM quality score: a document's mean log conditional
+   * probability `avg(ln(c(w1,w2) / c(w1,·)))` over its adjacent token
+   * pairs, counts from the corpus itself — the ORDER-sensitive upgrade
+   * of [[unigramLogProb]]: word salad built from individually-common
+   * words scores high under unigrams but its transitions are corpus-rare,
+   * so it scores very negative here. The context count `c(w1,·)` is the
+   * count of bigram INSTANCES starting with w1 (not token occurrences),
+   * so probabilities per context sum to exactly 1 with no end-of-document
+   * correction. Docs with fewer than two tokens emit nothing.
+   *
+   * Scale shape mirrors the unigram: one map-only pair projection (two
+   * bulk slices + zip_with, no per-pair allocation of slices) feeding two
+   * map-side-combined counts (bigram vocab, context vocab) joined back on
+   * their terms — AQE broadcasts the vocabularies when they fit — and one
+   * per-doc average. Fully SQL-expressible; hash-verified as
+   * `text_logprob2`.
+   */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val n = greatest(size(col("__ts")) - 1, lit(0))
+    val pairs = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(zip_with(
+        slice(col("__ts"), lit(1), n), slice(col("__ts"), lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cbg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cw = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("c2") / col("c1"))), 6).as("logprob2"))
+  }
+
+  /**
    * Quality-quantile gate: drop the bottom `q`-quantile of rows by
    * `scoreCol` — the "perplexity filter" stage of a real pipeline (score
    * with [[unigramLogProb]] or a model pass, then cut the worst X%).

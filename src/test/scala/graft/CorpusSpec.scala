@@ -488,6 +488,13 @@ class CorpusSpec extends AnyFunSuite {
       .write.parquet(s"$dir/b")
     val persisted = spark.read.parquet(s"$dir/a")
       .unionByName(spark.read.parquet(s"$dir/b"))
+    // TypedImperativeAggregate partials merge map-side: the plan carries
+    // a partial and a final ObjectHashAggregate around one exchange, so
+    // raw rows never cross the wire — only sketch state does
+    val incPlan = SparkTestBase.planNodeNames(
+      Sketches.kllIncrement(incA, Seq("l_returnflag"), "l_extendedprice"))
+    assert(incPlan.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"KLL increment must map-side combine: $incPlan")
     val merged = Sketches.kllMerge(persisted, Seq("l_returnflag"), "l_extendedprice")
       .collect().map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n_rows")))

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 
 class TrainingDataOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -619,6 +619,30 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // and the common-English fixture text must actually compress
     val doc0 = docs.filter(col("doc_id") === 0).head.getString(1)
     assert(got(0L) < doc0.count(_ != ' ')) // fewer segments than characters
+  }
+
+  test("bigramLogProb: order-sensitive; deterministic transitions score exactly 0") {
+    // a doc whose every context is deterministic (x is always followed by
+    // y, y by x) has ln P = ln 1 = 0 for every pair — exact, hand-checked
+    val lone = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    assert(Corpus.bigramLogProb(lone).head.getDouble(1) == 0.0)
+    // same token MULTISET, different order: the cycle doc's transitions
+    // repeat corpus-wide, the salad doc's are one-off — unigram logprob
+    // ties them, bigram separates them (the order-sensitivity claim)
+    val cycle = (0 until 6).map(_ => "alpha beta gamma delta").mkString(" ")
+    val salad = "alpha alpha beta delta gamma beta delta alpha gamma " +
+      "delta beta gamma alpha delta beta alpha gamma gamma beta delta " +
+      "alpha beta gamma delta"
+    val docs2 = Seq((0L, cycle), (1L, salad)).toDF("doc_id", "text")
+    val uni = Corpus.unigramLogProb(docs2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(0L) == uni(1L), "unigram must tie equal multisets")
+    val bi = Corpus.bigramLogProb(docs2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(0L) > bi(1L),
+      s"cycle ${bi(0L)} must beat salad ${bi(1L)}")
+    // docs with < 2 tokens emit nothing
+    assert(Corpus.bigramLogProb(Seq((9L, "solo")).toDF("doc_id", "text")).count() == 0)
   }
 
   test("trainBpeMerges: equals an independent reference; deterministic under repartition") {
