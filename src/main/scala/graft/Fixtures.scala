@@ -24,6 +24,7 @@ object Fixtures {
   val PiiParquet = s"$Dir/parquet/pii_docs"
   val ParaParquet = s"$Dir/parquet/para_docs"
   val MessyParquet = s"$Dir/parquet/messy_docs"
+  val MarkupParquet = s"$Dir/parquet/markup_docs"
 
   /** Canonical job spec — FIXTURES.md F-3 / `example_config.json:13-32`. */
   val F1Spec: DatasetSpec = DatasetSpec(
@@ -143,6 +144,28 @@ object Fixtures {
       .toDF("doc_id", "text")
   }
 
+  /** Markup-laden fixture for the stripping oracle (`text_strip_markup`):
+    * each row exercises one rule of `TextFunctions.MarkupPatterns` —
+    * tags, script/style bodies, comments spanning lines, entity escapes
+    * (including the double-escape that must decode exactly once),
+    * mixed-case tags — plus a plain row and an empty row as identities. */
+  def markupDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "plain prose stays exactly as is"),
+      (1L, "<p>a paragraph</p> and <b>bold</b> text"),
+      (2L, "<script type=\"text/javascript\">var x = 1 < 2;</script>visible body"),
+      (3L, "<style>.cls { color: red }</style>styled body"),
+      (4L, "before<!-- hidden\ncomment -->after"),
+      (5L, "entities &amp; escapes: 1 &lt; 2 &gt; 0 &quot;q&quot; &apos;a&apos; &#39;b&#39; x&nbsp;y"),
+      (6L, "double escape &amp;lt; decodes once"),
+      (7L, "<div class=\"a\"><ul><li>one</li><li>two</li></ul></div>"),
+      (8L, "<SCRIPT>upperCase()</SCRIPT>mixed <B>tags</B> here"),
+      (9L, "unclosed <em tag stays? and a lone > sign"),
+      (10L, ""))
+      .toDF("doc_id", "text")
+  }
+
   /**
    * Multimodal fixture: opaque binary payloads + typed metadata. Payload
    * bytes are a deterministic pseudo-image (no real codecs in this
@@ -187,6 +210,8 @@ object FixtureGen {
       .write.mode("overwrite").parquet(Fixtures.ParaParquet)
     Fixtures.messyDocs(spark).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.MessyParquet)
+    Fixtures.markupDocs(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.MarkupParquet)
     spark.stop()
   }
 }

@@ -387,6 +387,13 @@ object SparkEntry {
       s.read.parquet(Fixtures.MessyParquet)
         .select(col("doc_id"),
           TextFunctions.normalizeText(col("text")).as("text"))),
+    "text_strip_markup" -> ((s, _) =>
+      // web-corpus markup stripping (tags, script/style bodies, comments,
+      // entities — decoded exactly once) — the stage upstream even of
+      // normalization; hash-verified over the markup fixture
+      s.read.parquet(Fixtures.MarkupParquet)
+        .select(col("doc_id"),
+          TextFunctions.stripMarkup(col("text")).as("text"))),
     "text_rep_lines" -> ((s, _) =>
       // duplicate-line instance + character fractions per doc (Gopher
       // family) — over the multi-paragraph fixture, "\n\n"-separated
@@ -1677,6 +1684,16 @@ object SparkEntry {
       }
       s"""SELECT doc_id, $chain AS text
          |FROM read_parquet('${Fixtures.MessyParquet}/*.parquet')""".stripMargin
+    },
+    "text_strip_markup" -> {
+      // chain generated from MarkupPatterns — one definition, two engines
+      def lit(s: String) = s.replace("'", "''")
+      val chain = TextFunctions.MarkupPatterns.foldLeft("text") {
+        case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '${lit(pat)}', '${lit(repl)}', 'g')"
+      }
+      s"""SELECT doc_id, $chain AS text
+         |FROM read_parquet('${Fixtures.MarkupParquet}/*.parquet')""".stripMargin
     },
     "events_asof" ->
       // DuckDB's native ASOF JOIN oracles the union+window Spark shape

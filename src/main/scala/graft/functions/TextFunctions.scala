@@ -289,6 +289,43 @@ object TextFunctions {
       case (c, (pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
     }
 
+  /**
+   * Markup-strip chain, applied in order: (pattern, replacement) —
+   * RE2-compatible like [[PiiPatterns]]/[[NormalizePatterns]] so the
+   * DuckDB oracle applies the IDENTICAL steps and stripping is
+   * hash-verified. Order matters: script/style/comment bodies go before
+   * the generic tag rule (their CONTENT must vanish, not just their
+   * tags); entities decode after tags (a decoded `&lt;` must not create
+   * a new "tag"); `&amp;` decodes LAST so double-escapes like
+   * `&amp;lt;` come out as the literal `&lt;` — decoded exactly once;
+   * whitespace collapse + edge trim run last over the seams the
+   * removals left. Tags are replaced by a SPACE, not "", so
+   * `<li>one</li><li>two</li>` reads "one two", not "onetwo".
+   */
+  val MarkupPatterns: Seq[(String, String)] = Seq(
+    ("(?is)<script[^>]*>.*?</script>", " "),
+    ("(?is)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("<[^>]+>", " "),
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&apos;", "'"),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ("[ \\t]+", " "),
+    ("^ +| +$", ""))
+
+  /**
+   * HTML/markup stripping — the web-corpus pre-clean stage upstream even
+   * of [[normalizeText]]: raw crawl text arrives as markup, and every
+   * downstream signal (shingles, quality ratios, token counts) is
+   * garbage over tag soup. One codegen'd `regexp_replace` chain in the
+   * scan projection, map-only; precision-critical extraction (boilerplate
+   * DOM pruning, main-content detection) needs a DOM pass and is out of
+   * scope — this is the cheap high-recall form, like [[PiiPatterns]].
+   */
+  def stripMarkup(text: Column): Column =
+    MarkupPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
   /** Redact all [[PiiPatterns]] occurrences (every match — Spark's
     * `regexp_replace` is global, mirrored by the oracle's `'g'` flag). */
   def redactPii(text: Column): Column =

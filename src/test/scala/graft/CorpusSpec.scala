@@ -317,6 +317,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stripMarkup: tags, script/style/comment bodies, entities — decoded exactly once") {
+    import graft.functions.TextFunctions
+    val got = Fixtures.markupDocs(spark)
+      .select(col("doc_id"), TextFunctions.stripMarkup(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(
+      0L -> "plain prose stays exactly as is",
+      1L -> "a paragraph and bold text",
+      2L -> "visible body", // script CONTENT vanished, not just its tags
+      3L -> "styled body",
+      4L -> "before after", // comment spanning a newline
+      5L -> "entities & escapes: 1 < 2 > 0 \"q\" 'a' 'b' x y",
+      6L -> "double escape &lt; decodes once", // &amp;lt; decoded ONCE
+      7L -> "one two", // tags become spaces, list items don't fuse
+      8L -> "mixed tags here", // case-insensitive script/tags
+      9L -> "unclosed sign", // greedy-to-first-> for a dangling <
+      10L -> "")
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet)}")
+  }
+
   test("normalizeText: every rule fires; clean text and empty string are fixpoints") {
     val cases = Seq(
       "curly ‘quotes’ and “double” ones" -> "curly 'quotes' and \"double\" ones",

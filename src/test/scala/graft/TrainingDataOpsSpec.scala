@@ -265,6 +265,17 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val regDeduped = Dedup.paragraphRegistry(
       Dedup.dedupParagraphs(corpus)).collect().map(_.getString(0)).toSet
     assert(regRaw == regDeduped)
+    // the id-ordering precondition as a runtime check: a correct bound
+    // passes untouched, a violated one fails loudly instead of silently
+    // diverging from the proven equivalence
+    val reg = Dedup.paragraphRegistry(corpus)
+    assert(Dedup.dedupParagraphsIncremental(inc, reg, maxCorpusId = Some(4L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_kept"))).toSet == full)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphsIncremental(inc, reg, maxCorpusId = Some(7L))
+    }
+    assert(err.getMessage.contains("precondition"))
   }
 
   test("shingles: sliding word 3-grams; short docs fall back to whole text") {
