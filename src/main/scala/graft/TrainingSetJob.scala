@@ -81,9 +81,17 @@ object TrainingSetJob {
     // whitespace would otherwise plant empty whitespace-tokens in the
     // near-dup shingles
     val raw = spark.read.parquet(docsDir)
-    def normalized(df: DataFrame): DataFrame = if (!cfg.normalize) df
-      else df.withColumn("text",
+    // markup stripping runs FIRST (raw crawl text is tag soup before it
+    // is anything else), then normalization — both applied to the source
+    // frame so every later text consumer sees the cleaned form
+    def normalized(df: DataFrame): DataFrame = {
+      val stripped = if (!cfg.stripMarkup) df
+        else df.withColumn("text",
+          graft.functions.TextFunctions.stripMarkup(col("text")))
+      if (!cfg.normalize) stripped
+      else stripped.withColumn("text",
         graft.functions.TextFunctions.normalizeText(col("text")))
+    }
     val docs = normalized(raw)
     // eval docs get the SAME normalization: decontamination shingles must
     // compare like with like, or a copy differing only typographically
@@ -223,6 +231,7 @@ object TrainingSetJob {
     node.put("n_shards", cfg.nShards)
     node.put("redact", cfg.redact)
     node.put("normalize", cfg.normalize)
+    node.put("strip_markup", cfg.stripMarkup)
     cfg.capPerStratum.foreach { k =>
       node.put("cap_per_stratum", k)
       node.put("cap_strata_col", cfg.capStrataCol)

@@ -14,6 +14,7 @@ import scala.jdk.CollectionConverters._
  * defaults.
  */
 final case class TrainingSetConfig(
+    stripMarkup: Boolean = false,
     normalize: Boolean = false,
     lang: String = "en",
     minTokens: Long = 10,
@@ -70,6 +71,7 @@ object TrainingSetConfig {
     def dbl(f: String, d: Double) = optNode(f).map(_.asDouble).getOrElse(d)
     def bool(f: String, d: Boolean) = optNode(f).map(_.asBoolean).getOrElse(d)
     TrainingSetConfig(
+      stripMarkup = bool("strip_markup", d = false),
       normalize = bool("normalize", d = false),
       lang = text("lang", "en"),
       minTokens = long("min_tokens", 10),

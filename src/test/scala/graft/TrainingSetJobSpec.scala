@@ -194,15 +194,17 @@ class TrainingSetJobSpec extends AnyFunSuite {
   }
 
   test("normalize + domain cap stages: mangled text round-trips, per-source bound holds") {
-    // mangle the corpus: double every space (normalization collapses it
-    // back, so shipped text must equal the ORIGINAL text)
+    // mangle the corpus: wrap in tags and double every space (markup
+    // strip + normalization undo both, so shipped text must equal the
+    // ORIGINAL text)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mangledDir = java.nio.file.Files.createTempDirectory("trainset_mangled").toString
-    docs.withColumn("text", regexp_replace(col("text"), " ", "  "))
+    docs.withColumn("text",
+        concat(lit("<p>"), regexp_replace(col("text"), " ", "  "), lit("</p>")))
       .write.mode("overwrite").parquet(s"$mangledDir/docs")
     val outRoot = java.nio.file.Files.createTempDirectory("trainset_norm").toString
     val cfg = TrainingSetConfig.parse(
-      """{"normalize":true,"cap_per_stratum":2,"chunk_budget":64,
+      """{"strip_markup":true,"normalize":true,"cap_per_stratum":2,"chunk_budget":64,
         |"pack_groups":4,"n_shards":8}""".stripMargin)
     val r = TrainingSetJob.run(spark, s"$mangledDir/docs", outRoot, cfg)
 
@@ -225,6 +227,7 @@ class TrainingSetJobSpec extends AnyFunSuite {
     val body = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-    assert(m.get("normalize").asBoolean && m.get("cap_per_stratum").asInt == 2)
+    assert(m.get("normalize").asBoolean && m.get("strip_markup").asBoolean &&
+      m.get("cap_per_stratum").asInt == 2)
   }
 }
