@@ -745,6 +745,18 @@ object SparkEntry {
       Corpus.decontaminate(docs, ev, n = 3, minOverlap = 5)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    "decontaminate_winnow" -> ((s, dir) => {
+      // the CHEAP decontamination: both sides reduce to winnowing
+      // fingerprints (~2/(g+1) of the k-grams), eval set broadcasts,
+      // corpus probes map-only; the winnowing guarantee still catches
+      // any >= g+k-1-token verbatim eval passage. Same md5-prefix
+      // hashes as fingerprint_winnow -> fully hash-verified.
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(Corpus.hashBucket(col("doc_id")) < 5)
+        .select(col("doc_id"), col("text"))
+      Corpus.decontaminateWinnow(docs, ev, k = 5, g = 4, minShared = 2)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "decontaminate_bloom" -> ((s, dir) => {
       // the LARGE-reference decontamination shape: eval shingles compress
       // into a Bloom filter probed map-only by a codegen'd
@@ -1087,9 +1099,13 @@ object SparkEntry {
     * `Dedup.winnowFingerprints`, so the selected positions must agree
     * exactly with Spark's sliding-frame form. Shared by
     * `fingerprint_winnow` and `dedup_winnow_pairs`. */
-  private val winnowSelectSql =
-    """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  /** The winnow-selection statement over an arbitrary (doc_id, text)
+    * source — shared by the fingerprint/pair/decontamination oracles.
+    * Self-contained (own WITH), so instances nest as independent CTE
+    * bodies inside a larger statement. */
+  private def winnowSelectSqlFrom(src: String) =
+    s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
       |grams AS (SELECT doc_id, i AS pos,
       |  ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT AS h
       |  FROM toks JOIN nums ON i <= len(t) - 4),
@@ -1102,6 +1118,8 @@ object SparkEntry {
       |    ON g.doc_id = s.doc_id AND g.pos BETWEEN s.s AND s.s + 3)
       |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
       |FROM win WHERE rk = 1""".stripMargin
+
+  private val winnowSelectSql = winnowSelectSqlFrom("documents")
 
   private val joinOn = keys.map(k => s"""inc."$k" = ex."$k"""").mkString(" AND ")
   private val clsJoinOn = keys.map(k => s"""cls."$k" = ex."$k"""").mkString(" AND ")
@@ -1506,6 +1524,15 @@ object SparkEntry {
         | CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
         |FROM g GROUP BY id_a, id_b, diag, grp""".stripMargin,
     "fingerprint_winnow" -> winnowSelectSql,
+    "decontaminate_winnow" ->
+      s"""WITH csel AS ($winnowSelectSql),
+         |esel AS (${winnowSelectSqlFrom(
+        s"(SELECT doc_id, text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 5)")}),
+         |cf AS (SELECT DISTINCT doc_id, fp FROM csel),
+         |ef AS (SELECT DISTINCT fp FROM esel),
+         |hits AS (SELECT doc_id, count(*) AS n FROM cf JOIN ef USING (fp) GROUP BY 1)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= 2)""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH sel AS ($winnowSelectSql),
          |d AS (SELECT DISTINCT doc_id, fp FROM sel)

@@ -209,6 +209,40 @@ object Corpus {
       Seq(idCol), "left_anti")
 
   /**
+   * Winnowing-based decontamination — the CHEAP form of [[decontaminate]]
+   * for long verbatim contamination: both sides reduce to their MOSS
+   * winnowing fingerprints ([[Dedup.winnowFingerprints]] — the selected
+   * ~2/(g+1) fraction of k-gram hashes), the eval side's distinct
+   * fingerprint set broadcasts, and the corpus streams MAP-ONLY through
+   * the probe. The winnowing guarantee carries over: any eval passage of
+   * ≥ `g + k − 1` verbatim tokens inside a corpus doc shares at least one
+   * selected fingerprint, so long-quote contamination cannot hide —
+   * while the corpus-side work is a fraction of the full shingle join
+   * [[contaminationPairs]] pays. The trade: no per-eval-doc attribution
+   * (counts are against the eval UNION, like the Bloom form) and
+   * sub-window overlaps can't match; use the exact operator when the
+   * criterion is "≥ k short n-grams anywhere".
+   *
+   * Selected fingerprints are the same engine-stable md5-prefix hashes
+   * as `fingerprint_winnow`, so the whole operator is hash-verifiable —
+   * the oracle reruns the selection AND the removal.
+   */
+  def decontaminateWinnow(docs: DataFrame, evalDocs: DataFrame, k: Int = 5,
+      g: Int = 4, minShared: Long = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cfp = Dedup.winnowFingerprints(docs.select(col(idCol), col(textCol)),
+        k, g, textCol, idCol)
+      .select(col(idCol), col("fp")).distinct()
+    val efp = Dedup.winnowFingerprints(evalDocs, k, g, textCol, idCol)
+      .select(col("fp")).distinct()
+    val contaminated = cfp.join(broadcast(efp), Seq("fp"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Cross-split leakage audit: near-duplicate pairs (word-n-gram Jaccard
    * ≥ `minJaccard`) whose two documents landed in DIFFERENT
    * train/val/test splits — the contamination a hash split cannot

@@ -643,6 +643,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L)) // doc 2's 2-shingle brush is under the threshold
   }
 
+  test("decontaminateWinnow: the winnowing guarantee catches long verbatim quotes") {
+    // doc 0 embeds a 9-token verbatim eval passage: >= g + k - 1 = 8
+    // tokens, so the guarantee promises >= 1 shared selected fingerprint
+    // and at minShared=1 the doc MUST drop; doc 1 is unrelated; doc 2
+    // brushes the eval text with fewer than k shared tokens (no shared
+    // k-gram at all, let alone a selected one)
+    val corpus = Seq(
+      (0L, "intro words then the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "entirely unrelated corpus content speaks of other things at length"),
+      (2L, "the quick brown cat appears briefly here with more words after"))
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.decontaminateWinnow(corpus, ev, k = 5, g = 4, minShared = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L))
+    // eval docs inside the corpus remove themselves (they share ALL their
+    // own fingerprints) — the decontaminate parity property
+    val withEval = corpus.unionByName(ev.select(col("doc_id"), col("text")))
+    val kept2 = Corpus.decontaminateWinnow(withEval, ev, k = 5, g = 4, minShared = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept2.contains(100L) && kept2.contains(1L))
+  }
+
   test("ngramRepetition: looped sentence scores ~1, diverse text 0, short doc 0") {
     val docs = Seq(
       // one sentence repeated: every 3-gram after the first pass is a dup
@@ -1015,6 +1039,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged("en")._2 == 250L && merged("de")._2 == 250L) // exact row counts
     // distinct estimates within HLL error of the true 250 per group
     merged.values.foreach { case (d, _) => assert(math.abs(d - 250L) <= 13L, s"est $d") }
+  }
+
+  test("streaming KLL increments: per-batch quantile rows merge to whole-stream percentiles") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the percentile twin of the HLL streaming contract: each micro-batch
+    // persists one binary KLL row per group; stream-wide p50/p95 at any
+    // point = merge of the persisted rows, raw values never revisited
+    val dir = java.nio.file.Files.createTempDirectory("kll_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Sketches.kllIncrement(
+            batch.withColumn("grp", when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+              .withColumn("v", col("doc_id").cast("double")),
+            Seq("grp"), "v")
+          .write.mode("append").parquet(dir)
+        ()
+    }.start()
+    try {
+      in.addData((0 until 600).map(i => ProbeDoc(i.toLong, s"doc $i")): _*)
+      q.processAllAvailable()
+      in.addData((600 until 1000).map(i => ProbeDoc(i.toLong, s"doc $i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = Sketches.kllMerge(spark.read.parquet(dir), Seq("grp"), "v")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n_rows"))).toMap
+    // exact counts; estimates within the sketch's rank error of the true
+    // percentiles over 0..999 split even/odd (p50 ≈ 500, p95 ≈ 950)
+    merged.values.foreach { case (p50, p95, n) =>
+      assert(n == 500L)
+      assert(math.abs(p50 - 500.0) <= 40.0, s"p50 $p50")
+      assert(math.abs(p95 - 950.0) <= 40.0, s"p95 $p95")
+    }
   }
 
   test("streaming paragraph dedup: registry grows per batch, late repeats drop") {
