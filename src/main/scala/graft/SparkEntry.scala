@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.TextFunctions
+import graft.functions.{Quantize, TextFunctions}
 import graft.operators.{Corpus, Dedup, KeyedStore, Multimodal, Reshape, Similarity, Sketches}
 import graft.sources.WideMatrix
 import graft.streaming.StreamingOps
@@ -164,7 +164,7 @@ object SparkEntry {
       graft.operators.Layout.saltedSum(t(s, dir, "lineitem"),
           Seq("l_returnflag"), "l_quantity", col("l_orderkey"), salts = 16)
         .select(col("l_returnflag"),
-          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))),
+          Quantize.quantize(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))),
     "salted_join" -> ((s, dir) => {
       // skew-safe replicated-dim join: result-identical to the plain join
       // (oracle-proven via the post-join aggregate) — one hot suppkey
@@ -175,18 +175,18 @@ object SparkEntry {
         .select(col("s_suppkey").as("suppkey"), col("s_name"))
       graft.operators.Layout.saltedJoin(fact, dim, "suppkey", col("l_orderkey"), salts = 16)
         .groupBy(col("s_name"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(Quantize.quantize(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
     }),
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          Quantize.quantize(sum(col("l_quantity")), 2).as("sum_qty"),
+          Quantize.quantize(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Quantize.quantize(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          Quantize.quantize(avg(col("l_quantity")), 4).as("avg_qty"),
+          Quantize.quantize(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))),
     "q3_top_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -195,7 +195,7 @@ object SparkEntry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Quantize.quantize(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -208,7 +208,7 @@ object SparkEntry {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Quantize.quantize(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
     "anti_no_orders" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -224,7 +224,7 @@ object SparkEntry {
     "rollup_revenue" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(Quantize.quantize(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n"))),
     "station_pivot" -> ((s, _) =>
       stationValues(s)
@@ -244,7 +244,7 @@ object SparkEntry {
     "events_window" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .agg(count(lit(1)).as("n"), Quantize.quantize(sum(col("value")), 4).as("total"))
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))),
     // --- training-data ops: text (SURVEY north star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -289,8 +289,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
+          Quantize.quantize(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          Quantize.quantize(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
     "distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -340,8 +340,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
-          round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
+          Quantize.quantize(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          Quantize.quantize(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"))),
     "mix_weights" -> ((s, dir) =>
       // mixture stage: per-source weights + a char budget → deterministic
       // per-source sampling rates (min(1, w·B/total)); unlisted sources
@@ -370,7 +370,7 @@ object SparkEntry {
       // profile in ONE map-side-combined pass (the report a corpus release
       // ships with; at 100 TB this is the cheap query — keyed agg over a
       // scan, output = #groups). Totals are exact integers, never rounded
-      // doubles: round(avg(double), 4) proved DuckDB-version-sensitive
+      // doubles: rounded double averages proved DuckDB-version-sensitive
       // (r6 driver red vs judge bit-exact green), so the contract emits
       // sum+count pairs and consumers divide.
       t(s, dir, "documents")
@@ -407,7 +407,7 @@ object SparkEntry {
       // distinct-token ratio; 1.0 = no repetition
       val toks = TextFunctions.wsTokens(col("text"))
       t(s, dir, "documents").select(col("doc_id"),
-        round(size(array_distinct(toks)).cast("double") /
+        Quantize.quantize(size(array_distinct(toks)).cast("double") /
           greatest(size(toks), lit(1)), 6).as("distinct_ratio"))
     }),
     "vocab_top100" -> ((s, dir) =>
@@ -799,7 +799,7 @@ object SparkEntry {
         .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
       graft.operators.TimeSeries
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
-        .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
+        .select(col("event_id"), col("user_id"), col("ts"), Quantize.quantize(col("pval"), 4).as("pval"))
     }),
     "events_asof_fwd" -> ((s, dir) => {
       // forward as-of: each click annotated with the NEXT purchase value
@@ -812,7 +812,7 @@ object SparkEntry {
       graft.operators.TimeSeries
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"),
           suffix = "", direction = "forward")
-        .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
+        .select(col("event_id"), col("user_id"), col("ts"), Quantize.quantize(col("pval"), 4).as("pval"))
     }),
     "events_asof_tol" -> ((s, dir) => {
       // staleness-capped as-of: a purchase more than an hour old no longer
@@ -825,7 +825,7 @@ object SparkEntry {
       graft.operators.TimeSeries
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"),
           suffix = "", toleranceSeconds = Some(3600L))
-        .select(col("event_id"), col("user_id"), col("ts"), round(col("pval"), 4).as("pval"))
+        .select(col("event_id"), col("user_id"), col("ts"), Quantize.quantize(col("pval"), 4).as("pval"))
     }),
     "events_props" -> ((s, dir) =>
       // semi-structured path: typed JSON extraction with from_json (schema
@@ -836,7 +836,7 @@ object SparkEntry {
             org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
             .getField("k").as("k"))
         .groupBy(col("event_type"))
-        .agg(count(col("k")).as("n"), round(avg(col("k")), 4).as("avg_k"),
+        .agg(count(col("k")).as("n"), Quantize.quantize(avg(col("k")), 4).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
     "events_range" -> ((s, dir) => {
       // interval join via time bucketing: clicks within 10 minutes after
@@ -864,9 +864,9 @@ object SparkEntry {
   private val simTopkSql =
     """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
       |SELECT e.vec_id,
-      | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+      | floor((list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
       |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-      |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
+      |   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))) * 1e6 + 0.5) / 1e6 AS cos
       |FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
   /** Exact all-pairs cosine near-dup — oracles `sim_neardup` directly and
@@ -874,9 +874,9 @@ object SparkEntry {
   private val simNearDupSql =
     """SELECT id_a, id_b, cos FROM (
       | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |  floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      |    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      |    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1e6 + 0.5) / 1e6 AS cos
       | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       | WHERE a.vec_id < 500 AND b.vec_id < 500)
       |WHERE cos >= 0.45""".stripMargin
@@ -908,8 +908,8 @@ object SparkEntry {
     s"""q AS (SELECT $cols FROM (
        |  SELECT $cols, $langHitsSql FROM documents
        |  WHERE CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= 10
-       |    AND round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
-       |        greatest(length(text), 1), 6) <= 0.3)
+       |    AND floor((len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+       |        greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 <= 0.3)
        | WHERE ($langCaseSql) = 'en'),
        |e AS (SELECT $cols FROM q
        |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
@@ -925,7 +925,7 @@ object SparkEntry {
       | FROM documents),
       |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY term),
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
-      |SELECT doc_id, round(avg(ln(cnt * 1.0 / total)), 6) AS logprob
+      |SELECT doc_id, floor((avg(ln(cnt * 1.0 / total))) * 1e6 + 0.5) / 1e6 AS logprob
       |FROM terms JOIN counts USING (term) CROSS JOIN tot
       |GROUP BY doc_id""".stripMargin
 
@@ -935,9 +935,9 @@ object SparkEntry {
   private val simTopkJoinSql =
     """WITH s AS (
       | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-      |  round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |  floor((list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
       |   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-      |    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+      |    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) * 1e6 + 0.5) / 1e6 AS cos
       | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id < 300)
       |SELECT q_id, vec_id, cos FROM (
       | SELECT q_id, vec_id, cos,
@@ -1088,7 +1088,7 @@ object SparkEntry {
 
   private def jaccardSql(minJaccard: Double, maxDf: Option[Long] = None,
       src: String = "documents"): String =
-    overlapSql("round(ni * 1.0 / (x.n_sh + y.n_sh - ni), 6)", "jaccard",
+    overlapSql(Quantize.sql6("ni * 1.0 / (x.n_sh + y.n_sh - ni)"), "jaccard",
       minJaccard, maxDf, src)
 
   private val oracleJaccardSql = jaccardSql(0.5)
@@ -1219,22 +1219,22 @@ object SparkEntry {
          |FROM $storeRp WHERE datatype = 'temperature' AND station_id = '39.2'""".stripMargin,
     "paginate" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 300",
     "salted_sum" ->
-      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      """SELECT l_returnflag, floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+        | floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+        | floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        | floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1242,7 +1242,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM lineitem, supplier, nation, region
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_regionkey = r_regionkey
@@ -1257,7 +1257,7 @@ object SparkEntry {
       "SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem",
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "station_pivot" ->
       s"""SELECT station_id,
@@ -1272,7 +1272,7 @@ object SparkEntry {
         | FROM lineitem) WHERE rn <= 3""".stripMargin,
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
-        | round(sum(value), 4) AS total
+        | floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
@@ -1311,8 +1311,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "value_quantiles" ->
       """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        | floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+        | floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "distinct_counts" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
@@ -1364,9 +1364,14 @@ object SparkEntry {
          |SELECT doc_id, source, i AS copy_idx FROM nc JOIN nums ON i < n""".stripMargin
     },
     "corpus_report" ->
+      // CAST the sums: DuckDB types sum(BIGINT) as HUGEINT and serializes
+      // it over Arrow as decimal128(38,0) while Spark emits int64 —
+      // identical printed values, different typed bytes (the media_stats
+      // precedent applies; this was the r6/r7 hash-red root cause)
       """SELECT source, lang, count(*) AS n_docs,
-        | sum(n_chars) AS total_chars,
-        | sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+        |   AS total_tokens,
         | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents GROUP BY source, lang""".stripMargin,
     "text_rep_lines" ->
@@ -1380,9 +1385,9 @@ object SparkEntry {
          |c AS (SELECT doc_id, para, count(*) AS cnt, length(para) AS chars
          |      FROM paras GROUP BY doc_id, para)
          |SELECT doc_id,
-         | round(1 - count(*) * 1.0 / sum(cnt), 6) AS dup_line_ratio,
-         | round(sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) * 1.0 /
-         |   sum(cnt * chars), 6) AS dup_char_ratio
+         | floor((1 - count(*) * 1.0 / sum(cnt)) * 1e6 + 0.5) / 1e6 AS dup_line_ratio,
+         | floor((sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) * 1.0 /
+         |   sum(cnt * chars)) * 1e6 + 0.5) / 1e6 AS dup_char_ratio
          |FROM c GROUP BY doc_id""".stripMargin,
     "text_rep_ngram" ->
       // non-distinct shingle stream (the sh0 CTE dedups, so restate the
@@ -1393,12 +1398,12 @@ object SparkEntry {
         |g AS (SELECT doc_id,
         |  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |       ELSE array_to_string(t, ' ') END AS g FROM pos)
-        |SELECT doc_id, round(1 - count(DISTINCT g) * 1.0 / count(*), 6) AS dup_ngram_ratio
+        |SELECT doc_id, floor((1 - count(DISTINCT g) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS dup_ngram_ratio
         |FROM g GROUP BY doc_id""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id,
-        | round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 /
-        |   greatest(len(string_split(lower(text), ' ')), 1), 6) AS distinct_ratio
+        | floor((len(list_distinct(string_split(lower(text), ' '))) * 1.0 /
+        |   greatest(len(string_split(lower(text), ' ')), 1)) * 1e6 + 0.5) / 1e6 AS distinct_ratio
         |FROM documents""".stripMargin,
     "vocab_top100" ->
       """SELECT token, count(*) AS n
@@ -1413,12 +1418,12 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
-        | round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 /
-        |   greatest(length(text), 1), 6) AS punct_ratio,
-        | round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
-        |   greatest(length(text), 1), 6) AS digit_ratio,
-        | round(len(regexp_extract_all(lower(text), '[a-z0-9]')) * 1.0 /
-        |   greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS mean_token_len
+        | floor((len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 /
+        |   greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+        | floor((len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+        |   greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 AS digit_ratio,
+        | floor((len(regexp_extract_all(lower(text), '[a-z0-9]')) * 1.0 /
+        |   greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)) * 1e6 + 0.5) / 1e6 AS mean_token_len
         |FROM documents""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang, $langCaseSql AS pred_lang
@@ -1454,7 +1459,7 @@ object SparkEntry {
     // shared oracle hash-verifies the PQ path end-to-end
     "sim_topk_pq_full" -> simTopkSql,
     "salted_join" ->
-      """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      """SELECT s_name, floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
     "sim_topk_join" -> simTopkJoinSql,
@@ -1478,7 +1483,7 @@ object SparkEntry {
     "media_stats" ->
       s"""SELECT kind, count(*) AS n,
          | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-         | round(avg(width), 4) AS avg_w, round(avg(height), 4) AS avg_h
+         | floor((avg(width)) * 1e4 + 0.5) / 1e4 AS avg_w, floor((avg(height)) * 1e4 + 0.5) / 1e4 AS avg_h
          |FROM read_parquet('${Fixtures.MediaParquet}/*.parquet') GROUP BY kind""".stripMargin,
     // md5-prefix hash bucket — the SQL twin of Corpus.hashBucket (hex prefix
     // of md5(id) mod N); interpolated so both engines share one definition
@@ -1558,7 +1563,7 @@ object SparkEntry {
         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         |scored AS (
-        | SELECT doc_id, term, tf, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        | SELECT doc_id, term, tf, floor((tf * ln(n_docs * 1.0 / df)) * 1e6 + 0.5) / 1e6 AS tfidf
         | FROM tf JOIN dfreq USING (term) CROSS JOIN n),
         |r AS (SELECT doc_id, term, tf, tfidf,
         |  CAST(row_number() OVER (PARTITION BY doc_id
@@ -1570,11 +1575,11 @@ object SparkEntry {
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
         |  FROM documents) GROUP BY doc_id, term)
         |SELECT doc_id,
-        | round(ln(CAST(sum(c) AS BIGINT)) - sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6)
+        | floor((ln(CAST(sum(c) AS BIGINT)) - sum(c * ln(c)) / CAST(sum(c) AS BIGINT)) * 1e6 + 0.5) / 1e6
         |   AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
     "dedup_containment" ->
-      overlapSql("round(ni * 1.0 / least(x.n_sh, y.n_sh), 6)", "containment",
+      overlapSql(Quantize.sql6("ni * 1.0 / least(x.n_sh, y.n_sh)"), "containment",
         0.6, None, "documents"),
     "text_logprob" -> logprobSql,
     "text_logprob2" ->
@@ -1587,7 +1592,7 @@ object SparkEntry {
         | FROM toks JOIN nums ON i <= len(ts) - 1),
         |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
         |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
-        |SELECT doc_id, round(avg(ln(c2 * 1.0 / c1)), 6) AS logprob2
+        |SELECT doc_id, floor((avg(ln(c2 * 1.0 / c1))) * 1e6 + 0.5) / 1e6 AS logprob2
         |FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
         |GROUP BY doc_id""".stripMargin,
     "quality_quantile_gate" ->
@@ -1727,14 +1732,14 @@ object SparkEntry {
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
         |          WHERE event_type = 'purchase' GROUP BY 1, 2),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
+        |SELECT c.event_id, c.user_id, c.ts, floor((p.pval) * 1e4 + 0.5) / 1e4 AS pval
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "events_asof_fwd" ->
       // ASOF with the inequality flipped: nearest right row ABOVE
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
         |          WHERE event_type = 'purchase' GROUP BY 1, 2),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
+        |SELECT c.event_id, c.user_id, c.ts, floor((p.pval) * 1e4 + 0.5) / 1e4 AS pval
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
     "events_asof_tol" ->
       // no native tolerance in DuckDB ASOF — the plain inequality-join
@@ -1747,11 +1752,11 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
         |      FROM c JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
         |       AND p.ts >= c.ts - INTERVAL 1 HOUR)
-        |SELECT c.event_id, c.user_id, c.ts, round(m.pval, 4) AS pval
+        |SELECT c.event_id, c.user_id, c.ts, floor((m.pval) * 1e4 + 0.5) / 1e4 AS pval
         |FROM c LEFT JOIN m ON c.event_id = m.event_id AND m.rn = 1""".stripMargin,
     "events_props" ->
       """SELECT event_type, count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
-        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | floor((avg(CAST(json_extract(props, '$.k') AS BIGINT))) * 1e4 + 0.5) / 1e4 AS avg_k,
         | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
@@ -1776,6 +1781,6 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         | min(ts) AS session_start, max(ts) AS session_end,
-        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        | count(*) AS n_events, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin)
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Engine-version-stable decimal quantization — the drop-in replacement
+ * for `round(x, k)` on every oracle-checked score emission.
+ *
+ * Why not `round`: Spark's ROUND on doubles goes through
+ * `BigDecimal.setScale(k, HALF_UP)` (exact decimal conversion of the
+ * double, then half-up), while DuckDB's rounds via
+ * `std::round(x * 10^k) / 10^k` — different algorithms whose agreement
+ * is empirical, not guaranteed, and DuckDB's has changed across
+ * releases. A driver-side DuckDB upgrade can flip a rounded emission's
+ * hash with zero repo changes (this class of fragility kept
+ * `corpus_report` red for two rounds).
+ *
+ * `quantize` instead uses ONLY operations IEEE 754 pins to
+ * correctly-rounded results — multiply, add, floor, divide — which
+ * every engine implements bit-identically:
+ *
+ *   quantize(x, k) = floor(x · 10ᵏ + 0.5) / 10ᵏ
+ *
+ * (round-half-up toward +∞, one well-defined double result). The SQL
+ * twin ([[sql]]) spells the identical expression for DuckDB, so both
+ * sides compute the same bytes on any engine version. 10ᵏ is exactly
+ * representable for k ≤ 22; emitted scores here use k ≤ 6.
+ *
+ * Residual risk: if the UNQUANTIZED score differs across engines in the
+ * last ulp (transcendental inputs — ln; or sum-order noise), a value
+ * within ~1 ulp of a 0.5·10⁻ᵏ boundary can still flip — probability
+ * ~1e-10 per row, the irreducible floor for any fixed-point emission of
+ * inexact doubles, vs the SYSTEMATIC version-drift `round` carries.
+ */
+object Quantize {
+
+  /** floor(x·10ᵏ + 0.5)/10ᵏ as a Column (double). Spark's `floor`
+    * yields LONG; the division promotes it back to double exactly. */
+  def quantize(c: Column, k: Int): Column = {
+    require(k >= 0 && k <= 6, s"quantize scale out of supported range: $k")
+    val p = math.pow(10, k)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** The common 6-decimal score form. */
+  def q6(c: Column): Column = quantize(c, 6)
+
+  /** DuckDB twin: the same IEEE expression, spelled in SQL. */
+  def sql(expr: String, k: Int): String = {
+    require(k >= 0 && k <= 6, s"quantize scale out of supported range: $k")
+    s"floor(($expr) * 1e$k + 0.5) / 1e$k"
+  }
+
+  def sql6(expr: String): String = sql(expr, 6)
+}

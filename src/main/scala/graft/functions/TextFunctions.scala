@@ -108,7 +108,12 @@ object TextFunctions {
    * histogram (Zipf makes distinct words a driver-sized model at any
    * corpus scale, the codebook/centroid precedent; `maxWords` caps it
    * deterministically by (count desc, word) BEFORE the collect so driver
-   * memory is bounded even on adversarial vocabularies). Each iteration
+   * memory is bounded even on adversarial vocabularies — NOTE this cap
+   * TRUNCATES: words past the 2²⁰-by-default most frequent are SILENTLY
+   * absent from the histogram, so their pair counts don't vote on
+   * merges; Zipf mass makes the effect negligible on natural text, but a
+   * flat synthetic vocabulary larger than `maxWords` trains on a biased
+   * sample — raise `maxWords` there). Each iteration
    * counts adjacent symbol pairs weighted by word count, merges the most
    * frequent pair everywhere, and records it; ties break to the
    * lexicographically smallest pair, so the trained table is
@@ -218,12 +223,11 @@ object TextFunctions {
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTok,
-      "punct_ratio" -> round(countMatches(text, "[.,;:!?]").cast("double") /
+      "punct_ratio" -> Quantize.quantize(countMatches(text, "[.,;:!?]").cast("double") /
         greatest(nChars, lit(1L)), 6),
-      "digit_ratio" -> round(countMatches(text, "[0-9]").cast("double") /
+      "digit_ratio" -> Quantize.quantize(countMatches(text, "[0-9]").cast("double") /
         greatest(nChars, lit(1L)), 6),
-      "mean_token_len" -> round(
-        countMatches(lower(text), "[a-z0-9]").cast("double") / greatest(nTok, lit(1L)), 6))
+      "mean_token_len" -> Quantize.quantize(countMatches(lower(text), "[a-z0-9]").cast("double") / greatest(nTok, lit(1L)), 6))
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{Quantize, TextFunctions}
 
 /**
  * Corpus-management operators a training-data pipeline needs between
@@ -215,9 +215,13 @@ object Corpus {
    * ~2/(g+1) fraction of k-gram hashes), the eval side's distinct
    * fingerprint set broadcasts, and the corpus streams MAP-ONLY through
    * the probe. The winnowing guarantee carries over: any eval passage of
-   * ≥ `g + k − 1` verbatim tokens inside a corpus doc shares at least one
-   * selected fingerprint, so long-quote contamination cannot hide —
-   * while the corpus-side work is a fraction of the full shingle join
+   * ≥ `g + k − 1` verbatim tokens inside a corpus doc shares at least ONE
+   * selected fingerprint — so the cannot-hide guarantee holds only at
+   * `minShared = 1`; the default `minShared = 2` trades that worst-case
+   * guarantee for precision (a minimal g+k−1-token passage may surface
+   * just one shared fingerprint and survive; real contamination is
+   * paragraphs long and sheds many) — while the corpus-side work is a
+   * fraction of the full shingle join
    * [[contaminationPairs]] pays. The trade: no per-eval-doc attribution
    * (counts are against the eval UNION, like the Bloom form) and
    * sub-window overlaps can't match; use the exact operator when the
@@ -526,17 +530,22 @@ object Corpus {
    * arrives via a broadcast 1-row aggregate, not a driver-side collect —
    * the whole thing stays one lazy plan.
    *
-   * COST NOTE: this one-shot form computes [[termFrequencies]] twice (the
-   * tf branch and the df branch prune different columns, so Catalyst
-   * cannot exchange-reuse one subtree; the alternative — df as a window
-   * over term — would shuffle every (doc,term) row to hot-term partitions,
-   * a skew magnet). Scans are the cheap, skew-free currency, so two passes
-   * is the right default; a pipeline that already materializes tf should
-   * call [[tfidfTopFromTf]] and pay ZERO corpus scans.
+   * COST NOTE: the tf relation feeds TWO consumers (the df aggregate and
+   * the scoring join), so left as lineage the explode + (doc,term)
+   * aggregation would run twice — this one-shot form MATERIALIZES tf
+   * once (local checkpoint; [[tfidfTopFromTf]] is the zero-copy entry
+   * for pipelines that persisted tf themselves) and both consumers read
+   * the cached (id, term, tf) blocks. The alternative single-pass shape —
+   * df as a window over term — would shuffle every (doc,term) row to
+   * hot-term partitions, a skew magnet; the materialized two-consumer
+   * form keeps df map-side-combined. `n_docs` stays a count over `docs`
+   * (documents with zero tokens count toward N but have no tf rows) —
+   * a metadata-only parquet row-count scan.
    */
   def tfidfTop(docs: DataFrame, k: Int = 3, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    tfidfTopFromTf(termFrequencies(docs, textCol, idCol),
+      idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame =
+    tfidfTopFromTf(Materialize(termFrequencies(docs, textCol, idCol), checkpointDir),
       docs.agg(count(lit(1)).as("n_docs")), k, idCol)
 
   /** tf-idf top-k from a precomputed (persisted) [[termFrequencies]]
@@ -547,7 +556,7 @@ object Corpus {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("tfidf", Quantize.quantize(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rnk"))
@@ -610,7 +619,8 @@ object Corpus {
       .select(keepCols.map(col): _*), checkpointDir)
     val survivors = Dedup.dedupByClusters(exactKept,
       Dedup.ngramJaccardPairs(exactKept, n = n, minJaccard = minJaccard,
-        textCol = textCol, idCol = idCol, maxDf = maxDf),
+        textCol = textCol, idCol = idCol, maxDf = maxDf,
+        checkpointDir = checkpointDir),
       idCol, checkpointDir)
     // decontaminate on the ORIGINAL text (contamination is about overlap
     // with the eval set as published), redact after, rebalance last —
@@ -651,7 +661,7 @@ object Corpus {
     val total = terms.agg(count(lit(1)).as("total"))
     terms.join(counts, "term").crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(round(avg(log(col("cnt") / col("total"))), 6).as("logprob"))
+      .agg(Quantize.quantize(avg(log(col("cnt") / col("total"))), 6).as("logprob"))
   }
 
   /**
@@ -685,7 +695,7 @@ object Corpus {
     val cw = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     pairs.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
       .groupBy(col(idCol))
-      .agg(round(avg(log(col("c2") / col("c1"))), 6).as("logprob2"))
+      .agg(Quantize.quantize(avg(log(col("c2") / col("c1"))), 6).as("logprob2"))
   }
 
   /**
@@ -705,14 +715,22 @@ object Corpus {
    * `value_quantiles_approx` twin pattern).
    */
   def dropBottomQuantile(scored: DataFrame, scoreCol: String, q: Double,
-      approx: Boolean = false): DataFrame = {
+      approx: Boolean = false, checkpointDir: Option[String] = None): DataFrame = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    // ONE scoring pass: the threshold aggregate and the filter both
+    // consume `scored`, so left as lineage the whole scoring plan (for a
+    // unigramLogProb score: tokenize + two counting aggregations + joins)
+    // runs TWICE — measured ~2× the oracle at sf0.1, and at 100 TB the
+    // recompute is the dominant cost. Materialize truncates the lineage
+    // (local checkpoint, or a reliable one under `checkpointDir`), so
+    // the gate pays one scoring pass + one cached-scan filter.
+    val mat = Materialize(scored, checkpointDir)
     // Column API, not an interpolated expr() string — a score column
     // named with a dot/space would otherwise mis-parse
     val thrCol = if (approx) approx_percentile(col(scoreCol), lit(q), lit(10000))
       else percentile(col(scoreCol), lit(q))
-    val thr = scored.agg(thrCol.as("__thr"))
-    scored.crossJoin(broadcast(thr))
+    val thr = mat.agg(thrCol.as("__thr"))
+    mat.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
 
@@ -728,12 +746,16 @@ object Corpus {
    * (#strata)-row join.
    */
   def dropBottomQuantileByStratum(scored: DataFrame, scoreCol: String,
-      q: Double, strataCol: String, approx: Boolean = false): DataFrame = {
+      q: Double, strataCol: String, approx: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    // same one-pass contract as [[dropBottomQuantile]]: materialize the
+    // scored frame once; thresholds and filter read the cached blocks
+    val mat = Materialize(scored, checkpointDir)
     val thrCol = if (approx) approx_percentile(col(scoreCol), lit(q), lit(10000))
       else percentile(col(scoreCol), lit(q))
-    val thr = scored.groupBy(col(strataCol)).agg(thrCol.as("__thr"))
-    scored.join(broadcast(thr), Seq(strataCol))
+    val thr = mat.groupBy(col(strataCol)).agg(thrCol.as("__thr"))
+    mat.join(broadcast(thr), Seq(strataCol))
       .filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
 
@@ -756,7 +778,7 @@ object Corpus {
     // declines to inline a non-cheap producer, so shingling runs once
     docs.select(col(idCol), TextFunctions.shingles(col(textCol), n).as("__sh"))
       .select(col(idCol),
-        round(lit(1) - size(array_distinct(col("__sh"))).cast("double") /
+        Quantize.quantize(lit(1) - size(array_distinct(col("__sh"))).cast("double") /
           size(col("__sh")), 6).as("dup_ngram_ratio"))
 
   /**
@@ -783,9 +805,9 @@ object Corpus {
       .agg(count(lit(1)).as("cnt"), length(col("para")).cast("long").as("chars"))
       .groupBy(col(idCol))
       .agg(
-        round(lit(1) - count(lit(1)).cast("double") / sum(col("cnt")), 6)
+        Quantize.quantize(lit(1) - count(lit(1)).cast("double") / sum(col("cnt")), 6)
           .as("dup_line_ratio"),
-        round(sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L))
+        Quantize.quantize(sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L))
           .cast("double") / sum(col("cnt") * col("chars")), 6)
           .as("dup_char_ratio"))
 
@@ -801,7 +823,7 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame =
     termFrequencies(docs, textCol, idCol)
       .groupBy(col(idCol))
-      .agg(round(log(sum(col("tf"))) -
+      .agg(Quantize.quantize(log(sum(col("tf"))) -
         sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"))
 
   /**

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Quantize
+
 /**
  * Multimodal (image/audio/video) column handling: payloads are opaque
  * `binary` columns traveling WITH typed metadata; decode / feature-extract /
@@ -103,7 +105,7 @@ object Multimodal {
     media.groupBy(col("kind")).agg(
       count(lit(1)).as("n"),
       sum(col("n_bytes")).as("total_bytes"),
-      round(avg(col("width")), 4).as("avg_w"),
-      round(avg(col("height")), 4).as("avg_h"))
+      Quantize.quantize(avg(col("width")), 4).as("avg_w"),
+      Quantize.quantize(avg(col("height")), 4).as("avg_h"))
   }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Quantize
+
 /**
  * Similarity search over an embedding column (`array<float>`).
  *
@@ -58,7 +60,7 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     embeddings
       .select(col(idCol),
-        round(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
+        Quantize.quantize(dot(col(vecCol), q) / (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -166,7 +168,7 @@ object Similarity {
     index.filter(pred)
       .select(col(idCol), col(vecCol), n.as("__n")).dropDuplicates(idCol)
       .select(col(idCol),
-        round(dot(col(vecCol), q) / (col("__n") * lit(normOf(query))), 6).as("cos"))
+        Quantize.quantize(dot(col(vecCol), q) / (col("__n") * lit(normOf(query))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -181,7 +183,7 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     index.select(col(idCol), col(vecCol), n.as("__n")).dropDuplicates(idCol)
       .select(col(idCol),
-        round(dot(col(vecCol), q) / (col("__n") * lit(normOf(query))), 6).as("cos"))
+        Quantize.quantize(dot(col(vecCol), q) / (col("__n") * lit(normOf(query))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -221,7 +223,7 @@ object Similarity {
         col("a.__n").as("__na"), col("b.__n").as("__nb"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
+        Quantize.quantize(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
@@ -409,7 +411,7 @@ object Similarity {
       else norm(col(vecCol)) // pre-norm-column assignments tables
     index.assignments.filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
       .select(col(idCol),
-        round(dot(col(vecCol), q) / (n * lit(qn)), 6).as("cos"))
+        Quantize.quantize(dot(col(vecCol), q) / (n * lit(qn)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -430,7 +432,7 @@ object Similarity {
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val scored = q.crossJoin(c)
       .select(col(qIdCol), col(idCol),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
@@ -459,7 +461,7 @@ object Similarity {
     val scored = qb.join(cb, Seq("table", "bucket"))
       .dropDuplicates(qIdCol, idCol)
       .select(col(qIdCol), col(idCol),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
@@ -502,7 +504,7 @@ object Similarity {
         index.assignments.select(col(idCol), col(vecCol).as("__corp"),
           cn.as("__cn"), col("cell")), "cell")
       .select(col(qIdCol), col(idCol),
-        round(dot(col("__qv"), col("__corp")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        Quantize.quantize(dot(col("__qv"), col("__corp")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
@@ -539,7 +541,7 @@ object Similarity {
     val b = withNorm.as("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        Quantize.quantize(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.__n") * col("b.__n")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
@@ -694,7 +696,7 @@ object Similarity {
     // probe, and the HOF formulation it replaces evaluated interpreted
     // per row. Same double accumulation in subspace order → bit-identical.
     val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), tableLit)
-    encoded.select(col(idCol), round(lit(1) - d2 / 2, 6).as("approx_cos"))
+    encoded.select(col(idCol), Quantize.quantize(lit(1) - d2 / 2, 6).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(idCol))
       .limit(k)
   }
@@ -845,7 +847,7 @@ object Similarity {
     // times, so it must stay inside whole-stage codegen
     val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), col("__tbl"))
     val scored = encoded.crossJoin(broadcast(q))
-      .select(col(qIdCol), col(idCol), round(lit(1) - d2 / 2, 6).as("cos"))
+      .select(col(qIdCol), col(idCol), Quantize.quantize(lit(1) - d2 / 2, 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
       .withColumnRenamed("cos", "approx_cos")
   }
@@ -867,7 +869,7 @@ object Similarity {
       norm(col(vecCol)).as("__qn"))
     val scored = shortlist.join(c, idCol).join(broadcast(q), qIdCol)
       .select(col(qIdCol), col(idCol),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
@@ -914,7 +916,7 @@ object Similarity {
     // (cell-partitioned) code relation streams map-only through the join
     val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), col("__tbl"))
     val scored = cellCodes.join(broadcast(probes), "cell")
-      .select(col(qIdCol), col(idCol), round(lit(1) - d2 / 2, 6).as("cos"))
+      .select(col(qIdCol), col(idCol), Quantize.quantize(lit(1) - d2 / 2, 6).as("cos"))
     val shortlist = topKPerQuery(scored, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
     // exact rescoring of exactly the shortlisted (query, candidate) pairs
@@ -924,7 +926,7 @@ object Similarity {
       norm(col(vecCol)).as("__qn"))
     val rescored = shortlist.join(c, idCol).join(broadcast(qv), qIdCol)
       .select(col(qIdCol), col(idCol),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
+        Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(rescored, k, idCol, qIdCol)
   }
 }

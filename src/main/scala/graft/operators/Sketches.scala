@@ -79,15 +79,29 @@ object Sketches {
    * group-wise KLL union + one [[graft.plans.KllExpressions.kllQuantile]]
    * per requested rank. Cost is O(groups × increments) sketch rows —
    * percentiles over a growing corpus without rescanning any increment.
+   *
+   * `k` MUST match the k the increments were built with: the DataSketches
+   * union adopts the SMALLEST k involved, so a k=200 union buffer over
+   * k=400 increments silently degrades accuracy below what the caller
+   * configured (and the reverse wastes the buffer).
    */
   def kllMerge(sketches: DataFrame, groupCols: Seq[String], valueCol: String,
-      ranks: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+      ranks: Seq[Double] = Seq(0.5, 0.95),
+      k: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
     val merged = sketches.groupBy(groupCols.map(col): _*)
-      .agg(graft.plans.KllExpressions.kllUnion(col(s"${valueCol}_kll")).as("__sk"),
+      .agg(graft.plans.KllExpressions.kllUnion(col(s"${valueCol}_kll"), k).as("__sk"),
         sum(col("n_rows")).as("n_rows"))
     val qCols = ranks.map(r =>
-      graft.plans.KllExpressions.kllQuantile(col("__sk"), r)
-        .as(s"p${(r * 100).round}"))
+      graft.plans.KllExpressions.kllQuantile(col("__sk"), r).as(rankColName(r)))
     merged.select(groupCols.map(col) ++ qCols :+ col("n_rows"): _*)
+  }
+
+  /** Unambiguous quantile column name: "p50", "p95" for whole percents,
+    * "p95_4" for 0.954 — two ranks that round to the same whole percent
+    * (0.954 vs 0.955) would otherwise collide on one output name. */
+  private[graft] def rankColName(r: Double): String = {
+    val pct = BigDecimal.valueOf(r) * 100
+    val s = pct.underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_").replace("-", "m")
   }
 }

@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
  *  - [[KllSketchAgg]] — aggregate raw doubles into a binary KLL sketch
  *    (`toByteArray` state, kilobytes at k=200), the `hll_sketch_agg`
  *    analog;
- *  - [[KllMergeAgg]] — union binary sketch rows (KLL merge preserves the
- *    rank-error guarantee of the LARGEST k involved), the
- *    `hll_union_agg` analog;
+ *  - [[KllMergeAgg]] — union binary sketch rows (the merged guarantee
+ *    follows the SMALLEST k involved — DataSketches adopts the
+ *    worst-accuracy input's k, so union increments built at mixed k
+ *    degrade to the coarsest), the `hll_union_agg` analog;
  *  - [[KllQuantileOf]] — extract a quantile estimate from a binary
  *    sketch, the `hll_sketch_estimate` analog.
  *

@@ -113,7 +113,23 @@ case class PqAdcDistance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < m) {
-      acc += table.getArray(i).getDouble(codes.getInt(i))
+      // the expression is SQL-registered, so a user-supplied code can be
+      // anything — guard like ANSI element_at instead of reading
+      // out-of-bounds unsafe memory (internal pqEncode output is always
+      // in range, and the branch is perfectly predicted there)
+      if (codes.isNullAt(i) || table.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pq_adc_distance: null element at subspace $i")
+      val c = codes.getInt(i)
+      val row = table.getArray(i)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc_distance: code $c out of range [0, ${row.numElements()}) " +
+            s"at subspace $i")
+      if (row.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"pq_adc_distance: null table cell at subspace $i, code $c")
+      acc += row.getDouble(c)
       i += 1
     }
     acc
@@ -124,11 +140,31 @@ case class PqAdcDistance(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      // same guards as nullSafeEval: SQL-facing, so out-of-range codes
+      // and null elements must raise, not read garbage
       s"""
          |int $m = java.lang.Math.min($codes.numElements(), $table.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
-         |  $acc += $table.getArray($i).getDouble($codes.getInt($i));
+         |  if ($codes.isNullAt($i) || $table.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc_distance: null element at subspace " + $i);
+         |  }
+         |  int $c = $codes.getInt($i);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $table.getArray($i);
+         |  if ($c < 0 || $c >= $row.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc_distance: code " + $c + " out of range [0, " +
+         |        $row.numElements() + ") at subspace " + $i);
+         |  }
+         |  if ($row.isNullAt($c)) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc_distance: null table cell at subspace " + $i +
+         |        ", code " + $c);
+         |  }
+         |  $acc += $row.getDouble($c);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -452,6 +452,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(globalKept.filter(col("stratum") === "b").count() == 500)
   }
 
+  test("quality gates pay ONE scoring pass: the gate plan reads a materialized frame") {
+    // the scored lineage (unigramLogProb: explode + two counting aggs +
+    // joins) must appear ONCE — materialized before thresholding — not
+    // re-expanded in both the threshold aggregate and the filter. The
+    // gate's own plan therefore contains NO Generate (explode) node and
+    // scans the checkpointed RDD instead.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val gated = Corpus.dropBottomQuantile(
+      Corpus.unigramLogProb(docs), "logprob", 0.1)
+    val nodes = SparkTestBase.planNodeNames(gated)
+    assert(!nodes.exists(_.contains("Generate")),
+      s"scoring lineage re-expanded inside the gate plan: $nodes")
+    assert(nodes.exists(n => n.contains("ExistingRDD") || n.contains("Scan")),
+      s"expected a materialized scan: $nodes")
+    assert(gated.count() > 0)
+    val strat = Corpus.dropBottomQuantileByStratum(
+      Corpus.unigramLogProb(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+      "logprob", 0.1, "source")
+    val statNodes = SparkTestBase.planNodeNames(strat)
+    assert(!statNodes.exists(_.contains("Generate")),
+      s"stratified gate re-expanded scoring: $statNodes")
+    assert(strat.count() > 0)
+  }
+
   test("corpusDiff: all four statuses; whitespace reflow reads as unchanged") {
     val prev = Seq((1L, "kept the same"), (2L, "will change"), (3L, "will vanish"),
       (4L, "spaced   out text")).toDF("doc_id", "text")
@@ -548,6 +574,31 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(rankOf(vs, onePass(flag)._1) - 0.5) <= 0.04)
       assert(math.abs(rankOf(vs, onePass(flag)._2) - 0.95) <= 0.04)
     }
+  }
+
+  test("kllMerge: k threads to the union buffer; rank names never collide") {
+    // DataSketches union adopts the SMALLEST k involved — so merging
+    // k=400 increments through a default k=200 union buffer would
+    // silently degrade accuracy; with k threaded, the merged sketch
+    // keeps the configured k (observable via its serialized state size /
+    // normalized rank error bound staying at the k=400 level)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val inc = Sketches.kllIncrement(li, Seq("l_returnflag"), "l_extendedprice",
+      k = 400)
+    val merged = Sketches.kllMerge(inc, Seq("l_returnflag"), "l_extendedprice",
+      ranks = Seq(0.5), k = 400)
+    assert(merged.columns.toSeq == Seq("l_returnflag", "p50", "n_rows"))
+    assert(merged.count() > 0)
+    // fractional-percent ranks get unambiguous names instead of both
+    // rounding to p95/p96 (or colliding)
+    assert(Sketches.rankColName(0.954) == "p95_4")
+    assert(Sketches.rankColName(0.955) == "p95_5")
+    assert(Sketches.rankColName(0.5) == "p50")
+    assert(Sketches.rankColName(1.0) == "p100")
+    val twoClose = Sketches.kllMerge(inc, Seq("l_returnflag"),
+      "l_extendedprice", ranks = Seq(0.954, 0.955), k = 400)
+    assert(twoClose.columns.distinct.length == twoClose.columns.length,
+      twoClose.columns.mkString(","))
   }
 
   test("cleanCorpus: every gate and both dedup passes fire; survivors get splits") {

@@ -702,6 +702,20 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(bpe < chars, s"trained merges failed to compress: $bpe vs $chars")
   }
 
+  test("trainBpeMerges: maxWords TRUNCATES the histogram (pinned, documented)") {
+    // histogram: "aa" ×3, "bb" ×1 — maxWords=1 keeps only "aa" by
+    // (count desc, word), so bb's pairs never vote and training
+    // exhausts after the single (a,a) merge; maxWords=2 sees both
+    val d = Seq((0L, "aa aa aa bb")).toDF("doc_id", "text")
+    assert(TextFunctions.trainBpeMerges(d, 5, maxWords = 1) == Seq(("a", "a")))
+    assert(TextFunctions.trainBpeMerges(d, 5, maxWords = 2) ==
+      Seq(("a", "a"), ("b", "b")))
+    // the cap selects deterministically by (count desc, word): at equal
+    // counts the lexicographically smaller word survives
+    val tie = Seq((0L, "cc dd")).toDF("doc_id", "text")
+    assert(TextFunctions.trainBpeMerges(tie, 5, maxWords = 1) == Seq(("c", "c")))
+  }
+
   test("loadBpeMerges: GPT-2 format round-trips into bpeCount; malformed lines fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("merges")
     val f = dir.resolve("merges.txt")

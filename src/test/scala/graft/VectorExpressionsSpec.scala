@@ -121,6 +121,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdc bounds/null guards: bad codes raise instead of reading garbage") {
+    // SQL-registered surface: a user-supplied code outside
+    // [0, table[i].length) must raise (element_at-style), not read
+    // out-of-bounds unsafe memory — in BOTH eval paths
+    val bad = Seq((Array(2), Array(Array(1.0, 2.0)))).toDF("codes", "tbl")
+    val neg = Seq((Array(-1), Array(Array(1.0, 2.0)))).toDF("codes", "tbl")
+    val nullElem = Seq((Array(Option.empty[Int]), Array(Array(1.0))))
+      .toDF("codes", "tbl")
+    def assertRaises(df: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] {
+        df.select(VectorExpressions.pqAdc(col("codes"), col("tbl"))).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c =>
+          c.getMessage != null && c.getMessage.contains("pq_adc_distance")), e.toString)
+    }
+    for (df <- Seq(bad, neg, nullElem)) {
+      assertRaises(df)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try assertRaises(df)
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    // in-range codes still sum exactly
+    val ok = Seq((Array(1, 0), Array(Array(1.0, 2.0), Array(3.0, 4.0))))
+      .toDF("codes", "tbl")
+      .select(VectorExpressions.pqAdc(col("codes"), col("tbl"))).head.getDouble(0)
+    assert(ok == 5.0)
+  }
+
   test("kll SQL registration: sketch -> union -> quantile pipeline answers within rank error") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
