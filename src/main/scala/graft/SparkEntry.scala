@@ -464,34 +464,46 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
       Similarity.topK(e, q, k = 10)
     }),
+    // Every sim_* probe below serves from the PREBUILT per-directory
+    // artifacts (AnnIndex: built once through the library's persist
+    // writers, partition-pruned layouts) — the production split. Training
+    // cost stays measured as its own query (`sim_index_build`); the
+    // *_full bridges hash-verify that persisted-serving ≡ inline-trained
+    // ≡ brute force.
+    "sim_index_build" -> ((s, dir) => {
+      // UNCONDITIONAL build to a throwaway dir: the declared training-
+      // cost query (rows-only — the artifact summary has no SQL twin)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_build").toString
+      AnnIndex.buildAll(s, dir, tmp)
+    }),
     "sim_topk_pq" -> ((s, dir) => {
       // PQ: the memory side of the ANN triad — d·4 bytes → m codes.
       // Scores are approximate by design (lossy quantization) → rows-only;
       // the spec pins recall vs brute force and exactness on-codebook
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
-      Similarity.topKPq(Similarity.pqEncode(e, model), model, q, k = 10)
+      val (codes, model) = AnnIndex.pqFull(s, dir)
+      Similarity.topKPq(codes, model, q, k = 10)
     }),
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      Similarity.topKLsh(Similarity.buildLshIndex(e, dim = 64), q, k = 10)
+      Similarity.topKLsh(AnnIndex.lshFull(s, dir), q, k = 10)
     }),
     "sim_topk_ivf" -> ((s, dir) => {
-      // IVF scale path: deterministic k-means cells, nProbe-cell scan
+      // IVF scale path: nProbe-cell scan against the persisted
+      // cell-partitioned assignments (partition pruning does the work)
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      Similarity.topKIvf(Similarity.buildIvfIndex(e, nCells = 16, iters = 2),
-        q, k = 10, nProbe = 4)
+      Similarity.topKIvf(AnnIndex.ivfFull(s, dir), q, k = 10, nProbe = 4)
     }),
     "sim_topk_ivf_full" -> ((s, dir) => {
       // nProbe = nCells degrades to exact brute force — the hash-verified
-      // oracle bridge for the whole IVF path (train, assign, probe, rescore)
+      // oracle bridge for the whole IVF path (model round-trip, assign,
+      // probe, rescore)
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      Similarity.topKIvf(Similarity.buildIvfIndex(e, nCells = 16, iters = 2),
-        q, k = 10, nProbe = 16)
+      Similarity.topKIvf(AnnIndex.ivfFull(s, dir), q, k = 10, nProbe = 16)
     }),
     "sim_topk_pq_full" -> ((s, dir) => {
       // overscan spans the whole corpus → the ADC shortlist is everything
@@ -499,10 +511,9 @@ object SparkEntry {
       // full PQ machinery (train, encode, distance tables, ADC, rerank)
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      val (codes, model) = AnnIndex.pqFull(s, dir)
       val n = e.count().toInt
-      Similarity.topKPqRescored(Similarity.pqEncode(e, model), e, model,
-        q, k = 10, overscan = n / 10 + 1)
+      Similarity.topKPqRescored(codes, e, model, q, k = 10, overscan = n / 10 + 1)
     }),
     "sim_topk_lsh_full" -> ((s, dir) => {
       // probe-ALL through the LSH index: provably equal to brute force, so
@@ -510,7 +521,7 @@ object SparkEntry {
       // hash-verified by the same oracle as sim_topk
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      Similarity.topKLshAll(Similarity.buildLshIndex(e, dim = 64), q, k = 10)
+      Similarity.topKLshAll(AnnIndex.lshFull(s, dir), q, k = 10)
     }),
     "sim_topk_join" -> ((s, dir) => {
       // batch k-NN: every query row gets its top-k corpus neighbors
@@ -524,9 +535,9 @@ object SparkEntry {
       // batch ADC: per-query distance tables amortize the codebook work,
       // each pair costs m lookups over m-int codes. Lossy → rows-only
       val e = t(s, dir, "embeddings")
-      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      val model = AnnIndex.pqFull(s, dir)._2
       Similarity.topKJoinPq(
-        Similarity.pqEncode(e.filter(col("vec_id") < 300), model),
+        AnnIndex.codes300(s, dir),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         model, k = 5)
     }),
@@ -534,9 +545,9 @@ object SparkEntry {
       // corpus-spanning shortlist + exact rerank of exactly the
       // shortlisted pairs ≡ brute-force batch join — shared oracle
       val e = t(s, dir, "embeddings")
-      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+      val model = AnnIndex.pqFull(s, dir)._2
       Similarity.topKJoinPqRescored(
-        Similarity.pqEncode(e.filter(col("vec_id") < 300), model),
+        AnnIndex.codes300(s, dir),
         e.filter(col("vec_id") < 300),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         model, k = 5, overscan = 60)
@@ -544,7 +555,7 @@ object SparkEntry {
     "sim_topk_join_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.topKJoinLsh(
-        Similarity.buildLshIndex(e.filter(col("vec_id") < 300), dim = 64),
+        AnnIndex.lsh300(s, dir),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         dim = 64, k = 5)
     }),
@@ -553,7 +564,7 @@ object SparkEntry {
       // below hash-verifies the machinery)
       val e = t(s, dir, "embeddings")
       Similarity.topKJoinIvf(
-        Similarity.buildIvfIndex(e.filter(col("vec_id") < 300), nCells = 16, iters = 2),
+        AnnIndex.ivf300(s, dir),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 4)
     }),
@@ -562,22 +573,20 @@ object SparkEntry {
       // join; the sim_topk_join oracle hash-verifies the IVF join path
       val e = t(s, dir, "embeddings")
       Similarity.topKJoinIvf(
-        Similarity.buildIvfIndex(e.filter(col("vec_id") < 300), nCells = 16, iters = 2),
+        AnnIndex.ivf300(s, dir),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 16)
     }),
     "sim_topk_join_ivfpq" -> ((s, dir) => {
-      // the composed batch member: IVF prunes cells, PQ codes pay for the
-      // scan, exact rerank of the k·overscan sliver (rows-only; the _full
-      // bridge below hash-verifies the machinery)
+      // the composed batch member: IVF prunes cells (partition-pruned
+      // persisted cell codes), PQ codes pay for the scan, exact rerank of
+      // the k·overscan sliver (rows-only; the _full bridge below
+      // hash-verifies the machinery)
       val e = t(s, dir, "embeddings")
-      val corpus = e.filter(col("vec_id") < 300)
-      val ivf = Similarity.buildIvfIndex(corpus, nCells = 16, iters = 2)
-      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
       Similarity.topKJoinIvfPq(
-        Similarity.buildCellCodes(ivf, Similarity.pqEncode(corpus, model)),
-        corpus,
-        ivf, model,
+        AnnIndex.cellCodes300(s, dir),
+        e.filter(col("vec_id") < 300),
+        AnnIndex.ivf300(s, dir), AnnIndex.pqFull(s, dir)._2,
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 4, overscan = 10)
     }),
@@ -585,15 +594,12 @@ object SparkEntry {
       // nProbe = nCells + corpus-spanning overscan: every cell probed,
       // every candidate exactly reranked ≡ brute-force batch join — the
       // shared sim_topk_join oracle hash-verifies the composed path
-      // (cell ranking, cell codes, per-query ADC tables, rerank)
+      // (cell ranking, persisted cell codes, per-query ADC tables, rerank)
       val e = t(s, dir, "embeddings")
-      val corpus = e.filter(col("vec_id") < 300)
-      val ivf = Similarity.buildIvfIndex(corpus, nCells = 16, iters = 2)
-      val model = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
       Similarity.topKJoinIvfPq(
-        Similarity.buildCellCodes(ivf, Similarity.pqEncode(corpus, model)),
-        corpus,
-        ivf, model,
+        AnnIndex.cellCodes300(s, dir),
+        e.filter(col("vec_id") < 300),
+        AnnIndex.ivf300(s, dir), AnnIndex.pqFull(s, dir)._2,
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 16, overscan = 60)
     }),

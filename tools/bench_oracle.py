@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Reproducible DuckDB comparator timing — the judge's method, committed.
+
+Runs every statement in a Verify dump's oracle_sql.json against the sfDir
+parquet on ONE DuckDB connection, timing per-statement wall clock,
+min-of-R (default 2). Reports the full-inventory total and the
+"substantial" subset (statements at or above --substantial seconds,
+default 0.2) so the per-round "vs baseline" ratio diffs two committed
+runs instead of re-deriving the method.
+
+Usage:
+  python3 tools/bench_oracle.py <sfDir> <oracle_sql.json> [--repeat 2]
+      [--substantial 0.2] [--spark-queries BENCH_QUERIES.json]
+
+With --spark-queries (the Bench sidecar), also prints the like-for-like
+Spark/DuckDB ratios over the shared statement names.
+"""
+import argparse, json, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("oracle_json")
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--substantial", type=float, default=0.2)
+    ap.add_argument("--spark-queries")
+    ap.add_argument("--out")
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                f"'{args.sf_dir}/{name}.parquet'")
+    oracle = json.load(open(args.oracle_json))
+    times = {}
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                print(f"ERR  {name}: {e}", file=sys.stderr)
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = best
+
+    total = sum(times.values())
+    sub = {k: v for k, v in times.items() if v >= args.substantial}
+    print(f"duckdb statements: {len(times)}  total {total:.2f}s  "
+          f"substantial(>= {args.substantial}s): {len(sub)} "
+          f"({sum(sub.values()):.2f}s)")
+    for k, v in sorted(times.items(), key=lambda x: -x[1])[:15]:
+        print(f"  {k:32s} {v:7.3f}s")
+
+    report = {"sf_dir": args.sf_dir, "repeat": args.repeat,
+              "total_sec": round(total, 3), "n": len(times),
+              "substantial_threshold": args.substantial,
+              "substantial_total_sec": round(sum(sub.values()), 3),
+              "n_substantial": len(sub),
+              "times": {k: round(v, 4) for k, v in times.items()}}
+
+    if args.spark_queries:
+        spark = json.load(open(args.spark_queries))
+        spark = spark.get("queries", spark)
+        shared = sorted(set(times) & set(spark))
+        st = sum(spark[k] for k in shared)
+        dt = sum(times[k] for k in shared)
+        sub_shared = [k for k in shared if times[k] >= args.substantial]
+        sst = sum(spark[k] for k in sub_shared)
+        sdt = sum(times[k] for k in sub_shared)
+        print(f"\nlike-for-like over {len(shared)} shared statements: "
+              f"spark {st:.2f}s vs duckdb {dt:.2f}s = {st / dt:.2f}x")
+        if sdt > 0:
+            print(f"substantial subset ({len(sub_shared)}): spark {sst:.2f}s "
+                  f"vs duckdb {sdt:.2f}s = {sst / sdt:.2f}x")
+        print("worst spark/duckdb ratios (substantial statements):")
+        for k in sorted(sub_shared, key=lambda k: -spark[k] / times[k])[:10]:
+            print(f"  {k:32s} spark {spark[k]:6.2f}s  duckdb {times[k]:6.2f}s  "
+                  f"{spark[k] / times[k]:6.1f}x")
+        report["like_for_like"] = {
+            "n_shared": len(shared), "spark_sec": round(st, 3),
+            "duckdb_sec": round(dt, 3), "ratio": round(st / dt, 3),
+            "substantial_ratio": round(sst / sdt, 3) if sdt > 0 else None}
+
+    if args.out:
+        json.dump(report, open(args.out, "w"), indent=1)
+        print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
