@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Quantize, TextFunctions}
+import graft.plans.TextExpressions
 
 /**
  * Corpus-management operators a training-data pipeline needs between
@@ -184,17 +185,18 @@ object Corpus {
   def contaminationPairs(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
       minOverlap: Long = 5, textCol: String = "text", idCol: String = "doc_id",
       broadcastEval: Boolean = true): DataFrame = {
-    def hashedShingles(d: DataFrame) =
-      Dedup.shingleTable(d, n, textCol, idCol, dedup = false)
-        .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-    // eval side IS distinct'd (it's tiny); with it unique, (doc, eval,
-    // shingle) multiplicity comes only from within-corpus-doc repetition,
-    // which countDistinct collapses — same result as distinct-both-sides
-    val ev = hashedShingles(evalDocs).distinct().withColumnRenamed(idCol, "eval_id")
+    // Both sides shingle through the native expression with IN-ROW set
+    // dedup (row-local work — still zero corpus-side shuffle, and the
+    // probe stream shrinks to distinct (doc, shingle) pairs). With both
+    // sides unique, every joined (doc, eval, shingle) triple is unique,
+    // so the overlap count is a plain count — no distinct aggregate.
+    def hashedShingles(d: DataFrame) = d.select(col(idCol),
+      explode(TextExpressions.shingleHashes(col(textCol), n)).as("shingle"))
+    val ev = hashedShingles(evalDocs).withColumnRenamed(idCol, "eval_id")
     hashedShingles(docs)
       .join(if (broadcastEval) broadcast(ev) else ev, "shingle")
       .groupBy(col(idCol), col("eval_id"))
-      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)
   }
 
@@ -544,16 +546,34 @@ object Corpus {
    */
   def tfidfTop(docs: DataFrame, k: Int = 3, textCol: String = "text",
       idCol: String = "doc_id",
-      checkpointDir: Option[String] = None): DataFrame =
-    tfidfTopFromTf(Materialize(termFrequencies(docs, textCol, idCol), checkpointDir),
+      checkpointDir: Option[String] = None): DataFrame = {
+    // With df BROADCAST, the tf relation's two consumers (df aggregate +
+    // scoring probe) contain the IDENTICAL tf shuffle subtree, so
+    // ReuseExchange evaluates tokenize+explode+aggregate exactly once and
+    // the second consumer reads the shuffle files — materialization for
+    // free, with lineage intact (a lost shuffle block recomputes, unlike
+    // localCheckpoint blocks, which die with their executor). An explicit
+    // `checkpointDir` still forces a reliable checkpoint for multi-hour
+    // cluster runs that want lineage truncation.
+    val tf = termFrequencies(docs, textCol, idCol)
+    tfidfTopFromTf(checkpointDir.fold(tf)(_ => Materialize(tf, checkpointDir)),
       docs.agg(count(lit(1)).as("n_docs")), k, idCol)
+  }
 
   /** tf-idf top-k from a precomputed (persisted) [[termFrequencies]]
     * relation plus a 1-row `n_docs` aggregate — the corpus-scale entry:
     * no document text is touched at all. */
   def tfidfTopFromTf(tf: DataFrame, nDocs: DataFrame, k: Int,
-      idCol: String = "doc_id"): DataFrame = {
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      idCol: String = "doc_id", broadcastDf: Boolean = true): DataFrame = {
+    // df BROADCASTS by default: it aggregates map-side from the (cached)
+    // tf blocks and its output is VOCABULARY-sized — joining it as a
+    // shuffle re-keys the whole corpus-sized tf relation by term for a
+    // dimension a fraction of its size (measured: the df-join exchange was
+    // the residual cost after tf materialization). At open-vocabulary
+    // scale where the term dimension outgrows the broadcast ceiling, pass
+    // `broadcastDf = false` and AQE keys both sides by term.
+    val dfreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastDf) broadcast(dfreq0) else dfreq0
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf", Quantize.quantize(col("tf") * log(col("n_docs") / col("df")), 6))
@@ -655,8 +675,13 @@ object Corpus {
    */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // Token HASHES, not strings ([[graft.plans.WordShingleHashes]] alnum
+    // mode — same tokenizer as [[TextFunctions.tokens]]): the output is
+    // (doc, score) only, so grouping/joining by the 8-byte hash computes
+    // identical counts (collision-modulo, the family's documented risk)
+    // with every exchange carrying longs instead of token text.
     val terms = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"))
     val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = terms.agg(count(lit(1)).as("total"))
     terms.join(counts, "term").crossJoin(broadcast(total))
@@ -684,16 +709,30 @@ object Corpus {
    */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val n = greatest(size(col("__ts")) - 1, lit(0))
+    // Hashed twin ([[unigramLogProb]] rationale): each instance carries
+    // (w1 token hash, bigram window hash) — the window hash identifies
+    // the ordered (w1,w2) pair, the w1 hash keys the context count. Both
+    // come from the SAME alnum tokenizer, zipped positionally (token i ↔
+    // window starting at i); docs under 2 tokens emit nothing (the
+    // n-gram expression returns an empty array, zip_with of empties).
     val pairs = docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"),
+        TextExpressions.tokenGramHashes(col(textCol), 2).as("__bg"))
       .select(col(idCol), explode(zip_with(
-        slice(col("__ts"), lit(1), n), slice(col("__ts"), lit(2), n),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        slice(col("__th"), lit(1), greatest(size(col("__th")) - 1, lit(0))),
+        col("__bg"),
+        (w, b) => struct(w.as("w1"), b.as("bg")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.bg").as("w2"))
     val cbg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val cw = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    pairs.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+    // c(w1,·) DERIVES from the bigram aggregate — c1 = Σ_w2 c(w1,w2) by
+    // definition — so it aggregates the vocab²-sized cbg, not the
+    // corpus-sized pairs (whose exchange Spark reuses for cbg's own
+    // aggregation). Attaching c1 to cbg BEFORE the pairs join means the
+    // widest relation is joined ONCE on (w1,w2) instead of twice — the
+    // second corpus-wide shuffle the naive two-join form pays.
+    val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    pairs.join(cbg.join(cw, Seq("w1")), Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(Quantize.quantize(avg(log(col("c2") / col("c1"))), 6).as("logprob2"))
   }
@@ -775,8 +814,13 @@ object Corpus {
   def ngramRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     // two projections: `__sh` is referenced twice and CollapseProject
-    // declines to inline a non-cheap producer, so shingling runs once
-    docs.select(col(idCol), TextFunctions.shingles(col(textCol), n).as("__sh"))
+    // declines to inline a non-cheap producer, so shingling runs once.
+    // Hashed shingles (native expression, dedup=false) instead of n-gram
+    // strings: distinct/total counts are hash-invariant (the family's
+    // collision argument), and array_distinct over longs costs a fraction
+    // of the string form.
+    docs.select(col(idCol),
+        TextExpressions.shingleHashes(col(textCol), n, dedup = false).as("__sh"))
       .select(col(idCol),
         Quantize.quantize(lit(1) - size(array_distinct(col("__sh"))).cast("double") /
           size(col("__sh")), 6).as("dup_ngram_ratio"))
@@ -821,7 +865,11 @@ object Corpus {
    */
   def tokenEntropy(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    termFrequencies(docs, textCol, idCol)
+    // hashed-token twin of [[termFrequencies]] (entropy is count-shaped —
+    // token strings never surface; see [[unigramLogProb]])
+    docs.select(col(idCol),
+        explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .groupBy(col(idCol))
       .agg(Quantize.quantize(log(sum(col("tf"))) -
         sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Quantize, TextFunctions}
+import graft.plans.TextExpressions
 
 /**
  * Document deduplication for training-data pipelines, at 100 TB posture:
@@ -501,7 +502,10 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       maxDf: Option[Long] = None,
       checkpointDir: Option[String] = None): DataFrame =
-    shingleOverlapPairs(docs, n, textCol, idCol, maxDf, checkpointDir)
+    // J ≥ t bounds the size ratio (see shingleOverlapPairs) — the
+    // candidate prefilter is exact-preserving, so it always passes
+    shingleOverlapPairs(docs, n, textCol, idCol, maxDf, checkpointDir,
+        minSizeRatio = Some(minJaccard))
       .withColumn("jaccard",
         Quantize.quantize(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -534,42 +538,93 @@ object Dedup {
     * corpus size, and the oracle compare would catch one at test scale). */
   private def shingleOverlapPairs(docs: DataFrame, n: Int, textCol: String,
       idCol: String, maxDf: Option[Long],
-      checkpointDir: Option[String] = None): DataFrame = {
-    val shAll = shingleTable(docs, n, textCol, idCol, dedup = false)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
-    // df cap via groupBy + broadcast anti-join, NOT a window count: the cap
-    // targets the 1M-doc boilerplate shingle, and a window partitioned by
-    // shingle would buffer exactly that posting list in one task. The
-    // grouped count map-side-combines; the over-cap shingle list (≤
-    // totalRows/cap keys) broadcasts; hot shingles drop map-only.
-    val capped = maxDf match {
+      checkpointDir: Option[String] = None,
+      minSizeRatio: Option[Double] = None): DataFrame = {
+    // The (id, shingle-hash, n_sh) candidate relation. Per-doc shingle-SET
+    // dedup is ROW-LOCAL work, done INSIDE the native
+    // [[graft.plans.WordShingleHashes]] expression — so in the uncapped
+    // path the relation is MAP-ONLY: no (id,shingle) distinct exchange,
+    // no per-doc sizes aggregation, no sizes join (n_sh = in-row array
+    // size, rides along as a column). Shingle keys are xxhash64 longs
+    // (bit-identical to `xxhash64(shingle_string)` — see the expression's
+    // contract), so every downstream exchange carries 8 bytes instead of
+    // ~20-byte text; set semantics are unchanged up to 64-bit collisions
+    // (~n²·2⁻⁶⁴ — vanishing at any real corpus size, and the oracle
+    // compare would catch one at test scale).
+    def inRow(d: DataFrame): DataFrame = d
+      .select(col(idCol),
+        TextExpressions.shingleHashes(col(textCol), n, dedup = true).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
+        explode(col("__sh")).as("shingle"))
+    val rel = maxDf match {
+      case None => inRow(docs)
       case Some(cap) =>
+        // df cap via groupBy + broadcast anti-join, NOT a window count:
+        // the cap targets the 1M-doc boilerplate shingle, and a window
+        // partitioned by shingle would buffer exactly that posting list
+        // in one task. The grouped count map-side-combines; the over-cap
+        // shingle list (≤ totalRows/cap keys) broadcasts; hot shingles
+        // drop map-only. Jaccard is computed consistently over the CAPPED
+        // shingle space — sizes and intersections both exclude hot
+        // shingles — so n_sh must RECOUNT after the anti-join (a per-doc
+        // aggregation + join the uncapped path never pays), and the
+        // capped relation is MATERIALIZED once (localCheckpoint; reliable
+        // under `checkpointDir`) for its three consumers — the in-row
+        // relation, df aggregate, and recount would otherwise each re-run
+        // shingling over the raw text.
+        val shAll = inRow(docs).drop("n_sh")
         val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap)
           .select(col("shingle"))
-        shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => shAll
+        val capped = Materialize(
+          shAll.join(broadcast(hot), Seq("shingle"), "left_anti"), checkpointDir)
+        val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+        capped.join(sizes, Seq(idCol))
+          .select(col(idCol), col("n_sh"), col("shingle"))
     }
-    // MATERIALIZE the (doc, shingle-hash) relation once: three consumers
-    // (both self-join sides + the per-doc sizes aggregate) would each
-    // re-run shingling + regex tokenization over the raw text — AQE
-    // exchange reuse only deduplicates the final exchanges, not the
-    // scan-side recompute, and measured 4.7–6.2× the comparator at sf0.1
-    // left as lineage. One local checkpoint (reliable under
-    // `checkpointDir`) makes every consumer a cached-block scan; the
-    // materialized relation is two 8-byte columns per (doc, shingle) —
-    // a fraction of the raw text it derives from.
-    val sh = Materialize(capped, checkpointDir)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.shingle") === col("b.shingle") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Self-join: the two sides are IDENTICAL subtrees, so the shingle
+    // exchange computes once and the second side is a ReusedExchange —
+    // for the map-only relation that means shingling itself runs exactly
+    // once, with no materialization seam at all. n_a/n_b ride the pair
+    // aggregation as grouping keys (functionally dependent on the ids —
+    // group cardinality unchanged), replacing the two post-aggregation
+    // size joins the old shape paid.
+    // SIZE-RATIO PREFILTER (`minSizeRatio`): J(A,B) ≤ min/max of the set
+    // sizes, so J ≥ t is unreachable unless t·max ≤ min — the predicate
+    // prunes every candidate row of a hopeless pair inside the join,
+    // before the aggregation ever sees it: the dominant cost of skewed
+    // near-dup corpora, where long docs share boilerplate shingles with
+    // thousands of short ones. The margin (1e-6, one quantization step)
+    // keeps the prune conservative against FP rounding: no pair the
+    // final quantized `jaccard >= t` filter would keep can be dropped
+    // here. Containment has no such bound (n_inter ≤ min makes 1.0
+    // reachable at ANY size ratio), so containment callers pass None.
+    // `merge` hint: the candidate join's OUTPUT (Σ posting²) is orders
+    // larger than either input, so the join must run at shuffle
+    // parallelism. Left to AQE, a small input relation broadcasts and the
+    // whole pair explosion then runs at the PROBE side's scan parallelism
+    // (often 1–2 partitions for a compact parquet file — measured 2.2×
+    // slower at sf0.1); keying both sides by shingle spreads the
+    // explosion across the cluster, and the two sides are identical
+    // subtrees, so ReusedExchange shingles the corpus exactly once. At
+    // 100 TB both sides are huge and SMJ is what AQE would pick anyway.
+    val a = rel.as("a")
+    val b = rel.as("b")
+    val base = col("a.shingle") === col("b.shingle") &&
+      col(s"a.$idCol") < col(s"b.$idCol")
+    val cond = minSizeRatio match {
+      case Some(t) =>
+        val tEff = lit(math.max(0.0, t - 1e-6))
+        base &&
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            tEff * greatest(col("a.n_sh"), col("b.n_sh"))
+      case None => base
+    }
+    a.hint("merge").join(b, cond)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "n_sh" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "n_sh" -> "n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
   /**
@@ -789,7 +844,9 @@ object Dedup {
     val fp = Materialize(capped, checkpointDir)
     val a = fp.as("a")
     val b = fp.as("b")
-    a.join(b, col("a.fp") === col("b.fp") &&
+    // merge hint: pair-explosion output needs shuffle parallelism, not
+    // the build/probe side's input parallelism (see shingleOverlapPairs)
+    a.hint("merge").join(b, col("a.fp") === col("b.fp") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

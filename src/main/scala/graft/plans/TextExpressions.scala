@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.lower
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Hashed word n-gram shingles as ONE native expression — the hot path of
+ * the whole set-overlap dedup family (Jaccard/containment pairs, the df
+ * cap, decontamination, repetition ratios, MinHash input).
+ *
+ * The column-function formulation ([[graft.functions.TextFunctions
+ * .shingles]]: n `slice`s + (n−1) `zip_with` concats, then `xxhash64`
+ * per exploded row) materializes every n-gram STRING and pays an
+ * interpreted lambda per array element — higher-order functions don't
+ * participate in whole-stage codegen. Measured at sf0.1 it is the
+ * dominant cost of every consumer (~0.6 s of each pass over 5k docs).
+ *
+ * This expression never builds the n-gram strings at all. Because
+ * shingles are the tokens of `split(lower(text), " ", -1)` re-joined
+ * with single spaces, every n-gram is a CONTIGUOUS BYTE RANGE of the
+ * lowered text (the separators between adjacent tokens are exactly the
+ * single spaces split removed) — so the whole computation is one byte
+ * scan for space positions plus one XXH64 call per window, zero
+ * allocation beyond the output array. The hash is Spark's own
+ * `xxhash64` (XXH64 over the UTF-8 bytes, seed 42), so emitted values
+ * are BIT-IDENTICAL to `xxhash64(shingle_string)` of the column
+ * formulation — MinHash signatures, banded tables and any persisted
+ * hash registry built either way interoperate.
+ *
+ * `dedup = true` first-occurrence-dedups IN-ROW (what the Jaccard
+ * family's per-doc `distinct()` exchange used to do globally — set
+ * dedup within a document is row-local work, no shuffle needed).
+ *
+ * Documents with fewer than `n` tokens fall back to one whole-text
+ * shingle, matching the column function ([[graft.functions
+ * .TextFunctions.shingles]] `when(size < n)` branch: `concat_ws` over
+ * the split re-joins to the input itself). Hashes are internal-only
+ * (consumers emit counts and ratios, never the hash), so oracle
+ * statements stay expressible over string shingles; collisions are the
+ * family's documented ~n²·2⁻⁶⁴ risk, unchanged.
+ */
+case class WordShingleHashes(child: Expression, n: Int, dedup: Boolean,
+    alnum: Boolean = false)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    if (alnum) ShingleHash.alnumHashes(s.asInstanceOf[UTF8String], n, dedup)
+    else ShingleHash.hashes(s.asInstanceOf[UTF8String], n, dedup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (alnum) s"${ev.value} = graft.plans.ShingleHash.alnumHashes($c, $n, $dedup);"
+      else s"${ev.value} = graft.plans.ShingleHash.hashes($c, $n, $dedup);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The per-row kernel of [[WordShingleHashes]] — static so generated code
+  * calls it directly (the scalac static forwarder). */
+object ShingleHash {
+  def hashes(s: UTF8String, n: Int, dedup: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token starts = 0 plus every position after a 0x20 byte. In UTF-8 a
+    // space byte never occurs inside a multi-byte sequence, so the byte
+    // scan is exact for any Unicode text.
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val numToks = spaces + 1
+    if (numToks < n) {
+      // short-doc fallback: one whole-text shingle (concat_ws(" ", split)
+      // re-joins to the input itself)
+      return new GenericArrayData(Array(
+        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 42L)))
+    }
+    val starts = new Array[Int](numToks)
+    var t = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    val m = numToks - n + 1
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val st = starts(k)
+      // the window ends where token k+n-1 does: at the space before the
+      // next token, or at end-of-string for the final window
+      val en = if (k + n == numToks) len else starts(k + n) - 1
+      out(k) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + st, en - st, 42L)
+      k += 1
+    }
+    if (!dedup) return new GenericArrayData(out)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val ded = new Array[Long](m)
+    var w = 0
+    k = 0
+    while (k < m) {
+      if (seen.add(out(k))) { ded(w) = out(k); w += 1 }
+      k += 1
+    }
+    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(ded, w))
+  }
+
+  /**
+   * The `alnum` tokenizer twin: tokens are maximal `[a-z0-9]` runs of the
+   * (pre-lowered) text — the byte-scan equivalent of
+   * `regexp_extract_all(lower(text), '[a-z0-9]+')`
+   * ([[graft.functions.TextFunctions.tokens]]); exact because those code
+   * points are single-byte in UTF-8 and never occur inside multi-byte
+   * sequences. Tokens are NOT contiguous here (separators vary), so
+   * n ≥ 2 windows copy token bytes + single-space joins into one
+   * per-row scratch buffer before hashing — hash values still equal
+   * `xxhash64(n-gram string)`. Fewer than `n` tokens → EMPTY array (the
+   * n-instance semantics of every consumer: a 1-token doc has no
+   * bigrams), unlike the space mode's whole-text fallback.
+   */
+  def alnumHashes(s: UTF8String, n: Int, dedup: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    def isAl(b: Byte): Boolean = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+    var count = 0
+    var i = 0
+    var in = false
+    while (i < len) {
+      if (isAl(bytes(i))) { if (!in) { count += 1; in = true } } else in = false
+      i += 1
+    }
+    if (count < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](count)
+    val ends = new Array[Int](count)
+    var t = -1
+    in = false
+    i = 0
+    while (i < len) {
+      if (isAl(bytes(i))) {
+        if (!in) { t += 1; starts(t) = i; in = true }
+        ends(t) = i + 1
+      } else in = false
+      i += 1
+    }
+    val m = count - n + 1
+    val out = new Array[Long](m)
+    if (n == 1) {
+      var k = 0
+      while (k < m) {
+        out(k) = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + starts(k), ends(k) - starts(k), 42L)
+        k += 1
+      }
+    } else {
+      var maxLen = 0
+      var k = 0
+      while (k < m) {
+        var wl = n - 1
+        var j = k
+        while (j < k + n) { wl += ends(j) - starts(j); j += 1 }
+        if (wl > maxLen) maxLen = wl
+        k += 1
+      }
+      val buf = new Array[Byte](maxLen)
+      k = 0
+      while (k < m) {
+        var w = 0
+        var j = k
+        while (j < k + n) {
+          if (j > k) { buf(w) = ' '; w += 1 }
+          val tl = ends(j) - starts(j)
+          System.arraycopy(bytes, starts(j), buf, w, tl)
+          w += tl
+          j += 1
+        }
+        out(k) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, w, 42L)
+        k += 1
+      }
+    }
+    if (!dedup) return new GenericArrayData(out)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val ded = new Array[Long](m)
+    var w = 0
+    var k = 0
+    while (k < m) {
+      if (seen.add(out(k))) { ded(w) = out(k); w += 1 }
+      k += 1
+    }
+    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(ded, w))
+  }
+}
+
+object TextExpressions {
+  /** array<long> of xxhash64'd word n-gram shingles of `lower(text)`
+    * (single-space tokens, whole-text fallback under `n` tokens — the
+    * [[graft.functions.TextFunctions.shingles]] semantics) — codegen'd,
+    * zero-string-allocation; `dedup` gives the in-row SET. Null text →
+    * null (explode drops the doc — what the SQL twins' `unnest` of a
+    * null list does too). */
+  def shingleHashes(text: Column, n: Int, dedup: Boolean = true): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(lower(text)), n, dedup))
+
+  /** array<long> of xxhash64'd n-grams over ALNUM-run tokens (the
+    * [[graft.functions.TextFunctions.tokens]] tokenizer); fewer than `n`
+    * tokens → empty array. Internal-hash twin for consumers that emit
+    * only counts/scores, never the token strings. */
+  def tokenGramHashes(text: Column, n: Int, dedup: Boolean = false): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(lower(text)), n, dedup,
+      alnum = true))
+}

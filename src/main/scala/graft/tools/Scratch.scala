@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/timing probe: `runMain graft.tools.Scratch <sfDir> <query>...`
+  * — runs each named SparkEntry query twice (cold, warm), prints wall
+  * times and the formatted physical plan. Dev-only; not part of the
+  * declared surface. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val spark = SparkSession.builder()
+      .appName("graft-scratch").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm the session like Bench does
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    if (sys.env.contains("SCRATCH_TFIDF")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def time[T](label: String)(f: => T): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-STEP $label: best ${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(",")})")
+      }
+      time("docs.count")(docs.count())
+      time("tokenize+explode count")(
+        docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))).count())
+      time("tf agg count")(graft.operators.Corpus.termFrequencies(docs).count())
+      time("tf localCheckpoint")(
+        graft.operators.Corpus.termFrequencies(docs).localCheckpoint(true))
+      val tf = graft.operators.Corpus.termFrequencies(docs).localCheckpoint(true)
+      time("window topk over ckpt tf")(graft.operators.Corpus.tfidfTopFromTf(
+        tf, docs.agg(count(lit(1)).as("n_docs")), 3).count())
+      time("shingle map-only pass")(docs.select(col("doc_id"),
+        array_distinct(transform(graft.functions.TextFunctions.shingles(col("text"), 3),
+          s => xxhash64(s))).as("__sh"))
+        .select(col("doc_id"), explode(col("__sh"))).count())
+      time("shingle table distinct (old)")(
+        graft.operators.Dedup.shingleTable(docs, 3, "text", "doc_id")
+          .select(col("doc_id"), xxhash64(col("shingle"))).distinct().count())
+    }
+    if (sys.env.contains("SCRATCH_PAIRS")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def time[T](label: String)(f: => T): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-STEP $label: best ${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(",")})")
+      }
+      val rel = docs.select(col("doc_id"),
+        graft.plans.TextExpressions.shingleHashes(col("text"), 3).as("__sh"))
+        .select(col("doc_id"), size(col("__sh")).cast("long").as("n_sh"),
+          explode(col("__sh")).as("shingle"))
+      time("rel count")(rel.count())
+      def pairs() = {
+        val a = rel.as("a"); val b = rel.as("b")
+        a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      }
+      time("join candidate count")( {
+        val a = rel.as("a"); val b = rel.as("b")
+        a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")).count()
+      })
+      time("pairs agg")(pairs().count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time("pairs agg SMJ")(pairs().count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      def pairsHint(h: String) = {
+        val a = rel.as("a"); val b = rel.as("b")
+        a.hint(h).join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      }
+      time("pairs agg hint merge")(pairsHint("merge").count())
+      time("pairs agg hint shuffle_hash")(pairsHint("shuffle_hash").count())
+      time("old ngramJaccardPairs full")(graft.operators.Dedup.ngramJaccardPairs(
+        docs, n = 3, minJaccard = 0.5).count())
+    }
+    for (n <- names) {
+      if (n == "entry") {
+        val cnt = graft.SparkEntry.entry(spark).count()
+        println(s"SCRATCH entry: $cnt rows")
+      } else {
+      val q = graft.SparkEntry.queries(n)
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val cnt = q(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCRATCH $n run$i: $dt%.3f s ($cnt rows)")
+      }
+      if (sys.env.contains("SCRATCH_EXPLAIN"))
+        q(spark, sfDir).explain("formatted")
+      }
+    }
+    spark.stop()
+  }
+}
