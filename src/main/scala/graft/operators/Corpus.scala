@@ -513,12 +513,16 @@ object Corpus {
   }
 
   /** Per-(doc, term) counts — the reusable base relation of every
-    * term-statistics operator (tf-idf, df tables, vocabulary). One
-    * explode + one map-side-combined aggregation. */
+    * term-statistics operator (tf-idf, df tables, vocabulary). MAP-ONLY:
+    * a document's term frequencies are row-local facts, so the counting
+    * happens inside [[graft.plans.TokenCountPairs]] and this is one scan
+    * + explode — the corpus-wide (doc, term) exchange the
+    * explode-then-groupBy form pays is gone (it was the dominant cost of
+    * tf-idf at sf0.1, and at 100 TB it shuffles the full token multiset). */
   def termFrequencies(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    docs.select(col(idCol), explode(TextExpressions.tokenCounts(col(textCol))).as("__tc"))
+      .select(col(idCol), col("__tc.term").as("term"), col("__tc.tf").as("tf"))
 
   /**
    * Per-document top-`k` terms by tf-idf (idf = ln(N/df), raw-count tf).
@@ -547,17 +551,37 @@ object Corpus {
   def tfidfTop(docs: DataFrame, k: Int = 3, textCol: String = "text",
       idCol: String = "doc_id",
       checkpointDir: Option[String] = None): DataFrame = {
-    // With df BROADCAST, the tf relation's two consumers (df aggregate +
-    // scoring probe) contain the IDENTICAL tf shuffle subtree, so
-    // ReuseExchange evaluates tokenize+explode+aggregate exactly once and
-    // the second consumer reads the shuffle files — materialization for
-    // free, with lineage intact (a lost shuffle block recomputes, unlike
-    // localCheckpoint blocks, which die with their executor). An explicit
-    // `checkpointDir` still forces a reliable checkpoint for multi-hour
-    // cluster runs that want lineage truncation.
-    val tf = termFrequencies(docs, textCol, idCol)
-    tfidfTopFromTf(checkpointDir.fold(tf)(_ => Materialize(tf, checkpointDir)),
-      docs.agg(count(lit(1)).as("n_docs")), k, idCol)
+    // ZERO corpus-wide exchanges. tf is row-local ([[graft.plans
+    // .TokenCountPairs]]); df aggregates the per-doc distinct terms
+    // map-side (its exchange carries ≤ vocabulary rows per partition)
+    // and folds into ONE broadcast row holding the term→df map next to
+    // n_docs; scoring and the per-doc top-k then happen INSIDE each row
+    // (sort the doc's own scored terms, slice k, posexplode) — both the
+    // (doc,term) tf exchange and the window's doc_id exchange of the old
+    // shape are gone. The map row is exactly the broadcast df relation
+    // reshaped, so the same ceiling applies: for open-vocabulary corpora
+    // too big to broadcast, use [[tfidfTopFromTf]] with
+    // `broadcastDf = false` (shuffle-keyed df join + window top-k).
+    // The per-doc term arrays feed two consumers (df + probe); left as
+    // lineage that is two map-only scans of the raw text — fine at test
+    // scale, but at 100 TB pass `checkpointDir` to materialize the
+    // counted arrays once (they are a fraction of the text they derive
+    // from) and halve the scan cost.
+    val tc0 = docs.select(col(idCol),
+      TextExpressions.tokenCounts(col(textCol)).as("__tc"))
+    val tc = checkpointDir.fold(tc0)(_ => Materialize(tc0, checkpointDir))
+    // sort_array: the kernel binary-searches the map's key array —
+    // [[graft.plans.TfidfTopTerms]] contract
+    val dfMap = tc.select(explode(col("__tc.term")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("term"), col("df"))))).as("__dfm"))
+    val stats = broadcast(dfMap.crossJoin(docs.agg(count(lit(1)).as("n_docs"))))
+    tc.crossJoin(stats)
+      .select(col(idCol), explode(TextExpressions.tfidfTopTerms(
+        col("__tc"), col("__dfm"), col("n_docs"), k)).as("__t"))
+      .select(col(idCol), col("__t.term").as("term"), col("__t.tf").as("tf"),
+        col("__t.tfidf").as("tfidf"), col("__t.rnk").as("rnk"))
   }
 
   /** tf-idf top-k from a precomputed (persisted) [[termFrequencies]]
@@ -864,15 +888,24 @@ object Corpus {
    * it a single agg pass (no second join against per-doc totals).
    */
   def tokenEntropy(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    // hashed-token twin of [[termFrequencies]] (entropy is count-shaped —
-    // token strings never surface; see [[unigramLogProb]])
+      idCol: String = "doc_id"): DataFrame = {
+    // SHUFFLE-FREE: a document's token-frequency entropy is a row-local
+    // fact, so the counts come from [[graft.plans.TokenCountPairs]] and
+    // the two sums fold over the in-row array — one scan, one projection,
+    // no aggregation stage at all (the old shape paid two corpus-wide
+    // exchanges for per-row arithmetic). Zero-token docs drop, matching
+    // the groupBy form's absent group.
+    val tfs = TextExpressions.tokenCounts(col(textCol)).getField("tf")
+    val total = aggregate(tfs, lit(0L), (a, x) => a + x).cast("double")
+    val plogp = aggregate(tfs, lit(0.0d),
+      (a, x) => a + x.cast("double") * log(x.cast("double")))
+    // total > 0 guard: zero-token (or null-text) docs yield NULL and drop,
+    // exactly the groupBy form's absent group — and log(0) never evaluates
     docs.select(col(idCol),
-        explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .groupBy(col(idCol))
-      .agg(Quantize.quantize(log(sum(col("tf"))) -
-        sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"))
+        when(total > lit(0.0),
+          Quantize.quantize(log(total) - plogp / total, 6)).as("entropy"))
+      .filter(col("entropy").isNotNull)
+  }
 
   /**
    * Document chunking: split each document's whitespace-token stream into

@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.functions.lower
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -71,6 +71,94 @@ case class WordShingleHashes(child: Expression, n: Int, dedup: Boolean,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * Per-document term frequencies as ONE row-local expression:
+ * `array<struct<term string, tf bigint>>` over the alnum-run tokens of
+ * the (pre-lowered) text, first-occurrence order.
+ *
+ * The point is the SHUFFLE this deletes, not the per-row constant: a
+ * document's term frequencies depend on nothing but its own text, so the
+ * (doc, term, tf) relation every term-statistics operator starts from
+ * ([[graft.operators.Corpus.termFrequencies]]) is embarrassingly
+ * parallel — the explode + corpus-wide (doc, term) exchange + aggregate
+ * the column formulation pays is pure overhead. This emits the counted
+ * pairs straight from the row; `explode` of the result IS the tf
+ * relation, map-only.
+ *
+ * Tokens are maximal `[a-z0-9]` runs — the byte-scan twin of
+ * `regexp_extract_all(lower(text), '[a-z0-9]+')`
+ * ([[graft.functions.TextFunctions.tokens]]) — so counts are identical
+ * to `explode(tokens) → groupBy(doc, term) → count`. Zero tokens → empty
+ * array (explode then drops the doc, matching the groupBy form's absent
+ * group).
+ */
+case class TokenCountPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_count_pairs"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHash.tokenCounts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.tokenCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Per-document tf-idf top-k, row-local: given the doc's
+ * [[TokenCountPairs]] array, the corpus term→df map and `n_docs` (both
+ * from one broadcast row), emit `array<struct<term,tf,tfidf,rnk>>` of
+ * the `k` highest-scoring terms — row_number tie-break (tfidf desc, term
+ * binary asc) baked in.
+ *
+ * Exists because the same computation spelled with higher-order
+ * functions (`transform` + `array_sort` + `element_at`) runs INTERPRETED
+ * — lambda expressions don't participate in whole-stage codegen, and the
+ * per-row object churn measured ~5× the cost of the scan itself at
+ * sf0.1. This kernel is one static call inside codegen: an O(m·k)
+ * selection, no sort, no per-element closures.
+ *
+ * tfidf = quantize₆(tf · ln(n_docs / df)) with plain IEEE double ops in
+ * source order — bit-identical to the Column/SQL twins
+ * ([[graft.functions.Quantize]]).
+ */
+case class TfidfTopTerms(tc: Expression, dfMap: Expression,
+    nDocs: Expression, k: Int) extends TernaryExpression {
+  require(k >= 1, s"top-k width must be >= 1: $k")
+
+  override def first: Expression = tc
+  override def second: Expression = dfMap
+  override def third: Expression = nDocs
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("tfidf", DoubleType, nullable = false),
+    StructField("rnk", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "tfidf_top_terms"
+
+  override def nullSafeEval(tcV: Any, dfmV: Any, ndV: Any): Any =
+    ShingleHash.tfidfTopK(tcV.asInstanceOf[ArrayData],
+      dfmV.asInstanceOf[MapData], ndV.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.ShingleHash.tfidfTopK($a, $b, $c, $k);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(tc = newFirst, dfMap = newSecond, nDocs = newThird)
 }
 
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
@@ -209,6 +297,106 @@ object ShingleHash {
     }
     new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(ded, w))
   }
+
+  /** [[TfidfTopTerms]] kernel. CONTRACT: `dfm`'s keys must be in
+    * ascending binary order (build the map with
+    * `map_from_entries(sort_array(collect_list(...)))`) — lookups binary-
+    * search the key array, so no per-row hash structure is built and the
+    * per-term cost is O(log vocab). A miss means the map wasn't built
+    * from the same corpus/tokenizer and raises rather than mis-scoring. */
+  def tfidfTopK(tc: ArrayData, dfm: MapData, nDocs: Long, k: Int): ArrayData = {
+    val m = tc.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val keys = dfm.keyArray()
+    val vals = dfm.valueArray()
+    val n = dfm.numElements()
+    val nd = nDocs.toDouble
+    val kk = math.min(k, m)
+    // insertion-ordered top-k (tfidf desc, term binary asc) — O(m·k)
+    val topTerm = new Array[UTF8String](kk)
+    val topTf = new Array[Long](kk)
+    val topScore = new Array[Double](kk)
+    var filled = 0
+    var i = 0
+    while (i < m) {
+      val row = tc.getStruct(i, 2)
+      val term = row.getUTF8String(0)
+      val tf = row.getLong(1)
+      var lo = 0
+      var hi = n - 1
+      var df = -1L
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = keys.getUTF8String(mid).compareTo(term)
+        if (c == 0) { df = vals.getLong(mid); lo = hi + 1 }
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (df < 0) throw new IllegalStateException(
+        s"tfidf_top_terms: term absent from df map (map not sorted, or built " +
+          s"from a different corpus/tokenizer): $term")
+      // quantize₆(tf · ln(n_docs/df)) — the IEEE ops of Quantize.quantize,
+      // in the Column twin's evaluation order
+      val score = Math.floor(tf * Math.log(nd / df) * 1e6 + 0.5) / 1e6
+      var pos = filled
+      while (pos > 0 && (topScore(pos - 1) < score ||
+          (topScore(pos - 1) == score && topTerm(pos - 1).compareTo(term) > 0))) {
+        pos -= 1
+      }
+      if (pos < kk) {
+        var j = math.min(filled, kk - 1)
+        while (j > pos) {
+          topTerm(j) = topTerm(j - 1); topTf(j) = topTf(j - 1)
+          topScore(j) = topScore(j - 1); j -= 1
+        }
+        topTerm(pos) = term; topTf(pos) = tf; topScore(pos) = score
+        if (filled < kk) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(
+        topTerm(r), topTf(r), topScore(r), (r + 1).toLong)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[TokenCountPairs]] kernel: count the alnum-run tokens of `s` into
+    * (term, tf) struct rows, first-occurrence order. Token UTF8Strings
+    * wrap sub-ranges of the input's byte array — zero copies until the
+    * row is written out. */
+  def tokenCounts(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    def isAl(b: Byte): Boolean = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+    // LinkedHashMap: deterministic first-occurrence output order
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    var st = -1
+    while (i <= len) {
+      val al = i < len && isAl(bytes(i))
+      if (al && st < 0) st = i
+      else if (!al && st >= 0) {
+        val tok = UTF8String.fromBytes(bytes, st, i - st)
+        val c = m.get(tok)
+        if (c == null) m.put(tok, Array(1L)) else c(0) += 1
+        st = -1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object TextExpressions {
@@ -228,4 +416,18 @@ object TextExpressions {
   def tokenGramHashes(text: Column, n: Int, dedup: Boolean = false): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(lower(text)), n, dedup,
       alnum = true))
+
+  /** array<struct<term,tf>> of per-document term frequencies (alnum-run
+    * tokens, first-occurrence order) — the row-local form of the tf
+    * relation; `explode` of it replaces a corpus-wide (doc, term)
+    * aggregation exchange. Null text → null. */
+  def tokenCounts(text: Column): Column =
+    Bridge.column(TokenCountPairs(Bridge.expression(lower(text))))
+
+  /** Row-local tf-idf top-k over a [[tokenCounts]] array; `dfMap` must
+    * have binary-sorted keys (see [[TfidfTopTerms]]). Returns
+    * array<struct<term,tf,tfidf,rnk>>. */
+  def tfidfTopTerms(tc: Column, dfMap: Column, nDocs: Column, k: Int): Column =
+    Bridge.column(TfidfTopTerms(Bridge.expression(tc),
+      Bridge.expression(dfMap), Bridge.expression(nDocs), k))
 }

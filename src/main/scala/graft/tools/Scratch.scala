@@ -28,6 +28,27 @@ object Scratch {
         println(f"SCRATCH-STEP $label: best ${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(",")})")
       }
       time("docs.count")(docs.count())
+      time("tokenCounts scan")(docs.select(col("doc_id"),
+        graft.plans.TextExpressions.tokenCounts(col("text")).as("__tc")).count())
+      time("tokenCounts explode")(docs.select(col("doc_id"),
+        explode(graft.plans.TextExpressions.tokenCounts(col("text")))).count())
+      time("tfidfTop full")(graft.operators.Corpus.tfidfTop(docs, 3).count())
+      locally {
+        val tc = docs.select(col("doc_id"),
+          graft.plans.TextExpressions.tokenCounts(col("text")).as("__tc"))
+        val dfMap = tc.select(explode(col("__tc.term")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .agg(map_from_entries(sort_array(
+            collect_list(struct(col("term"), col("df"))))).as("__dfm"))
+        val stats = dfMap.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        time("tfidf dfMap+stats collect")(stats.collect())
+        val statsB = broadcast(stats)
+        time("tfidf probe only (native)")(
+          tc.crossJoin(statsB)
+            .select(col("doc_id"), explode(graft.plans.TextExpressions.tfidfTopTerms(
+              col("__tc"), col("__dfm"), col("n_docs"), 3)).as("__t"))
+            .count())
+      }
       time("tokenize+explode count")(
         docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))).count())
       time("tf agg count")(graft.operators.Corpus.termFrequencies(docs).count())

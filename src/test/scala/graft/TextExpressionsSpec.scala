@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Corpus
+import graft.plans.TextExpressions
+
+/**
+ * Pins the native text kernels ([[graft.plans.WordShingleHashes]],
+ * [[graft.plans.TokenCountPairs]], [[graft.plans.TfidfTopTerms]]) to the
+ * column-function formulations they replace — every pin runs over the
+ * sf0.001 documents fixture (real multi-line text) plus adversarial
+ * literals (unicode, punctuation, empty, single-token).
+ */
+class TextExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def fixture: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private def edgeDocs: DataFrame = Seq(
+    (9001L, "one"),
+    (9002L, ""),
+    (9003L, "  leading and   multiple   spaces "),
+    (9004L, "Ünïcode tokens blend ascii and ünïcode tokens"),
+    (9005L, "punct,separated;tokens!and123digits456mixed"),
+    (9006L, "repeat repeat repeat repeat"),
+    (9007L, "ONE"))
+    .toDF("doc_id", "text")
+
+  private def both: DataFrame = fixture.unionByName(edgeDocs)
+
+  test("shingleHashes == xxhash64(shingle string) for n=3, dedup and raw") {
+    for (dedup <- Seq(true, false)) {
+      val native = both.select(col("doc_id"),
+        explode(TextExpressions.shingleHashes(col("text"), 3, dedup)).as("h"))
+      val sh = TextFunctions.shingles(col("text"), 3)
+      val column = both.select(col("doc_id"),
+          explode(if (dedup) array_distinct(sh) else sh).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      assert(native.exceptAll(column).isEmpty && column.exceptAll(native).isEmpty,
+        s"shingle hash mismatch (dedup=$dedup)")
+    }
+  }
+
+  test("tokenGramHashes == xxhash64 over regexp-token n-grams; short docs empty") {
+    // n=1: plain tokens
+    val n1 = both.select(col("doc_id"),
+      explode(TextExpressions.tokenGramHashes(col("text"), 1)).as("h"))
+    val c1 = both.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    assert(n1.exceptAll(c1).isEmpty && c1.exceptAll(n1).isEmpty)
+    // n=2: space-joined bigrams of the alnum tokens
+    val n2 = both.select(col("doc_id"),
+      explode(TextExpressions.tokenGramHashes(col("text"), 2)).as("h"))
+    val toks = TextFunctions.tokens(col("text"))
+    val ng = greatest(size(toks) - 1, lit(0))
+    val c2 = both.select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), ng), slice(toks, lit(2), ng),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    assert(n2.exceptAll(c2).isEmpty && c2.exceptAll(n2).isEmpty)
+    // a 1-token doc has no bigrams
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(one.select(explode(TextExpressions.tokenGramHashes(col("text"), 2)))
+      .count() == 0)
+  }
+
+  test("tokenCounts == explode(tokens) groupBy counts") {
+    val native = both.select(col("doc_id"),
+        explode(TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val column = both.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    assert(native.exceptAll(column).isEmpty && column.exceptAll(native).isEmpty)
+    // empty / no-alnum text explodes to nothing
+    val none = Seq((1L, ""), (2L, "!!! ---")).toDF("doc_id", "text")
+    assert(none.select(explode(TextExpressions.tokenCounts(col("text"))))
+      .count() == 0)
+  }
+
+  test("tfidfTop (row-local kernel) == window-form tfidfTopFromTf") {
+    val docs = both
+    val kernel = Corpus.tfidfTop(docs, k = 3)
+    val window = Corpus.tfidfTopFromTf(Corpus.termFrequencies(docs),
+      docs.agg(count(lit(1)).as("n_docs")), k = 3)
+    assert(kernel.exceptAll(window).isEmpty && window.exceptAll(kernel).isEmpty,
+      "row-local tf-idf diverges from the window formulation")
+    // rnk dense within each doc, bounded by k
+    val byDoc = kernel.groupBy(col("doc_id"))
+      .agg(collect_list(col("rnk")).as("rs"), max(col("rnk")).as("mx"))
+    assert(byDoc.filter(col("mx") > 3).count() == 0)
+    assert(byDoc.filter(size(col("rs")) =!= col("mx")).count() == 0)
+  }
+
+  test("tokenEntropy (row-local) == grouped two-sum formulation") {
+    val grouped = both.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Quantize.quantize(log(sum(col("tf"))) -
+        sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"))
+    val rowLocal = Corpus.tokenEntropy(both)
+    assert(rowLocal.exceptAll(grouped).isEmpty && grouped.exceptAll(rowLocal).isEmpty)
+  }
+}
