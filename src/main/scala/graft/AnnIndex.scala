@@ -30,9 +30,10 @@ import graft.operators.Similarity.{IvfIndex, PqModel}
  * bit-identical to one that trained inline — the `*_full` bridge
  * oracles hash-verify exactly that equality end to end.
  *
- * STALENESS: the cache key fingerprints the embeddings parquet
- * (length + mtime), so regenerated test data can never be served a
- * previous dataset's index.
+ * STALENESS: the cache key fingerprints every file under the
+ * embeddings parquet (relative path + length + mtime, recursively), so
+ * regenerated test data — even a single rewritten part file — can never
+ * be served a previous dataset's index.
  */
 object AnnIndex {
 
@@ -48,8 +49,17 @@ object AnnIndex {
       s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache")
 
   private def keyOf(sfDir: String): String = {
-    val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    val fp = s"$sfDir|${f.length()}|${f.lastModified()}"
+    // fingerprint = every file under embeddings.parquet (Spark datasets
+    // are directories), relative path + length + mtime, sorted — a
+    // regenerated part file, added part, or re-written footer all flip
+    // the key even when the top-level entry looks unchanged
+    val root = new java.io.File(s"$sfDir/embeddings.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val files = walk(root)
+    val fp = s"$sfDir|${files.map(f =>
+      s"${f.getName}|${f.length()}|${f.lastModified()}").mkString(";")}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md
@@ -97,15 +107,48 @@ object AnnIndex {
       .toDF("artifact", "n")
   }
 
-  /** Build-once guard: the marker file commits the whole artifact set. */
+  /**
+   * Build-once guard, cross-PROCESS safe: artifacts are built into a
+   * process-unique staging directory and atomically renamed into place,
+   * so a concurrent JVM (bench and verify sharing the default cache)
+   * either sees the complete committed artifact set or none of it —
+   * never a half-written index. The rename loser deletes its staging
+   * copy and serves the winner's (identical — builds are deterministic,
+   * see the class doc). `synchronized` still serializes threads within
+   * this JVM so one session builds once, not once per query.
+   */
   private def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val path = dirFor(sfDir)
     val marker = new java.io.File(path, "_GRAFT_READY")
     if (!marker.exists()) {
-      buildAll(spark, sfDir, path).collect()
-      java.nio.file.Files.createFile(marker.toPath)
+      val staging = new java.io.File(
+        s"$path.staging_${ProcessHandle.current().pid()}")
+      deleteRecursively(staging)
+      buildAll(spark, sfDir, staging.getPath).collect()
+      java.nio.file.Files.createFile(
+        new java.io.File(staging, "_GRAFT_READY").toPath)
+      try {
+        java.nio.file.Files.move(staging.toPath, new java.io.File(path).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException |
+            _: java.nio.file.FileSystemException =>
+          // another process committed first; its artifact set is
+          // byte-equivalent — drop ours if theirs is complete
+          if (marker.exists()) deleteRecursively(staging)
+          else throw new IllegalStateException(
+            s"ANN cache at $path exists without its _GRAFT_READY marker " +
+              "(partial build from a crashed or pre-atomic writer) — " +
+              "delete it and retry")
+      }
     }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete()
   }
 
   def lshFull(spark: SparkSession, sfDir: String): DataFrame =

@@ -472,9 +472,19 @@ object SparkEntry {
     // ≡ brute force.
     "sim_index_build" -> ((s, dir) => {
       // UNCONDITIONAL build to a throwaway dir: the declared training-
-      // cost query (rows-only — the artifact summary has no SQL twin)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_build").toString
-      AnnIndex.buildAll(s, dir, tmp)
+      // cost query (rows-only — the artifact summary has no SQL twin).
+      // buildAll writes eagerly and the summary is driver-local, so the
+      // throwaway artifacts delete before returning (bench + verify each
+      // invoke this; leaving them would grow tmp without bound).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_build")
+      try AnnIndex.buildAll(s, dir, tmp.toString)
+      finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
     }),
     "sim_topk_pq" -> ((s, dir) => {
       // PQ: the memory side of the ANN triad — d·4 bytes → m codes.

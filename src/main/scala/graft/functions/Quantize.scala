@@ -36,20 +36,32 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** floor(x·10ᵏ + 0.5)/10ᵏ as a Column (double). Spark's `floor`
-    * yields LONG; the division promotes it back to double exactly. */
+    * yields LONG; the division promotes it back to double exactly.
+    *
+    * NON-FINITE inputs pass through untouched: Spark's long-valued floor
+    * would map NaN → 0 and ±∞ → Long.{Max,Min}Value while DuckDB's
+    * double floor propagates them — a NaN score (cosine of a zero-norm
+    * vector, 0/0 ratios) must diverge LOUDLY in both engines (NaN on
+    * both sides, which the canonicalized compare treats consistently),
+    * not quantize to a plausible 0.0 on one side only. [[sql]] mirrors
+    * the same guard. */
   def quantize(c: Column, k: Int): Column = {
     require(k >= 0 && k <= 6, s"quantize scale out of supported range: $k")
     val p = math.pow(10, k)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    val nonFinite = isnan(c) || c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity)
+    when(nonFinite, c).otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
   }
 
   /** The common 6-decimal score form. */
   def q6(c: Column): Column = quantize(c, 6)
 
-  /** DuckDB twin: the same IEEE expression, spelled in SQL. */
+  /** DuckDB twin: the same IEEE expression, spelled in SQL (with the
+    * same non-finite passthrough as [[quantize]]). */
   def sql(expr: String, k: Int): String = {
     require(k >= 0 && k <= 6, s"quantize scale out of supported range: $k")
-    s"floor(($expr) * 1e$k + 0.5) / 1e$k"
+    s"(CASE WHEN isnan($expr) OR isinf($expr) THEN ($expr) " +
+      s"ELSE floor(($expr) * 1e$k + 0.5) / 1e$k END)"
   }
 
   def sql6(expr: String): String = sql(expr, 6)

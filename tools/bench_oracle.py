@@ -78,8 +78,12 @@ def main():
         sub_shared = [k for k in shared if times[k] >= args.substantial]
         sst = sum(spark[k] for k in sub_shared)
         sdt = sum(times[k] for k in sub_shared)
-        print(f"\nlike-for-like over {len(shared)} shared statements: "
-              f"spark {st:.2f}s vs duckdb {dt:.2f}s = {st / dt:.2f}x")
+        if shared and dt > 0:
+            print(f"\nlike-for-like over {len(shared)} shared statements: "
+                  f"spark {st:.2f}s vs duckdb {dt:.2f}s = {st / dt:.2f}x")
+        else:
+            print("\nlike-for-like: no shared statements with nonzero "
+                  "duckdb time — check the sidecar matches this inventory")
         if sdt > 0:
             print(f"substantial subset ({len(sub_shared)}): spark {sst:.2f}s "
                   f"vs duckdb {sdt:.2f}s = {sst / sdt:.2f}x")
@@ -89,7 +93,8 @@ def main():
                   f"{spark[k] / times[k]:6.1f}x")
         report["like_for_like"] = {
             "n_shared": len(shared), "spark_sec": round(st, 3),
-            "duckdb_sec": round(dt, 3), "ratio": round(st / dt, 3),
+            "duckdb_sec": round(dt, 3),
+            "ratio": round(st / dt, 3) if dt > 0 else None,
             "substantial_ratio": round(sst / sdt, 3) if sdt > 0 else None}
 
     if args.out:
