@@ -691,26 +691,49 @@ object Corpus {
    * stopword-heavy text scores high. Deterministic, model-free, and fully
    * SQL-expressible (oracled as `text_logprob`), unlike a real LM pass.
    *
-   * Scale shape: explode → vocab count (map-side combined; output =
-   * vocabulary size) → join back on term (AQE broadcasts the vocab when
-   * it fits; at open-vocabulary scale it stays a shuffle join keyed by
-   * term) → one groupBy(doc) average. Total arrives via broadcast 1-row
-   * agg; the whole plan is lazy.
+   * Scale shape (`broadcastModel = true`, the default): explode → vocab
+   * count (map-side combined; output = vocabulary size) folded into ONE
+   * broadcast row (sorted hash→count map + instance total), then the
+   * per-doc average is computed INSIDE each row
+   * ([[graft.plans.HashLogProbAvg]]) — the corpus-wide term-keyed join
+   * exchange and the groupBy(doc) exchange of the join form are both
+   * gone; the documents relation is scanned twice (model, score), both
+   * map-only. The map row is the vocab relation reshaped, so the same
+   * ceiling applies as tf-idf's df map: at open-vocabulary scale where
+   * the vocab can't broadcast, pass `broadcastModel = false` for the
+   * shuffle-join form.
    */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", broadcastModel: Boolean = true): DataFrame = {
     // Token HASHES, not strings ([[graft.plans.WordShingleHashes]] alnum
     // mode — same tokenizer as [[TextFunctions.tokens]]): the output is
     // (doc, score) only, so grouping/joining by the 8-byte hash computes
     // identical counts (collision-modulo, the family's documented risk)
     // with every exchange carrying longs instead of token text.
-    val terms = docs.select(col(idCol),
-      explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"))
-    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = terms.agg(count(lit(1)).as("total"))
-    terms.join(counts, "term").crossJoin(broadcast(total))
-      .groupBy(col(idCol))
-      .agg(Quantize.quantize(avg(log(col("cnt") / col("total"))), 6).as("logprob"))
+    if (broadcastModel) {
+      // token-less docs emit nothing — the explode form's semantics, as a
+      // pre-filter (the kernel needs a non-empty array to average over)
+      val th = docs.select(col(idCol),
+        TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"))
+        .where(size(col("__th")) > 0)
+      // sort_array: the kernel binary-searches the map's key array
+      val model = th.select(explode(col("__th")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("t"), col("cnt"))))).as("__m"),
+          sum(col("cnt")).as("total"))
+      th.crossJoin(broadcast(model))
+        .select(col(idCol), TextExpressions.hashLogProbAvg(
+          col("__th"), col("__m"), col("total")).as("logprob"))
+    } else {
+      val terms = docs.select(col(idCol),
+        explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"))
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = terms.agg(count(lit(1)).as("total"))
+      terms.join(counts, "term").crossJoin(broadcast(total))
+        .groupBy(col(idCol))
+        .agg(Quantize.quantize(avg(log(col("cnt") / col("total"))), 6).as("logprob"))
+    }
   }
 
   /**
@@ -732,17 +755,17 @@ object Corpus {
    * `text_logprob2`.
    */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", broadcastModel: Boolean = true): DataFrame = {
     // Hashed twin ([[unigramLogProb]] rationale): each instance carries
     // (w1 token hash, bigram window hash) — the window hash identifies
     // the ordered (w1,w2) pair, the w1 hash keys the context count. Both
     // come from the SAME alnum tokenizer, zipped positionally (token i ↔
     // window starting at i); docs under 2 tokens emit nothing (the
     // n-gram expression returns an empty array, zip_with of empties).
-    val pairs = docs
-      .select(col(idCol),
-        TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"),
-        TextExpressions.tokenGramHashes(col(textCol), 2).as("__bg"))
+    val base = docs.select(col(idCol),
+      TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"),
+      TextExpressions.tokenGramHashes(col(textCol), 2).as("__bg"))
+    val pairs = base
       .select(col(idCol), explode(zip_with(
         slice(col("__th"), lit(1), greatest(size(col("__th")) - 1, lit(0))),
         col("__bg"),
@@ -752,13 +775,35 @@ object Corpus {
     // c(w1,·) DERIVES from the bigram aggregate — c1 = Σ_w2 c(w1,w2) by
     // definition — so it aggregates the vocab²-sized cbg, not the
     // corpus-sized pairs (whose exchange Spark reuses for cbg's own
-    // aggregation). Attaching c1 to cbg BEFORE the pairs join means the
-    // widest relation is joined ONCE on (w1,w2) instead of twice — the
-    // second corpus-wide shuffle the naive two-join form pays.
+    // aggregation).
     val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    pairs.join(cbg.join(cw, Seq("w1")), Seq("w1", "w2"))
-      .groupBy(col(idCol))
-      .agg(Quantize.quantize(avg(log(col("c2") / col("c1"))), 6).as("logprob2"))
+    if (broadcastModel) {
+      // Both models fold into one broadcast row (sorted hash→count maps,
+      // [[graft.plans.HashBigramLogProbAvg]] binary-searches them) and
+      // the per-doc average happens inside each row — no corpus-wide
+      // join or groupBy(doc) exchange at all. The bigram vocab is the
+      // ceiling here (it grows faster than the unigram vocab); at
+      // open-vocabulary scale pass `broadcastModel = false`.
+      // map_from_entries throws on a duplicate bg key — two distinct
+      // (w1,w2) pairs colliding to one window hash — which is the
+      // family's documented 2⁻⁶⁴ collision risk surfacing loudly
+      // instead of silently mis-counting.
+      val cbgMap = cbg.agg(map_from_entries(sort_array(
+        collect_list(struct(col("w2"), col("c2"))))).as("__cbg"))
+      val cwMap = cw.agg(map_from_entries(sort_array(
+        collect_list(struct(col("w1"), col("c1"))))).as("__cw"))
+      base.where(size(col("__bg")) > 0)
+        .crossJoin(broadcast(cbgMap.crossJoin(cwMap)))
+        .select(col(idCol), TextExpressions.hashBigramLogProbAvg(
+          col("__th"), col("__bg"), col("__cbg"), col("__cw")).as("logprob2"))
+    } else {
+      // Attaching c1 to cbg BEFORE the pairs join means the widest
+      // relation is joined ONCE on (w1,w2) instead of twice — the
+      // second corpus-wide shuffle the naive two-join form pays.
+      pairs.join(cbg.join(cw, Seq("w1")), Seq("w1", "w2"))
+        .groupBy(col(idCol))
+        .agg(Quantize.quantize(avg(log(col("c2") / col("c1"))), 6).as("logprob2"))
+    }
   }
 
   /**

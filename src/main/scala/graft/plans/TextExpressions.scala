@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.functions.lower
@@ -159,6 +159,68 @@ case class TfidfTopTerms(tc: Expression, dfMap: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(tc = newFirst, dfMap = newSecond, nDocs = newThird)
+}
+
+/**
+ * Row-local unigram-LM score: quantize₆ of the mean ln(cnt/total) over a
+ * document's token-hash instances against a broadcast hash→count model —
+ * the scoring half of [[graft.operators.Corpus.unigramLogProb]] with the
+ * corpus-wide term-join exchange deleted (the model is vocabulary-sized,
+ * so it broadcasts; the per-instance average is then a fact of the row).
+ * Callers filter empty arrays first (token-less docs emit nothing, the
+ * explode form's behavior).
+ */
+case class HashLogProbAvg(hashes: Expression, model: Expression,
+    total: Expression) extends TernaryExpression {
+  override def first: Expression = hashes
+  override def second: Expression = model
+  override def third: Expression = total
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hash_log_prob_avg"
+
+  override def nullSafeEval(h: Any, m: Any, t: Any): Any =
+    ShingleHash.logProbAvg(h.asInstanceOf[ArrayData],
+      m.asInstanceOf[MapData], t.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.ShingleHash.logProbAvg($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(hashes = newFirst, model = newSecond, total = newThird)
+}
+
+/**
+ * Row-local bigram-LM score: quantize₆ of the mean ln(c(w1,w2)/c(w1,·))
+ * over a document's adjacent token pairs, both counts from broadcast
+ * hash→count models ([[graft.operators.Corpus.bigramLogProb]]). Takes the
+ * FULL unigram-hash array plus the bigram-window array and zips
+ * positionally (token i ↔ window starting at i), so no sliced w1 array is
+ * ever allocated. Callers filter docs with no bigram (< 2 tokens).
+ */
+case class HashBigramLogProbAvg(w1s: Expression, bgs: Expression,
+    cbg: Expression, cw: Expression) extends QuaternaryExpression {
+  override def first: Expression = w1s
+  override def second: Expression = bgs
+  override def third: Expression = cbg
+  override def fourth: Expression = cw
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hash_bigram_log_prob_avg"
+
+  override def nullSafeEval(w: Any, b: Any, m2: Any, m1: Any): Any =
+    ShingleHash.bigramLogProbAvg(w.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], m2.asInstanceOf[MapData],
+      m1.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.plans.ShingleHash.bigramLogProbAvg($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(w1s = newFirst, bgs = newSecond, cbg = newThird, cw = newFourth)
 }
 
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
@@ -364,6 +426,69 @@ object ShingleHash {
     new GenericArrayData(out)
   }
 
+  /** Binary search over a broadcast model's SORTED long key array
+    * ([[tfidfTopK]] contract, long-keyed). A miss means the model wasn't
+    * built from the same corpus/tokenizer — raise rather than mis-score. */
+  private def lookupCount(keys: ArrayData, vals: ArrayData, n: Int,
+      h: Long, who: String): Long = {
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = keys.getLong(mid)
+      if (k == h) return vals.getLong(mid)
+      else if (k < h) lo = mid + 1
+      else hi = mid - 1
+    }
+    throw new IllegalStateException(
+      s"$who: hash absent from broadcast model (map not sorted, or built " +
+        "from a different corpus/tokenizer)")
+  }
+
+  /** quantize₆ with the non-finite passthrough of
+    * [[graft.functions.Quantize.quantize]] — same IEEE ops, same order. */
+  private def q6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else Math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** [[HashLogProbAvg]] kernel. Summation is in token order; the
+    * pre-kernel join form summed in shuffle order — both land on the same
+    * quantized value (quantize₆ absorbs sub-ulp order noise, the same
+    * argument the oracle compare already relies on). */
+  def logProbAvg(hashes: ArrayData, model: MapData, total: Long): Double = {
+    val m = hashes.numElements()
+    val keys = model.keyArray()
+    val vals = model.valueArray()
+    val n = model.numElements()
+    val tot = total.toDouble
+    var sum = 0.0
+    var i = 0
+    while (i < m) {
+      val cnt = lookupCount(keys, vals, n, hashes.getLong(i), "hash_log_prob_avg")
+      sum += Math.log(cnt / tot)
+      i += 1
+    }
+    q6(sum / m)
+  }
+
+  /** [[HashBigramLogProbAvg]] kernel: pairs w1s(i) with bgs(i) (the
+    * window starting at token i), ignoring w1s' trailing element. */
+  def bigramLogProbAvg(w1s: ArrayData, bgs: ArrayData, cbg: MapData,
+      cw: MapData): Double = {
+    val m = bgs.numElements()
+    val bk = cbg.keyArray(); val bv = cbg.valueArray(); val bn = cbg.numElements()
+    val wk = cw.keyArray(); val wv = cw.valueArray(); val wn = cw.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < m) {
+      val c2 = lookupCount(bk, bv, bn, bgs.getLong(i), "hash_bigram_log_prob_avg")
+      val c1 = lookupCount(wk, wv, wn, w1s.getLong(i), "hash_bigram_log_prob_avg")
+      sum += Math.log(c2.toDouble / c1.toDouble)
+      i += 1
+    }
+    q6(sum / m)
+  }
+
   /** [[TokenCountPairs]] kernel: count the alnum-run tokens of `s` into
     * (term, tf) struct rows, first-occurrence order. Token UTF8Strings
     * wrap sub-ranges of the input's byte array — zero copies until the
@@ -430,4 +555,17 @@ object TextExpressions {
   def tfidfTopTerms(tc: Column, dfMap: Column, nDocs: Column, k: Int): Column =
     Bridge.column(TfidfTopTerms(Bridge.expression(tc),
       Bridge.expression(dfMap), Bridge.expression(nDocs), k))
+
+  /** Row-local unigram-LM score against a broadcast hash→count model
+    * (binary-sorted long keys); `hashes` must be non-empty. */
+  def hashLogProbAvg(hashes: Column, model: Column, total: Column): Column =
+    Bridge.column(HashLogProbAvg(Bridge.expression(hashes),
+      Bridge.expression(model), Bridge.expression(total)))
+
+  /** Row-local bigram-LM score against broadcast (w1,w2)→count and
+    * w1→count models; `bgs` must be non-empty. */
+  def hashBigramLogProbAvg(w1s: Column, bgs: Column, cbg: Column,
+      cw: Column): Column =
+    Bridge.column(HashBigramLogProbAvg(Bridge.expression(w1s),
+      Bridge.expression(bgs), Bridge.expression(cbg), Bridge.expression(cw)))
 }

@@ -106,6 +106,39 @@ object Scratch {
       time("old ngramJaccardPairs full")(graft.operators.Dedup.ngramJaccardPairs(
         docs, n = 3, minJaccard = 0.5).count())
     }
+    if (sys.env.contains("SCRATCH_LM")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def time[T](label: String)(f: => T): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-STEP $label: best ${ts.min}%.3f s (${ts.map(t => f"$t%.2f").mkString(",")})")
+      }
+      time("unigram join form")(
+        graft.operators.Corpus.unigramLogProb(docs, broadcastModel = false).count())
+      time("unigram bcast form")(
+        graft.operators.Corpus.unigramLogProb(docs).count())
+      time("bigram join form")(
+        graft.operators.Corpus.bigramLogProb(docs, broadcastModel = false).count())
+      time("bigram bcast form")(
+        graft.operators.Corpus.bigramLogProb(docs).count())
+      locally {
+        val th = docs.select(col("doc_id"),
+          graft.plans.TextExpressions.tokenGramHashes(col("text"), 1).as("__th"))
+          .where(size(col("__th")) > 0)
+        val model = th.select(explode(col("__th")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+          .agg(map_from_entries(sort_array(
+            collect_list(struct(col("t"), col("cnt"))))).as("__m"),
+            sum(col("cnt")).as("total"))
+        time("unigram model collect")(model.collect())
+        val mB = broadcast(model)
+        time("unigram probe only")(th.crossJoin(mB)
+          .select(col("doc_id"), graft.plans.TextExpressions.hashLogProbAvg(
+            col("__th"), col("__m"), col("total")).as("logprob")).count())
+      }
+    }
     for (n <- names) {
       if (n == "entry") {
         val cnt = graft.SparkEntry.entry(spark).count()

@@ -100,6 +100,24 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(byDoc.filter(size(col("rs")) =!= col("mx")).count() == 0)
   }
 
+  test("unigramLogProb broadcast-model form == join form") {
+    val bcast = Corpus.unigramLogProb(both)
+    val join = Corpus.unigramLogProb(both, broadcastModel = false)
+    assert(bcast.exceptAll(join).isEmpty && join.exceptAll(bcast).isEmpty,
+      "broadcast-model unigram score diverges from the join formulation")
+    // token-less docs (empty text) emit nothing in either form
+    assert(bcast.filter(col("doc_id") === 9002L).count() == 0)
+  }
+
+  test("bigramLogProb broadcast-model form == join form") {
+    val bcast = Corpus.bigramLogProb(both)
+    val join = Corpus.bigramLogProb(both, broadcastModel = false)
+    assert(bcast.exceptAll(join).isEmpty && join.exceptAll(bcast).isEmpty,
+      "broadcast-model bigram score diverges from the join formulation")
+    // docs under 2 tokens emit nothing in either form
+    assert(bcast.filter(col("doc_id").isin(9001L, 9002L, 9007L)).count() == 0)
+  }
+
   test("tokenEntropy (row-local) == grouped two-sum formulation") {
     val grouped = both.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
