@@ -936,20 +936,17 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     // SHUFFLE-FREE: a document's token-frequency entropy is a row-local
     // fact, so the counts come from [[graft.plans.TokenCountPairs]] and
-    // the two sums fold over the in-row array — one scan, one projection,
-    // no aggregation stage at all (the old shape paid two corpus-wide
-    // exchanges for per-row arithmetic). Zero-token docs drop, matching
-    // the groupBy form's absent group.
-    val tfs = TextExpressions.tokenCounts(col(textCol)).getField("tf")
-    val total = aggregate(tfs, lit(0L), (a, x) => a + x).cast("double")
-    val plogp = aggregate(tfs, lit(0.0d),
-      (a, x) => a + x.cast("double") * log(x.cast("double")))
-    // total > 0 guard: zero-token (or null-text) docs yield NULL and drop,
-    // exactly the groupBy form's absent group — and log(0) never evaluates
+    // both folds happen inside [[graft.plans.CountEntropy]] — one scan,
+    // one codegen'd projection, no aggregation stage at all (the old
+    // shape paid two corpus-wide exchanges; the interim HOF-fold shape
+    // ran the lambdas interpreted, which dominated the scan). Zero-token
+    // and null-text docs drop before the kernel, matching the groupBy
+    // form's absent group (tf ≥ 1 ⇒ non-empty array ⇔ total > 0).
     docs.select(col(idCol),
-        when(total > lit(0.0),
-          Quantize.quantize(log(total) - plogp / total, 6)).as("entropy"))
-      .filter(col("entropy").isNotNull)
+        TextExpressions.tokenCounts(col(textCol)).getField("tf").as("__tf"))
+      .where(size(col("__tf")) > 0)
+      .select(col(idCol),
+        TextExpressions.countEntropy(col("__tf")).as("entropy"))
   }
 
   /**

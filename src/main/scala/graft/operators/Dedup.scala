@@ -73,38 +73,32 @@ object Dedup {
   /**
    * Map-only MinHash signatures — the same values as [[minhash]] (exact
    * per-seed minima, property-asserted equal) computed as a PURE
-   * PROJECTION: shingles hash once into a long array, then ONE
-   * `aggregate()` fold carries all `numHashes` running minima (a
-   * 16-element accumulator zip_with'd against the literal (a,b) constant
-   * table), so signatures cost zero shuffles and zero row fan-out.
-   *
-   * Trade-off vs [[minhash]]: the fold is a higher-order lambda
-   * (interpreted per element) where the explode path is whole-stage
-   * codegen'd but pays an aggregation exchange. Measured at sf0.1 warm
-   * the two are within ~10% (0.61 vs 0.69 s — map-side combine keeps the
-   * explode path's shuffle small); the map-only form's value is
-   * STRUCTURAL: `minhashBandedTable(mapOnly = true)` plans the whole
-   * index build as scan → project → write with NO exchange at all
-   * (plan-asserted), so a 100 TB build streams straight into the bucketed
-   * layout with no shuffle spill/network stage to size or skew.
+   * PROJECTION: one [[graft.plans.MinHashFold]] expression carries all
+   * `numHashes` running minima over the [[graft.plans.WordShingleHashes]]
+   * array (bit-identical to `xxhash64(shingle_string)`), so signatures
+   * cost zero shuffles, zero row fan-out, and stay inside whole-stage
+   * codegen (the earlier `aggregate`/`zip_with` spelling ran its lambdas
+   * interpreted — measured as the dominant cost of the signature pass).
+   * Structural value at scale: `minhashBandedTable(mapOnly = true)` plans
+   * the whole index build as scan → project → write with NO exchange at
+   * all (plan-asserted), so a 100 TB build streams straight into the
+   * bucketed layout with no shuffle spill/network stage to size or skew.
    */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val consts = array((0 until numHashes).map { j =>
-      val (a, b) = mixConsts(j)
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    val hs = transform(TextFunctions.shingles(col(textCol), n),
-      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
-    val sig = aggregate(hs,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, consts,
-        (m, c) => least(m, h * c.getField("a") + c.getField("b"))))
-    // Null-text parity: shingles()' whole-text fallback wraps a null text
-    // as array(null), xxhash64 skips the null → BOTH paths give every
-    // null/empty doc the same deterministic signature (they ARE exact
-    // duplicates as texts; the maxBucket valve bounds the shared banded
-    // bucket). Equality including nulls is spec-asserted.
+    val ab = (0 until numHashes).map(mixConsts)
+    // Null-text parity with [[minhash]]: in the explode path a null text
+    // becomes the single shingle "" (shingles()' whole-text fallback is
+    // `concat_ws` over the null token array, which yields the empty
+    // string) — so null docs carry the signature of hash(""). Coalescing
+    // the TEXT reproduces that exactly: WordShingleHashes("") is the
+    // whole-text fallback shingle of "", bit-identical to xxhash64('').
+    // dedup=true: min over the in-row SET equals min over the multiset,
+    // and the deduped array is smaller — values unchanged, spec-asserted
+    val sig = TextExpressions.minhashFold(
+      TextExpressions.shingleHashes(coalesce(col(textCol), lit("")), n,
+        dedup = true),
+      ab.map(_._1), ab.map(_._2))
     // Two projections on purpose: `__sig` is referenced numHashes times
     // below, and CollapseProject declines to inline a non-cheap producer —
     // so the fold runs ONCE per row, not once per output column
@@ -134,12 +128,13 @@ object Dedup {
    */
   def minhashBandedTable(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id",
-      mapOnly: Boolean = false): DataFrame = {
+      mapOnly: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // mapOnly: identical signatures as a pure projection ([[minhashSignatures]])
-    // — the corpus-scale INDEX BUILD path (scan → project → bucketed write,
-    // no aggregation exchange); default keeps the codegen'd explode+agg
+    // mapOnly (the default): identical signatures as one codegen'd pure
+    // projection ([[minhashSignatures]]) — scan → project, no aggregation
+    // exchange, the corpus-scale index-build shape. mapOnly=false keeps
+    // the explode+agg form ([[minhash]]) as the property-spec twin.
     val sig = if (mapOnly) minhashSignatures(docs, n, numHashes, textCol, idCol)
       else minhash(shingleTable(docs, n, textCol, idCol, dedup = false), numHashes, idCol)
     // band value = xxhash64 of the band's minima (8-byte long), not an md5

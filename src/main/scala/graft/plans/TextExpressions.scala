@@ -223,6 +223,74 @@ case class HashBigramLogProbAvg(w1s: Expression, bgs: Expression,
     copy(w1s = newFirst, bgs = newSecond, cbg = newThird, cw = newFourth)
 }
 
+/**
+ * Row-local token-frequency entropy over a [[TokenCountPairs]] tf array:
+ * quantize₆(ln(Σtf) − Σ tf·ln(tf) / Σtf). Exists because the same two
+ * folds spelled with `aggregate` higher-order functions run INTERPRETED
+ * (lambdas don't join whole-stage codegen) — measured as the dominant
+ * cost of `text_entropy` at sf0.1. Callers filter empty arrays (tf
+ * entries are ≥ 1 by construction, so non-empty ⇒ total > 0).
+ */
+case class CountEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "count_entropy"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHash.countEntropy(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.countEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Row-local MinHash signature over a [[WordShingleHashes]] array: for
+ * each seed j, min over shingle hashes h of `(h & 0xFFFFFFFF)·a_j + b_j`
+ * — the universal-hash fold of [[graft.operators.Dedup.minhashSignatures]]
+ * as ONE codegen'd expression (the `aggregate`/`zip_with` spelling ran
+ * every per-element lambda interpreted, which dominated the signature
+ * projection). Constants ride the expression as literals (31-bit a odd,
+ * 31-bit b — the 32-bit h keeps the multiply under 2⁶³, no wrap).
+ * Min over the in-row SET equals min over the multiset, so deduped
+ * shingle input produces bit-identical signatures faster.
+ */
+case class MinHashFold(child: Expression, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression {
+  require(a.nonEmpty && a.length == b.length,
+    "MinHashFold needs one (a,b) per seed")
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_fold"
+
+  override def nullSafeEval(h: Any): Any =
+    ShingleHash.minhashFold(h.asInstanceOf[ArrayData], aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.minhashFold($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
   * calls it directly (the scalac static forwarder). */
 object ShingleHash {
@@ -489,6 +557,43 @@ object ShingleHash {
     q6(sum / m)
   }
 
+  /** [[MinHashFold]] kernel: all-seeds running minima in one pass. */
+  def minhashFold(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val m = hashes.numElements()
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i) & 0xFFFFFFFFL
+      var j = 0
+      while (j < k) {
+        val v = h * a(j) + b(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** [[CountEntropy]] kernel — folds in array order, matching the HOF
+    * twin's sequential accumulation (quantize₆ absorbs order noise). */
+  def countEntropy(tfs: ArrayData): Double = {
+    val m = tfs.numElements()
+    var total = 0L
+    var plogp = 0.0
+    var i = 0
+    while (i < m) {
+      val tf = tfs.getLong(i)
+      total += tf
+      plogp += tf.toDouble * Math.log(tf.toDouble)
+      i += 1
+    }
+    val t = total.toDouble
+    q6(Math.log(t) - plogp / t)
+  }
+
   /** [[TokenCountPairs]] kernel: count the alnum-run tokens of `s` into
     * (term, tf) struct rows, first-occurrence order. Token UTF8Strings
     * wrap sub-ranges of the input's byte array — zero copies until the
@@ -555,6 +660,16 @@ object TextExpressions {
   def tfidfTopTerms(tc: Column, dfMap: Column, nDocs: Column, k: Int): Column =
     Bridge.column(TfidfTopTerms(Bridge.expression(tc),
       Bridge.expression(dfMap), Bridge.expression(nDocs), k))
+
+  /** Row-local MinHash signature (all seeds' minima) over a
+    * [[shingleHashes]] array ([[MinHashFold]]). */
+  def minhashFold(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =
+    Bridge.column(MinHashFold(Bridge.expression(hashes), a, b))
+
+  /** Row-local token-frequency entropy over a non-empty tf array
+    * ([[CountEntropy]]). */
+  def countEntropy(tfs: Column): Column =
+    Bridge.column(CountEntropy(Bridge.expression(tfs)))
 
   /** Row-local unigram-LM score against a broadcast hash→count model
     * (binary-sorted long keys); `hashes` must be non-empty. */
