@@ -95,32 +95,31 @@ object Similarity {
    */
   def buildLshIndex(embeddings: DataFrame, dim: Int, bits: Int = 4, tables: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // Hyperplane projection as a join-aggregate "matrix multiply":
-    // posexplode the vector, broadcast-join the (tables·bits·dim) weight
-    // table, two codegen'd aggregations → bucket per (vec, table). An
-    // inline expression tree (dim·bits·tables element_at multiplies per
-    // row) is ~20× slower — giant exprs defeat codegen.
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val weights = (for {
+    // MAP-ONLY: all tables' buckets come from one
+    // [[graft.plans.LshBucketSignature]] kernel call per vector (the
+    // tables·bits·dim weight table rides the plan as a literal —
+    // kilobytes; the LSH "model" is pure code), posexplode fans out the
+    // `tables` index replicas. Bit-identical to the previous posexplode →
+    // broadcast-weight join → two-aggregation shape (which kept the
+    // multiply codegen'd at the cost of a dim·tables·bits row fan-out
+    // plus two exchanges): that path also accumulated each (vec, table,
+    // bit) projection in d order inside the scan task. An inline Column
+    // expression tree was ~20× slower still — giant exprs defeat codegen;
+    // the kernel replaces all of it with one tight loop.
+    // The norm rides along as an index column: computed ONCE per vector,
+    // persisted with the index, and reused by every candidate
+    // verification — the index carries `tables` replicas of each vector,
+    // so recomputing at probe time would pay the 64-op dot per replica.
+    // `size > 0` keeps the join path's drop of empty vectors (posexplode
+    // of an empty projection emitted no rows for them).
+    val wts: Seq[Double] = for {
       t <- 0 until tables; b <- 0 until bits; d <- 0 until dim
-    } yield (t, b, d, planeComponent(t, b, d))).toDF("table", "bit", "d", "w")
-    val exploded = embeddings.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
-    val buckets = exploded
-      .join(broadcast(weights), "d")
-      .groupBy(col(idCol), col("table"), col("bit"))
-      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
-      .groupBy(col(idCol), col("table"))
-      .agg(sum(when(col("proj") >= 0,
-        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("bucket"))
-    // the norm rides along as an index column: computed ONCE per vector
-    // here (the embeddings side of the join is scanned once), persisted
-    // with the index, and reused by every candidate verification — the
-    // index carries `tables` replicas of each vector, so recomputing at
-    // probe time would pay the 64-op dot product `tables`× per id
-    buckets.join(
-        embeddings.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")), idCol)
-      .select(col(idCol), col(vecCol), col("nrm"), col("table"), col("bucket"))
+    } yield planeComponent(t, b, d)
+    embeddings
+      .where(size(col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+        posexplode(graft.plans.VectorExpressions.lshBuckets(
+          col(vecCol), wts, tables, bits, dim)).as(Seq("table", "bucket")))
   }
 
   /**
@@ -138,7 +137,37 @@ object Similarity {
    * there and let bucket pruning do the same job with a fixed file count.
    */
   def writeLshIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    // repartition on the partition columns first: otherwise every write
+    // task opens a file in every (table, bucket) directory it sees —
+    // tasks × dirs file commits (measured as the dominant index-build
+    // cost, not compute). Keyed this way each directory is written by
+    // exactly one task: dirs-many files total, and the commit protocol
+    // scales with the layout, not the task grid. Same trade at 100 TB,
+    // where a 10k-task scan writing 2^bits·tables dirs would otherwise
+    // commit millions of small files.
+    writePartitionedParallel(
+      index.repartition(col("table"), col("bucket")),
+      Seq("table", "bucket"), path)
+
+  /** Partitioned layout write with AQE partition-coalescing OFF for the
+    * duration: a small index's post-repartition shuffle is a few MB, so
+    * AQE folds it to ONE task that then creates every partition
+    * directory's file serially — parquet open/close latency × dirs
+    * (measured 2.3 s for a 2400-row index). With coalescing off the
+    * write keeps `spark.sql.shuffle.partitions` tasks and the per-file
+    * latency overlaps. Restores the previous setting afterwards. */
+  private def writePartitionedParallel(df: DataFrame, parts: Seq[String],
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Read a persisted index back; feed to `topKLsh` / `nearDupPairsFromIndex`.
     * (table, bucket) come back as partition columns, so probe predicates
@@ -315,27 +344,25 @@ object Similarity {
         transform(col(vecCol), x => (x.cast("double") / col("nrm")).cast("float")))
         .otherwise(col(vecCol)))
 
-  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    * keep argmin cell per vector via one min(struct) aggregation.
-    * Distance (in the unit space, against unit-space centroids) =
-    * ||c||² − 2·û·c (the ||û||² term is constant per vector). Input must
-    * carry `__unit` and `nrm` (see [[withUnit]]); output keeps the
-    * original `vecCol` and `nrm`. */
+  /** Nearest-centroid assignment, MAP-ONLY: one
+    * [[graft.plans.NearestCentroid]] kernel call per vector against the
+    * literal centroid table. Distance (in the unit space, against
+    * unit-space centroids) = ||c||² − 2·û·c (the ||û||² term is constant
+    * per vector), first-min tie-break — bit-identical to the previous
+    * broadcast-crossJoin + `min(struct)` shape (same [[dot]] accumulation
+    * order) with the nCells× fan-out and the groupBy(id) exchange gone:
+    * every Lloyd round and the final assignment are now pure scans.
+    * Input must carry `__unit` and `nrm` (see [[withUnit]]); output keeps
+    * the original `vecCol` and `nrm`. */
   private def assignCells(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
       vecCol: String, idCol: String): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents = centroids.map { case (c, v) =>
-      (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-    }.toSeq.toDF("__cell", "__cv", "__cn2")
-    vecs.select(col(idCol), col(vecCol), col("__unit"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("nrm"),
-        struct((col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("d"),
-          col("__cell").as("c")).as("__sc"))
-      .groupBy(col(idCol))
-      .agg(any_value(col(vecCol)).as(vecCol), any_value(col("nrm")).as("nrm"),
-        min(col("__sc")).getField("c").as("cell"))
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1).sameElements(sorted.indices),
+      "assignCells: cell ids must be dense 0..n-1")
+    val cn2 = sorted.map(_._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    vecs.select(col(idCol), col(vecCol), col("nrm"),
+      graft.plans.VectorExpressions.nearestCentroid(col("__unit"),
+        sorted.map(_._2.toSeq).toSeq, cn2.toSeq).as("cell"))
   }
 
   /** Persist the index: assignments under `$path/assignments` partitioned
@@ -346,8 +373,10 @@ object Similarity {
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assignments.sparkSession
     import spark.implicits._
-    index.assignments.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/assignments")
+    // one writing task per cell directory, parallel commit — see
+    // [[writeLshIndex]] / [[writePartitionedParallel]]
+    writePartitionedParallel(index.assignments.repartition(col("cell")),
+      Seq("cell"), s"$path/assignments")
     index.centroids.toSeq.toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -589,9 +618,8 @@ object Similarity {
     var books: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
       (mi, ci) => seedVecs(ci).slice(mi * sub, (mi + 1) * sub)
     }
-    val subvecs = subvecsOf(trainSet, sub, m, idCol)
     for (_ <- 0 until iters) {
-      val means = subMeans(assignCodes(subvecs, books, idCol))
+      val means = subMeans(assignCodes(trainSet, books, sub, idCol))
       books = Array.tabulate(m, k) { (mi, ci) =>
         means.getOrElse((mi, ci), books(mi)(ci)) // empty code keeps its centroid
       }
@@ -599,30 +627,31 @@ object Similarity {
     PqModel(m, k, dim, books)
   }
 
-  /** (id, __m, __sv): the m unit-space slices of each vector. */
-  private def subvecsOf(prepped: DataFrame, sub: Int, m: Int,
-      idCol: String): DataFrame =
-    prepped.select(col(idCol), col("__unit"),
-        explode(sequence(lit(0), lit(m - 1))).as("__m"))
-      .select(col(idCol), col("__m"),
-        slice(col("__unit"), col("__m") * sub + 1, lit(sub)).as("__sv"))
-
-  /** Argmin code per (id, subspace): broadcast codebook join keyed by
-    * subspace + one min(struct) — the per-subspace [[assignCells]]. */
-  private def assignCodes(subvecs: DataFrame,
-      books: Array[Array[Array[Float]]], idCol: String): DataFrame = {
-    val spark = subvecs.sparkSession
-    import spark.implicits._
-    val cents = (for (mi <- books.indices; ci <- books(mi).indices) yield {
-      val v = books(mi)(ci)
-      (mi, ci, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-    }).toDF("__m", "__code", "__cv", "__cn2")
-    subvecs.join(broadcast(cents), "__m")
-      .select(col(idCol), col("__m"), col("__sv"),
-        struct((col("__cn2") - lit(2.0) * dot(col("__sv"), col("__cv"))).as("d"),
-          col("__code").as("c")).as("__sc"))
-      .groupBy(col(idCol), col("__m"))
-      .agg(any_value(col("__sv")).as("__sv"), min(col("__sc")).getField("c").as("__code"))
+  /** Argmin code per (id, subspace), MAP-ONLY: each subspace slice gets
+    * its own [[graft.plans.NearestCentroid]] kernel against that
+    * subspace's literal codebook (the per-subspace [[assignCells]]), the
+    * m (slice, code) structs explode into the training rows [[subMeans]]
+    * folds. Bit-identical to the previous broadcast-codebook join +
+    * `min(struct)` (same distance form, same first-min tie-break) with
+    * the m·k fan-out and the groupBy(id, m) exchange gone. Takes the
+    * `withUnit`-prepped frame. */
+  private def assignCodes(prepped: DataFrame,
+      books: Array[Array[Array[Float]]], sub: Int, idCol: String): DataFrame = {
+    val m = books.length
+    // slices bound in their own projection: each is referenced by its
+    // kernel AND carried into the struct, and CollapseProject declines
+    // to inline non-cheap producers
+    val sliced = prepped.select(col(idCol) +: (0 until m).map(mi =>
+      slice(col("__unit"), mi * sub + 1, sub).as(s"__sv_$mi")): _*)
+    val entries = (0 until m).map { mi =>
+      val cn2 = books(mi).map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct(lit(mi).as("__m"), col(s"__sv_$mi").as("__sv"),
+        graft.plans.VectorExpressions.nearestCentroid(col(s"__sv_$mi"),
+          books(mi).map(_.toSeq).toSeq, cn2.toSeq).as("__code"))
+    }
+    sliced.select(col(idCol), explode(array(entries: _*)).as("__e"))
+      .select(col(idCol), col("__e.__m").as("__m"),
+        col("__e.__sv").as("__sv"), col("__e.__code").as("__code"))
   }
 
   /** Per-(subspace, code) means — the Lloyd update, all subspaces in one
@@ -792,7 +821,10 @@ object Similarity {
     * both are exact round-trips, and serving needs only kilobytes of
     * model plus this relation. */
   def writeCellCodes(cellCodes: DataFrame, path: String): Unit =
-    cellCodes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // one writing task per cell directory, parallel commit — see
+    // [[writeLshIndex]] / [[writePartitionedParallel]]
+    writePartitionedParallel(cellCodes.repartition(col("cell")),
+      Seq("cell"), path)
 
   def readCellCodes(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)

@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /**
  * Native Catalyst expression for the similarity hot path (SURVEY §2.9
@@ -174,6 +174,140 @@ case class PqAdcDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * All-tables LSH bucket signature in ONE map-only expression: for table t,
+ * bit b, the hyperplane projection Σ_d vec[d]·w[t][b][d] decides bit b of
+ * bucket t (set when ≥ 0). Replaces the posexplode → broadcast-weight
+ * join → two-aggregation "matrix multiply" of the index build — that
+ * shape fans each vector into dim·tables·bits rows to keep the multiply
+ * codegen'd, where this kernel is the same double accumulation in d
+ * order (bit-identical buckets: the join-agg path accumulates each
+ * (vec,table,bit) group in d order too, all of one vector's rows staying
+ * inside its scan task) with zero fan-out and zero exchange. Weights
+ * ride the plan as a literal table (tables·bits·dim doubles — kilobytes,
+ * the LSH "model" is pure code).
+ */
+case class LshBucketSignature(child: Expression, weights: Seq[Double],
+    tables: Int, bits: Int, dim: Int) extends UnaryExpression {
+  require(tables >= 1 && bits >= 1 && bits <= 62 && dim >= 1 &&
+    weights.length == tables * bits * dim,
+    s"LshBucketSignature: need tables*bits*dim weights")
+  private lazy val wArr = weights.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bucket_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBuckets(v.asInstanceOf[ArrayData], wArr, tables, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lshW", wArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.lshBuckets($c, $wRef, $tables, $bits, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Nearest-centroid assignment as ONE map-only expression: argmin over a
+ * literal centroid table of `‖c‖² − 2·v̂·c` (the ‖v̂‖² term is constant
+ * per vector), first-min tie-break — exactly the `min(struct(d, c))` of
+ * the broadcast-crossJoin + groupBy formulation it replaces, with the
+ * same [[FloatVectorDot]] accumulation order, so assignments are
+ * bit-identical while the nCells× row fan-out and the groupBy(id)
+ * exchange disappear (each Lloyd round and the final assignment become
+ * pure scans).
+ */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]],
+    cn2: Seq[Double]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cn2.length,
+    "NearestCentroid: need one ‖c‖² per centroid")
+  private lazy val cArr: Array[Array[Float]] = cents.map(_.toArray).toArray
+  private lazy val n2Arr: Array[Double] = cn2.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], cArr, n2Arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ncCents", cArr, "float[][]")
+    val nRef = ctx.addReferenceObj("ncN2", n2Arr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.nearestCentroid($c, $cRef, $nRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernels — generated code calls these directly. */
+object VectorKernels {
+  /** [[LshBucketSignature]] kernel. Sums in d order ([[FloatVectorDot]]
+    * convention); dims beyond `dim` are ignored (the join path's weight
+    * table had no rows for them), missing dims contribute 0. */
+  def lshBuckets(vec: ArrayData, w: Array[Double], tables: Int, bits: Int,
+      dim: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          acc += vec.getFloat(d).toDouble * w(base + d)
+          d += 1
+        }
+        if (acc >= 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[NearestCentroid]] kernel: strict `<` keeps the FIRST minimal cell
+    * (ties → lowest id, the `min(struct(d, c))` semantics). */
+  def nearestCentroid(vec: ArrayData, cents: Array[Array[Float]],
+      cn2: Array[Double]): Int = {
+    var best = Double.PositiveInfinity
+    var bc = 0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += vec.getFloat(i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      val d = cn2(c) - 2.0 * acc
+      if (d < best) { best = d; bc = c }
+      c += 1
+    }
+    bc
+  }
+}
+
 object VectorExpressions {
   /** Σ aᵢ·bᵢ in double, sequential order — codegen'd. */
   def dotF(a: Column, b: Column): Column =
@@ -182,4 +316,16 @@ object VectorExpressions {
   /** Σ_m table[m][codes[m]] in double, subspace order — codegen'd. */
   def pqAdc(codes: Column, table: Column): Column =
     Bridge.column(PqAdcDistance(Bridge.expression(codes), Bridge.expression(table)))
+
+  /** array<long> of per-table LSH buckets ([[LshBucketSignature]]). */
+  def lshBuckets(vec: Column, weights: Seq[Double], tables: Int, bits: Int,
+      dim: Int): Column =
+    Bridge.column(LshBucketSignature(Bridge.expression(vec), weights,
+      tables, bits, dim))
+
+  /** Nearest-centroid id over a literal centroid table
+    * ([[NearestCentroid]]); `cn2` = per-centroid ‖c‖². */
+  def nearestCentroid(vec: Column, cents: Seq[Seq[Float]],
+      cn2: Seq[Double]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec), cents, cn2))
 }

@@ -139,6 +139,67 @@ object Scratch {
             col("__th"), col("__m"), col("total")).as("logprob")).count())
       }
     }
+    if (sys.env.contains("SCRATCH_LSH300")) {
+      import org.apache.spark.sql.functions._
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH-STEP $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val c300 = e.filter(col("vec_id") < 300)
+      for (rnd <- 1 to 2) {
+        val idx = graft.operators.Similarity.buildLshIndex(c300, dim = graft.AnnIndex.Dim)
+        time(s"r$rnd lsh300 build count")(idx.count())
+        val tmp = java.nio.file.Files.createTempDirectory("scratch_l3").toString
+        time(s"r$rnd lsh300 write")(graft.operators.Similarity.writeLshIndex(idx, s"$tmp/x"))
+        val idxF = graft.operators.Similarity.buildLshIndex(e, dim = graft.AnnIndex.Dim)
+        time(s"r$rnd lshfull build count")(idxF.count())
+        time(s"r$rnd lshfull write")(graft.operators.Similarity.writeLshIndex(idxF, s"$tmp/y"))
+      }
+    }
+    if (sys.env.contains("SCRATCH_BUILDALL")) {
+      for (i <- 1 to 3) {
+        val tmp = java.nio.file.Files.createTempDirectory("scratch_ba")
+        val t0 = System.nanoTime()
+        graft.AnnIndex.buildAll(spark, sfDir, tmp.toString).collect()
+        println(f"SCRATCH-STEP buildAll run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
+    }
+    if (sys.env.contains("SCRATCH_ANN")) for (rnd <- 1 to 2) {
+      import org.apache.spark.sql.functions._
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH-STEP r$rnd $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val e = time("read embeddings")(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      val c300 = e.filter(col("vec_id") < 300)
+      val tmp = java.nio.file.Files.createTempDirectory("scratch_ann").toString
+      time("lsh build+write full")(graft.operators.Similarity.writeLshIndex(
+        graft.operators.Similarity.buildLshIndex(e, dim = graft.AnnIndex.Dim), s"$tmp/lsh_full"))
+      time("lsh build+write 300")(graft.operators.Similarity.writeLshIndex(
+        graft.operators.Similarity.buildLshIndex(c300, dim = graft.AnnIndex.Dim), s"$tmp/lsh_300"))
+      val ivfFull = time("ivf train full")(graft.operators.Similarity.buildIvfIndex(
+        e, nCells = graft.AnnIndex.NCells, iters = graft.AnnIndex.Iters))
+      time("ivf write full")(graft.operators.Similarity.writeIvfIndex(ivfFull, s"$tmp/ivf_full"))
+      val ivf300 = time("ivf train 300")(graft.operators.Similarity.buildIvfIndex(
+        c300, nCells = graft.AnnIndex.NCells, iters = graft.AnnIndex.Iters))
+      time("ivf write 300")(graft.operators.Similarity.writeIvfIndex(ivf300, s"$tmp/ivf_300"))
+      val pq = time("pq train")(graft.operators.Similarity.trainPq(
+        e, m = graft.AnnIndex.PqM, k = graft.AnnIndex.PqK, iters = graft.AnnIndex.Iters))
+      time("pq encode+write full")(graft.operators.Similarity.writePqIndex(
+        graft.operators.Similarity.pqEncode(e, pq), pq, s"$tmp/pq_full"))
+      val codes300 = time("pq encode 300")(graft.operators.Similarity.pqEncode(c300, pq))
+      time("codes300 write")(codes300.write.mode("overwrite").parquet(s"$tmp/codes_300"))
+      time("cellcodes build+write")(graft.operators.Similarity.writeCellCodes(
+        graft.operators.Similarity.buildCellCodes(ivf300, codes300), s"$tmp/cellcodes_300"))
+    }
     for (n <- names) {
       if (n == "entry") {
         val cnt = graft.SparkEntry.entry(spark).count()
