@@ -186,6 +186,56 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(p50 - 500.0) <= 40.0, s"p50 drifted: $p50")
   }
 
+  test("lshBuckets kernel equals the join-aggregate matrix multiply bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (tables, bits, dim) = (8, 4, 64)
+    // deterministic plane weights — the kernel's literal table, rebuilt
+    // here the way buildLshIndex derives it
+    def plane(t: Int, b: Int, d: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3
+        .stringHash(s"plane:$t:$b:$d").toLong & 0xFFFFFFFFL
+      (h.toDouble / 0x80000000L.toDouble) - 1.0
+    }
+    val wts = for { t <- 0 until tables; b <- 0 until bits; d <- 0 until dim }
+      yield plane(t, b, d)
+    val viaKernel = e.select(col("vec_id"),
+        posexplode(VectorExpressions.lshBuckets(col("embedding"), wts,
+          tables, bits, dim)).as(Seq("table", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the replaced shape: posexplode -> broadcast weight join -> two aggs
+    val weights = (for { t <- 0 until tables; b <- 0 until bits; d <- 0 until dim }
+      yield (t, b, d, plane(t, b, d))).toDF("table", "bit", "d", "w")
+    val viaJoin = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(broadcast(weights), "d")
+      .groupBy(col("vec_id"), col("table"), col("bit"))
+      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
+      .groupBy(col("vec_id"), col("table"))
+      .agg(sum(when(col("proj") >= 0,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaKernel == viaJoin)
+  }
+
+  test("nearestCentroid kernel equals the crossJoin min(struct) argmin") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val cents: Seq[Seq[Float]] = (0 until 5).map(c =>
+      (0 until 64).map(d => ((c * 64 + d) % 7 - 3) * 0.25f))
+    val cn2 = cents.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val viaKernel = e.select(col("vec_id"),
+        VectorExpressions.nearestCentroid(col("embedding"), cents, cn2).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val centsDf = cents.zipWithIndex.map { case (v, c) =>
+      (c, v.toArray, cn2(c)) }.toDF("__cell", "__cv", "__cn2")
+    val viaJoin = e.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), struct(
+        (col("__cn2") - lit(2.0) * VectorExpressions.dotF(col("embedding"), col("__cv"))).as("d"),
+        col("__cell").as("c")).as("__sc"))
+      .groupBy(col("vec_id")).agg(min(col("__sc")).getField("c").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel == viaJoin)
+  }
+
   test("bpe_token_count SQL registration matches the Column surface") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
