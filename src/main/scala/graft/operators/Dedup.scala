@@ -779,26 +779,19 @@ object Dedup {
    */
   def winnowFingerprints(docs: DataFrame, k: Int = 5, g: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && g >= 1, s"k and g must be positive: k=$k g=$g")
-    // md5-prefix gram hash: SELECTION depends on hash order, so the hash
-    // must be engine-reproducible (contrast verbatimSpans, which only
-    // needs equality and takes the cheaper all-arithmetic xxhash64 path)
-    val hashed = slidingGrams(docs, k, textCol, idCol, "__h",
-      identity, ls => TextFunctions.strHash32(concat_ws(" ", ls: _*)))
-    if (g == 1) return hashed.select(col(idCol), col("pos"), col("__h").as("fp"))
-    // every window start's rightmost-min in one frame aggregate: struct
-    // order = (smallest hash, then largest position); the count guard
-    // drops the trailing partial windows
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(0, g - 1)
-    hashed
-      .withColumn("__m",
-        min(struct(col("__h").as("h"), (-col("pos")).as("np"))).over(frame))
-      .withColumn("__n", count(lit(1)).over(frame))
-      .filter(col("__n") === g)
-      .select(col(idCol), (-col("__m.np")).as("pos"), col("__m.h").as("fp"))
-      .distinct()
+    // ROW-LOCAL: gram hashing (md5-prefix — SELECTION depends on hash
+    // order, so the hash must be engine-reproducible; contrast
+    // verbatimSpans, which only needs equality and takes the cheaper
+    // all-arithmetic xxhash64 path), the rightmost-min window selection
+    // AND the selection dedup all happen inside one
+    // [[graft.plans.WinnowFingerprints]] kernel call per document — the
+    // per-doc sort for `lead`, the frame aggregate and the global
+    // `distinct` exchange of the windowed shape are gone; the operator
+    // is scan → kernel → explode, fusing into whatever feeds it.
+    docs.select(col(idCol),
+        explode(TextExpressions.winnowFingerprints(col(textCol), k, g)).as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.fp").as("fp"))
   }
 
   /**

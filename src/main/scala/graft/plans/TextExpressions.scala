@@ -291,6 +291,50 @@ case class MinHashFold(child: Expression, a: Seq[Long], b: Seq[Long])
     copy(child = newChild)
 }
 
+/**
+ * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+ * 2003) as ONE row-local expression: word k-gram md5-prefix hashes →
+ * rightmost-minimum of every g-window → deduplicated (pos, fp) pairs.
+ * The whole computation is a per-DOCUMENT fact, but the previous shape
+ * paid corpus-wide machinery for it: posexplode + a per-doc sort for the
+ * `lead` window, a second windowed frame aggregate for the rightmost
+ * min, and a global `distinct` exchange. This kernel does the same
+ * selection inside the scan — selection dedup exploits winnowing's
+ * non-decreasing selected-position property, so a last-selected check
+ * IS the distinct.
+ *
+ * Parity contract (the `fingerprint_winnow` oracle): tokens are the
+ * single-space split of `lower(text)` INCLUDING empty tokens, so every
+ * k-gram `concat_ws(" ", t_i..t_{i+k-1})` is a contiguous byte range of
+ * the lowered text; fp = the first 8 md5 hex chars as a long (the
+ * engine-reproducible `strHash32`); docs under k tokens emit nothing,
+ * and with fewer than g complete windows (g > 1) nothing is selected.
+ */
+case class WinnowFingerprints(child: Expression, k: Int, g: Int)
+    extends UnaryExpression {
+  require(k >= 1 && g >= 1, s"k and g must be positive: k=$k g=$g")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHash.winnowFps(s.asInstanceOf[UTF8String], k, g)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.winnowFps($c, $k, $g);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
   * calls it directly (the scalac static forwarder). */
 object ShingleHash {
@@ -557,6 +601,87 @@ object ShingleHash {
     q6(sum / m)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** [[WinnowFingerprints]] kernel. */
+  def winnowFps(s: UTF8String, k: Int, g: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // single-space split boundaries, empty tokens included (wsTokens /
+    // Spark `split` with the default -1 limit keeps trailing empties)
+    var spaces = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val nGrams = nTok - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val tokStart = new Array[Int](nTok)
+    val tokEnd = new Array[Int](nTok)
+    var t = 0
+    var p = 0
+    tokStart(0) = 0
+    while (p < n) {
+      if (bytes(p) == ' ') {
+        tokEnd(t) = p
+        t += 1
+        tokStart(t) = p + 1
+      }
+      p += 1
+    }
+    tokEnd(t) = n
+    // gram i = bytes [tokStart(i), tokEnd(i+k-1)); fp = first 4 md5
+    // bytes as an unsigned 32-bit value (strHash32: first 8 hex chars)
+    val md = md5Local.get()
+    val hs = new Array[Long](nGrams)
+    var gi = 0
+    while (gi < nGrams) {
+      val from = tokStart(gi)
+      md.reset()
+      md.update(bytes, from, tokEnd(gi + k - 1) - from)
+      val d = md.digest()
+      hs(gi) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      gi += 1
+    }
+    if (g == 1) {
+      val out = new Array[Any](nGrams)
+      var j = 0
+      while (j < nGrams) {
+        out(j) = org.apache.spark.sql.catalyst.InternalRow((j + 1).toLong, hs(j))
+        j += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val nWin = nGrams - g + 1
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    // rightmost-min per window; selected positions never decrease, so a
+    // last-selected check deduplicates completely
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](nWin)
+    var lastSel = -1
+    var w = 0
+    while (w < nWin) {
+      var bi = w
+      var bh = hs(w)
+      var j = w + 1
+      while (j <= w + g - 1) {
+        if (hs(j) <= bh) { bh = hs(j); bi = j }
+        j += 1
+      }
+      if (bi != lastSel) {
+        buf += org.apache.spark.sql.catalyst.InternalRow((bi + 1).toLong, bh)
+        lastSel = bi
+      }
+      w += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** [[MinHashFold]] kernel: all-seeds running minima in one pass. */
   def minhashFold(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
     val k = a.length
@@ -660,6 +785,12 @@ object TextExpressions {
   def tfidfTopTerms(tc: Column, dfMap: Column, nDocs: Column, k: Int): Column =
     Bridge.column(TfidfTopTerms(Bridge.expression(tc),
       Bridge.expression(dfMap), Bridge.expression(nDocs), k))
+
+  /** Winnowing-selected (pos, fp) fingerprint pairs of `lower(text)`
+    * ([[WinnowFingerprints]]); null text → null (explode drops the
+    * doc, the posexplode form's behavior). */
+  def winnowFingerprints(text: Column, k: Int, g: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(lower(text)), k, g))
 
   /** Row-local MinHash signature (all seeds' minima) over a
     * [[shingleHashes]] array ([[MinHashFold]]). */

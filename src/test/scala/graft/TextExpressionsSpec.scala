@@ -100,6 +100,42 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(byDoc.filter(size(col("rs")) =!= col("mx")).count() == 0)
   }
 
+  test("winnowFingerprints kernel == windowed rightmost-min formulation") {
+    import org.apache.spark.sql.expressions.Window
+    for ((k, g) <- Seq((5, 4), (3, 1), (2, 6))) {
+      val kernel = graft.operators.Dedup.winnowFingerprints(both, k, g)
+      // the replaced shape: posexplode + lead window for the grams, a
+      // frame aggregate for the rightmost min, global distinct
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val leads = (0 until k).map { j =>
+        if (j == 0) col("__t") else lead(col("__t"), j).over(byPos)
+      }
+      val hashed = both
+        .select(col("doc_id"), posexplode(TextFunctions.wsTokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("__t"))
+        .withColumn("__h", TextFunctions.strHash32(concat_ws(" ", leads: _*)))
+        .withColumn("__tail", leads.last)
+        .filter(col("__tail").isNotNull)
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("__h"))
+      val windowed =
+        if (g == 1) hashed.select(col("doc_id"), col("pos"), col("__h").as("fp"))
+        else {
+          val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(0, g - 1)
+          hashed
+            .withColumn("__m",
+              min(struct(col("__h").as("h"), (-col("pos")).as("np"))).over(frame))
+            .withColumn("__n", count(lit(1)).over(frame))
+            .filter(col("__n") === g)
+            .select(col("doc_id"), (-col("__m.np")).as("pos"), col("__m.h").as("fp"))
+            .distinct()
+        }
+      assert(kernel.exceptAll(windowed).isEmpty &&
+        windowed.exceptAll(kernel).isEmpty,
+        s"winnow kernel diverges from the windowed formulation at k=$k g=$g")
+    }
+  }
+
   test("unigramLogProb broadcast-model form == join form") {
     val bcast = Corpus.unigramLogProb(both)
     val join = Corpus.unigramLogProb(both, broadcastModel = false)
