@@ -253,19 +253,14 @@ object Dedup {
    * The alternative — 64 `aggregate()` lambda passes over the token array —
    * is interpreted per-element and ~30× slower at sf0.1.
    */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tokenHashes = docs
-      .select(col(idCol), explode(TextFunctions.wsTokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val votes: Seq[Column] = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
-    }
-    val sig: Column = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tokenHashes.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // ROW-LOCAL ([[graft.plans.SimHash64]]): the ±1 bit votes commute, so
+    // the kernel equals the explode → groupBy 64-conditional-sum shape
+    // exactly (spec-pinned) with the token fan-out and aggregation
+    // exchange gone. The isNotNull filter keeps the explode form's drop
+    // of null-text docs (they emitted no token rows).
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), TextExpressions.simhash64(col(textCol)).as("simhash"))
 
   /**
    * SimHash near-dup candidates: split the 64-bit signature into 4 16-bit

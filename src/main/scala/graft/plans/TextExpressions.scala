@@ -335,6 +335,36 @@ case class WinnowFingerprints(child: Expression, k: Int, g: Int)
     copy(child = newChild)
 }
 
+/**
+ * 64-bit SimHash signature as ONE row-local expression: each single-space
+ * token of `lower(text)` votes ±1 per bit of its xxhash64 (seed 42 —
+ * bit-identical to the Column `xxhash64(tok)`), positive vote sums set
+ * signature bits. Integer votes commute, so the kernel is EXACTLY the
+ * explode → groupBy(doc) 64-conditional-sum aggregation it replaces —
+ * minus the token fan-out and the aggregation exchange (a signature is a
+ * per-document fact). Callers drop null texts (the explode form dropped
+ * them by emitting no rows).
+ */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHash.simhash64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
   * calls it directly (the scalac static forwarder). */
 object ShingleHash {
@@ -601,6 +631,36 @@ object ShingleHash {
     q6(sum / m)
   }
 
+  /** [[SimHash64]] kernel: ±1 bit votes per single-space token's
+    * xxhash64, positive sums set bits. */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    var from = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || bytes(p) == ' ') {
+        val h = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + from, p - from, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        from = p + 1
+      }
+      p += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -785,6 +845,11 @@ object TextExpressions {
   def tfidfTopTerms(tc: Column, dfMap: Column, nDocs: Column, k: Int): Column =
     Bridge.column(TfidfTopTerms(Bridge.expression(tc),
       Bridge.expression(dfMap), Bridge.expression(nDocs), k))
+
+  /** 64-bit SimHash signature of `lower(text)` ([[SimHash64]]); null
+    * text → null (callers drop, the explode form's behavior). */
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(lower(text))))
 
   /** Winnowing-selected (pos, fp) fingerprint pairs of `lower(text)`
     * ([[WinnowFingerprints]]); null text → null (explode drops the

@@ -136,6 +136,23 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 kernel == explode/groupBy conditional-sum formulation") {
+    val kernel = graft.operators.Dedup.simhash(both)
+    val tokenHashes = both
+      .select(col("doc_id"), explode(TextFunctions.wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val agg = tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+    assert(kernel.exceptAll(agg).isEmpty && agg.exceptAll(kernel).isEmpty,
+      "simhash kernel diverges from the aggregation formulation")
+  }
+
   test("unigramLogProb broadcast-model form == join form") {
     val bcast = Corpus.unigramLogProb(both)
     val join = Corpus.unigramLogProb(both, broadcastModel = false)
