@@ -23,17 +23,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark rejects natively — read nanos as long, convert to micros
-    * (integer `div`: a double division would lose precision at 1e18).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the SESSION
-    * (Bench/Verify/test builders set it) — a query function must not
-    * mutate session conf, that leaks into every later query. */
+  /** The events table has shipped with two timestamp layouts: TIMESTAMP(NANOS)
+    * (which Spark only reads as long via `spark.sql.legacy.parquet.nanosAsLong
+    * =true` — Bench/Verify/test builders set it; a query function must not
+    * mutate session conf, that leaks into every later query) and plain
+    * TIMESTAMP_MICROS. Branch on the LOADED dtype so both read: a long column
+    * is nanos needing an integer `div 1000` to micros (a double division
+    * would lose precision at 1e18); a real timestamp column is cast directly.
+    * NTZ keeps the result at naive wall-clock micros — matching both the
+    * source data's semantics and DuckDB's TIMESTAMP. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    // NTZ keeps the written parquet at naive micros — matching both the
-    // source data's wall-clock semantics and DuckDB's TIMESTAMP.
-    t(s, dir, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = t(s, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _        => col("ts").cast("timestamp_ntz")
+    }
+    df.withColumn("ts", ts)
   }
 
   /** Shared station-value increment: F-1 wide fixture through the full value

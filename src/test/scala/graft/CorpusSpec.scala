@@ -928,6 +928,29 @@ class CorpusSpec extends AnyFunSuite {
       5L -> Some(9.0)))
   }
 
+  test("asofJoin: single shuffle on the key, micros-timestamp inputs (plan)") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // The r9→r10 testdata swap changed events.ts from TIMESTAMP(NANOS)-as-long
+    // to TIMESTAMP_MICROS; pin the plan shape on the new dtype so a future
+    // data swap can't silently change it: the union-window as-of core must
+    // stay ONE hash shuffle on the key — not a sort-merge join plus window,
+    // not one exchange per input.
+    val left = Seq((1L, 10L, "2024-01-01 00:01:00"), (2L, 10L, "2024-01-01 00:02:00"))
+      .toDF("event_id", "k", "t")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    val right = Seq((10L, "2024-01-01 00:00:30", 1.0))
+      .toDF("k", "t", "v")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    val out = TimeSeries.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+    out.collect() // materialize so AQE's final plan is inspectable
+    val shuffles = SparkTestBase.planSeq(out.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected one shuffle, got: $shuffles")
+    assert(shuffles.head.outputPartitioning.toString.contains("k"),
+      s"shuffle not on the key: ${shuffles.head.outputPartitioning}")
+  }
+
   test("asofJoin sliced: identical to the plain path on a hot-key fixture") {
     import graft.operators.TimeSeries
     val rnd = new scala.util.Random(19)
