@@ -158,6 +158,27 @@ object Scratch {
         time(s"r$rnd lshfull write")(graft.operators.Similarity.writeLshIndex(idxF, s"$tmp/y"))
       }
     }
+    if (sys.env.contains("SCRATCH_FLOOR")) {
+      // Per-query fixed cost through the exact Bench harness
+      // (queryExecution.toRdd.count()): a no-op in-memory plan bounds the
+      // pure scheduling/codegen floor; a one-row parquet table adds the
+      // file-listing + footer-read floor every real query also pays.
+      def floor(label: String)(f: => Unit): Unit = {
+        val ts = (1 to 10).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-STEP floor $label: min ${ts.min}%.4f s  " +
+          f"median ${ts.sorted.apply(5)}%.4f s")
+      }
+      floor("range1")(spark.range(1).queryExecution.toRdd.count())
+      floor("range1 agg")(
+        spark.range(1).selectExpr("sum(id) as s").queryExecution.toRdd.count())
+      floor("parquet region scan")(
+        spark.read.parquet(s"$sfDir/region.parquet").queryExecution.toRdd.count())
+      floor("parquet region agg+shuffle")(
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().queryExecution.toRdd.count())
+    }
     if (sys.env.contains("SCRATCH_BUILDALL")) {
       for (i <- 1 to 3) {
         val tmp = java.nio.file.Files.createTempDirectory("scratch_ba")

@@ -951,6 +951,34 @@ class CorpusSpec extends AnyFunSuite {
       s"shuffle not on the key: ${shuffles.head.outputPartitioning}")
   }
 
+  test("events ingestion reads both timestamp layouts identically") {
+    // The events table has shipped as TIMESTAMP(NANOS) (reads as a long
+    // column under the nanosAsLong legacy conf) and as TIMESTAMP_MICROS;
+    // SparkEntry.events branches on the loaded dtype. Write the same rows
+    // in both layouts and assert a declared events query returns identical
+    // results — so neither layout can silently regress again.
+    val rows = Seq(
+      (1L, "2024-03-01 10:15:00", 7L, "click", 1.5, """{"k":1}"""),
+      (2L, "2024-03-01 10:45:00", 7L, "click", 2.5, """{"k":2}"""),
+      (3L, "2024-03-01 11:05:00", 8L, "purchase", 4.0, """{"k":3}"""))
+    val base = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val microsDir = java.nio.file.Files.createTempDirectory("ev_micros").toString
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+    val nanosDir = java.nio.file.Files.createTempDirectory("ev_nanos").toString
+    // INT64 nanos-since-epoch: the shape the legacy layout presents to the
+    // engine (nanosAsLong surfaces TIMESTAMP(NANOS) as plain LongType)
+    base.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp_ntz").cast("timestamp")) * 1000L)
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val q = SparkEntry.queries("events_window")
+    def canon(dir: String) = q(spark, dir)
+      .collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
+    val micros = canon(microsDir)
+    assert(micros == canon(nanosDir))
+    assert(micros.nonEmpty)
+  }
+
   test("asofJoin sliced: identical to the plain path on a hot-key fixture") {
     import graft.operators.TimeSeries
     val rnd = new scala.util.Random(19)
