@@ -78,33 +78,66 @@ object AnnIndex {
    */
   def buildAll(spark: SparkSession, sfDir: String, path: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val e = embeddingsOf(spark, sfDir)
     val corpus300 = e.filter(col("vec_id") < 300)
-    Similarity.writeLshIndex(
-      Similarity.buildLshIndex(e, dim = Dim), s"$path/lsh_full")
-    Similarity.writeLshIndex(
-      Similarity.buildLshIndex(corpus300, dim = Dim), s"$path/lsh_300")
-    val ivfFull = Similarity.buildIvfIndex(e, nCells = NCells, iters = Iters)
-    Similarity.writeIvfIndex(ivfFull, s"$path/ivf_full")
-    val ivf300 = Similarity.buildIvfIndex(corpus300, nCells = NCells, iters = Iters)
-    Similarity.writeIvfIndex(ivf300, s"$path/ivf_300")
-    // ONE PQ model (trained on the full set — what every declared pq
-    // query uses), TWO code relations: full-corpus codes for the
-    // single-query probes, corpus<300 codes for the batch joins
-    val pq = Similarity.trainPq(e, m = PqM, k = PqK, iters = Iters)
-    Similarity.writePqIndex(Similarity.pqEncode(e, pq), pq, s"$path/pq_full")
-    val codes300 = Similarity.pqEncode(corpus300, pq)
-    codes300.write.mode("overwrite").parquet(s"$path/codes_300")
-    Similarity.writeCellCodes(
-      Similarity.buildCellCodes(ivf300, codes300), s"$path/cellcodes_300")
-    Seq(
-      ("lsh_full", Dim.toLong), ("lsh_300", Dim.toLong),
-      ("ivf_full", ivfFull.centroids.length.toLong),
-      ("ivf_300", ivf300.centroids.length.toLong),
-      ("pq_full", (pq.m * pq.k).toLong),
-      ("codes_300", codes300.count()),
-      ("cellcodes_300", NCells.toLong))
-      .toDF("artifact", "n")
+    // The seven artifacts form a shallow dependency graph — the two LSH
+    // and two IVF builds are independent of each other and of the PQ
+    // chain (train → encode → cellcodes, which also needs ivf_300) — so
+    // submit them as concurrent Spark jobs: the scheduler interleaves
+    // their stages across the executor cores and wall-clock drops to the
+    // PQ critical path. Each build depends only on its inputs and every
+    // step is deterministic, so concurrency cannot change any artifact
+    // byte (the *_full bridge oracles would catch it if it could). At
+    // cluster scale each training pass saturates the executors and the
+    // overlap matters less, but concurrent submission never hurts: FIFO
+    // scheduling drains the independent DAGs back-to-back.
+    // 6 threads: 5 top-level futures + the nested encodeFull, so the
+    // chain can never wait on a queue slot held by its own parent
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val lshF = Future(Similarity.writeLshIndex(
+        Similarity.buildLshIndex(e, dim = Dim), s"$path/lsh_full"))
+      val lsh3 = Future(Similarity.writeLshIndex(
+        Similarity.buildLshIndex(corpus300, dim = Dim), s"$path/lsh_300"))
+      val ivfFullF = Future {
+        val ivf = Similarity.buildIvfIndex(e, nCells = NCells, iters = Iters)
+        Similarity.writeIvfIndex(ivf, s"$path/ivf_full"); ivf
+      }
+      val ivf300F = Future {
+        val ivf = Similarity.buildIvfIndex(corpus300, nCells = NCells, iters = Iters)
+        Similarity.writeIvfIndex(ivf, s"$path/ivf_300"); ivf
+      }
+      // ONE PQ model (trained on the full set — what every declared pq
+      // query uses), TWO code relations: full-corpus codes for the
+      // single-query probes, corpus<300 codes for the batch joins
+      val pqChain = Future {
+        val pq = Similarity.trainPq(e, m = PqM, k = PqK, iters = Iters)
+        val encodeFull = Future(Similarity.writePqIndex(
+          Similarity.pqEncode(e, pq), pq, s"$path/pq_full"))
+        val codes300 = Similarity.pqEncode(corpus300, pq)
+        codes300.write.mode("overwrite").parquet(s"$path/codes_300")
+        val ivf300 = Await.result(ivf300F, Duration.Inf)
+        Similarity.writeCellCodes(
+          Similarity.buildCellCodes(ivf300, codes300), s"$path/cellcodes_300")
+        Await.result(encodeFull, Duration.Inf)
+        (pq, codes300)
+      }
+      val (pq, codes300) = Await.result(pqChain, Duration.Inf)
+      val ivfFull = Await.result(ivfFullF, Duration.Inf)
+      val ivf300 = Await.result(ivf300F, Duration.Inf)
+      Await.result(lshF, Duration.Inf); Await.result(lsh3, Duration.Inf)
+      Seq(
+        ("lsh_full", Dim.toLong), ("lsh_300", Dim.toLong),
+        ("ivf_full", ivfFull.centroids.length.toLong),
+        ("ivf_300", ivf300.centroids.length.toLong),
+        ("pq_full", (pq.m * pq.k).toLong),
+        ("codes_300", codes300.count()),
+        ("cellcodes_300", NCells.toLong))
+        .toDF("artifact", "n")
+    } finally pool.shutdown()
   }
 
   /**
