@@ -22,8 +22,12 @@ object TextFunctions {
 
   /** Token count (BPE-ish proxy: alnum runs; CJK counted per char below).
     * For packing budgets that must match a real tokenizer, use
-    * [[bpeCount]] — merged-BPE counts under a merge-ranks table. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+    * [[bpeCount]] — merged-BPE counts under a merge-ranks table.
+    * Counts via the [[graft.plans.QualitySignals]] byte-scan kernel —
+    * `size(tokens(text))` materializes every token string just to count
+    * them (spec-pinned equal, null text → null either way). */
+  def tokenCount(text: Column): Column =
+    graft.plans.TextExpressions.qualitySignals(text).getField("n_tokens")
 
   /**
    * Demonstration merge-ranks table (rank = position, the shape a real
@@ -218,6 +222,27 @@ object TextFunctions {
    * (C4/Gopher-style rules) a 100 TB text pipeline runs first.
    */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
+    // ONE codegen'd byte-scan kernel for all five counters; referencing
+    // the same Column per field lets subexpression elimination evaluate
+    // it once per row. Spec-pinned bit-identical to [[qualityColumnsRegex]].
+    val sig = graft.plans.TextExpressions.qualitySignals(text)
+    val nChars = sig.getField("n_chars")
+    val nTok = sig.getField("n_tokens")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> Quantize.quantize(sig.getField("n_punct").cast("double") /
+        greatest(nChars, lit(1L)), 6),
+      "digit_ratio" -> Quantize.quantize(sig.getField("n_digit").cast("double") /
+        greatest(nChars, lit(1L)), 6),
+      "mean_token_len" -> Quantize.quantize(sig.getField("n_alnum").cast("double") /
+        greatest(nTok, lit(1L)), 6))
+  }
+
+  /** The five-regex-engine formulation [[qualityColumns]] replaced —
+    * kept as the spec oracle pinning the [[graft.plans.QualitySignals]]
+    * kernel (and the shape the DuckDB oracle SQL mirrors). */
+  private[graft] def qualityColumnsRegex(text: Column): Seq[(String, Column)] = {
     val nChars = length(text).cast("long")
     val nTok = tokenCount(text)
     Seq(

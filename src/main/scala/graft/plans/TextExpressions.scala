@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.functions.lower
@@ -249,6 +249,59 @@ case class CountEntropy(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * The five per-document quality counters in ONE pass over the bytes —
+ * `struct<n_chars, n_tokens, n_punct, n_digit, n_alnum>` (all bigint).
+ *
+ * The Column formulation ([[graft.functions.TextFunctions
+ * .qualityColumns]]'s former body) paid five separate engines per row:
+ * `length`, a token-ARRAY materialization just to `size` it
+ * (`regexp_extract_all` allocates every match string), and three
+ * `regexp_count` scans — the most per-byte-expensive projection in the
+ * whole scoring family (measured: the 128× scale sweep put `quality` at
+ * ~4× the cost of the winnowing fingerprint pass over the same bytes).
+ *
+ * Two children, matching the oracle's shapes exactly: `n_chars`,
+ * `n_punct`, `n_digit` count the ORIGINAL text (`length(text)`,
+ * `regexp_count(text, '[.,;:!?]')`, `regexp_count(text, '[0-9]')`);
+ * `n_tokens`, `n_alnum` count the LOWERED text (maximal / individual
+ * `[a-z0-9]` byte runs — `regexp_extract_all(lower(text), '[a-z0-9]+')`
+ * / `regexp_count(lower(text), '[a-z0-9]')`). Lowering stays Spark's own
+ * `Lower` (Unicode-exact, e.g. U+212A → 'k'); the byte scans are exact
+ * on any UTF-8 input because every class member is a single ASCII byte
+ * that never occurs inside a multi-byte sequence, and `n_chars` uses
+ * `UTF8String.numChars` — the same call `length()` compiles to.
+ * Spec-pinned bit-identical to the regex formulation, Unicode included.
+ */
+case class QualitySignals(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_alnum", LongType, nullable = false)))
+  override def prettyName: String = "quality_signals"
+
+  override def nullSafeEval(orig: Any, low: Any): Any =
+    ShingleHash.qualitySignals(
+      orig.asInstanceOf[UTF8String], low.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, l) =>
+      s"${ev.value} = graft.plans.ShingleHash.qualitySignals($o, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /**
@@ -779,6 +832,36 @@ object ShingleHash {
     q6(Math.log(t) - plogp / t)
   }
 
+  /** [[QualitySignals]] kernel: one byte scan per child. ASCII class
+    * tests never match UTF-8 continuation/lead bytes (all >= 0x80), so
+    * the counts are exact on any Unicode text. */
+  def qualitySignals(orig: UTF8String, low: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val ob = orig.getBytes
+    var punct = 0L
+    var digit = 0L
+    var i = 0
+    while (i < ob.length) {
+      val b = ob(i)
+      if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?') punct += 1
+      else if (b >= '0' && b <= '9') digit += 1
+      i += 1
+    }
+    val lb = low.getBytes
+    var toks = 0L
+    var alnum = 0L
+    var inRun = false
+    i = 0
+    while (i < lb.length) {
+      val b = lb(i)
+      val al = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (al) { alnum += 1; if (!inRun) toks += 1 }
+      inRun = al
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      orig.numChars().toLong, toks, punct, digit, alnum)
+  }
+
   /** [[TokenCountPairs]] kernel: count the alnum-run tokens of `s` into
     * (term, tf) struct rows, first-occurrence order. Token UTF8Strings
     * wrap sub-ranges of the input's byte array — zero copies until the
@@ -845,6 +928,16 @@ object TextExpressions {
   def tfidfTopTerms(tc: Column, dfMap: Column, nDocs: Column, k: Int): Column =
     Bridge.column(TfidfTopTerms(Bridge.expression(tc),
       Bridge.expression(dfMap), Bridge.expression(nDocs), k))
+
+  /** struct<n_chars,n_tokens,n_punct,n_digit,n_alnum> quality counters
+    * of `text` in one byte pass per child ([[QualitySignals]]); null
+    * text → null struct (each derived column then nulls, matching the
+    * regex formulation). Reference the SAME Column for several derived
+    * fields — subexpression elimination evaluates the kernel once per
+    * row inside whole-stage codegen. */
+  def qualitySignals(text: Column): Column =
+    Bridge.column(QualitySignals(
+      Bridge.expression(text), Bridge.expression(lower(text))))
 
   /** 64-bit SimHash signature of `lower(text)` ([[SimHash64]]); null
     * text → null (callers drop, the explode form's behavior). */

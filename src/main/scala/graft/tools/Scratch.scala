@@ -179,6 +179,47 @@ object Scratch {
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
     }
+    if (sys.env.contains("SCRATCH_SCALE")) {
+      // Linear-scaling sweep: run the linear-by-design operator families
+      // over 1x/2x/4x/8x unions of the documents table (doc_id remapped
+      // per copy) through the Bench harness (toRdd.count). Pair-producing
+      // ops are excluded on purpose — duplicating a corpus multiplies its
+      // true near-dup density, so their cost is data-, not size-, driven.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // build the frame FRESH per attempt (a thunk, like Bench): re-running
+      // one DataFrame object reuses its shuffle outputs, which would
+      // "measure" only the post-shuffle remainder on run 2
+      def harness(mk: () => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      for (n <- Seq(1, 8, 32, 128)) {
+        // one scan + a Generate, not an n-branch union: doc_id remapped
+        // per copy so keys stay unique and the shuffled ops see n x keys
+        def scaled() = docs.crossJoin(
+            spark.range(n).select(col("id").as("__copy")))
+          .select((col("doc_id") * lit(1000L) + col("__copy")).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        def p(label: String, t: Double): Unit =
+          println(f"SCRATCH-SCALE ${n}%dx $label: $t%.2f s")
+        p("quality", harness(() => scaled().select(col("doc_id") +:
+          graft.functions.TextFunctions.qualityColumns(col("text"))
+            .map { case (nm, c) => c.as(nm) }: _*)))
+        p("exact  ", harness(() => graft.operators.Dedup.exact(scaled())))
+        p("minhash", harness(() => graft.operators.Dedup.minhashBandedTable(scaled())))
+        p("winnow ", harness(() => graft.operators.Dedup.winnowFingerprints(scaled())))
+        p("tfidf  ", harness(() => graft.operators.Corpus.tfidfTop(scaled(), 3)))
+        p("tokendf", harness(() => scaled().select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))))
+      }
+    }
     if (sys.env.contains("SCRATCH_BUILDALL")) {
       for (i <- 1 to 3) {
         val tmp = java.nio.file.Files.createTempDirectory("scratch_ba")

@@ -35,6 +35,32 @@ class TextExpressionsSpec extends AnyFunSuite {
 
   private def both: DataFrame = fixture.unionByName(edgeDocs)
 
+  test("qualitySignals kernel == five-regex qualityColumns formulation") {
+    // Unicode-adversarial additions: U+212A (KELVIN SIGN) lowercases to
+    // ASCII 'k' (a token under lower-then-scan, never under scan-then-
+    // lower); U+0130 lowercases to TWO code points; CJK and emoji are
+    // multi-byte non-members whose continuation bytes must not miscount.
+    val uni = Seq(
+      (9101L, "Kelvin temperature"),
+      (9102L, "İstanbul city"),
+      (9103L, "中文 text with 数字 123 and spaces"),
+      (9104L, "emoji 😀 inside; punct: yes!"),
+      (9105L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = both.unionByName(uni)
+    val kernel = docs.select(col("doc_id") +:
+      TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val regex = docs.select(col("doc_id") +:
+      TextFunctions.qualityColumnsRegex(col("text")).map { case (n, c) => c.as(n) }: _*)
+    assert(kernel.exceptAll(regex).isEmpty && regex.exceptAll(kernel).isEmpty,
+      "quality signals mismatch vs regex formulation")
+    // standalone tokenCount rides the same kernel field
+    val tcK = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+    val tcR = docs.select(col("doc_id"), size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    assert(tcK.exceptAll(tcR).isEmpty && tcR.exceptAll(tcK).isEmpty,
+      "tokenCount mismatch vs size(tokens)")
+  }
+
   test("shingleHashes == xxhash64(shingle string) for n=3, dedup and raw") {
     for (dedup <- Seq(true, false)) {
       val native = both.select(col("doc_id"),
