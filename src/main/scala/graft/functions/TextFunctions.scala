@@ -314,6 +314,11 @@ object TextFunctions {
    * follows.
    */
   def normalizeText(text: Column): Column =
+    graft.plans.TextExpressions.chainedRegexReplace(
+      translate(text, FoldFrom, FoldTo), NormalizePatterns)
+
+  /** Folded form of [[normalizeText]] — spec oracle for the chain. */
+  private[graft] def normalizeTextFolded(text: Column): Column =
     NormalizePatterns.foldLeft(translate(text, FoldFrom, FoldTo)) {
       case (c, (pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
     }
@@ -351,13 +356,24 @@ object TextFunctions {
    * scope — this is the cheap high-recall form, like [[PiiPatterns]].
    */
   def stripMarkup(text: Column): Column =
-    MarkupPatterns.foldLeft(text) { case (c, (pat, repl)) =>
-      regexp_replace(c, lit(pat), lit(repl))
-    }
+    // one decode/encode for the whole 13-pass chain (same engine, same
+    // sequence — [[graft.plans.ChainedRegexReplace]]); spec-pinned equal
+    // to the folded regexp_replace form
+    graft.plans.TextExpressions.chainedRegexReplace(text, MarkupPatterns)
 
   /** Redact all [[PiiPatterns]] occurrences (every match — Spark's
     * `regexp_replace` is global, mirrored by the oracle's `'g'` flag). */
   def redactPii(text: Column): Column =
+    graft.plans.TextExpressions.chainedRegexReplace(text,
+      PiiPatterns.map { case (_, pat, repl) => (pat, repl) })
+
+  /** Folded-regexp_replace forms of [[stripMarkup]] / [[redactPii]] —
+    * kept as the spec oracles pinning [[graft.plans.ChainedRegexReplace]]. */
+  private[graft] def stripMarkupFolded(text: Column): Column =
+    MarkupPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+  private[graft] def redactPiiFolded(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
       regexp_replace(c, lit(pat), lit(repl))
     }
@@ -395,7 +411,17 @@ object TextFunctions {
    * though the counting fold is an interpreted HOF. The DuckDB oracle
    * keeps the per-language form — hash parity proves equivalence.
    */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    // One codegen'd byte-scan decision ([[graft.plans.LangIdDecide]]) —
+    // spec-pinned bit-identical to [[langIdRegex]] below (the regex +
+    // interpreted-fold formulation this replaced; the DuckDB oracle
+    // keeps the per-language regex form — hash parity proves all three
+    // agree).
+    graft.plans.TextExpressions.langIdDecide(text, StopwordSets)
+
+  /** The regex + HOF-fold formulation [[langId]] replaced — kept as the
+    * spec oracle pinning the [[graft.plans.LangIdDecide]] kernel. */
+  private[graft] def langIdRegex(text: Column): Column = {
     val cjk = countMatches(text, "[\\x{4e00}-\\x{9fff}]")
     val allWords = StopwordSets.flatMap(_._2).distinct
     val hitWords = regexp_extract_all(lower(text),

@@ -305,6 +305,120 @@ case class QualitySignals(left: Expression, right: Expression)
 }
 
 /**
+ * A chain of `regexp_replace` passes as ONE expression — same
+ * `java.util.regex` engine, same patterns, same sequential-pass
+ * semantics (pass i sees pass i−1's output), so output is IDENTICAL to
+ * the folded `regexp_replace` column chain by construction. What it
+ * deletes is the per-pass plumbing: Spark's `RegExpReplace` decodes
+ * UTF8String → java String and re-encodes on EVERY pass (the markup
+ * chain is 13 passes = 13 UTF-8↔UTF-16 round trips per document, which
+ * dominated the measured cost); this decodes once, runs every
+ * precompiled matcher over the UTF-16 string, and encodes once.
+ * Replacements here are plain literals without `$`/`\` references —
+ * `Matcher.replaceAll` then agrees byte-for-byte with `RegExpReplace`'s
+ * appendReplacement loop (asserted at construction, so the equivalence
+ * can't silently erode if a pattern gains a group reference).
+ */
+case class ChainedRegexReplace(child: Expression,
+    patterns: Seq[String], repls: Seq[String]) extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.length == repls.length,
+    "one replacement per pattern")
+  require(repls.forall(r => !r.contains("$") && !r.contains("\\")),
+    "replacements must be literals (no group references/escapes)")
+
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    patterns.map(java.util.regex.Pattern.compile).toArray
+  @transient private lazy val replArr: Array[String] = repls.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chained_regex_replace"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHash.chainedReplace(s.asInstanceOf[UTF8String], compiled, replArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("crrPats", compiled,
+      "java.util.regex.Pattern[]")
+    val rRef = ctx.addReferenceObj("crrRepls", replArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.chainedReplace($c, $pRef, $rRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Stopword language-ID decision as ONE pass over the bytes — the
+ * byte-scan twin of [[graft.functions.TextFunctions.langId]]'s regex +
+ * higher-order-function formulation, which paid a CJK `regexp_count`, a
+ * 32-alternative `\b(...)\b` extract-all (allocating every match), and
+ * an INTERPRETED fold over the matches (lambda expressions don't
+ * participate in whole-stage codegen) — measured ~4× the per-byte cost
+ * of the winnowing fingerprint pass.
+ *
+ * Exact-match contract: `\b(w1|w2|...)\b` over `lower(text)` matches a
+ * stopword iff a MAXIMAL `[a-z0-9_]` run equals it (the leading `\b`
+ * anchors to run starts, the trailing `\b` fails inside a run — Java
+ * and RE2 agree since `\w` is ASCII in both defaults), so the scan
+ * counts word-runs of the lowered bytes against a word→languages map.
+ * A word listed by several languages increments each (e.g. "la" is in
+ * both fr and es — the membership-array semantics of the fold). Winner
+ * is strictly-greater max in declaration order (first-listed wins
+ * ties), zero hits → "und", and any original-text code point in
+ * U+4E00–U+9FFF short-circuits to "zh" (the `when(cjk > 0)` guard) —
+ * decoded from the UTF-8 lead/continuation bytes directly.
+ */
+case class LangIdDecide(left: Expression, right: Expression,
+    langs: Seq[String], wordSets: Seq[Seq[String]])
+    extends BinaryExpression {
+  require(langs.nonEmpty && langs.length == wordSets.length,
+    "one word set per language")
+
+  @transient private lazy val langArr: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  @transient private lazy val wordMap: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    for ((ws, li) <- wordSets.zipWithIndex; w <- ws) {
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(li) else prev :+ li)
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid_decide"
+
+  override def nullSafeEval(orig: Any, low: Any): Any =
+    ShingleHash.langIdDecide(orig.asInstanceOf[UTF8String],
+      low.asInstanceOf[UTF8String], wordMap, langArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("liWords", wordMap, "java.util.HashMap")
+    val langsRef = ctx.addReferenceObj("liLangs", langArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, (o, l) =>
+      s"${ev.value} = graft.plans.ShingleHash.langIdDecide($o, $l, $mapRef, $langsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Row-local MinHash signature over a [[WordShingleHashes]] array: for
  * each seed j, min over shingle hashes h of `(h & 0xFFFFFFFF)·a_j + b_j`
  * — the universal-hash fold of [[graft.operators.Dedup.minhashSignatures]]
@@ -832,6 +946,70 @@ object ShingleHash {
     q6(Math.log(t) - plogp / t)
   }
 
+  /** [[ChainedRegexReplace]] kernel: one UTF-16 decode, N in-place
+    * matcher passes, one UTF-8 encode. */
+  def chainedReplace(s: UTF8String,
+      pats: Array[java.util.regex.Pattern],
+      repls: Array[String]): UTF8String = {
+    var cur = s.toString
+    var i = 0
+    while (i < pats.length) {
+      cur = pats(i).matcher(cur).replaceAll(repls(i))
+      i += 1
+    }
+    UTF8String.fromString(cur)
+  }
+
+  private val LangUnd = UTF8String.fromString("und")
+  private val LangZh = UTF8String.fromString("zh")
+
+  /** [[LangIdDecide]] kernel: CJK scan over the original bytes (aligned
+    * UTF-8 decode of 3-byte sequences), then word-run lookups over the
+    * lowered bytes. Token UTF8Strings wrap sub-ranges — no copies. */
+  def langIdDecide(orig: UTF8String, low: UTF8String,
+      wordMap: java.util.HashMap[UTF8String, Array[Int]],
+      langs: Array[UTF8String]): UTF8String = {
+    val ob = orig.getBytes
+    var i = 0
+    while (i < ob.length) {
+      val b = ob(i) & 0xFF
+      if (b >= 0xE0 && b <= 0xEF && i + 2 < ob.length) {
+        val cp = ((b & 0x0F) << 12) | ((ob(i + 1) & 0x3F) << 6) | (ob(i + 2) & 0x3F)
+        if (cp >= 0x4E00 && cp <= 0x9FFF) return LangZh
+      }
+      i += (if (b < 0x80) 1 else if (b < 0xC0) 1 else if (b < 0xE0) 2
+            else if (b < 0xF0) 3 else 4)
+    }
+    val lb = low.getBytes
+    val counts = new Array[Int](langs.length)
+    // word chars are the regex \w class (ASCII [a-z0-9_] after lower)
+    def isW(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == '_'
+    i = 0
+    var st = -1
+    while (i <= lb.length) {
+      val w = i < lb.length && isW(lb(i))
+      if (w && st < 0) st = i
+      else if (!w && st >= 0) {
+        val hit = wordMap.get(UTF8String.fromBytes(lb, st, i - st))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+        st = -1
+      }
+      i += 1
+    }
+    var best = -1
+    var bestHits = 0
+    i = 0
+    while (i < counts.length) {
+      if (counts(i) > bestHits) { bestHits = counts(i); best = i }
+      i += 1
+    }
+    if (best < 0) LangUnd else langs(best)
+  }
+
   /** [[QualitySignals]] kernel: one byte scan per child. ASCII class
     * tests never match UTF-8 continuation/lead bytes (all >= 0x80), so
     * the counts are exact on any Unicode text. */
@@ -938,6 +1116,19 @@ object TextExpressions {
   def qualitySignals(text: Column): Column =
     Bridge.column(QualitySignals(
       Bridge.expression(text), Bridge.expression(lower(text))))
+
+  /** N sequential regexp_replace passes as one expression
+    * ([[ChainedRegexReplace]]); null text → null. */
+  def chainedRegexReplace(text: Column, passes: Seq[(String, String)]): Column =
+    Bridge.column(ChainedRegexReplace(Bridge.expression(text),
+      passes.map(_._1), passes.map(_._2)))
+
+  /** Stopword language-ID decision over `text` ([[LangIdDecide]]) —
+    * `sets` in declaration order (first-listed wins ties); null text →
+    * null (the regex formulation's behavior). */
+  def langIdDecide(text: Column, sets: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdDecide(Bridge.expression(text),
+      Bridge.expression(lower(text)), sets.map(_._1), sets.map(_._2)))
 
   /** 64-bit SimHash signature of `lower(text)` ([[SimHash64]]); null
     * text → null (callers drop, the explode form's behavior). */

@@ -218,6 +218,17 @@ object Scratch {
         p("tokendf", harness(() => scaled().select(explode(
             graft.functions.TextFunctions.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))))
+        if (sys.env.contains("SCRATCH_SCALE_TEXT")) {
+          p("langid ", harness(() => scaled().select(col("doc_id"),
+            graft.functions.TextFunctions.langId(col("text")).as("l"))))
+          p("piired ", harness(() => scaled().select(col("doc_id"),
+            graft.functions.TextFunctions.redactPii(col("text")).as("r"))))
+          p("markup ", harness(() => scaled().select(col("doc_id"),
+            graft.functions.TextFunctions.stripMarkup(col("text")).as("s"))))
+          p("entropy", harness(() => scaled().select(col("doc_id"),
+            graft.plans.TextExpressions.countEntropy(
+              graft.plans.TextExpressions.tokenCounts(col("text")).getField("tf")).as("e"))))
+        }
       }
     }
     if (sys.env.contains("SCRATCH_BUILDALL")) {

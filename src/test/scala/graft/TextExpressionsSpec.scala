@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -59,6 +59,55 @@ class TextExpressionsSpec extends AnyFunSuite {
     val tcR = docs.select(col("doc_id"), size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
     assert(tcK.exceptAll(tcR).isEmpty && tcR.exceptAll(tcK).isEmpty,
       "tokenCount mismatch vs size(tokens)")
+  }
+
+  test("langIdDecide kernel == regex + fold langId formulation") {
+    val adv = Seq(
+      (9201L, "the and of to in is that for"),          // clean en
+      (9202L, "der die das und ist nicht"),              // clean de
+      (9203L, "la la la"),                               // fr/es shared word: tie, first-listed wins
+      (9204L, "le la les et la es una"),                 // fr vs es mix
+      (9205L, "中文"),                                    // CJK short-circuit
+      (9206L, "the 中文 der die das"),                    // CJK wins over stopwords
+      (9207L, ""),                                       // empty -> und
+      (9208L, "no stopwords here xyz qqq"),              // NONE of the lists -> und... ('no'? not listed)
+      (9209L, "the_ and2 of3"),                          // runs extended by word chars: no \b match
+      (9210L, "THE AND OF TO"),                          // uppercase folds in
+      (9211L, "the,and.of;to"),                          // punct boundaries
+      (9212L, "éthe theé the"),                          // non-ASCII adjacency: only bare 'the' matches
+      (9213L, "one that 卡 two"),                         // U+5361 in CJK range
+      (9214L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = both.unionByName(adv)
+    val kernel = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+    val regex = docs.select(col("doc_id"), TextFunctions.langIdRegex(col("text")).as("l"))
+    assert(kernel.exceptAll(regex).isEmpty && regex.exceptAll(kernel).isEmpty,
+      "langid mismatch vs regex formulation")
+  }
+
+  test("chainedRegexReplace == folded regexp_replace chains (markup/pii/normalize)") {
+    // the chain kernel shares the java.util.regex engine and pass order
+    // with the folded form; pin on the real fixtures each query reads
+    // plus documents text and edge literals
+    val markup = spark.read.parquet(Fixtures.MarkupParquet)
+      .select(col("text"))
+    val pii = spark.read.parquet(Fixtures.PiiParquet).select(col("text"))
+    val messy = spark.read.parquet(Fixtures.MessyParquet).select(col("text"))
+    val edges = Seq("", "<p>a</p>", "a&amp;b $1 \\ref", "x@y.zz 123-456-7890",
+      "line1\r\nline2\r\r\n\n\n\nend", null.asInstanceOf[String]).toDF("text")
+    val docs = both.select(col("text"))
+      .unionByName(markup).unionByName(pii).unionByName(messy).unionByName(edges)
+    def pin(label: String, kernel: Column, folded: Column): Unit = {
+      val k = docs.select(kernel.as("t"))
+      val f = docs.select(folded.as("t"))
+      assert(k.exceptAll(f).isEmpty && f.exceptAll(k).isEmpty, s"$label mismatch")
+    }
+    pin("stripMarkup", TextFunctions.stripMarkup(col("text")),
+      TextFunctions.stripMarkupFolded(col("text")))
+    pin("redactPii", TextFunctions.redactPii(col("text")),
+      TextFunctions.redactPiiFolded(col("text")))
+    pin("normalizeText", TextFunctions.normalizeText(col("text")),
+      TextFunctions.normalizeTextFolded(col("text")))
   }
 
   test("shingleHashes == xxhash64(shingle string) for n=3, dedup and raw") {
