@@ -218,6 +218,19 @@ object Scratch {
         p("tokendf", harness(() => scaled().select(explode(
             graft.functions.TextFunctions.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))))
+        if (sys.env.contains("SCRATCH_SCALE_CLEAN")) {
+          // the flagship pipeline end-to-end: gates (now kernelized) see
+          // n x the bytes; the exact-dedup stage collapses the replicas
+          // (identical text, min id survives), so the pair stage runs at
+          // ~1x - exactly the production shape where cheap early stages
+          // carry the volume
+          val ev = spark.read.parquet(s"$sfDir/documents.parquet")
+            .filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 5)
+            .select(col("doc_id"), col("text"))
+          p("clean  ", harness(() => graft.operators.Corpus.cleanCorpus(
+            scaled(), evalDocs = Some(ev), redact = true,
+            strata = Some(("source", Map("src18" -> 40, "src7" -> 40), 90)))))
+        }
         if (sys.env.contains("SCRATCH_SCALE_TEXT")) {
           p("langid ", harness(() => scaled().select(col("doc_id"),
             graft.functions.TextFunctions.langId(col("text")).as("l"))))
