@@ -778,6 +778,16 @@ object SparkEntry {
       Corpus.decontaminateWinnow(docs, ev, k = 5, g = 4, minShared = 2)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    "decontaminate_winnow_attrib" -> ((s, dir) => {
+      // the audit behind the removal: WHICH eval doc each contaminated
+      // corpus doc shares >= minShared selected fingerprints with (the
+      // per-eval-doc attribution the union-counting removal trades away)
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(Corpus.hashBucket(col("doc_id")) < 5)
+        .select(col("doc_id"), col("text"))
+      Corpus.decontaminateWinnowAttribution(docs, ev, k = 5, g = 4, minShared = 2)
+        .select(col("doc_id"), col("eval_id"), col("n_shared"))
+    }),
     "decontaminate_bloom" -> ((s, dir) => {
       // the LARGE-reference decontamination shape: eval shingles compress
       // into a Bloom filter probed map-only by a codegen'd
@@ -1559,6 +1569,15 @@ object SparkEntry {
          |hits AS (SELECT doc_id, count(*) AS n FROM cf JOIN ef USING (fp) GROUP BY 1)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= 2)""".stripMargin,
+    "decontaminate_winnow_attrib" ->
+      s"""WITH csel AS ($winnowSelectSql),
+         |esel AS (${winnowSelectSqlFrom(
+        s"(SELECT doc_id, text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 5)")}),
+         |cf AS (SELECT DISTINCT doc_id, fp FROM csel),
+         |ef AS (SELECT DISTINCT doc_id AS eval_id, fp FROM esel)
+         |SELECT cf.doc_id, ef.eval_id, count(*) AS n_shared
+         |FROM cf JOIN ef ON cf.fp = ef.fp
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH sel AS ($winnowSelectSql),
          |d AS (SELECT DISTINCT doc_id, fp FROM sel)

@@ -249,6 +249,36 @@ object Corpus {
   }
 
   /**
+   * Per-eval-doc attribution for winnow decontamination: WHICH eval
+   * document contaminates which corpus document, and by how many shared
+   * selected fingerprints — `(doc_id, eval_id, n_shared)` for every pair
+   * at or above `minShared`. [[decontaminateWinnow]] answers "remove
+   * it"; this answers the audit question behind the removal (which
+   * benchmark leaked, how badly, which documents to inspect) — the
+   * attribution the union-counting form deliberately traded away.
+   *
+   * Same scale posture as the removal: both sides reduce to winnowing
+   * fingerprints (~2/(g+1) of the k-grams), per-doc sets deduped in-row,
+   * the (typically benchmark-sized) eval side BROADCASTS, and the only
+   * exchange is the (doc, eval) aggregation — the join itself streams
+   * the corpus map-only. Same engine-stable md5-prefix hashes as
+   * `fingerprint_winnow`, so fully hash-verifiable.
+   */
+  def decontaminateWinnowAttribution(docs: DataFrame, evalDocs: DataFrame,
+      k: Int = 5, g: Int = 4, minShared: Long = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cfp = Dedup.winnowFingerprints(docs.select(col(idCol), col(textCol)),
+        k, g, textCol, idCol)
+      .select(col(idCol), col("fp")).distinct()
+    val efp = Dedup.winnowFingerprints(evalDocs, k, g, textCol, idCol)
+      .select(col(idCol).as("eval_id"), col("fp")).distinct()
+    cfp.join(broadcast(efp), Seq("fp"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Cross-split leakage audit: near-duplicate pairs (word-n-gram Jaccard
    * ≥ `minJaccard`) whose two documents landed in DIFFERENT
    * train/val/test splits — the contamination a hash split cannot

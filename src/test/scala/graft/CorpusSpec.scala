@@ -951,6 +951,29 @@ class CorpusSpec extends AnyFunSuite {
       s"shuffle not on the key: ${shuffles.head.outputPartitioning}")
   }
 
+  test("winnow attribution is consistent with the winnow removal") {
+    // Removal counts shared fps against the UNION of eval fingerprints;
+    // attribution counts per eval doc. A doc can be removed on fps drawn
+    // from two different eval docs without any single pair reaching
+    // minShared, so: attributed docs ⊆ removed docs — and every
+    // attributed pair must share at least minShared fingerprints.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev = docs.filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 5)
+      .select(col("doc_id"), col("text"))
+    val attrib = graft.operators.Corpus
+      .decontaminateWinnowAttribution(docs, ev, k = 5, g = 4, minShared = 2)
+      .collect()
+    assert(attrib.forall(_.getAs[Long]("n_shared") >= 2))
+    val attributed = attrib.map(_.getAs[Long]("doc_id")).toSet
+    val kept = graft.operators.Corpus
+      .decontaminateWinnow(docs, ev, k = 5, g = 4, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val removed = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- kept
+    assert(attributed.subsetOf(removed),
+      s"attributed-but-not-removed ids: ${attributed -- removed}")
+    assert(attributed.nonEmpty) // eval ⊂ corpus → self-pairs guarantee rows
+  }
+
   test("events ingestion reads both timestamp layouts identically") {
     // The events table has shipped as TIMESTAMP(NANOS) (reads as a long
     // column under the nanosAsLong legacy conf) and as TIMESTAMP_MICROS;
