@@ -110,6 +110,28 @@ class TextExpressionsSpec extends AnyFunSuite {
       TextFunctions.normalizeTextFolded(col("text")))
   }
 
+  test("round-10 kernels agree with whole-stage codegen disabled") {
+    // forces the interpreted nullSafeEval path of QualitySignals /
+    // LangIdDecide / ChainedRegexReplace, which the codegen'd runs above
+    // never touch — a divergence between doGenCode and eval would
+    // otherwise only surface when Spark falls back at runtime
+    def snapshot(): Seq[String] = both
+      .select(col("doc_id") +:
+        (TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) } ++
+          Seq(TextFunctions.langId(col("text")).as("lang"),
+            TextFunctions.stripMarkup(col("text")).as("sm"),
+            TextFunctions.redactPii(col("text")).as("rp"))): _*)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val withCodegen = snapshot()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(snapshot() == withCodegen, "interpreted path diverges from codegen")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("shingleHashes == xxhash64(shingle string) for n=3, dedup and raw") {
     for (dedup <- Seq(true, false)) {
       val native = both.select(col("doc_id"),
