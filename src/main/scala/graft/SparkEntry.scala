@@ -669,6 +669,15 @@ object SparkEntry {
       Corpus.splitLeakage(t(s, dir, "documents"), n = 3, minJaccard = 0.5)),
     "text_tfidf" -> ((s, dir) =>
       Corpus.tfidfTop(t(s, dir, "documents"), k = 3)),
+    "text_tfidf_openvocab" -> ((s, dir) => {
+      // the OPEN-VOCABULARY path: when the term dimension outgrows the
+      // broadcast ceiling, df joins shuffle-keyed by term and top-k is a
+      // per-doc window — same numbers as the broadcast-map kernel form
+      // (shared oracle hash-verifies exactly that)
+      val docs = t(s, dir, "documents")
+      Corpus.tfidfTopFromTf(Corpus.termFrequencies(docs),
+        docs.agg(count(lit(1)).as("n_docs")), k = 3, broadcastDf = false)
+    }),
     "text_entropy" -> ((s, dir) =>
       // distribution-shape quality signal: ~0 = one token repeated
       Corpus.tokenEntropy(t(s, dir, "documents"))),
@@ -1596,6 +1605,22 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT * FROM lab WHERE split_a <> split_b""".stripMargin,
     "text_tfidf" ->
+      """WITH tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT doc_id, term, tf, floor((tf * ln(n_docs * 1.0 / df)) * 1e6 + 0.5) / 1e6 AS tfidf
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM scored)
+        |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "text_tfidf_openvocab" ->
+      // the open-vocab shuffle-join form computes the same relation —
+      // one oracle statement hash-verifies both plans agree
       """WITH tf AS (
         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
