@@ -704,6 +704,11 @@ object SparkEntry {
       // statistical-LM quality proxy: mean unigram logprob under the
       // corpus's own token distribution
       Corpus.unigramLogProb(t(s, dir, "documents"))),
+    "text_logprob_openvocab" -> ((s, dir) =>
+      // the open-vocabulary LM path: model too big to broadcast → the
+      // score is a shuffle join against the vocab relation; shares
+      // text_logprob's oracle, so the hash verifies both plans agree
+      Corpus.unigramLogProb(t(s, dir, "documents"), broadcastModel = false)),
     "text_logprob2" -> ((s, dir) =>
       // the ORDER-sensitive LM proxy: mean ln P(w2|w1) under the corpus's
       // own bigram transitions — word salad of common words scores low
@@ -839,6 +844,21 @@ object SparkEntry {
         .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
       graft.operators.TimeSeries
         .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
+        .select(col("event_id"), col("user_id"), col("ts"), Quantize.quantize(col("pval"), 4).as("pval"))
+    }),
+    "events_asof_sliced" -> ((s, dir) => {
+      // the HOT-KEY valve on real data: windows partitioned by
+      // (key, time-slice) instead of key, so one pathological user can't
+      // concentrate an unbounded window partition in one task; shares
+      // events_asof's oracle — the hash proves the valve changes nothing
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.TimeSeries
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"),
+          suffix = "", sliceSeconds = Some(3600L))
         .select(col("event_id"), col("user_id"), col("ts"), Quantize.quantize(col("pval"), 4).as("pval"))
     }),
     "events_asof_fwd" -> ((s, dir) => {
@@ -1647,6 +1667,7 @@ object SparkEntry {
       overlapSql(Quantize.sql6("ni * 1.0 / least(x.n_sh, y.n_sh)"), "containment",
         0.6, None, "documents"),
     "text_logprob" -> logprobSql,
+    "text_logprob_openvocab" -> logprobSql,
     "text_logprob2" ->
       """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
         |toks AS (
@@ -1794,6 +1815,15 @@ object SparkEntry {
     },
     "events_asof" ->
       // DuckDB's native ASOF JOIN oracles the union+window Spark shape
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |          WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, floor((p.pval) * 1e4 + 0.5) / 1e4 AS pval
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "events_asof_sliced" ->
+      // identical statement as events_asof: the (key, slice) windowing is
+      // a plan-shape valve, not a semantics change — the shared oracle
+      // hash-proves it on real data
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
         |          WHERE event_type = 'purchase' GROUP BY 1, 2),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
