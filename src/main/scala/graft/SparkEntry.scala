@@ -161,6 +161,11 @@ object SparkEntry {
     }),
     "paginate" -> ((s, dir) =>
       KeyedStore.paginate(t(s, dir, "orders"), Seq("o_orderkey"), limit = 100, offset = 3)),
+    "paginate_after" -> ((s, dir) =>
+      // the sequential-consumer page form: a keyset cursor pushes a seek
+      // predicate into the scan, so page N+1 costs page 1 at any depth
+      KeyedStore.paginateAfter(t(s, dir, "orders"), Seq("o_orderkey"),
+        limit = 100, after = Seq(300L))),
     // --- relational core on the TPC-H-ish tables (oracle substrate for the
     //     join/agg machinery backing the upsert; also the bench workload) ---
     "salted_sum" -> ((s, dir) =>
@@ -1278,6 +1283,8 @@ object SparkEntry {
       s"""SELECT uuid, datatype, period, fill, station_id, "date", value, aggregation
          |FROM $storeRp WHERE datatype = 'temperature' AND station_id = '39.2'""".stripMargin,
     "paginate" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 300",
+    "paginate_after" ->
+      "SELECT * FROM orders WHERE o_orderkey > 300 ORDER BY o_orderkey LIMIT 100",
     "salted_sum" ->
       """SELECT l_returnflag, floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n
