@@ -218,6 +218,30 @@ object Scratch {
         p("tokendf", harness(() => scaled().select(explode(
             graft.functions.TextFunctions.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))))
+        if (sys.env.contains("SCRATCH_SCALE_EVENTS")) {
+          // time-series family: replicate events with remapped user_id so
+          // the KEY SPACE grows n x while per-key series stay constant -
+          // the window partition count grows, per-partition work doesn't,
+          // which is exactly the property that holds at cluster scale
+          def ev() = spark.read.parquet(s"$sfDir/events.parquet")
+            .crossJoin(spark.range(n).select(col("id").as("__copy")))
+            .select((col("user_id") * lit(1000L) + col("__copy")).as("user_id"),
+              col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+              col("event_type"), col("value"))
+          def asof(d: org.apache.spark.sql.DataFrame) = {
+            val clicks = d.filter(col("event_type") === "click")
+              .select(col("event_id"), col("user_id"), col("ts"))
+            val purchases = d.filter(col("event_type") === "purchase")
+              .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+            graft.operators.TimeSeries.asofJoin(
+              clicks, purchases, Seq("user_id"), "ts", Seq("pval"), suffix = "")
+          }
+          p("asof   ", harness(() => asof(ev())))
+          p("session", harness(() =>
+            graft.streaming.StreamingOps.sessionizeBatch(
+              ev().select(col("event_id"), col("user_id"), col("ts"),
+                col("event_type"), col("value")), gapMin = 30)))
+        }
         if (sys.env.contains("SCRATCH_SCALE_CLEAN")) {
           // the flagship pipeline end-to-end: gates (now kernelized) see
           // n x the bytes; the exact-dedup stage collapses the replicas
