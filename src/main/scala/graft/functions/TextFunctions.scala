@@ -419,32 +419,39 @@ object TextFunctions {
     // agree).
     graft.plans.TextExpressions.langIdDecide(text, StopwordSets)
 
-  /** The regex + HOF-fold formulation [[langId]] replaced — kept as the
-    * spec oracle pinning the [[graft.plans.LangIdDecide]] kernel. */
+  /** The regex formulation [[langId]] replaced — kept as the spec oracle
+    * pinning the [[graft.plans.LangIdDecide]] kernel.
+    *
+    * Boundary semantics, learned the hard way (randomized kernel pin in
+    * PropertySpec): Java's `\b` is NOT the ASCII boundary RE2 uses —
+    * its word set is `Character.isLetterOrDigit || '_'`, so Unicode
+    * letters AND combining marks extend words ("éthe" has no boundary
+    * before "the" in Java; it does in RE2/DuckDB, where `\b` is
+    * `[0-9A-Za-z_]`-based). The declared oracle is DuckDB, so the
+    * engine's contract is the ASCII boundary — the kernel implements
+    * it, and this pin spells it explicitly as ASCII lookarounds
+    * `(?<![a-z0-9_])(w)(?![a-z0-9_])` (legal in Java; RE2 has no
+    * lookbehind, which is why the SQL side writes `\b` and means the
+    * same thing). Winner selection uses SINGLE-LEVEL higher-order
+    * functions only (one `filter` per language over the shared extract,
+    * `array_max` over (hits, −index, lang) structs — max hits,
+    * first-listed on ties, "und" at zero). */
   private[graft] def langIdRegex(text: Column): Column = {
     val cjk = countMatches(text, "[\\x{4e00}-\\x{9fff}]")
     val allWords = StopwordSets.flatMap(_._2).distinct
     val hitWords = regexp_extract_all(lower(text),
-      lit(s"\\b(${allWords.mkString("|")})\\b"), lit(0))
-    // One expression end-to-end, the regex appearing EXACTLY once: HOFs
-    // evaluate interpreted, so any column referenced twice is computed
-    // twice — the fold carries per-language counts and the finish lambda
-    // picks the winner (strictly-greater keeps the first-listed language
-    // on ties; the hits=0/"und" init IS the "no hits → und" rule).
-    val langWordArrs = StopwordSets.map { case (_, words) => array(words.map(lit): _*) }
-    val perWord = (w: Column) => array(langWordArrs.map(wa =>
-      when(array_contains(wa, w), 1).otherwise(0)): _*)
-    val langNames = array(StopwordSets.map(s => lit(s._1)): _*)
-    val init = array(Seq.fill(StopwordSets.size)(lit(0)): _*)
-    val decided = aggregate(
-      hitWords,
-      init,
-      (acc, w) => zip_with(acc, perWord(w), (a, b) => a + b),
-      counts => aggregate(
-        zip_with(counts, langNames, (h, l) => struct(h.as("hits"), l.as("lang"))),
-        struct(lit(0).as("hits"), lit("und").as("lang")),
-        (best, x) => when(x.getField("hits") > best.getField("hits"), x).otherwise(best))
-        .getField("lang"))
-    when(cjk > 0, lit("zh")).otherwise(decided)
+      lit(s"(?<![a-z0-9_])(${allWords.mkString("|")})(?![a-z0-9_])"), lit(0))
+    val best = array_max(array(StopwordSets.zipWithIndex.map {
+      case ((lang, words), i) =>
+        val hits = size(filter(hitWords,
+          w => array_contains(array(words.map(lit): _*), w)))
+        struct(hits.as("hits"), lit(-i).as("negidx"), lit(lang).as("lang"))
+    }: _*))
+    val decided = when(best.getField("hits") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+    // null text → null (the kernel's null-intolerant behavior; without
+    // this guard size(filter(null)) feeds the argmax a null hit count)
+    when(text.isNull, lit(null).cast("string"))
+      .when(cjk > 0, lit("zh")).otherwise(decided)
   }
 }

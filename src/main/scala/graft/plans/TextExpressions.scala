@@ -362,11 +362,16 @@ case class ChainedRegexReplace(child: Expression,
  * participate in whole-stage codegen) — measured ~4× the per-byte cost
  * of the winnowing fingerprint pass.
  *
- * Exact-match contract: `\b(w1|w2|...)\b` over `lower(text)` matches a
- * stopword iff a MAXIMAL `[a-z0-9_]` run equals it (the leading `\b`
- * anchors to run starts, the trailing `\b` fails inside a run — Java
- * and RE2 agree since `\w` is ASCII in both defaults), so the scan
- * counts word-runs of the lowered bytes against a word→languages map.
+ * Exact-match contract — ASCII boundaries, the ORACLE's semantics: a
+ * stopword matches iff a MAXIMAL `[a-z0-9_]` run of the lowered text
+ * equals it. This is RE2/DuckDB `\b` (word set `[0-9A-Za-z_]`) — the
+ * authority the engine's correctness gate runs — and equivalently Java
+ * `(?<![a-z0-9_])w(?![a-z0-9_])`. It is NOT Java's `\b`, whose word
+ * set is `Character.isLetterOrDigit || '_'`: there Unicode letters and
+ * combining marks extend words ("éthe" hides "the"), a cross-engine
+ * divergence the randomized kernel pin surfaced (PropertySpec). The
+ * scan counts word-runs of the lowered bytes against a word→languages
+ * map.
  * A word listed by several languages increments each (e.g. "la" is in
  * both fr and es — the membership-array semantics of the fold). Winner
  * is strictly-greater max in declaration order (first-listed wins

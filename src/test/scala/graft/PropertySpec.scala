@@ -31,6 +31,44 @@ class PropertySpec extends AnyFunSuite {
     }.drop("cells")
   }
 
+  /** Random text drawn from an alphabet chosen to collide with every
+    * branch of the round-10 byte-scan kernels: ASCII letters/digits,
+    * the counted punctuation, regex metachars as DATA, word-extending
+    * '_', stopwords from several languages (incl. the fr/es-shared
+    * "la"), 2/3/4-byte UTF-8 (é, CJK in and out of the zh range, emoji),
+    * and the exotic lowercase mappings (U+212A→'k', U+0130→2 code
+    * points). */
+  private def randomText(maxLen: Int): String = {
+    val atoms = Seq(
+      "the", "and", "der", "die", "le", "la", "les", "el", "los", "es",
+      "a", "Z", "9", "_", " ", "  ", ".", ",", ";", ":", "!", "?",
+      "$1", "\\", "(", ")", "[", "]", "é", "中", "卡", "😀", "K",
+      "İ", "\t", "\n", "x@y.zz", "123-456-7890", "<b>", "&amp;")
+    val n = rnd.nextInt(maxLen)
+    (1 to n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+  }
+
+  test("property: round-10 kernels == regex formulations on random unicode text") {
+    import graft.functions.TextFunctions
+    val docs = (1 to 400).map(i => (i.toLong, randomText(40)))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val qK = canon(docs.select(col("doc_id") +:
+      TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*))
+    val qR = canon(docs.select(col("doc_id") +:
+      TextFunctions.qualityColumnsRegex(col("text")).map { case (n, c) => c.as(n) }: _*))
+    assert(qK == qR, "qualitySignals diverges on random text")
+    val lK = canon(docs.select(col("doc_id"), TextFunctions.langId(col("text"))))
+    val lR = canon(docs.select(col("doc_id"), TextFunctions.langIdRegex(col("text"))))
+    assert(lK == lR, "langIdDecide diverges on random text")
+    val cK = canon(docs.select(col("doc_id"),
+      TextFunctions.stripMarkup(col("text")), TextFunctions.redactPii(col("text"))))
+    val cR = canon(docs.select(col("doc_id"),
+      TextFunctions.stripMarkupFolded(col("text")), TextFunctions.redactPiiFolded(col("text"))))
+    assert(cK == cR, "chainedRegexReplace diverges on random text")
+  }
+
   test("property: pivot(unpivot(wide)) == wide for random matrices") {
     for (_ <- 1 to 3) {
       val wide = randomWide(n = 20, d = 8)
