@@ -276,6 +276,16 @@ object TextFunctions {
    * scan projection (one codegen'd `regexp_replace` chain, no UDF, no
    * shuffle); precision-critical redaction (names, addresses) needs a
    * model pass and is out of scope here.
+   *
+   * Known cross-engine nuance (see [[langIdRegex]]): `\b` is
+   * ASCII-word-based in RE2/DuckDB but Unicode-word-based in Java, so a
+   * digit run glued to a Unicode letter ("é123456789") redacts under
+   * the oracle's engine and not under Spark's. The shared-pattern
+   * discipline can't paper over it — RE2 has no lookbehind, so the
+   * ASCII boundary can't be spelled portably in one pattern. The PII
+   * fixture is ASCII (hash parity holds); on Unicode-heavy corpora the
+   * Java semantics are the engine's behavior, and marginally more
+   * conservative (fewer boundaries → fewer redactions).
    */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
