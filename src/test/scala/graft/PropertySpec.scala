@@ -69,6 +69,33 @@ class PropertySpec extends AnyFunSuite {
     assert(cK == cR, "chainedRegexReplace diverges on random text")
   }
 
+  test("property: round-9 text kernels == column formulations on random unicode text") {
+    import graft.functions.TextFunctions
+    import graft.plans.TextExpressions
+    // the same adversarial-alphabet fuzz, aimed at the round-9 kernels:
+    // shingle hashing (space tokens), alnum-run token counting, SimHash
+    val docs = (1 to 300).map(i => (i.toLong, randomText(30)))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (dedup <- Seq(true, false)) {
+      val n = canon(docs.select(col("doc_id"),
+        explode(TextExpressions.shingleHashes(col("text"), 3, dedup)).as("h")))
+      val sh = TextFunctions.shingles(col("text"), 3)
+      val c = canon(docs.select(col("doc_id"),
+          explode(if (dedup) array_distinct(sh) else sh).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h")))
+      assert(n == c, s"shingleHashes diverges on random text (dedup=$dedup)")
+    }
+    val tcN = canon(docs.select(col("doc_id"),
+      explode(TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf")))
+    val tcC = canon(docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    assert(tcN == tcC, "tokenCounts diverges on random text")
+  }
+
   test("property: pivot(unpivot(wide)) == wide for random matrices") {
     for (_ <- 1 to 3) {
       val wide = randomWide(n = 20, d = 8)
