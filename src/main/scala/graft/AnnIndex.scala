@@ -22,7 +22,7 @@ import graft.operators.Similarity.{IvfIndex, PqModel}
  * [[Similarity.writePqIndex]], [[Similarity.writeCellCodes]] — the
  * partition-pruned layouts SCALING.md documents), and every later
  * query reads the persisted relations. Training cost stays visible as
- * its own declared query (`sim_index_build` runs the builds unconditionally).
+ * its own declared build step (`sim_index_build` in SparkEntry.builds runs unconditionally).
  *
  * DETERMINISM: every build step (hash-ordered k-means seeding, Lloyd
  * rounds over exact means, parquet float round-trips) is deterministic
@@ -73,7 +73,7 @@ object AnnIndex {
   /**
    * Train + lay out every serving artifact for `sfDir`'s embeddings —
    * the build the cache amortizes, also runnable unconditionally (the
-   * `sim_index_build` query) so training cost stays a measured number.
+   * `sim_index_build` build step) so training cost stays a measured number.
    * Returns a one-row-per-artifact summary.
    */
   def buildAll(spark: SparkSession, sfDir: String, path: String): DataFrame = {
@@ -137,7 +137,17 @@ object AnnIndex {
         ("codes_300", codes300.count()),
         ("cellcodes_300", NCells.toLong))
         .toDF("artifact", "n")
-    } finally pool.shutdown()
+    } finally {
+      // Failure path: an Await that threw (e.g. the PQ chain) must not
+      // leave sibling futures writing artifacts under `path` after
+      // buildAll has propagated its exception — interrupt outstanding
+      // work and drain the pool before returning, so a caller-side
+      // cleanup/retry of the same path cannot race half-done writers.
+      // Success path: every future is already awaited, so this is a
+      // plain shutdown with nothing queued.
+      pool.shutdownNow()
+      pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 
   /**

@@ -32,7 +32,9 @@ object Bench {
     // column materialized — the same work Verify's parquet write measures,
     // and the same work the DuckDB comparator does materializing results.
     var failed = Set.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // queries + declared build steps: training cost stays measured on the
+    // ledger even though builds are excluded from the correctness dump
+    val results = (SparkEntry.queries ++ SparkEntry.builds).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -244,7 +244,12 @@ object TextFunctions {
     * kernel (and the shape the DuckDB oracle SQL mirrors). */
   private[graft] def qualityColumnsRegex(text: Column): Seq[(String, Column)] = {
     val nChars = length(text).cast("long")
-    val nTok = tokenCount(text)
+    // size(tokens(..)), NOT tokenCount: tokenCount routes through the
+    // QualitySignals kernel this formulation exists to pin — the oracle
+    // must share no code with the kernel under test. (size → -1 on null
+    // input; the when() keeps null text → null like the kernel.)
+    val nTok = when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(tokens(text)).cast("long"))
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTok,

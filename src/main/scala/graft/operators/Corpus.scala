@@ -818,12 +818,24 @@ object Corpus {
       // (w1,w2) pairs colliding to one window hash — which is the
       // family's documented 2⁻⁶⁴ collision risk surfacing loudly
       // instead of silently mis-counting.
-      val cbgMap = cbg.agg(map_from_entries(sort_array(
-        collect_list(struct(col("w2"), col("c2"))))).as("__cbg"))
-      val cwMap = cw.agg(map_from_entries(sort_array(
-        collect_list(struct(col("w1"), col("c1"))))).as("__cw"))
+      //
+      // BOTH maps fold in ONE aggregation job: grouping cbg by w1 yields
+      // c1 alongside the per-context (w2, c2) entry lists, and the final
+      // single-row agg flattens one into the bigram map while collecting
+      // the other into the context map. The previous two-frame form paid
+      // two aggregate+collect round trips (and evaluated the cbg subtree
+      // once per map); this is one job, one broadcast row.
+      val models = cbg
+        .groupBy(col("w1"))
+        .agg(sum(col("c2")).as("c1"),
+          collect_list(struct(col("w2"), col("c2"))).as("__entries"))
+        .agg(
+          map_from_entries(sort_array(
+            flatten(collect_list(col("__entries"))))).as("__cbg"),
+          map_from_entries(sort_array(
+            collect_list(struct(col("w1"), col("c1"))))).as("__cw"))
       base.where(size(col("__bg")) > 0)
-        .crossJoin(broadcast(cbgMap.crossJoin(cwMap)))
+        .crossJoin(broadcast(models))
         .select(col(idCol), TextExpressions.hashBigramLogProbAvg(
           col("__th"), col("__bg"), col("__cbg"), col("__cw")).as("logprob2"))
     } else {

@@ -137,36 +137,34 @@ object Similarity {
    * there and let bucket pruning do the same job with a fixed file count.
    */
   def writeLshIndex(index: DataFrame, path: String): Unit =
-    // repartition on the partition columns first: otherwise every write
-    // task opens a file in every (table, bucket) directory it sees —
-    // tasks × dirs file commits (measured as the dominant index-build
-    // cost, not compute). Keyed this way each directory is written by
-    // exactly one task: dirs-many files total, and the commit protocol
-    // scales with the layout, not the task grid. Same trade at 100 TB,
-    // where a 10k-task scan writing 2^bits·tables dirs would otherwise
-    // commit millions of small files.
-    writePartitionedParallel(
-      index.repartition(col("table"), col("bucket")),
-      Seq("table", "bucket"), path)
+    // the helper hash-repartitions on the partition columns: otherwise
+    // every write task opens a file in every (table, bucket) directory it
+    // sees — tasks × dirs file commits (measured as the dominant
+    // index-build cost, not compute). Keyed this way each directory is
+    // written by exactly one task: dirs-many files total, and the commit
+    // protocol scales with the layout, not the task grid. Same trade at
+    // 100 TB, where a 10k-task scan writing 2^bits·tables dirs would
+    // otherwise commit millions of small files.
+    writePartitionedParallel(index, Seq("table", "bucket"), path)
 
-  /** Partitioned layout write with AQE partition-coalescing OFF for the
-    * duration: a small index's post-repartition shuffle is a few MB, so
-    * AQE folds it to ONE task that then creates every partition
-    * directory's file serially — parquet open/close latency × dirs
-    * (measured 2.3 s for a 2400-row index). With coalescing off the
-    * write keeps `spark.sql.shuffle.partitions` tasks and the per-file
-    * latency overlaps. Restores the previous setting afterwards. */
+  /** Partitioned layout write that keeps its shuffle at full width: a
+    * small index's post-repartition shuffle is a few MB, so AQE would
+    * fold it to ONE task that then creates every partition directory's
+    * file serially — parquet open/close latency × dirs (measured 2.3 s
+    * for a 2400-row index). Repartitioning with an EXPLICIT partition
+    * count makes the exchange `REPARTITION_BY_NUM`, which AQE's
+    * partition coalescing never touches (user-specified counts are
+    * preserved), so the write keeps `spark.sql.shuffle.partitions`
+    * concurrent tasks — hashed on the layout columns so each directory
+    * is still written by exactly one task. No session conf is read or
+    * mutated: buildAll runs these writers concurrently, and a
+    * save/set/restore of a session-global flag raced (one writer could
+    * capture a sibling's temporary value and leak it to the session). */
   private def writePartitionedParallel(df: DataFrame, parts: Seq[String],
       path: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
   }
 
   /** Read a persisted index back; feed to `topKLsh` / `nearDupPairsFromIndex`.
@@ -375,8 +373,7 @@ object Similarity {
     import spark.implicits._
     // one writing task per cell directory, parallel commit — see
     // [[writeLshIndex]] / [[writePartitionedParallel]]
-    writePartitionedParallel(index.assignments.repartition(col("cell")),
-      Seq("cell"), s"$path/assignments")
+    writePartitionedParallel(index.assignments, Seq("cell"), s"$path/assignments")
     index.centroids.toSeq.toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -823,8 +820,7 @@ object Similarity {
   def writeCellCodes(cellCodes: DataFrame, path: String): Unit =
     // one writing task per cell directory, parallel commit — see
     // [[writeLshIndex]] / [[writePartitionedParallel]]
-    writePartitionedParallel(cellCodes.repartition(col("cell")),
-      Seq("cell"), path)
+    writePartitionedParallel(cellCodes, Seq("cell"), path)
 
   def readCellCodes(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
