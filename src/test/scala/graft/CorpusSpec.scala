@@ -974,6 +974,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(attributed.nonEmpty) // eval ⊂ corpus → self-pairs guarantee rows
   }
 
+  test("driver contract: every oracle has a query; builds disjoint from queries") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracleSql keys without a query: ${o -- q}")
+    // build steps are timed by Bench but excluded from the correctness
+    // dump — a build key leaking into queries would re-create the
+    // permanent no_oracle row the r10 verdict flagged
+    val b = SparkEntry.builds.keySet
+    assert((b & q).isEmpty, s"build steps leaked into queries: ${b & q}")
+    assert((b & o).isEmpty, s"build steps leaked into oracleSql: ${b & o}")
+    assert(b.contains("sim_index_build"))
+  }
+
   test("events ingestion reads both timestamp layouts identically") {
     // The events table has shipped as TIMESTAMP(NANOS) (reads as a long
     // column under the nanosAsLong legacy conf) and as TIMESTAMP_MICROS;
@@ -994,11 +1007,19 @@ class CorpusSpec extends AnyFunSuite {
     base.withColumn("ts",
         unix_micros(col("ts").cast("timestamp_ntz").cast("timestamp")) * 1000L)
       .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    // UTC-adjusted TIMESTAMP_MICROS (isAdjustedToUTC=true → TimestampType):
+    // the third layout in the wild; under a UTC-pinned session it must read
+    // identically (events() requires the pin and fails loudly otherwise,
+    // because the NTZ cast is session-timezone dependent)
+    val adjDir = java.nio.file.Files.createTempDirectory("ev_adj").toString
+    base.withColumn("ts", col("ts").cast("timestamp_ntz").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$adjDir/events.parquet")
     val q = SparkEntry.queries("events_window")
     def canon(dir: String) = q(spark, dir)
       .collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
     val micros = canon(microsDir)
     assert(micros == canon(nanosDir))
+    assert(micros == canon(adjDir))
     assert(micros.nonEmpty)
   }
 

@@ -935,6 +935,35 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned index write: session conf untouched, one data file per partition dir") {
+    // The write path must not depend on session-global conf: the r10 shape
+    // save/set/restored spark.sql.adaptive.coalescePartitions.enabled, which
+    // raced under buildAll's concurrent writers and could leak 'false' into
+    // the whole session. Now it repartitions with an explicit count
+    // (REPARTITION_BY_NUM — exempt from AQE coalescing) hashed on the layout
+    // columns, so each partition directory still gets exactly one writer.
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.getOption(key)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_conf").toString + "/idx"
+    Similarity.writeLshIndex(Similarity.buildLshIndex(vecs, dim = 16), dir)
+    assert(spark.conf.getOption(key) == before, "write must not mutate session conf")
+    // one data file per (table, bucket) directory — the commit-protocol
+    // invariant the repartition-by-columns exists for
+    val root = new java.io.File(dir)
+    def leafDirs(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        val subs = f.listFiles.filter(_.isDirectory)
+        if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(leafDirs)
+      } else Nil
+    val leaves = leafDirs(root).filter(_.getPath.contains("bucket="))
+    assert(leaves.nonEmpty)
+    leaves.foreach { d =>
+      val dataFiles = d.listFiles.filter(f => f.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1,
+        s"${d.getPath}: expected 1 data file, found ${dataFiles.length}")
+    }
+  }
+
   test("maxBucket: degenerate banded bucket capped; pair survives via remaining bands") {
     // one boilerplate bucket of 100 docs would emit 4950 candidate pairs;
     // docs 1 and 2 also meet in a small band-1 bucket, so capping the hot
