@@ -293,57 +293,53 @@ object KeyedStore {
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(storeDir))
     val inc = dedupIncrement(incoming, keyCols)
-    val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
 
-    def write(df: DataFrame): Unit = {
+    // dynamic overwrite is requested as a PER-WRITE option, which takes
+    // precedence over spark.sql.sources.partitionOverwriteMode — no
+    // session-global save/set/restore (the same conf-leak race class the
+    // Similarity write path had: concurrent merges could capture each
+    // other's temporary value and leave the session in dynamic mode).
+    def write(df: DataFrame, dynamic: Boolean): Unit = {
       val w = df.write.mode("overwrite")
+      val wm = if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w
       partitionCol match {
-        case Some(p) => w.partitionBy(p).parquet(storeDir)
-        case None => w.parquet(storeDir)
+        case Some(p) => wm.partitionBy(p).parquet(storeDir)
+        case None => wm.parquet(storeDir)
       }
     }
 
-    try {
-      if (!exists) {
-        // created-row count observed DURING the streaming write (one pass,
-        // no materialization): a first bulk load may be the whole dataset,
-        // and checkpointing it just to count would pin dataset-sized blocks
-        // in executor storage + double the write amplification
-        val obs = org.apache.spark.sql.Observation()
-        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
-          .observe(obs, count(lit(1)).as("n"))
-        write(created)
-        MergeStats(obs.get("n").asInstanceOf[Long], 0L, 0L)
-      } else {
-        val existing = spark.read.parquet(storeDir)
-        val slice = partitionCol match {
-          case Some(p) =>
-            val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
-            existing.filter(partitionSlicePred(p, parts)) // → partition pruning
-          case None => existing
-        }
-        // ONE scan of the slice: the merge plan materializes here (which
-        // also fires the strict-key guard), then stats and the overwrite
-        // both read the checkpointed blocks. The checkpoint also truncates
-        // lineage so the overwrite doesn't read from the path it writes.
-        // Long cluster runs pass `checkpointDir` for a reliable checkpoint
-        // (localCheckpoint blocks die with a lost executor — Materialize).
-        val j = Materialize(
-          mergedWithAction(inc, slice, keyCols, replace, strictKeys), checkpointDir)
-        val st = j.filter(col("__action").isNotNull)
-          .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        write(j.drop("__action"))
-        MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
-          st.getOrElse(ActionUnchanged, 0L))
+    if (!exists) {
+      // created-row count observed DURING the streaming write (one pass,
+      // no materialization): a first bulk load may be the whole dataset,
+      // and checkpointing it just to count would pin dataset-sized blocks
+      // in executor storage + double the write amplification
+      val obs = org.apache.spark.sql.Observation()
+      val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+        .observe(obs, count(lit(1)).as("n"))
+      write(created, dynamic = false)
+      MergeStats(obs.get("n").asInstanceOf[Long], 0L, 0L)
+    } else {
+      val existing = spark.read.parquet(storeDir)
+      val slice = partitionCol match {
+        case Some(p) =>
+          val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
+          existing.filter(partitionSlicePred(p, parts)) // → partition pruning
+        case None => existing
       }
-    } finally {
-      // session-global conf must not leak past this call
-      prevOverwriteMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // ONE scan of the slice: the merge plan materializes here (which
+      // also fires the strict-key guard), then stats and the overwrite
+      // both read the checkpointed blocks. The checkpoint also truncates
+      // lineage so the overwrite doesn't read from the path it writes.
+      // Long cluster runs pass `checkpointDir` for a reliable checkpoint
+      // (localCheckpoint blocks die with a lost executor — Materialize).
+      val j = Materialize(
+        mergedWithAction(inc, slice, keyCols, replace, strictKeys), checkpointDir)
+      val st = j.filter(col("__action").isNotNull)
+        .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      write(j.drop("__action"), dynamic = true)
+      MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
+        st.getOrElse(ActionUnchanged, 0L))
     }
   }
 
@@ -367,48 +363,58 @@ object KeyedStore {
       checkpointDir: Option[String] = None): MergeStats = {
     val spark = incoming.sparkSession
     val inc = dedupIncrement(incoming, keyCols)
-    val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      if (!spark.catalog.tableExists(table)) {
-        // count observed during the streaming write — see mergeIntoTable
-        val obs = org.apache.spark.sql.Observation()
-        val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
-          .observe(obs, count(lit(1)).as("n"))
-        val w = created.write.mode("overwrite").format("parquet")
-          .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-          .sortBy(bucketCols.head, bucketCols.tail: _*)
-        partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
-        MergeStats(obs.get("n").asInstanceOf[Long], 0L, 0L)
-      } else {
-        // the catalog spec wins on the insertInto path — a caller passing a
-        // DIFFERENT spec must hear about it, not silently get the old layout
-        assertBucketSpec(spark, table, bucketCols, nBuckets, partitionCol)
-        val existing = spark.table(table)
-        val slice = partitionCol match {
-          case Some(p) =>
-            val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
-            existing.filter(partitionSlicePred(p, parts)) // → partition pruning
-          case None => existing
-        }
-        val j = Materialize(
-          mergedWithAction(inc, slice, keyCols, replace, strictKeys), checkpointDir)
-        val st = j.filter(col("__action").isNotNull)
-          .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (!spark.catalog.tableExists(table)) {
+      // count observed during the streaming write — see mergeIntoTable
+      val obs = org.apache.spark.sql.Observation()
+      val created = inc.withColumn("uuid", md5(keyConcat(keyCols)))
+        .observe(obs, count(lit(1)).as("n"))
+      val w = created.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+      partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
+      MergeStats(obs.get("n").asInstanceOf[Long], 0L, 0L)
+    } else {
+      // the catalog spec wins on the insertInto path — a caller passing a
+      // DIFFERENT spec must hear about it, not silently get the old layout
+      assertBucketSpec(spark, table, bucketCols, nBuckets, partitionCol)
+      val existing = spark.table(table)
+      val slice = partitionCol match {
+        case Some(p) =>
+          val parts = inc.select(col(p)).distinct().collect().map(_.get(0))
+          existing.filter(partitionSlicePred(p, parts)) // → partition pruning
+        case None => existing
+      }
+      val j = Materialize(
+        mergedWithAction(inc, slice, keyCols, replace, strictKeys), checkpointDir)
+      val st = j.filter(col("__action").isNotNull)
+        .groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // `insertInto` does NOT honor the per-write partitionOverwriteMode
+      // option (KeyedStoreSpec pins this: a bystander partition vanishes
+      // under the option-only form), so the catalog path must flip the
+      // session conf — under a process-wide lock, so concurrent merges
+      // can't capture each other's temporary value and leak `dynamic`
+      // into the session (the race class the path-based write avoids by
+      // using the option). insertInto is positional — project to the
+      // catalog schema's order.
+      overwriteModeLock.synchronized {
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        // insertInto is positional — project to the catalog schema's order
-        j.drop("__action").select(existing.columns.map(col): _*)
+        try j.drop("__action").select(existing.columns.map(col): _*)
           .write.mode("overwrite").insertInto(table)
-        MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
-          st.getOrElse(ActionUnchanged, 0L))
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
-    } finally {
-      prevOverwriteMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      MergeStats(st.getOrElse(ActionCreate, 0L), st.getOrElse(ActionReplace, 0L),
+        st.getOrElse(ActionUnchanged, 0L))
     }
   }
+
+  /** Serializes the conf-flip window of [[mergeIntoBucketedTable]]'s
+    * insertInto (which ignores per-write options — see the comment there). */
+  private val overwriteModeLock = new Object
 
   /**
    * Existing-table layout guard for `mergeIntoBucketedTable`: `insertInto`

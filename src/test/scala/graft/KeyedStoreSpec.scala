@@ -258,6 +258,36 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(rows == Map("s1" -> 10.0, "s2" -> 2.0, "s3" -> 3.0, "s4" -> 4.0))
   }
 
+  test("mergeIntoBucketedTable: dynamic overwrite — untouched partition survives, conf untouched") {
+    // The per-write `partitionOverwriteMode` option must genuinely reach
+    // the insertInto command: under STATIC overwrite the whole table is
+    // truncated before the merged slice lands, so a partition the
+    // increment never touches silently vanishes. This test holds such a
+    // bystander partition. It also pins that no session conf is mutated
+    // (the old save/set/restore pattern raced across concurrent merges).
+    import spark.implicits._
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.sql("DROP TABLE IF EXISTS store_dyn")
+    try {
+      val seed = Seq(("s1", "2022-03-01", 1.0), ("s9", "2022-04-01", 9.0))
+        .toDF("station_id", "date", "value")
+      KeyedStore.mergeIntoBucketedTable(seed, "store_dyn",
+        Seq("station_id", "date"), Seq("station_id"), 4, Some("date"))
+      // increment touches ONLY the 03-01 partition
+      val inc = Seq(("s1", "2022-03-01", 10.0)).toDF("station_id", "date", "value")
+      val st = KeyedStore.mergeIntoBucketedTable(inc, "store_dyn",
+        Seq("station_id", "date"), Seq("station_id"), 4, Some("date"))
+      assert(st == KeyedStore.MergeStats(0, 1, 0))
+      val rows = spark.table("store_dyn").collect()
+        .map(r => r.getAs[String]("station_id") -> r.getAs[Double]("value")).toMap
+      assert(rows == Map("s1" -> 10.0, "s9" -> 9.0),
+        "bystander partition must survive a dynamic-overwrite merge")
+      assert(spark.conf.getOption(key) == before,
+        "merge must not mutate session partitionOverwriteMode")
+    } finally spark.sql("DROP TABLE IF EXISTS store_dyn")
+  }
+
   test("mergeIntoBucketedTable: mismatched spec against existing table throws") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS store_speccheck")
