@@ -194,25 +194,61 @@ object AnnIndex {
     if (f.exists()) f.delete()
   }
 
-  def lshFull(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.readLshIndex(spark, s"${ensure(spark, sfDir)}/lsh_full")
+  /** Loaded-artifact memo. The model readers pay driver-side work per
+    * call — `readIvfIndex` collects centroids (a Spark job), `readPqIndex`
+    * runs a head + a collect, and every reader re-lists/re-reads parquet
+    * footers — for artifacts that are IMMUTABLE by construction: the memo
+    * key is the resolved cache path, which embeds the data fingerprint
+    * (`keyOf`), so regenerated test data resolves to a different path and
+    * can never be served a stale model. Weak session keys, like
+    * SparkEntry's table memo: stopped test sessions must not pin plans. */
+  private val loadMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+  private def memo[T <: AnyRef](spark: SparkSession, key: String)(load: => T): T = {
+    val per = loadMemo.synchronized {
+      var m = loadMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        loadMemo.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent(key, _ => load).asInstanceOf[T]
+  }
 
-  def lsh300(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.readLshIndex(spark, s"${ensure(spark, sfDir)}/lsh_300")
+  def lshFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"${ensure(spark, sfDir)}/lsh_full"
+    memo(spark, p)(Similarity.readLshIndex(spark, p))
+  }
 
-  def ivfFull(spark: SparkSession, sfDir: String): IvfIndex =
-    Similarity.readIvfIndex(spark, s"${ensure(spark, sfDir)}/ivf_full")
+  def lsh300(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"${ensure(spark, sfDir)}/lsh_300"
+    memo(spark, p)(Similarity.readLshIndex(spark, p))
+  }
 
-  def ivf300(spark: SparkSession, sfDir: String): IvfIndex =
-    Similarity.readIvfIndex(spark, s"${ensure(spark, sfDir)}/ivf_300")
+  def ivfFull(spark: SparkSession, sfDir: String): IvfIndex = {
+    val p = s"${ensure(spark, sfDir)}/ivf_full"
+    memo(spark, p)(Similarity.readIvfIndex(spark, p))
+  }
+
+  def ivf300(spark: SparkSession, sfDir: String): IvfIndex = {
+    val p = s"${ensure(spark, sfDir)}/ivf_300"
+    memo(spark, p)(Similarity.readIvfIndex(spark, p))
+  }
 
   /** (full-corpus codes, model). */
-  def pqFull(spark: SparkSession, sfDir: String): (DataFrame, PqModel) =
-    Similarity.readPqIndex(spark, s"${ensure(spark, sfDir)}/pq_full")
+  def pqFull(spark: SparkSession, sfDir: String): (DataFrame, PqModel) = {
+    val p = s"${ensure(spark, sfDir)}/pq_full"
+    memo(spark, p)(Similarity.readPqIndex(spark, p))
+  }
 
-  def codes300(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, sfDir)}/codes_300")
+  def codes300(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"${ensure(spark, sfDir)}/codes_300"
+    memo(spark, p)(spark.read.parquet(p))
+  }
 
-  def cellCodes300(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.readCellCodes(spark, s"${ensure(spark, sfDir)}/cellcodes_300")
+  def cellCodes300(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"${ensure(spark, sfDir)}/cellcodes_300"
+    memo(spark, p)(Similarity.readCellCodes(spark, p))
+  }
 }

@@ -255,6 +255,38 @@ object Scratch {
             scaled(), evalDocs = Some(ev), redact = true,
             strata = Some(("source", Map("src18" -> 40, "src7" -> 40), 90)))))
         }
+        if (sys.env.contains("SCRATCH_SCALE_ANN")) {
+          // ANN serving at a growing corpus: brute-force top-k scans the
+          // whole corpus; the persisted IVF probe reads only nProbe of
+          // nCells cell directories (partition pruning). The slope ratio
+          // between the two IS the pruning factor — the property that
+          // carries to 100 TB, where "scan everything" stops being an
+          // option. vec_id remapped per copy; vectors repeat, which is
+          // fine for timing (distance work per row is identical).
+          val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val qv = e0.filter(col("vec_id") === 0)
+            .select("embedding").head.getSeq[Float](0)
+          def scaledE() = e0.crossJoin(
+              spark.range(n).select(col("id").as("__copy")))
+            .select((col("vec_id") * lit(1000L) + col("__copy")).as("vec_id"),
+              col("embedding"))
+          val tmp = java.nio.file.Files.createTempDirectory("scale_ann").toString
+          val tb = System.nanoTime()
+          val ivf = graft.operators.Similarity.buildIvfIndex(
+            scaledE(), nCells = 16, iters = 2)
+          graft.operators.Similarity.writeIvfIndex(ivf, s"$tmp/ivf")
+          p("annbuild", (System.nanoTime() - tb) / 1e9)
+          val served = graft.operators.Similarity.readIvfIndex(spark, s"$tmp/ivf")
+          p("brute  ", harness(() =>
+            graft.operators.Similarity.topK(scaledE(), qv, k = 10)))
+          p("ivfprob", harness(() =>
+            graft.operators.Similarity.topKIvf(served, qv, k = 10, nProbe = 4)))
+          def rmA(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmA)
+            f.delete()
+          }
+          rmA(new java.io.File(tmp))
+        }
         if (sys.env.contains("SCRATCH_SCALE_TEXT")) {
           p("langid ", harness(() => scaled().select(col("doc_id"),
             graft.functions.TextFunctions.langId(col("text")).as("l"))))
