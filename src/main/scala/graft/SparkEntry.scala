@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.{Quantize, TextFunctions}
-import graft.operators.{Corpus, Dedup, KeyedStore, Multimodal, Reshape, Similarity, Sketches}
+import graft.operators.{Corpus, Dedup, KeyedStore, Multimodal, Reshape, Selection, Similarity, Sketches}
 import graft.sources.WideMatrix
 import graft.streaming.StreamingOps
 
@@ -58,6 +58,12 @@ object SparkEntry {
   private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embCount(s: SparkSession, dir: String): Long =
     embCountMemo.computeIfAbsent(dir, _ => t(s, dir, "embeddings").count())
+  /** k-means seed set (8 lowest-id vectors) — a constant of a data
+    * directory, same memo contract as [[queryVec]]. */
+  private val kmSeedsMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private def kmeansSeedsOf(s: SparkSession, dir: String): Array[Array[Float]] =
+    kmSeedsMemo.computeIfAbsent(dir, _ =>
+      Similarity.kmeansSeeds(t(s, dir, "embeddings"), 8))
 
   /** The events table has shipped with two timestamp layouts: TIMESTAMP(NANOS)
     * (which Spark only reads as long via `spark.sql.legacy.parquet.nanosAsLong
@@ -954,7 +960,33 @@ object SparkEntry {
     }),
     // --- sessionization (gap-based; batch form of the streaming op) ---
     "events_sessionize" -> ((s, dir) =>
-      StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)))
+      StreamingOps.sessionizeBatch(events(s, dir), gapMin = 30)),
+    // --- data selection: DSIR, NB domain router, A-Res sampling ---
+    "dsir_weights" -> ((s, dir) =>
+      // target domain = English; weights say how en-like every doc's
+      // hashed uni+bigram profile is vs the raw corpus
+      Selection.dsirWeights(t(s, dir, "documents"), col("lang") === "en")),
+    "dsir_sample" -> ((s, dir) =>
+      Selection.dsirTopK(t(s, dir, "documents"), col("lang") === "en", k = 100)),
+    "nb_classify" -> ((s, dir) => {
+      // train on the split stream's train buckets, route the held-out 20%
+      val d = t(s, dir, "documents")
+      Selection.nbClassify(d.filter(Corpus.hashBucket(col("doc_id")) < 80),
+        d.filter(Corpus.hashBucket(col("doc_id")) >= 80))
+    }),
+    "sample_weighted" -> ((s, dir) =>
+      // length-weighted draw of 50 docs — the A-Res key stream
+      Selection.sampleWeighted(t(s, dir, "documents"), col("n_chars"), k = 50)),
+    // --- oracled k-means building blocks (cluster-then-prune substrate) ---
+    "embed_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
+    "embed_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
+    // --- md5 oracle bridges for the signature kernels ---
+    "dedup_minhash_bridge" -> ((s, dir) =>
+      Dedup.minhashBridge(t(s, dir, "documents"))),
+    "dedup_simhash_bridge" -> ((s, dir) =>
+      Dedup.simhashBridge(t(s, dir, "documents"))))
 
   /** Build steps — artifact constructions, NOT queries. Bench times them
     * alongside `queries` (training cost stays on the ledger) but Verify
@@ -1080,6 +1112,54 @@ object SparkEntry {
       else s"CAST($idCol AS VARCHAR) || '$salt'"
     s"('0x' || substr(md5($id), 1, 8))::BIGINT"
   }
+
+  /** Shared DSIR CTE chain (ends in `w(doc_id, weight)`) — the DuckDB
+    * twin of `Selection.dsirWeights(documents, lang = 'en')`: hashed
+    * uni+bigram buckets, Laplace-smoothed target/raw log-ratio, summed
+    * per doc. `dsir_weights` and `dsir_sample` share one definition. */
+  private def dsirSqlBody: String =
+    s"""toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |         FROM documents),
+       |feats AS (SELECT doc_id, lang,
+       |  list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS fs
+       |  FROM toks),
+       |fx AS (SELECT doc_id, lang,
+       |         ${hashBucketSql("f", Selection.DsirBuckets, Selection.DsirSalt)} AS b
+       |       FROM (SELECT doc_id, lang, unnest(fs) AS f FROM feats)),
+       |hist AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+       |         FROM fx GROUP BY 1, 2, 3),
+       |cnt AS (SELECT b, CAST(sum(c) AS BIGINT) AS raw_n,
+       |          CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_n
+       |        FROM hist GROUP BY b),
+       |tot AS (SELECT CAST(sum(raw_n) AS BIGINT) AS raw_tot,
+       |          CAST(sum(tgt_n) AS BIGINT) AS tgt_tot FROM cnt),
+       |lr AS (SELECT b,
+       |         ln((tgt_n + 1.0) / (tgt_tot + ${Selection.DsirBuckets}.0)) -
+       |         ln((raw_n + 1.0) / (raw_tot + ${Selection.DsirBuckets}.0)) AS lr
+       |       FROM cnt CROSS JOIN tot),
+       |wsum AS (SELECT doc_id, sum(c * lr) AS w FROM hist JOIN lr USING (b)
+       |         GROUP BY doc_id),
+       |w AS (SELECT d.doc_id, floor((coalesce(ws.w, 0.0)) * 1e6 + 0.5) / 1e6 AS weight
+       |      FROM documents d LEFT JOIN wsum ws USING (doc_id))""".stripMargin
+
+  /** Shared k-means CTE chain (seeds → raw cosine scores `sc`) — the
+    * DuckDB twin of `Similarity.kmeansAssign/kmeansStep` with the 8
+    * lowest-id seed vectors. Argmax happens on the RAW cosine in both
+    * engines; only outputs are quantized. */
+  private def kmeansSqlBody: String =
+    """seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |sc AS (
+      |  SELECT e.vec_id, s.cell,
+      |    list_dot_product(e.embedding::DOUBLE[], s.c::DOUBLE[]) /
+      |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(s.c::DOUBLE[], s.c::DOUBLE[]))) AS cos
+      |  FROM embeddings e CROSS JOIN seeds s),
+      |asg AS (SELECT vec_id, cell, cos FROM (
+      |  SELECT vec_id, cell, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk FROM sc)
+      |  WHERE rk = 1)""".stripMargin
 
   /** Shared chunking CTEs (nums/toks/ch) — the DuckDB twin of
     * `Corpus.chunkDocs(documents, budget = 64)`. DuckDB list slices are
@@ -1941,5 +2021,90 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         | min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total_value
-        |FROM s GROUP BY user_id, session_idx""".stripMargin)
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // --- data selection ---
+    "dsir_weights" ->
+      s"""WITH $dsirSqlBody
+         |SELECT doc_id, weight FROM w""".stripMargin,
+    "dsir_sample" ->
+      // selection on the QUANTIZED weight in both engines → engine-exact
+      s"""WITH $dsirSqlBody
+         |SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+    "nb_classify" ->
+      s"""WITH lab AS (SELECT doc_id, lang, text, ${hashBucketSql("doc_id", 100)} AS b
+         |             FROM documents),
+         |train AS (SELECT * FROM lab WHERE b < 80),
+         |test AS (SELECT * FROM lab WHERE b >= 80),
+         |cnt AS (SELECT lang AS c, term, CAST(count(*) AS BIGINT) AS n FROM (
+         |          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |          FROM train) GROUP BY 1, 2),
+         |nc AS (SELECT c, CAST(sum(n) AS BIGINT) AS n_c FROM cnt GROUP BY c),
+         |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
+         |pri AS (SELECT lang AS c, ln(count(*) * 1.0 / (SELECT count(*) FROM train)) AS lp
+         |        FROM train GROUP BY 1),
+         |dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |         FROM test),
+         |contrib AS (
+         |  SELECT d.doc_id, p.c,
+         |    sum(ln((coalesce(cn.n, 0) + 1.0) / (nc.n_c + v.v))) AS s
+         |  FROM dtok d CROSS JOIN pri p
+         |  JOIN nc ON nc.c = p.c CROSS JOIN v
+         |  LEFT JOIN cnt cn ON cn.c = p.c AND cn.term = d.term
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT t.doc_id, t.lang, p.c, p.lp + coalesce(ct.s, 0.0) AS score
+         |       FROM test t CROSS JOIN pri p
+         |       LEFT JOIN contrib ct ON ct.doc_id = t.doc_id AND ct.c = p.c),
+         |r AS (SELECT doc_id, lang, c, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rk
+         |      FROM sc)
+         |SELECT doc_id, lang, c AS pred_lang,
+         | floor(score * 1e6 + 0.5) / 1e6 AS score FROM r WHERE rk = 1""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         | floor((ln((h + 0.5) / 4294967296.0) / n_chars) * 1e6 + 0.5) / 1e6 AS ares_key
+         |FROM (SELECT doc_id, n_chars,
+         |        ${hashValueSql("doc_id", Selection.WeightSalt)} AS h
+         |      FROM documents WHERE n_chars > 0)
+         |ORDER BY ares_key DESC, doc_id LIMIT 50""".stripMargin,
+    // --- k-means building blocks ---
+    "embed_kmeans_assign" ->
+      s"""WITH $kmeansSqlBody
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         | floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM asg""".stripMargin,
+    "embed_kmeans_step" ->
+      s"""WITH $kmeansSqlBody,
+         |ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+         |         unnest(range(0, len(embedding))) AS i FROM embeddings),
+         |m AS (SELECT a.cell, ev.i AS dim, avg(ev.val) AS mean
+         |      FROM asg a JOIN ev USING (vec_id) GROUP BY 1, 2)
+         |SELECT CAST(cell AS INTEGER) AS cell, CAST(dim AS INTEGER) AS dim,
+         | floor(mean * 1e6 + 0.5) / 1e6 AS mean FROM m""".stripMargin,
+    // --- md5 signature bridges ---
+    "dedup_minhash_bridge" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |            FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |       FROM tk WHERE len(t) >= 3),
+         |hs AS (SELECT doc_id,
+         |         ${hashValueSql("s", Dedup.MinhashBridgeSalt)} % ${Dedup.BridgeP} AS h
+         |       FROM sh),
+         |perms(perm, a, b) AS (VALUES ${(0 until Dedup.BridgePerms)
+           .map(i => s"(${i}, ${Dedup.bridgeA(i)}, ${Dedup.bridgeB(i)})").mkString(", ")})
+         |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+         | CAST(min((a * h + b) % ${Dedup.BridgeP}) AS BIGINT) AS minhash
+         |FROM hs CROSS JOIN perms GROUP BY doc_id, perm""".stripMargin,
+    "dedup_simhash_bridge" ->
+      s"""WITH hs AS (SELECT doc_id, ${hashValueSql("tok", Dedup.SimhashBridgeSalt)} AS h
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |        FROM documents)),
+         |bits AS (SELECT doc_id, b,
+         |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bv
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+         |  GROUP BY doc_id, b),
+         |sv AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(sv.simhash, 0) AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN sv USING (doc_id)""".stripMargin)
 }

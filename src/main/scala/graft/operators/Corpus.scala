@@ -47,8 +47,10 @@ object Corpus {
 
   /** The full 32-bit hash value behind [[hashBucket]] (no modulo) — the
     * deterministic RANK key for exact-k selections ([[capPerStratum]]),
-    * where 100 buckets is far too coarse a total order. */
-  private def hashValue(id: Column, salt: String): Column =
+    * where 100 buckets is far too coarse a total order. Public for the
+    * selection family ([[Selection.sampleWeighted]] maps it to a uniform
+    * in (0,1) for the A-Res key stream). */
+  def hashValue(id: Column, salt: String): Column =
     conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 8), 16, 10)
       .cast("long")
 

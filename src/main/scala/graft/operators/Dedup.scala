@@ -898,4 +898,98 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
         col("n_tokens"))
   }
+
+  // ---- md5 oracle bridges for the signature kernels ----------------------
+  //
+  // The production MinHash/SimHash paths hash with xxhash64 (the codegen'd
+  // kernels above) — fast, but with no DuckDB twin, so those queries are
+  // rows-only + property-tested. These bridges compute the SAME signature
+  // algebra over the engine-portable md5-prefix hash stream
+  // ([[Corpus.hashValue]]), making the minhash fold and the simhash
+  // bit-vote hash-verifiable end-to-end cross-engine. They are CONTRACT
+  // witnesses, not the scale path: per-row work is identical in shape
+  // (row-local fold over the shingle/token array, no exchange), only the
+  // hash primitive differs.
+
+  /** Bridge permutation count / prime / LCG-style constants — interpolated
+    * into the DuckDB oracle from these same values (one definition). */
+  val BridgePerms = 16
+  val BridgeP = 2147483647L // 2^31 − 1: a*(h mod P) + b stays < 2^63
+  def bridgeA(i: Int): Long = (2654435761L * (i + 1)) % BridgeP
+  def bridgeB(i: Int): Long = (1013904223L * (i + 1)) % BridgeP
+  val MinhashBridgeSalt = "#mh"
+  val SimhashBridgeSalt = "#sh"
+
+  /**
+   * MinHash signature over word 3-shingles, md5 hash stream:
+   *   minhash_i(d) = min_{s ∈ shingles(d)} (a_i·(h(s) mod P) + b_i) mod P
+   * One row per (doc, permutation); docs with < 3 tokens have no shingle
+   * set and are excluded (their signature is undefined — the production
+   * path short-circuits them to exact-dup handling the same way).
+   * Row-local: the 16 minima fold inside the row's own shingle array,
+   * posexplode fans out — zero exchange.
+   */
+  def minhashBridge(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // Shingle strings build row-locally (the one HOF — pure string ops);
+    // everything hot is POST-explode so the md5 and the 16 permutations
+    // run codegen'd at top level: higher-order lambdas evaluate
+    // interpreted per element, and nesting the hash inside 16 per-perm
+    // lambdas would also re-evaluate it 16× (measured: 127 s → 0.6 s at
+    // sf0.1 for this exact reshape). The (doc, perm) min folds map-side
+    // — the exchange carries ≤ 16 rows per doc per partition.
+    // tokens BIND to a column before the shingle lambda: an expression
+    // referenced inside a higher-order lambda re-evaluates per element,
+    // so `element_at(tokens(text), i)` would re-run the whole regexp
+    // tokenization 3× per shingle (measured: 8 s → 0.5 s at sf0.1)
+    val tk = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 3)
+    val t = col("__tk")
+    val sh = transform(sequence(lit(0), size(t) - 3), i => concat_ws(" ",
+      element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    // 16 min-columns in ONE doc-keyed aggregation (no 16× row fanout
+    // before the exchange — a posexplode-then-group shape measured ~60%
+    // slower); the (doc, perm) long layout unpivots AFTER, over k·16 rows
+    val mins = tk.select(col(idCol), explode(sh).as("__s"))
+      .select(col(idCol),
+        (Corpus.hashValue(col("__s"), MinhashBridgeSalt) % BridgeP).as("__h"))
+      .groupBy(col(idCol))
+      .agg(minPerm(0).as("__m0"),
+        (1 until BridgePerms).map(i => minPerm(i).as(s"__m$i")): _*)
+    mins.select(col(idCol),
+      posexplode(array((0 until BridgePerms).map(i => col(s"__m$i")): _*))
+        .as(Seq("perm", "minhash")))
+  }
+
+  private def minPerm(i: Int): Column =
+    min((lit(bridgeA(i)) * col("__h") + lit(bridgeB(i))) % BridgeP)
+
+  /**
+   * 32-bit SimHash over unigram tokens, md5 hash stream: bit b is set iff
+   * the tokens voting 1 on bit b outnumber those voting 0. Tokenless docs
+   * get signature 0 (every bit loses its vote 0 to 0). Row-local bit
+   * votes — zero exchange.
+   */
+  def simhashBridge(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // explode + ONE doc-keyed aggregation carrying all 32 bit-vote sums:
+    // md5 runs once per token at top level (codegen'd); a per-row HOF
+    // formulation would re-evaluate the token hashing inside each of the
+    // 32 bit lambdas, interpreted (measured 8.4 s vs 0.2 s at sf0.1).
+    // explode_outer keeps tokenless docs: their vote sums stay null and
+    // every bit resolves 0.
+    val ex = docs
+      .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), Corpus.hashValue(col("__t"), SimhashBridgeSalt).as("__h"))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"__c$b")
+    }
+    ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+  }
 }

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Quantize, TextFunctions}
+
+/**
+ * Data-SELECTION operators for training-corpus curation: which documents
+ * to keep, at what weight — the layer between cleaning (gates, dedup) and
+ * packing. Three public-method primitives:
+ *
+ *  - DSIR importance resampling (Xie et al. 2023, "Data Selection for
+ *    Language Models via Importance Resampling"): score every raw doc by
+ *    how much more likely its hashed-n-gram profile is under a TARGET
+ *    domain than under the raw corpus, then keep the top slice. The
+ *    distribution model is a pair of multinomials over B hash buckets —
+ *    small enough to broadcast at ANY corpus size (the model is O(B),
+ *    not O(vocab)), which is the whole point of the hashed variant.
+ *  - Multinomial Naive Bayes domain classification: the classic
+ *    count-based domain/quality router (fastText-class problems where a
+ *    linear model over token counts is the published baseline). Training
+ *    IS aggregation — (term, class) counts — so the "training loop" is
+ *    one shuffle; scoring is map-only against a broadcast model.
+ *  - Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+ *    top-k by key u^(1/w) — here the log form ln(u)/w, monotone-equal —
+ *    with u a DETERMINISTIC per-doc uniform from the md5 hash stream
+ *    (no RNG state, same sample on any cluster/partitioning, composable
+ *    with the split/sample salts like every sampler in [[Corpus]]).
+ *
+ * Everything is engine-mirrorable (md5 bucket hashes, double math) so
+ * each operator carries a full DuckDB oracle — no rows-only entries in
+ * this family.
+ *
+ * 100 TB posture, per operator:
+ *  - DSIR: one (bucket-keyed, map-side-combined) exchange of ≤ B rows per
+ *    partition to fold the two histograms, ONE broadcast row out, then
+ *    map-only scoring (`aggregate` over the per-row feature array against
+ *    the broadcast log-ratio array). The top-k select is
+ *    TakeOrderedAndProject (per-partition heaps), not a global sort.
+ *  - NB: one term-keyed exchange for the (term, class) counts (map-side
+ *    combined; the exchange carries ≤ vocab·classes rows), one single-row
+ *    fold into a broadcast term→count-array map, map-only scoring. For
+ *    open-vocabulary corpora beyond the broadcast ceiling, cap the
+ *    modelled vocab (`vocabCap`) — untracked terms fall to the Laplace
+ *    floor, exactly how production fastText-style routers bound their
+ *    tables.
+ *  - A-Res: a pure map (hash, ln, divide) + TakeOrderedAndProject.
+ */
+object Selection {
+
+  /** DSIR hash-feature space size. 2^k buckets keeps the modulo cheap;
+    * the published method uses 10k–65k — 256 is plenty for the fixture
+    * corpus and the arithmetic is size-independent. */
+  val DsirBuckets = 256
+
+  /** DSIR's own hash-stream salt: feature bucketing must not correlate
+    * with the split/sample/shard streams (same argument as
+    * [[Corpus.ShardSalt]]). */
+  val DsirSalt = "#dsir"
+
+  /** A-Res key-stream salt (see [[Corpus.hashBucket]]'s stream doctrine:
+    * selection keys must be independent of split buckets). */
+  val WeightSalt = "#wsamp"
+
+  /**
+   * Row-local feature extraction: unigram ++ bigram STRINGS over the
+   * shared alnum tokenization. Pure column expression — no exchange, no
+   * UDF. Hashing happens downstream, post-explode, at top level: the
+   * string build is the only higher-order function (interpreted per
+   * element, but cheap concats), while the md5 bucket runs codegen'd.
+   */
+  def featureStrings(text: Column): Column =
+    featureStringsFromTokens(TextFunctions.tokens(text))
+
+  /** Same, over an already-BOUND token array column. Callers should
+    * tokenize into a column first: the token expression appears four
+    * times below, and `Generate` (explode) evaluates its input
+    * interpreted with no common-subexpression elimination — inlining the
+    * regexp tokenizer would re-run it 4× per row. */
+  def featureStringsFromTokens(t: Column): Column = {
+    // bigrams: zip tokens with their own tail; zip_with pads the short
+    // side with null, so the trailing (last, null) pair concat-nulls out
+    val bi = filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    concat(t, bi)
+  }
+
+  /**
+   * DSIR log importance weight per document:
+   *   w(d) = Σ_{feature occurrences f in d} [ ln p̂_tgt(b(f)) − ln p̂_raw(b(f)) ]
+   * with Laplace-smoothed bucket multinomials
+   *   p̂(b) = (n_b + 1) / (n_tot + B)
+   * estimated from the SAME frame (`target` marks the in-domain rows, the
+   * whole frame is the raw distribution). Returns (idCol, weight) with
+   * the weight quantized to 6dp for cross-engine stability.
+   *
+   * Shape: ONE corpus scan builds a per-(doc, bucket) count histogram
+   * whose exchange both passes reuse (ReusedExchange — see the body
+   * comment); the model folds it to ≤ B log-ratio rows that broadcast-
+   * hash-join back for scoring; the final doc-keyed aggregation's
+   * exchange carries ≤ B rows per doc. Everything hot — tokenize, md5
+   * bucket, joins, sums — runs codegen'd at top level; the only
+   * higher-order lambda is the bigram string build. At 100 TB the same
+   * plan holds: the histogram exchange is the materialization point (a
+   * small fraction of the text), and nothing else touches the corpus.
+   */
+  def dsirWeights(docs: DataFrame, target: Column, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = DsirBuckets): DataFrame = {
+    // explode_outer keeps zero-feature (or null-text) docs as one
+    // null-bucket row → they survive to the output with weight 0.0.
+    //
+    // The per-(doc, bucket) HISTOGRAM is the relation both passes (model
+    // + scoring) consume: because they consume the SAME groupBy, the
+    // physical plan reuses ONE exchange (ReusedExchange) and the
+    // expensive map side — tokenize, bigram build, md5 — executes once,
+    // exactly like the oracle engine materializing the feature CTE. A
+    // naive two-consumer formulation re-scans the corpus per consumer
+    // (measured 2.7× the single-scan cost at sf0.1).
+    val hist = docs.select(col(idCol), target.as("__tgt"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tgt"),
+        explode_outer(featureStringsFromTokens(col("__tk"))).as("__f"))
+      .select(col(idCol), col("__tgt"),
+        Corpus.hashBucket(col("__f"), buckets, DsirSalt).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // NO null-bucket filter here: filtering on the grouping key would
+    // push below the histogram aggregation and de-duplicate the two
+    // branches' subtrees — killing the exchange reuse. The null-bucket
+    // row rides through cnt/lr but can never join back (null keys don't
+    // match); it is excluded from the smoothing TOTALS below.
+    val cnt = hist
+      .groupBy(col("__b"))
+      .agg(sum(col("__c")).as("raw_n"),
+        sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("tgt_n"))
+    // ≤ B-row log-ratio TABLE, broadcast-hash-joined on the bucket (a
+    // one-row array carrier would ride a nested-loop join and copy the
+    // whole 2 KB array into every exploded feature row — measured ~0.8 s
+    // of pure row-widening at sf0.1). Totals fold via an unpartitioned
+    // window over the ≤ B aggregated rows (single-partition, trivial at
+    // that size) — a separate totals aggregate would re-execute the
+    // whole model pass as a second corpus scan. Buckets absent from cnt
+    // cannot occur in fx, so the table needs no smoothing-floor rows.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def tot(c: Column): Column =
+      sum(when(col("__b").isNotNull, c).otherwise(0L)).over(wAll)
+    val lrTbl = cnt
+      .select(col("__b"),
+        (log((col("tgt_n") + lit(1.0)) / (tot(col("tgt_n")) + lit(buckets.toDouble))) -
+          log((col("raw_n") + lit(1.0)) / (tot(col("raw_n")) + lit(buckets.toDouble))))
+          .as("__lr"))
+    // scoring: Σ_b c_db · lr_b — the count-times-ratio form on BOTH
+    // engines (the oracle mirrors it), over bucket rows, not feature
+    // occurrences. Null-bucket rows miss the left join → sum skips them.
+    hist.join(broadcast(lrTbl), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(Quantize.quantize(coalesce(sum(col("__c") * col("__lr")), lit(0.0)), 6)
+        .as("weight"))
+  }
+
+  /** The selection half of DSIR: keep the k raw docs whose profiles look
+    * most like the target domain. Plans as TakeOrderedAndProject over the
+    * quantized weight (per-partition heaps, driver merge of k) — ordering
+    * on the QUANTIZED value so the kept set is engine-exact. */
+  def dsirTopK(docs: DataFrame, target: Column, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = DsirBuckets): DataFrame =
+    dsirWeights(docs, target, textCol, idCol, buckets)
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(k)
+
+  /**
+   * Multinomial Naive Bayes with Laplace smoothing: train token counts on
+   * `train` (label = `classCol`), score every row of `score`, emit
+   * (idCol, classCol, pred_<classCol>, score) — the actual label rides
+   * along so accuracy is a one-liner downstream.
+   *
+   *   score(d, c) = ln(docs_c / docs_total)
+   *               + Σ_{tok ∈ d} ln((n_{tok,c} + 1) / (n_c + V))
+   *
+   * argmax over classes, ties to the alphabetically first class (the
+   * broadcast arrays are class-sorted and `array_position` returns the
+   * FIRST maximum — mirroring the oracle's `ORDER BY score DESC, class`).
+   *
+   * The model folds in ONE term-keyed aggregation (per-class count
+   * arrays) and broadcasts as a JOIN relation (vocab rows, not a giant
+   * map in one row); the per-class token totals + V fold from it into a
+   * single broadcast row, class priors from a single-row aggregate over
+   * `train`. Scoring explodes the tokens, broadcast-hash-joins the model
+   * (codegen'd — no interpreted per-token lambdas), and folds per-class
+   * sums in one doc-keyed aggregation whose exchange carries one
+   * partial row per doc. `vocabCap > 0` keeps only the cap's
+   * most-frequent terms in the model (ties to the lexicographically
+   * first) — the broadcast-ceiling valve for open vocabularies; dropped
+   * terms score at the Laplace floor like any unseen token.
+   */
+  def nbClassify(train: DataFrame, score: DataFrame,
+      classCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id", vocabCap: Int = 0): DataFrame = {
+    // bounded driver pull: the class DOMAIN only (≤ dozens of labels —
+    // same posture as the IVF centroid pull, Similarity.scala:318)
+    val classes = train.select(col(classCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val k = classes.length
+    require(k > 0, "nbClassify: empty training set")
+
+    val tok = train.select(col(classCol).cast("string").as("__c"),
+      explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val perTerm0 = tok.groupBy(col("__t"))
+      .agg(array(classes.map(c =>
+        sum(when(col("__c") === lit(c), 1L).otherwise(0L))): _*).as("cnts"))
+    val perTerm = if (vocabCap > 0) {
+      // keep the cap's head by total count: TakeOrdered, not a window —
+      // the model is the only thing truncated, V counts the KEPT terms
+      perTerm0
+        .orderBy(aggregate(col("cnts"), lit(0L), _ + _).desc, col("__t"))
+        .limit(vocabCap)
+    } else perTerm0
+    val statsRow = perTerm.agg(
+      array((0 until k).map(i => sum(element_at(col("cnts"), i + 1))): _*).as("nc"),
+      count(lit(1)).cast("double").as("v"))
+    val priorRow = train.agg(
+      array(classes.map(c =>
+        sum(when(col(classCol).cast("string") === lit(c), 1L).otherwise(0L))): _*).as("ndoc"),
+      count(lit(1)).as("ntot"))
+
+    // scoring: explode → broadcast-join the model → k per-class sums.
+    // The Laplace floor (unseen / capped-out term) is the SAME formula at
+    // count 0 — written as the same division so both engines produce
+    // identical doubles. explode_outer keeps tokenless docs (they score
+    // on priors alone, via the null-token guard inside each sum).
+    val dtok = score
+      .select(col(idCol), col(classCol),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
+      .join(broadcast(perTerm), Seq("__t"), "left")
+      .crossJoin(broadcast(statsRow))
+    val contribs = (0 until k).map { i =>
+      val n = coalesce(element_at(col("cnts"), i + 1), lit(0L))
+      val denom = element_at(col("nc"), i + 1) + col("v")
+      sum(when(col("__t").isNotNull, log((n + lit(1.0)) / denom))).as(s"__s$i")
+    }
+    val classArr = array(classes.map(lit): _*)
+    dtok.groupBy(col(idCol), col(classCol))
+      .agg(contribs.head, contribs.tail: _*)
+      .crossJoin(broadcast(priorRow))
+      .withColumn("__s", array((0 until k).map(i =>
+        coalesce(col(s"__s$i"), lit(0.0)) +
+          log(element_at(col("ndoc"), i + 1) / col("ntot").cast("double"))): _*))
+      .select(col(idCol), col(classCol),
+        element_at(classArr, array_position(col("__s"), array_max(col("__s"))).cast("int"))
+          .as(s"pred_$classCol"),
+        Quantize.quantize(array_max(col("__s")), 6).as("score"))
+  }
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+   * Spirakis A-Res): key(d) = ln(u_d) / w_d with u_d uniform in (0,1),
+   * keep the k largest keys — equivalent to sequential weighted draws,
+   * but embarrassingly parallel. u_d = (h_d + 0.5) / 2^32 from the salted
+   * md5 stream: no RNG, same sample on any partitioning, any engine.
+   * Rows with non-positive weight are excluded (they can never be drawn).
+   * Returns (idCol, w, ares_key), key quantized for engine-exact
+   * selection; plans as a map + TakeOrderedAndProject.
+   */
+  def sampleWeighted(docs: DataFrame, weight: Column, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (Corpus.hashValue(col(idCol), WeightSalt) + lit(0.5)) / lit(4294967296.0)
+    docs.filter(weight > 0)
+      .select(col(idCol), weight.cast("long").as("w"),
+        Quantize.quantize(log(u) / weight.cast("double"), 6).as("ares_key"))
+      .orderBy(col("ares_key").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -957,4 +957,68 @@ object Similarity {
         Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(rescored, k, idCol, qIdCol)
   }
+
+  // ---- k-means building blocks (oracle-verifiable) -----------------------
+  //
+  // The IVF trainer above IS Lloyd's algorithm, but it runs end-to-end
+  // with driver-side centroid state between rounds — fine for building an
+  // index, opaque to a SQL oracle. These two functions expose ONE
+  // assignment and ONE update step as plain declarative relations so the
+  // clustering primitive itself is hash-verifiable cross-engine (the
+  // SemDeDup-style "cluster then prune within cluster" recipes compose
+  // from exactly these two steps).
+
+  /** Deterministic seeds: the k lowest-id vectors. A bounded driver pull
+    * (k rows — same posture as the IVF centroid collect above); no RNG,
+    * so any engine picks the identical seed set. */
+  def kmeansSeeds(embeddings: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Float]] =
+    embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /**
+   * One Lloyd ASSIGNMENT step under cosine: each vector goes to the
+   * centroid it has the highest cosine with (ties → lowest cell, via
+   * array_position's first-match). Map-only: the centroids ride the plan
+   * as literal arrays, their norms as literal doubles (driver-folded in
+   * the same sequential order as the column-side norm — bit-identical to
+   * computing them in-plan, one fewer dot per row per cell).
+   * Returns (idCol, cell, cos) with cos quantized to 6dp.
+   */
+  private def centroidScores(centroids: Array[Array[Float]], vecCol: String): Column =
+    array(centroids.map { c =>
+      val cl = array(c.map(v => lit(v)): _*)
+      dot(col(vecCol), cl) / (norm(col(vecCol)) * lit(normOf(c.toSeq)))
+    }: _*)
+
+  def kmeansAssign(embeddings: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign: no centroids")
+    embeddings
+      .select(col(idCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select(col(idCol),
+        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        Quantize.quantize(array_max(col("__sc")), 6).as("cos"))
+  }
+
+  /**
+   * One Lloyd UPDATE step: the per-dimension mean of each cell's members
+   * — (cell, dim, mean), mean quantized to 6dp. The vector rides the
+   * (map-only) assignment — no re-join back to the input — then
+   * posexplode + one (cell, dim)-keyed aggregation whose exchange
+   * carries ≤ cells·dim rows per partition after map-side combine
+   * (partial avg): the classic distributed-k-means shape, no driver
+   * state between steps.
+   */
+  def kmeansStep(embeddings: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansStep: no centroids")
+    embeddings
+      .select(col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select((array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(Quantize.quantize(avg(col("__v").cast("double")), 6).as("mean"))
+  }
 }

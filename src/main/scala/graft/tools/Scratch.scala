@@ -350,7 +350,11 @@ object Scratch {
       val q = graft.SparkEntry.queries(n)
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
-        val cnt = q(spark, sfDir).count()
+        // Bench's method (toRdd.count): materializes every output column.
+        // Dataset.count() would let Catalyst prune the final project —
+        // for aggregate-heavy queries that can silently skip the very
+        // arithmetic being measured.
+        val cnt = q(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCRATCH $n run$i: $dt%.3f s ($cnt rows)")
       }

@@ -1,0 +1,239 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Selection, Similarity}
+
+/** Data-selection family: DSIR, NB router, A-Res sampling, k-means steps,
+  * md5 signature bridges. Value pins recompute expectations with PLAIN
+  * Scala (own MessageDigest md5, own fold) — no shared code with the
+  * operators under test. */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Independent md5-prefix hash: first 8 hex digits of md5(s) as a long
+    * (the spec's own twin of Corpus.hashValue — MessageDigest, not Spark). */
+  private def md5hex32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def toks(s: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(s.toLowerCase).toSeq
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma alpha beta", "en"),
+    (1L, "alpha beta gamma delta", "en"),
+    (2L, "uno dos tres cuatro cinco seis", "es"),
+    (3L, "uno dos tres alpha", "es"),
+    (4L, "", "en"), // zero features
+    (5L, "gamma delta epsilon zeta eta theta", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  // ---- DSIR ----
+
+  /** Plain-Scala DSIR weight recomputation (target = lang == "en"). */
+  private def dsirExpected: Map[Long, Double] = {
+    val corpus = Seq(
+      0L -> ("alpha beta gamma alpha beta", true),
+      1L -> ("alpha beta gamma delta", true),
+      2L -> ("uno dos tres cuatro cinco seis", false),
+      3L -> ("uno dos tres alpha", false),
+      4L -> ("", true),
+      5L -> ("gamma delta epsilon zeta eta theta", false))
+    val B = Selection.DsirBuckets
+    def feats(t: String): Seq[Int] = {
+      val tk = toks(t)
+      (tk ++ tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" })
+        .map(f => (md5hex32(f + Selection.DsirSalt) % B).toInt)
+    }
+    val all = corpus.flatMap { case (_, (t, tgt)) => feats(t).map(_ -> tgt) }
+    val rawN = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tgtN = all.groupBy(_._1).view.mapValues(_.count(_._2).toLong).toMap
+    val rawTot = all.size.toDouble
+    val tgtTot = all.count(_._2).toDouble
+    def lr(b: Int): Double =
+      math.log((tgtN(b) + 1.0) / (tgtTot + B)) - math.log((rawN(b) + 1.0) / (rawTot + B))
+    corpus.map { case (id, (t, _)) =>
+      id -> math.floor(feats(t).map(lr).sum * 1e6 + 0.5) / 1e6
+    }.toMap
+  }
+
+  test("dsirWeights matches an independent plain-Scala recomputation") {
+    val out = Selection.dsirWeights(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = dsirExpected
+    assert(out.keySet == exp.keySet)
+    for ((id, w) <- exp) assert(math.abs(out(id) - w) < 2e-6, s"doc $id")
+    // zero-feature doc survives at exactly 0
+    assert(out(4L) == 0.0)
+  }
+
+  test("dsirWeights runs ONE corpus scan (histogram exchange is reused)") {
+    val df = Selection.dsirWeights(docs, col("lang") === "en")
+    df.queryExecution.toRdd.count() // materialize so AQE finalizes reuse
+    assert(SparkTestBase.fileScans(df).isEmpty) // in-memory input: no file scan at all
+    val names = SparkTestBase.planNodeNames(df)
+    assert(names.count(_ == "LocalTableScan") == 1,
+      s"expected the single reused input scan, got: $names")
+  }
+
+  test("dsirTopK keeps the k most target-like docs, ties to low id") {
+    val top = Selection.dsirTopK(docs, col("lang") === "en", k = 3)
+      .collect().map(_.getLong(0))
+    assert(top.length == 3)
+    val exp = dsirExpected.toSeq.sortBy { case (id, w) => (-w, id) }.take(3).map(_._1)
+    assert(top.toSeq == exp)
+  }
+
+  // ---- Naive Bayes ----
+
+  test("nbClassify routes held-out docs to the class with matching tokens") {
+    val train = Seq(
+      (0L, "alpha beta gamma alpha", "en"), (1L, "beta gamma delta", "en"),
+      (2L, "uno dos tres", "es"), (3L, "dos tres cuatro", "es"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (10L, "alpha gamma beta", "en"), (11L, "tres dos uno uno", "es"),
+      (12L, "", "en")) // tokenless: decided on priors alone
+      .toDF("doc_id", "text", "lang")
+    val out = Selection.nbClassify(train, score).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+    assert(out(10L)._1 == "en" && out(11L)._1 == "es")
+    // equal priors (2 docs each): alphabetical first class wins the tie
+    assert(out(12L)._1 == "en")
+    assert(math.abs(out(12L)._2 - math.floor(math.log(0.5) * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(out(10L)._2 < 0)
+  }
+
+  test("nbClassify score matches a hand computation") {
+    val train = Seq(
+      (0L, "cat cat dog", "a"), (1L, "fish", "b"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq((9L, "cat fish", "a")).toDF("doc_id", "text", "lang")
+    val out = Selection.nbClassify(train, score).collect().head
+    // model: V=3 (cat, dog, fish); class a: n_c=3, counts cat=2, dog=1;
+    // class b: n_c=1, fish=1. priors: a=ln(1/2), b=ln(1/2).
+    val sa = math.log(0.5) + math.log((2 + 1.0) / (3 + 3.0)) + math.log((0 + 1.0) / (3 + 3.0))
+    val sb = math.log(0.5) + math.log((0 + 1.0) / (1 + 3.0)) + math.log((1 + 1.0) / (1 + 3.0))
+    val best = math.max(sa, sb)
+    assert(out.getString(2) == (if (sa >= sb) "a" else "b"))
+    assert(math.abs(out.getDouble(3) - math.floor(best * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("nbClassify vocabCap drops tail terms to the Laplace floor") {
+    val train = Seq(
+      (0L, "cat cat cat dog", "a"), (1L, "fish fish bird", "b"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq((9L, "dog bird", "a")).toDF("doc_id", "text", "lang")
+    // cap=2 keeps {cat, fish} (top by count); dog/bird fall to the floor
+    // → both classes see the same per-token likelihoods, priors tie,
+    // but class totals differ: a has n_c=4, b has n_c=3 → b's floor is
+    // larger → pred b
+    val out = Selection.nbClassify(train, score, vocabCap = 2).collect().head
+    assert(out.getString(2) == "b")
+  }
+
+  // ---- A-Res weighted sampling ----
+
+  test("sampleWeighted is deterministic, excludes non-positive weights, orders by key") {
+    val d = Seq((1L, 10L), (2L, 100L), (3L, 0L), (4L, -5L), (5L, 1000L), (6L, 50L))
+      .toDF("doc_id", "n_chars")
+    val out = Selection.sampleWeighted(d, col("n_chars"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L, 6L)) // 3,4 excluded
+    // keys sorted desc; independent recomputation
+    def key(id: Long, w: Long): Double = {
+      val h = md5hex32(id.toString + Selection.WeightSalt)
+      math.floor(math.log((h + 0.5) / 4294967296.0) / w * 1e6 + 0.5) / 1e6
+    }
+    val exp = Seq(1L -> 10L, 2L -> 100L, 5L -> 1000L, 6L -> 50L)
+      .map { case (id, w) => (id, key(id, w)) }.sortBy { case (id, k2) => (-k2, id) }
+    assert(out.map(r => (r.getLong(0), r.getDouble(2))).toSeq == exp)
+    // higher weight → stochastically earlier; at least assert the k=2
+    // head equals the recomputation's head
+    val top2 = Selection.sampleWeighted(d, col("n_chars"), k = 2).collect().map(_.getLong(0))
+    assert(top2.toSeq == exp.take(2).map(_._1))
+  }
+
+  // ---- k-means building blocks ----
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.1f, 0.9f, 0f)),
+    (4L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  test("kmeansAssign: nearest-by-cosine cell, seeds assign to themselves") {
+    val seeds = Similarity.kmeansSeeds(vecs, 2)
+    assert(seeds.length == 2 && seeds(0)(0) == 1f)
+    val out = Similarity.kmeansAssign(vecs, seeds).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out(0L) == ((0, 1.0)) && out(1L) == ((1, 1.0)))
+    assert(out(2L)._1 == 0 && out(3L)._1 == 1)
+    assert(out(4L)._1 == 1) // cos(-x, x)=-1 < cos(-x, y)=0 → cell 1
+    assert(out(2L)._2 > 0.99 && out(2L)._2 < 1.0)
+  }
+
+  test("kmeansStep: per-cell per-dim means") {
+    val seeds = Similarity.kmeansSeeds(vecs, 2)
+    val out = Similarity.kmeansStep(vecs, seeds).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // cell 0 members: 0, 2 → mean dim0 = (1 + 0.9)/2 = 0.95
+    assert(math.abs(out((0, 0)) - 0.95) < 1e-6)
+    assert(math.abs(out((0, 1)) - 0.05) < 1e-6)
+    // cell 1 members: 1, 3, 4 → dim0 = (0 + 0.1 - 1)/3 = -0.3
+    assert(math.abs(out((1, 0)) - -0.3) < 1e-6)
+    assert(out.size == 2 * 3)
+  }
+
+  // ---- signature bridges ----
+
+  test("minhashBridge: signature matches an independent recomputation; short docs excluded") {
+    val d = Seq(
+      (0L, "one two three four five"), (1L, "one two three four five"),
+      (2L, "one two")) // < 3 tokens: no shingle set
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashBridge(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keys.map(_._1).toSet == Set(0L, 1L))
+    assert(out.size == 2 * Dedup.BridgePerms)
+    // identical docs → identical signatures
+    for (p <- 0 until Dedup.BridgePerms) assert(out((0L, p)) == out((1L, p)))
+    // independent recomputation of perm 0 and 7
+    val tk = toks("one two three four five")
+    val hs = tk.sliding(3).map(_.mkString(" "))
+      .map(s => md5hex32(s + Dedup.MinhashBridgeSalt) % Dedup.BridgeP).toSeq
+    for (p <- Seq(0, 7)) {
+      val exp = hs.map(h => (Dedup.bridgeA(p) * h + Dedup.bridgeB(p)) % Dedup.BridgeP).min
+      assert(out((0L, p)) == exp, s"perm $p")
+    }
+  }
+
+  test("simhashBridge: bit-vote signature matches an independent recomputation") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"), (1L, "alpha beta gamma delta epsilon"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.simhashBridge(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 0L)
+    assert(out(0L) == out(1L))
+    val hs = toks("alpha beta gamma delta epsilon")
+      .map(t => md5hex32(t + Dedup.SimhashBridgeSalt))
+    val exp = (0 until 32).map { b =>
+      val votes = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+      if (votes > 0) 1L << b else 0L
+    }.sum
+    assert(out(0L) == exp)
+  }
+
+  test("signature bridges and NB model agree with the declared oracle constants") {
+    // the SQL oracle interpolates BridgeP/bridgeA/bridgeB — pin the
+    // generator so an accidental constant change breaks loudly
+    assert(Dedup.BridgeP == 2147483647L)
+    assert(Dedup.bridgeA(0) == 2654435761L % Dedup.BridgeP)
+    assert((0 until Dedup.BridgePerms).forall(i =>
+      Dedup.bridgeA(i) > 0 && Dedup.bridgeA(i) < Dedup.BridgeP))
+  }
+}
