@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.TrainingSetConfig
-import graft.operators.{Corpus, Materialize}
+import graft.operators.{Corpus, Materialize, Selection}
 
 /**
  * Config-driven end-to-end training-set production — the training-data
@@ -19,6 +19,9 @@ import graft.operators.{Corpus, Materialize}
  *   → cleanCorpus (quality gate → language gate → exact dedup → near-dup
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
  *   → split assignment)
+ *   [→ selection: DSIR top-k toward a target domain
+ *      ([[graft.operators.Selection.dsirTopK]]) or a deterministic
+ *      weighted draw ([[graft.operators.Selection.sampleWeighted]])]
  *   [→ domain cap: exact ≤k docs per stratum — [[Corpus.capPerStratum]]]
  *   [→ mixture weights over the cleaned text: per-stratum
  *      `min(1, w·B/total)` sampling ([[Corpus.mixByBudget]]) or, with
@@ -109,6 +112,29 @@ object TrainingSetJob {
       else cleaned0.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
       cfg.checkpointDir)
 
+    // optional SELECTION stage between cleaning and balancing: keep the
+    // k most target-like docs (DSIR importance resampling against a
+    // target column value) or a deterministic weighted draw (A-Res on a
+    // weight column) — the data-selection layer as a job stage. The keep
+    // set is k ids → the semi-join broadcasts it.
+    val selected = (cfg.dsirTopK, cfg.sampleK) match {
+      case (Some(k), _) =>
+        val tc = cfg.dsirTargetCol
+        val withT = if (cleaned.columns.contains(tc)) cleaned
+          else cleaned.join(docs.select(col("doc_id"), col(tc)), Seq("doc_id"))
+        val keep = Selection.dsirTopK(withT,
+          col(tc) === lit(cfg.dsirTargetValue.get), k).select(col("doc_id"))
+        cleaned.join(keep, Seq("doc_id"), "left_semi")
+      case (None, Some(k)) =>
+        val wc = cfg.sampleWeightCol
+        val withW = if (cleaned.columns.contains(wc)) cleaned
+          else cleaned.join(docs.select(col("doc_id"), col(wc)), Seq("doc_id"))
+        cleaned.join(
+          Selection.sampleWeighted(withW, col(wc), k).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case _ => cleaned
+    }
+
     // optional domain cap BEFORE the mixture: an exact ≤k docs per
     // stratum bounds any single domain's contribution, so the mixture's
     // per-source totals are computed over the already-balanced set. When
@@ -119,9 +145,9 @@ object TrainingSetJob {
         val cc = cfg.capStrataCol
         val keepCol = cfg.mixWeights.nonEmpty && cfg.mixStrataCol == cc
         val out = Corpus.capPerStratum(
-          cleaned.join(docs.select(col("doc_id"), col(cc)), Seq("doc_id")), cc, k)
+          selected.join(docs.select(col("doc_id"), col(cc)), Seq("doc_id")), cc, k)
         if (keepCol) out else out.drop(cc)
-      case None => cleaned
+      case None => selected
     }
 
     // optional mixture stage: per-stratum weights + char budget over the
@@ -223,6 +249,15 @@ object TrainingSetJob {
     node.put("lang", cfg.lang)
     node.put("min_tokens", cfg.minTokens)
     node.put("chunk_budget", cfg.chunkBudget)
+    cfg.dsirTopK.foreach { dk =>
+      node.put("dsir_top_k", dk)
+      node.put("dsir_target_col", cfg.dsirTargetCol)
+      node.put("dsir_target_value", cfg.dsirTargetValue.getOrElse(""))
+    }
+    cfg.sampleK.foreach { sk =>
+      node.put("sample_k", sk)
+      node.put("sample_weight_col", cfg.sampleWeightCol)
+    }
     cfg.bpeMergesPath.foreach(p => node.put("bpe_merges_path", p))
     cfg.bpeTrainMerges.foreach { n =>
       node.put("bpe_train_merges", n)

@@ -34,6 +34,11 @@ final case class TrainingSetConfig(
     mixBudget: Double = 0.0,
     mixStrataCol: String = "source",
     mixRepeats: Boolean = false,
+    dsirTopK: Option[Int] = None,
+    dsirTargetCol: String = "source",
+    dsirTargetValue: Option[String] = None,
+    sampleK: Option[Int] = None,
+    sampleWeightCol: String = "n_chars",
     chunkBudget: Int = 512,
     bpeMergesPath: Option[String] = None,
     bpeTrainMerges: Option[Int] = None,
@@ -52,6 +57,12 @@ final case class TrainingSetConfig(
   require(nShards > 0, s"n_shards must be positive: $nShards")
   require(capPerStratum.forall(_ > 0),
     s"cap_per_stratum must be positive: $capPerStratum")
+  require(dsirTopK.forall(_ > 0), s"dsir_top_k must be positive: $dsirTopK")
+  require(dsirTopK.isEmpty == dsirTargetValue.isEmpty,
+    "dsir_top_k and dsir_target_value come together")
+  require(sampleK.forall(_ > 0), s"sample_k must be positive: $sampleK")
+  require(dsirTopK.isEmpty || sampleK.isEmpty,
+    "dsir_top_k and sample_k are mutually exclusive selection stages")
 
   def strata: Option[(String, Map[String, Int], Int)] =
     strataCol.map(c => (c, strataRates, strataDefaultPct))
@@ -95,6 +106,11 @@ object TrainingSetConfig {
       mixBudget = dbl("mix_budget", 0.0),
       mixStrataCol = text("mix_strata_col", "source"),
       mixRepeats = bool("mix_repeats", d = false),
+      dsirTopK = optNode("dsir_top_k").map(_.asInt),
+      dsirTargetCol = text("dsir_target_col", "source"),
+      dsirTargetValue = optNode("dsir_target_value").map(_.asText),
+      sampleK = optNode("sample_k").map(_.asInt),
+      sampleWeightCol = text("sample_weight_col", "n_chars"),
       chunkBudget = int("chunk_budget", 512),
       bpeMergesPath = optNode("bpe_merges_path").map(_.asText),
       bpeTrainMerges = optNode("bpe_train_merges").map(_.asInt),

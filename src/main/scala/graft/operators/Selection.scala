@@ -189,8 +189,9 @@ object Selection {
    * The model folds in ONE term-keyed aggregation (per-class count
    * arrays) and broadcasts as a JOIN relation (vocab rows, not a giant
    * map in one row); the per-class token totals + V fold from it into a
-   * single broadcast row, class priors from a single-row aggregate over
-   * `train`. Scoring explodes the tokens, broadcast-hash-joins the model
+   * single broadcast row, class priors ride as plan LITERALS off the
+   * bounded class pull (ln of the same count ratio the oracle computes —
+   * one fewer aggregate and join). Scoring explodes the tokens, broadcast-hash-joins the model
    * (codegen'd — no interpreted per-token lambdas), and folds per-class
    * sums in one doc-keyed aggregation whose exchange carries one
    * partial row per doc. `vocabCap > 0` keeps only the cap's
@@ -201,12 +202,19 @@ object Selection {
   def nbClassify(train: DataFrame, score: DataFrame,
       classCol: String = "lang", textCol: String = "text",
       idCol: String = "doc_id", vocabCap: Int = 0): DataFrame = {
-    // bounded driver pull: the class DOMAIN only (≤ dozens of labels —
-    // same posture as the IVF centroid pull, Similarity.scala:318)
-    val classes = train.select(col(classCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
+    // bounded driver pull: the class DOMAIN with its doc counts (≤ dozens
+    // of labels — same posture as the IVF centroid pull,
+    // Similarity.scala:318). Priors become plan literals: ln on the same
+    // count ratio the oracle computes, one fewer aggregate + join.
+    val classRows = train
+      .groupBy(col(classCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val classes = classRows.map(_._1)
     val k = classes.length
     require(k > 0, "nbClassify: empty training set")
+    val nTot = classRows.map(_._2).sum.toDouble
+    val priorOf = classRows.map { case (c, n) => c -> math.log(n * 1.0 / nTot) }.toMap
 
     val tok = train.select(col(classCol).cast("string").as("__c"),
       explode(TextFunctions.tokens(col(textCol))).as("__t"))
@@ -223,10 +231,6 @@ object Selection {
     val statsRow = perTerm.agg(
       array((0 until k).map(i => sum(element_at(col("cnts"), i + 1))): _*).as("nc"),
       count(lit(1)).cast("double").as("v"))
-    val priorRow = train.agg(
-      array(classes.map(c =>
-        sum(when(col(classCol).cast("string") === lit(c), 1L).otherwise(0L))): _*).as("ndoc"),
-      count(lit(1)).as("ntot"))
 
     // scoring: explode → broadcast-join the model → k per-class sums.
     // The Laplace floor (unseen / capped-out term) is the SAME formula at
@@ -246,10 +250,8 @@ object Selection {
     val classArr = array(classes.map(lit): _*)
     dtok.groupBy(col(idCol), col(classCol))
       .agg(contribs.head, contribs.tail: _*)
-      .crossJoin(broadcast(priorRow))
       .withColumn("__s", array((0 until k).map(i =>
-        coalesce(col(s"__s$i"), lit(0.0)) +
-          log(element_at(col("ndoc"), i + 1) / col("ntot").cast("double"))): _*))
+        coalesce(col(s"__s$i"), lit(0.0)) + lit(priorOf(classes(i)))): _*))
       .select(col(idCol), col(classCol),
         element_at(classArr, array_position(col("__s"), array_max(col("__s"))).cast("int"))
           .as(s"pred_$classCol"),

@@ -230,4 +230,57 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("normalize").asBoolean && m.get("strip_markup").asBoolean &&
       m.get("cap_per_stratum").asInt == 2)
   }
+
+  test("DSIR selection stage: ships exactly the top-k target-like clean docs") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_dsir").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":2,"n_shards":4,
+        |"dsir_top_k":5,"dsir_target_col":"source","dsir_target_value":"src3"}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    assert(r.mixedDocs == 5 && r.cleanDocs > 5)
+    // shipped set == the operator's own top-k over the cleaned corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cleaned = Corpus.cleanCorpus(docs)
+      .join(docs.select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
+    val expect = graft.operators.Selection
+      .dsirTopK(cleaned, col("source") === "src3", 5)
+      .collect().map(_.getLong(0)).toSet
+    val shipped = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped == expect)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("dsir_top_k").asInt == 5 && m.get("dsir_target_value").asText == "src3")
+  }
+
+  test("weighted-sample selection stage: deterministic A-Res draw of k docs") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_wsamp").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":2,"n_shards":4,
+        |"sample_k":7,"sample_weight_col":"n_chars"}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    assert(r.mixedDocs == 7)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cleaned = Corpus.cleanCorpus(docs)
+      .join(docs.select(col("doc_id"), col("text"), col("n_chars")), Seq("doc_id"))
+    val expect = graft.operators.Selection
+      .sampleWeighted(cleaned, col("n_chars"), 7)
+      .collect().map(_.getLong(0)).toSet
+    val shipped = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped == expect)
+  }
+
+  test("config: dsir and weighted-sample selection are mutually exclusive") {
+    assertThrows[IllegalArgumentException] {
+      TrainingSetConfig.parse(
+        """{"dsir_top_k":5,"dsir_target_value":"x","sample_k":3}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      TrainingSetConfig.parse("""{"dsir_top_k":5}""") // missing target value
+    }
+  }
 }
