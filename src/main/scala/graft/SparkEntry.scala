@@ -985,8 +985,17 @@ object SparkEntry {
     // --- md5 oracle bridges for the signature kernels ---
     "dedup_minhash_bridge" -> ((s, dir) =>
       Dedup.minhashBridge(t(s, dir, "documents"))),
+    "dedup_minhash_pairs_bridge" -> ((s, dir) =>
+      // the full LSH candidate-generation algebra (sign → band → bucket
+      // join), oracle-verified on the md5 stream
+      Dedup.minhashPairsBridge(t(s, dir, "documents"))),
     "dedup_simhash_bridge" -> ((s, dir) =>
-      Dedup.simhashBridge(t(s, dir, "documents"))))
+      Dedup.simhashBridge(t(s, dir, "documents"))),
+    "curriculum_assign" -> ((s, dir) =>
+      // curriculum staging: quartile tiers of the corpus-LM quality
+      // score — single array-percentile sketch, map-side comparisons
+      Corpus.curriculumAssign(
+        Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 4)))
 
   /** Build steps — artifact constructions, NOT queries. Bench times them
     * alongside `queries` (training cost stays on the ledger) but Verify
@@ -1141,6 +1150,25 @@ object SparkEntry {
        |         GROUP BY doc_id),
        |w AS (SELECT d.doc_id, floor((coalesce(ws.w, 0.0)) * 1e6 + 0.5) / 1e6 AS weight
        |      FROM documents d LEFT JOIN wsum ws USING (doc_id))""".stripMargin
+
+  /** Shared MinHash-bridge CTE chain (ends in `mh(doc_id, perm, minhash)`)
+    * — the DuckDB twin of `Dedup.minhashBridge`; the signature query and
+    * the banded-pairs query share one definition. */
+  private def minhashBridgeSqlBody: String =
+    s"""tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |       FROM documents),
+       |sh AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |       FROM tk WHERE len(t) >= 3),
+       |hs AS (SELECT doc_id,
+       |         ${hashValueSql("s", Dedup.MinhashBridgeSalt)} % ${Dedup.BridgeP} AS h
+       |       FROM sh),
+       |perms(perm, a, b) AS (VALUES ${(0 until Dedup.BridgePerms)
+         .map(i => s"(${i}, ${Dedup.bridgeA(i)}, ${Dedup.bridgeB(i)})").mkString(", ")}),
+       |mh AS (SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+       |         CAST(min((a * h + b) % ${Dedup.BridgeP}) AS BIGINT) AS minhash
+       |       FROM hs CROSS JOIN perms GROUP BY doc_id, perm)""".stripMargin
 
   /** Shared k-means CTE chain (seeds → raw cosine scores `sc`) — the
     * DuckDB twin of `Similarity.kmeansAssign/kmeansStep` with the 8
@@ -2081,20 +2109,24 @@ object SparkEntry {
          | floor(mean * 1e6 + 0.5) / 1e6 AS mean FROM m""".stripMargin,
     // --- md5 signature bridges ---
     "dedup_minhash_bridge" ->
-      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |            FROM documents),
-         |sh AS (SELECT doc_id,
-         |         unnest(list_transform(range(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |       FROM tk WHERE len(t) >= 3),
-         |hs AS (SELECT doc_id,
-         |         ${hashValueSql("s", Dedup.MinhashBridgeSalt)} % ${Dedup.BridgeP} AS h
-         |       FROM sh),
-         |perms(perm, a, b) AS (VALUES ${(0 until Dedup.BridgePerms)
-           .map(i => s"(${i}, ${Dedup.bridgeA(i)}, ${Dedup.bridgeB(i)})").mkString(", ")})
-         |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
-         | CAST(min((a * h + b) % ${Dedup.BridgeP}) AS BIGINT) AS minhash
-         |FROM hs CROSS JOIN perms GROUP BY doc_id, perm""".stripMargin,
+      s"""WITH $minhashBridgeSqlBody
+         |SELECT doc_id, perm, minhash FROM mh""".stripMargin,
+    "dedup_minhash_pairs_bridge" ->
+      s"""WITH $minhashBridgeSqlBody,
+         |bd AS (SELECT doc_id, perm // ${Dedup.BridgePerms / 4} AS band,
+         |         string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY perm) AS bv
+         |       FROM mh GROUP BY doc_id, perm // ${Dedup.BridgePerms / 4})
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+         | AND a.doc_id < b.doc_id""".stripMargin,
+    "curriculum_assign" ->
+      s"""WITH lp AS ($logprobSql),
+         |cuts AS (SELECT quantile_cont(logprob, [0.25, 0.5, 0.75]) AS c FROM lp)
+         |SELECT doc_id, logprob,
+         | CAST(((CASE WHEN logprob > c[1] THEN 1 ELSE 0 END) +
+         |       (CASE WHEN logprob > c[2] THEN 1 ELSE 0 END) +
+         |       (CASE WHEN logprob > c[3] THEN 1 ELSE 0 END)) AS INTEGER) AS stage
+         |FROM lp, cuts""".stripMargin,
     "dedup_simhash_bridge" ->
       s"""WITH hs AS (SELECT doc_id, ${hashValueSql("tok", Dedup.SimhashBridgeSalt)} AS h
          |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

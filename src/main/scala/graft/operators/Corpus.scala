@@ -912,6 +912,34 @@ object Corpus {
   }
 
   /**
+   * Curriculum staging: bucket documents into `stages` difficulty tiers
+   * by score quantile — the curriculum-learning precursor (train on the
+   * cleanest tier first, anneal toward the tail). NOT a global
+   * sort/ntile: the n−1 cut points come from ONE percentile aggregate
+   * (array form — a single buffer/sketch serves every cut, the
+   * `value_quantiles` lesson) broadcast back, and the stage is a
+   * map-side comparison count — so the assignment scales like a filter,
+   * not like a sort. Ties at a cut land in the lower stage on every
+   * engine (`>` on the same interpolated cut values). `approx = true`
+   * swaps the exact percentile buffer for the bounded-memory sketch at
+   * extreme corpus counts. Same one-pass Materialize contract as
+   * [[dropBottomQuantile]].
+   */
+  def curriculumAssign(scored: DataFrame, scoreCol: String, stages: Int,
+      approx: Boolean = false, checkpointDir: Option[String] = None): DataFrame = {
+    require(stages >= 2, s"stages must be >= 2: $stages")
+    val mat = Materialize(scored, checkpointDir)
+    val qs = array((1 until stages).map(i => lit(i.toDouble / stages)): _*)
+    val thrCol = if (approx) approx_percentile(col(scoreCol), qs, lit(10000))
+      else percentile(col(scoreCol), qs)
+    val thr = mat.agg(thrCol.as("__cuts"))
+    mat.crossJoin(broadcast(thr))
+      .withColumn("stage", aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0)))
+      .drop("__cuts")
+  }
+
+  /**
    * Duplicate n-gram ratio (the Gopher-family repetition signal): the
    * fraction of a document's word n-gram INSTANCES that are repeats of an
    * n-gram already seen in the same document — `1 − distinct/total`. The

@@ -966,6 +966,36 @@ object Dedup {
     min((lit(bridgeA(i)) * col("__h") + lit(bridgeB(i))) % BridgeP)
 
   /**
+   * LSH BANDING over the bridge signature, oracle-verifiable end-to-end:
+   * the 16 permutations fold into `bands` bands of r = 16/bands rows,
+   * a band's value is its minhashes concatenated in permutation order,
+   * and candidate pairs are documents sharing any (band, value) —
+   * exactly the banded-table algebra the xxhash64 production path runs
+   * ([[minhashBandedTable]]/[[candidatePairs]]), on the md5 stream the
+   * oracle can recompute. The self-join is bucket-bounded (docs meet
+   * only inside equal band values), never all-pairs; the production
+   * path adds the hot-bucket df valve this contract witness omits.
+   */
+  def minhashPairsBridge(docs: DataFrame, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(BridgePerms % bands == 0, s"bands must divide $BridgePerms: $bands")
+    val sig = minhashBridge(docs, textCol, idCol)
+    val bd = sig
+      .withColumn("band", (col("perm") / lit(BridgePerms / bands)).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      // sort_array on (perm, minhash) structs orders by perm — the band
+      // value is permutation-ordered regardless of aggregation order
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("perm"), col("minhash")))),
+        x => x.getField("minhash").cast("string")), "|").as("__bv"))
+    bd.select(col(idCol).as("id_a"), col("band"), col("__bv"))
+      .join(bd.select(col(idCol).as("id_b"), col("band"), col("__bv")),
+        Seq("band", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /**
    * 32-bit SimHash over unigram tokens, md5 hash stream: bit b is set iff
    * the tokens voting 1 on bit b outnumber those voting 0. Tokenless docs
    * get signature 0 (every bit loses its vote 0 to 0). Row-local bit

@@ -298,6 +298,25 @@ object Scratch {
             graft.plans.TextExpressions.countEntropy(
               graft.plans.TextExpressions.tokenCounts(col("text")).getField("tf")).as("e"))))
         }
+        if (sys.env.contains("SCRATCH_SCALE_SELECT")) {
+          // selection family: all linear-by-design (histogram exchange +
+          // broadcast model for DSIR; term-keyed model + broadcast join
+          // for NB; pure map + TakeOrdered for A-Res; doc-keyed signature
+          // folds for the bridges). The model side of DSIR/NB stays
+          // CONSTANT-size as the corpus grows — only map work scales.
+          p("dsir   ", harness(() => graft.operators.Selection.dsirWeights(
+            scaled(), col("lang") === "en")))
+          p("nbcls  ", harness(() => {
+            val d = scaled()
+            graft.operators.Selection.nbClassify(
+              d.filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 80),
+              d.filter(graft.operators.Corpus.hashBucket(col("doc_id")) >= 80))
+          }))
+          p("ares   ", harness(() => graft.operators.Selection.sampleWeighted(
+            scaled(), col("n_chars"), k = 50)))
+          p("mhbridge", harness(() => graft.operators.Dedup.minhashBridge(scaled())))
+          p("shbridge", harness(() => graft.operators.Dedup.simhashBridge(scaled())))
+        }
       }
     }
     if (sys.env.contains("SCRATCH_BUILDALL")) {

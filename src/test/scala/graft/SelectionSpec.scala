@@ -228,6 +228,33 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(0L) == exp)
   }
 
+  test("minhashPairsBridge: banding pairs near-dups, skips unrelated docs") {
+    val d = Seq(
+      (0L, "one two three four five six seven eight"),
+      (1L, "one two three four five six seven eight"), // identical → all bands match
+      (2L, "totally different words appear in this document here now"),
+      (3L, "one two three four five six seven nine")) // near-dup of 0/1
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsBridge(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always pair
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L }) // unrelated never
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("curriculumAssign: quantile tiers are balanced, ordered by score") {
+    val scored = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "s")
+    val out = graft.operators.Corpus.curriculumAssign(scored, "s", 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // quartile cuts at 25.75/50.5/75.25 (interpolated): 0→[1,25], ...
+    assert(out.values.toSeq.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // monotone: a higher score never lands in a lower stage
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted)
+    assert(out(1L) == 0 && out(100L) == 3)
+  }
+
   test("signature bridges and NB model agree with the declared oracle constants") {
     // the SQL oracle interpolates BridgeP/bridgeA/bridgeB — pin the
     // generator so an accidental constant change breaks loudly
