@@ -120,12 +120,14 @@ object Selection {
     // exactly like the oracle engine materializing the feature CTE. A
     // naive two-consumer formulation re-scans the corpus per consumer
     // (measured 2.7× the single-scan cost at sf0.1).
+    // feature hashing via the byte-scan kernel ([[graft.plans
+    // .Md5FeatureBuckets]]): one pass, no feature strings, no hex
+    // round-trip — spec-pinned bit-identical to hashing
+    // [[featureStrings]] through [[Corpus.hashBucket]], which remains
+    // the readable contract definition
     val hist = docs.select(col(idCol), target.as("__tgt"),
-        TextFunctions.tokens(col(textCol)).as("__tk"))
-      .select(col(idCol), col("__tgt"),
-        explode_outer(featureStringsFromTokens(col("__tk"))).as("__f"))
-      .select(col(idCol), col("__tgt"),
-        Corpus.hashBucket(col("__f"), buckets, DsirSalt).cast("int").as("__b"))
+        explode_outer(graft.plans.TextExpressions.md5FeatureBuckets(
+          col(textCol), buckets, DsirSalt)).as("__b"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__c"))
     // NO null-bucket filter here: filtering on the grouping key would

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.functions.lower
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -275,6 +275,47 @@ case class CountEntropy(child: Expression) extends UnaryExpression {
  * `UTF8String.numChars` — the same call `length()` compiles to.
  * Spec-pinned bit-identical to the regex formulation, Unicode included.
  */
+/**
+ * DSIR hashed feature buckets as ONE native expression: for every alnum
+ * token and every adjacent token pair of the (pre-lowered) text, the
+ * md5-prefix bucket `conv(substr(md5(feature ++ salt), 1, 8), 16, 10) %
+ * buckets` — BIT-IDENTICAL to hashing the built feature strings through
+ * [[graft.operators.Corpus.hashBucket]], so the engine-portable oracle
+ * contract is unchanged. The column formulation builds every uni+bigram
+ * STRING through interpreted zip_with/concat lambdas and then runs the
+ * five-expression md5→substring→conv→cast→pmod chain per exploded row;
+ * this kernel runs one byte scan for token bounds and streams token
+ * bytes straight into a thread-local MessageDigest — no feature strings,
+ * no hex round-trip (the first 8 hex digits of md5 ARE its first 4
+ * bytes). Zero tokens → empty array; null text → null (explode_outer
+ * then keeps the doc either way).
+ */
+case class Md5FeatureBuckets(child: Expression, buckets: Int, salt: String)
+    extends UnaryExpression {
+  require(buckets > 0, s"buckets must be positive: $buckets")
+  private lazy val saltBytes = salt.getBytes("UTF-8")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "md5_feature_buckets"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHash.md5FeatureBuckets(s.asInstanceOf[UTF8String], buckets, saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltBytes", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.md5FeatureBuckets($c, $buckets, $saltRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class QualitySignals(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -540,6 +581,69 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
   * calls it directly (the scalac static forwarder). */
 object ShingleHash {
+  /** Reused per-thread digest: getInstance per row would dominate the
+    * kernel (allocation + provider lookup); digest() resets in place. */
+  private val Md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** [[Md5FeatureBuckets]] implementation — see its scaladoc for the
+    * contract. Bucket value = first 4 md5 bytes as an unsigned 32-bit
+    * int (≡ parsing the first 8 hex digits), mod `buckets`. */
+  def md5FeatureBuckets(s: UTF8String, buckets: Int,
+      saltBytes: Array[Byte]): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var count = 0
+    var i = 0
+    var in = false
+    while (i < len) {
+      val b = bytes(i)
+      val al = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (al) { if (!in) { count += 1; in = true } } else in = false
+      i += 1
+    }
+    if (count == 0) return new GenericArrayData(Array.emptyIntArray)
+    val starts = new Array[Int](count)
+    val ends = new Array[Int](count)
+    var t = -1
+    in = false
+    i = 0
+    while (i < len) {
+      val b = bytes(i)
+      val al = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (al) {
+        if (!in) { t += 1; starts(t) = i; in = true }
+        ends(t) = i + 1
+      } else in = false
+      i += 1
+    }
+    val md = Md5Digest.get()
+    md.reset()
+    val out = new Array[Int](count + count - 1)
+    def bucketOf(): Int = {
+      val d = md.digest() // emits and resets
+      (((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))) % buckets).toInt
+    }
+    var k = 0
+    while (k < count) {
+      md.update(bytes, starts(k), ends(k) - starts(k))
+      md.update(saltBytes)
+      out(k) = bucketOf()
+      k += 1
+    }
+    k = 0
+    while (k < count - 1) {
+      md.update(bytes, starts(k), ends(k) - starts(k))
+      md.update(' '.toByte)
+      md.update(bytes, starts(k + 1), ends(k + 1) - starts(k + 1))
+      md.update(saltBytes)
+      out(count + k) = bucketOf()
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def hashes(s: UTF8String, n: Int, dedup: Boolean): ArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
@@ -1121,6 +1225,13 @@ object TextExpressions {
   def qualitySignals(text: Column): Column =
     Bridge.column(QualitySignals(
       Bridge.expression(text), Bridge.expression(lower(text))))
+
+  /** array<int> of DSIR hashed uni+bigram feature buckets
+    * ([[Md5FeatureBuckets]]) — bit-identical to hashing
+    * `Selection.featureStrings` through `Corpus.hashBucket`; null
+    * text → null, zero tokens → empty. */
+  def md5FeatureBuckets(text: Column, buckets: Int, salt: String): Column =
+    Bridge.column(Md5FeatureBuckets(Bridge.expression(lower(text)), buckets, salt))
 
   /** N sequential regexp_replace passes as one expression
     * ([[ChainedRegexReplace]]); null text → null. */

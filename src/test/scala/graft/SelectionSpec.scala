@@ -228,6 +228,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(0L) == exp)
   }
 
+  test("Md5FeatureBuckets kernel ≡ featureStrings + hashBucket, incl. fuzz") {
+    val fixed = Seq("alpha beta gamma", "", "Mixed CASE tokens 42x", "☃ emoji ☃ here",
+      "one", "a b", "  spaced   out  ", "punct,comma.dot!bang")
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc XYZ 012 ,.!é中 "
+    val fuzz = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (fixed ++ fuzz).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.plans.TextExpressions.md5FeatureBuckets(
+          col("text"), Selection.DsirBuckets, Selection.DsirSalt).as("k"),
+        transform(Selection.featureStrings(col("text")),
+          f => graft.operators.Corpus.hashBucket(f, Selection.DsirBuckets,
+            Selection.DsirSalt).cast("int")).as("c"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("minhashPairsBridge: banding pairs near-dups, skips unrelated docs") {
     val d = Seq(
       (0L, "one two three four five six seven eight"),
