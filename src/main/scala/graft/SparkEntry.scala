@@ -977,6 +977,24 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       // length-weighted draw of 50 docs — the A-Res key stream
       Selection.sampleWeighted(t(s, dir, "documents"), col("n_chars"), k = 50)),
+    "dsir_weights_inc" -> ((s, dir) => {
+      // the production split: model persisted once, scoring map-only —
+      // round-trips through parquet and must equal the fused form
+      // (shared oracle). Fixed per-directory path, overwrite-idempotent.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dsir_model_${
+        Integer.toHexString(dir.hashCode)}"
+      Selection.dsirModel(t(s, dir, "documents"), col("lang") === "en")
+        .write.mode("overwrite").parquet(path)
+      Selection.dsirWeightsFromModel(t(s, dir, "documents"), s.read.parquet(path))
+    }),
+    "nb_classify_inc" -> ((s, dir) => {
+      // persisted-model routing ≡ fused train+score (shared oracle)
+      val d = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nb_model_${
+        Integer.toHexString(dir.hashCode)}"
+      Selection.writeNbModel(d.filter(Corpus.hashBucket(col("doc_id")) < 80), path)
+      Selection.nbClassifyFromModel(d.filter(Corpus.hashBucket(col("doc_id")) >= 80), path)
+    }),
     // --- oracled k-means building blocks (cluster-then-prune substrate) ---
     "embed_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
@@ -1150,6 +1168,39 @@ object SparkEntry {
        |         GROUP BY doc_id),
        |w AS (SELECT d.doc_id, floor((coalesce(ws.w, 0.0)) * 1e6 + 0.5) / 1e6 AS weight
        |      FROM documents d LEFT JOIN wsum ws USING (doc_id))""".stripMargin
+
+  /** DuckDB twin of `Selection.nbClassify(train = bucket<80, score =
+    * bucket>=80, classCol = lang)` — shared by the fused and the
+    * persisted-model (`nb_classify_inc`) declarations. */
+  private def nbClassifySql: String =
+    s"""WITH lab AS (SELECT doc_id, lang, text, ${hashBucketSql("doc_id", 100)} AS b
+       |             FROM documents),
+       |train AS (SELECT * FROM lab WHERE b < 80),
+       |test AS (SELECT * FROM lab WHERE b >= 80),
+       |cnt AS (SELECT lang AS c, term, CAST(count(*) AS BIGINT) AS n FROM (
+       |          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |          FROM train) GROUP BY 1, 2),
+       |nc AS (SELECT c, CAST(sum(n) AS BIGINT) AS n_c FROM cnt GROUP BY c),
+       |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
+       |pri AS (SELECT lang AS c, ln(count(*) * 1.0 / (SELECT count(*) FROM train)) AS lp
+       |        FROM train GROUP BY 1),
+       |dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |         FROM test),
+       |contrib AS (
+       |  SELECT d.doc_id, p.c,
+       |    sum(ln((coalesce(cn.n, 0) + 1.0) / (nc.n_c + v.v))) AS s
+       |  FROM dtok d CROSS JOIN pri p
+       |  JOIN nc ON nc.c = p.c CROSS JOIN v
+       |  LEFT JOIN cnt cn ON cn.c = p.c AND cn.term = d.term
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT t.doc_id, t.lang, p.c, p.lp + coalesce(ct.s, 0.0) AS score
+       |       FROM test t CROSS JOIN pri p
+       |       LEFT JOIN contrib ct ON ct.doc_id = t.doc_id AND ct.c = p.c),
+       |r AS (SELECT doc_id, lang, c, score,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rk
+       |      FROM sc)
+       |SELECT doc_id, lang, c AS pred_lang,
+       | floor(score * 1e6 + 0.5) / 1e6 AS score FROM r WHERE rk = 1""".stripMargin
 
   /** Shared MinHash-bridge CTE chain (ends in `mh(doc_id, perm, minhash)`)
     * — the DuckDB twin of `Dedup.minhashBridge`; the signature query and
@@ -2054,39 +2105,18 @@ object SparkEntry {
     "dsir_weights" ->
       s"""WITH $dsirSqlBody
          |SELECT doc_id, weight FROM w""".stripMargin,
+    // the persisted-model path must round-trip to the SAME weights — one
+    // oracle statement hash-verifies train/persist/score ≡ fused
+    "dsir_weights_inc" ->
+      s"""WITH $dsirSqlBody
+         |SELECT doc_id, weight FROM w""".stripMargin,
     "dsir_sample" ->
       // selection on the QUANTIZED weight in both engines → engine-exact
       s"""WITH $dsirSqlBody
          |SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
-    "nb_classify" ->
-      s"""WITH lab AS (SELECT doc_id, lang, text, ${hashBucketSql("doc_id", 100)} AS b
-         |             FROM documents),
-         |train AS (SELECT * FROM lab WHERE b < 80),
-         |test AS (SELECT * FROM lab WHERE b >= 80),
-         |cnt AS (SELECT lang AS c, term, CAST(count(*) AS BIGINT) AS n FROM (
-         |          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-         |          FROM train) GROUP BY 1, 2),
-         |nc AS (SELECT c, CAST(sum(n) AS BIGINT) AS n_c FROM cnt GROUP BY c),
-         |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
-         |pri AS (SELECT lang AS c, ln(count(*) * 1.0 / (SELECT count(*) FROM train)) AS lp
-         |        FROM train GROUP BY 1),
-         |dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-         |         FROM test),
-         |contrib AS (
-         |  SELECT d.doc_id, p.c,
-         |    sum(ln((coalesce(cn.n, 0) + 1.0) / (nc.n_c + v.v))) AS s
-         |  FROM dtok d CROSS JOIN pri p
-         |  JOIN nc ON nc.c = p.c CROSS JOIN v
-         |  LEFT JOIN cnt cn ON cn.c = p.c AND cn.term = d.term
-         |  GROUP BY 1, 2),
-         |sc AS (SELECT t.doc_id, t.lang, p.c, p.lp + coalesce(ct.s, 0.0) AS score
-         |       FROM test t CROSS JOIN pri p
-         |       LEFT JOIN contrib ct ON ct.doc_id = t.doc_id AND ct.c = p.c),
-         |r AS (SELECT doc_id, lang, c, score,
-         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rk
-         |      FROM sc)
-         |SELECT doc_id, lang, c AS pred_lang,
-         | floor(score * 1e6 + 0.5) / 1e6 AS score FROM r WHERE rk = 1""".stripMargin,
+    "nb_classify" -> nbClassifySql,
+    // persisted-model routing ≡ fused train+score — same oracle statement
+    "nb_classify_inc" -> nbClassifySql,
     "sample_weighted" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          | floor((ln((h + 0.5) / 4294967296.0) / n_chars) * 1e6 + 0.5) / 1e6 AS ares_key

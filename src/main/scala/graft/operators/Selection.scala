@@ -147,21 +147,68 @@ object Selection {
     // that size) — a separate totals aggregate would re-execute the
     // whole model pass as a second corpus scan. Buckets absent from cnt
     // cannot occur in fx, so the table needs no smoothing-floor rows.
+    scoreHist(hist, lrFromCnt(cnt, buckets), idCol)
+  }
+
+  /** ≤ B-row log-ratio table from the (bucket, raw_n, tgt_n) histogram
+    * aggregate. Totals fold via an unpartitioned window over the ≤ B
+    * aggregated rows (single-partition, trivial at that size) — a
+    * separate totals aggregate would re-execute the whole model pass as
+    * a second corpus scan. The null-bucket row (zero-feature docs) rides
+    * through but is excluded from the smoothing totals; it can never
+    * join back (null keys don't match). */
+  private def lrFromCnt(cnt: DataFrame, buckets: Int): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def tot(c: Column): Column =
       sum(when(col("__b").isNotNull, c).otherwise(0L)).over(wAll)
-    val lrTbl = cnt
-      .select(col("__b"),
-        (log((col("tgt_n") + lit(1.0)) / (tot(col("tgt_n")) + lit(buckets.toDouble))) -
-          log((col("raw_n") + lit(1.0)) / (tot(col("raw_n")) + lit(buckets.toDouble))))
-          .as("__lr"))
-    // scoring: Σ_b c_db · lr_b — the count-times-ratio form on BOTH
-    // engines (the oracle mirrors it), over bucket rows, not feature
-    // occurrences. Null-bucket rows miss the left join → sum skips them.
+    cnt.select(col("__b"),
+      (log((col("tgt_n") + lit(1.0)) / (tot(col("tgt_n")) + lit(buckets.toDouble))) -
+        log((col("raw_n") + lit(1.0)) / (tot(col("raw_n")) + lit(buckets.toDouble))))
+        .as("__lr"))
+  }
+
+  /** Scoring: Σ_b c_db · lr_b — the count-times-ratio form on BOTH
+    * engines (the oracle mirrors it), over bucket rows, not feature
+    * occurrences. The ≤ B-row lr TABLE broadcast-hash-joins on the
+    * bucket (a one-row array carrier would ride a nested-loop join and
+    * copy the whole array into every row); null-bucket rows miss the
+    * left join → the sum skips them → weight 0.0. */
+  private def scoreHist(hist: DataFrame, lrTbl: DataFrame, idCol: String): DataFrame =
     hist.join(broadcast(lrTbl), Seq("__b"), "left")
       .groupBy(col(idCol))
       .agg(Quantize.quantize(coalesce(sum(col("__c") * col("__lr")), lit(0.0)), 6)
         .as("weight"))
+
+  /** The trained DSIR model as a RELATION: (bucket, log_ratio), ≤ B
+    * rows — persist it once (`model.write.parquet`) and score every
+    * later crawl increment map-only with [[dsirWeightsFromModel]],
+    * without re-estimating the histograms. The production split of
+    * [[dsirWeights]] (which fuses train+score over one frame). */
+  def dsirModel(docs: DataFrame, target: Column, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = DsirBuckets): DataFrame = {
+    val cnt = docs.select(target.as("__tgt"),
+        explode_outer(graft.plans.TextExpressions.md5FeatureBuckets(
+          col(textCol), buckets, DsirSalt)).as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    lrFromCnt(cnt, buckets).filter(col("__b").isNotNull)
+      .select(col("__b").as("bucket"), col("__lr").as("log_ratio"))
+  }
+
+  /** Incremental DSIR scoring against a persisted [[dsirModel]]: one
+    * corpus pass + a broadcast join — identical weights to the fused
+    * form for the corpus the model was trained on (shared oracle). */
+  def dsirWeightsFromModel(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = DsirBuckets): DataFrame = {
+    val hist = docs.select(col(idCol),
+        explode_outer(graft.plans.TextExpressions.md5FeatureBuckets(
+          col(textCol), buckets, DsirSalt)).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    scoreHist(hist,
+      model.select(col("bucket").as("__b"), col("log_ratio").as("__lr")), idCol)
   }
 
   /** The selection half of DSIR: keep the k raw docs whose profiles look
@@ -234,11 +281,21 @@ object Selection {
       array((0 until k).map(i => sum(element_at(col("cnts"), i + 1))): _*).as("nc"),
       count(lit(1)).cast("double").as("v"))
 
-    // scoring: explode → broadcast-join the model → k per-class sums.
-    // The Laplace floor (unseen / capped-out term) is the SAME formula at
-    // count 0 — written as the same division so both engines produce
-    // identical doubles. explode_outer keeps tokenless docs (they score
-    // on priors alone, via the null-token guard inside each sum).
+    nbScore(score, perTerm, statsRow, classes,
+      classes.map(priorOf), classCol, textCol, idCol)
+  }
+
+  /** NB scoring against an in-plan (perTerm, statsRow) model — shared by
+    * the fused [[nbClassify]] and the persisted-model path
+    * ([[nbClassifyFromModel]]). explode → broadcast-join → k per-class
+    * sums; the Laplace floor (unseen / capped-out term) is the SAME
+    * formula at count 0, written as the same division so both engines
+    * produce identical doubles; explode_outer keeps tokenless docs
+    * (they score on priors alone, via the null-token guard). */
+  private def nbScore(score: DataFrame, perTerm: DataFrame, statsRow: DataFrame,
+      classes: Seq[String], priors: Seq[Double], classCol: String,
+      textCol: String, idCol: String): DataFrame = {
+    val k = classes.length
     val dtok = score
       .select(col(idCol), col(classCol),
         explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
@@ -253,11 +310,69 @@ object Selection {
     dtok.groupBy(col(idCol), col(classCol))
       .agg(contribs.head, contribs.tail: _*)
       .withColumn("__s", array((0 until k).map(i =>
-        coalesce(col(s"__s$i"), lit(0.0)) + lit(priorOf(classes(i)))): _*))
+        coalesce(col(s"__s$i"), lit(0.0)) + lit(priors(i))): _*))
       .select(col(idCol), col(classCol),
         element_at(classArr, array_position(col("__s"), array_max(col("__s"))).cast("int"))
           .as(s"pred_$classCol"),
         Quantize.quantize(array_max(col("__s")), 6).as("score"))
+  }
+
+  /**
+   * Train and PERSIST the NB model: `path/terms` = the (term, cnts)
+   * relation, `path/meta` = one row carrying classes, per-class token
+   * totals, V, and priors. Train once, route every later increment with
+   * [[nbClassifyFromModel]] — no retraining pass. The meta aggregates
+   * fold from the WRITTEN terms relation (a vocab-sized scan), so
+   * training reads the corpus exactly once.
+   */
+  def writeNbModel(train: DataFrame, path: String, classCol: String = "lang",
+      textCol: String = "text", vocabCap: Int = 0): Unit = {
+    val spark = train.sparkSession
+    val classRows = train
+      .groupBy(col(classCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(classRows.nonEmpty, "writeNbModel: empty training set")
+    val classes = classRows.map(_._1)
+    val k = classes.length
+    val nTot = classRows.map(_._2).sum.toDouble
+    val priors = classRows.map { case (_, n) => math.log(n * 1.0 / nTot) }
+
+    val tok = train.select(col(classCol).cast("string").as("__c"),
+      explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val perTerm0 = tok.groupBy(col("__t"))
+      .agg(array(classes.map(c =>
+        sum(when(col("__c") === lit(c), 1L).otherwise(0L))): _*).as("cnts"))
+    val perTerm = if (vocabCap > 0) {
+      perTerm0
+        .orderBy(aggregate(col("cnts"), lit(0L), _ + _).desc, col("__t"))
+        .limit(vocabCap)
+    } else perTerm0
+    perTerm.select(col("__t").as("term"), col("cnts"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    spark.read.parquet(s"$path/terms")
+      .agg(array((0 until k).map(i => sum(element_at(col("cnts"), i + 1))): _*).as("nc"),
+        count(lit(1)).cast("double").as("v"))
+      .select(array(classes.map(lit): _*).as("classes"), col("nc"), col("v"),
+        array(priors.map(lit): _*).as("priors"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Route documents against a persisted [[writeNbModel]] artifact:
+    * one bounded meta read + a broadcast terms join — identical output
+    * to the fused [[nbClassify]] for the split the model was trained on
+    * (shared oracle). */
+  def nbClassifyFromModel(score: DataFrame, path: String,
+      classCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = score.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val classes = meta.getAs[scala.collection.Seq[String]]("classes").toSeq
+    val priors = meta.getAs[scala.collection.Seq[Double]]("priors").toSeq
+    val perTerm = spark.read.parquet(s"$path/terms")
+      .select(col("term").as("__t"), col("cnts"))
+    val statsRow = spark.read.parquet(s"$path/meta").select(col("nc"), col("v"))
+    nbScore(score, perTerm, statsRow, classes, priors, classCol, textCol, idCol)
   }
 
   /**

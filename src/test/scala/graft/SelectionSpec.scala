@@ -137,6 +137,41 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.getString(2) == "b")
   }
 
+  test("dsir model persists and scores increments identically to the fused form") {
+    val path = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Selection.dsirModel(docs, col("lang") === "en")
+      .write.mode("overwrite").parquet(path)
+    val fused = Selection.dsirWeights(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inc = Selection.dsirWeightsFromModel(docs, spark.read.parquet(path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == fused)
+    // a genuinely NEW increment scores map-only off the same model:
+    // target-profile text ranks above off-profile text
+    val newDocs = Seq((100L, "alpha beta gamma", "en"),
+      (101L, "uno dos tres cuatro", "es")).toDF("doc_id", "text", "lang")
+    val w = Selection.dsirWeightsFromModel(newDocs, spark.read.parquet(path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(100L) > w(101L))
+  }
+
+  test("nb model persists and routes identically to the fused form") {
+    val path = java.nio.file.Files.createTempDirectory("nb_model").toString
+    val train = Seq(
+      (0L, "alpha beta gamma alpha", "en"), (1L, "beta gamma delta", "en"),
+      (2L, "uno dos tres", "es"), (3L, "dos tres cuatro", "es"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (10L, "alpha gamma beta", "en"), (11L, "tres dos uno uno", "es"),
+      (12L, "", "en")).toDF("doc_id", "text", "lang")
+    Selection.writeNbModel(train, path)
+    val fused = Selection.nbClassify(train, score).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+    val inc = Selection.nbClassifyFromModel(score, path).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+    assert(inc == fused)
+  }
+
   // ---- A-Res weighted sampling ----
 
   test("sampleWeighted is deterministic, excludes non-positive weights, orders by key") {
