@@ -1013,7 +1013,24 @@ object SparkEntry {
       // curriculum staging: quartile tiers of the corpus-LM quality
       // score — single array-percentile sketch, map-side comparisons
       Corpus.curriculumAssign(
-        Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 4)))
+        Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 4)),
+    // --- round-11 late additions ---
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: kmeans-cluster-scoped cosine dedup — near-duplicate
+      // MEANING (paraphrases), cell-keyed self-join, never all-pairs
+      Similarity.semanticDedupClustered(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir),
+        minCosine = 0.45)),
+    "mix_temperature" -> ((s, dir) =>
+      // temperature-scaled mixture weights (α = 0.3, the XLM-R setting):
+      // one agg to #strata rows + a broadcast total — no driver model
+      Corpus.temperatureWeights(t(s, dir, "documents"), alpha = 0.3)),
+    "quality_gopher" -> ((s, dir) => {
+      val cols = TextFunctions.gopherColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+    "embed_quantize" -> ((s, dir) =>
+      // symmetric int8 scalar quantization, long-form emission — map-only
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))))
 
   /** Build steps — artifact constructions, NOT queries. Bench times them
     * alongside `queries` (training cost stays on the ledger) but Verify
@@ -2168,5 +2185,72 @@ object SparkEntry {
          |  GROUP BY doc_id, b),
          |sv AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(sv.simhash, 0) AS BIGINT) AS simhash
-         |FROM documents d LEFT JOIN sv USING (doc_id)""".stripMargin)
+         |FROM documents d LEFT JOIN sv USING (doc_id)""".stripMargin,
+    // --- round-11 late additions ---
+    "dedup_semantic" ->
+      s"""WITH $kmeansSqlBody,
+         |dup AS (SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${Quantize.sql6(
+           "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / " +
+             "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * " +
+             "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))")} >= 0.45)
+         |SELECT g.vec_id, CAST(g.cell AS INTEGER) AS cell FROM asg g
+         |WHERE g.vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+    "mix_temperature" ->
+      s"""WITH per AS (SELECT CAST(source AS VARCHAR) AS source, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS DOUBLE) AS u
+         |       FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(pow(u, 0.3)) AS z, sum(u) AS t FROM per)
+         |SELECT source, n_docs,
+         | ${Quantize.sql6("u / t")} AS p_raw,
+         | ${Quantize.sql6("pow(u, 0.3) / z")} AS weight
+         |FROM per, tot""".stripMargin,
+    "quality_gopher" -> qualityGopherSql,
+    "embed_quantize" ->
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |    ${Quantize.sql6("greatest(list_max(embedding)::DOUBLE, " +
+             "-(list_min(embedding)::DOUBLE)) / 127")} AS scale
+         |  FROM embeddings),
+         |ev AS (SELECT vec_id, scale, unnest(embedding)::DOUBLE AS v,
+         |         unnest(range(0, len(embedding))) AS dim FROM sc)
+         |SELECT vec_id, scale, CAST(dim AS INTEGER) AS dim,
+         | CAST(CASE WHEN scale = 0 THEN 0
+         |      ELSE greatest(least(floor(v / scale + 0.5), 127), -127) END AS BIGINT) AS code
+         |FROM ev""".stripMargin)
+
+  /** DuckDB twin of [[TextFunctions.gopherColumns]] — the IDENTICAL RE2-safe
+    * regex strings (explicit whitespace classes, `\z` not `$`, no
+    * lookaround), counts via `len(regexp_extract_all(...))`, ratios
+    * compared on their quantized values exactly like the Spark side. */
+  private def qualityGopherSql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+    val nw = "[^ \\t\\n\\r\\f]"
+    val nWords = s"greatest(${cnt(s"$nw+")}, 1)"
+    val nLines = s"(len(regexp_extract_all(text, '\\n')) + 1)"
+    val meanWordLen = Quantize.sql6(s"${cnt(nw)}::DOUBLE / $nWords")
+    val symbolRatio = Quantize.sql6(s"${cnt("(#|\\.\\.\\.|…)")}::DOUBLE / $nWords")
+    val bulletRatio = Quantize.sql6(s"${cnt("(^|\\n)[ \\t]*[-*•]")}::DOUBLE / $nLines")
+    val ellipsisRatio = Quantize.sql6(s"${cnt("(\\.\\.\\.|…)[ \\t]*(\\n|\\z)")}::DOUBLE / $nLines")
+    val alphaRatio = Quantize.sql6(s"${cnt(s"$nw*[A-Za-z]$nw*")}::DOUBLE / $nWords")
+    val stopHits = TextFunctions.GopherStopwords
+      .map(w => s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       | CAST(${cnt(s"$nw+")} AS BIGINT) AS n_words,
+       | $meanWordLen AS mean_word_len,
+       | $symbolRatio AS symbol_ratio,
+       | $bulletRatio AS bullet_ratio,
+       | $ellipsisRatio AS ellipsis_ratio,
+       | $alphaRatio AS alpha_ratio,
+       | CAST($stopHits AS BIGINT) AS stop_hits,
+       | (${cnt(s"$nw+")} BETWEEN 50 AND 100000
+       |  AND $meanWordLen BETWEEN 3.0 AND 10.0
+       |  AND $symbolRatio < 0.1 AND $bulletRatio < 0.9 AND $ellipsisRatio < 0.3
+       |  AND $alphaRatio > 0.8
+       |  AND ($stopHits) >= ${TextFunctions.GopherMinStopHits}) AS keep
+       |FROM documents""".stripMargin
+  }
 }

@@ -260,6 +260,67 @@ object TextFunctions {
       "mean_token_len" -> Quantize.quantize(countMatches(lower(text), "[a-z0-9]").cast("double") / greatest(nTok, lit(1L)), 6))
   }
 
+  /** Gopher rule-filter stop set (Rae et al. 2021, §A1.1): a document
+    * must contain at least [[GopherMinStopHits]] DISTINCT words of this
+    * list to pass the stop-word rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /**
+   * Gopher-style repetition/format rule signals + verdict (Rae et al.
+   * 2021, §A1.1 "quality filtering" — public) — the standard
+   * document-level gate a web-scale pipeline runs after the cheap
+   * [[qualityColumns]] counters. Emits every rule's measured signal plus
+   * the fused `keep`, so a threshold sweep re-reads signals without
+   * re-scanning text. Rules (ratios compared on their 6dp-quantized
+   * values, so both engines threshold identical doubles):
+   *  - 50 ≤ words ≤ 100 000; 3 ≤ mean word length ≤ 10
+   *  - symbol-to-word ratio ('#' or ellipsis) < 0.1
+   *  - < 90% of lines start with a bullet; < 30% end with an ellipsis
+   *  - > 80% of words contain an alphabetic character
+   *  - ≥ 2 distinct stop words present ([[GopherStopwords]])
+   *
+   * Everything is one projection of `regexp_count`s — codegen'd,
+   * map-only, shuffle-free; the patterns are RE2-compatible (no
+   * lookaround, explicit whitespace classes, `\z` not `$`) so the DuckDB
+   * oracle runs the IDENTICAL regex strings (same discipline as
+   * [[PiiPatterns]]). "Word" is a maximal run of non-whitespace —
+   * spelled as the explicit class `[^ \t\n\r\f]` because Java's `\S`
+   * excludes U+000B where RE2's does not.
+   */
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    val nw = "[^ \\t\\n\\r\\f]" // one non-whitespace char, engine-identical
+    val nWords = countMatches(text, s"$nw+")
+    val nLines = (countMatches(text, "\\n") + lit(1)).cast("long")
+    val meanWordLen = Quantize.quantize(
+      countMatches(text, nw).cast("double") / greatest(nWords, lit(1)), 6)
+    val symbolRatio = Quantize.quantize(
+      countMatches(text, "(#|\\.\\.\\.|…)").cast("double") / greatest(nWords, lit(1)), 6)
+    val bulletRatio = Quantize.quantize(
+      countMatches(text, "(^|\\n)[ \\t]*[-*•]").cast("double") / nLines, 6)
+    val ellipsisRatio = Quantize.quantize(
+      countMatches(text, "(\\.\\.\\.|…)[ \\t]*(\\n|\\z)").cast("double") / nLines, 6)
+    val alphaRatio = Quantize.quantize(
+      countMatches(text, s"$nw*[A-Za-z]$nw*").cast("double") / greatest(nWords, lit(1)), 6)
+    val stopHits = GopherStopwords
+      .map(w => when(lower(text).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val keep = nWords.between(50L, 100000L) &&
+      meanWordLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
+      alphaRatio > 0.8 && stopHits >= GopherMinStopHits
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio,
+      "alpha_ratio" -> alphaRatio,
+      "stop_hits" -> stopHits,
+      "keep" -> keep)
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small + deterministic (SQL-mirrorable). */
   val StopwordSets: Seq[(String, Seq[String])] = Seq(

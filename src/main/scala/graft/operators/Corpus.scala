@@ -358,6 +358,43 @@ object Corpus {
     docs.filter(hashBucket(col(idCol), 1000000, SampleSalt) < thr)
   }
 
+  /**
+   * Temperature-scaled mixture weights — the multilingual-sampling scheme
+   * (mC4 / XLM-R style): instead of hand-written weights, each stratum's
+   * training weight is its corpus share raised to `alpha` and
+   * renormalized, w_s = units_s^α / Σ_t units_t^α. α = 1 reproduces the
+   * natural distribution, α → 0 approaches uniform — the knob that keeps
+   * low-resource sources from vanishing under a proportional mix. Emits
+   * one row per stratum: (source, n_docs, p_raw, weight), ratios
+   * quantized to 6dp. Feed `weight` straight into [[mixByBudget]] /
+   * [[mixWithRepeats]].
+   *
+   * Shape: ONE map-side-combined aggregation to #strata rows; the
+   * normalizing totals are an unpartitioned window over THAT frame — all
+   * rows on one task, which is exactly right because the frame is
+   * #strata-sized (a bounded catalog, not data-sized), and structurally
+   * guarantees a single corpus scan (a total-via-self-join would lean on
+   * exchange reuse to avoid a second one). `pow` is the one
+   * non-IEEE-pinned step (Java `Math.pow` vs the oracle engine's
+   * `std::pow` may differ in the last ulp); the 6dp quantization bounds a
+   * flip to values within ~1 ulp of a 5·10⁻⁷ boundary — the same
+   * irreducible floor the `ln` in [[Selection.sampleWeighted]] carries.
+   */
+  def temperatureWeights(docs: DataFrame, alpha: Double,
+      strataCol: String = "source", unitCol: String = "n_chars"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1]: $alpha")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .groupBy(col(strataCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(unitCol)).cast("double").as("__u"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.Quantize.q6(col("__u") / sum(col("__u")).over(all)).as("p_raw"),
+        graft.functions.Quantize.q6(
+          pow(col("__u"), alpha) / sum(pow(col("__u"), alpha)).over(all)).as("weight"))
+  }
+
   /** Per-stratum unit totals for the mixing family: one map-side-combined
     * aggregation (output = #strata), collected as a driver-known-small
     * model. Fails loudly on an all-misses mixture (typo'd source names,

@@ -1021,4 +1021,83 @@ object Similarity {
       .groupBy(col("cell"), col("dim"))
       .agg(Quantize.quantize(avg(col("__v").cast("double")), 6).as("mean"))
   }
+
+  /**
+   * The paper-faithful SemDeDup recipe (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embeddings, then drop every vector
+   * with a CLUSTER-MATE of smaller id at cosine ≥ `minCosine` — pairs
+   * are confined to a cluster BY CONSTRUCTION, unlike the graph-global
+   * [[semanticDedup]] sibling (CC over an externally-supplied pair
+   * relation). Returns the survivors as (idCol, cell).
+   *
+   * Scale shape: assignment is map-only (centroids ride the plan as
+   * literals); the pair step is a self-join keyed on `cell` — ONE shuffle
+   * on the cluster id, pairs bounded per cluster, never all-pairs. The
+   * premise (the paper's too) is that k grows with N so expected cluster
+   * occupancy stays constant; `maxCell` is the valve for when it doesn't —
+   * a degenerate embedding mass (all-zero rows, a collapsed encoder) lands
+   * in one cell and would otherwise emit O(cell²) candidate rows, so cells
+   * over the cap skip pairing entirely (kept, flagged by omission —
+   * same disposition as [[Dedup.capBuckets]]'s hot buckets). The keep-rule
+   * (smallest id in any ≥τ pair survives) is deterministic and local to a
+   * pair: no connected-components pass, matching the paper's
+   * one-representative-per-duplicate-set intent without a transitive
+   * closure over the whole corpus.
+   *
+   * The threshold compares the 6dp-QUANTIZED cosine (same contract as
+   * `nearDupPairs` / the oracle SQL): both engines threshold identical
+   * doubles, so boundary pairs can't flip the hash.
+   */
+  def semanticDedupClustered(embeddings: DataFrame, centroids: Array[Array[Float]],
+      minCosine: Double, maxCell: Option[Long] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup: no centroids")
+    // one assignment pass retaining the vector and its norm (map-only);
+    // norms precompute per side so the pair step pays one dot per pair
+    val asg = embeddings
+      .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select(col(idCol), col(vecCol),
+        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        norm(col(vecCol)).as("__n"))
+    val paired = Dedup.capBuckets(asg, Seq("cell"), maxCell)
+    val dups = paired.as("a")
+      .join(paired.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(Quantize.q6(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        (col("a.__n") * col("b.__n"))) >= minCosine)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    asg.select(col(idCol), col("cell"))
+      .join(dups, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Symmetric int8 scalar quantization of an embedding column — the
+   * storage/serving compression ladder's first rung (4× smaller than
+   * float32 before PQ's lossy 32×): per-vector scale = max|v|/127, code_d
+   * = round(v_d / scale) clamped to [-127, 127]. Emitted LONG-FORM
+   * (idCol, scale, dim, code) so the result is hash-verifiable
+   * cross-engine without array-compare semantics; a writer would
+   * re-assemble with `collect_list` over `dim` order (or keep the wide
+   * array form — the map stage is identical).
+   *
+   * Map-only: amax from `array_max`/`array_min` (native, no HOF — the
+   * lambda-free spelling of max(|v|)), one posexplode, no shuffle, no
+   * model. Determinism contract: the scale is 6dp-QUANTIZED before the
+   * division so both engines divide by the identical double; round is
+   * spelled floor(x + 0.5) (the [[graft.functions.Quantize]] primitive
+   * set — no engine-varying half-even), and an all-zero vector (scale 0)
+   * emits code 0 explicitly rather than NaN-casting.
+   */
+  def quantizeInt8(embeddings: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val amax = greatest(array_max(col(vecCol)).cast("double"),
+      -array_min(col(vecCol)).cast("double"))
+    val code = when(col("scale") === 0d, lit(0L))
+      .otherwise(greatest(least(floor(col("__v").cast("double") / col("scale") + lit(0.5)),
+        lit(127L)), lit(-127L)))
+    embeddings
+      .select(col(idCol), Quantize.q6(amax / lit(127d)).as("scale"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(idCol), col("scale"), col("dim"), code.as("code"))
+  }
 }

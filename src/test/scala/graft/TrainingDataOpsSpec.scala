@@ -1164,6 +1164,92 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(st.map(_.getAs[Long]("total_bytes")).sum == wantTotal)
   }
 
+  test("clustered SemDeDup: drops exactly the vectors with a smaller-id cluster-mate above tau") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 4)
+    val out = Similarity.semanticDedupClustered(e, seeds, minCosine = 0.45)
+    val kept = out.collect().map(_.getAs[Long]("vec_id")).toSet
+    // independent formulation: brute-force pairs restricted to equal cells
+    val cells = Similarity.kmeansAssign(e, seeds).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val dropped = Similarity.nearDupPairsExact(e, 0.45).collect()
+      .filter(r => cells(r.getAs[Long]("id_a")) == cells(r.getAs[Long]("id_b")))
+      .map(_.getAs[Long]("id_b")).toSet
+    assert(kept == cells.keySet -- dropped)
+    assert(dropped.nonEmpty, "fixture must exercise the drop path")
+    // the emitted cell is the kmeans assignment
+    out.collect().foreach(r =>
+      assert(r.getAs[Int]("cell") == cells(r.getAs[Long]("vec_id"))))
+    // hot-cell valve: cap below any cell's occupancy -> nothing pairs, all survive
+    val capped = Similarity.semanticDedupClustered(e, seeds, 0.45, maxCell = Some(0L))
+    assert(capped.count() == e.count())
+  }
+
+  test("temperature mixture: alpha=1 is the natural mix, alpha<1 lifts the small source") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, if (i < 36) "big" else "small", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    def w(alpha: Double): Map[String, (Double, Double)] =
+      Corpus.temperatureWeights(docs, alpha).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Double]("p_raw"), r.getAs[Double]("weight")))).toMap
+    val nat = w(1.0)
+    assert(nat("big")._1 == 0.9 && nat("small")._1 == 0.1)
+    assert(nat.values.forall { case (p, wt) => math.abs(p - wt) < 1e-6 })
+    val cooled = w(0.3)
+    assert(cooled("small")._2 > 0.1 && cooled("big")._2 < 0.9)
+    assert(math.abs(cooled.values.map(_._2).sum - 1.0) < 1e-5)
+    assert(cooled("big")._2 > cooled("small")._2, "order still follows mass")
+    // weights come from ONE corpus aggregation: the plan has no second scan
+    val scans = SparkTestBase.fileScans(
+      Corpus.temperatureWeights(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.3))
+    assert(scans.size <= 1)
+  }
+
+  test("gopher gate: each rule trips on its designed violator") {
+    val good = (("good", ("the fox and the hound went to the market of smalltown " +
+      "and that day they have come with friends to be merry ") * 3))
+    val rows = Seq(
+      good, // passes every rule
+      ("short", "the cat and dog have fun with that being plenty of words to be"),
+      ("symbols", ("the story # continues ... " * 20) + good._2),
+      ("bullets", (1 to 60).map(i => s"- item $i of the list").mkString("\n") +
+        "\nthe end of that have with"),
+      ("ellipsis", (1 to 40).map(i => s"the line $i trails off ...").mkString("\n") + "\n" + good._2.take(120)),
+      ("numeric", ("12345 67890 " * 40) + "the of and that have with to be"),
+      ("nostop", "verdant zeppelin quixotic marmalade " * 30))
+      .toDF("name", "text")
+    val cols = TextFunctions.gopherColumns(col("text")).map { case (n, c) => c.as(n) }
+    val out = rows.select(col("name") +: cols: _*).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(out("good").getAs[Boolean]("keep"),
+      s"good doc must pass: ${out("good")}")
+    assert(out("short").getAs[Long]("n_words") < 50 && !out("short").getAs[Boolean]("keep"))
+    assert(out("symbols").getAs[Double]("symbol_ratio") >= 0.1 && !out("symbols").getAs[Boolean]("keep"))
+    assert(out("bullets").getAs[Double]("bullet_ratio") >= 0.9 && !out("bullets").getAs[Boolean]("keep"))
+    assert(out("ellipsis").getAs[Double]("ellipsis_ratio") >= 0.3 && !out("ellipsis").getAs[Boolean]("keep"))
+    assert(out("numeric").getAs[Double]("alpha_ratio") <= 0.8 && !out("numeric").getAs[Boolean]("keep"))
+    assert(out("nostop").getAs[Long]("stop_hits") < 2 && !out("nostop").getAs[Boolean]("keep"))
+  }
+
+  test("int8 quantization: reconstruction within scale/2, codes bounded, zero vector safe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .union(Seq((9999L, Array.fill(64)(0f), 0)).toDF("vec_id", "embedding", "label"))
+    val q = Similarity.quantizeInt8(e).collect()
+    val vecs = e.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    assert(q.length == vecs.valuesIterator.map(_.length).sum)
+    q.foreach { r =>
+      val (id, scale, dim, code) = (r.getAs[Long]("vec_id"), r.getAs[Double]("scale"),
+        r.getAs[Int]("dim"), r.getAs[Long]("code"))
+      assert(math.abs(code) <= 127)
+      val v = vecs(id)(dim).toDouble
+      if (id == 9999L) assert(code == 0L && scale == 0d)
+      // half-up rounding + 6dp scale quantization + clamp: |v - c·s| ≤ s/2 + dim·ulp slack
+      else assert(math.abs(v - code * scale) <= scale / 2 + 1e-6,
+        s"vec $id dim $dim: v=$v code=$code scale=$scale")
+    }
+  }
+
   test("multimodal: stats over the persisted table never reads payload bytes") {
     val q = Multimodal.stats(spark.read.parquet(Fixtures.MediaParquet))
     assert(q.count() == 3)
