@@ -16,6 +16,9 @@ import graft.operators.{Corpus, Materialize, Selection}
  *   [normalizeText: punctuation fold + whitespace/control chain —
  *      applied to the source frame, so every later text consumer sees
  *      normalized text]
+ *   [→ gopher_gate: the Gopher rule filter
+ *      ([[graft.functions.TextFunctions.gopherColumns]] keep verdict) on
+ *      the source frame — map-only, before any pair machinery]
  *   → cleanCorpus (quality gate → language gate → exact dedup → near-dup
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
  *   → split assignment)
@@ -25,7 +28,10 @@ import graft.operators.{Corpus, Materialize, Selection}
  *   [→ domain cap: exact ≤k docs per stratum — [[Corpus.capPerStratum]]]
  *   [→ mixture weights over the cleaned text: per-stratum
  *      `min(1, w·B/total)` sampling ([[Corpus.mixByBudget]]) or, with
- *      `mix_repeats`, upsampling epochs ([[Corpus.mixWithRepeats]])]
+ *      `mix_repeats`, upsampling epochs ([[Corpus.mixWithRepeats]]);
+ *      weights are explicit (`mix_weights`) or temperature-derived from
+ *      the corpus itself (`mix_alpha`: w_s ∝ units_s^α via
+ *      [[Corpus.temperatureWeights]])]
  *   → shard write of the clean corpus (deterministic writer layout)
  *   → chunk + pack of the train split (budget-sized sequence bins)
  *   → manifest.
@@ -95,7 +101,14 @@ object TrainingSetJob {
       else stripped.withColumn("text",
         graft.functions.TextFunctions.normalizeText(col("text")))
     }
-    val docs = normalized(raw)
+    val docs0 = normalized(raw)
+    // optional Gopher rule gate (quality_gopher's keep verdict) applied
+    // to the source frame itself — the standard web-scale pre-filter,
+    // map-only, so everything downstream (dedup shingles, eval
+    // decontamination, mixtures) runs on the already-gated corpus
+    val docs = if (!cfg.gopherGate) docs0
+      else docs0.filter(
+        graft.functions.TextFunctions.gopherColumns(col("text")).toMap.apply("keep"))
     // eval docs get the SAME normalization: decontamination shingles must
     // compare like with like, or a copy differing only typographically
     // (curly quotes, CRLF) slips under eval_min_overlap
@@ -156,15 +169,25 @@ object TrainingSetJob {
     // a source-keyed weight map would silently miss; the unit is
     // length(text) so redaction-shortened text counts as shipped). The
     // budget spans all splits — scale by 1/trainPct for train-only units.
-    val mixed0 = if (cfg.mixWeights.isEmpty) capped else {
+    val mixed0 = if (cfg.mixWeights.isEmpty && cfg.mixAlpha.isEmpty) capped else {
       val sc = cfg.mixStrataCol
       val withStrata = (if (capped.columns.contains(sc)) capped
         else capped.join(docs.select(col("doc_id"), col(sc)), Seq("doc_id")))
         .withColumn("__units", length(col("text")).cast("long"))
+      // explicit weights, or temperature-derived from the capped corpus
+      // itself (w_s ∝ units_s^α — the mC4/XLM-R scheme). The derived map
+      // is #strata rows: a bounded driver pull, same posture as
+      // mixByBudget's own totals collect.
+      val weights = cfg.mixAlpha match {
+        case Some(a) => Corpus.temperatureWeights(withStrata, a, sc, "__units")
+          .select(col("source"), col("weight")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        case None => cfg.mixWeights
+      }
       val m = if (cfg.mixRepeats)
-        Corpus.mixWithRepeats(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
+        Corpus.mixWithRepeats(withStrata, weights, cfg.mixBudget, sc, "__units")
       else
-        Corpus.mixByBudget(withStrata, cfg.mixWeights, cfg.mixBudget, sc, "__units")
+        Corpus.mixByBudget(withStrata, weights, cfg.mixBudget, sc, "__units")
       m.drop("__units", sc)
     }
 
@@ -275,9 +298,11 @@ object TrainingSetJob {
       node.put("strata_col", c)
       node.put("strata_default_pct", cfg.strataDefaultPct)
     }
-    if (cfg.mixWeights.nonEmpty) {
+    node.put("gopher_gate", cfg.gopherGate)
+    if (cfg.mixWeights.nonEmpty || cfg.mixAlpha.nonEmpty) {
       node.put("mix_budget", cfg.mixBudget)
       node.put("mix_repeats", cfg.mixRepeats)
+      cfg.mixAlpha.foreach(a => node.put("mix_alpha", a))
       val mw = node.putObject("mix_weights")
       cfg.mixWeights.foreach { case (s, w) => mw.put(s, w) }
     }

@@ -30,7 +30,9 @@ final case class TrainingSetConfig(
     strataDefaultPct: Int = 100,
     capPerStratum: Option[Int] = None,
     capStrataCol: String = "source",
+    gopherGate: Boolean = false,
     mixWeights: Map[String, Double] = Map.empty,
+    mixAlpha: Option[Double] = None,
     mixBudget: Double = 0.0,
     mixStrataCol: String = "source",
     mixRepeats: Boolean = false,
@@ -49,10 +51,14 @@ final case class TrainingSetConfig(
     "bpe_merges_path and bpe_train_merges are mutually exclusive")
   require(bpeTrainMerges.forall(_ > 0),
     s"bpe_train_merges must be positive: $bpeTrainMerges")
-  require(mixWeights.isEmpty == (mixBudget <= 0),
-    "mix_weights and mix_budget come together")
-  require(!mixRepeats || mixWeights.nonEmpty,
-    "mix_repeats requires mix_weights")
+  require((mixWeights.nonEmpty || mixAlpha.nonEmpty) == (mixBudget > 0),
+    "a mixture (mix_weights or mix_alpha) and mix_budget come together")
+  require(mixWeights.isEmpty || mixAlpha.isEmpty,
+    "mix_weights and mix_alpha are mutually exclusive mixture stages")
+  require(mixAlpha.forall(a => a > 0 && a <= 1),
+    s"mix_alpha must be in (0, 1]: $mixAlpha")
+  require(!mixRepeats || mixWeights.nonEmpty || mixAlpha.nonEmpty,
+    "mix_repeats requires a mixture (mix_weights or mix_alpha)")
   require(chunkBudget > 0, s"chunk_budget must be positive: $chunkBudget")
   require(nShards > 0, s"n_shards must be positive: $nShards")
   require(capPerStratum.forall(_ > 0),
@@ -100,9 +106,11 @@ object TrainingSetConfig {
       strataDefaultPct = int("strata_default_pct", 100),
       capPerStratum = optNode("cap_per_stratum").map(_.asInt),
       capStrataCol = text("cap_strata_col", "source"),
+      gopherGate = bool("gopher_gate", d = false),
       mixWeights = optNode("mix_weights").map(r =>
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
         .getOrElse(Map.empty),
+      mixAlpha = optNode("mix_alpha").map(_.asDouble),
       mixBudget = dbl("mix_budget", 0.0),
       mixStrataCol = text("mix_strata_col", "source"),
       mixRepeats = bool("mix_repeats", d = false),

@@ -91,6 +91,60 @@ class TrainingSetJobSpec extends AnyFunSuite {
       m.get("mix_budget").asDouble == 20000.0)
   }
 
+  test("temperature mixture stage: alpha-derived weights ship every source, lifted tail") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_temp").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":4,"n_shards":8,
+        |"mix_alpha":0.3,"mix_budget":20000}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bySrc = shards.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // temperature weights cover EVERY source (no explicit list to drop from)
+    val allSrcs = Corpus.cleanCorpus(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(bySrc.keySet == allSrcs, s"shipped ${bySrc.keySet} of $allSrcs")
+    assert(r.mixedDocs < r.cleanDocs, "budget must genuinely downsample")
+    // manifest records the alpha and no explicit weights
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("mix_alpha").asDouble == 0.3 && m.get("mix_weights").isEmpty)
+    // alpha + explicit weights refuse to combine
+    intercept[IllegalArgumentException](TrainingSetConfig.parse(
+      """{"mix_alpha":0.3,"mix_weights":{"src3":1.0},"mix_budget":1}"""))
+  }
+
+  test("gopher gate stage: rule-failing docs never reach the pipeline") {
+    import spark.implicits._
+    val passing = ("the fox and the hound went to the market of smalltown " +
+      "and that day they have come with friends to be merry ") * 3
+    val dir = java.nio.file.Files.createTempDirectory("gopher_in").toString
+    // 4 passing docs (distinct suffixes dodge exact-dedup), 2 violators
+    (Seq.tabulate(4)(i => (i.toLong, passing + s"tail marker $i", "src3")) ++
+      Seq((10L, "too short with the and of that", "src3"),
+        (11L, ("wombat zeppelin quartz " * 40), "src3")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_gopher").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"gopher_gate":true,"min_jaccard":0.99,"chunk_budget":64,
+        |"pack_groups":2,"n_shards":2}""".stripMargin)
+    val r = TrainingSetJob.run(spark, dir, outRoot, cfg)
+    val kept = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L), s"kept: $kept")
+    assert(r.cleanDocs == 4)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("gopher_gate").asBoolean)
+  }
+
   test("upsampling mixture: copies ship with distinct identities end to end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // budget chosen so src3's rate lands at ~2 epochs over its CLEANED mass
