@@ -290,28 +290,61 @@ object TextFunctions {
    * excludes U+000B where RE2's does not.
    */
   def gopherColumns(text: Column): Seq[(String, Column)] = {
+    // ONE codegen'd byte-scan kernel for all eight counters (the regex
+    // formulation below is 15 passes, each decoding UTF-8→UTF-16);
+    // spec-pinned bit-identical to [[gopherColumnsRegex]]
+    val sig = graft.plans.TextExpressions.gopherSignals(text, GopherStopwords)
+    assemble(sig.getField("n_words"), sig.getField("n_nonws"),
+      sig.getField("n_symbol"), sig.getField("n_lines"),
+      sig.getField("n_bullet_lines"), sig.getField("n_ellipsis_lines"),
+      sig.getField("n_alpha_words"), sig.getField("stop_hits"))
+  }
+
+  /** The 15-regex-engine formulation [[gopherColumns]] replaced — kept
+    * as the spec oracle pinning the [[graft.plans.GopherSignals]] kernel
+    * (and the shape the DuckDB oracle SQL mirrors). Stop-word boundaries
+    * are spelled as ASCII lookarounds, NOT `\b`: Java's `\b` is
+    * Unicode-word-based where RE2's (= the kernel's, = the DuckDB
+    * oracle's) is ASCII-word-based, so `\bthe\b` would diverge from both
+    * on text like "the中文" — the lookaround spells the RE2 reading in
+    * Java (same engine nuance documented on [[PiiPatterns]]). */
+  private[graft] def gopherColumnsRegex(text: Column): Seq[(String, Column)] = {
     val nw = "[^ \\t\\n\\r\\f]" // one non-whitespace char, engine-identical
-    val nWords = countMatches(text, s"$nw+")
-    val nLines = (countMatches(text, "\\n") + lit(1)).cast("long")
-    val meanWordLen = Quantize.quantize(
-      countMatches(text, nw).cast("double") / greatest(nWords, lit(1)), 6)
-    val symbolRatio = Quantize.quantize(
-      countMatches(text, "(#|\\.\\.\\.|…)").cast("double") / greatest(nWords, lit(1)), 6)
-    val bulletRatio = Quantize.quantize(
-      countMatches(text, "(^|\\n)[ \\t]*[-*•]").cast("double") / nLines, 6)
-    val ellipsisRatio = Quantize.quantize(
-      countMatches(text, "(\\.\\.\\.|…)[ \\t]*(\\n|\\z)").cast("double") / nLines, 6)
-    val alphaRatio = Quantize.quantize(
-      countMatches(text, s"$nw*[A-Za-z]$nw*").cast("double") / greatest(nWords, lit(1)), 6)
     val stopHits = GopherStopwords
-      .map(w => when(lower(text).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .map(w => when(lower(text).rlike(s"(?<![A-Za-z0-9_])$w(?![A-Za-z0-9_])"), 1L)
+        .otherwise(0L))
       .reduce(_ + _)
+    assemble(
+      countMatches(text, s"$nw+").cast("long"),
+      countMatches(text, nw).cast("long"),
+      countMatches(text, "(#|\\.\\.\\.|…)").cast("long"),
+      (countMatches(text, "\\n") + lit(1)).cast("long"),
+      countMatches(text, "(^|\\n)[ \\t]*[-*•]").cast("long"),
+      countMatches(text, "(\\.\\.\\.|…)[ \\t]*(\\n|\\z)").cast("long"),
+      countMatches(text, s"$nw*[A-Za-z]$nw*").cast("long"),
+      when(text.isNull, lit(null).cast("long")).otherwise(stopHits))
+  }
+
+  /** Raw Gopher counters → emitted (signal, verdict) columns — shared by
+    * the kernel and regex formulations so the rule arithmetic exists
+    * exactly once. */
+  private def assemble(nWords: Column, nNonWs: Column, nSymbol: Column,
+      nLines: Column, nBullet: Column, nEllipsis: Column,
+      nAlphaWords: Column, stopHits: Column): Seq[(String, Column)] = {
+    val meanWordLen = Quantize.quantize(
+      nNonWs.cast("double") / greatest(nWords, lit(1L)), 6)
+    val symbolRatio = Quantize.quantize(
+      nSymbol.cast("double") / greatest(nWords, lit(1L)), 6)
+    val bulletRatio = Quantize.quantize(nBullet.cast("double") / nLines, 6)
+    val ellipsisRatio = Quantize.quantize(nEllipsis.cast("double") / nLines, 6)
+    val alphaRatio = Quantize.quantize(
+      nAlphaWords.cast("double") / greatest(nWords, lit(1L)), 6)
     val keep = nWords.between(50L, 100000L) &&
       meanWordLen.between(3.0, 10.0) &&
       symbolRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
       alphaRatio > 0.8 && stopHits >= GopherMinStopHits
     Seq(
-      "n_words" -> nWords.cast("long"),
+      "n_words" -> nWords,
       "mean_word_len" -> meanWordLen,
       "symbol_ratio" -> symbolRatio,
       "bullet_ratio" -> bulletRatio,

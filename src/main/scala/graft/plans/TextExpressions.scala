@@ -346,6 +346,67 @@ case class QualitySignals(left: Expression, right: Expression)
 }
 
 /**
+ * The Gopher rule-gate counters as ONE byte scan — the fused form of
+ * seven `regexp_count`s plus eight stop-word `rlike`s (15 regex passes,
+ * each a UTF-8↔UTF-16 round trip, measured as the dominant
+ * `quality_gopher` cost). `left` = original text (words, symbols, line
+ * shapes, alpha), `right` = lowered text (stop-word runs). Semantics are
+ * pinned to the RE2/ORACLE reading of the shared patterns:
+ *  - "word" = maximal run of bytes outside the explicit class
+ *    [ \t\n\r\f]; `n_nonws` counts non-ws CODE POINTS (non-continuation
+ *    bytes — exact on any Unicode text, same trick as [[QualitySignals]]);
+ *  - symbol/ellipsis automata emulate leftmost NON-OVERLAPPING regex
+ *    matching (a successful match consumes its span; a failed one
+ *    advances one position) — all trigger bytes are ASCII or UTF-8 lead
+ *    bytes, so mid-character false starts are impossible;
+ *  - stop-word hit = some maximal [A-Za-z0-9_]-run of the LOWERED text
+ *    equals the stop word — RE2's ASCII `\b` semantics (the DuckDB
+ *    oracle's), NOT Java's Unicode `\b`; the pin formulation spells the
+ *    same ASCII boundary with Java lookarounds (same resolution as the
+ *    langId kernel's boundary note in
+ *    [[graft.functions.TextFunctions.PiiPatterns]]).
+ */
+case class GopherSignals(left: Expression, right: Expression,
+    stopwords: Seq[String]) extends BinaryExpression {
+  require(stopwords.nonEmpty && stopwords.size <= 32,
+    s"stop list must fit the hit bitmask: ${stopwords.size}")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes("UTF-8")).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_nonws", LongType, nullable = false),
+    StructField("n_symbol", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ellipsis_lines", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def prettyName: String = "gopher_signals"
+
+  override def nullSafeEval(orig: Any, low: Any): Any =
+    ShingleHash.gopherSignals(orig.asInstanceOf[UTF8String],
+      low.asInstanceOf[UTF8String], stopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("gopherStops", stopBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, (o, l) =>
+      s"${ev.value} = graft.plans.ShingleHash.gopherSignals($o, $l, $sRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * A chain of `regexp_replace` passes as ONE expression — same
  * `java.util.regex` engine, same patterns, same sequential-pass
  * semantics (pass i sees pass i−1's output), so output is IDENTICAL to
@@ -1149,6 +1210,97 @@ object ShingleHash {
       orig.numChars().toLong, toks, punct, digit, alnum)
   }
 
+  /** [[GopherSignals]] kernel: every Gopher-gate counter in one byte
+    * scan of the original text + one of the lowered text. Automata
+    * emulate leftmost non-overlapping regex matching — see the
+    * expression's scaladoc for the exact semantics contract. */
+  def gopherSignals(orig: UTF8String, low: UTF8String,
+      stops: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val ob = orig.getBytes
+    val n = ob.length
+    var nWords = 0L; var nNonWs = 0L; var nSym = 0L; var nLines = 1L
+    var nBullet = 0L; var nEll = 0L; var nAlphaW = 0L
+    var inWord = false; var wordAlpha = false
+    var symSkip = 0; var ellSkip = 0
+    // `(^|\n)[ \t]*[-*•]` from scan-start j (the trigger is at ^ or a \n)
+    def bulletFrom(j0: Int): Boolean = {
+      var j = j0
+      while (j < n && (ob(j) == ' ' || ob(j) == '\t')) j += 1
+      j < n && (ob(j) == '-' || ob(j) == '*' ||
+        ((ob(j) & 0xFF) == 0xE2 && j + 2 < n &&
+          (ob(j + 1) & 0xFF) == 0x80 && (ob(j + 2) & 0xFF) == 0xA2))
+    }
+    if (bulletFrom(0)) nBullet += 1 // the zero-width ^ trigger
+    var i = 0
+    while (i < n) {
+      val b = ob(i)
+      if (b == '\n') {
+        nLines += 1
+        if (bulletFrom(i + 1)) nBullet += 1
+      }
+      if (b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f') {
+        inWord = false
+      } else {
+        if ((b & 0xC0) != 0x80) nNonWs += 1
+        if (!inWord) { inWord = true; wordAlpha = false; nWords += 1 }
+        if (!wordAlpha && ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z'))) {
+          wordAlpha = true; nAlphaW += 1
+        }
+      }
+      // `(#|\.\.\.|…)`, leftmost non-overlapping
+      if (i >= symSkip) {
+        if (b == '#') { nSym += 1; symSkip = i + 1 }
+        else if (b == '.' && i + 2 < n && ob(i + 1) == '.' && ob(i + 2) == '.') {
+          nSym += 1; symSkip = i + 3
+        } else if ((b & 0xFF) == 0xE2 && i + 2 < n &&
+            (ob(i + 1) & 0xFF) == 0x80 && (ob(i + 2) & 0xFF) == 0xA6) {
+          nSym += 1; symSkip = i + 3
+        }
+      }
+      // `(\.\.\.|…)[ \t]*(\n|\z)`: on success consume through the \n;
+      // on failure fall through (the regex advances one position too)
+      if (i >= ellSkip) {
+        val ell = (b == '.' && i + 2 < n && ob(i + 1) == '.' && ob(i + 2) == '.') ||
+          ((b & 0xFF) == 0xE2 && i + 2 < n &&
+            (ob(i + 1) & 0xFF) == 0x80 && (ob(i + 2) & 0xFF) == 0xA6)
+        if (ell) {
+          var j = i + 3
+          while (j < n && (ob(j) == ' ' || ob(j) == '\t')) j += 1
+          if (j >= n || ob(j) == '\n') { nEll += 1; ellSkip = j + 1 }
+        }
+      }
+      i += 1
+    }
+    // stop-word presence over the LOWERED bytes: maximal ASCII-word runs
+    val lb = low.getBytes
+    var mask = 0
+    var st = -1
+    var k = 0
+    while (k <= lb.length) {
+      val isw = k < lb.length && {
+        val c = lb(k)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          (c >= 'A' && c <= 'Z') || c == '_'
+      }
+      if (isw) { if (st < 0) st = k }
+      else if (st >= 0) {
+        var s = 0
+        while (s < stops.length) {
+          if ((mask & (1 << s)) == 0 && stops(s).length == k - st) {
+            var t = 0
+            while (t < stops(s).length && stops(s)(t) == lb(st + t)) t += 1
+            if (t == stops(s).length) mask |= (1 << s)
+          }
+          s += 1
+        }
+        st = -1
+      }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nWords, nNonWs, nSym, nLines,
+      nBullet, nEll, nAlphaW, java.lang.Integer.bitCount(mask).toLong)
+  }
+
   /** [[TokenCountPairs]] kernel: count the alnum-run tokens of `s` into
     * (term, tf) struct rows, first-occurrence order. Token UTF8Strings
     * wrap sub-ranges of the input's byte array — zero copies until the
@@ -1225,6 +1377,12 @@ object TextExpressions {
   def qualitySignals(text: Column): Column =
     Bridge.column(QualitySignals(
       Bridge.expression(text), Bridge.expression(lower(text))))
+
+  /** struct of the eight Gopher-gate counters in one byte pass per child
+    * ([[GopherSignals]]); null text → null. */
+  def gopherSignals(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(GopherSignals(
+      Bridge.expression(text), Bridge.expression(lower(text)), stopwords))
 
   /** array<int> of DSIR hashed uni+bigram feature buckets
     * ([[Md5FeatureBuckets]]) — bit-identical to hashing

@@ -287,6 +287,14 @@ object Scratch {
           }
           rmA(new java.io.File(tmp))
         }
+        if (sys.env.contains("SCRATCH_SCALE_GOPHER")) {
+          p("gopherK", harness(() => scaled().select(col("doc_id") +:
+            graft.functions.TextFunctions.gopherColumns(col("text"))
+              .map { case (nm, c) => c.as(nm) }: _*)))
+          p("gopherR", harness(() => scaled().select(col("doc_id") +:
+            graft.functions.TextFunctions.gopherColumnsRegex(col("text"))
+              .map { case (nm, c) => c.as(nm) }: _*)))
+        }
         if (sys.env.contains("SCRATCH_SCALE_TEXT")) {
           p("langid ", harness(() => scaled().select(col("doc_id"),
             graft.functions.TextFunctions.langId(col("text")).as("l"))))

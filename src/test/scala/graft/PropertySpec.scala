@@ -48,6 +48,31 @@ class PropertySpec extends AnyFunSuite {
     (1 to n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
   }
 
+  test("property: gopherSignals kernel == regex formulation on random gopher-trigger text") {
+    import graft.functions.TextFunctions
+    // the gopher-specific triggers on top of the usual unicode traps:
+    // '#'/ellipsis symbol runs, dot runs that overlap the ellipsis
+    // automaton, bullets with indentation, line shapes, stop words with
+    // word-char-extended neighbors ("the_"), and lowercase-mapping exotica
+    val atoms = Seq(
+      "the", "be", "to", "of", "and", "that", "have", "with", "the_",
+      "a", "Z", "9", "_", " ", "  ", "\t", "\n", "\n\n", "\r", "\f",
+      ".", "...", "....", ".....", "…", "#", "##", "-", "*", "•",
+      "- item", "* x", "• z", "  - ", "\n- a", "...\n", "… \n", "e...",
+      "é", "中", "😀", "K", "İ", "the中")
+    def gtext(maxLen: Int): String =
+      (1 to rnd.nextInt(maxLen)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    val docs = ((1 to 400).map(i => (i.toLong, gtext(40))) :+
+      (9999L -> null.asInstanceOf[String])).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val gK = canon(docs.select(col("doc_id") +:
+      TextFunctions.gopherColumns(col("text")).map { case (n, c) => c.as(n) }: _*))
+    val gR = canon(docs.select(col("doc_id") +:
+      TextFunctions.gopherColumnsRegex(col("text")).map { case (n, c) => c.as(n) }: _*))
+    assert(gK == gR, "gopherSignals diverges on random text")
+  }
+
   test("property: round-10 kernels == regex formulations on random unicode text") {
     import graft.functions.TextFunctions
     val docs = (1 to 400).map(i => (i.toLong, randomText(40)))

@@ -61,6 +61,34 @@ class TextExpressionsSpec extends AnyFunSuite {
       "tokenCount mismatch vs size(tokens)")
   }
 
+  test("gopherSignals kernel == fifteen-regex gopherColumns formulation") {
+    val adv = Seq(
+      (9301L, "- bullet at start\n  - indented\n\t* tab star\n• unicode bullet"),
+      (9302L, "trailing dots...\nmore dots...  \nunicode trail…\t\nno trail ."),
+      (9303L, "......\n"),            // overlapping dot runs: ONE symbol+line match each
+      (9304L, "#tag ## and #"),       // hash run: non-overlapping counts
+      (9305L, "the中文 with that boundary"), // RE2-vs-Java \b divergence case
+      (9306L, "\n\n- after blanks"),
+      (9307L, "ends with ellipsis…"),
+      (9308L, "the_ and2 of3 have"),  // word-char-extended stop words
+      (9309L, ""),
+      (9310L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = both.unionByName(adv)
+    val kernel = docs.select(col("doc_id") +:
+      TextFunctions.gopherColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val regex = docs.select(col("doc_id") +:
+      TextFunctions.gopherColumnsRegex(col("text")).map { case (n, c) => c.as(n) }: _*)
+    assert(kernel.exceptAll(regex).isEmpty && regex.exceptAll(kernel).isEmpty,
+      "gopher signals mismatch vs regex formulation")
+    // spot-check the designed cases against hand counts
+    val m = kernel.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(9301L).getAs[Double]("bullet_ratio") == 1.0)
+    assert(m(9302L).getAs[Double]("ellipsis_ratio") == 0.75)
+    assert(m(9304L).getAs[Long]("n_words") == 4)
+    assert(m(9308L).getAs[Long]("stop_hits") == 1) // only bare "have" hits
+  }
+
   test("langIdDecide kernel == regex + fold langId formulation") {
     val adv = Seq(
       (9201L, "the and of to in is that for"),          // clean en
@@ -118,6 +146,7 @@ class TextExpressionsSpec extends AnyFunSuite {
     def snapshot(): Seq[String] = both
       .select(col("doc_id") +:
         (TextFunctions.qualityColumns(col("text")).map { case (n, c) => c.as(n) } ++
+          TextFunctions.gopherColumns(col("text")).map { case (n, c) => c.as(s"g_$n") } ++
           Seq(TextFunctions.langId(col("text")).as("lang"),
             TextFunctions.stripMarkup(col("text")).as("sm"),
             TextFunctions.redactPii(col("text")).as("rp"))): _*)
