@@ -986,7 +986,7 @@ object Similarity {
    * computing them in-plan, one fewer dot per row per cell).
    * Returns (idCol, cell, cos) with cos quantized to 6dp.
    */
-  private def centroidScores(centroids: Array[Array[Float]], vecCol: String): Column =
+  private[graft] def centroidScores(centroids: Array[Array[Float]], vecCol: String): Column =
     array(centroids.map { c =>
       val cl = array(c.map(v => lit(v)): _*)
       dot(col(vecCol), cl) / (norm(col(vecCol)) * lit(normOf(c.toSeq)))
@@ -1031,43 +1031,63 @@ object Similarity {
    * relation). Returns the survivors as (idCol, cell).
    *
    * Scale shape: assignment is map-only (centroids ride the plan as
-   * literals); the pair step is a self-join keyed on `cell` — ONE shuffle
-   * on the cluster id, pairs bounded per cluster, never all-pairs. The
-   * premise (the paper's too) is that k grows with N so expected cluster
-   * occupancy stays constant; `maxCell` is the valve for when it doesn't —
-   * a degenerate embedding mass (all-zero rows, a collapsed encoder) lands
-   * in one cell and would otherwise emit O(cell²) candidate rows, so cells
-   * over the cap skip pairing entirely (kept, flagged by omission —
-   * same disposition as [[Dedup.capBuckets]]'s hot buckets). The keep-rule
-   * (smallest id in any ≥τ pair survives) is deterministic and local to a
-   * pair: no connected-components pass, matching the paper's
-   * one-representative-per-duplicate-set intent without a transitive
-   * closure over the whole corpus.
+   * literals), and the whole dedup is ONE cell-keyed aggregation — each
+   * cluster's members collect into a single row whose survivors a
+   * row-local kernel ([[graft.plans.SemDedupSurvivors]]) computes with an
+   * O(k²/2) early-exit scan, then explode. One shuffle total, no
+   * self-join, no broadcast of a corpus-sized side, no distinct, no
+   * anti-join. (The first formulation was the cell-keyed pair self-join +
+   * distinct + anti-join: same result, FOUR exchanges — measured ~1.5 s
+   * vs ~0.6 s at sf0.1 for identical output.) Per-row memory is one
+   * cluster's members (k·dim floats): bounded because k grows with N so
+   * expected occupancy stays constant — the paper's own premise — and
+   * `maxCell` is the valve for when it doesn't: a degenerate embedding
+   * mass (all-zero rows, a collapsed encoder) lands in one cell, so cells
+   * over the cap skip pairing entirely (members kept, flagged by omission
+   * — same disposition as [[Dedup.capBuckets]]'s hot buckets). The
+   * keep-rule (a member drops iff ANY smaller-id cluster-mate sits at
+   * quantized cosine ≥ τ) is local to a pair: no connected-components
+   * pass, matching the paper's one-representative intent without a
+   * transitive closure over the whole corpus.
    *
    * The threshold compares the 6dp-QUANTIZED cosine (same contract as
-   * `nearDupPairs` / the oracle SQL): both engines threshold identical
-   * doubles, so boundary pairs can't flip the hash.
+   * `nearDupPairs` / the oracle SQL), spelled `cos·10⁶ + 0.5 ≥ thr` in
+   * the kernel with thr the least integer whose 10⁻⁶ quotient reaches τ:
+   * floor(y) ≥ thr ⇔ y ≥ thr for integer thr, and m ↦ m/10⁶ is
+   * IEEE-monotone — so the verdicts match the oracle's quantized
+   * comparison exactly, in ONE dot product per pair.
    */
   def semanticDedupClustered(embeddings: DataFrame, centroids: Array[Array[Float]],
       minCosine: Double, maxCell: Option[Long] = None,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    require(centroids.nonEmpty, "semanticDedup: no centroids")
+    require(centroids.nonEmpty, "semanticDedupClustered: no centroids")
     // one assignment pass retaining the vector and its norm (map-only);
-    // norms precompute per side so the pair step pays one dot per pair
+    // norms precompute per member so the kernel pays one dot per pair
     val asg = embeddings
       .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
         (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
         norm(col(vecCol)).as("__n"))
-    val paired = Dedup.capBuckets(asg, Seq("cell"), maxCell)
-    val dups = paired.as("a")
-      .join(paired.as("b"),
-        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(Quantize.q6(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-        (col("a.__n") * col("b.__n"))) >= minCosine)
-      .select(col(s"b.$idCol").as(idCol)).distinct()
-    asg.select(col(idCol), col("cell"))
-      .join(dups, Seq(idCol), "left_anti")
+    val thr = {
+      val m0 = math.floor(minCosine * 1e6).toLong - 1
+      Iterator.iterate(m0)(_ + 1).find(m => m.toDouble / 1e6 >= minCosine).get
+    }
+    val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col(idCol), col(vecCol), col("__n"))).as("__m"))
+      .select(explode(graft.plans.VectorExpressions.semDedupSurvivors(
+        col("__m"), thr.toDouble)).as(idCol), col("cell"))
+      .select(col(idCol), col("cell"))
+    maxCell match {
+      case None => fromPairing
+      case Some(c) =>
+        // over-cap cells: every member survives (pairing skipped)
+        val overCap = asg.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") > c).select(col("cell"))
+        fromPairing.unionByName(
+          asg.join(broadcast(overCap), Seq("cell"), "left_semi")
+            .select(col(idCol), col("cell")))
+    }
   }
 
   /**

@@ -254,8 +254,90 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]],
     copy(child = newChild)
 }
 
+/**
+ * Row-local SemDeDup survivor selection over ONE cluster's collected
+ * members — the aggregation form of the cluster-scoped pair join: a
+ * member is a duplicate iff ANY smaller-id member of the same cluster has
+ * quantized cosine ≥ τ with it (`cos·10⁶ + 0.5 ≥ thr`, the integer-
+ * threshold spelling of `quantize(cos, 6) ≥ τ` — see
+ * `Similarity.semanticDedupClustered`). Input: the cluster's members as
+ * array<struct<id:long, vec:array<float>, nrm:double>> (collect_list
+ * order immaterial — the rule quantifies over ALL smaller-id mates, so
+ * the survivor SET is order-independent); output: array<long> of
+ * survivor ids. Dot products accumulate in [[FloatVectorDot]]'s exact
+ * sequential double order, so the verdicts match the join formulation
+ * and the DuckDB oracle bit-for-bit.
+ */
+case class SemDedupSurvivors(child: Expression, thr: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+        if s.length == 3 && s(0).dataType == LongType &&
+          s(1).dataType.isInstanceOf[ArrayType] &&
+          s(1).dataType.asInstanceOf[ArrayType].elementType == FloatType &&
+          s(2).dataType == DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<long, array<float>, double>>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "semdedup_survivors"
+
+  override def nullSafeEval(m: Any): Any =
+    VectorKernels.semDedupSurvivors(m.asInstanceOf[ArrayData], thr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, m =>
+      s"${ev.value} = graft.plans.VectorKernels.semDedupSurvivors($m, $thr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static kernels — generated code calls these directly. */
 object VectorKernels {
+  /** [[SemDedupSurvivors]] kernel: O(k²/2) dots with early exit on the
+    * first ≥τ smaller-id mate; k is bounded by the operator's cell-size
+    * premise (and its `maxCell` valve). */
+  def semDedupSurvivors(members: ArrayData, thr: Double): ArrayData = {
+    val k = members.numElements()
+    val ids = new Array[Long](k)
+    val vecs = new Array[ArrayData](k)
+    val nrm = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val r = members.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getArray(1)
+      nrm(i) = r.getDouble(2)
+      i += 1
+    }
+    val kept = new Array[Long](k)
+    var nKept = 0
+    var j = 0
+    while (j < k) {
+      var dup = false
+      var m = 0
+      while (m < k && !dup) {
+        if (ids(m) < ids(j)) {
+          val a = vecs(m)
+          val b = vecs(j)
+          val n = math.min(a.numElements(), b.numElements())
+          var acc = 0.0
+          var d = 0
+          while (d < n) {
+            acc += a.getFloat(d).toDouble * b.getFloat(d).toDouble
+            d += 1
+          }
+          if (acc / (nrm(m) * nrm(j)) * 1e6 + 0.5 >= thr) dup = true
+        }
+        m += 1
+      }
+      if (!dup) { kept(nKept) = ids(j); nKept += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(kept, nKept))
+  }
+
   /** [[LshBucketSignature]] kernel. Sums in d order ([[FloatVectorDot]]
     * convention); dims beyond `dim` are ignored (the join path's weight
     * table had no rows for them), missing dims contribute 0. */
@@ -316,6 +398,10 @@ object VectorExpressions {
   /** Σ_m table[m][codes[m]] in double, subspace order — codegen'd. */
   def pqAdc(codes: Column, table: Column): Column =
     Bridge.column(PqAdcDistance(Bridge.expression(codes), Bridge.expression(table)))
+
+  /** array<long> survivor ids of one cluster's members ([[SemDedupSurvivors]]). */
+  def semDedupSurvivors(members: Column, thr: Double): Column =
+    Bridge.column(SemDedupSurvivors(Bridge.expression(members), thr))
 
   /** array<long> of per-table LSH buckets ([[LshBucketSignature]]). */
   def lshBuckets(vec: Column, weights: Seq[Double], tables: Int, bits: Int,

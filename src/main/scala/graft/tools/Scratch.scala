@@ -327,6 +327,45 @@ object Scratch {
         }
       }
     }
+    if (sys.env.contains("SCRATCH_SEMDEDUP")) {
+      import org.apache.spark.sql.functions._
+      val S = graft.operators.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val seeds = S.kmeansSeeds(e, 8)
+      def t3(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-SEMDEDUP $label: best ${ts.min}%.3f (${ts.map(t => f"$t%.2f").mkString(",")})")
+      }
+      def asg() = e.select(col("vec_id"), col("embedding"),
+          S.centroidScores(seeds, "embedding").as("__sc"))
+        .select(col("vec_id"), col("embedding"),
+          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+          S.norm(col("embedding")).as("__n"))
+      def pairs() = {
+        val p = asg()
+        p.as("a").join(p.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .filter(graft.functions.Quantize.q6(S.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.__n") * col("b.__n"))) >= 0.45)
+          .select(col("b.vec_id").as("vec_id"))
+      }
+      t3("assign     ")(asg())
+      t3("pairs      ")(pairs())
+      def joinOnly() = {
+        val p = asg()
+        p.as("a").join(p.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("vec_id"))
+      }
+      t3("join-nocos ")(joinOnly())
+      def asgNoVec() = asg().select(col("vec_id"), col("cell"))
+      t3("join-novec ")(asgNoVec().as("a").join(asgNoVec().as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id")))
+    }
     if (sys.env.contains("SCRATCH_BUILDALL")) {
       for (i <- 1 to 3) {
         val tmp = java.nio.file.Files.createTempDirectory("scratch_ba")

@@ -47,6 +47,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupSurvivors kernel: rule semantics, both eval paths agree") {
+    import spark.implicits._
+    // cluster: 10 & 11 near-identical (dup: 11 drops), 12 orthogonal,
+    // 13 near 12 (drops), order scrambled to prove order-independence
+    val members = Seq(
+      (13L, Array(0.1f, 1.0f), math.sqrt(0.1 * 0.1 + 1.0)),
+      (10L, Array(1.0f, 0.0f), 1.0),
+      (12L, Array(0.0f, 1.0f), 1.0),
+      (11L, Array(0.999f, 0.01f), math.sqrt(0.999 * 0.999 + 0.01 * 0.01)))
+    val df2 = Seq((1, members)).toDF("cell", "m")
+      .select(col("cell"), expr("transform(m, x -> struct(x._1 as id, x._2 as v, x._3 as n))").as("m"))
+    def run(): Seq[Long] = df2.select(explode(
+        VectorExpressions.semDedupSurvivors(col("m"), 950000.5)).as("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(run() == Seq(10L, 12L))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == Seq(10L, 12L), "interpreted path diverges")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("null propagation and type checking") {
     val withNull = Seq((Option.empty[Array[Float]], Option(Array(1.0f))))
       .toDF("a", "b")
