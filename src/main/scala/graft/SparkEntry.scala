@@ -1028,6 +1028,18 @@ object SparkEntry {
       val cols = TextFunctions.gopherColumns(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
     }),
+    "text_c4_clean" -> ((s, dir) => {
+      // C4 line-level cleaning: kept lines + page verdict, one byte-scan
+      // kernel, map-only. The fixture corpus is single-line punctuation-
+      // free word salad, so the declared query first reshapes it into
+      // lines with two LITERAL replaces (engine-identical, no regex
+      // group-reference syntax divergence) — every rule then has real
+      // kept/dropped coverage; the operator itself takes any text.
+      val lined = replace(replace(col("text"),
+        lit(" table "), lit(" table.\n")), lit(" value "), lit(" value!\n"))
+      val cols = TextFunctions.c4Columns(lined).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
     "embed_quantize" -> ((s, dir) =>
       // symmetric int8 scalar quantization, long-form emission — map-only
       Similarity.quantizeInt8(t(s, dir, "embeddings"))))
@@ -2209,6 +2221,23 @@ object SparkEntry {
          | ${Quantize.sql6("pow(u, 0.3) / z")} AS weight
          |FROM per, tot""".stripMargin,
     "quality_gopher" -> qualityGopherSql,
+    "text_c4_clean" ->
+      """WITH ld AS (SELECT doc_id,
+        |  replace(replace(text, ' table ', ' table.' || chr(10)),
+        |          ' value ', ' value!' || chr(10)) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    regexp_matches(l, '[.!?"”][ \t\r\f]*\z')
+        |    AND len(regexp_extract_all(l, '[^ \t\r\f]+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM ld)
+        |SELECT doc_id,
+        | coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        | CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        | (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{')) AS keep
+        |FROM c""".stripMargin,
     "embed_quantize" ->
       s"""WITH sc AS (SELECT vec_id, embedding,
          |    ${Quantize.sql6("greatest(list_max(embedding)::DOUBLE, " +

@@ -325,6 +325,42 @@ object TextFunctions {
       when(text.isNull, lit(null).cast("long")).otherwise(stopHits))
   }
 
+  /**
+   * C4-style line-level cleaning (Raffel et al. 2020 §2.2, public): keep
+   * lines ending in terminal punctuation (`[.!?"”]`, trailing blanks
+   * allowed) with ≥ 5 words and no "javascript"; page verdict = ≥ 3 kept
+   * lines and no "lorem ipsum" / '{'. Emits (clean_text, n_lines_kept,
+   * keep) — the line-dropping twin of the document-level [[gopherColumns]]
+   * gate (C4 §2.2's sentence-count page rule is realized as the
+   * kept-LINE count — deterministic and engine-portable where sentence
+   * segmentation is neither). ONE byte-scan kernel
+   * ([[graft.plans.C4LineClean]]); the higher-order formulation
+   * [[c4ColumnsHof]] is the spec oracle pinning it (and the shape the
+   * DuckDB SQL mirrors with `list_filter`).
+   */
+  def c4Columns(text: Column): Seq[(String, Column)] = {
+    val sig = graft.plans.TextExpressions.c4LineClean(text)
+    Seq(
+      "clean_text" -> sig.getField("clean_text"),
+      "n_lines_kept" -> sig.getField("n_lines_kept"),
+      "keep" -> sig.getField("keep"))
+  }
+
+  /** The higher-order (interpreted-lambda) formulation pinning
+    * [[c4Columns]] — `filter(split(text, '\n'))` with the IDENTICAL
+    * line predicates, reassembled with `array_join`. */
+  private[graft] def c4ColumnsHof(text: Column): Seq[(String, Column)] = {
+    val kept = filter(split(text, "\n"), l =>
+      l.rlike("[.!?\"”][ \\t\\r\\f]*\\z") &&
+        regexp_count(l, lit("[^ \\t\\r\\f]+")) >= 5 &&
+        !lower(l).contains("javascript"))
+    Seq(
+      "clean_text" -> array_join(kept, "\n"),
+      "n_lines_kept" -> size(kept).cast("long"),
+      "keep" -> (size(kept) >= 3 &&
+        !lower(text).contains("lorem ipsum") && !text.contains("{")))
+  }
+
   /** Raw Gopher counters → emitted (signal, verdict) columns — shared by
     * the kernel and regex formulations so the rule arithmetic exists
     * exactly once. */

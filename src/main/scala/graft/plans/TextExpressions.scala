@@ -407,6 +407,47 @@ case class GopherSignals(left: Expression, right: Expression,
 }
 
 /**
+ * C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public) as ONE
+ * pass: keep only lines that end in a terminal punctuation mark
+ * (`[.!?"”]`, trailing blanks allowed), contain ≥ 5 words, and do not
+ * contain "javascript" (case-insensitive); page flags for "lorem ipsum" /
+ * '{' and a ≥3-kept-lines verdict. `left` = original text (line content,
+ * word counts, punctuation, brace), `right` = lowered text (the
+ * javascript / lorem-ipsum searches — full Unicode lowering, same as the
+ * oracle's `lower()`). Lowering never maps anything to '\n', so both
+ * children split into the SAME line count and line i of one is line i of
+ * the other — the kernel walks them in lockstep, so the emitted clean
+ * text is original bytes while the containment checks see the oracle's
+ * lowered view. Returns struct<clean_text, n_lines_kept, keep>; null
+ * text → null.
+ */
+case class C4LineClean(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines_kept", LongType, nullable = false),
+    StructField("keep", org.apache.spark.sql.types.BooleanType, nullable = false)))
+  override def prettyName: String = "c4_line_clean"
+
+  override def nullSafeEval(orig: Any, low: Any): Any =
+    ShingleHash.c4LineClean(orig.asInstanceOf[UTF8String], low.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, l) =>
+      s"${ev.value} = graft.plans.ShingleHash.c4LineClean($o, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * A chain of `regexp_replace` passes as ONE expression — same
  * `java.util.regex` engine, same patterns, same sequential-pass
  * semantics (pass i sees pass i−1's output), so output is IDENTICAL to
@@ -1210,6 +1251,81 @@ object ShingleHash {
       orig.numChars().toLong, toks, punct, digit, alnum)
   }
 
+  /** [[C4LineClean]] kernel: lockstep line walk over original + lowered
+    * bytes. Line rules match the oracle lambda exactly: terminal
+    * `[.!?"”]` after trailing `[ \t\r\f]*`, ≥ 5 `[^ \t\r\f]+` word runs,
+    * no "javascript" in the lowered line. Kept original lines re-join
+    * with '\n'. */
+  def c4LineClean(orig: UTF8String, low: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val ob = orig.getBytes
+    val lb = low.getBytes
+    @inline def isBlank(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\r' || b == '\f'
+    def lineEnd(a: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i < a.length && a(i) != '\n') i += 1
+      i
+    }
+    val js = "javascript".getBytes
+    val lorem = "lorem ipsum".getBytes
+    def containsAt(a: Array[Byte], from: Int, to: Int, pat: Array[Byte]): Boolean = {
+      var i = from
+      val last = to - pat.length
+      while (i <= last) {
+        var j = 0
+        while (j < pat.length && a(i + j) == pat(j)) j += 1
+        if (j == pat.length) return true
+        i += 1
+      }
+      false
+    }
+    def keepLine(os: Int, oe: Int, ls: Int, le: Int): Boolean = {
+      // terminal punctuation after trailing blanks
+      var e = oe
+      while (e > os && isBlank(ob(e - 1))) e -= 1
+      if (e == os) return false
+      val lastB = ob(e - 1)
+      val punct =
+        lastB == '.' || lastB == '!' || lastB == '?' || lastB == '"' ||
+          (e - os >= 3 && (ob(e - 3) & 0xFF) == 0xE2 &&
+            (ob(e - 2) & 0xFF) == 0x80 && (ob(e - 1) & 0xFF) == 0x9D) // ”
+      if (!punct) return false
+      // ≥ 5 word runs
+      var words = 0
+      var inRun = false
+      var i = os
+      while (i < oe && words < 5) {
+        val blank = isBlank(ob(i))
+        if (!blank && !inRun) words += 1
+        inRun = !blank
+        i += 1
+      }
+      if (words < 5) return false
+      !containsAt(lb, ls, le, js)
+    }
+    val out = new java.io.ByteArrayOutputStream(ob.length)
+    var kept = 0L
+    var oi = 0
+    var li = 0
+    var done = false
+    while (!done) {
+      val oe = lineEnd(ob, oi)
+      val le = lineEnd(lb, li)
+      if (keepLine(oi, oe, li, le)) {
+        if (kept > 0) out.write('\n')
+        out.write(ob, oi, oe - oi)
+        kept += 1
+      }
+      done = oe >= ob.length
+      oi = oe + 1
+      li = le + 1
+    }
+    val keep = kept >= 3 && !containsAt(lb, 0, lb.length, lorem) &&
+      !containsAt(ob, 0, ob.length, Array[Byte]('{'))
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromBytes(out.toByteArray), kept, keep)
+  }
+
   /** [[GopherSignals]] kernel: every Gopher-gate counter in one byte
     * scan of the original text + one of the lowered text. Automata
     * emulate leftmost non-overlapping regex matching — see the
@@ -1383,6 +1499,13 @@ object TextExpressions {
   def gopherSignals(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(GopherSignals(
       Bridge.expression(text), Bridge.expression(lower(text)), stopwords))
+
+  /** struct<clean_text, n_lines_kept, keep> C4 line cleaning in one
+    * lockstep pass over original + lowered bytes ([[C4LineClean]]);
+    * null text → null. */
+  def c4LineClean(text: Column): Column =
+    Bridge.column(C4LineClean(
+      Bridge.expression(text), Bridge.expression(lower(text))))
 
   /** array<int> of DSIR hashed uni+bigram feature buckets
     * ([[Md5FeatureBuckets]]) — bit-identical to hashing

@@ -71,6 +71,21 @@ class PropertySpec extends AnyFunSuite {
     val gR = canon(docs.select(col("doc_id") +:
       TextFunctions.gopherColumnsRegex(col("text")).map { case (n, c) => c.as(n) }: _*))
     assert(gK == gR, "gopherSignals diverges on random text")
+    // C4 line cleaner vs its higher-order pin on the same line-shaped fuzz
+    // plus its own triggers (terminal marks, word-count edges, javascript
+    // in mixed case, lorem/brace page flags, CRLF tails)
+    val c4atoms = atoms ++ Seq("?", "\"", "”", "one two three four five.",
+      "JavaScript", "javascript", "lorem ipsum", "{", "\r\n", " .", ".\r",
+      "a b c d e f.", "w x y")
+    def ctext(maxLen: Int): String =
+      (1 to rnd.nextInt(maxLen)).map(_ => c4atoms(rnd.nextInt(c4atoms.length))).mkString
+    val cdocs = ((1 to 400).map(i => (i.toLong, ctext(40))) :+
+      (9999L -> null.asInstanceOf[String])).toDF("doc_id", "text")
+    val cK = canon(cdocs.select(col("doc_id") +:
+      TextFunctions.c4Columns(col("text")).map { case (n, c) => c.as(n) }: _*))
+    val cH = canon(cdocs.select(col("doc_id") +:
+      TextFunctions.c4ColumnsHof(col("text")).map { case (n, c) => c.as(n) }: _*))
+    assert(cK == cH, "c4LineClean diverges on random text")
   }
 
   test("property: round-10 kernels == regex formulations on random unicode text") {

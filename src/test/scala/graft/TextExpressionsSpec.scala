@@ -89,6 +89,43 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(m(9308L).getAs[Long]("stop_hits") == 1) // only bare "have" hits
   }
 
+  test("c4LineClean kernel == higher-order filter formulation") {
+    val adv = Seq(
+      (9401L, "This line has five words total.\nshort line.\ntoo few words\n" +
+        "Another proper sentence with enough words here!\nAnd a third keeper sentence right here?"),
+      (9402L, "Embedded javascript should drop this whole line now.\n" +
+        "A clean line with plenty of words stays.  \nJAVASCRIPT in caps also drops the line here."),
+      (9403L, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "Second valid sentence with the required word count.\n" +
+        "Third valid sentence with the required word count too."),
+      (9404L, "A brace { disqualifies the page despite clean lines one.\n" +
+        "A second sentence with enough words to keep going.\n" +
+        "A third sentence with enough words to keep going."),
+      (9405L, "Unicode terminal quote line with six words here”\nNo terminal punctuation here at all"),
+      (9406L, "trailing blanks after punct still keep this line .   \r\n" +
+        "CRLF line endings must not break the terminal check.\r\nthird one keeps the page verdict alive.\r"),
+      (9407L, ""),
+      (9408L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = both.unionByName(adv)
+    val kernel = docs.select(col("doc_id") +:
+      TextFunctions.c4Columns(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val hof = docs.select(col("doc_id") +:
+      TextFunctions.c4ColumnsHof(col("text")).map { case (n, c) => c.as(n) }: _*)
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+      "c4 clean mismatch vs higher-order formulation")
+    val m = kernel.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(9401L).getAs[Long]("n_lines_kept") == 3 && m(9401L).getAs[Boolean]("keep"))
+    assert(m(9402L).getAs[Long]("n_lines_kept") == 1 &&
+      m(9402L).getAs[String]("clean_text").startsWith("A clean line"))
+    assert(!m(9403L).getAs[Boolean]("keep"), "lorem ipsum page must drop")
+    assert(!m(9404L).getAs[Boolean]("keep"), "brace page must drop")
+    assert(m(9405L).getAs[Long]("n_lines_kept") == 1)
+    assert(m(9406L).getAs[Long]("n_lines_kept") == 3 && m(9406L).getAs[Boolean]("keep"))
+    assert(m(9407L).getAs[Long]("n_lines_kept") == 0 && !m(9407L).getAs[Boolean]("keep"))
+    assert(m(9408L).isNullAt(m(9408L).fieldIndex("keep")))
+  }
+
   test("langIdDecide kernel == regex + fold langId formulation") {
     val adv = Seq(
       (9201L, "the and of to in is that for"),          // clean en
