@@ -16,6 +16,9 @@ import graft.operators.{Corpus, Materialize, Selection}
  *   [normalizeText: punctuation fold + whitespace/control chain —
  *      applied to the source frame, so every later text consumer sees
  *      normalized text]
+ *   [→ c4_clean: C4 line-level cleaning
+ *      ([[graft.functions.TextFunctions.c4Columns]]) — failing lines
+ *      leave the text, failing pages leave the corpus]
  *   [→ gopher_gate: the Gopher rule filter
  *      ([[graft.functions.TextFunctions.gopherColumns]] keep verdict) on
  *      the source frame — map-only, before any pair machinery]
@@ -101,7 +104,18 @@ object TrainingSetJob {
       else stripped.withColumn("text",
         graft.functions.TextFunctions.normalizeText(col("text")))
     }
-    val docs0 = normalized(raw)
+    val docs1 = normalized(raw)
+    // optional C4 line-level cleaning BEFORE the document-level gates:
+    // failing lines leave the text, failing pages leave the corpus, and
+    // every later stage (gopher stats, dedup shingles, chunking) sees the
+    // line-cleaned form. One kernel evaluation per row (the struct
+    // projects once; filter and substitution read its fields).
+    val docs0 = if (!cfg.c4Clean) docs1
+      else docs1
+        .withColumn("__c4", graft.plans.TextExpressions.c4LineClean(col("text")))
+        .filter(col("__c4.keep"))
+        .withColumn("text", col("__c4.clean_text"))
+        .drop("__c4")
     // optional Gopher rule gate (quality_gopher's keep verdict) applied
     // to the source frame itself — the standard web-scale pre-filter,
     // map-only, so everything downstream (dedup shingles, eval
@@ -298,6 +312,7 @@ object TrainingSetJob {
       node.put("strata_col", c)
       node.put("strata_default_pct", cfg.strataDefaultPct)
     }
+    node.put("c4_clean", cfg.c4Clean)
     node.put("gopher_gate", cfg.gopherGate)
     if (cfg.mixWeights.nonEmpty || cfg.mixAlpha.nonEmpty) {
       node.put("mix_budget", cfg.mixBudget)

@@ -30,6 +30,7 @@ final case class TrainingSetConfig(
     strataDefaultPct: Int = 100,
     capPerStratum: Option[Int] = None,
     capStrataCol: String = "source",
+    c4Clean: Boolean = false,
     gopherGate: Boolean = false,
     mixWeights: Map[String, Double] = Map.empty,
     mixAlpha: Option[Double] = None,
@@ -106,6 +107,7 @@ object TrainingSetConfig {
       strataDefaultPct = int("strata_default_pct", 100),
       capPerStratum = optNode("cap_per_stratum").map(_.asInt),
       capStrataCol = text("cap_strata_col", "source"),
+      c4Clean = bool("c4_clean", d = false),
       gopherGate = bool("gopher_gate", d = false),
       mixWeights = optNode("mix_weights").map(r =>
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)

@@ -145,6 +145,36 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("gopher_gate").asBoolean)
   }
 
+  test("c4 clean stage: bad lines leave the text, bad pages leave the corpus") {
+    import spark.implicits._
+    def page(tag: String) =
+      s"The first $tag sentence has plenty of words here.\n" +
+        "bad fragment\n" +
+        s"The second $tag sentence also carries enough words along.\n" +
+        s"The third $tag sentence closes the page out properly."
+    val dir = java.nio.file.Files.createTempDirectory("c4_in").toString
+    (Seq.tabulate(3)(i => (i.toLong, page(s"p$i"), "src3")) ++
+      Seq((10L, "only one good sentence with enough words here.\nnothing else", "src3")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_c4").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"c4_clean":true,"min_jaccard":0.99,"chunk_budget":64,
+        |"pack_groups":2,"n_shards":2}""".stripMargin)
+    val r = TrainingSetJob.run(spark, dir, outRoot, cfg)
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    val kept = shards.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L), s"kept: $kept") // page 10: < 3 kept lines
+    // the shipped text is the LINE-CLEANED form ("bad fragment" gone)
+    val texts = shards.select(col("text")).collect().map(_.getString(0))
+    assert(texts.forall(t => !t.contains("bad fragment") && t.count(_ == '\n') == 2))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("c4_clean").asBoolean)
+    assert(r.cleanDocs == 3)
+  }
+
   test("upsampling mixture: copies ship with distinct identities end to end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // budget chosen so src3's rate lands at ~2 epochs over its CLEANED mass
