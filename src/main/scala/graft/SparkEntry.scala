@@ -1042,7 +1042,11 @@ object SparkEntry {
     }),
     "embed_quantize" -> ((s, dir) =>
       // symmetric int8 scalar quantization, long-form emission — map-only
-      Similarity.quantizeInt8(t(s, dir, "embeddings"))))
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    "chunk_docs_overlap" -> ((s, dir) =>
+      // sliding-window chunking (budget 64, stride 32): RAG/pretraining
+      // prep with shared context across boundaries — map-only
+      Corpus.chunkDocsOverlap(t(s, dir, "documents"), budget = 64, stride = 32)))
 
   /** Build steps — artifact constructions, NOT queries. Bench times them
     * alongside `queries` (training cost stays on the ledger) but Verify
@@ -2248,7 +2252,18 @@ object SparkEntry {
          |SELECT vec_id, scale, CAST(dim AS INTEGER) AS dim,
          | CAST(CASE WHEN scale = 0 THEN 0
          |      ELSE greatest(least(floor(v / scale + 0.5), 127), -127) END AS BIGINT) AS code
-         |FROM ev""".stripMargin)
+         |FROM ev""".stripMargin,
+    "chunk_docs_overlap" ->
+      // the chunkDocsSql shape with stride-32 starts and budget-64 slices;
+      // the nums bound (4096 windows = 128k tokens/doc at stride 32) is a
+      // fixture bound for this statement only
+      """WITH nums AS (SELECT generate_series AS i FROM generate_series(0, 4095)),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |SELECT doc_id, i AS chunk,
+        | printf('%s#%09d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
+        | array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text,
+        | CAST(len(t[i*32+1 : i*32+64]) AS BIGINT) AS n_tokens
+        |FROM toks JOIN nums ON i <= greatest(len(t) - 1, 0) // 32""".stripMargin)
 
   /** DuckDB twin of [[TextFunctions.gopherColumns]] — the IDENTICAL RE2-safe
     * regex strings (explicit whitespace classes, `\z` not `$`, no

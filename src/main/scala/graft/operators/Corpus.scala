@@ -1095,6 +1095,36 @@ object Corpus {
   }
 
   /**
+   * OVERLAPPING (sliding-window) chunking — the RAG/pretraining prep
+   * variant of [[chunkDocs]]: window k covers tokens [k·stride,
+   * k·stride + budget), windows start while k·stride < tokens (a doc
+   * with no tokens still emits one empty window, like [[chunkDocs]]).
+   * With `stride == budget` this IS [[chunkDocs]] (identical membership
+   * and ids — the hash-verified bridge); `stride < budget` gives each
+   * consecutive pair `budget − stride` shared context tokens, the
+   * standard retrieval-chunking trade (no sentence is ever split from
+   * its context at a hard boundary).
+   *
+   * Same shape as [[chunkDocs]]: sequence + explode + bulk slice,
+   * map-only, no shuffle; fan-out ≈ tokens/stride per doc.
+   */
+  def chunkDocsOverlap(docs: DataFrame, budget: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(stride > 0 && stride <= budget,
+      s"stride must be in [1, budget]: $stride (budget $budget)")
+    docs.select(col(idCol), TextFunctions.wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), explode(sequence(lit(0L),
+        expr(s"greatest(size(__toks) - 1, 0) div $stride"))).as("chunk"))
+      .withColumn("__ctoks",
+        slice(col("__toks"), (col("chunk") * stride + 1).cast("int"), lit(budget)))
+      .select(col(idCol), col("chunk"),
+        format_string("%s#%09d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
+        concat_ws(" ", col("__ctoks")).as("chunk_text"),
+        size(col("__ctoks")).cast("long").as("n_tokens"))
+  }
+
+  /**
    * Cost-aware document chunking: like [[chunkDocs]], but the budget
    * counts a PLUGGABLE per-token cost instead of "1 per whitespace
    * token" — pass `TextFunctions.bpeCount(_, merges)` and chunk

@@ -268,6 +268,38 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocsOverlap: stride=budget equals chunkDocs; stride<budget shares context") {
+    val docs = Seq(
+      (0L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 tokens
+      (1L, "one two three"),
+      (2L, ""),
+      (3L, (1 to 8).map(i => s"t$i").mkString(" ")))  // exact multiple of stride
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // bridge: stride == budget degenerates to the plain chunker
+    assert(rows(Corpus.chunkDocsOverlap(docs, 4, 4)) ==
+      rows(Corpus.chunkDocs(docs, 4)))
+    // budget 4, stride 2: window k covers [2k, 2k+4)
+    val ch = Corpus.chunkDocsOverlap(docs, budget = 4, stride = 2).collect()
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+    // doc 0: 11 tokens → starts at 0,2,4,6,8,10 → 6 windows
+    val d0 = byDoc(0L).sortBy(_.getAs[Long]("chunk"))
+    assert(d0.length == 6)
+    assert(d0.map(_.getAs[String]("chunk_text")).take(2).toSeq ==
+      Seq("w1 w2 w3 w4", "w3 w4 w5 w6")) // 2 shared context tokens
+    assert(d0.last.getAs[String]("chunk_text") == "w11")
+    // doc 3: 8 tokens → starts 0,2,4,6 → windows 4,4,4,2 tokens
+    assert(byDoc(3L).map(_.getAs[Long]("n_tokens")).sorted.toSeq == Seq(2L, 4L, 4L, 4L))
+    // empty doc still emits one (empty) window
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[String]("chunk_text") == "")
+    // every token of doc 0 appears in ≥1 window; interior tokens in exactly 2
+    val cover = d0.flatMap(_.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, o) => t -> o.length }
+    assert((1 to 11).forall(i => cover.getOrElse(s"w$i", 0) >= 1))
+    assert((3 to 10).forall(i => cover(s"w$i") == 2), s"coverage: $cover")
+  }
+
   test("chunkDocsByCost: unit cost equals chunkDocs exactly; BPE costs conserve totals") {
     import graft.functions.TextFunctions
     val docs = Seq(
