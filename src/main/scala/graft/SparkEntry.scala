@@ -1020,6 +1020,18 @@ object SparkEntry {
       // MEANING (paraphrases), cell-keyed self-join, never all-pairs
       Similarity.semanticDedupClustered(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir),
         minCosine = 0.45)),
+    "dedup_semantic_inc" -> ((s, dir) => {
+      // persisted-registry increment ≡ fused dedup over the union
+      // restricted to the batch (shared-oracle pattern, like
+      // nb_classify_inc): registry = vec_id < 300, batch = the rest
+      val e = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sem_registry_${
+        Integer.toHexString(dir.hashCode)}"
+      Similarity.writeSemanticRegistry(
+        e.filter(col("vec_id") < 300), kmeansSeedsOf(s, dir), path)
+      Similarity.semanticDedupIncrement(
+        e.filter(col("vec_id") >= 300), kmeansSeedsOf(s, dir), path, minCosine = 0.45)
+    }),
     "mix_temperature" -> ((s, dir) =>
       // temperature-scaled mixture weights (α = 0.3, the XLM-R setting):
       // one agg to #strata rows + a broadcast total — no driver model
@@ -2215,6 +2227,23 @@ object SparkEntry {
              "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))")} >= 0.45)
          |SELECT g.vec_id, CAST(g.cell AS INTEGER) AS cell FROM asg g
          |WHERE g.vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+    // the increment ships exactly the fused run's batch-side survivors:
+    // registry ids (< 300, including all 8 seeds) precede batch ids, so
+    // the registry∪batch semantics equal the fused dedup restricted to
+    // the batch — one oracle statement verifies persist/probe ≡ fused
+    "dedup_semantic_inc" ->
+      s"""WITH $kmeansSqlBody,
+         |dup AS (SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${Quantize.sql6(
+           "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / " +
+             "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * " +
+             "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))")} >= 0.45)
+         |SELECT g.vec_id, CAST(g.cell AS INTEGER) AS cell FROM asg g
+         |WHERE g.vec_id >= 300
+         | AND g.vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     "mix_temperature" ->
       s"""WITH per AS (SELECT CAST(source AS VARCHAR) AS source, count(*) AS n_docs,
          |         CAST(sum(n_chars) AS DOUBLE) AS u

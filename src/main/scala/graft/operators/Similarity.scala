@@ -1090,6 +1090,78 @@ object Similarity {
     }
   }
 
+  /** The assignment relation [[semanticDedupClustered]] pairs on,
+    * persisted cell-partitioned — the registry an INCREMENT probes
+    * without rescanning the corpus. Holds EVERY member (not just
+    * survivors): the dedup rule quantifies over all smaller-id mates,
+    * so dropping non-survivors from the registry would change later
+    * verdicts (a dropped near-dup can be the only ≥τ witness). */
+  def writeSemanticRegistry(embeddings: DataFrame, centroids: Array[Array[Float]],
+      path: String, vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    require(centroids.nonEmpty, "writeSemanticRegistry: no centroids")
+    embeddings
+      .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        norm(col(vecCol)).as("nrm"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /**
+   * INCREMENTAL [[semanticDedupClustered]]: the production shape for a
+   * corpus that grows batch by batch — survivors among the NEW batch
+   * only, where a new vector drops iff ANY registry member of its cell
+   * OR any smaller-id new cell-mate sits at quantized cosine ≥ τ.
+   * Registry members always outrank the batch (they already shipped), so
+   * with registry ids < batch ids this is EXACTLY the fused operator
+   * over (registry ∪ batch) restricted to the batch — the hash-verified
+   * `dedup_semantic_inc` equivalence.
+   *
+   * Same single-aggregation shape as the fused form: the registry read
+   * is cell-partition-pruned parquet, the union groups on cell once, and
+   * the row-local kernel does the pairing. Rank is encoded in the
+   * kernel's order key: registry members carry `id − 2⁶²` (strictly
+   * below any batch id, preserving their relative order), so the one
+   * kernel serves both forms; negative survivor keys (registry members,
+   * never droppable) are filtered out of the output.
+   */
+  def semanticDedupIncrement(batch: DataFrame, centroids: Array[Array[Float]],
+      registryPath: String, minCosine: Double, maxCell: Option[Long] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedupIncrement: no centroids")
+    val spark = batch.sparkSession
+    val reg = spark.read.parquet(registryPath)
+      .select((col(idCol) - lit(1L << 62)).as(idCol), col(vecCol),
+        col("cell").cast("int").as("cell"), col("nrm").as("__n"))
+    val asg = batch
+      .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        norm(col(vecCol)).as("__n"))
+    val thr = {
+      val m0 = math.floor(minCosine * 1e6).toLong - 1
+      Iterator.iterate(m0)(_ + 1).find(m => m.toDouble / 1e6 >= minCosine).get
+    }
+    val all = reg.unionByName(asg)
+    val fromPairing = Dedup.capBuckets(all, Seq("cell"), maxCell)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col(idCol), col(vecCol), col("__n"))).as("__m"))
+      .select(explode(graft.plans.VectorExpressions.semDedupSurvivors(
+        col("__m"), thr.toDouble)).as(idCol), col("cell"))
+      .filter(col(idCol) >= 0L)
+      .select(col(idCol), col("cell"))
+    maxCell match {
+      case None => fromPairing
+      case Some(c) =>
+        val overCap = all.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") > c).select(col("cell"))
+        fromPairing.unionByName(
+          asg.join(broadcast(overCap), Seq("cell"), "left_semi")
+            .select(col(idCol), col("cell")))
+    }
+  }
+
   /**
    * Symmetric int8 scalar quantization of an embedding column — the
    * storage/serving compression ladder's first rung (4× smaller than

@@ -1185,6 +1185,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(capped.count() == e.count())
   }
 
+  test("incremental SemDeDup: registry + batch probe == fused dedup restricted to the batch") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 4)
+    val path = java.nio.file.Files.createTempDirectory("sem_reg").toString + "/reg"
+    Similarity.writeSemanticRegistry(e.filter(col("vec_id") < 60), seeds, path)
+    val inc = Similarity.semanticDedupIncrement(
+      e.filter(col("vec_id") >= 60), seeds, path, minCosine = 0.45)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toSet
+    val fused = Similarity.semanticDedupClustered(e, seeds, minCosine = 0.45)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toSet
+      .filter(_._1 >= 60)
+    assert(inc == fused, s"inc ${inc.size} vs fused-batch ${fused.size}")
+    assert(inc.nonEmpty && inc.size < e.filter(col("vec_id") >= 60).count(),
+      "fixture must exercise both keep and drop paths")
+    // a second, later batch probes the same registry without rescanning old vectors
+    val scans = SparkTestBase.fileScans(Similarity.semanticDedupIncrement(
+      e.filter(col("vec_id") >= 60), seeds, path, 0.45))
+    assert(scans.exists(_.relation.location.rootPaths.exists(_.toString.contains("sem_reg"))),
+      "increment must serve the old side from the registry")
+  }
+
   test("temperature mixture: alpha=1 is the natural mix, alpha<1 lifts the small source") {
     val docs = Seq.tabulate(40)(i => (i.toLong, if (i < 36) "big" else "small", 100L))
       .toDF("doc_id", "source", "n_chars")
