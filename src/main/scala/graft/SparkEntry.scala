@@ -310,6 +310,27 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), Quantize.quantize(sum(col("value")), 4).as("total"))
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))),
+    "events_ohlc" -> ((s, dir) => {
+      // OHLC downsampling per (user, hour): open/close are the earliest/
+      // latest values SELECTED via lexicographic min/max over
+      // (ts, event_id, value) structs — ONE map-side-combinable
+      // aggregation (no per-bucket sort window), event_id breaking ts
+      // ties deterministically; picked values are exact doubles (no
+      // arithmetic), so no quantization is needed for hash parity
+      // hour truncation via FIELD extraction (make_timestamp_ntz of the
+      // wall-clock y/m/d/h) — date_trunc would implicitly cast NTZ →
+      // session-tz TimestampType (INT96 in the dump, tz-dependent
+      // semantics); this stays in the NTZ domain end to end
+      val key = struct(col("ts"), col("event_id"), col("value"))
+      val bucket = make_timestamp_ntz(year(col("ts")), month(col("ts")),
+        dayofmonth(col("ts")), hour(col("ts")), lit(0), lit(0))
+      events(s, dir)
+        .groupBy(col("user_id"), bucket.as("bucket"))
+        .agg(min(key).getField("value").as("open"),
+          max(key).getField("value").as("close"),
+          min(col("value")).as("low"), max(col("value")).as("high"),
+          count(lit(1)).as("n"))
+    }),
     // --- training-data ops: text (SURVEY north star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_paragraphs" -> ((s, _) =>
@@ -1601,6 +1622,13 @@ object SparkEntry {
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
         | floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_ohlc" ->
+      """SELECT user_id,
+        | make_timestamp(year(ts), month(ts), day(ts), hour(ts), 0, 0) AS bucket,
+        | min(struct_pack(t := ts, e := event_id, v := value)).v AS open,
+        | max(struct_pack(t := ts, e := event_id, v := value)).v AS close,
+        | min(value) AS low, max(value) AS high, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
