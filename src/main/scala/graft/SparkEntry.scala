@@ -310,6 +310,11 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), Quantize.quantize(sum(col("value")), 4).as("total"))
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))),
+    "events_resample" -> ((s, dir) =>
+      // hourly LOCF grid per user between first and last observation —
+      // the asof-join union/window trick on a GENERATED left side
+      graft.operators.TimeSeries.resampleLocf(events(s, dir), Seq("user_id"),
+        "ts", "value", stepSeconds = 3600, idCol = "event_id")),
     "events_ohlc" -> ((s, dir) => {
       // OHLC downsampling per (user, hour): open/close are the earliest/
       // latest values SELECTED via lexicographic min/max over
@@ -1623,6 +1628,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
         | floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_resample" ->
+      """WITH b AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 3600 SECOND)) AS ts
+        |      FROM b),
+        |u AS (SELECT user_id, ts, value AS v, 0 AS side, event_id AS id FROM events
+        |      UNION ALL SELECT user_id, ts, NULL, 1, NULL FROM g),
+        |f AS (SELECT user_id, ts, side,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY ts, side, coalesce(id, -1)
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |      FROM u)
+        |SELECT user_id, ts, value FROM f WHERE side = 1""".stripMargin,
     "events_ohlc" ->
       """SELECT user_id,
         | make_timestamp(year(ts), month(ts), day(ts), hour(ts), 0, 0) AS bucket,

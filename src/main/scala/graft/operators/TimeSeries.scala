@@ -214,4 +214,49 @@ object TimeSeries {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /**
+   * Resample to a regular per-key grid with last-observation-carried-
+   * forward: emit one row per (key, grid instant) for instants spaced
+   * `stepSeconds` apart between each key's first and last observation,
+   * carrying the most recent observed `valueCol` at-or-before the
+   * instant (the grid origin is the first observation itself, so every
+   * emitted instant has a value).
+   *
+   * Shape: the [[asofJoin]] trick applied to a GENERATED left side — per-
+   * key bounds (one small aggregation), `sequence()` explodes the grid
+   * (map-only fan-out), then observations ∪ grid points flow through ONE
+   * key-partitioned window taking the last non-null value in (ts, side,
+   * id) order — observations sort before the grid instant they tie with
+   * (inclusive semantics, like [[asofJoin]]), `idCol` breaks same-ts
+   * observation ties deterministically (null id on grid rows coalesces
+   * to -1, ordering identically in engines that disagree on null order).
+   * One shuffle for the bounds, one for the window — no inequality join,
+   * no per-key quadratic anything.
+   *
+   * The grid aligns to the key's FIRST observation (t₀, t₀+step, …):
+   * alignment needs no calendar truncation, so the whole operator stays
+   * in the NTZ domain with second arithmetic only.
+   */
+  def resampleLocf(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, stepSeconds: Long, idCol: String): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val keyC = keyCols.map(col)
+    val bounds = events.groupBy(keyC: _*)
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+    val grid = bounds.select(keyC :+ explode(sequence(col("__t0"), col("__t1"),
+      expr(s"INTERVAL $stepSeconds SECOND"))).as(tsCol): _*)
+    val obs = events.select(keyC ++ Seq(col(tsCol), col(valueCol).as("__v"),
+      lit(0).as("__side"), col(idCol).cast("long").as("__id")): _*)
+    val gr = grid.select(keyC ++ Seq(col(tsCol), lit(null).cast(
+      events.schema(valueCol).dataType).as("__v"),
+      lit(1).as("__side"), lit(null).cast("long").as("__id")): _*)
+    val w = Window.partitionBy(keyC: _*)
+      .orderBy(col(tsCol), col("__side"), coalesce(col("__id"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(gr)
+      .withColumn("__locf", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keyC ++ Seq(col(tsCol), col("__locf").as(valueCol)): _*)
+  }
 }

@@ -960,6 +960,28 @@ class CorpusSpec extends AnyFunSuite {
       5L -> Some(9.0)))
   }
 
+  test("resampleLocf: hourly grid from first observation, LOCF values, tie rules") {
+    import graft.operators.TimeSeries
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:30:00", 1.0),
+      (2L, 10L, "2024-01-01 01:45:00", 2.0),
+      (3L, 10L, "2024-01-01 01:45:00", 3.0), // same-ts tie: higher event_id wins
+      (4L, 10L, "2024-01-01 03:30:00", 4.0), // grid instant 02:30 carries 3.0
+      (5L, 20L, "2024-01-01 05:00:00", 9.0)) // single-obs key: one grid point
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val out = TimeSeries.resampleLocf(ev, Seq("user_id"), "ts", "value",
+        stepSeconds = 3600, idCol = "event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("ts").toString) -> r.getAs[Double]("value")).toMap
+    assert(out == Map(
+      (10L, "2024-01-01T00:30") -> 1.0, // grid origin = first obs, carries itself
+      (10L, "2024-01-01T01:30") -> 1.0,
+      (10L, "2024-01-01T02:30") -> 3.0, // both 01:45 obs precede; max event_id wins
+      (10L, "2024-01-01T03:30") -> 4.0, // obs at the instant itself is inclusive
+      (20L, "2024-01-01T05:00") -> 9.0), s"got $out")
+  }
+
   test("asofJoin: single shuffle on the key, micros-timestamp inputs (plan)") {
     import graft.operators.TimeSeries
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
