@@ -842,6 +842,18 @@ object SparkEntry {
       Corpus.packSequences(
         Corpus.chunkDocs(t(s, dir, "documents"), budget = 64),
         budget = 64, groups = 8, tokenCol = "n_tokens", idCol = "chunk_id")),
+    "pack_boundaries" -> ((s, dir) =>
+      // the trainer-facing manifest of the packed layout: one row per
+      // (grp, bin) with each member's start offset INSIDE the bin — the
+      // attention-reset metadata sequence packing exists to provide (a
+      // straddler's negative offset says it began in the previous bin).
+      // One aggregation over the packer's window output; the manifest is
+      // a sort_array'd string so the emission is engine-order-free.
+      Corpus.packBoundaries(
+        Corpus.packSequences(
+          Corpus.chunkDocs(t(s, dir, "documents"), budget = 64),
+          budget = 64, groups = 8, tokenCol = "n_tokens", idCol = "chunk_id"),
+        budget = 64, idCol = "chunk_id")),
     "decontaminate" -> ((s, dir) => {
       // benchmark decontamination: a deterministic 5% hash sample stands
       // in as the "eval set"; corpus docs sharing >= 5 word-3-grams with
@@ -2032,6 +2044,22 @@ object SparkEntry {
          | FROM d)
          |SELECT chunk_id, grp, (greatest(running, 1) - 1) // 64 AS bin,
          | n_tokens, running FROM r""".stripMargin,
+    "pack_boundaries" ->
+      s"""${chunkDocsSql},
+         |d AS (SELECT chunk_id, ${hashBucketSql("chunk_id", 8)} AS grp, n_tokens FROM ch),
+         |r AS (
+         | SELECT chunk_id, grp, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         | FROM d),
+         |pk AS (SELECT chunk_id, grp, (greatest(running, 1) - 1) // 64 AS bin,
+         |        n_tokens, running FROM r)
+         |SELECT grp, bin, count(*) AS n_chunks,
+         | CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         | string_agg(chunk_id || '@' || CAST(running - n_tokens - bin * 64 AS VARCHAR),
+         |   ',' ORDER BY chunk_id || '@' ||
+         |     CAST(running - n_tokens - bin * 64 AS VARCHAR)) AS manifest
+         |FROM pk GROUP BY 1, 2""".stripMargin,
     "decontaminate" ->
       s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
          |${shingleCtesSql("documents", "c")},

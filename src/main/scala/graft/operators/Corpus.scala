@@ -1204,4 +1204,30 @@ object Corpus {
       .withColumn("bin", expr(s"(greatest(running, 1L) - 1L) div ${budget}L"))
       .select(col(idCol), col("grp"), col("bin"), col(tokenCol), col("running"))
   }
+
+  /**
+   * The trainer-facing manifest of a [[packSequences]] layout: one row
+   * per (grp, bin) with member count, token total, and each member's
+   * start OFFSET within the bin as a `id@offset` list — the
+   * attention-reset metadata packed-sequence training needs (a document
+   * boundary inside a bin is where the mask resets). A bin's straddling
+   * head unit reports a NEGATIVE offset: it began `-offset` tokens
+   * before this bin's base, exactly the information a loader needs to
+   * skip its tail-in-previous-bin prefix.
+   *
+   * One map-side-combinable aggregation over the packer output; the
+   * manifest joins `sort_array`'d strings, so emission order is
+   * engine-free (the string sort, not collect order, defines it).
+   */
+  def packBoundaries(packed: DataFrame, budget: Long,
+      tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val off = (col("running") - col(tokenCol) - col("bin") * budget).cast("long")
+    packed
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(tokenCol)).as("bin_tokens"),
+        concat_ws(",", sort_array(collect_list(
+          concat(col(idCol), lit("@"), off.cast("string"))))).as("manifest"))
+  }
 }
