@@ -326,6 +326,15 @@ object SparkEntry {
       // wall-clock y/m/d/h) — date_trunc would implicitly cast NTZ →
       // session-tz TimestampType (INT96 in the dump, tz-dependent
       // semantics); this stays in the NTZ domain end to end
+      // min/max over (ts, event_id, value) structs select open/close in
+      // ONE aggregation. Plan note: ordered-selection aggregates (struct
+      // min/max, min_by/max_by, string min/max — any non-fixed-width
+      // buffer) plan as SortAggregate in Spark; the sort is PARTIAL-side
+      // and partition-local (map-side combine still emits one row per
+      // (user, hour) into the exchange), so it is a measured constant
+      // factor (~3× hash-agg cost at 128×, SCALING.md), not a scale
+      // break — and the alternatives (encode-into-long, join-back) all
+      // compromise tie semantics or add a corpus-sized join.
       val key = struct(col("ts"), col("event_id"), col("value"))
       val bucket = make_timestamp_ntz(year(col("ts")), month(col("ts")),
         dayofmonth(col("ts")), hour(col("ts")), lit(0), lit(0))

@@ -241,6 +241,19 @@ object Scratch {
             graft.streaming.StreamingOps.sessionizeBatch(
               ev().select(col("event_id"), col("user_id"), col("ts"),
                 col("event_type"), col("value")), gapMin = 30)))
+          p("ohlc   ", harness(() => {
+            val d = ev()
+            val key = struct(col("ts"), col("event_id"), col("value"))
+            d.groupBy(col("user_id"), make_timestamp_ntz(year(col("ts")),
+                month(col("ts")), dayofmonth(col("ts")), hour(col("ts")),
+                lit(0), lit(0)).as("bucket"))
+              .agg(min(key).getField("value").as("open"),
+                max(key).getField("value").as("close"),
+                min(col("value")).as("low"), max(col("value")).as("high"),
+                count(lit(1)).as("n"))
+          }))
+          p("resamp ", harness(() => graft.operators.TimeSeries.resampleLocf(
+            ev(), Seq("user_id"), "ts", "value", 3600, "event_id")))
         }
         if (sys.env.contains("SCRATCH_SCALE_CLEAN")) {
           // the flagship pipeline end-to-end: gates (now kernelized) see
@@ -294,6 +307,14 @@ object Scratch {
           p("gopherR", harness(() => scaled().select(col("doc_id") +:
             graft.functions.TextFunctions.gopherColumnsRegex(col("text"))
               .map { case (nm, c) => c.as(nm) }: _*)))
+          p("c4K    ", harness(() => scaled().select(col("doc_id") +:
+            graft.functions.TextFunctions.c4Columns(col("text"))
+              .map { case (nm, c) => c.as(nm) }: _*)))
+          p("c4H    ", harness(() => scaled().select(col("doc_id") +:
+            graft.functions.TextFunctions.c4ColumnsHof(col("text"))
+              .map { case (nm, c) => c.as(nm) }: _*)))
+          p("overlap", harness(() =>
+            graft.operators.Corpus.chunkDocsOverlap(scaled(), 64, 32)))
         }
         if (sys.env.contains("SCRATCH_SCALE_TEXT")) {
           p("langid ", harness(() => scaled().select(col("doc_id"),
