@@ -315,6 +315,11 @@ object SparkEntry {
       // the asof-join union/window trick on a GENERATED left side
       graft.operators.TimeSeries.resampleLocf(events(s, dir), Seq("user_id"),
         "ts", "value", stepSeconds = 3600, idCol = "event_id")),
+    "events_resample_interp" -> ((s, dir) =>
+      // linear-interpolation resampling: same one-window shape as LOCF,
+      // the mirrored frame finds the next observation in the same pass
+      graft.operators.TimeSeries.resampleInterp(events(s, dir), Seq("user_id"),
+        "ts", "value", stepSeconds = 3600, idCol = "event_id")),
     "events_ohlc" -> ((s, dir) => {
       // OHLC downsampling per (user, hour): open/close are the earliest/
       // latest values SELECTED via lexicographic min/max over
@@ -1661,6 +1666,30 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |      FROM u)
         |SELECT user_id, ts, value FROM f WHERE side = 1""".stripMargin,
+    "events_resample_interp" ->
+      s"""WITH b AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1),
+         |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 3600 SECOND)) AS ts
+         |      FROM b),
+         |u AS (SELECT user_id, ts, value AS v, 0 AS side, event_id AS id, ts AS ots
+         |      FROM events
+         |      UNION ALL SELECT user_id, ts, NULL, 1, NULL, NULL FROM g),
+         |f AS (SELECT user_id, ts, side,
+         |        last_value(v IGNORE NULLS) OVER wp AS pv,
+         |        last_value(ots IGNORE NULLS) OVER wp AS pt,
+         |        first_value(v IGNORE NULLS) OVER wn AS nv,
+         |        first_value(ots IGNORE NULLS) OVER wn AS nt
+         |      FROM u
+         |      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, side, coalesce(id, -1)
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wn AS (PARTITION BY user_id ORDER BY ts, side, coalesce(id, -1)
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, ts,
+         | CASE WHEN nt IS NULL THEN pv
+         |      ELSE ${Quantize.sql6("pv + ((nv - pv) * " +
+             "(date_diff('microsecond', pt, ts)::DOUBLE)) / " +
+             "(date_diff('microsecond', pt, nt)::DOUBLE)")}
+         | END AS value
+         |FROM f WHERE side = 1""".stripMargin,
     "events_ohlc" ->
       """SELECT user_id,
         | make_timestamp(year(ts), month(ts), day(ts), hour(ts), 0, 0) AS bucket,

@@ -240,6 +240,58 @@ object TimeSeries {
    */
   def resampleLocf(events: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCol: String, stepSeconds: Long, idCol: String): DataFrame = {
+    val keyC = keyCols.map(col)
+    val w = Window.partitionBy(keyC: _*)
+      .orderBy(col(tsCol), col("__side"), coalesce(col("__id"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridUnion(events, keyCols, tsCol, valueCol, stepSeconds, idCol)
+      .withColumn("__locf", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keyC ++ Seq(col(tsCol), col("__locf").as(valueCol)): _*)
+  }
+
+  /**
+   * LINEAR-interpolation resampling: like [[resampleLocf]] but a grid
+   * instant between two observations carries the time-weighted blend
+   * `v_prev + (v_next − v_prev) · Δprev/Δspan` (6dp-quantized — the one
+   * arithmetic emission of the family) instead of the carried value; an
+   * instant at an observation reproduces it exactly (Δprev = 0), and the
+   * final instant (no later observation) falls back to LOCF, emitted
+   * raw. Same single key-window as LOCF — the mirrored frame
+   * (`first_value IGNORE NULLS` over [current, ∞)) finds the next
+   * observation in the SAME sorted pass, so interpolation costs no
+   * second shuffle. Time deltas are `timestampdiff(MICROSECOND, …)` —
+   * NTZ-domain integer arithmetic, no session-timezone dependence.
+   */
+  def resampleInterp(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, stepSeconds: Long, idCol: String): DataFrame = {
+    val keyC = keyCols.map(col)
+    val ord = Seq(col(tsCol), col("__side"), coalesce(col("__id"), lit(-1L)))
+    val wPrev = Window.partitionBy(keyC: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyC: _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val num = expr(s"timestampdiff(MICROSECOND, __pt, $tsCol)").cast("double")
+    val den = expr("timestampdiff(MICROSECOND, __pt, __nt)").cast("double")
+    val interp = graft.functions.Quantize.q6(
+      col("__pv") + (col("__nv") - col("__pv")) * num / den)
+    gridUnion(events, keyCols, tsCol, valueCol, stepSeconds, idCol)
+      .withColumn("__ts", when(col("__side") === 0, col(tsCol)))
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(col("__ts"), ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(col("__ts"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .select(keyC ++ Seq(col(tsCol),
+        when(col("__nt").isNull, col("__pv")).otherwise(interp).as(valueCol)): _*)
+  }
+
+  /** Shared resampling substrate: per-key bounds → `sequence()` grid →
+    * observations ∪ grid points, tagged (__v, __side, __id). The grid
+    * origin is each key's first observation, so alignment needs no
+    * calendar truncation and the whole family stays in the NTZ domain. */
+  private def gridUnion(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, stepSeconds: Long, idCol: String): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     val keyC = keyCols.map(col)
     val bounds = events.groupBy(keyC: _*)
@@ -251,12 +303,6 @@ object TimeSeries {
     val gr = grid.select(keyC ++ Seq(col(tsCol), lit(null).cast(
       events.schema(valueCol).dataType).as("__v"),
       lit(1).as("__side"), lit(null).cast("long").as("__id")): _*)
-    val w = Window.partitionBy(keyC: _*)
-      .orderBy(col(tsCol), col("__side"), coalesce(col("__id"), lit(-1L)))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     obs.unionByName(gr)
-      .withColumn("__locf", last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(keyC ++ Seq(col(tsCol), col("__locf").as(valueCol)): _*)
   }
 }

@@ -980,6 +980,16 @@ class CorpusSpec extends AnyFunSuite {
       (10L, "2024-01-01T02:30") -> 3.0, // both 01:45 obs precede; max event_id wins
       (10L, "2024-01-01T03:30") -> 4.0, // obs at the instant itself is inclusive
       (20L, "2024-01-01T05:00") -> 9.0), s"got $out")
+    val interp = TimeSeries.resampleInterp(ev, Seq("user_id"), "ts", "value",
+        stepSeconds = 3600, idCol = "event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("ts").toString) -> r.getAs[Double]("value")).toMap
+    assert(interp == Map(
+      (10L, "2024-01-01T00:30") -> 1.0,      // at an obs: exact (Δprev = 0)
+      (10L, "2024-01-01T01:30") -> 1.8,      // 60/75 of the way to the FIRST 01:45 obs
+      (10L, "2024-01-01T02:30") -> 3.428571, // between 3.0@01:45 and 4.0@03:30
+      (10L, "2024-01-01T03:30") -> 4.0,      // last instant: LOCF fallback
+      (20L, "2024-01-01T05:00") -> 9.0), s"got $interp")
   }
 
   test("asofJoin: single shuffle on the key, micros-timestamp inputs (plan)") {
