@@ -8,6 +8,7 @@ import graft.operators.{Corpus, Dedup, Similarity, Sketches}
 
 /** Encoder-visible row type for the streaming-probe test's MemoryStream. */
 case class ProbeDoc(doc_id: Long, text: String)
+case class SemVec(vec_id: Long, embedding: Array[Float])
 
 class CorpusSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -1356,5 +1357,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(found.contains((0L, 10L)))
     // no corpus-only pairs ever emitted: every pair touches the increment
     assert(found.forall { case (a, b) => a >= 10L || b >= 10L })
+  }
+
+  test("streaming semantic-dedup increments: micro-batches probe the persisted registry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 4)
+    val reg = java.nio.file.Files.createTempDirectory("sem_stream").toString + "/reg"
+    Similarity.writeSemanticRegistry(e.filter(col("vec_id") < 60), seeds, reg)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SemVec]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= Similarity.semanticDedupIncrement(batch, seeds, reg, 0.45)
+          .collect().map(_.getAs[Long]("vec_id"))
+        ()
+    }.start()
+    val probes = e.filter(col("vec_id") >= 60 && col("vec_id") < 80).collect()
+      .map(r => SemVec(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    try {
+      in.addData(probes.take(10).toSeq)
+      q.processAllAvailable()
+      in.addData(probes.drop(10).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-batch survivors superset the fused run's (smaller batches see
+    // fewer smaller-id blockers — only the registry plus their own batch)
+    val fused = Similarity.semanticDedupClustered(
+        e.filter(col("vec_id") < 80), seeds, 0.45)
+      .collect().map(_.getAs[Long]("vec_id")).filter(_ >= 60).toSet
+    assert(fused.subsetOf(kept), s"fused $fused vs streamed $kept")
+    // every drop is justified by the registry or an earlier batch member
+    assert(kept.subsetOf((60L until 80L).toSet))
   }
 }
