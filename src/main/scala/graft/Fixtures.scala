@@ -167,10 +167,12 @@ object Fixtures {
   }
 
   /**
-   * Multimodal fixture: opaque binary payloads + typed metadata. Payload
-   * bytes are a deterministic pseudo-image (no real codecs in this
-   * container); the Spark-side plumbing (binary column, metadata, batch
-   * shape) is real.
+   * Multimodal fixture: binary payloads + typed metadata. Image payloads
+   * are VALID 24-bit uncompressed BMPs and audio payloads VALID 16-bit
+   * PCM WAVs (deterministic gradient / sine content — both are pure byte
+   * layouts, no codec library needed, so `Multimodal.extractFeatures`
+   * genuinely decodes them); video payloads stay synthetic bytes (real
+   * video needs a codec — the stub path's remit).
    */
   def media(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -178,9 +180,73 @@ object Fixtures {
       val kind = Seq("image", "audio", "video")(i % 3)
       val w = 32 + (i % 4) * 16
       val h = 32 + (i % 3) * 16
-      val payload = Array.tabulate[Byte](w * h % 997 + 64)(j => ((i * 131 + j * 31) % 251).toByte)
-      (i.toLong, kind, payload, w, h, 16000 + (i % 3) * 8000, s"doc-${i % 16}")
+      val rate = 16000 + (i % 3) * 8000
+      val payload = kind match {
+        case "image" => bmpBytes(w, h, i)
+        case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
+        case _ =>
+          Array.tabulate[Byte](w * h % 997 + 64)(j => ((i * 131 + j * 31) % 251).toByte)
+      }
+      (i.toLong, kind, payload, w, h, rate, s"doc-${i % 16}")
     }.toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "doc_ref")
+  }
+
+  /** A valid 24-bit bottom-up BMP with a deterministic two-axis gradient
+    * (distinct per `seed`, spatially structured so grid-luma features are
+    * non-trivial). */
+  def bmpBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; le32(2, size); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    b(26) = 1; b(28) = 24; le32(30, 0); le32(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val base = 54 + y * rowSize
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3
+        b(o) = ((x * 255 / math.max(1, w - 1) + seed * 37) % 256).toByte // B
+        b(o + 1) = (y * 255 / math.max(1, h - 1)).toByte                 // G: pure y-grade
+        b(o + 2) = ((x + y + seed * 11) % 256).toByte                    // R
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** A valid 16-bit mono PCM WAV: deterministic integer sine-ish wave
+    * with a seed-dependent frequency and a decaying envelope (so segment
+    * RMS features are non-constant). */
+  def wavBytes(rate: Int, nSamples: Int, seed: Int): Array[Byte] = {
+    val b = new Array[Byte](44 + nSamples * 2)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) => b(off + k) = c }
+    tag(0, "RIFF"); le32(4, 36 + nSamples * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val amp = 16000 - (i * 12000 / math.max(1, nSamples - 1)) // decay
+      val s = (amp * math.sin((seed % 7 + 1) * 2 * math.Pi * i / 64.0)).toInt
+      le16(44 + i * 2, s & 0xFFFF)
+      i += 1
+    }
+    b
   }
 }
 

@@ -10,12 +10,16 @@ import graft.functions.Quantize
  * `binary` columns traveling WITH typed metadata; decode / feature-extract /
  * resize / frame-sample run as partition-batched typed transformations.
  *
- * The Spark-side plumbing is real — schema, encoders, partition batching,
- * selective decode — but the codec itself is a clearly-marked deterministic
- * STUB (`fakeDecode`): no image/audio libraries exist in this container. In
- * production the stub body is the only thing that changes (swap in the real
- * decoder per `kind`); everything around it — including the contract that
- * decode happens once per partition-batch with bounded memory — stays.
+ * Decode is REAL for the container-free formats: 24-bit uncompressed BMP
+ * ([[decodeBmp]]) and 16-bit PCM WAV ([[decodeWav]]) are pure byte layouts
+ * needing no codec library, so images yield genuine 4×4-grid luminance
+ * features and audio genuine per-segment RMS envelopes — content-derived
+ * embeddings the similarity/dedup operators consume directly. Payloads
+ * that need an actual codec (video containers, JPEG/MP3/…) fall back to a
+ * clearly-marked deterministic STUB (`fakeDecode`, `decoder = "stub"`):
+ * those libraries don't exist in this container, and in production only
+ * that branch changes — everything around it, including the contract that
+ * decode happens once per partition-batch with bounded memory, stays.
  *
  * Scale notes: payload bytes dominate IO, so (1) metadata-only queries must
  * never touch the binary column — parquet column pruning guarantees that
@@ -31,27 +35,131 @@ object Multimodal {
       media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int, doc_ref: String)
 
-  /** Extracted features: one row per media item. */
+  /** Extracted features: one row per media item. `decoder` records which
+    * path produced the feature — "bmp" / "wav" (real content decode) or
+    * "stub" (codec-bound payload, deterministic fake). */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
-      thumb_w: Int, thumb_h: Int, frames_sampled: Int, feature: Array[Float])
+      thumb_w: Int, thumb_h: Int, frames_sampled: Int, decoder: String,
+      feature: Array[Float])
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
 
   /**
-   * STUB decode — deterministic fake standing in for a real codec. Derives
-   * a stable checksum + fixed-length "feature vector" from the payload
-   * bytes so downstream operators (similarity, dedup) are exercised with
-   * realistic shapes and reproducible values.
+   * REAL decode of a 24-bit uncompressed BMP (pure byte layout — 14-byte
+   * file header, 40-byte info header, bottom-up BGR rows padded to 4
+   * bytes; top-down negative-height variant handled). Returns (width,
+   * height, 16-dim feature) — the feature is the mean LUMINANCE of a 4×4
+   * spatial grid (integer BT.601 weights, /255), i.e. an actual coarse
+   * thumbnail of the image content. None when the payload isn't a
+   * plain 24-bit BMP (wrong magic, compressed, other depth).
    */
-  private def fakeDecode(payload: Array[Byte], featureDim: Int): (Long, Array[Float]) = {
-    var h = 1125899906842597L // deterministic FNV-ish fold
+  def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val pixOff = leInt(p, 10)
+    val w = leInt(p, 18)
+    val hRaw = leInt(p, 22)
+    val h = math.abs(hRaw)
+    val bpp = leShort(p, 28)
+    val comp = leInt(p, 30)
+    if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (pixOff.toLong + rowSize.toLong * h > p.length) return None
+    val sums = new Array[Long](16)
+    val counts = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      // bottom-up storage unless height was negative (top-down)
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      val base = pixOff + srcRow * rowSize
+      val gy = math.min(3, y * 4 / h)
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3
+        val luma = ((p(o + 2) & 0xFF) * 299 + (p(o + 1) & 0xFF) * 587 +
+          (p(o) & 0xFF) * 114) / 1000
+        val cell = gy * 4 + math.min(3, x * 4 / w)
+        sums(cell) += luma
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feat = Array.tabulate(16)(c =>
+      if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c) / 255.0).toFloat)
+    Some((w, h, feat))
+  }
+
+  /**
+   * REAL decode of a 16-bit PCM WAV (RIFF/WAVE chunk walk to `fmt ` and
+   * `data`; mono or interleaved multi-channel). Returns (sampleRate,
+   * nSamples, 16-dim feature) — the feature is the RMS amplitude of 16
+   * equal temporal segments (/32768), i.e. the actual loudness envelope
+   * of the audio. None for anything but uncompressed 16-bit PCM.
+   */
+  def decodeWav(p: Array[Byte]): Option[(Int, Long, Array[Float])] = {
+    if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var off = 12
+    var rate = -1
+    var bits = -1
+    var fmt = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= p.length && (rate < 0 || dataOff < 0)) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val sz = leInt(p, off + 4)
+      if (sz < 0 || off + 8 + sz > p.length) return None
+      if (id == "fmt " && sz >= 16) {
+        fmt = leShort(p, off + 8)
+        rate = leInt(p, off + 12)
+        bits = leShort(p, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || rate <= 0 || dataOff < 0 || dataLen < 2) return None
+    val n = dataLen / 2
+    val sumSq = new Array[Double](16)
+    val cnt = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val s = (leShort(p, dataOff + i * 2) << 16) >> 16 // sign-extend
+      val seg = math.min(15, (i.toLong * 16 / n).toInt)
+      sumSq(seg) += s.toDouble * s
+      cnt(seg) += 1
+      i += 1
+    }
+    val feat = Array.tabulate(16)(c =>
+      if (cnt(c) == 0) 0f else (math.sqrt(sumSq(c) / cnt(c)) / 32768.0).toFloat)
+    Some((rate, n.toLong, feat))
+  }
+
+  /** Deterministic payload checksum (FNV-ish fold) — computed for every
+    * item regardless of decode path. */
+  private def fnv(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val feat = Array.tabulate(featureDim) { d =>
+    h
+  }
+
+  /**
+   * STUB decode — deterministic fake standing in for a real codec on
+   * payloads whose formats need one (video containers, JPEG/MP3/…, none
+   * of which have libraries in this container). Derives a fixed-length
+   * "feature vector" from the checksum so downstream operators
+   * (similarity, dedup) are exercised with realistic shapes and
+   * reproducible values.
+   */
+  private def fakeDecode(h: Long, featureDim: Int): Array[Float] =
+    Array.tabulate(featureDim) { d =>
       val x = h ^ (d.toLong * 0x9E3779B97F4A7C15L)
       ((x % 1000L).toFloat) / 1000.0f
     }
-    (h, feat)
-  }
 
   /** Thumbnail dims preserving aspect, bounded at `maxSide` (resize step). */
   private def thumbDims(w: Int, h: Int, maxSide: Int): (Int, Int) =
@@ -61,8 +169,15 @@ object Multimodal {
 
   /**
    * Decode + feature-extract + resize + frame-sample in one partition-
-   * batched pass. `frames_sampled` applies to video only (1 per ~4 KiB of
-   * payload, capped) — the batch shape a real frame sampler would have.
+   * batched pass. Images parse as BMP and audio as WAV when the bytes
+   * really are those layouts ([[decodeBmp]]/[[decodeWav]] — real,
+   * library-free decoders whose features derive from pixel/sample
+   * content); decoded dimensions override the metadata columns (the
+   * payload is the truth). Everything else — video containers, compressed
+   * stills/audio — takes the deterministic stub path, flagged
+   * `decoder = "stub"`. `frames_sampled` applies to video only (1 per
+   * ~4 KiB of payload, capped) — the batch shape a real frame sampler
+   * would have.
    */
   def extractFeatures(media: DataFrame, featureDim: Int = 16, thumbMax: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
@@ -70,12 +185,28 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init happens HERE (real codec handle / model load)
       rows.map { r =>
-        val (checksum, feat) = fakeDecode(r.payload, featureDim)
-        val (tw, th) = thumbDims(r.width, r.height, thumbMax)
-        val frames = if (r.kind == "video")
-          math.min(32, math.max(1, r.payload.length / 4096)) else 0
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum,
-          tw, th, frames, feat)
+        val checksum = fnv(r.payload)
+        val decoded: Option[(String, Int, Int, Array[Float])] = r.kind match {
+          case "image" => decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, f) }
+          case "audio" => decodeWav(r.payload).map { case (_, _, f) =>
+            ("wav", r.width, r.height, f) }
+          case _ => None
+        }
+        decoded match {
+          case Some((dec, w, h, feat)) =>
+            val (tw, th) = thumbDims(w, h, thumbMax)
+            val f = if (feat.length == featureDim) feat
+              else java.util.Arrays.copyOf(feat, featureDim)
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum,
+              tw, th, 0, dec, f)
+          case None =>
+            val feat = fakeDecode(checksum, featureDim)
+            val (tw, th) = thumbDims(r.width, r.height, thumbMax)
+            val frames = if (r.kind == "video")
+              math.min(32, math.max(1, r.payload.length / 4096)) else 0
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum,
+              tw, th, frames, "stub", feat)
+        }
       }
     }
   }

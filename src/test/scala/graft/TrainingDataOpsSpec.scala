@@ -1154,6 +1154,29 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 16))
     assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
     assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
+    // REAL decode paths: fixture images are valid BMPs, audio valid WAVs
+    assert(f1.filter(_.kind == "image").forall(_.decoder == "bmp"))
+    assert(f1.filter(_.kind == "audio").forall(_.decoder == "wav"))
+    assert(f1.filter(_.kind == "video").forall(_.decoder == "stub"))
+    // BMP grid-luminance features are genuine content: bounded, non-flat,
+    // and brighter at the image top (the fixture's G channel grows upward)
+    f1.filter(_.decoder == "bmp").foreach { f =>
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+      val top = f.feature.take(4).sum / 4
+      val bottom = f.feature.drop(12).sum / 4
+      assert(top > bottom, s"media ${f.media_id}: top $top !> bottom $bottom")
+    }
+    // WAV RMS envelope follows the fixture's decaying amplitude
+    f1.filter(_.decoder == "wav").foreach { f =>
+      assert(f.feature.head > f.feature.last,
+        s"media ${f.media_id}: envelope ${f.feature.toSeq}")
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+    // a corrupt payload of a decodable kind falls back to the stub
+    import spark.implicits._
+    val broken = Seq((999L, "image", Array[Byte](1, 2, 3), 8, 8, 0, "d"))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "doc_ref")
+    assert(Multimodal.extractFeatures(broken).collect().head.decoder == "stub")
     // stats refuses a frame without the persisted byte-size metadata …
     val e = intercept[IllegalArgumentException](Multimodal.stats(media))
     assert(e.getMessage.contains("n_bytes"))
