@@ -723,6 +723,16 @@ object SparkEntry {
     "media_features" -> ((s, _) =>
       Multimodal.extractFeatures(s.read.parquet(Fixtures.MediaParquet))(s)
         .drop("feature")), // array col dropped: rows-only check, stable schema
+    "media_neardup" -> ((s, _) => {
+      // CONTENT-based media dedup: cosine pairs over the genuinely
+      // decoded features (BMP grid luminance / WAV RMS envelope) — the
+      // payoff of real decode: two images pair because their pixels
+      // agree, not because their bytes do. Rows-only (no codec in the
+      // oracle engine); the spec pins a planted duplicate-content pair.
+      val feats = Multimodal.extractFeatures(s.read.parquet(Fixtures.MediaParquet))(s)
+        .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      Similarity.nearDupPairsExact(feats, minCosine = 0.9995)
+    }),
     // --- corpus management: splits, samples, tf-idf, packing, PII ---
     "split_assign" -> ((s, dir) =>
       // deterministic 80/10/10 split — engine- and partitioning-stable

@@ -1294,6 +1294,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: content near-dup pairs identical pixels across different bytes/ids") {
+    implicit val s = spark
+    import spark.implicits._
+    // same image content twice (different ids), a third distinct image,
+    // and a WAV whose envelope must not pair with any image grid
+    val rows = Seq(
+      (1L, "image", Fixtures.bmpBytes(32, 32, seed = 5), 32, 32, 0, "a"),
+      (2L, "image", Fixtures.bmpBytes(32, 32, seed = 5), 32, 32, 0, "b"),
+      (3L, "image", Fixtures.bmpBytes(32, 32, seed = 40), 32, 32, 0, "c"),
+      (4L, "audio", Fixtures.wavBytes(16000, 512, seed = 1), 0, 0, 16000, "d"))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "doc_ref")
+    val feats = graft.operators.Multimodal.extractFeatures(rows)
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val pairs = Similarity.nearDupPairsExact(feats, minCosine = 0.9999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical content must pair: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      s"audio envelope must not pair with image grids: $pairs")
+  }
+
   test("multimodal: stats over the persisted table never reads payload bytes") {
     val q = Multimodal.stats(spark.read.parquet(Fixtures.MediaParquet))
     assert(q.count() == 3)
