@@ -257,20 +257,29 @@ object TimeSeries {
    * arithmetic emission of the family) instead of the carried value; an
    * instant at an observation reproduces it exactly (Δprev = 0), and the
    * final instant (no later observation) falls back to LOCF, emitted
-   * raw. Same single key-window as LOCF — the mirrored frame
-   * (`first_value IGNORE NULLS` over [current, ∞)) finds the next
-   * observation in the SAME sorted pass, so interpolation costs no
-   * second shuffle. Time deltas are `timestampdiff(MICROSECOND, …)` —
-   * NTZ-domain integer arithmetic, no session-timezone dependence.
+   * raw. Two running-frame window passes over the same key partition:
+   * "previous observation" is the ascending LOCF, "next observation" is
+   * the SAME incremental [unbounded-preceding, current] frame over the
+   * REVERSED order — NOT a [current, unbounded-following] frame, which
+   * Spark's WindowExec evaluates by re-aggregating the remainder of the
+   * partition for EVERY row: O(rows²) per key, measured 10× the LOCF
+   * twin at sf0.1 (6.3 s vs 0.6; the reversed form restores parity).
+   * The reversed order excludes same-ts observations exactly like the
+   * following-frame did (they sort after the grid instant descending),
+   * so the semantics are identical. Time deltas are
+   * `timestampdiff(MICROSECOND, …)` — NTZ-domain integer arithmetic, no
+   * session-timezone dependence.
    */
   def resampleInterp(events: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCol: String, stepSeconds: Long, idCol: String): DataFrame = {
     val keyC = keyCols.map(col)
-    val ord = Seq(col(tsCol), col("__side"), coalesce(col("__id"), lit(-1L)))
-    val wPrev = Window.partitionBy(keyC: _*).orderBy(ord: _*)
+    val wPrev = Window.partitionBy(keyC: _*)
+      .orderBy(col(tsCol), col("__side"), coalesce(col("__id"), lit(-1L)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(keyC: _*).orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextRev = Window.partitionBy(keyC: _*)
+      .orderBy(col(tsCol).desc, col("__side").desc,
+        coalesce(col("__id"), lit(-1L)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val num = expr(s"timestampdiff(MICROSECOND, __pt, $tsCol)").cast("double")
     val den = expr("timestampdiff(MICROSECOND, __pt, __nt)").cast("double")
     val interp = graft.functions.Quantize.q6(
@@ -279,8 +288,8 @@ object TimeSeries {
       .withColumn("__ts", when(col("__side") === 0, col(tsCol)))
       .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
       .withColumn("__pt", last(col("__ts"), ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
-      .withColumn("__nt", first(col("__ts"), ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(wNextRev))
+      .withColumn("__nt", last(col("__ts"), ignoreNulls = true).over(wNextRev))
       .filter(col("__side") === 1)
       .select(keyC ++ Seq(col(tsCol),
         when(col("__nt").isNull, col("__pv")).otherwise(interp).as(valueCol)): _*)
