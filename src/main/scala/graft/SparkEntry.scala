@@ -1117,6 +1117,16 @@ object SparkEntry {
     "embed_quantize" -> ((s, dir) =>
       // symmetric int8 scalar quantization, long-form emission — map-only
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    "corpus_length_hist" -> ((s, dir) =>
+      // log2-bucketed token-length histogram — the corpus-profiling
+      // query behind chunk-budget and packing decisions. Bucket edges
+      // are exact powers of two, where IEEE log2 is exact in every
+      // engine, so floor() can't flip at a boundary. One map-side-
+      // combinable aggregation over the byte-scan token counter.
+      t(s, dir, "documents")
+        .select(TextFunctions.tokenCount(col("text")).as("__n"))
+        .groupBy(floor(log2(greatest(col("__n"), lit(1L)))).cast("long").as("log2_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))),
     "chunk_docs_overlap" -> ((s, dir) =>
       // sliding-window chunking (budget 64, stride 32): RAG/pretraining
       // prep with shared context across boundaries — map-only
@@ -2403,6 +2413,12 @@ object SparkEntry {
          | CAST(CASE WHEN scale = 0 THEN 0
          |      ELSE greatest(least(floor(v / scale + 0.5), 127), -127) END AS BIGINT) AS code
          |FROM ev""".stripMargin,
+    "corpus_length_hist" ->
+      """WITH n AS (SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT CAST(floor(log2(greatest(nt, 1))) AS BIGINT) AS log2_tokens,
+        | count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM n GROUP BY 1""".stripMargin,
     "chunk_docs_overlap" ->
       // the chunkDocsSql shape with stride-32 starts and budget-64 slices;
       // the nums bound (4096 windows = 128k tokens/doc at stride 32) is a
