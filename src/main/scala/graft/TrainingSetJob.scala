@@ -237,11 +237,15 @@ object TrainingSetJob {
           ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
         m
       })
-    val chunker: DataFrame => DataFrame = mergesOpt match {
-      case Some(merges) =>
+    val chunker: DataFrame => DataFrame = (mergesOpt, cfg.chunkStride) match {
+      case (Some(merges), _) =>
         df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
           tok => graft.functions.TextFunctions.bpeCount(tok, merges), "text", shipId)
-      case None => df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", shipId)
+      case (None, Some(stride)) =>
+        // overlapping windows: consecutive chunks share budget−stride
+        // context tokens (config guards this off the BPE cost path)
+        df => Corpus.chunkDocsOverlap(df, cfg.chunkBudget, stride, "text", shipId)
+      case (None, None) => df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", shipId)
     }
     // chunks feed TWO consumers (the packer and the chunk_text join) —
     // materialized so the regex-heavy chunking pass runs once, not twice
@@ -286,6 +290,7 @@ object TrainingSetJob {
     node.put("lang", cfg.lang)
     node.put("min_tokens", cfg.minTokens)
     node.put("chunk_budget", cfg.chunkBudget)
+    cfg.chunkStride.foreach(st => node.put("chunk_stride", st))
     cfg.dsirTopK.foreach { dk =>
       node.put("dsir_top_k", dk)
       node.put("dsir_target_col", cfg.dsirTargetCol)

@@ -43,6 +43,7 @@ final case class TrainingSetConfig(
     sampleK: Option[Int] = None,
     sampleWeightCol: String = "n_chars",
     chunkBudget: Int = 512,
+    chunkStride: Option[Int] = None,
     bpeMergesPath: Option[String] = None,
     bpeTrainMerges: Option[Int] = None,
     packGroups: Int = 32,
@@ -61,6 +62,11 @@ final case class TrainingSetConfig(
   require(!mixRepeats || mixWeights.nonEmpty || mixAlpha.nonEmpty,
     "mix_repeats requires a mixture (mix_weights or mix_alpha)")
   require(chunkBudget > 0, s"chunk_budget must be positive: $chunkBudget")
+  require(chunkStride.forall(st => st > 0 && st <= chunkBudget),
+    s"chunk_stride must be in [1, chunk_budget]: $chunkStride")
+  require(chunkStride.isEmpty || (bpeMergesPath.isEmpty && bpeTrainMerges.isEmpty),
+    "chunk_stride (overlapping windows) and BPE cost budgets are mutually " +
+      "exclusive — the cost-aware chunker has no stride form")
   require(nShards > 0, s"n_shards must be positive: $nShards")
   require(capPerStratum.forall(_ > 0),
     s"cap_per_stratum must be positive: $capPerStratum")
@@ -122,6 +128,7 @@ object TrainingSetConfig {
       sampleK = optNode("sample_k").map(_.asInt),
       sampleWeightCol = text("sample_weight_col", "n_chars"),
       chunkBudget = int("chunk_budget", 512),
+      chunkStride = optNode("chunk_stride").map(_.asInt),
       bpeMergesPath = optNode("bpe_merges_path").map(_.asText),
       bpeTrainMerges = optNode("bpe_train_merges").map(_.asInt),
       packGroups = int("pack_groups", 32),

@@ -175,6 +175,30 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(r.cleanDocs == 3)
   }
 
+  test("chunk_stride stage: packed train chunks are the overlapping windows") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_stride").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"chunk_stride":32,"pack_groups":4,"n_shards":8}""")
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    val trainDocs = shards.filter(col("split") === "train")
+    // chunk membership equals the overlap chunker's, and exceeds the
+    // non-overlapping form (the shared-context windows are extra rows)
+    assert(r.trainChunks ==
+      Corpus.chunkDocsOverlap(trainDocs, 64, 32).count())
+    assert(r.trainChunks > Corpus.chunkDocs(trainDocs, 64).count())
+    assert(packed.filter(col("n_tokens") > 64).count() == 0)
+    // stride + BPE budgets refuse to combine
+    intercept[IllegalArgumentException](TrainingSetConfig.parse(
+      """{"chunk_stride":32,"bpe_train_merges":10}"""))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("chunk_stride").asInt == 32)
+  }
+
   test("upsampling mixture: copies ship with distinct identities end to end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // budget chosen so src3's rate lands at ~2 epochs over its CLEANED mass
