@@ -1117,6 +1117,10 @@ object SparkEntry {
     "embed_quantize" -> ((s, dir) =>
       // symmetric int8 scalar quantization, long-form emission — map-only
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    "sim_topk_int8" -> ((s, dir) =>
+      // top-k served from the dequantized int8 codes — the compression
+      // rung's accuracy meter vs full-precision sim_topk
+      Similarity.topKInt8(t(s, dir, "embeddings"), queryVec(s, dir), k = 10)),
     "corpus_length_hist" -> ((s, dir) =>
       // log2-bucketed token-length histogram — the corpus-profiling
       // query behind chunk-budget and packing decisions. Bucket edges
@@ -2419,6 +2423,21 @@ object SparkEntry {
         |SELECT CAST(floor(log2(greatest(nt, 1))) AS BIGINT) AS log2_tokens,
         | count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
         |FROM n GROUP BY 1""".stripMargin,
+    "sim_topk_int8" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT vec_id, embedding,
+         |    ${Quantize.sql6("greatest(list_max(embedding)::DOUBLE, " +
+             "-(list_min(embedding)::DOUBLE)) / 127")} AS s
+         |  FROM embeddings),
+         |de AS (SELECT vec_id,
+         |    list_transform(embedding, v -> (CASE WHEN s = 0 THEN 0.0
+         |      ELSE greatest(least(floor(v::DOUBLE / s + 0.5), 127), -127) END) * s) AS d
+         |  FROM sc)
+         |SELECT de.vec_id,
+         | ${Quantize.sql6("list_dot_product(de.d, q.embedding::DOUBLE[]) / " +
+             "(sqrt(list_dot_product(de.d, de.d)) * " +
+             "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))")} AS cos
+         |FROM de, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "chunk_docs_overlap" ->
       // the chunkDocsSql shape with stride-32 starts and budget-64 slices;
       // the nums bound (4096 windows = 128k tokens/doc at stride 32) is a

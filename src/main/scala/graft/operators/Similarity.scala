@@ -1180,6 +1180,42 @@ object Similarity {
    * set — no engine-varying half-even), and an all-zero vector (scale 0)
    * emits code 0 explicitly rather than NaN-casting.
    */
+  /**
+   * Top-k served from the INT8-DEQUANTIZED vectors — the proof that
+   * [[quantizeInt8]]'s rung is servable, and the accuracy meter for it
+   * (compare against `sim_topk`'s full-precision list): scores are
+   * cosine(dequant(v), q) with the exact same scale/round/clamp algebra
+   * as the quantizer, computed ROW-LOCALLY (zip_with/aggregate
+   * sequential folds — deterministic element order, so the oracle's
+   * `list_dot_product` reproduces every double bit-for-bit; an exploded
+   * sum would be partition-order-dependent and hash-unstable). Map-only
+   * + TakeOrdered, same plan shape as brute-force `topK`. The HOF folds
+   * evaluate interpreted — acceptable for a scoring DEMO at 64 dims; a
+   * serving deployment would lift the dequant-dot into a native
+   * expression exactly like [[dot]]'s `FloatVectorDot`.
+   */
+  def topKInt8(embeddings: DataFrame, query: Seq[Float], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    val amax = greatest(array_max(col(vecCol)).cast("double"),
+      -array_min(col(vecCol)).cast("double"))
+    def code(v: Column, s: Column): Column =
+      when(s === 0d, lit(0d)).otherwise(greatest(least(
+        floor(v.cast("double") / s + lit(0.5)), lit(127d)), lit(-127d)))
+    embeddings
+      .select(col(idCol), col(vecCol), Quantize.q6(amax / lit(127d)).as("__s"))
+      .select(col(idCol),
+        zip_with(col(vecCol), qArr, (v, qd) => code(v, col("__s")) * col("__s") * qd)
+          .as("__c"),
+        transform(col(vecCol), v => code(v, col("__s")) * col("__s")).as("__d"))
+      .select(col(idCol),
+        aggregate(col("__c"), lit(0d), _ + _).as("__dot"),
+        aggregate(transform(col("__d"), d => d * d), lit(0d), _ + _).as("__n2"))
+      .select(col(idCol), Quantize.q6(
+        col("__dot") / (sqrt(col("__n2")) * lit(normOf(query)))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+  }
+
   def quantizeInt8(embeddings: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val amax = greatest(array_max(col(vecCol)).cast("double"),

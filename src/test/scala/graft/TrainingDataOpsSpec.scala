@@ -1275,6 +1275,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(out("nostop").getAs[Long]("stop_hits") < 2 && !out("nostop").getAs[Boolean]("keep"))
   }
 
+  test("int8 top-k: high recall against the full-precision list") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val full = Similarity.topK(e, q, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val int8 = Similarity.topKInt8(e, q, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (full & int8).size
+    assert(recall >= 8, s"int8 recall@10 = $recall (full $full, int8 $int8)")
+  }
+
   test("int8 quantization: reconstruction within scale/2, codes bounded, zero vector safe") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .union(Seq((9999L, Array.fill(64)(0f), 0)).toDF("vec_id", "embedding", "label"))
