@@ -168,11 +168,12 @@ object Fixtures {
 
   /**
    * Multimodal fixture: binary payloads + typed metadata. Image payloads
-   * are VALID 24-bit uncompressed BMPs and audio payloads VALID 16-bit
-   * PCM WAVs (deterministic gradient / sine content — both are pure byte
-   * layouts, no codec library needed, so `Multimodal.extractFeatures`
-   * genuinely decodes them); video payloads stay synthetic bytes (real
-   * video needs a codec — the stub path's remit).
+   * alternate VALID 24-bit uncompressed BMPs and VALID non-interlaced
+   * 8-bit PNGs (RGB and RGBA), audio payloads are VALID 16-bit PCM WAVs
+   * (deterministic gradient / sine content — all are decodable without a
+   * codec library, so `Multimodal.extractFeatures` genuinely decodes
+   * them); video payloads stay synthetic bytes (real video needs a
+   * codec — the stub path's remit).
    */
   def media(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -182,6 +183,9 @@ object Fixtures {
       val h = 32 + (i % 3) * 16
       val rate = 16000 + (i % 3) * 8000
       val payload = kind match {
+        // images alternate BMP / PNG (PNG alternating RGB and RGBA) so
+        // every real image decode path appears in the persisted fixture
+        case "image" if (i / 3) % 2 == 1 => pngBytes(w, h, i, alpha = (i / 3) % 4 == 3)
         case "image" => bmpBytes(w, h, i)
         case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
         case _ =>
@@ -219,6 +223,87 @@ object Fixtures {
       y += 1
     }
     b
+  }
+
+  /**
+   * A valid non-interlaced 8-bit RGB (or RGBA) PNG with the SAME
+   * deterministic two-axis gradient as [[bmpBytes]] (top row brightest in
+   * G, like the decoded BMP) — rows cycle through all five PNG filter
+   * types (None/Sub/Up/Average/Paeth) so the decoder's full filter
+   * algebra is exercised, and the stream is a real zlib deflate
+   * (`java.util.zip.Deflater`, the JDK twin of the decoder's Inflater).
+   */
+  def pngBytes(w: Int, h: Int, seed: Int, alpha: Boolean = false): Array[Byte] = {
+    val ch = if (alpha) 4 else 3
+    val stride = w * ch
+    // raw top-down RGB(A) rows: G brightest at the top (y = 0), matching
+    // what decodeBmp yields for bmpBytes' bottom-up storage
+    val img = Array.tabulate(h) { y =>
+      val row = new Array[Byte](stride)
+      var x = 0
+      while (x < w) {
+        val o = x * ch
+        row(o) = ((x + (h - 1 - y) + seed * 11) % 256).toByte             // R
+        row(o + 1) = ((h - 1 - y) * 255 / math.max(1, h - 1)).toByte      // G
+        row(o + 2) = ((x * 255 / math.max(1, w - 1) + seed * 37) % 256).toByte // B
+        if (alpha) row(o + 3) = 255.toByte
+        x += 1
+      }
+      row
+    }
+    // filter each scanline (the encode direction: filtered = raw - predictor)
+    val scan = new Array[Byte](h * (1 + stride))
+    var prev = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      val base = y * (1 + stride)
+      scan(base) = ft.toByte
+      val cur = img(y)
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= ch) cur(i - ch) & 0xFF else 0
+        val b = prev(i) & 0xFF
+        val c = if (i >= ch) prev(i - ch) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        scan(base + 1 + i) = (((cur(i) & 0xFF) - pred) & 0xFF).toByte
+        i += 1
+      }
+      prev = cur
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(scan)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      val t = typ.getBytes("US-ASCII")
+      bb.put(t); bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put((if (alpha) 6 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** A valid 16-bit mono PCM WAV: deterministic integer sine-ish wave

@@ -119,10 +119,13 @@ object TrainingSetJob {
     // optional Gopher rule gate (quality_gopher's keep verdict) applied
     // to the source frame itself — the standard web-scale pre-filter,
     // map-only, so everything downstream (dedup shingles, eval
-    // decontamination, mixtures) runs on the already-gated corpus
+    // decontamination, mixtures) runs on the already-gated corpus.
+    // gopherKeep wraps the signals kernel in an evaluate-once `With`, so
+    // the byte scan runs ONE time per row (plan-asserted in
+    // TrainingSetJobSpec; the naive keep predicate re-ran it per struct
+    // reference — FilterExec does no subexpression elimination)
     val docs = if (!cfg.gopherGate) docs0
-      else docs0.filter(
-        graft.functions.TextFunctions.gopherColumns(col("text")).toMap.apply("keep"))
+      else docs0.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
     // eval docs get the SAME normalization: decontamination shingles must
     // compare like with like, or a copy differing only typographically
     // (curly quotes, CRLF) slips under eval_min_overlap

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /**
  * Text-analysis column functions for large-scale training-data pipelines
@@ -294,11 +295,33 @@ object TextFunctions {
     // formulation below is 15 passes, each decoding UTF-8→UTF-16);
     // spec-pinned bit-identical to [[gopherColumnsRegex]]
     val sig = graft.plans.TextExpressions.gopherSignals(text, GopherStopwords)
+    gopherColumnsFromSignals(sig)
+  }
+
+  /**
+   * The Gopher-gate verdict alone, safe to use directly as a Filter
+   * predicate: ONE boolean kernel ([[graft.plans.GopherKeep]]) that runs
+   * the byte scan exactly once per row. Filtering on
+   * `gopherColumns(...)("keep")` instead would re-run the kernel per
+   * struct reference (FilterExec has no subexpression elimination, and
+   * every evaluate-once plan shape — hand-projected alias, Catalyst
+   * `With` — is re-substituted per reference by predicate pushdown; the
+   * measured blowup was 63 kernel copies in the optimized predicate).
+   * Spec-pinned verdict-identical to the assembled keep.
+   */
+  def gopherKeep(text: Column): Column =
+    Bridge.column(graft.plans.GopherKeep(
+      Bridge.expression(text), Bridge.expression(lower(text)), GopherStopwords))
+
+  /** [[gopherColumns]] over an ALREADY-PROJECTED [[graft.plans.GopherSignals]]
+    * struct column (or the evaluate-once ref [[gopherKeep]] supplies) —
+    * the raw-counter → (signal, verdict) arithmetic shared by every
+    * formulation. */
+  def gopherColumnsFromSignals(sig: Column): Seq[(String, Column)] =
     assemble(sig.getField("n_words"), sig.getField("n_nonws"),
       sig.getField("n_symbol"), sig.getField("n_lines"),
       sig.getField("n_bullet_lines"), sig.getField("n_ellipsis_lines"),
       sig.getField("n_alpha_words"), sig.getField("stop_hits"))
-  }
 
   /** The 15-regex-engine formulation [[gopherColumns]] replaced — kept
     * as the spec oracle pinning the [[graft.plans.GopherSignals]] kernel
@@ -375,10 +398,13 @@ object TextFunctions {
     val ellipsisRatio = Quantize.quantize(nEllipsis.cast("double") / nLines, 6)
     val alphaRatio = Quantize.quantize(
       nAlphaWords.cast("double") / greatest(nWords, lit(1L)), 6)
-    val keep = nWords.between(50L, 100000L) &&
-      meanWordLen.between(3.0, 10.0) &&
-      symbolRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
-      alphaRatio > 0.8 && stopHits >= GopherMinStopHits
+    import graft.plans.{ShingleHash => SH}
+    val keep = nWords.between(SH.GopherMinWords, SH.GopherMaxWords) &&
+      meanWordLen.between(SH.GopherMinMeanWordLen, SH.GopherMaxMeanWordLen) &&
+      symbolRatio < SH.GopherMaxSymbolRatio &&
+      bulletRatio < SH.GopherMaxBulletRatio &&
+      ellipsisRatio < SH.GopherMaxEllipsisRatio &&
+      alphaRatio > SH.GopherMinAlphaRatio && stopHits >= GopherMinStopHits
     Seq(
       "n_words" -> nWords,
       "mean_word_len" -> meanWordLen,

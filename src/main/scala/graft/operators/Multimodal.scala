@@ -10,11 +10,13 @@ import graft.functions.Quantize
  * `binary` columns traveling WITH typed metadata; decode / feature-extract /
  * resize / frame-sample run as partition-batched typed transformations.
  *
- * Decode is REAL for the container-free formats: 24-bit uncompressed BMP
- * ([[decodeBmp]]) and 16-bit PCM WAV ([[decodeWav]]) are pure byte layouts
- * needing no codec library, so images yield genuine 4×4-grid luminance
- * features and audio genuine per-segment RMS envelopes — content-derived
- * embeddings the similarity/dedup operators consume directly. Payloads
+ * Decode is REAL for the codec-library-free formats: 24-bit uncompressed
+ * BMP ([[decodeBmp]]) and 16-bit PCM WAV ([[decodeWav]]) are pure byte
+ * layouts, and non-interlaced 8-bit PNG ([[decodePng]]) is zlib
+ * (JDK-standard `Inflater`) plus four integer row filters — so images
+ * yield genuine 4×4-grid luminance features and audio genuine per-segment
+ * RMS envelopes, content-derived embeddings the similarity/dedup operators
+ * consume directly. Payloads
  * that need an actual codec (video containers, JPEG/MP3/…) fall back to a
  * clearly-marked deterministic STUB (`fakeDecode`, `decoder = "stub"`):
  * those libraries don't exist in this container, and in production only
@@ -36,8 +38,8 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int, doc_ref: String)
 
   /** Extracted features: one row per media item. `decoder` records which
-    * path produced the feature — "bmp" / "wav" (real content decode) or
-    * "stub" (codec-bound payload, deterministic fake). */
+    * path produced the feature — "bmp" / "png" / "wav" (real content
+    * decode) or "stub" (codec-bound payload, deterministic fake). */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
       thumb_w: Int, thumb_h: Int, frames_sampled: Int, decoder: String,
@@ -67,7 +69,13 @@ object Multimodal {
     val bpp = leShort(p, 28)
     val comp = leInt(p, 30)
     if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4
+    // Header ints are UNTRUSTED: a negative pixOff or a w near 2^31/3 must
+    // not slip past the size check via Int overflow (sum/rowSize wrapping
+    // negative would pass the `>` and then blow up in the pixel loop), so
+    // bound both and keep the row-size arithmetic in Long. w ≤ len/3 also
+    // guarantees rowSize fits an Int for the loop below.
+    if (pixOff < 54 || w > p.length / 3) return None
+    val rowSize = (((w.toLong * 3) + 3) / 4 * 4).toInt
     if (pixOff.toLong + rowSize.toLong * h > p.length) return None
     val sums = new Array[Long](16)
     val counts = new Array[Long](16)
@@ -104,22 +112,26 @@ object Multimodal {
   def decodeWav(p: Array[Byte]): Option[(Int, Long, Array[Float])] = {
     if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
       p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
-    var off = 12
+    // Chunk sizes are UNTRUSTED: walk with a Long cursor so a large
+    // positive sz (e.g. 0x7FFFFFF0) can't overflow the bounds check or
+    // wrap `off` negative — any overshoot just fails the loop guard.
+    var off = 12L
     var rate = -1
     var bits = -1
     var fmt = -1
     var dataOff = -1
     var dataLen = -1
     while (off + 8 <= p.length && (rate < 0 || dataOff < 0)) {
-      val id = new String(p, off, 4, "US-ASCII")
-      val sz = leInt(p, off + 4)
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val sz = leInt(p, o + 4)
       if (sz < 0 || off + 8 + sz > p.length) return None
       if (id == "fmt " && sz >= 16) {
-        fmt = leShort(p, off + 8)
-        rate = leInt(p, off + 12)
-        bits = leShort(p, off + 22)
-      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+        fmt = leShort(p, o + 8)
+        rate = leInt(p, o + 12)
+        bits = leShort(p, o + 22)
+      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     if (fmt != 1 || bits != 16 || rate <= 0 || dataOff < 0 || dataLen < 2) return None
     val n = dataLen / 2
@@ -136,6 +148,123 @@ object Multimodal {
     val feat = Array.tabulate(16)(c =>
       if (cnt(c) == 0) 0f else (math.sqrt(sumSq(c) / cnt(c)) / 32768.0).toFloat)
     Some((rate, n.toLong, feat))
+  }
+
+  /**
+   * REAL decode of a non-interlaced 8-bit PNG (gray / RGB / RGBA). PNG is
+   * the one common image format reachable WITHOUT a codec library: the
+   * container is length-typed chunks, the pixel stream is zlib
+   * (`java.util.zip.Inflater`, JDK-standard) and four per-row byte filters
+   * (Sub/Up/Average/Paeth — pure integer arithmetic). Returns (width,
+   * height, 16-dim feature) — the same 4×4 grid mean-luminance thumbnail
+   * [[decodeBmp]] produces, so BMP and PNG payloads of the same pixels
+   * yield the same feature. None for anything this layout can't express
+   * (interlaced, palette, 16-bit, truncated/corrupt stream).
+   *
+   * All header ints are UNTRUSTED (same contract as the BMP/WAV decoders):
+   * the chunk walk uses a Long cursor, dimensions are bounded by a decode-
+   * size valve before allocation, and a malformed deflate stream returns
+   * None rather than throwing.
+   */
+  def decodePng(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (p.length < 45 || (p(0) & 0xFF) != 0x89 || p(1) != 'P' || p(2) != 'N' ||
+      p(3) != 'G' || p(4) != 0x0D || p(5) != 0x0A || p(6) != 0x1A || p(7) != 0x0A)
+      return None
+    def beInt(off: Int): Int =
+      ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+        ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+    var off = 8L
+    var w = -1; var h = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && off + 12 <= p.length) {
+      val o = off.toInt
+      val len = beInt(o)
+      if (len < 0 || off + 12 + len > p.length) return None
+      val typ = new String(p, o + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = beInt(o + 8); h = beInt(o + 12)
+          val depth = p(o + 16) & 0xFF
+          val color = p(o + 17) & 0xFF
+          val interlace = p(o + 20) & 0xFF
+          channels = color match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => -1 }
+          if (depth != 8 || channels < 0 || interlace != 0 || w <= 0 || h <= 0) return None
+          // decode-size valve: never allocate more than 64 MiB of raw
+          // scanlines off untrusted dimensions
+          if (w.toLong * h * channels + h > (64L << 20)) return None
+        case "IDAT" => idat.write(p, o + 8, len)
+        case "IEND" => ended = true
+        case _ => ()
+      }
+      off += 12L + len
+    }
+    if (w <= 0 || channels < 0 || idat.size() == 0) return None
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // per-row de-filter + grid-luma accumulate in one pass (prev = the
+    // RECONSTRUCTED previous row, per the PNG filter spec)
+    val sums = new Array[Long](16)
+    val counts = new Array[Long](16)
+    val prev = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xFF
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xFF
+        val a = if (i >= channels) cur(i - channels) & 0xFF else 0
+        val b = prev(i) & 0xFF
+        val r = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case _ =>
+            val c = if (i >= channels) prev(i - channels) & 0xFF else 0
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        cur(i) = (r & 0xFF).toByte
+        i += 1
+      }
+      val gy = math.min(3, y * 4 / h)
+      var px = 0
+      while (px < w) {
+        val o = px * channels
+        val luma =
+          if (channels == 1) cur(o) & 0xFF
+          else ((cur(o) & 0xFF) * 299 + (cur(o + 1) & 0xFF) * 587 +
+            (cur(o + 2) & 0xFF) * 114) / 1000
+        val cell = gy * 4 + math.min(3, px * 4 / w)
+        sums(cell) += luma
+        counts(cell) += 1
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val feat = Array.tabulate(16)(c =>
+      if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c) / 255.0).toFloat)
+    Some((w, h, feat))
   }
 
   /** Deterministic payload checksum (FNV-ish fold) — computed for every
@@ -169,10 +298,11 @@ object Multimodal {
 
   /**
    * Decode + feature-extract + resize + frame-sample in one partition-
-   * batched pass. Images parse as BMP and audio as WAV when the bytes
-   * really are those layouts ([[decodeBmp]]/[[decodeWav]] — real,
-   * library-free decoders whose features derive from pixel/sample
-   * content); decoded dimensions override the metadata columns (the
+   * batched pass. Images parse as BMP or PNG and audio as WAV when the
+   * bytes really are those layouts ([[decodeBmp]]/[[decodePng]]/
+   * [[decodeWav]] — real, library-free decoders whose features derive
+   * from pixel/sample content); decoded dimensions override the metadata
+   * columns (the
    * payload is the truth). Everything else — video containers, compressed
    * stills/audio — takes the deterministic stub path, flagged
    * `decoder = "stub"`. `frames_sampled` applies to video only (1 per
@@ -186,12 +316,18 @@ object Multimodal {
       // per-partition init happens HERE (real codec handle / model load)
       rows.map { r =>
         val checksum = fnv(r.payload)
-        val decoded: Option[(String, Int, Int, Array[Float])] = r.kind match {
-          case "image" => decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, f) }
-          case "audio" => decodeWav(r.payload).map { case (_, _, f) =>
-            ("wav", r.width, r.height, f) }
-          case _ => None
-        }
+        // A corrupt payload must degrade to the stub row, never kill the
+        // task: the decoders defend their own bounds, and this catch is
+        // the last-resort valve for anything they miss.
+        val decoded: Option[(String, Int, Int, Array[Float])] =
+          try r.kind match {
+            case "image" =>
+              decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, f) }
+                .orElse(decodePng(r.payload).map { case (w, h, f) => ("png", w, h, f) })
+            case "audio" => decodeWav(r.payload).map { case (_, _, f) =>
+              ("wav", r.width, r.height, f) }
+            case _ => None
+          } catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some((dec, w, h, feat)) =>
             val (tw, th) = thumbDims(w, h, thumbMax)

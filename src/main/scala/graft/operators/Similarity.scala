@@ -1118,27 +1118,48 @@ object Similarity {
    * over (registry ∪ batch) restricted to the batch — the hash-verified
    * `dedup_semantic_inc` equivalence.
    *
-   * Same single-aggregation shape as the fused form: the registry read
-   * is cell-partition-pruned parquet, the union groups on cell once, and
-   * the row-local kernel does the pairing. Rank is encoded in the
-   * kernel's order key: registry members carry `id − 2⁶²` (strictly
-   * below any batch id, preserving their relative order), so the one
-   * kernel serves both forms; negative survivor keys (registry members,
-   * never droppable) are filtered out of the output.
+   * Same single-aggregation shape as the fused form: one tiny job scores
+   * the batch and collects its DISTINCT cells (≤ #centroids rows — the
+   * centroid array already lives on the driver, so this is
+   * broadcast-small by construction), the registry read is then
+   * cell-partition-PRUNED to exactly those cells (untouched cells can
+   * contribute no batch survivor — registry-only rows are filtered out
+   * anyway), and the union groups on cell once with the row-local kernel
+   * doing the pairing. Rank is encoded in the kernel's order key:
+   * registry members carry `id − 2⁶²` (strictly below any batch id,
+   * preserving their relative order), so the one kernel serves both
+   * forms; negative survivor keys (registry members, never droppable)
+   * are filtered out of the output.
+   *
+   * ID-domain contract (ENFORCED per row, fail-fast): batch ids must be
+   * ≥ 0 (a negative id would alias into registry rank and silently
+   * vanish from the output) and registry ids must be in [0, 2⁶²) (an id
+   * ≥ 2⁶² would alias into batch rank).
    */
   def semanticDedupIncrement(batch: DataFrame, centroids: Array[Array[Float]],
       registryPath: String, minCosine: Double, maxCell: Option[Long] = None,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupIncrement: no centroids")
     val spark = batch.sparkSession
-    val reg = spark.read.parquet(registryPath)
-      .select((col(idCol) - lit(1L << 62)).as(idCol), col(vecCol),
-        col("cell").cast("int").as("cell"), col("nrm").as("__n"))
     val asg = batch
       .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
         (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
         norm(col(vecCol)).as("__n"))
+      .withColumn(idCol, when(col(idCol) < 0L, raise_error(concat(
+          lit("semanticDedupIncrement: batch ids must be >= 0, got "), col(idCol))))
+        .otherwise(col(idCol)))
+    val touchedCells = asg.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val reg = spark.read.parquet(registryPath)
+      .filter(col("cell").isin(touchedCells: _*)) // partition-pruned scan
+      .withColumn(idCol, when(
+          col(idCol) < 0L || col(idCol) >= lit(1L << 62), raise_error(concat(
+            lit("semanticDedupIncrement: registry ids must be in [0, 2^62), got "),
+            col(idCol))))
+        .otherwise(col(idCol)))
+      .select((col(idCol) - lit(1L << 62)).as(idCol), col(vecCol),
+        col("cell").cast("int").as("cell"), col("nrm").as("__n"))
     val thr = {
       val m0 = math.floor(minCosine * 1e6).toLong - 1
       Iterator.iterate(m0)(_ + 1).find(m => m.toDouble / 1e6 >= minCosine).get

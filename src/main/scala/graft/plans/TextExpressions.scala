@@ -407,6 +407,54 @@ case class GopherSignals(left: Expression, right: Expression,
 }
 
 /**
+ * The Gopher-gate VERDICT alone as one boolean kernel — [[GopherSignals]]
+ * plus the rule arithmetic ([[ShingleHash.gopherKeep]]), for use as a
+ * Filter predicate. A single expression instance is the only shape that
+ * survives the optimizer with one byte-scan per row: filtering on the
+ * keep column assembled from the signals struct re-evaluates the kernel
+ * per struct reference (FilterExec does no subexpression elimination; a
+ * hand-projected alias — or even Catalyst's own `With` wrapper, whose
+ * `RewriteWithExpression` batch runs BEFORE predicate pushdown in this
+ * Spark — gets re-substituted per reference by
+ * `PushPredicateThroughNonJoin`, measured at 63 kernel copies in the
+ * optimized predicate). The rule arithmetic here is spec-pinned equal to
+ * the Column formulation
+ * ([[graft.functions.TextFunctions.gopherColumns]]'s keep) over real
+ * corpus text, so the duplication is verified, not trusted.
+ */
+case class GopherKeep(left: Expression, right: Expression,
+    stopwords: Seq[String]) extends BinaryExpression {
+  require(stopwords.nonEmpty && stopwords.size <= 32,
+    s"stop list must fit the hit bitmask: ${stopwords.size}")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes("UTF-8")).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "gopher_keep"
+
+  override def nullSafeEval(orig: Any, low: Any): Any =
+    ShingleHash.gopherKeep(orig.asInstanceOf[UTF8String],
+      low.asInstanceOf[UTF8String], stopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("gopherStops", stopBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, (o, l) =>
+      s"${ev.value} = graft.plans.ShingleHash.gopherKeep($o, $l, $sRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public) as ONE
  * pass: keep only lines that end in a terminal punctuation mark
  * (`[.!?"”]`, trailing blanks allowed), contain ≥ 5 words, and do not
@@ -1415,6 +1463,52 @@ object ShingleHash {
     }
     org.apache.spark.sql.catalyst.InternalRow(nWords, nNonWs, nSym, nLines,
       nBullet, nEll, nAlphaW, java.lang.Integer.bitCount(mask).toLong)
+  }
+
+  // Gopher-gate thresholds (Rae et al. 2021 §A1.1) — the single home for
+  // the rule constants; the Column formulation
+  // (TextFunctions.gopherColumnsFromSignals) reads THESE, so the verdict
+  // arithmetic below and the assembled keep can't drift apart silently
+  // (and a spec pins them equal over real corpus text regardless).
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletRatio = 0.9
+  val GopherMaxEllipsisRatio = 0.3
+  val GopherMinAlphaRatio = 0.8
+
+  /** [[GopherKeep]] kernel: [[gopherSignals]] + the gate verdict in one
+    * call. The ratio quantization is the EXACT arithmetic of
+    * [[graft.functions.Quantize.quantize]](·, 6) — floor(x·10⁶ + 0.5)/10⁶
+    * on doubles with non-finite passthrough — so this verdict is
+    * bit-identical to comparing the assembled columns. */
+  def gopherKeep(orig: UTF8String, low: UTF8String,
+      stops: Array[Array[Byte]]): Boolean = {
+    val r = gopherSignals(orig, low, stops)
+    val nWords = r.getLong(0)
+    val nNonWs = r.getLong(1)
+    val nSym = r.getLong(2)
+    val nLines = r.getLong(3)
+    val nBullet = r.getLong(4)
+    val nEll = r.getLong(5)
+    val nAlphaW = r.getLong(6)
+    val stopHits = r.getLong(7)
+    def q6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else math.floor(x * 1e6 + 0.5) / 1e6
+    val wDen = math.max(nWords, 1L).toDouble
+    val meanWordLen = q6(nNonWs.toDouble / wDen)
+    val symbolRatio = q6(nSym.toDouble / wDen)
+    val bulletRatio = q6(nBullet.toDouble / nLines.toDouble)
+    val ellipsisRatio = q6(nEll.toDouble / nLines.toDouble)
+    val alphaRatio = q6(nAlphaW.toDouble / wDen)
+    nWords >= GopherMinWords && nWords <= GopherMaxWords &&
+      meanWordLen >= GopherMinMeanWordLen && meanWordLen <= GopherMaxMeanWordLen &&
+      symbolRatio < GopherMaxSymbolRatio && bulletRatio < GopherMaxBulletRatio &&
+      ellipsisRatio < GopherMaxEllipsisRatio && alphaRatio > GopherMinAlphaRatio &&
+      stopHits >= graft.functions.TextFunctions.GopherMinStopHits
   }
 
   /** [[TokenCountPairs]] kernel: count the alnum-run tokens of `s` into

@@ -87,6 +87,29 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(m(9302L).getAs[Double]("ellipsis_ratio") == 0.75)
     assert(m(9304L).getAs[Long]("n_words") == 4)
     assert(m(9308L).getAs[Long]("stop_hits") == 1) // only bare "have" hits
+    // the one-expression GopherKeep verdict is row-identical to the
+    // assembled keep (including null text → null → both drop the row);
+    // doc 9320 is crafted to PASS every rule so the agreement isn't
+    // vacuous all-false (the synthetic corpus keeps nothing: no doc has
+    // ≥ 2 distinct stop words)
+    val keeper = (("the quick brown fox jumps over the lazy dog and " +
+      "rests with a friend that came to visit of late ") * 3).trim
+    val docsK = docs.unionByName(Seq((9320L, keeper)).toDF("doc_id", "text"))
+    val viaKernel = docsK
+      .filter(TextFunctions.gopherKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaColumns = docsK
+      .filter(TextFunctions.gopherColumns(col("text")).toMap.apply("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaKernel == viaColumns, "GopherKeep verdict diverges from assembled keep")
+    assert(viaKernel.contains(9320L), "crafted keeper must pass the gate")
+    // and over real corpus text the two formulations still agree
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ck = corpus.filter(TextFunctions.gopherKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = corpus.filter(TextFunctions.gopherColumns(col("text")).toMap.apply("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ck == cc)
   }
 
   test("c4LineClean kernel == higher-order filter formulation") {

@@ -1154,13 +1154,14 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 16))
     assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
     assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
-    // REAL decode paths: fixture images are valid BMPs, audio valid WAVs
-    assert(f1.filter(_.kind == "image").forall(_.decoder == "bmp"))
+    // REAL decode paths: fixture images are valid BMPs or PNGs, audio valid WAVs
+    val imgDecoders = f1.filter(_.kind == "image").map(_.decoder).toSet
+    assert(imgDecoders == Set("bmp", "png"), s"got $imgDecoders")
     assert(f1.filter(_.kind == "audio").forall(_.decoder == "wav"))
     assert(f1.filter(_.kind == "video").forall(_.decoder == "stub"))
-    // BMP grid-luminance features are genuine content: bounded, non-flat,
+    // grid-luminance features are genuine content: bounded, non-flat,
     // and brighter at the image top (the fixture's G channel grows upward)
-    f1.filter(_.decoder == "bmp").foreach { f =>
+    f1.filter(f => f.decoder == "bmp" || f.decoder == "png").foreach { f =>
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
       val top = f.feature.take(4).sum / 4
       val bottom = f.feature.drop(12).sum / 4
@@ -1227,6 +1228,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       e.filter(col("vec_id") >= 60), seeds, path, 0.45))
     assert(scans.exists(_.relation.location.rootPaths.exists(_.toString.contains("sem_reg"))),
       "increment must serve the old side from the registry")
+    // the registry scan is PARTITION-PRUNED to the batch's touched cells:
+    // a one-vector batch touches one cell, so the registry scan must read
+    // at most one cell partition (not all of them)
+    val one = e.filter(col("vec_id") === 60)
+    val oneScan = SparkTestBase.fileScans(
+        Similarity.semanticDedupIncrement(one, seeds, path, 0.45))
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("sem_reg")))
+    assert(oneScan.nonEmpty)
+    oneScan.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, "registry scan must carry a cell filter")
+      assert(s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .map(_.files.size).sum <= 1,
+        "one-cell batch must prune the registry to at most one cell partition")
+    }
+    // id-domain contract: a negative batch id fails fast instead of
+    // silently vanishing into registry rank
+    val bad = one.withColumn("vec_id", lit(-5L))
+    val err = intercept[Exception](
+      Similarity.semanticDedupIncrement(bad, seeds, path, 0.45).collect())
+    assert(err.getMessage != null)
   }
 
   test("temperature mixture: alpha=1 is the natural mix, alpha<1 lifts the small source") {
@@ -1302,6 +1323,43 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       else assert(math.abs(v - code * scale) <= scale / 2 + 1e-6,
         s"vec $id dim $dim: v=$v code=$code scale=$scale")
     }
+  }
+
+  test("multimodal: PNG decode recovers planted pixels; corrupt headers degrade, never throw") {
+    import graft.operators.Multimodal
+    // the PNG fixture plants the SAME pixel gradient as the BMP fixture
+    // (and cycles all five row filters), so the two real decoders must
+    // produce byte-for-byte identical features from the same content
+    for ((w, h, seed) <- Seq((32, 48, 3), (48, 32, 7), (33, 17, 11))) {
+      val Some((pw, ph, pf)) = Multimodal.decodePng(Fixtures.pngBytes(w, h, seed))
+      val Some((bw, bh, bf)) = Multimodal.decodeBmp(Fixtures.bmpBytes(w, h, seed))
+      assert((pw, ph) == (w, h) && (bw, bh) == (w, h))
+      assert(pf.toSeq == bf.toSeq, s"png/bmp features diverge at ${(w, h, seed)}")
+      // planted gradient: G grows toward the top row
+      assert(pf.take(4).sum > pf.drop(12).sum)
+    }
+    // RGBA (color type 6) decodes too, alpha ignored by the luma grid
+    val Some((_, _, fa)) = Multimodal.decodePng(Fixtures.pngBytes(16, 16, 2, alpha = true))
+    val Some((_, _, f3)) = Multimodal.decodePng(Fixtures.pngBytes(16, 16, 2))
+    assert(fa.toSeq == f3.toSeq)
+    // ADVICE r11 regressions — untrusted header ints must return None, not throw:
+    val bmp = Fixtures.bmpBytes(8, 8, 0)
+    def withLe32(src: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val b = src.clone()
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+      b
+    }
+    assert(Multimodal.decodeBmp(withLe32(bmp, 10, -2000)).isEmpty)        // negative pixOff
+    assert(Multimodal.decodeBmp(withLe32(bmp, 18, 0x2AAAAAAA)).isEmpty)   // w*3 overflows Int
+    val wav = Fixtures.wavBytes(16000, 64, 0)
+    assert(Multimodal.decodeWav(withLe32(wav, 40, 0x7FFFFFF0)).isEmpty)   // data sz overflows walk
+    assert(Multimodal.decodeWav(withLe32(wav, 16, 0x7FFFFFF0)).isEmpty)   // fmt sz overflows walk
+    // corrupt PNGs: truncated IDAT, bad chunk length, bad filter type
+    val png = Fixtures.pngBytes(16, 16, 1)
+    assert(Multimodal.decodePng(png.take(png.length - 20)).isEmpty)
+    assert(Multimodal.decodePng({ val b = png.clone(); b(8) = 0x7F; b }).isEmpty)
+    assert(Multimodal.decodePng(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
   }
 
   test("multimodal: content near-dup pairs identical pixels across different bytes/ids") {

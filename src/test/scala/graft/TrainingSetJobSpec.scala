@@ -382,6 +382,32 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(shipped == expect)
   }
 
+  test("gopher gate: the signals kernel appears exactly once in the optimized plan") {
+    // the job's gate shape: gopherKeep is ONE boolean kernel, so the
+    // optimized plan must contain exactly one kernel expression and zero
+    // exploded signal structs. (Every evaluate-once plan shape built from
+    // the struct — hand-projected alias, Catalyst `With` — was measured
+    // re-substituted to 63 kernel copies by predicate pushdown, which is
+    // why the verdict is its own expression.)
+    // (parquet-backed so ConvertToLocalRelation can't fold the plan away)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val gated = docs.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
+    val optimized = gated.queryExecution.optimizedPlan
+    def countIn(pf: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, Unit]): Int =
+      optimized.collect { case p =>
+        p.expressions.map(_.collect(pf).size).sum
+      }.sum
+    assert(countIn { case _: graft.plans.GopherKeep => () } == 1, s"plan:\n$optimized")
+    assert(countIn { case _: graft.plans.GopherSignals => () } == 0, s"plan:\n$optimized")
+    // and the gate verdict itself is unchanged vs the assembled form
+    // (per-row agreement incl. a crafted keeper is pinned in
+    // TextExpressionsSpec — the synthetic corpus keeps nothing)
+    val naive = docs.filter(graft.functions.TextFunctions
+      .gopherColumns(col("text")).toMap.apply("keep"))
+    assert(gated.count() == naive.count())
+  }
+
   test("config: dsir and weighted-sample selection are mutually exclusive") {
     assertThrows[IllegalArgumentException] {
       TrainingSetConfig.parse(
