@@ -294,16 +294,35 @@ object Selection {
     * (they score on priors alone, via the null-token guard). */
   private def nbScore(score: DataFrame, perTerm: DataFrame, statsRow: DataFrame,
       classes: Seq[String], priors: Seq[Double], classCol: String,
+      textCol: String, idCol: String): DataFrame =
+    nbScoreWith(score, perTerm, crossJoin = Some(statsRow),
+      ncOf = i => element_at(col("nc"), i + 1),
+      vCol = col("v"), classes, priors, classCol, textCol, idCol)
+
+  /** [[nbScore]] with the per-class totals supplied as plan LITERALS —
+    * the persisted-model path already holds the one meta row on the
+    * driver, so shipping it back through a broadcast crossJoin would be
+    * a whole extra exchange + job for one row it has in hand. */
+  private def nbScoreLit(score: DataFrame, perTerm: DataFrame,
+      nc: Seq[Long], v: Double, classes: Seq[String], priors: Seq[Double],
+      classCol: String, textCol: String, idCol: String): DataFrame =
+    nbScoreWith(score, perTerm, crossJoin = None,
+      ncOf = i => lit(nc(i)), vCol = lit(v), classes, priors,
+      classCol, textCol, idCol)
+
+  private def nbScoreWith(score: DataFrame, perTerm: DataFrame,
+      crossJoin: Option[DataFrame], ncOf: Int => Column, vCol: Column,
+      classes: Seq[String], priors: Seq[Double], classCol: String,
       textCol: String, idCol: String): DataFrame = {
     val k = classes.length
-    val dtok = score
+    val joined = score
       .select(col(idCol), col(classCol),
         explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
       .join(broadcast(perTerm), Seq("__t"), "left")
-      .crossJoin(broadcast(statsRow))
+    val dtok = crossJoin.fold(joined)(s => joined.crossJoin(broadcast(s)))
     val contribs = (0 until k).map { i =>
       val n = coalesce(element_at(col("cnts"), i + 1), lit(0L))
-      val denom = element_at(col("nc"), i + 1) + col("v")
+      val denom = ncOf(i) + vCol
       sum(when(col("__t").isNotNull, log((n + lit(1.0)) / denom))).as(s"__s$i")
     }
     val classArr = array(classes.map(lit): _*)
@@ -359,9 +378,14 @@ object Selection {
   }
 
   /** Route documents against a persisted [[writeNbModel]] artifact:
-    * one bounded meta read + a broadcast terms join — identical output
+    * ONE bounded meta read + a broadcast terms join — identical output
     * to the fused [[nbClassify]] for the split the model was trained on
-    * (shared oracle). */
+    * (shared oracle). The whole meta row (classes, priors, per-class
+    * totals, V) becomes plan literals off that single `head()` — the
+    * earlier shape re-read meta as a second relation and shipped its one
+    * row back through a broadcast crossJoin, a whole extra job for
+    * values already on the driver. The totals are the same longs/doubles
+    * either way, so the scores are bit-identical. */
   def nbClassifyFromModel(score: DataFrame, path: String,
       classCol: String = "lang", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -369,10 +393,11 @@ object Selection {
     val meta = spark.read.parquet(s"$path/meta").head()
     val classes = meta.getAs[scala.collection.Seq[String]]("classes").toSeq
     val priors = meta.getAs[scala.collection.Seq[Double]]("priors").toSeq
+    val nc = meta.getAs[scala.collection.Seq[Long]]("nc").toSeq
+    val v = meta.getAs[Double]("v")
     val perTerm = spark.read.parquet(s"$path/terms")
       .select(col("term").as("__t"), col("cnts"))
-    val statsRow = spark.read.parquet(s"$path/meta").select(col("nc"), col("v"))
-    nbScore(score, perTerm, statsRow, classes, priors, classCol, textCol, idCol)
+    nbScoreLit(score, perTerm, nc, v, classes, priors, classCol, textCol, idCol)
   }
 
   /**

@@ -1097,7 +1097,8 @@ object Similarity {
     * so dropping non-survivors from the registry would change later
     * verdicts (a dropped near-dup can be the only ≥τ witness). */
   def writeSemanticRegistry(embeddings: DataFrame, centroids: Array[Array[Float]],
-      path: String, vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      path: String, vecCol: String = "embedding", idCol: String = "vec_id",
+      append: Boolean = false): Unit = {
     require(centroids.nonEmpty, "writeSemanticRegistry: no centroids")
     embeddings
       .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
@@ -1105,7 +1106,11 @@ object Similarity {
         (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
         norm(col(vecCol)).as("nrm"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      // append = the production micro-batch loop: after probing, a batch's
+      // members (ALL of them — see the every-member contract above) join
+      // the registry so later batches dedup against them too
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("cell").parquet(path)
   }
 
   /**

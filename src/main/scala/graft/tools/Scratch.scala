@@ -179,6 +179,106 @@ object Scratch {
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
     }
+    if (sys.env.contains("SCRATCH_SCALE_R12")) {
+      // Round-12 sweep of the round-11 late arrivals that missed the
+      // sweep tables: the minhash pairs bridge, int8 serving,
+      // incremental semantic dedup, and the length histogram.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toSeq
+      def harness(mk: () => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      def p(n: Int, label: String, t: Double): Unit =
+        println(f"SCRATCH-SCALE-R12 ${n}%dx $label: $t%.2f s")
+      for (n <- Seq(1, 8, 32, 128)) {
+        // docs with per-copy VARIANT text: a copy-specific token is
+        // spliced after EVERY word, so every 3-shingle differs across
+        // copies and the minhash signatures genuinely decorrelate (a mere
+        // suffix does NOT — minhash is robust to small edits by design,
+        // so suffixed copies still collide in all bands and the sweep
+        // degenerates into quadratic pair OUTPUT; measured 181 s at 128×
+        // before this fix). Bytes and key space grow n×, near-dup density
+        // stays ~constant — this measures the banding MACHINERY; the
+        // replica sweep below measures output-bound behavior.
+        def varied() = docs.crossJoin(spark.range(n).select(col("id").as("__copy")))
+          .select((col("doc_id") * lit(1000L) + col("__copy")).as("doc_id"),
+            regexp_replace(col("text"), lit("\\s+"),
+              concat(lit(" c"), col("__copy"), lit(" "))).as("text"))
+        // embeddings with remapped ids: key space grows n×; vectors repeat,
+        // which is fine for map-only scoring (no pair production)
+        def scaledEmb() = emb.crossJoin(spark.range(n).select(col("id").as("__copy")))
+          .select((col("vec_id") * lit(1000L) + col("__copy")).as("vec_id"),
+            col("embedding"), col("label"))
+        locally {
+          val t0 = System.nanoTime()
+          val cnt = graft.operators.Dedup.minhashPairsBridge(varied())
+            .queryExecution.toRdd.count()
+          val t1 = (System.nanoTime() - t0) / 1e9
+          val t2 = {
+            val s0 = System.nanoTime()
+            graft.operators.Dedup.minhashPairsBridge(varied())
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - s0) / 1e9
+          }
+          p(n, f"pairs_bridge_v(${cnt}%d pairs)", math.min(t1, t2))
+        }
+        p(n, "lenhist       ", harness(() => varied()
+          .select(graft.functions.TextFunctions.tokenCount(col("text")).as("__n"))
+          .groupBy(floor(log2(greatest(col("__n"), lit(1L)))).cast("long")
+            .as("log2_tokens"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))))
+        p(n, "topk_int8     ", harness(() =>
+          graft.operators.Similarity.topKInt8(scaledEmb(), qv, k = 10)))
+        locally {
+          // semantic-inc probe: registry = even copies, batch = odd copies
+          // (both sides grow n/2×); registry build excluded — the query
+          // under sweep is the PROBE, the build is a one-time write.
+          // TWO cluster configurations: k fixed at 8 lets cells grow n×
+          // (the hot-cell hazard the maxCell valve exists for — the
+          // survivor kernel is O(survivors × cell) per cell), while
+          // k = 8n keeps cell size ~constant, which is how SemDeDup is
+          // actually deployed (clusters scale with the corpus).
+          val all = scaledEmb()
+          // the scaled-k ladder stops at k = 256: centroidScores carries
+          // the centroid matrix as expression literals, and a 1024×64
+          // float tree at 128× stalls codegen — the constant-cell-size
+          // linearity the ladder demonstrates is established by 32×
+          val ks = Seq(("k8", 8)) ++ (if (n <= 32) Seq(("k8n", 8 * n)) else Nil)
+          for ((kLabel, k) <- ks) {
+            val seeds = graft.operators.Similarity.kmeansSeeds(all, k)
+            val reg = s"/tmp/graft_sweep_semreg_${n}_$kLabel"
+            graft.operators.Similarity.writeSemanticRegistry(
+              all.filter(col("vec_id") % 2 === 0), seeds, reg)
+            p(n, f"semantic_inc_$kLabel%-4s", harness(() =>
+              graft.operators.Similarity.semanticDedupIncrement(
+                all.filter(col("vec_id") % 2 === 1), seeds, reg, minCosine = 0.45)))
+          }
+        }
+      }
+      // hot-band documentation: IDENTICAL replicas — every copy shares all
+      // band values with its original, so the candidate-pair OUTPUT is
+      // quadratic in n by problem definition (the pairs ARE the answer).
+      // The machinery must still complete without an all-pairs plan.
+      for (n <- Seq(1, 4, 8)) {
+        def replicas() = docs.crossJoin(spark.range(n).select(col("id").as("__copy")))
+          .select((col("doc_id") * lit(1000L) + col("__copy")).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val cnt = graft.operators.Dedup.minhashPairsBridge(replicas())
+          .queryExecution.toRdd.count()
+        p(n, f"pairs_bridge_replica(${cnt}%d pairs)",
+          (System.nanoTime() - t0) / 1e9)
+      }
+    }
     if (sys.env.contains("SCRATCH_SCALE")) {
       // Linear-scaling sweep: run the linear-by-design operator families
       // over 1x/2x/4x/8x unions of the documents table (doc_id remapped

@@ -1393,4 +1393,50 @@ class CorpusSpec extends AnyFunSuite {
     // every drop is justified by the registry or an earlier batch member
     assert(kept.subsetOf((60L until 80L).toSet))
   }
+
+  test("streaming semantic dedup with a GROWING registry is batch-boundary-invariant") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    // the full production micro-batch loop: probe the registry-so-far,
+    // then APPEND the whole batch (every member, not just survivors — a
+    // dropped near-dup can be a later batch's only ≥τ witness). With
+    // batches arriving in ascending id order this must equal the fused
+    // operator over everything, restricted to the streamed ids — the
+    // same equivalence dedup_semantic_inc proves for one static
+    // increment, here held across THREE batch boundaries.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 4)
+    val reg = java.nio.file.Files.createTempDirectory("sem_stream_grow").toString + "/reg"
+    Similarity.writeSemanticRegistry(e.filter(col("vec_id") < 60), seeds, reg)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SemVec]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= Similarity.semanticDedupIncrement(batch, seeds, reg, 0.33)
+          .collect().map(_.getAs[Long]("vec_id"))
+        Similarity.writeSemanticRegistry(batch, seeds, reg, append = true)
+        ()
+    }.start()
+    val probes = e.filter(col("vec_id") >= 60 && col("vec_id") < 120)
+      .orderBy(col("vec_id")).collect()
+      .map(r => SemVec(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    try {
+      for (b <- probes.grouped(20).toSeq) {
+        in.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fused = Similarity.semanticDedupClustered(
+        e.filter(col("vec_id") < 120), seeds, 0.33)
+      .collect().map(_.getAs[Long]("vec_id")).filter(_ >= 60).toSet
+    assert(kept.toSet == fused, s"streamed $kept vs fused $fused")
+    // the fixture must exercise both keeps and drops across the boundaries
+    assert(kept.nonEmpty && kept.size < 60)
+    // and the registry now holds every streamed member plus the seed set
+    val regRows = spark.read.parquet(reg).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(regRows == (0L until 120L).toSet)
+  }
 }
