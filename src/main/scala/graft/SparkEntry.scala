@@ -305,6 +305,25 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter(col("rn") <= 3)
     }),
+    "top_parts_heap" -> ((s, dir) => {
+      // the SAME top-3-per-supplier answer as window_top_parts, computed
+      // by the mergeable k-heap aggregate instead of the window: no local
+      // sort of the input (the r12 audit priced that sort as
+      // window_top_parts' dominant cost), same ≤ k-rows-per-key shuffle
+      // bound, map-side combinable. Descending price is encoded by
+      // negation (exact for doubles); (orderkey, linenumber) is the
+      // unique tiebreak, same as the window form.
+      val sel = struct((-col("l_extendedprice")).as("np"), col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(graft.plans.TopKExpressions.topKStructs(sel, 3).as("__top"))
+        .select(col("l_suppkey"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+        .select(col("l_suppkey"), col("__t.pk").as("l_partkey"),
+          col("__t.ok").as("l_orderkey"), col("__t.ln").as("l_linenumber"),
+          (-col("__t.np")).as("l_extendedprice"),
+          (col("__pos") + 1).cast(LongType).as("rn"))
+    }),
     "events_window" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1669,6 +1688,14 @@ object SparkEntry {
          | max(CASE WHEN "date" = '2022-03-02' THEN value END) AS "2022-03-02"
          |FROM ($incSql) GROUP BY station_id""".stripMargin,
     "window_top_parts" ->
+      """SELECT * FROM (
+        | SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3""".stripMargin,
+    "top_parts_heap" ->
+      // identical statement to window_top_parts: the heap aggregate must
+      // reproduce the window's answer bit-for-bit
       """SELECT * FROM (
         | SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, l_extendedprice,
         |  row_number() OVER (PARTITION BY l_suppkey

@@ -1211,16 +1211,30 @@ object Similarity {
    * [[quantizeInt8]]'s rung is servable, and the accuracy meter for it
    * (compare against `sim_topk`'s full-precision list): scores are
    * cosine(dequant(v), q) with the exact same scale/round/clamp algebra
-   * as the quantizer, computed ROW-LOCALLY (zip_with/aggregate
-   * sequential folds — deterministic element order, so the oracle's
-   * `list_dot_product` reproduces every double bit-for-bit; an exploded
-   * sum would be partition-order-dependent and hash-unstable). Map-only
-   * + TakeOrdered, same plan shape as brute-force `topK`. The HOF folds
-   * evaluate interpreted — acceptable for a scoring DEMO at 64 dims; a
-   * serving deployment would lift the dequant-dot into a native
-   * expression exactly like [[dot]]'s `FloatVectorDot`.
+   * as the quantizer, computed ROW-LOCALLY with deterministic sequential
+   * fold order, so the oracle's `list_dot_product` reproduces every
+   * double bit-for-bit (an exploded sum would be partition-order-
+   * dependent and hash-unstable). Map-only + TakeOrdered, same plan
+   * shape as brute-force `topK`. Scoring is the native
+   * [[graft.plans.Int8DequantCosine]] kernel (the serving lift the r11
+   * version promised — one codegen'd pass, ~11× the interpreted HOF
+   * form's throughput at the 128× sweep); the HOF formulation survives
+   * as [[topKInt8Hof]], the spec oracle pinning the kernel bit-identical.
    */
   def topKInt8(embeddings: DataFrame, query: Seq[Float], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    embeddings
+      .select(col(idCol), Quantize.q6(graft.plans.VectorExpressions.int8DequantCos(
+        col(vecCol), query.map(_.toDouble))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+
+  /** The original higher-order-function formulation of [[topKInt8]]'s
+    * scoring — interpreted per element (~11 s at the 128× sweep vs ~1 s
+    * for the native kernel), retained as the SPEC ORACLE pinning
+    * [[graft.plans.Int8DequantCosine]] bit-identical (same role
+    * `gopherColumnsRegex` plays for the Gopher kernel; this is also the
+    * shape the DuckDB oracle SQL mirrors). */
+  private[graft] def topKInt8Hof(embeddings: DataFrame, query: Seq[Float], k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val qArr = array(query.map(v => lit(v.toDouble)): _*)
     val amax = greatest(array_max(col(vecCol)).cast("double"),

@@ -179,6 +179,26 @@ object Scratch {
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
     }
+    if (sys.env.contains("SCRATCH_TOPK128")) {
+      // focused 128× rung for the int8 serving kernel (native vs HOF)
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toSeq
+      def scaled() = emb.crossJoin(spark.range(128).select(col("id").as("__copy")))
+        .select((col("vec_id") * lit(1000L) + col("__copy")).as("vec_id"),
+          col("embedding"), col("label"))
+      for ((label, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          ("native", () => graft.operators.Similarity.topKInt8(scaled(), qv, 10)),
+          ("hof   ", () => graft.operators.Similarity.topKInt8Hof(scaled(), qv, 10)))) {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-TOPK128 $label: ${ts.min}%.2f s")
+      }
+    }
     if (sys.env.contains("SCRATCH_SCALE_R12")) {
       // Round-12 sweep of the round-11 late arrivals that missed the
       // sweep tables: the minhash pairs bridge, int8 serving,
