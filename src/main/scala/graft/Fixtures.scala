@@ -168,12 +168,13 @@ object Fixtures {
 
   /**
    * Multimodal fixture: binary payloads + typed metadata. Image payloads
-   * alternate VALID 24-bit uncompressed BMPs and VALID non-interlaced
-   * 8-bit PNGs (RGB and RGBA), audio payloads are VALID 16-bit PCM WAVs
-   * (deterministic gradient / sine content — all are decodable without a
-   * codec library, so `Multimodal.extractFeatures` genuinely decodes
-   * them); video payloads stay synthetic bytes (real video needs a
-   * codec — the stub path's remit).
+   * rotate VALID 24-bit uncompressed BMPs, VALID non-interlaced 8-bit
+   * PNGs (RGB and RGBA), and VALID baseline JPEGs (4:4:4 and 4:2:0);
+   * audio payloads are VALID 16-bit PCM WAVs (deterministic gradient /
+   * sine content — all are decodable without a codec library, so
+   * `Multimodal.extractFeatures` genuinely decodes them); video payloads
+   * stay synthetic bytes (real video needs a codec — the stub path's
+   * remit).
    */
   def media(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -183,9 +184,11 @@ object Fixtures {
       val h = 32 + (i % 3) * 16
       val rate = 16000 + (i % 3) * 8000
       val payload = kind match {
-        // images alternate BMP / PNG (PNG alternating RGB and RGBA) so
-        // every real image decode path appears in the persisted fixture
-        case "image" if (i / 3) % 2 == 1 => pngBytes(w, h, i, alpha = (i / 3) % 4 == 3)
+        // images rotate BMP / PNG / JPEG (PNG alternating RGB and RGBA;
+        // JPEG alternating 4:4:4 and 4:2:0) so every real image decode
+        // path appears in the persisted fixture
+        case "image" if (i / 3) % 3 == 1 => pngBytes(w, h, i, alpha = (i / 3) % 6 == 4)
+        case "image" if (i / 3) % 3 == 2 => jpegBytes(w, h, i, subsample = (i / 3) % 6 == 5)
         case "image" => bmpBytes(w, h, i)
         case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
         case _ =>
@@ -304,6 +307,168 @@ object Fixtures {
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /**
+   * A valid BASELINE JPEG (SOF0, 8-bit, Huffman) carrying the SAME
+   * luminance gradient as [[bmpBytes]]/[[pngBytes]], encoded from
+   * scratch: forward DCT, uniform quantization (q=4 — mild, so the
+   * planted gradient survives within a couple of gray levels), zigzag
+   * run-length symbols, and ONE canonical Huffman table assigning every
+   * symbol a 9-bit code (counts[9] = 256 — a valid prefix code that
+   * needs none of the Annex K constants; decoders read the table from
+   * DHT like any other). Three layouts:
+   *  - grayscale (1 component),
+   *  - color 4:4:4 (Y,Cb,Cr one block each per MCU; chroma flat),
+   *  - color 4:2:0 (`subsample = true`: 4 Y blocks + Cb + Cr per MCU —
+   *    the multi-block-MCU geometry real photos use).
+   * `restartEvery > 0` inserts DRI/RSTn markers, exercising the
+   * decoder's restart path.
+   */
+  def jpegBytes(w: Int, h: Int, seed: Int, gray: Boolean = false,
+      subsample: Boolean = false, restartEvery: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0)
+    // luma plane: same two-axis gradient as pngBytes, BT.601-folded
+    def rgb(x: Int, y: Int): (Int, Int, Int) = (
+      (x + (h - 1 - y) + seed * 11) % 256,
+      (h - 1 - y) * 255 / math.max(1, h - 1),
+      (x * 255 / math.max(1, w - 1) + seed * 37) % 256)
+    def lumaAt(x: Int, y: Int): Double = {
+      val (r, g, b) = rgb(math.min(x, w - 1), math.min(y, h - 1))
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    // DQT: table 0, uniform q
+    val q = 4
+    marker(0xDB); u16(2 + 65); u8(0x00)
+    (0 until 64).foreach(_ => u8(q))
+    if (restartEvery > 0) { marker(0xDD); u16(4); u16(restartEvery) }
+    // SOF0
+    val nComp = if (gray) 1 else 3
+    marker(0xC0); u16(8 + 3 * nComp); u8(8); u16(h); u16(w); u8(nComp)
+    val (hy, vy) = if (subsample && !gray) (2, 2) else (1, 1)
+    u8(1); u8((hy << 4) | vy); u8(0) // Y
+    if (!gray) { u8(2); u8(0x11); u8(0); u8(3); u8(0x11); u8(0) }
+    // DHT: the universal table — symbols 0..254 get 8-bit codes 0..254,
+    // symbol 255 the 9-bit code 510 (DHT's Li fields are bytes, so one
+    // length can't hold all 256; the 9-bit all-ones code 511 stays
+    // unused, per the padding convention). Written once as DC(0) and
+    // once as AC(0).
+    for (tc <- 0 to 1) {
+      marker(0xC4); u16(2 + 17 + 256); u8((tc << 4) | 0)
+      (1 to 16).foreach(l => u8(if (l == 8) 255 else if (l == 9) 1 else 0))
+      (0 until 256).foreach(u8)
+    }
+    // SOS
+    marker(0xDA); u16(6 + 2 * nComp); u8(nComp)
+    u8(1); u8(0x00)
+    if (!gray) { u8(2); u8(0x00); u8(3); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    // --- entropy-coded data ---
+    // canonical codes for counts[9]=256: symbol s ↔ 9-bit code s
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      bitBuf = (bitBuf << n) | (v & ((1L << n) - 1))
+      bitCnt += n
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00)
+        bitCnt -= 8
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) {
+      val b = (((bitBuf << (8 - bitCnt)) & 0xFF)).toInt
+      val padded = b | ((1 << (8 - bitCnt)) - 1)
+      out.write(padded)
+      if (padded == 0xFF) out.write(0x00)
+      bitCnt = 0
+    }
+    def putSym(s: Int): Unit =
+      if (s < 255) putBits(s, 8) else putBits(510, 9)
+    def magnitude(v: Int): (Int, Int) = { // (ssss, appended bits)
+      val a = math.abs(v)
+      var s = 0
+      while ((a >> s) != 0) s += 1
+      val bits = if (v >= 0) v else v + (1 << s) - 1
+      (s, bits)
+    }
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val cosT = Array.tabulate(64) { i =>
+      val u = i / 8; val x = i % 8
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    def fdct(px: Array[Double]): Array[Int] = {
+      val tmp = new Array[Double](64)
+      for (v <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (y <- 0 until 8) s += px(y * 8 + x) * cosT(v * 8 + y)
+        tmp(v * 8 + x) = s / 2.0
+      }
+      val f = new Array[Int](64) // zigzag order, quantized
+      for (k <- 0 until 64) {
+        val u = zig(k) % 8; val v = zig(k) / 8
+        var s = 0.0
+        for (x <- 0 until 8) s += tmp(v * 8 + x) * cosT(u * 8 + x)
+        f(k) = math.round(s / 2.0 / q).toInt
+      }
+      f
+    }
+    def encodeBlock(zq: Array[Int], dcPred: Int): Int = {
+      val (ds, dbits) = magnitude(zq(0) - dcPred)
+      putSym(ds); if (ds > 0) putBits(dbits, ds)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        if (zq(k) == 0) run += 1
+        else {
+          while (run > 15) { putSym(0xF0); run -= 16 }
+          val (s, bits) = magnitude(zq(k))
+          putSym((run << 4) | s); putBits(bits, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putSym(0x00) // EOB
+      zq(0)
+    }
+    def lumaBlock(px0: Int, py0: Int): Array[Double] =
+      Array.tabulate(64)(i => lumaAt(px0 + i % 8, py0 + i / 8) - 128.0)
+    val flatChroma = Array.fill(64)(0.0) // Cb=Cr=128 → shifted 0
+    val flatChromaZ = fdct(flatChroma)
+    val mcusX = (w + 8 * hy - 1) / (8 * hy)
+    val mcusY = (h + 8 * vy - 1) / (8 * vy)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcu = 0
+    var rst = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+        flushBits()
+        marker(0xD0 + rst % 8)
+        rst += 1
+        dcY = 0; dcCb = 0; dcCr = 0
+      }
+      for (by <- 0 until vy; bx <- 0 until hy)
+        dcY = encodeBlock(fdct(lumaBlock((mx * hy + bx) * 8, (my * vy + by) * 8)), dcY)
+      if (!gray) {
+        dcCb = encodeBlock(flatChromaZ, dcCb)
+        dcCr = encodeBlock(flatChromaZ, dcCr)
+      }
+      mcu += 1
+    }
+    flushBits()
+    marker(0xD9) // EOI
+    out.toByteArray
   }
 
   /** A valid 16-bit mono PCM WAV: deterministic integer sine-ish wave

@@ -16,8 +16,11 @@ import graft.functions.Quantize
  * (JDK-standard `Inflater`) plus four integer row filters — so images
  * yield genuine 4×4-grid luminance features and audio genuine per-segment
  * RMS envelopes, content-derived embeddings the similarity/dedup operators
- * consume directly. Payloads
- * that need an actual codec (video containers, JPEG/MP3/…) fall back to a
+ * consume directly — and baseline JPEG ([[decodeJpeg]]) is Huffman
+ * tables + an 8-point IDCT, pure math over bytes, decoded luma-only
+ * (the feature IS luminance). Payloads
+ * that genuinely need a codec library (video containers, MP3/…, plus
+ * the non-baseline JPEG modes) fall back to a
  * clearly-marked deterministic STUB (`fakeDecode`, `decoder = "stub"`):
  * those libraries don't exist in this container, and in production only
  * that branch changes — everything around it, including the contract that
@@ -38,8 +41,9 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int, doc_ref: String)
 
   /** Extracted features: one row per media item. `decoder` records which
-    * path produced the feature — "bmp" / "png" / "wav" (real content
-    * decode) or "stub" (codec-bound payload, deterministic fake). */
+    * path produced the feature — "bmp" / "png" / "jpeg" / "wav" (real
+    * content decode) or "stub" (codec-bound payload, deterministic
+    * fake). */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
       thumb_w: Int, thumb_h: Int, frames_sampled: Int, decoder: String,
@@ -267,6 +271,138 @@ object Multimodal {
     Some((w, h, feat))
   }
 
+  /**
+   * REAL decode of a baseline JPEG (JFIF/EXIF container, SOF0
+   * sequential DCT, 8-bit, Huffman — the overwhelming majority of
+   * real-world JPEGs), LUMA-ONLY: the grid feature is mean luminance, so
+   * only the Y component is inverse-transformed; chroma blocks are
+   * entropy-decoded (the bitstream must advance) but never IDCT'd or
+   * color-converted. Everything is pure math on bytes — canonical
+   * Huffman tables from DHT, dequantization from DQT, a separable 8-point
+   * float IDCT, 0xFF00 byte-unstuffing, DRI/RSTn restart handling — so no
+   * codec library is involved, meeting the same standard as the
+   * BMP/PNG/WAV decoders. Returns (width, height, 16-dim feature): the
+   * 4×4 grid mean of reconstructed Y (already the BT.601 luma JPEG
+   * stores), /255 like the other decoders. None for anything this layout
+   * can't express (progressive SOF2, arithmetic coding, 12-bit,
+   * truncated/corrupt streams) — and, per the untrusted-header contract,
+   * sizes are valved before allocation.
+   */
+  def decodeJpeg(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
+    // --- marker walk: collect DQT/DHT/SOF0/DRI until SOS ---
+    val qt = new Array[Array[Int]](4)
+    // huffman tables: (class 0=DC/1=AC)(id) -> (maxcode/valptr decode arrays)
+    val hufCounts = Array.ofDim[Array[Int]](2, 4)
+    val hufSymbols = Array.ofDim[Array[Int]](2, 4)
+    var w = -1; var h = -1
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var off = 2
+    var sosAt = -1
+    var scanComps: Array[Int] = null // component index per scan order
+    var scanDc: Array[Int] = null
+    var scanAc: Array[Int] = null
+    while (sosAt < 0) {
+      if (off + 4 > p.length) return None
+      if ((p(off) & 0xFF) != 0xFF) return None
+      val marker = p(off + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { off += 2 }
+      else {
+        val len = ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+        if (len < 2 || off + 2 + len > p.length) return None
+        val seg = off + 4
+        val segEnd = off + 2 + len
+        marker match {
+          case 0xC0 => // SOF0 baseline
+            if (len < 8) return None
+            if ((p(seg) & 0xFF) != 8) return None // bit depth
+            h = ((p(seg + 1) & 0xFF) << 8) | (p(seg + 2) & 0xFF)
+            w = ((p(seg + 3) & 0xFF) << 8) | (p(seg + 4) & 0xFF)
+            nComp = p(seg + 5) & 0xFF
+            if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
+            if (w.toLong * h > (64L << 20)) return None // decode-size valve
+            if (seg + 6 + nComp * 3 > segEnd) return None
+            compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = p(seg + 6 + c * 3) & 0xFF
+              val hv = p(seg + 7 + c * 3) & 0xFF
+              compH(c) = hv >> 4; compV(c) = hv & 0xF
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4) return None
+              compQ(c) = p(seg + 8 + c * 3) & 0xFF
+              c += 1
+            }
+          case 0xC1 => return None // extended sequential: not baseline
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF => return None // progressive/arithmetic/…
+          case 0xDB => // DQT
+            var q = seg
+            while (q < segEnd) {
+              val pq = (p(q) & 0xFF) >> 4
+              val tq = p(q) & 0xF
+              if (tq > 3) return None
+              if (pq == 0) {
+                if (q + 65 > segEnd) return None
+                qt(tq) = Array.tabulate(64)(i => p(q + 1 + i) & 0xFF)
+                q += 65
+              } else { // 16-bit table
+                if (q + 129 > segEnd) return None
+                qt(tq) = Array.tabulate(64)(i =>
+                  ((p(q + 1 + i * 2) & 0xFF) << 8) | (p(q + 2 + i * 2) & 0xFF))
+                q += 129
+              }
+            }
+          case 0xC4 => // DHT
+            var q = seg
+            while (q < segEnd) {
+              val tc = (p(q) & 0xFF) >> 4
+              val th = p(q) & 0xF
+              if (tc > 1 || th > 3) return None
+              if (q + 17 > segEnd) return None
+              val counts = Array.tabulate(16)(i => p(q + 1 + i) & 0xFF)
+              val total = counts.sum
+              if (total > 256 || q + 17 + total > segEnd) return None
+              hufCounts(tc)(th) = counts
+              hufSymbols(tc)(th) = Array.tabulate(total)(i => p(q + 17 + i) & 0xFF)
+              q += 17 + total
+            }
+          case 0xDD => // DRI
+            if (len < 4) return None
+            restartInterval = ((p(seg) & 0xFF) << 8) | (p(seg + 1) & 0xFF)
+          case 0xDA => // SOS
+            if (w < 0) return None
+            val ns = p(seg) & 0xFF
+            if (ns != nComp || seg + 1 + ns * 2 + 3 > segEnd) return None
+            scanComps = new Array[Int](ns)
+            scanDc = new Array[Int](ns)
+            scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = p(seg + 1 + c * 2) & 0xFF
+              val idx = compId.indexOf(cs)
+              if (idx < 0) return None
+              scanComps(c) = idx
+              val tt = p(seg + 2 + c * 2) & 0xFF
+              scanDc(c) = tt >> 4; scanAc(c) = tt & 0xF
+              c += 1
+            }
+            sosAt = segEnd
+          case 0xD9 => return None // EOI before SOS
+          case _ => () // APPn/COM/…: skip
+        }
+        if (sosAt < 0) off = segEnd
+      }
+    }
+    JpegDecode.scan(p, sosAt, w, h, nComp, compH, compV, compQ,
+      qt, hufCounts, hufSymbols, scanComps, scanDc, scanAc, restartInterval)
+  }
+
   /** Deterministic payload checksum (FNV-ish fold) — computed for every
     * item regardless of decode path. */
   private def fnv(payload: Array[Byte]): Long = {
@@ -278,7 +414,7 @@ object Multimodal {
 
   /**
    * STUB decode — deterministic fake standing in for a real codec on
-   * payloads whose formats need one (video containers, JPEG/MP3/…, none
+   * payloads whose formats need one (video containers, MP3/…, none
    * of which have libraries in this container). Derives a fixed-length
    * "feature vector" from the checksum so downstream operators
    * (similarity, dedup) are exercised with realistic shapes and
@@ -324,6 +460,7 @@ object Multimodal {
             case "image" =>
               decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, f) }
                 .orElse(decodePng(r.payload).map { case (w, h, f) => ("png", w, h, f) })
+                .orElse(decodeJpeg(r.payload).map { case (w, h, f) => ("jpeg", w, h, f) })
             case "audio" => decodeWav(r.payload).map { case (_, _, f) =>
               ("wav", r.width, r.height, f) }
             case _ => None

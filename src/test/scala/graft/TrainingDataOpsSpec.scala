@@ -1154,14 +1154,15 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 16))
     assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
     assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
-    // REAL decode paths: fixture images are valid BMPs or PNGs, audio valid WAVs
+    // REAL decode paths: fixture images are valid BMPs, PNGs, or JPEGs,
+    // audio valid WAVs
     val imgDecoders = f1.filter(_.kind == "image").map(_.decoder).toSet
-    assert(imgDecoders == Set("bmp", "png"), s"got $imgDecoders")
+    assert(imgDecoders == Set("bmp", "png", "jpeg"), s"got $imgDecoders")
     assert(f1.filter(_.kind == "audio").forall(_.decoder == "wav"))
     assert(f1.filter(_.kind == "video").forall(_.decoder == "stub"))
     // grid-luminance features are genuine content: bounded, non-flat,
     // and brighter at the image top (the fixture's G channel grows upward)
-    f1.filter(f => f.decoder == "bmp" || f.decoder == "png").foreach { f =>
+    f1.filter(f => Set("bmp", "png", "jpeg")(f.decoder)).foreach { f =>
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
       val top = f.feature.take(4).sum / 4
       val bottom = f.feature.drop(12).sum / 4
@@ -1368,6 +1369,56 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(png.take(png.length - 20)).isEmpty)
     assert(Multimodal.decodePng({ val b = png.clone(); b(8) = 0x7F; b }).isEmpty)
     assert(Multimodal.decodePng(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
+  }
+
+  test("multimodal: baseline JPEG decode recovers the planted gradient in all layouts") {
+    import graft.operators.Multimodal
+    // the oracle: grid means of the encoder's exact luma plane
+    def expectGrid(w: Int, h: Int, seed: Int): Array[Double] = {
+      def lumaAt(x: Int, y: Int): Double = {
+        val r = (x + (h - 1 - y) + seed * 11) % 256
+        val g = (h - 1 - y) * 255 / math.max(1, h - 1)
+        val b = (x * 255 / math.max(1, w - 1) + seed * 37) % 256
+        0.299 * r + 0.587 * g + 0.114 * b
+      }
+      val sums = new Array[Double](16)
+      val counts = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+        sums(cell) += lumaAt(x, y); counts(cell) += 1
+      }
+      Array.tabulate(16)(i => sums(i) / counts(i) / 255.0)
+    }
+    val cases = Seq(
+      ("gray", Fixtures.jpegBytes(40, 24, 3, gray = true), 40, 24, 3),
+      ("4:4:4", Fixtures.jpegBytes(33, 47, 7), 33, 47, 7),
+      ("4:2:0", Fixtures.jpegBytes(48, 32, 5, subsample = true), 48, 32, 5),
+      ("4:2:0+RST", Fixtures.jpegBytes(48, 32, 5, subsample = true,
+        restartEvery = 2), 48, 32, 5))
+    for ((label, bytes, w, h, seed) <- cases) {
+      val got = Multimodal.decodeJpeg(bytes)
+      assert(got.isDefined, s"$label failed to decode")
+      val Some((gw, gh, feat)) = got
+      assert((gw, gh) == (w, h), label)
+      val want = expectGrid(w, h, seed)
+      for (c <- 0 until 16)
+        assert(math.abs(feat(c) - want(c)) <= 2.5 / 255.0,
+          f"$label cell $c: got ${feat(c)}%.4f want ${want(c)}%.4f")
+    }
+    // 4:2:0 and restart variants reconstruct the same content
+    val a = Multimodal.decodeJpeg(cases(2)._2).get._3
+    val b = Multimodal.decodeJpeg(cases(3)._2).get._3
+    for (c <- 0 until 16) assert(math.abs(a(c) - b(c)) <= 0.5 / 255.0)
+    // corrupt / unsupported payloads return None, never throw
+    val jb = cases(1)._2
+    assert(Multimodal.decodeJpeg(jb.take(jb.length / 2)).isEmpty)       // truncated
+    assert(Multimodal.decodeJpeg({ val x = jb.clone()
+      // flip SOF0 (0xC0) to progressive SOF2 (0xC2)
+      val i = (0 until x.length - 1).find(i =>
+        (x(i) & 0xFF) == 0xFF && (x(i + 1) & 0xFF) == 0xC0).get
+      x(i + 1) = 0xC2.toByte; x }).isEmpty)
+    assert(Multimodal.decodeJpeg(Fixtures.pngBytes(16, 16, 1)).isEmpty) // wrong magic
+    assert(Multimodal.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
   }
 
   test("multimodal: content near-dup pairs identical pixels across different bytes/ids") {
