@@ -1421,6 +1421,47 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
   }
 
+  test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
+    import graft.operators.Multimodal
+    // the untrusted-payload contract, exercised mechanically: random
+    // byte flips / truncations of VALID payloads must yield Some or
+    // None, never an exception (a corrupt object in a 100 TB corpus
+    // must cost one stub row, not a task). Seeded RNG → reproducible.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val bases: Seq[(String, Array[Byte])] = Seq(
+      ("bmp", Fixtures.bmpBytes(24, 16, 1)),
+      ("png", Fixtures.pngBytes(24, 16, 1)),
+      ("png-rgba", Fixtures.pngBytes(16, 16, 2, alpha = true)),
+      ("jpeg", Fixtures.jpegBytes(24, 16, 1)),
+      ("jpeg-420", Fixtures.jpegBytes(32, 32, 2, subsample = true, restartEvery = 1)),
+      ("wav", Fixtures.wavBytes(16000, 256, 1)))
+    def runAll(p: Array[Byte]): Unit = {
+      Multimodal.decodeBmp(p); Multimodal.decodePng(p)
+      Multimodal.decodeJpeg(p); Multimodal.decodeWav(p)
+      ()
+    }
+    for ((label, base) <- bases; trial <- 0 until 200) {
+      val m = base.clone()
+      val mode = trial % 3
+      try {
+        if (mode == 0) { // flip 1-4 random bytes
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte }
+          runAll(m)
+        } else if (mode == 1) { // truncate at a random point
+          runAll(m.take(rnd.nextInt(m.length)))
+        } else { // flip bytes then truncate
+          (0 to rnd.nextInt(8)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte }
+          runAll(m.take(1 + rnd.nextInt(m.length)))
+        }
+      } catch {
+        case e: Throwable =>
+          fail(s"$label trial $trial mode $mode threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("multimodal: content near-dup pairs identical pixels across different bytes/ids") {
     implicit val s = spark
     import spark.implicits._
