@@ -120,10 +120,14 @@ object TrainingSetJob {
     // to the source frame itself — the standard web-scale pre-filter,
     // map-only, so everything downstream (dedup shingles, eval
     // decontamination, mixtures) runs on the already-gated corpus.
-    // gopherKeep wraps the signals kernel in an evaluate-once `With`, so
+    // gopherKeep is the single-expression GopherKeep verdict kernel, so
     // the byte scan runs ONE time per row (plan-asserted in
-    // TrainingSetJobSpec; the naive keep predicate re-ran it per struct
-    // reference — FilterExec does no subexpression elimination)
+    // TrainingSetJobSpec). It must stay ONE expression: the naive keep
+    // predicate referenced the signals struct ~8 times and FilterExec
+    // does no subexpression elimination, and every With/projected-alias
+    // shape was re-substituted by predicate pushdown back into that
+    // multi-copy form (measured 63 kernel copies — see the GopherKeep
+    // scaladoc before "simplifying" this).
     val docs = if (!cfg.gopherGate) docs0
       else docs0.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
     // eval docs get the SAME normalization: decontamination shingles must

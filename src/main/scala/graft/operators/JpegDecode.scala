@@ -176,8 +176,7 @@ private[operators] object JpegDecode {
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val dcPred = new Array[Int](ns)
     val (coef, pix) = newScratch()
-    val sums = new Array[Double](16)
-    val counts = new Array[Long](16)
+    val grid = new Multimodal.GridLuma(w, h)
     var rstCountdown = if (restartInterval > 0) restartInterval else -1
     var my = 0
     while (my < mcusY) {
@@ -223,16 +222,12 @@ private[operators] object JpegDecode {
                 while (yy < 8) {
                   val py = py0 + yy
                   if (py < h) {
-                    val gy = math.min(3, py * 4 / h)
                     var xx = 0
                     while (xx < 8) {
                       val px = px0 + xx
                       if (px < w) {
                         val v = pix(yy * 8 + xx) + 128.0
-                        val luma = math.max(0.0, math.min(255.0, v))
-                        val cell = gy * 4 + math.min(3, px * 4 / w)
-                        sums(cell) += luma
-                        counts(cell) += 1
+                        grid.add(px, py, math.max(0.0, math.min(255.0, v)))
                       }
                       xx += 1
                     }
@@ -259,8 +254,6 @@ private[operators] object JpegDecode {
       }
       my += 1
     }
-    val feat = Array.tabulate(16)(i =>
-      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
-    Some((w, h, feat))
+    Some((w, h, grid.feature()))
   } catch { case scala.util.control.NonFatal(_) => None }
 }

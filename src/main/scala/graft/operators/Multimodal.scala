@@ -56,6 +56,30 @@ object Multimodal {
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
 
   /**
+   * The one shared 4×4 grid-luminance accumulator behind every image
+   * decoder's 16-dim feature (BMP/PNG/JPEG), so the feature algebra —
+   * cell geometry, mean, /255 normalization — has exactly one
+   * implementation and cross-decoder feature compatibility is structural.
+   * Double sums are exact for the integer lumas BMP/PNG feed (sums stay
+   * far below 2^53) and native for JPEG's fractional reconstructed Y.
+   */
+  private[operators] final class GridLuma(w: Int, h: Int) {
+    private val sums = new Array[Double](16)
+    private val counts = new Array[Long](16)
+    def add(x: Int, y: Int, luma: Double): Unit = {
+      val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+      sums(cell) += luma
+      counts(cell) += 1
+    }
+    def feature(): Array[Float] = Array.tabulate(16)(c =>
+      if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+  }
+
+  /** Integer BT.601 luma used by the RGB-source decoders (BMP/PNG). */
+  private[operators] def bt601(r: Int, g: Int, b: Int): Int =
+    (r * 299 + g * 587 + b * 114) / 1000
+
+  /**
    * REAL decode of a 24-bit uncompressed BMP (pure byte layout — 14-byte
    * file header, 40-byte info header, bottom-up BGR rows padded to 4
    * bytes; top-down negative-height variant handled). Returns (width,
@@ -72,7 +96,9 @@ object Multimodal {
     val h = math.abs(hRaw)
     val bpp = leShort(p, 28)
     val comp = leInt(p, 30)
-    if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
+    // h <= 0 also rejects hRaw = Int.MinValue, whose math.abs is itself
+    // negative and would otherwise skip the pixel loop yet report success.
+    if (bpp != 24 || comp != 0 || w <= 0 || h <= 0) return None
     // Header ints are UNTRUSTED: a negative pixOff or a w near 2^31/3 must
     // not slip past the size check via Int overflow (sum/rowSize wrapping
     // negative would pass the `>` and then blow up in the pixel loop), so
@@ -81,29 +107,21 @@ object Multimodal {
     if (pixOff < 54 || w > p.length / 3) return None
     val rowSize = (((w.toLong * 3) + 3) / 4 * 4).toInt
     if (pixOff.toLong + rowSize.toLong * h > p.length) return None
-    val sums = new Array[Long](16)
-    val counts = new Array[Long](16)
+    val grid = new GridLuma(w, h)
     var y = 0
     while (y < h) {
       // bottom-up storage unless height was negative (top-down)
       val srcRow = if (hRaw > 0) h - 1 - y else y
       val base = pixOff + srcRow * rowSize
-      val gy = math.min(3, y * 4 / h)
       var x = 0
       while (x < w) {
         val o = base + x * 3
-        val luma = ((p(o + 2) & 0xFF) * 299 + (p(o + 1) & 0xFF) * 587 +
-          (p(o) & 0xFF) * 114) / 1000
-        val cell = gy * 4 + math.min(3, x * 4 / w)
-        sums(cell) += luma
-        counts(cell) += 1
+        grid.add(x, y, bt601(p(o + 2) & 0xFF, p(o + 1) & 0xFF, p(o) & 0xFF))
         x += 1
       }
       y += 1
     }
-    val feat = Array.tabulate(16)(c =>
-      if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c) / 255.0).toFloat)
-    Some((w, h, feat))
+    Some((w, h, grid.feature()))
   }
 
   /**
@@ -222,8 +240,7 @@ object Multimodal {
     } finally inf.end()
     // per-row de-filter + grid-luma accumulate in one pass (prev = the
     // RECONSTRUCTED previous row, per the PNG filter spec)
-    val sums = new Array[Long](16)
-    val counts = new Array[Long](16)
+    val grid = new GridLuma(w, h)
     val prev = new Array[Byte](stride)
     val cur = new Array[Byte](stride)
     var y = 0
@@ -250,25 +267,19 @@ object Multimodal {
         cur(i) = (r & 0xFF).toByte
         i += 1
       }
-      val gy = math.min(3, y * 4 / h)
       var px = 0
       while (px < w) {
         val o = px * channels
         val luma =
           if (channels == 1) cur(o) & 0xFF
-          else ((cur(o) & 0xFF) * 299 + (cur(o + 1) & 0xFF) * 587 +
-            (cur(o + 2) & 0xFF) * 114) / 1000
-        val cell = gy * 4 + math.min(3, px * 4 / w)
-        sums(cell) += luma
-        counts(cell) += 1
+          else bt601(cur(o) & 0xFF, cur(o + 1) & 0xFF, cur(o + 2) & 0xFF)
+        grid.add(px, y, luma)
         px += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    val feat = Array.tabulate(16)(c =>
-      if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c) / 255.0).toFloat)
-    Some((w, h, feat))
+    Some((w, h, grid.feature()))
   }
 
   /**
@@ -377,6 +388,9 @@ object Multimodal {
             restartInterval = ((p(seg) & 0xFF) << 8) | (p(seg + 1) & 0xFF)
           case 0xDA => // SOS
             if (w < 0) return None
+            // len == 2 makes seg == segEnd (possibly == p.length): the ns
+            // read below would be out of bounds, so bound it first.
+            if (seg >= segEnd) return None
             val ns = p(seg) & 0xFF
             if (ns != nComp || seg + 1 + ns * 2 + 3 > segEnd) return None
             scanComps = new Array[Int](ns)

@@ -1124,7 +1124,10 @@ object Similarity {
    * `dedup_semantic_inc` equivalence.
    *
    * Same single-aggregation shape as the fused form: one tiny job scores
-   * the batch and collects its DISTINCT cells (≤ #centroids rows — the
+   * the batch — materialized, so the cell prune below and the main
+   * aggregation read the SAME snapshot and scoring runs once even for a
+   * non-deterministic batch source — and collects its DISTINCT cells
+   * (≤ #centroids rows — the
    * centroid array already lives on the driver, so this is
    * broadcast-small by construction), the registry read is then
    * cell-partition-PRUNED to exactly those cells (untouched cells can
@@ -1143,17 +1146,24 @@ object Similarity {
    */
   def semanticDedupIncrement(batch: DataFrame, centroids: Array[Array[Float]],
       registryPath: String, minCosine: Double, maxCell: Option[Long] = None,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupIncrement: no centroids")
     val spark = batch.sparkSession
-    val asg = batch
+    // Materialize the scored batch BEFORE collecting its touched cells:
+    // the cell set prunes the registry scan of the main job, so the two
+    // jobs must see the SAME batch rows (a sampled/re-read-mutable source
+    // recomputed differently would silently drop a registry witness), and
+    // the centroid scoring pass should run once, not twice. A micro-batch
+    // increment is small by construction, so the checkpoint is cheap.
+    val asg = Materialize(batch
       .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
         (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
         norm(col(vecCol)).as("__n"))
       .withColumn(idCol, when(col(idCol) < 0L, raise_error(concat(
           lit("semanticDedupIncrement: batch ids must be >= 0, got "), col(idCol))))
-        .otherwise(col(idCol)))
+        .otherwise(col(idCol))), checkpointDir)
     val touchedCells = asg.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val reg = spark.read.parquet(registryPath)

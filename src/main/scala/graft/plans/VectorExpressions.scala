@@ -305,12 +305,27 @@ case class SemDedupSurvivors(child: Expression, thr: Double)
  * dimension order — never a reduction-tree), same multiply order
  * ((code·s)·q_d). Returns the UNQUANTIZED cosine — callers apply
  * `Quantize.q6` at the column level so the emission quantization stays
- * defined in exactly one place. Zero-norm vectors yield 0/0 = NaN, the
- * same loud divergence the column form produces.
+ * defined in exactly one place.
+ *
+ * Degenerate inputs return NULL, which `desc` ordering places LAST so
+ * they can never displace a real neighbor from a served top-k:
+ * dimension-mismatched vectors and vectors containing null elements
+ * get NULL exactly as the HOF form does (zip_with pads the shorter
+ * array with nulls and `aggregate`'s fold null-propagates — verified
+ * against Spark 4.1.2; it does NOT null-skip), and zero-norm vectors
+ * get NULL as a DELIBERATE softening of the HOF form's ANSI
+ * DIVIDE_BY_ZERO abort (a serving path must not kill the job on one
+ * zero-padded embedding; NaN would be worse — Spark sorts NaN FIRST
+ * under desc, promoting the degenerate row to rank 1).
  */
 case class Int8DequantCosine(child: Expression, query: Seq[Double])
     extends UnaryExpression {
   require(query.nonEmpty, "int8_dequant_cos: empty query vector")
+
+  // NULL is an output value (degenerate inputs), not only a propagation
+  // of a NULL child, so this must stay nullable even over a non-null
+  // child column.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -335,8 +350,14 @@ case class Int8DequantCosine(child: Expression, query: Seq[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("int8q", qArr, "double[]")
     val nRef = ctx.addReferenceObj("int8qn", java.lang.Double.valueOf(qNorm), "java.lang.Double")
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.plans.VectorKernels.int8DequantCos($v, $qRef, $nRef);")
+    val r = ctx.freshName("int8r")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Double $r = graft.plans.VectorKernels.int8DequantCos($v, $qRef, $nRef);
+      if ($r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $r.doubleValue();
+      }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -349,17 +370,21 @@ object VectorKernels {
     * amax = max(max(v), −min(v)) in double; s = q6(amax/127); code_d =
     * clamp(floor(v_d/s + 0.5), ±127) (0 when s = 0); dot and dequantized
     * norm² fold SEQUENTIALLY in dimension order; cosine =
-    * dot / (√norm² · ‖q‖). Dimension count folds over min(|v|, |q|),
-    * mirroring zip_with's null-padding truncation under the fold's
-    * null-skip (+ on null is absorbed by the double sum only for the
-    * overlapping prefix — the column form sums exactly these terms). */
-  def int8DequantCos(vec: ArrayData, q: Array[Double], qNorm: Double): Double = {
+    * dot / (√norm² · ‖q‖).
+    *
+    * Returns null (→ SQL NULL, ranked last under desc) for the
+    * degenerate inputs the expression scaladoc documents: dimension
+    * mismatch or a null element (the HOF form's own NULL), and
+    * zero/NaN norm (softened from the HOF form's ANSI abort). */
+  def int8DequantCos(vec: ArrayData, q: Array[Double], qNorm: Double): java.lang.Double = {
     val nv = vec.numElements()
+    if (nv != q.length) return null // HOF zip_with null-pad → NULL
     // amax exactly as the column form: float max / float min, cast double
     var maxF = Float.NegativeInfinity
     var minF = Float.PositiveInfinity
     var i = 0
     while (i < nv) {
+      if (vec.isNullAt(i)) return null // HOF fold null-propagates → NULL
       val f = vec.getFloat(i)
       if (f > maxF) maxF = f
       if (f < minF) minF = f
@@ -369,11 +394,10 @@ object VectorKernels {
     val s0 = amax / 127.0
     val s = if (java.lang.Double.isNaN(s0) || java.lang.Double.isInfinite(s0)) s0
       else math.floor(s0 * 1e6 + 0.5) / 1e6
-    val n = math.min(nv, q.length)
     var dot = 0.0
     var n2 = 0.0
     i = 0
-    while (i < n) {
+    while (i < nv) {
       val code = if (s == 0d) 0d
         else math.max(math.min(math.floor(vec.getFloat(i).toDouble / s + 0.5), 127d), -127d)
       val dq = code * s
@@ -381,15 +405,8 @@ object VectorKernels {
       n2 += dq * dq
       i += 1
     }
-    // norm² must cover ALL of v's dims (transform runs over v, not the zip)
-    while (i < nv) {
-      val code = if (s == 0d) 0d
-        else math.max(math.min(math.floor(vec.getFloat(i).toDouble / s + 0.5), 127d), -127d)
-      val dq = code * s
-      n2 += dq * dq
-      i += 1
-    }
-    dot / (math.sqrt(n2) * qNorm)
+    val cos = dot / (math.sqrt(n2) * qNorm)
+    if (java.lang.Double.isNaN(cos)) null else cos
   }
 
   /** [[SemDedupSurvivors]] kernel: O(k²/2) dots with early exit on the

@@ -1315,6 +1315,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(nat == hof, "native int8 cosine diverges from the HOF oracle")
   }
 
+  test("int8 top-k: degenerate vectors score NULL and rank last, never NaN-first") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val degenerate = Seq(
+      (1000001L, Array.fill(64)(0f), 0),   // zero-norm: HOF aborts (ANSI), kernel → NULL
+      (1000002L, Array.fill(32)(0.5f), 0)) // dim mismatch: HOF → NULL, kernel → NULL
+      .toDF("vec_id", "embedding", "label")
+    // the kernel returns SQL NULL for both (NaN would sort FIRST under
+    // desc and displace a real neighbor from rank 1)
+    val scores = degenerate.select(col("vec_id"),
+      graft.plans.VectorExpressions.int8DequantCos(
+        col("embedding"), q.map(_.toDouble)).as("cos")).collect()
+    assert(scores.forall(_.isNullAt(1)), s"expected NULL scores: ${scores.mkString(",")}")
+    // and a served top-k over a poisoned corpus never admits them
+    val top = Similarity.topKInt8(e.unionByName(degenerate), q, 10).collect()
+    assert(top.forall(r => r.getAs[Long]("vec_id") < 1000001L),
+      s"degenerate vector entered the top-k: ${top.mkString(",")}")
+    assert(top.forall(r => !r.isNullAt(1) && !r.getAs[Double]("cos").isNaN))
+  }
+
   test("int8 quantization: reconstruction within scale/2, codes bounded, zero vector safe") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .union(Seq((9999L, Array.fill(64)(0f), 0)).toDF("vec_id", "embedding", "label"))
@@ -1419,6 +1440,18 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       x(i + 1) = 0xC2.toByte; x }).isEmpty)
     assert(Multimodal.decodeJpeg(Fixtures.pngBytes(16, 16, 1)).isEmpty) // wrong magic
     assert(Multimodal.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+    // payload ending exactly at an empty SOS header (… FF DA 00 02 EOF,
+    // after a valid SOF0): the ns read sits at p.length — must be None,
+    // not AIOOBE
+    val sosAt = (0 until jb.length - 1).find(i =>
+      (jb(i) & 0xFF) == 0xFF && (jb(i + 1) & 0xFF) == 0xDA).get
+    assert(Multimodal.decodeJpeg(
+      jb.take(sosAt) ++ Array(0xFF, 0xDA, 0x00, 0x02).map(_.toByte)).isEmpty)
+    // BMP height Int.MinValue: math.abs is still negative — must be None,
+    // not a bogus zero-feature "success" with a negative height
+    val bmpMinH = Fixtures.bmpBytes(8, 8, 1).clone()
+    bmpMinH(22) = 0; bmpMinH(23) = 0; bmpMinH(24) = 0; bmpMinH(25) = 0x80.toByte
+    assert(Multimodal.decodeBmp(bmpMinH).isEmpty)
   }
 
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
