@@ -173,8 +173,9 @@ object Fixtures {
    * audio payloads are VALID 16-bit PCM WAVs (deterministic gradient /
    * sine content — all are decodable without a codec library, so
    * `Multimodal.extractFeatures` genuinely decodes them); video payloads
-   * stay synthetic bytes (real video needs a codec — the stub path's
-   * remit).
+   * alternate VALID MJPEG AVIs (flat and rec-grouped — decoded for real
+   * by `Multimodal.decodeAvi`) and synthetic bytes (codec-bound video —
+   * the stub path's remit).
    */
   def media(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -191,6 +192,12 @@ object Fixtures {
         case "image" if (i / 3) % 3 == 2 => jpegBytes(w, h, i, subsample = (i / 3) % 6 == 5)
         case "image" => bmpBytes(w, h, i)
         case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
+        // video alternates real MJPEG AVI (one rec-grouped) and synthetic
+        // codec-bound bytes, so both the avi-mjpeg and stub paths appear
+        // in the persisted fixture
+        case _ if (i / 3) % 2 == 0 =>
+          aviBytes(w, h, nFrames = 2 + (i / 3) % 3, seed = i,
+            nested = (i / 3) % 6 == 2)
         case _ =>
           Array.tabulate[Byte](w * h % 997 + 64)(j => ((i * 131 + j * 31) % 251).toByte)
       }
@@ -468,6 +475,50 @@ object Fixtures {
     }
     flushBits()
     marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /**
+   * A valid MJPEG AVI: RIFF container (`hdrl` with a real avih + vids
+   * strl, then a `movi` LIST) whose `00dc` chunks are the [[jpegBytes]]
+   * baseline JPEGs — each frame a distinct seed, so the temporal-mean
+   * feature differs from any single frame's. `nested` wraps the frames
+   * in a `LIST rec ` group (the interleaved-AVI layout) to exercise the
+   * decoder's one-level descent.
+   */
+  def aviBytes(w: Int, h: Int, nFrames: Int, seed: Int,
+      nested: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ body)
+    val avih = new Array[Byte](56)
+    def put32(off: Int, v: Int): Unit = le32(v).copyToArray(avih, off)
+    put32(0, 40000) // usec/frame (25 fps)
+    put32(16, nFrames); put32(24, 1) // totalFrames, streams
+    put32(32, w); put32(36, h)
+    val strh = new Array[Byte](56)
+    fourcc("vids").copyToArray(strh, 0); fourcc("MJPG").copyToArray(strh, 4)
+    le32(1).copyToArray(strh, 20); le32(25).copyToArray(strh, 24) // scale, rate
+    le32(nFrames).copyToArray(strh, 32)
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    le32(40).copyToArray(strf, 0); le32(w).copyToArray(strf, 4)
+    le32(h).copyToArray(strf, 8); le32(0x47504A4D).copyToArray(strf, 16) // 'MJPG'
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frames = (0 until nFrames).toArray.flatMap(f =>
+      chunk("00dc", jpegBytes(w, h, seed * 100 + f)))
+    val movi = list("movi", if (nested) list("rec ", frames) else frames)
+    out.write(fourcc("RIFF")); out.write(le32(4 + hdrl.length + movi.length))
+    out.write(fourcc("AVI ")); out.write(hdrl); out.write(movi)
     out.toByteArray
   }
 

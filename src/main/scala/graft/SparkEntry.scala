@@ -737,7 +737,8 @@ object SparkEntry {
       Similarity.semanticDedup(e.select(col("vec_id"), col("label")),
         Similarity.nearDupPairsExact(e, minCosine = 0.45))
     }),
-    // --- multimodal plumbing (fixture media table; stub decode) ---
+    // --- multimodal plumbing (fixture media table; real BMP/PNG/JPEG/WAV/
+    // MJPEG-AVI decode, stub for codec-bound formats) ---
     "media_stats" -> ((s, _) => Multimodal.stats(s.read.parquet(Fixtures.MediaParquet))),
     "media_features" -> ((s, _) =>
       Multimodal.extractFeatures(s.read.parquet(Fixtures.MediaParquet))(s)

@@ -41,7 +41,8 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int, doc_ref: String)
 
   /** Extracted features: one row per media item. `decoder` records which
-    * path produced the feature — "bmp" / "png" / "jpeg" / "wav" (real
+    * path produced the feature — "bmp" / "png" / "jpeg" / "wav" /
+    * "avi-mjpeg" (real
     * content decode) or "stub" (codec-bound payload, deterministic
     * fake). */
   final case class MediaFeatures(
@@ -417,6 +418,107 @@ object Multimodal {
       qt, hufCounts, hufSymbols, scanComps, scanDc, scanAc, restartInterval)
   }
 
+  /**
+   * REAL decode of an MJPEG AVI — the one common VIDEO container
+   * reachable without a codec library: the container is RIFF (the same
+   * chunk grammar [[decodeWav]] walks), and each `##dc`/`##db` chunk in
+   * the `movi` LIST is a complete baseline JPEG frame [[decodeJpeg]]
+   * already handles. Returns (width, height, framesTotal, framesSampled,
+   * 16-dim feature).
+   *
+   * Frame SAMPLING is the scale posture: the chunk walk counts every
+   * frame (cheap — size arithmetic only), but at most `maxSample`
+   * frames, evenly spaced across the stream, are actually
+   * entropy-decoded; the feature is the elementwise MEAN of the sampled
+   * frames' 4×4 grid-luminance features — a temporal average of actual
+   * pixel content, so two MJPEG files of the same footage pair in
+   * near-dup regardless of byte-level differences. MJPEG frames are
+   * independently-coded stills, so sampling needs no inter-frame state.
+   *
+   * None when the payload isn't a RIFF AVI or no sampled frame decodes
+   * as baseline JPEG (frames a corrupt stream loses are skipped as long
+   * as at least one sampled frame decodes). Untrusted-size contract as
+   * the other decoders: Long cursors, bounds before every read, and the
+   * decode-size valve lives in [[decodeJpeg]] per frame.
+   */
+  def decodeAvi(p: Array[Byte], maxSample: Int = 8): Option[(Int, Int, Int, Int, Array[Float])] = {
+    if (maxSample <= 0) return None
+    if (p.length < 24 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'A' || p(9) != 'V' || p(10) != 'I' || p(11) != ' ') return None
+    var avihW = -1
+    var avihH = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    // `movi` may group frames into nested `LIST rec ` chunks; one level of
+    // descent covers the format (rec lists are not themselves nested)
+    def walkFrames(start: Long, end: Long, depth: Int): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val sz = leInt(p, o + 4)
+        if (sz < 0 || off + 8 + sz > end) return false
+        if (p(o) == 'L' && p(o + 1) == 'I' && p(o + 2) == 'S' && p(o + 3) == 'T') {
+          if (sz >= 4 && depth < 1 && !walkFrames(off + 12, off + 8 + sz, depth + 1))
+            return false
+        } else if (p(o + 2) == 'd' && (p(o + 3) == 'c' || p(o + 3) == 'b') && sz > 0) {
+          frames += ((o + 8, sz))
+        }
+        off += 8L + sz + (sz & 1)
+      }
+      true
+    }
+    var off = 12L
+    while (off + 8 <= p.length) {
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val sz = leInt(p, o + 4)
+      if (sz < 0 || off + 8 + sz > p.length) return None
+      if (id == "LIST" && sz >= 4) {
+        val listType = new String(p, o + 8, 4, "US-ASCII")
+        if (listType == "hdrl") {
+          // find avih inside hdrl for the declared dimensions
+          var ho = off + 12
+          val hEnd = off + 8 + sz
+          while (ho + 8 <= hEnd && avihW < 0) {
+            val hoI = ho.toInt
+            val hsz = leInt(p, hoI + 4)
+            if (hsz < 0 || ho + 8 + hsz > hEnd) return None
+            if (p(hoI) == 'a' && p(hoI + 1) == 'v' && p(hoI + 2) == 'i' &&
+              p(hoI + 3) == 'h' && hsz >= 40) {
+              avihW = leInt(p, hoI + 8 + 32)
+              avihH = leInt(p, hoI + 8 + 36)
+            }
+            ho += 8L + hsz + (hsz & 1)
+          }
+        } else if (listType == "movi") {
+          if (!walkFrames(off + 12, off + 8 + sz, 0)) return None
+        }
+      }
+      off += 8L + sz + (sz & 1)
+    }
+    val n = frames.length
+    if (n == 0) return None
+    // evenly-spaced sample indices (first and last always included)
+    val take = math.min(maxSample, n)
+    val idxs = if (take == n) (0 until n).toArray
+      else Array.tabulate(take)(k => (k.toLong * (n - 1) / (take - 1)).toInt)
+    val acc = new Array[Double](16)
+    var sampled = 0
+    var w = avihW
+    var h = avihH
+    idxs.foreach { i =>
+      val (fo, fl) = frames(i)
+      decodeJpeg(java.util.Arrays.copyOfRange(p, fo, fo + fl)).foreach {
+        case (fw, fh, feat) =>
+          if (sampled == 0 && (w <= 0 || h <= 0)) { w = fw; h = fh }
+          var c = 0
+          while (c < 16) { acc(c) += feat(c); c += 1 }
+          sampled += 1
+      }
+    }
+    if (sampled == 0 || w <= 0 || h <= 0) return None
+    Some((w, h, n, sampled, Array.tabulate(16)(c => (acc(c) / sampled).toFloat)))
+  }
+
   /** Deterministic payload checksum (FNV-ish fold) — computed for every
     * item regardless of decode path. */
   private def fnv(payload: Array[Byte]): Long = {
@@ -448,16 +550,16 @@ object Multimodal {
 
   /**
    * Decode + feature-extract + resize + frame-sample in one partition-
-   * batched pass. Images parse as BMP or PNG and audio as WAV when the
-   * bytes really are those layouts ([[decodeBmp]]/[[decodePng]]/
-   * [[decodeWav]] — real, library-free decoders whose features derive
+   * batched pass. Images parse as BMP, PNG or baseline JPEG, audio as
+   * WAV, and video as MJPEG AVI when the bytes really are those layouts
+   * ([[decodeBmp]]/[[decodePng]]/[[decodeJpeg]]/[[decodeWav]]/
+   * [[decodeAvi]] — real, library-free decoders whose features derive
    * from pixel/sample content); decoded dimensions override the metadata
-   * columns (the
-   * payload is the truth). Everything else — video containers, compressed
-   * stills/audio — takes the deterministic stub path, flagged
-   * `decoder = "stub"`. `frames_sampled` applies to video only (1 per
-   * ~4 KiB of payload, capped) — the batch shape a real frame sampler
-   * would have.
+   * columns (the payload is the truth). Everything else — codec-bound
+   * audio (MP3/AAC) and non-MJPEG video — takes the deterministic stub
+   * path, flagged `decoder = "stub"`. `frames_sampled` applies to video
+   * only: the REAL count of frames [[decodeAvi]] entropy-decoded on the
+   * avi-mjpeg path, or the stub's synthetic 1-per-~4 KiB shape.
    */
   def extractFeatures(media: DataFrame, featureDim: Int = 16, thumbMax: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
@@ -469,23 +571,25 @@ object Multimodal {
         // A corrupt payload must degrade to the stub row, never kill the
         // task: the decoders defend their own bounds, and this catch is
         // the last-resort valve for anything they miss.
-        val decoded: Option[(String, Int, Int, Array[Float])] =
+        val decoded: Option[(String, Int, Int, Int, Array[Float])] =
           try r.kind match {
             case "image" =>
-              decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, f) }
-                .orElse(decodePng(r.payload).map { case (w, h, f) => ("png", w, h, f) })
-                .orElse(decodeJpeg(r.payload).map { case (w, h, f) => ("jpeg", w, h, f) })
+              decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, 0, f) }
+                .orElse(decodePng(r.payload).map { case (w, h, f) => ("png", w, h, 0, f) })
+                .orElse(decodeJpeg(r.payload).map { case (w, h, f) => ("jpeg", w, h, 0, f) })
             case "audio" => decodeWav(r.payload).map { case (_, _, f) =>
-              ("wav", r.width, r.height, f) }
+              ("wav", r.width, r.height, 0, f) }
+            case "video" => decodeAvi(r.payload).map { case (w, h, _, sampled, f) =>
+              ("avi-mjpeg", w, h, sampled, f) }
             case _ => None
           } catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
-          case Some((dec, w, h, feat)) =>
+          case Some((dec, w, h, frames, feat)) =>
             val (tw, th) = thumbDims(w, h, thumbMax)
             val f = if (feat.length == featureDim) feat
               else java.util.Arrays.copyOf(feat, featureDim)
             MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum,
-              tw, th, 0, dec, f)
+              tw, th, frames, dec, f)
           case None =>
             val feat = fakeDecode(checksum, featureDim)
             val (tw, th) = thumbDims(r.width, r.height, thumbMax)

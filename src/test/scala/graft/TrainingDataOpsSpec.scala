@@ -1159,7 +1159,18 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val imgDecoders = f1.filter(_.kind == "image").map(_.decoder).toSet
     assert(imgDecoders == Set("bmp", "png", "jpeg"), s"got $imgDecoders")
     assert(f1.filter(_.kind == "audio").forall(_.decoder == "wav"))
-    assert(f1.filter(_.kind == "video").forall(_.decoder == "stub"))
+    // video splits between REAL MJPEG-AVI decode and the codec-bound stub
+    val vidDecoders = f1.filter(_.kind == "video").map(_.decoder).toSet
+    assert(vidDecoders == Set("avi-mjpeg", "stub"), s"got $vidDecoders")
+    // the avi path reports the REAL number of frames it entropy-decoded
+    f1.filter(_.decoder == "avi-mjpeg").foreach { f =>
+      assert(f.frames_sampled >= 2 && f.frames_sampled <= 8,
+        s"media ${f.media_id}: frames_sampled ${f.frames_sampled}")
+      // MJPEG frames carry the same upward-brightening gradient content
+      val top = f.feature.take(4).sum / 4
+      val bottom = f.feature.drop(12).sum / 4
+      assert(top > bottom, s"media ${f.media_id}: top $top !> bottom $bottom")
+    }
     // grid-luminance features are genuine content: bounded, non-flat,
     // and brighter at the image top (the fixture's G channel grows upward)
     f1.filter(f => Set("bmp", "png", "jpeg")(f.decoder)).foreach { f =>
@@ -1454,6 +1465,40 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmpMinH).isEmpty)
   }
 
+  test("multimodal: MJPEG AVI decode samples frames and averages pixel content") {
+    import graft.operators.Multimodal
+    // under the sample cap every frame is decoded, and the feature is the
+    // exact elementwise mean of the per-frame JPEG features
+    val avi = Fixtures.aviBytes(32, 32, nFrames = 5, seed = 4)
+    val Some((w, h, total, sampled, feat)) = Multimodal.decodeAvi(avi)
+    assert((w, h, total, sampled) == (32, 32, 5, 5))
+    val want = {
+      val acc = new Array[Double](16)
+      for (f <- 0 until 5; (v, c) <- Multimodal.decodeJpeg(
+          Fixtures.jpegBytes(32, 32, 400 + f)).get._3.zipWithIndex)
+        acc(c) += v
+      acc.map(a => (a / 5).toFloat)
+    }
+    assert(feat.sameElements(want),
+      s"got ${feat.toSeq} want ${want.toSeq}")
+    // over the cap: frames are COUNTED in full but only 8 evenly-spaced
+    // ones are entropy-decoded (the 100 TB posture: count is a size walk,
+    // decode is sampled)
+    val Some((_, _, t2, s2, _)) = Multimodal.decodeAvi(
+      Fixtures.aviBytes(24, 16, nFrames = 20, seed = 9))
+    assert(t2 == 20 && s2 == 8)
+    // the rec-grouped interleaved layout decodes identically to flat
+    val Some((fw, fh, ft, fs, ff)) = Multimodal.decodeAvi(
+      Fixtures.aviBytes(24, 16, 3, 7))
+    val Some((rw, rh, rt, rs, rf)) = Multimodal.decodeAvi(
+      Fixtures.aviBytes(24, 16, 3, 7, nested = true))
+    assert((fw, fh, ft, fs) == (rw, rh, rt, rs) && ff.sameElements(rf))
+    // corrupt / truncated payloads degrade to None, never throw
+    assert(Multimodal.decodeAvi(avi.take(avi.length / 2)).isEmpty)
+    assert(Multimodal.decodeAvi(Fixtures.wavBytes(16000, 64, 1)).isEmpty) // RIFF, not AVI
+    assert(Multimodal.decodeAvi(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
+  }
+
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
     import graft.operators.Multimodal
     // the untrusted-payload contract, exercised mechanically: random
@@ -1467,10 +1512,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       ("png-rgba", Fixtures.pngBytes(16, 16, 2, alpha = true)),
       ("jpeg", Fixtures.jpegBytes(24, 16, 1)),
       ("jpeg-420", Fixtures.jpegBytes(32, 32, 2, subsample = true, restartEvery = 1)),
-      ("wav", Fixtures.wavBytes(16000, 256, 1)))
+      ("wav", Fixtures.wavBytes(16000, 256, 1)),
+      ("avi", Fixtures.aviBytes(24, 16, 3, 1)),
+      ("avi-rec", Fixtures.aviBytes(16, 16, 2, 2, nested = true)))
     def runAll(p: Array[Byte]): Unit = {
       Multimodal.decodeBmp(p); Multimodal.decodePng(p)
       Multimodal.decodeJpeg(p); Multimodal.decodeWav(p)
+      Multimodal.decodeAvi(p)
       ()
     }
     for ((label, base) <- bases; trial <- 0 until 200) {
