@@ -170,9 +170,10 @@ object Fixtures {
    * Multimodal fixture: binary payloads + typed metadata. Image payloads
    * rotate VALID 24-bit uncompressed BMPs, VALID non-interlaced 8-bit
    * PNGs (RGB and RGBA), and VALID baseline JPEGs (4:4:4 and 4:2:0);
-   * audio payloads are VALID 16-bit PCM WAVs (deterministic gradient /
-   * sine content — all are decodable without a codec library, so
-   * `Multimodal.extractFeatures` genuinely decodes them); video payloads
+   * audio payloads alternate VALID 16-bit PCM WAVs and VALID MP3 frame
+   * streams (deterministic gradient / sine / gain-ramp content — all
+   * parseable without a codec library, so `Multimodal.extractFeatures`
+   * genuinely derives content features); video payloads
    * alternate VALID MJPEG AVIs (flat and rec-grouped — decoded for real
    * by `Multimodal.decodeAvi`) and synthetic bytes (codec-bound video —
    * the stub path's remit).
@@ -191,6 +192,11 @@ object Fixtures {
         case "image" if (i / 3) % 3 == 1 => pngBytes(w, h, i, alpha = (i / 3) % 6 == 4)
         case "image" if (i / 3) % 3 == 2 => jpegBytes(w, h, i, subsample = (i / 3) % 6 == 5)
         case "image" => bmpBytes(w, h, i)
+        // audio alternates PCM WAV (decoded to a real RMS envelope) and
+        // Layer III MP3 (side-info global_gain loudness envelope)
+        case "audio" if (i / 3) % 3 == 2 =>
+          mp3Bytes(nFrames = 4 + (i / 3) % 4, seed = i,
+            stereo = (i / 3) % 2 == 1, id3 = (i / 3) % 6 == 5)
         case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
         // video alternates real MJPEG AVI (one rec-grouped) and synthetic
         // codec-bound bytes, so both the avi-mjpeg and stub paths appear
@@ -519,6 +525,48 @@ object Fixtures {
     val movi = list("movi", if (nested) list("rec ", frames) else frames)
     out.write(fourcc("RIFF")); out.write(le32(4 + hdrl.length + movi.length))
     out.write(fourcc("AVI ")); out.write(hdrl); out.write(movi)
+    out.toByteArray
+  }
+
+  /**
+   * A valid MPEG-1 Layer III (MP3) frame stream: 128 kbit/s, 44.1 kHz,
+   * no CRC, 417-byte frames whose side info carries a deterministic
+   * RISING `global_gain` ramp (seed-offset, +3 per granule) at the fixed
+   * 59-bit-per-granule-channel offsets — main data stays zero (silence),
+   * which is exactly the boundary `Multimodal.parseMp3` reads to. `id3`
+   * prepends a minimal ID3v2 tag to exercise the skip.
+   */
+  def mp3Bytes(nFrames: Int, seed: Int, stereo: Boolean = false,
+      id3: Boolean = false): Array[Byte] = {
+    require(nFrames > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(Array[Byte](3, 0, 0)) // version 2.3, flags 0
+      out.write(Array[Byte](0, 0, 0, 32)) // syncsafe size = 32
+      out.write(new Array[Byte](32))
+    }
+    val nch = if (stereo) 2 else 1
+    for (f <- 0 until nFrames) {
+      val b = new Array[Byte](417) // 144*128000/44100, no padding
+      b(0) = 0xFF.toByte; b(1) = 0xFB.toByte // sync, MPEG-1, Layer III, no CRC
+      b(2) = 0x90.toByte // bitrate idx 9 (128k), srate idx 0 (44.1k)
+      b(3) = (if (stereo) 0x00 else 0xC0).toByte // stereo / single channel
+      def putBits(bitPos: Int, n: Int, v: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          val bp = bitPos + i
+          if (((v >> (n - 1 - i)) & 1) == 1)
+            b(4 + (bp >> 3)) = (b(4 + (bp >> 3)) | (1 << (7 - (bp & 7)))).toByte
+          i += 1
+        }
+      }
+      val headBits = if (stereo) 20 else 18
+      for (gr <- 0 until 2; ch <- 0 until nch)
+        putBits(headBits + (gr * nch + ch) * 59 + 21, 8,
+          math.min(255, 40 + seed % 16 + (f * 2 + gr) * 3))
+      out.write(b)
+    }
     out.toByteArray
   }
 

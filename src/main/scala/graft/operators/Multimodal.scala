@@ -419,6 +419,119 @@ object Multimodal {
   }
 
   /**
+   * REAL parse of an MPEG-1 Layer III (MP3) stream — headers and side
+   * info only, which is pure byte/bit arithmetic: the frame-sync walk
+   * (11-bit sync, bitrate/samplerate tables → frame sizes) counts
+   * frames and granules, and each granule's `global_gain` — the
+   * logarithmic amplitude the decoder would scale that granule by —
+   * is read from the side info at its FIXED bit offset (Layer III side
+   * info is exactly 59 bits per granule-channel: 12+9+8 before
+   * global_gain, then 4+1+22+3 after, both window branches 22 bits).
+   *
+   * Returns (sampleRate, nFrames, 16-dim feature): the feature is the
+   * mean `global_gain/255` over 16 equal temporal segments of the
+   * granule sequence — a REAL loudness envelope derived from content
+   * (global_gain IS the granule's amplitude, log-domain), comparable in
+   * role to the WAV segment-RMS envelope. This is deliberately NOT a
+   * PCM reconstruction: Huffman spectral data, IMDCT and the synthesis
+   * filterbank stay out of scope (the honest boundary the
+   * `decoder = "mp3-sideinfo"` tag records). Skips an ID3v2 tag,
+   * resyncs across junk bytes, tolerates a truncated final frame, and
+   * requires ≥ 2 clean consecutive frames so random bytes can't
+   * masquerade as MP3. CRC-protected frames (protection bit 0) skip the
+   * 2 CRC bytes before side info.
+   */
+  def parseMp3(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    // MPEG-1 Layer III tables
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, 0) // kbit/s
+    val srates = Array(44100, 48000, 32000, 0)
+    var off = 0L
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val sz = ((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+        ((p(8) & 0x7F) << 7) | (p(9) & 0x7F)
+      off = 10L + sz
+    }
+    val gains = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var nFrames = 0
+    var rate = -1
+    var run = 0    // consecutive clean frames (anti-false-sync)
+    var maxRun = 0
+    while (off + 4 <= p.length) {
+      val o = off.toInt
+      val h1 = p(o) & 0xFF; val h2 = p(o + 1) & 0xFF
+      val sync = h1 == 0xFF && (h2 & 0xE0) == 0xE0
+      val version = (h2 >> 3) & 3   // 3 = MPEG-1
+      val layer = (h2 >> 1) & 3     // 1 = Layer III
+      val noCrc = (h2 & 1) == 1
+      val h3 = p(o + 2) & 0xFF
+      val brIdx = (h3 >> 4) & 0xF
+      val srIdx = (h3 >> 2) & 3
+      val padding = (h3 >> 1) & 1
+      val mode = ((p(o + 3) & 0xFF) >> 6) & 3
+      val mono = mode == 3
+      if (sync && version == 3 && layer == 1 && bitrates(brIdx) > 0 &&
+        srates(srIdx) > 0) {
+        val frameLen = 144 * bitrates(brIdx) * 1000 / srates(srIdx) + padding
+        val sideLen = if (mono) 17 else 32
+        val crcLen = if (noCrc) 0 else 2
+        val sideOff = o + 4 + crcLen
+        if (frameLen < 4 + crcLen + sideLen || off + frameLen > p.length) {
+          // truncated final frame: stop cleanly with what we have
+          off = p.length.toLong
+        } else {
+          if (rate < 0) rate = srates(srIdx)
+          // side-info bit reader: fixed offsets (see scaladoc)
+          def bits(bitPos: Int, n: Int): Int = {
+            var v = 0
+            var i = 0
+            while (i < n) {
+              val bp = bitPos + i
+              v = (v << 1) | ((p(sideOff + (bp >> 3)) >> (7 - (bp & 7))) & 1)
+              i += 1
+            }
+            v
+          }
+          val headBits = if (mono) 9 + 5 + 4 else 9 + 3 + 8
+          val nch = if (mono) 1 else 2
+          var gr = 0
+          while (gr < 2) {
+            var acc = 0
+            var ch = 0
+            while (ch < nch) {
+              acc += bits(headBits + (gr * nch + ch) * 59 + 21, 8)
+              ch += 1
+            }
+            gains += acc / nch // channel-mean global_gain per granule
+            gr += 1
+          }
+          nFrames += 1
+          run += 1
+          if (run > maxRun) maxRun = run
+          off += frameLen
+        }
+      } else {
+        run = 0
+        off += 1 // resync: scan forward
+      }
+    }
+    if (nFrames == 0 || maxRun < 2 || rate <= 0) return None
+    val n = gains.length
+    val sum = new Array[Double](16)
+    val cnt = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val seg = math.min(15, (i.toLong * 16 / n).toInt)
+      sum(seg) += gains(i) / 255.0
+      cnt(seg) += 1
+      i += 1
+    }
+    Some((rate, nFrames, Array.tabulate(16)(c =>
+      if (cnt(c) == 0) 0f else (sum(c) / cnt(c)).toFloat)))
+  }
+
+  /**
    * REAL decode of an MJPEG AVI — the one common VIDEO container
    * reachable without a codec library: the container is RIFF (the same
    * chunk grammar [[decodeWav]] walks), and each `##dc`/`##db` chunk in
@@ -577,8 +690,11 @@ object Multimodal {
               decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, 0, f) }
                 .orElse(decodePng(r.payload).map { case (w, h, f) => ("png", w, h, 0, f) })
                 .orElse(decodeJpeg(r.payload).map { case (w, h, f) => ("jpeg", w, h, 0, f) })
-            case "audio" => decodeWav(r.payload).map { case (_, _, f) =>
-              ("wav", r.width, r.height, 0, f) }
+            case "audio" =>
+              decodeWav(r.payload).map { case (_, _, f) =>
+                ("wav", r.width, r.height, 0, f) }
+                .orElse(parseMp3(r.payload).map { case (_, _, f) =>
+                  ("mp3-sideinfo", r.width, r.height, 0, f) })
             case "video" => decodeAvi(r.payload).map { case (w, h, _, sampled, f) =>
               ("avi-mjpeg", w, h, sampled, f) }
             case _ => None

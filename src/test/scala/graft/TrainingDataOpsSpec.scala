@@ -1158,7 +1158,9 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // audio valid WAVs
     val imgDecoders = f1.filter(_.kind == "image").map(_.decoder).toSet
     assert(imgDecoders == Set("bmp", "png", "jpeg"), s"got $imgDecoders")
-    assert(f1.filter(_.kind == "audio").forall(_.decoder == "wav"))
+    // audio splits between PCM WAV decode and the MP3 side-info envelope
+    val audDecoders = f1.filter(_.kind == "audio").map(_.decoder).toSet
+    assert(audDecoders == Set("wav", "mp3-sideinfo"), s"got $audDecoders")
     // video splits between REAL MJPEG-AVI decode and the codec-bound stub
     val vidDecoders = f1.filter(_.kind == "video").map(_.decoder).toSet
     assert(vidDecoders == Set("avi-mjpeg", "stub"), s"got $vidDecoders")
@@ -1499,6 +1501,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAvi(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
   }
 
+  test("multimodal: MP3 side-info parse recovers the planted loudness ramp") {
+    import graft.operators.Multimodal
+    // mono: frame walk counts frames, envelope follows the rising
+    // global_gain ramp exactly (mean gg/255 per 16-segment bucket)
+    val Some((rate, n, env)) = Multimodal.parseMp3(Fixtures.mp3Bytes(16, 5))
+    assert(rate == 44100 && n == 16)
+    val gains = for (f <- 0 until 16; gr <- 0 until 2)
+      yield math.min(255, 40 + 5 % 16 + (f * 2 + gr) * 3)
+    val want = Array.tabulate(16) { seg =>
+      val xs = gains.zipWithIndex.collect {
+        case (g, i) if math.min(15, i.toLong * 16 / gains.length) == seg => g / 255.0 }
+      (xs.sum / xs.size).toFloat
+    }
+    assert(env.sameElements(want), s"got ${env.toSeq} want ${want.toSeq}")
+    assert(env.head < env.last, "ramp must rise across the stream")
+    // stereo + ID3v2: granule gain is the channel mean; the tag is skipped
+    // (8 frames = 16 granules, one per segment, so no segment is empty)
+    val Some((r2, n2, env2)) = Multimodal.parseMp3(
+      Fixtures.mp3Bytes(8, 3, stereo = true, id3 = true))
+    assert(r2 == 44100 && n2 == 8 && env2.head < env2.last)
+    // resync across leading junk; truncated final frame tolerated
+    val m = Fixtures.mp3Bytes(4, 1)
+    assert(Multimodal.parseMp3(Array[Byte](0, 1, 2, 3) ++ m).exists(_._2 == 4))
+    assert(Multimodal.parseMp3(m.take(m.length - 100)).exists(_._2 == 3))
+    // a single isolated false sync (or one lone frame) is rejected:
+    // >= 2 clean consecutive frames required
+    assert(Multimodal.parseMp3(m.take(417)).isEmpty)
+    assert(Multimodal.parseMp3(Array.fill[Byte](64)(0xFF.toByte)).isEmpty)
+  }
+
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
     import graft.operators.Multimodal
     // the untrusted-payload contract, exercised mechanically: random
@@ -1514,11 +1546,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       ("jpeg-420", Fixtures.jpegBytes(32, 32, 2, subsample = true, restartEvery = 1)),
       ("wav", Fixtures.wavBytes(16000, 256, 1)),
       ("avi", Fixtures.aviBytes(24, 16, 3, 1)),
-      ("avi-rec", Fixtures.aviBytes(16, 16, 2, 2, nested = true)))
+      ("avi-rec", Fixtures.aviBytes(16, 16, 2, 2, nested = true)),
+      ("mp3", Fixtures.mp3Bytes(4, 1)),
+      ("mp3-stereo-id3", Fixtures.mp3Bytes(3, 2, stereo = true, id3 = true)))
     def runAll(p: Array[Byte]): Unit = {
       Multimodal.decodeBmp(p); Multimodal.decodePng(p)
       Multimodal.decodeJpeg(p); Multimodal.decodeWav(p)
-      Multimodal.decodeAvi(p)
+      Multimodal.decodeAvi(p); Multimodal.parseMp3(p)
       ()
     }
     for ((label, base) <- bases; trial <- 0 until 200) {
