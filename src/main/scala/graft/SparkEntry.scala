@@ -1390,7 +1390,7 @@ object SparkEntry {
     * this oracle statement only — the Spark operator has no cap. */
   private val chunkDocsSql =
     s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(0, 4095)),
-       |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t FROM documents),
        |ch AS (
        | SELECT doc_id, i AS chunk,
        |  printf('%s#%09d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
@@ -1767,15 +1767,15 @@ object SparkEntry {
     "corpus_diff" -> {
       val hb = hashBucketSql("doc_id", 100, Corpus.SampleSalt)
       val fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-      s"""WITH prev AS (SELECT doc_id, $fp AS fa FROM documents WHERE $hb < 90),
+      s"""WITH prev AS (SELECT doc_id, $fp AS fa, TRUE AS pa FROM documents WHERE $hb < 90),
          |cur0 AS (SELECT doc_id,
          |  CASE WHEN $hb < 20 THEN text || ' mutated' ELSE text END AS text
          |  FROM documents WHERE $hb >= 5),
-         |cur AS (SELECT doc_id, $fp AS fb FROM cur0)
+         |cur AS (SELECT doc_id, $fp AS fb, TRUE AS pb FROM cur0)
          |SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
-         | CASE WHEN fa IS NULL THEN 'added'
-         |      WHEN fb IS NULL THEN 'removed'
-         |      WHEN fa = fb THEN 'unchanged'
+         | CASE WHEN pa IS NULL THEN 'added'
+         |      WHEN pb IS NULL THEN 'removed'
+         |      WHEN fa IS NOT DISTINCT FROM fb THEN 'unchanged'
          |      ELSE 'changed' END AS status
          |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id""".stripMargin
     },
@@ -2471,7 +2471,7 @@ object SparkEntry {
       // the nums bound (4096 windows = 128k tokens/doc at stride 32) is a
       // fixture bound for this statement only
       """WITH nums AS (SELECT generate_series AS i FROM generate_series(0, 4095)),
-        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t FROM documents)
         |SELECT doc_id, i AS chunk,
         | printf('%s#%09d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
         | array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text,

@@ -571,13 +571,18 @@ object Corpus {
    */
   def corpusDiff(prev: DataFrame, cur: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def fp(df: DataFrame, out: String) = df.select(col(idCol),
-      TextFunctions.fingerprint(col(textCol)).as(out))
-    fp(prev, "__fa").join(fp(cur, "__fb"), Seq(idCol), "full_outer")
+    // presence is a dedicated flag, NOT fingerprint nullness: a null-text
+    // doc has a null fingerprint but is still PRESENT in its snapshot
+    // (fingerprint-as-flag misread it as absent → 'added'/'removed'
+    // misclassification); the fingerprint compare is null-safe so two
+    // null-text versions of a doc read 'unchanged', not 'changed'
+    def fp(df: DataFrame, out: String, flag: String) = df.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as(out), lit(true).as(flag))
+    fp(prev, "__fa", "__pa").join(fp(cur, "__fb", "__pb"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fa").isNull, "added")
-          .when(col("__fb").isNull, "removed")
-          .when(col("__fa") === col("__fb"), "unchanged")
+        when(col("__pa").isNull, "added")
+          .when(col("__pb").isNull, "removed")
+          .when(col("__fa") <=> col("__fb"), "unchanged")
           .otherwise("changed").as("status"))
   }
 
@@ -631,14 +636,14 @@ object Corpus {
     // reshaped, so the same ceiling applies: for open-vocabulary corpora
     // too big to broadcast, use [[tfidfTopFromTf]] with
     // `broadcastDf = false` (shuffle-keyed df join + window top-k).
-    // The per-doc term arrays feed two consumers (df + probe); left as
-    // lineage that is two map-only scans of the raw text — fine at test
-    // scale, but at 100 TB pass `checkpointDir` to materialize the
-    // counted arrays once (they are a fraction of the text they derive
-    // from) and halve the scan cost.
-    val tc0 = docs.select(col(idCol),
-      TextExpressions.tokenCounts(col(textCol)).as("__tc"))
-    val tc = checkpointDir.fold(tc0)(_ => Materialize(tc0, checkpointDir))
+    // The per-doc term arrays feed two consumers (df + probe), so they
+    // materialize ONCE — unconditionally, as the API scaladoc promises
+    // (the counted arrays are a fraction of the text they derive from;
+    // re-running the TokenCountPairs scan per consumer doubled the
+    // dominant cost). Default localCheckpoint; pass `checkpointDir` for
+    // the executor-loss-safe reliable variant on long cluster runs.
+    val tc = Materialize(docs.select(col(idCol),
+      TextExpressions.tokenCounts(col(textCol)).as("__tc")), checkpointDir)
     // sort_array: the kernel binary-searches the map's key array —
     // [[graft.plans.TfidfTopTerms]] contract
     val dfMap = tc.select(explode(col("__tc.term")).as("term"))
@@ -1081,18 +1086,11 @@ object Corpus {
    * pack) by the `pack_chunks` oracle.
    */
   def chunkDocs(docs: DataFrame, budget: Int, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
-    docs.select(col(idCol), TextFunctions.wsTokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), explode(sequence(lit(0L),
-        expr(s"greatest(size(__toks) - 1, 0) div $budget"))).as("chunk"))
-      .withColumn("__ctoks",
-        slice(col("__toks"), (col("chunk") * budget + 1).cast("int"), lit(budget)))
-      .select(col(idCol), col("chunk"),
-        format_string("%s#%09d", col(idCol).cast("string"), col("chunk")).as("chunk_id"),
-        concat_ws(" ", col("__ctoks")).as("chunk_text"),
-        size(col("__ctoks")).cast("long").as("n_tokens"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    // stride == budget IS non-overlapping chunking (the scaladoc bridge
+    // below proves identical membership and ids), so this delegates and
+    // the projection algebra lives in exactly one place
+    chunkDocsOverlap(docs, budget, budget, textCol, idCol)
 
   /**
    * OVERLAPPING (sliding-window) chunking — the RAG/pretraining prep
@@ -1113,7 +1111,13 @@ object Corpus {
     require(budget > 0, s"budget must be positive: $budget")
     require(stride > 0 && stride <= budget,
       s"stride must be in [1, budget]: $stride (budget $budget)")
-    docs.select(col(idCol), TextFunctions.wsTokens(col(textCol)).as("__toks"))
+    // null text chunks like empty text (one empty chunk, n_tokens
+    // non-null) — without the coalesce a null-text doc emitted a chunk
+    // row with NULL n_tokens, which packBoundaries' manifest concat then
+    // nulled out and collect_list silently DROPPED (the doc's boundary
+    // vanished from the manifest)
+    docs.select(col(idCol),
+        TextFunctions.wsTokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col(idCol), col("__toks"), explode(sequence(lit(0L),
         expr(s"greatest(size(__toks) - 1, 0) div $stride"))).as("chunk"))
       .withColumn("__ctoks",
@@ -1155,8 +1159,12 @@ object Corpus {
     require(budget > 0, s"budget must be positive: $budget")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // coalesce: null text behaves as empty (one empty chunk via the [""]
+    // token split), matching chunkDocs/chunkDocsOverlap — posexplode of a
+    // NULL array would emit zero rows and the doc would vanish entirely
     docs.select(col(idCol),
-        posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("__pos", "__tok")))
+        posexplode(TextFunctions.wsTokens(coalesce(col(textCol), lit(""))))
+          .as(Seq("__pos", "__tok")))
       .withColumn("__cost", costOf(col("__tok")).cast("long"))
       .withColumn("__run", sum(col("__cost")).over(byDoc))
       .withColumn("chunk", expr(s"(greatest(__run, 1L) - 1L) div $budget"))

@@ -274,6 +274,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Option[Long] = None): DataFrame = {
+    // the 4-band split only GUARANTEES a shared band for distance ≤
+    // bands − 1 = 3 (pigeonhole); a larger maxHamming would silently
+    // return an incomplete pair set (a distance-4+ pair can differ in
+    // every band), so reject it rather than under-deliver
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: maxHamming must be in [0, 3] — the 4-band/16-bit " +
+        s"banding only generates all candidates up to Hamming 3; got $maxHamming")
     val sig = simhash(docs, textCol, idCol)
     val banded = capBuckets(sig.select(col(idCol), col("simhash"), explode(map(
       (0 until 4).flatMap { b =>
@@ -859,9 +866,10 @@ object Dedup {
    * window rows get shuffled by the candidate join anyway, so the added
    * shuffle volume is bounded by what the join already moves. Candidates
    * come from the same inverted-index equi-join as the Jaccard family,
-   * with the same skew valve (`maxDf` drops ubiquitous boilerplate
-   * windows via map-side-combined count + broadcast anti-join — never a
-   * window count); span merging is gaps-and-islands per alignment
+   * with the same skew valve (`maxDf` caps DOCUMENT frequency — per-doc
+   * distinct then count + broadcast anti-join, never a WindowExec — so
+   * boilerplate shared by many docs drops but within-doc repetition
+   * can't evict a window); span merging is gaps-and-islands per alignment
    * DIAGONAL (pos_a − pos_b): matches on one diagonal with consecutive
    * positions fuse into one maximal span, and that WindowExec is bounded
    * by one pair's matches on one alignment, never a posting list. Docs
@@ -877,7 +885,13 @@ object Dedup {
       tok => xxhash64(tok), ls => xxhash64(ls: _*))
     val wins = maxDf match {
       case Some(cap) =>
-        val hot = winsAll.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+        // DOCUMENT frequency, like every other maxDf valve in the family
+        // (shingleOverlapPairs/winnowPairs distinct per doc first): the
+        // window relation is POSITIONAL, so a raw count would let one
+        // spammy document repeating a phrase cap+1 times evict that
+        // window corpus-wide and destroy genuine cross-doc spans at df=1
+        val hot = winsAll.select(col("w"), col(idCol)).distinct()
+          .groupBy(col("w")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap).select(col("w"))
         winsAll.join(broadcast(hot), Seq("w"), "left_anti")
       case None => winsAll

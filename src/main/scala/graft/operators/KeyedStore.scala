@@ -70,9 +70,15 @@ object KeyedStore {
    */
   def dedupIncrement(incoming: DataFrame, keyCols: Seq[String]): DataFrame = {
     val payload = incoming.columns.filterNot(keyCols.contains)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(payload.map(c => col(c).desc_nulls_last): _*)
-    incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // key-only increment (e.g. a presence/registry frame): every column is
+    // a key, so per-key rows are identical — distinct() IS the dedup, and
+    // the window below would be unordered (row_number requires an ORDER BY)
+    if (payload.isEmpty) incoming.distinct()
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(payload.map(c => col(c).desc_nulls_last): _*)
+      incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /**
@@ -92,13 +98,26 @@ object KeyedStore {
    */
   def pruneExisting(existing: DataFrame, incoming: DataFrame, staticKeys: Seq[String],
       dateCol: String = "date"): DataFrame = {
-    val bounds = incoming.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi")).head()
+    val bounds = incoming.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"),
+      max(col(dateCol).isNull.cast("int")).as("has_null")).head()
     val statics = incoming.select(staticKeys.map(col): _*).distinct().collect()
+    // NULL key fields must prune like the rest of the merge machinery
+    // matches them (<=> joins): a null static value admits the existing
+    // rows with that null, and incoming null dates admit null-date store
+    // rows — otherwise a null-keyed existing row is invisibly excluded
+    // from the slice, classifies its increment twin as `create`, and the
+    // store ends up with the duplicate key strictKeys exists to prevent.
     val staticPred = statics.map { row =>
-      staticKeys.zipWithIndex.map { case (k, i) => col(k) === lit(row.get(i)) }.reduce(_ && _)
+      staticKeys.zipWithIndex.map { case (k, i) =>
+        val v = row.get(i)
+        if (v == null) col(k).isNull else col(k) === lit(v)
+      }.reduceOption(_ && _).getOrElse(lit(true))
     }.reduceOption(_ || _).getOrElse(lit(true))
-    existing.filter(
-      staticPred && col(dateCol) >= lit(bounds.get(0)) && col(dateCol) <= lit(bounds.get(1)))
+    val rangePred = if (bounds.isNullAt(0)) lit(false)
+      else col(dateCol) >= lit(bounds.get(0)) && col(dateCol) <= lit(bounds.get(1))
+    val datePred = if (bounds.getAs[Any]("has_null") == 1)
+      rangePred || col(dateCol).isNull else rangePred
+    existing.filter(staticPred && datePred)
   }
 
   /**
@@ -288,6 +307,16 @@ object KeyedStore {
   def mergeIntoTable(incoming: DataFrame, storeDir: String, keyCols: Seq[String],
       partitionCol: Option[String] = Some("date"), replace: Boolean = true,
       strictKeys: Boolean = true, checkpointDir: Option[String] = None): MergeStats = {
+    // The partition-pruned slice reads ONLY the increment's partition
+    // values, which is sound iff the partition column is part of the key:
+    // otherwise a key match stored under a different partition value is
+    // invisible to the probe, classifies as `create`, and the store ends
+    // up with the duplicate key strictKeys exists to prevent — spanning
+    // partitions no future slice reads, so it is never caught.
+    partitionCol.foreach(p => require(keyCols.contains(p),
+      s"mergeIntoTable: partitionCol '$p' must be one of keyCols " +
+        s"${keyCols.mkString("[", ",", "]")} — the partition-pruned merge " +
+        "slice is only correct when key equality pins the partition"))
     val spark = incoming.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
@@ -361,6 +390,11 @@ object KeyedStore {
       bucketCols: Seq[String], nBuckets: Int, partitionCol: Option[String] = Some("date"),
       replace: Boolean = true, strictKeys: Boolean = true,
       checkpointDir: Option[String] = None): MergeStats = {
+    // same slice-soundness precondition as mergeIntoTable
+    partitionCol.foreach(p => require(keyCols.contains(p),
+      s"mergeIntoBucketedTable: partitionCol '$p' must be one of keyCols " +
+        s"${keyCols.mkString("[", ",", "]")} — the partition-pruned merge " +
+        "slice is only correct when key equality pins the partition"))
     val spark = incoming.sparkSession
     val inc = dedupIncrement(incoming, keyCols)
     if (!spark.catalog.tableExists(table)) {

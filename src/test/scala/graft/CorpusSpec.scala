@@ -231,21 +231,33 @@ class CorpusSpec extends AnyFunSuite {
       (0L, "a b c d e f g h i j k"),         // 11 tokens → 3+ chunks at budget 4
       (1L, "one two three"),                  // under budget → 1 chunk
       (2L, ""),                               // empty → still 1 (empty) chunk
-      (3L, (1 to 64).map(i => s"t$i").mkString(" "))) // exact multiples
+      (3L, (1 to 64).map(i => s"t$i").mkString(" ")), // exact multiples
+      (4L, null.asInstanceOf[String]))        // null → same as empty, never lost
       .toDF("doc_id", "text")
     val ch = Corpus.chunkDocs(docs, budget = 4).collect()
-    // every chunk within budget
-    assert(ch.forall(_.getAs[Long]("n_tokens") <= 4L))
+    // every chunk within budget, n_tokens never null (a null n_tokens
+    // poisons packBoundaries' manifest concat downstream)
+    assert(ch.forall(r => !r.isNullAt(r.fieldIndex("n_tokens")) &&
+      r.getAs[Long]("n_tokens") <= 4L))
     // every doc represented; chunk indices contiguous from 0
     val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
-    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // the null-text doc chunks exactly like the empty-text doc
+    assert(byDoc(4L).map(r => (r.getAs[Long]("chunk"), r.getAs[String]("chunk_text"),
+        r.getAs[Long]("n_tokens"))).toSeq ==
+      byDoc(2L).map(r => (r.getAs[Long]("chunk"), r.getAs[String]("chunk_text"),
+        r.getAs[Long]("n_tokens"))).toSeq)
+    // cost-based chunking must not drop the null-text doc either
+    assert(Corpus.chunkDocsByCost(docs, 4, _ => lit(1L)).filter(col("doc_id") === 4L)
+      .count() == 1L)
     byDoc.foreach { case (id, rows) =>
       val idxs = rows.map(_.getAs[Long]("chunk")).sorted.toSeq
       assert(idxs == (0L until idxs.length.toLong).toSeq, s"doc $id chunks $idxs")
       // concatenation round-trips to the lowercased ws-normalized text
       val joined = rows.sortBy(_.getAs[Long]("chunk"))
         .map(_.getAs[String]("chunk_text")).mkString(" ")
-      val want = docs.filter(col("doc_id") === id).head.getString(1).toLowerCase
+      val src = docs.filter(col("doc_id") === id).head.getString(1)
+      val want = if (src == null) "" else src.toLowerCase // null chunks as empty
       assert(joined == want, s"doc $id round-trip")
       // zero-padded chunk_id string order == numeric chunk order
       val byIdOrder = rows.sortBy(_.getAs[String]("chunk_id")).map(_.getAs[Long]("chunk"))
@@ -520,6 +532,18 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       5L -> "added", 4L -> "unchanged"))
+    // presence is a flag, not fingerprint nullness: null-text docs are
+    // still PRESENT in their snapshot
+    val prevN = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real text")).toDF("doc_id", "text")
+    val curN = Seq((1L, null.asInstanceOf[String]), (2L, "now has text"))
+      .toDF("doc_id", "text")
+    val stN = Corpus.corpusDiff(prevN, curN).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stN == Map(1L -> "unchanged", // null -> null: same (null-safe)
+      2L -> "changed",                   // null -> text: changed, not 'added'
+      3L -> "removed"),                  // present only in prev despite null fp
+      s"got $stN")
   }
 
   test("mergeable HLL sketches: disjoint increments merge to the one-pass estimate") {

@@ -107,6 +107,46 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(KeyedStore.pruneExisting(existing, otherInc, Seq("datatype")).count() == 0)
   }
 
+  test("pruneExisting: null statics and null dates stay in the slice (null-safe pruning)") {
+    import spark.implicits._
+    val ex = Seq(("a", "2022-01-01", 1), (null, "2022-01-02", 2),
+      ("a", null, 3), (null, null, 4), ("b", "2022-01-01", 5))
+      .toDF("fill", "date", "v")
+    // increment carries fill=null and a null date: the matching existing
+    // rows must survive pruning or the merge re-creates their keys
+    val incNull = Seq((null.asInstanceOf[String], "2022-01-02", 20),
+      ("a", null.asInstanceOf[String], 30)).toDF("fill", "date", "v")
+    val kept = KeyedStore.pruneExisting(ex, incNull, Seq("fill")).collect()
+      .map(_.getAs[Int]("v")).toSet
+    // the envelope is CONJUNCTIVE (static-set ∧ date-range, each
+    // independently null-admitting), so (null,null) also stays — an
+    // over-approximation is sound; dropping a null-keyed match is not
+    assert(kept == Set(2, 3, 4), s"got $kept")
+    // empty staticKeys = date-bounds-only pruning (used to throw on
+    // the inner empty reduce)
+    val dateOnly = KeyedStore.pruneExisting(ex,
+      Seq(("x", "2022-01-01", 0)).toDF("fill", "date", "v"), Seq.empty).collect()
+      .map(_.getAs[Int]("v")).toSet
+    assert(dateOnly == Set(1, 5))
+  }
+
+  test("dedupIncrement: key-only increment dedups via distinct, no unordered window") {
+    import spark.implicits._
+    val keyOnly = Seq(("s1", "d1"), ("s1", "d1"), ("s2", "d1"))
+      .toDF("station_id", "date")
+    val out = KeyedStore.dedupIncrement(keyOnly, Seq("station_id", "date")).collect()
+    assert(out.length == 2)
+  }
+
+  test("mergeIntoTable rejects a partition column outside the key (slice soundness)") {
+    import spark.implicits._
+    val inc = Seq(("s1", "2022-01-01", 1.0)).toDF("station_id", "date", "value")
+    val e = intercept[IllegalArgumentException](
+      KeyedStore.mergeIntoTable(inc, "/tmp/graft_nokey_store", Seq("station_id"),
+        partitionCol = Some("date")))
+    assert(e.getMessage.contains("must be one of keyCols"))
+  }
+
   test("pagination: page semantics (offset is a page index), deterministic order") {
     import spark.implicits._
     val df = (1 to 25).map(i => (f"k$i%03d", i)).toDF("k", "v")

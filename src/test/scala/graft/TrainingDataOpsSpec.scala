@@ -319,6 +319,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       (i.toLong, s"common boiler plate text here unique$i tail$i")).toDF("doc_id", "text")
     assert(Dedup.verbatimSpans(boiler, window = 5, maxDf = Some(3L)).count() == 0)
     assert(Dedup.verbatimSpans(boiler, window = 5).count() == 10) // all C(5,2) pairs
+    // maxDf caps DOCUMENT frequency: one spammy doc repeating a phrase
+    // many times must NOT evict it for the genuine cross-doc pair (df=2)
+    val spam = Seq(
+      (0L, Seq.fill(12)("p q r s t").mkString(" ")), // 12 repeats, 1 doc
+      (1L, "p q r s t only once here"),
+      (2L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val spamSpans = Dedup.verbatimSpans(spam, window = 5, maxDf = Some(3L))
+      .filter(col("id_a") === 0L && col("id_b") === 1L)
+    assert(spamSpans.count() > 0,
+      "within-doc repetition evicted a df=2 window (instance count, not doc frequency)")
   }
 
   test("winnowFingerprints: equals brute force; the winnowing guarantee holds") {
@@ -434,6 +444,10 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 4L)))
+    // maxHamming beyond the 4-band pigeonhole guarantee is rejected, not
+    // silently under-delivered (a distance-4+ pair can miss every band)
+    val e = intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 4))
+    assert(e.getMessage.contains("banding"))
   }
 
   test("property: simhash pairs are EXACTLY the Hamming<=3 ground truth (pigeonhole)") {
