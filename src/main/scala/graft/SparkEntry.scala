@@ -2326,7 +2326,7 @@ object SparkEntry {
     // persisted-model routing ≡ fused train+score — same oracle statement
     "nb_classify_inc" -> nbClassifySql,
     "sample_weighted" ->
-      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      s"""SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
          | floor((ln((h + 0.5) / 4294967296.0) / n_chars) * 1e6 + 0.5) / 1e6 AS ares_key
          |FROM (SELECT doc_id, n_chars,
          |        ${hashValueSql("doc_id", Selection.WeightSalt)} AS h

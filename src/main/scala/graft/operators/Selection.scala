@@ -186,14 +186,29 @@ object Selection {
     * [[dsirWeights]] (which fuses train+score over one frame). */
   def dsirModel(docs: DataFrame, target: Column, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = DsirBuckets): DataFrame = {
-    val cnt = docs.select(target.as("__tgt"),
+    // materialized: the tiny (≤ B+1 row) histogram feeds two consumers
+    // (per-bucket ratios + the sentinel's totals) — without it each
+    // consumer re-runs the corpus scan
+    val cnt = Materialize(docs.select(target.as("__tgt"),
         explode_outer(graft.plans.TextExpressions.md5FeatureBuckets(
           col(textCol), buckets, DsirSalt)).as("__b"))
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("raw_n"),
-        sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_n"))
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_n")), None)
+    // sentinel bucket −1: the Laplace default log-ratio for buckets the
+    // training corpus never hit — ln(1/(tgt_tot+B)) − ln(1/(raw_tot+B)).
+    // A scored INCREMENT can contain novel vocabulary; without this row
+    // the scoring join silently contributed 0 per unseen-bucket
+    // occurrence instead of the smoothed ratio the estimator defines.
+    val dflt = cnt.agg(
+        sum(when(col("__b").isNotNull, col("tgt_n")).otherwise(0L)).as("__tt"),
+        sum(when(col("__b").isNotNull, col("raw_n")).otherwise(0L)).as("__rt"))
+      .select(lit(-1).as("bucket"),
+        (log(lit(1.0) / (col("__tt") + lit(buckets.toDouble))) -
+          log(lit(1.0) / (col("__rt") + lit(buckets.toDouble)))).as("log_ratio"))
     lrFromCnt(cnt, buckets).filter(col("__b").isNotNull)
       .select(col("__b").as("bucket"), col("__lr").as("log_ratio"))
+      .unionByName(dflt)
   }
 
   /** Incremental DSIR scoring against a persisted [[dsirModel]]: one
@@ -207,8 +222,22 @@ object Selection {
           col(textCol), buckets, DsirSalt)).as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    scoreHist(hist,
-      model.select(col("bucket").as("__b"), col("log_ratio").as("__lr")), idCol)
+    // buckets unseen at training score the model's sentinel default
+    // (bucket −1), not 0 — novel vocabulary in a scored increment gets
+    // the Laplace-smoothed ratio the estimator defines. Models persisted
+    // before the sentinel existed degrade to the old 0.0 contribution
+    // (max over an empty filter → null → coalesce).
+    val dflt = broadcast(model.filter(col("bucket") === -1)
+      .agg(coalesce(max(col("log_ratio")), lit(0.0)).as("__dlr")))
+    val tbl = model.filter(col("bucket") =!= -1)
+      .select(col("bucket").as("__b"), col("log_ratio").as("__lr"))
+    hist.join(broadcast(tbl), Seq("__b"), "left")
+      .crossJoin(dflt)
+      .groupBy(col(idCol))
+      .agg(Quantize.quantize(coalesce(sum(col("__c") *
+          when(col("__b").isNull, lit(0.0)) // zero-feature doc row: no features, no default
+            .otherwise(coalesce(col("__lr"), col("__dlr")))), lit(0.0)), 6)
+        .as("weight"))
   }
 
   /** The selection half of DSIR: keep the k raw docs whose profiles look
@@ -251,20 +280,34 @@ object Selection {
   def nbClassify(train: DataFrame, score: DataFrame,
       classCol: String = "lang", textCol: String = "text",
       idCol: String = "doc_id", vocabCap: Int = 0): DataFrame = {
-    // bounded driver pull: the class DOMAIN with its doc counts (≤ dozens
-    // of labels — same posture as the IVF centroid pull,
-    // Similarity.scala:318). Priors become plan literals: ln on the same
-    // count ratio the oracle computes, one fewer aggregate + join.
+    val (classes, priors, perTerm) =
+      trainNbTerms(train, classCol, textCol, vocabCap, "nbClassify")
+    val k = classes.length
+    val statsRow = perTerm.agg(
+      array((0 until k).map(i => sum(element_at(col("cnts"), i + 1))): _*).as("nc"),
+      count(lit(1)).cast("double").as("v"))
+    nbScore(score, perTerm, statsRow, classes, priors, classCol, textCol, idCol)
+  }
+
+  /** Shared NB TRAINING: the bounded class-domain pull (≤ dozens of
+    * labels — same posture as the IVF centroid pull,
+    * Similarity.scala:318; priors become plan literals, ln of the same
+    * count ratio the oracle computes) plus the ONE term-keyed per-class
+    * count aggregation with the vocabCap head truncation. Both the fused
+    * [[nbClassify]] and the persisted-model writer [[writeNbModel]] train
+    * THROUGH this, so a smoothing or tie-break change cannot silently
+    * diverge the two spec-equal paths. Returns (classes sorted, priors in
+    * class order, (__t, cnts) relation). */
+  private def trainNbTerms(train: DataFrame, classCol: String, textCol: String,
+      vocabCap: Int, who: String): (Seq[String], Seq[Double], DataFrame) = {
     val classRows = train
       .groupBy(col(classCol).cast("string").as("__c"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val classes = classRows.map(_._1)
-    val k = classes.length
-    require(k > 0, "nbClassify: empty training set")
+    require(classRows.nonEmpty, s"$who: empty training set")
+    val classes = classRows.map(_._1).toSeq
     val nTot = classRows.map(_._2).sum.toDouble
-    val priorOf = classRows.map { case (c, n) => c -> math.log(n * 1.0 / nTot) }.toMap
-
+    val priors = classRows.map { case (_, n) => math.log(n * 1.0 / nTot) }.toSeq
     val tok = train.select(col(classCol).cast("string").as("__c"),
       explode(TextFunctions.tokens(col(textCol))).as("__t"))
     val perTerm0 = tok.groupBy(col("__t"))
@@ -277,12 +320,7 @@ object Selection {
         .orderBy(aggregate(col("cnts"), lit(0L), _ + _).desc, col("__t"))
         .limit(vocabCap)
     } else perTerm0
-    val statsRow = perTerm.agg(
-      array((0 until k).map(i => sum(element_at(col("cnts"), i + 1))): _*).as("nc"),
-      count(lit(1)).cast("double").as("v"))
-
-    nbScore(score, perTerm, statsRow, classes,
-      classes.map(priorOf), classCol, textCol, idCol)
+    (classes, priors, perTerm)
   }
 
   /** NB scoring against an in-plan (perTerm, statsRow) model — shared by
@@ -347,26 +385,9 @@ object Selection {
   def writeNbModel(train: DataFrame, path: String, classCol: String = "lang",
       textCol: String = "text", vocabCap: Int = 0): Unit = {
     val spark = train.sparkSession
-    val classRows = train
-      .groupBy(col(classCol).cast("string").as("__c"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(classRows.nonEmpty, "writeNbModel: empty training set")
-    val classes = classRows.map(_._1)
+    val (classes, priors, perTerm) =
+      trainNbTerms(train, classCol, textCol, vocabCap, "writeNbModel")
     val k = classes.length
-    val nTot = classRows.map(_._2).sum.toDouble
-    val priors = classRows.map { case (_, n) => math.log(n * 1.0 / nTot) }
-
-    val tok = train.select(col(classCol).cast("string").as("__c"),
-      explode(TextFunctions.tokens(col(textCol))).as("__t"))
-    val perTerm0 = tok.groupBy(col("__t"))
-      .agg(array(classes.map(c =>
-        sum(when(col("__c") === lit(c), 1L).otherwise(0L))): _*).as("cnts"))
-    val perTerm = if (vocabCap > 0) {
-      perTerm0
-        .orderBy(aggregate(col("cnts"), lit(0L), _ + _).desc, col("__t"))
-        .limit(vocabCap)
-    } else perTerm0
     perTerm.select(col("__t").as("term"), col("cnts"))
       .write.mode("overwrite").parquet(s"$path/terms")
     spark.read.parquet(s"$path/terms")
@@ -413,8 +434,11 @@ object Selection {
   def sampleWeighted(docs: DataFrame, weight: Column, k: Int,
       idCol: String = "doc_id"): DataFrame = {
     val u = (Corpus.hashValue(col(idCol), WeightSalt) + lit(0.5)) / lit(4294967296.0)
+    // w is reported as DOUBLE: the draw uses the true fractional weight,
+    // so the emitted weight must be the same value (a long cast would
+    // report w = 0 for every weight in (0,1) while still sampling by it)
     docs.filter(weight > 0)
-      .select(col(idCol), weight.cast("long").as("w"),
+      .select(col(idCol), weight.cast("double").as("w"),
         Quantize.quantize(log(u) / weight.cast("double"), 6).as("ares_key"))
       .orderBy(col("ares_key").desc, col(idCol))
       .limit(k)

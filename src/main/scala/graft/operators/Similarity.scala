@@ -469,6 +469,14 @@ object Similarity {
    * per-query top-k on candidates only. At corpus scale this replaces the
    * brute-force cross product with a bucket-equi-join — and against an
    * index written by `writeLshIndex` the probe side prunes partitions.
+   *
+   * Degenerate queries (null or empty `vecCol`): bucketing requires a
+   * vector, so such query rows produce NO output rows — an explicit,
+   * documented drop (`buildLshIndex`'s `size > 0` filter). The exact
+   * sibling [[topKJoin]] cannot score them either (a zero-norm cosine
+   * divides by zero, which aborts under ANSI); callers batch-joining a
+   * frame that may contain degenerate queries should filter or repair
+   * them first if they need one output group per input row.
    */
   def topKJoinLsh(corpusIndex: DataFrame, queries: DataFrame, dim: Int, k: Int,
       bits: Int = 4, tables: Int = 8, vecCol: String = "embedding",
@@ -1061,17 +1069,8 @@ object Similarity {
       minCosine: Double, maxCell: Option[Long] = None,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupClustered: no centroids")
-    // one assignment pass retaining the vector and its norm (map-only);
-    // norms precompute per member so the kernel pays one dot per pair
-    val asg = embeddings
-      .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
-      .select(col(idCol).cast("long").as(idCol), col(vecCol),
-        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
-        norm(col(vecCol)).as("__n"))
-    val thr = {
-      val m0 = math.floor(minCosine * 1e6).toLong - 1
-      Iterator.iterate(m0)(_ + 1).find(m => m.toDouble / 1e6 >= minCosine).get
-    }
+    val asg = assignWithNorm(embeddings, centroids, vecCol, idCol)
+    val thr = thrOf(minCosine)
     val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col(idCol), col(vecCol), col("__n"))).as("__m"))
@@ -1090,6 +1089,31 @@ object Similarity {
     }
   }
 
+  /** Map-only centroid assignment retaining the vector and its norm —
+    * the SHARED projection of the SemDeDup family (fused operator,
+    * registry writer, increment probe): (idCol as long, vecCol, cell as
+    * int, __n). One implementation so the argmax tie-break
+    * (array_position returns the FIRST maximum) and the norm algebra —
+    * the oracle-equivalence contract all three hash-verified paths rely
+    * on — cannot silently diverge. Norms precompute per member so the
+    * survivor kernel pays one dot per pair. */
+  private def assignWithNorm(df: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        norm(col(vecCol)).as("__n"))
+
+  /** The least integer whose 10⁻⁶ quotient reaches τ — the quantized
+    * threshold the [[graft.plans.SemDedupSurvivors]] kernel compares
+    * `cos·10⁶ + 0.5` against (see [[semanticDedupClustered]]'s scaladoc
+    * for the IEEE-monotonicity argument). Shared by the fused and
+    * incremental forms so the derivation cannot diverge. */
+  private def thrOf(minCosine: Double): Long = {
+    val m0 = math.floor(minCosine * 1e6).toLong - 1
+    Iterator.iterate(m0)(_ + 1).find(m => m.toDouble / 1e6 >= minCosine).get
+  }
+
   /** The assignment relation [[semanticDedupClustered]] pairs on,
     * persisted cell-partitioned — the registry an INCREMENT probes
     * without rescanning the corpus. Holds EVERY member (not just
@@ -1100,11 +1124,8 @@ object Similarity {
       path: String, vecCol: String = "embedding", idCol: String = "vec_id",
       append: Boolean = false): Unit = {
     require(centroids.nonEmpty, "writeSemanticRegistry: no centroids")
-    embeddings
-      .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
-      .select(col(idCol).cast("long").as(idCol), col(vecCol),
-        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
-        norm(col(vecCol)).as("nrm"))
+    assignWithNorm(embeddings, centroids, vecCol, idCol)
+      .withColumnRenamed("__n", "nrm")
       .repartition(col("cell"))
       // append = the production micro-batch loop: after probing, a batch's
       // members (ALL of them — see the every-member contract above) join
@@ -1156,11 +1177,7 @@ object Similarity {
     // recomputed differently would silently drop a registry witness), and
     // the centroid scoring pass should run once, not twice. A micro-batch
     // increment is small by construction, so the checkpoint is cheap.
-    val asg = Materialize(batch
-      .select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
-      .select(col(idCol).cast("long").as(idCol), col(vecCol),
-        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
-        norm(col(vecCol)).as("__n"))
+    val asg = Materialize(assignWithNorm(batch, centroids, vecCol, idCol)
       .withColumn(idCol, when(col(idCol) < 0L, raise_error(concat(
           lit("semanticDedupIncrement: batch ids must be >= 0, got "), col(idCol))))
         .otherwise(col(idCol))), checkpointDir)
@@ -1175,10 +1192,7 @@ object Similarity {
         .otherwise(col(idCol)))
       .select((col(idCol) - lit(1L << 62)).as(idCol), col(vecCol),
         col("cell").cast("int").as("cell"), col("nrm").as("__n"))
-    val thr = {
-      val m0 = math.floor(minCosine * 1e6).toLong - 1
-      Iterator.iterate(m0)(_ + 1).find(m => m.toDouble / 1e6 >= minCosine).get
-    }
+    val thr = thrOf(minCosine)
     val all = reg.unionByName(asg)
     val fromPairing = Dedup.capBuckets(all, Seq("cell"), maxCell)
       .groupBy(col("cell"))

@@ -64,15 +64,30 @@ object TimeSeries {
       s"direction must be backward|forward: $direction")
     require(sliceSeconds.isEmpty || (direction == "backward" && toleranceSeconds.isEmpty),
       "sliceSeconds supports the backward/no-tolerance form only")
+    // the union carries right values in columns named valueCol+suffix; if
+    // the left frame already has one (e.g. chaining two as-of joins with
+    // the same suffix), unionByName would merge them and left rows' own
+    // values would become match candidates in the window — reject loudly
+    valueCols.map(_ + suffix).filter(left.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"asofJoin: left already has a column named '$c' — pick a different " +
+          "suffix (chained as-of joins must not reuse the output names)"))
     sliceSeconds match {
       case Some(sec) => slicedAsof(left, right, keyCols, tsCol, valueCols, suffix, sec)
       case None =>
-        val rPrepped = right.select(
+        // a null-ts right row precedes nothing (DuckDB ASOF `l.ts >= r.ts`
+        // never matches a null r.ts) — drop it or it sorts to the head of
+        // every partition and hands its value to unmatched left rows
+        val rPrepped = right.where(col(tsCol).isNotNull).select(
           (keyCols :+ tsCol).map(col) ++ valueCols.map(c => col(c).as(c + suffix)): _*)
           .withColumn("__src", lit(0))
         val unioned = left.withColumn("__src", lit(1))
           .unionByName(rPrepped, allowMissingColumns = true)
-        val tsOrd = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
+        // nulls FIRST in both directions: a null-ts LEFT row must see no
+        // right row before it in the traversal (→ NULL match), which asc
+        // gives by default but desc must request explicitly
+        val tsOrd = if (direction == "backward") col(tsCol).asc_nulls_first
+          else col(tsCol).desc_nulls_first
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(tsOrd, col("__src").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -122,7 +137,9 @@ object TimeSeries {
       tsCol: String, valueCols: Seq[String], suffix: String, sec: Long): DataFrame = {
     require(sec > 0, "sliceSeconds must be positive")
     def sliceOf(c: Column) = floor(unix_seconds(c.cast("timestamp")) / sec)
-    val rPre = right.select(
+    // null-ts right rows can never be an as-of match — same rule as the
+    // plain path
+    val rPre = right.where(col(tsCol).isNotNull).select(
       (keyCols :+ tsCol).map(col) ++ valueCols.map(c => col(c).as(c + suffix)): _*)
       .withColumn("__slice", sliceOf(col(tsCol))).withColumn("__src", lit(0))
     // slices that need history injected = slices where the LEFT has rows

@@ -985,6 +985,35 @@ class CorpusSpec extends AnyFunSuite {
       5L -> Some(9.0)))
   }
 
+  test("asofJoin: null timestamps never match; reused suffix rejected") {
+    import graft.operators.TimeSeries
+    // a null-ts RIGHT row precedes nothing (DuckDB ASOF never matches a
+    // null r.ts) — it must not hand its value to unmatched left rows
+    val left = Seq((1L, 10L, Some(50L)), (2L, 10L, Some(250L)),
+      (3L, 10L, None)) // null-ts LEFT row: no match in either direction
+      .toDF("event_id", "k", "t")
+    val right = Seq((10L, None, 7.0), (10L, Some(200L), 2.0))
+      .toDF("k", "t", "v")
+    def matches(dir: String) =
+      TimeSeries.asofJoin(left, right, Seq("k"), "t", Seq("v"), direction = dir)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v_asof")).map(_.asInstanceOf[Double])).toMap
+    assert(matches("backward") == Map(
+      1L -> None,      // only the null-ts right row 'precedes' — no match
+      2L -> Some(2.0),
+      3L -> None))     // null left ts: no as-of position
+    assert(matches("forward") == Map(
+      1L -> Some(2.0),
+      2L -> None,      // nothing at-or-after 250
+      3L -> None))     // null left ts must NOT inherit the minimum-ts row
+    // chaining with the same suffix would let left rows' first-join values
+    // become match candidates — rejected loudly
+    val once = TimeSeries.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.asofJoin(once, right, Seq("k"), "t", Seq("v")))
+    assert(e.getMessage.contains("suffix"))
+  }
+
   test("resampleLocf: hourly grid from first observation, LOCF values, tie rules") {
     import graft.operators.TimeSeries
     val ev = Seq(

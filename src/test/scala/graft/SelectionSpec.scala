@@ -155,6 +155,38 @@ class SelectionSpec extends AnyFunSuite {
     assert(w(100L) > w(101L))
   }
 
+  test("dsirWeightsFromModel: unseen buckets score the Laplace default, not 0") {
+    val path = java.nio.file.Files.createTempDirectory("dsir_dflt").toString
+    Selection.dsirModel(docs, col("lang") === "en")
+      .write.mode("overwrite").parquet(path)
+    val model = spark.read.parquet(path)
+    // the sentinel row (bucket −1) carries ln(1/(tgt_tot+B)) − ln(1/(raw_tot+B))
+    val sentinel = model.filter(col("bucket") === -1).collect()
+    assert(sentinel.length == 1)
+    val dflt = sentinel.head.getAs[Double]("log_ratio")
+    val lrMap = model.filter(col("bucket") =!= -1).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Double]("log_ratio")).toMap
+    // novel-vocabulary doc: expected weight = Σ_b c_b · (lr_b | default)
+    val novel = Seq((200L, "zzxqv qvxzz wwyyk kyyww")).toDF("doc_id", "text")
+    val hist = novel.select(explode(graft.plans.TextExpressions.md5FeatureBuckets(
+        col("text"), Selection.DsirBuckets, Selection.DsirSalt)).as("b"))
+      .groupBy(col("b")).count().collect()
+      .map(r => r.getAs[Int]("b") -> r.getAs[Long]("count"))
+    assert(hist.exists { case (b, _) => !lrMap.contains(b) },
+      "fixture must contain at least one unseen bucket")
+    val expRaw = hist.map { case (b, c) => c * lrMap.getOrElse(b, dflt) }.sum
+    val expected = math.floor(expRaw * 1e6 + 0.5) / 1e6
+    val w = Selection.dsirWeightsFromModel(novel, model).head.getDouble(1)
+    assert(math.abs(w - expected) < 1e-9, s"w=$w expected=$expected")
+    // a model WITHOUT the sentinel (pre-default artifact) degrades to 0.0
+    // contributions rather than failing
+    val old = model.filter(col("bucket") =!= -1)
+    val wOld = Selection.dsirWeightsFromModel(novel, old).head.getDouble(1)
+    val expOld = math.floor(
+      hist.map { case (b, c) => c * lrMap.getOrElse(b, 0.0) }.sum * 1e6 + 0.5) / 1e6
+    assert(math.abs(wOld - expOld) < 1e-9)
+  }
+
   test("nb model persists and routes identically to the fused form") {
     val path = java.nio.file.Files.createTempDirectory("nb_model").toString
     val train = Seq(
@@ -191,6 +223,12 @@ class SelectionSpec extends AnyFunSuite {
     // head equals the recomputation's head
     val top2 = Selection.sampleWeighted(d, col("n_chars"), k = 2).collect().map(_.getLong(0))
     assert(top2.toSeq == exp.take(2).map(_._1))
+    // fractional weights survive to the output (a long cast reported
+    // w = 0 for every weight in (0,1) while still sampling by it)
+    val frac = Seq((1L, 0.7), (2L, 0.2)).toDF("doc_id", "score")
+    val fout = Selection.sampleWeighted(frac, col("score"), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fout == Map(1L -> 0.7, 2L -> 0.2), s"got $fout")
   }
 
   // ---- k-means building blocks ----
