@@ -48,7 +48,7 @@ object AnnIndex {
     sys.env.getOrElse("GRAFT_ANN_CACHE",
       s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache")
 
-  private def keyOf(sfDir: String): String = {
+  private[graft] def keyOf(sfDir: String): String = {
     // fingerprint = every file under embeddings.parquet (Spark datasets
     // are directories), relative path + length + mtime, sorted — a
     // regenerated part file, added part, or re-written footer all flip
@@ -58,8 +58,12 @@ object AnnIndex {
       if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val files = walk(root)
+    // RELATIVE path, not bare name: partitioned layouts repeat part-file
+    // names across subdirectories (lang=en/part-00000 vs lang=de/part-00000),
+    // and a name-keyed multiset cannot see an mtime-preserving content swap
+    // between them
     val fp = s"$sfDir|${files.map(f =>
-      s"${f.getName}|${f.length()}|${f.lastModified()}").mkString(";")}"
+      s"${root.toPath.relativize(f.toPath)}|${f.length()}|${f.lastModified()}").mkString(";")}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.functions.lower
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -141,6 +141,23 @@ case class TfidfTopTerms(tc: Expression, dfMap: Expression,
   override def first: Expression = tc
   override def second: Expression = dfMap
   override def third: Expression = nDocs
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tcOk = tc.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == StringType && f1.dataType == LongType
+      case _ => false
+    }
+    val dfOk = dfMap.dataType match {
+      case MapType(StringType, LongType, _) => true
+      case _ => false
+    }
+    if (tcOk && dfOk && nDocs.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<struct<string,bigint>>, " +
+        s"map<string,bigint>, bigint), got ${tc.dataType.sql}, " +
+        s"${dfMap.dataType.sql}, ${nDocs.dataType.sql}")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
     StructField("tf", LongType, nullable = false),
@@ -175,6 +192,20 @@ case class HashLogProbAvg(hashes: Expression, model: Expression,
   override def first: Expression = hashes
   override def second: Expression = model
   override def third: Expression = total
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (hashes.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && (model.dataType match {
+      case MapType(LongType, LongType, _) => true
+      case _ => false
+    }) && total.dataType == LongType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, map<bigint,bigint>, bigint), " +
+        s"got ${hashes.dataType.sql}, ${model.dataType.sql}, " +
+        s"${total.dataType.sql}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "hash_log_prob_avg"
 
@@ -205,6 +236,22 @@ case class HashBigramLogProbAvg(w1s: Expression, bgs: Expression,
   override def second: Expression = bgs
   override def third: Expression = cbg
   override def fourth: Expression = cw
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def longArr(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    def longMap(e: Expression) = e.dataType match {
+      case MapType(LongType, LongType, _) => true
+      case _ => false
+    }
+    if (longArr(w1s) && longArr(bgs) && longMap(cbg) && longMap(cw))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>, " +
+        s"map<bigint,bigint>, map<bigint,bigint>), got ${w1s.dataType.sql}, " +
+        s"${bgs.dataType.sql}, ${cbg.dataType.sql}, ${cw.dataType.sql}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "hash_bigram_log_prob_avg"
 
@@ -736,37 +783,62 @@ object ShingleHash {
   private val Md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  /** [[Md5FeatureBuckets]] implementation — see its scaladoc for the
-    * contract. Bucket value = first 4 md5 bytes as an unsigned 32-bit
-    * int (≡ parsing the first 8 hex digits), mod `buckets`. */
-  def md5FeatureBuckets(s: UTF8String, buckets: Int,
-      saltBytes: Array[Byte]): ArrayData = {
-    val bytes = s.getBytes
+  /** Two-pass maximal `[a-z0-9]`-run scanner shared by
+    * [[md5FeatureBuckets]] and [[alnumHashes]] — the byte-scan equivalent
+    * of `regexp_extract_all(lower(text), '[a-z0-9]+')` boundaries, exact
+    * because those code points are single-byte in UTF-8 and never occur
+    * inside multi-byte sequences. Returns (starts, ends) per run; empty
+    * arrays when the text has no run. */
+  private def alnumRuns(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
     val len = bytes.length
+    def isAl(b: Byte): Boolean = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
     var count = 0
     var i = 0
     var in = false
     while (i < len) {
-      val b = bytes(i)
-      val al = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-      if (al) { if (!in) { count += 1; in = true } } else in = false
+      if (isAl(bytes(i))) { if (!in) { count += 1; in = true } } else in = false
       i += 1
     }
-    if (count == 0) return new GenericArrayData(Array.emptyIntArray)
     val starts = new Array[Int](count)
     val ends = new Array[Int](count)
     var t = -1
     in = false
     i = 0
     while (i < len) {
-      val b = bytes(i)
-      val al = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-      if (al) {
+      if (isAl(bytes(i))) {
         if (!in) { t += 1; starts(t) = i; in = true }
         ends(t) = i + 1
       } else in = false
       i += 1
     }
+    (starts, ends)
+  }
+
+  /** First-occurrence dedup + compaction shared by [[hashes]] and
+    * [[alnumHashes]]: keeps each value's earliest position (the
+    * `array_distinct` contract both kernels document). */
+  private def dedupFirst(out: Array[Long]): ArrayData = {
+    val m = out.length
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val ded = new Array[Long](m)
+    var w = 0
+    var k = 0
+    while (k < m) {
+      if (seen.add(out(k))) { ded(w) = out(k); w += 1 }
+      k += 1
+    }
+    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(ded, w))
+  }
+
+  /** [[Md5FeatureBuckets]] implementation — see its scaladoc for the
+    * contract. Bucket value = first 4 md5 bytes as an unsigned 32-bit
+    * int (≡ parsing the first 8 hex digits), mod `buckets`. */
+  def md5FeatureBuckets(s: UTF8String, buckets: Int,
+      saltBytes: Array[Byte]): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends) = alnumRuns(bytes)
+    val count = starts.length
+    if (count == 0) return new GenericArrayData(Array.emptyIntArray)
     val md = Md5Digest.get()
     md.reset()
     val out = new Array[Int](count + count - 1)
@@ -833,15 +905,7 @@ object ShingleHash {
       k += 1
     }
     if (!dedup) return new GenericArrayData(out)
-    val seen = new java.util.HashSet[java.lang.Long](m * 2)
-    val ded = new Array[Long](m)
-    var w = 0
-    k = 0
-    while (k < m) {
-      if (seen.add(out(k))) { ded(w) = out(k); w += 1 }
-      k += 1
-    }
-    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(ded, w))
+    dedupFirst(out)
   }
 
   /**
@@ -859,28 +923,9 @@ object ShingleHash {
    */
   def alnumHashes(s: UTF8String, n: Int, dedup: Boolean): ArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    def isAl(b: Byte): Boolean = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-    var count = 0
-    var i = 0
-    var in = false
-    while (i < len) {
-      if (isAl(bytes(i))) { if (!in) { count += 1; in = true } } else in = false
-      i += 1
-    }
+    val (starts, ends) = alnumRuns(bytes)
+    val count = starts.length
     if (count < n) return new GenericArrayData(Array.emptyLongArray)
-    val starts = new Array[Int](count)
-    val ends = new Array[Int](count)
-    var t = -1
-    in = false
-    i = 0
-    while (i < len) {
-      if (isAl(bytes(i))) {
-        if (!in) { t += 1; starts(t) = i; in = true }
-        ends(t) = i + 1
-      } else in = false
-      i += 1
-    }
     val m = count - n + 1
     val out = new Array[Long](m)
     if (n == 1) {
@@ -917,15 +962,7 @@ object ShingleHash {
       }
     }
     if (!dedup) return new GenericArrayData(out)
-    val seen = new java.util.HashSet[java.lang.Long](m * 2)
-    val ded = new Array[Long](m)
-    var w = 0
-    var k = 0
-    while (k < m) {
-      if (seen.add(out(k))) { ded(w) = out(k); w += 1 }
-      k += 1
-    }
-    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(ded, w))
+    dedupFirst(out)
   }
 
   /** [[TfidfTopTerms]] kernel. CONTRACT: `dfm`'s keys must be in
@@ -1087,11 +1124,6 @@ object ShingleHash {
     sig
   }
 
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** [[WinnowFingerprints]] kernel. */
   def winnowFps(s: UTF8String, k: Int, g: Int): ArrayData = {
     val bytes = s.getBytes
@@ -1123,7 +1155,7 @@ object ShingleHash {
     tokEnd(t) = n
     // gram i = bytes [tokStart(i), tokEnd(i+k-1)); fp = first 4 md5
     // bytes as an unsigned 32-bit value (strHash32: first 8 hex chars)
-    val md = md5Local.get()
+    val md = Md5Digest.get()
     val hs = new Array[Long](nGrams)
     var gi = 0
     while (gi < nGrams) {
@@ -1299,6 +1331,12 @@ object ShingleHash {
       orig.numChars().toLong, toks, punct, digit, alnum)
   }
 
+  // c4LineClean pattern constants, hoisted so the zero-allocation kernel
+  // doesn't rebuild them per row (LangUnd/LangZh precedent)
+  private val C4Javascript = "javascript".getBytes
+  private val C4LoremIpsum = "lorem ipsum".getBytes
+  private val C4OpenBrace = Array[Byte]('{')
+
   /** [[C4LineClean]] kernel: lockstep line walk over original + lowered
     * bytes. Line rules match the oracle lambda exactly: terminal
     * `[.!?"”]` after trailing `[ \t\r\f]*`, ≥ 5 `[^ \t\r\f]+` word runs,
@@ -1314,8 +1352,6 @@ object ShingleHash {
       while (i < a.length && a(i) != '\n') i += 1
       i
     }
-    val js = "javascript".getBytes
-    val lorem = "lorem ipsum".getBytes
     def containsAt(a: Array[Byte], from: Int, to: Int, pat: Array[Byte]): Boolean = {
       var i = from
       val last = to - pat.length
@@ -1349,7 +1385,7 @@ object ShingleHash {
         i += 1
       }
       if (words < 5) return false
-      !containsAt(lb, ls, le, js)
+      !containsAt(lb, ls, le, C4Javascript)
     }
     val out = new java.io.ByteArrayOutputStream(ob.length)
     var kept = 0L
@@ -1368,8 +1404,8 @@ object ShingleHash {
       oi = oe + 1
       li = le + 1
     }
-    val keep = kept >= 3 && !containsAt(lb, 0, lb.length, lorem) &&
-      !containsAt(ob, 0, ob.length, Array[Byte]('{'))
+    val keep = kept >= 3 && !containsAt(lb, 0, lb.length, C4LoremIpsum) &&
+      !containsAt(ob, 0, ob.length, C4OpenBrace)
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromBytes(out.toByteArray), kept, keep)
   }
@@ -1495,9 +1531,6 @@ object ShingleHash {
     val nEll = r.getLong(5)
     val nAlphaW = r.getLong(6)
     val stopHits = r.getLong(7)
-    def q6(x: Double): Double =
-      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-      else math.floor(x * 1e6 + 0.5) / 1e6
     val wDen = math.max(nWords, 1L).toDouble
     val meanWordLen = q6(nNonWs.toDouble / wDen)
     val symbolRatio = q6(nSym.toDouble / wDen)

@@ -20,9 +20,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
  * with the SAME sequential fold order — double accumulation in array
  * order — so results are bit-identical to the higher-order formulation and
  * to the DuckDB oracle.
+ *
+ * Null semantics also match the HOF twin (the expression is SQL-registered,
+ * so the inputs are not guaranteed to be the engine's own fixed-dim
+ * embeddings): `zip_with` null-pads a length mismatch and the fold
+ * null-propagates, so mismatched lengths or a null element yield NULL here
+ * too — never a silently truncated or element-dropped "dot product" that
+ * would hand a corrupt embedding a plausible similarity score.
  */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(t: DataType): Boolean = t match {
@@ -41,10 +50,12 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,12 +68,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -286,6 +286,26 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(byDoc.filter(size(col("rs")) =!= col("mx")).count() == 0)
   }
 
+  test("LM/tf-idf kernels reject wrong-typed inputs at analysis time") {
+    // without checkInputDataTypes these analyzed fine and threw
+    // ClassCastException per row deep in the kernel at execution time
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+      .withColumn("tc", TextExpressions.tokenCounts(col("text")))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(TextExpressions.tfidfTopTerms(
+        col("tc"), map(lit("a"), lit(1L)), lit(100), k = 3)).collect() // int nDocs
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(TextExpressions.hashLogProbAvg(
+        array(lit(1L)), map(lit(1L), lit(1)), lit(10L))).collect() // int map values
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(TextExpressions.hashBigramLogProbAvg(
+        array(lit(1)), array(lit(1L)), map(lit(1L), lit(1L)),
+        map(lit(1L), lit(1L)))).collect() // int w1s array
+    }
+  }
+
   test("winnowFingerprints kernel == windowed rightmost-min formulation") {
     import org.apache.spark.sql.expressions.Window
     for ((k, g) <- Seq((5, 4), (3, 1), (2, 6))) {

@@ -81,6 +81,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched lengths and null elements yield NULL like the HOF twin, both eval paths") {
+    // zip_with null-pads a length mismatch and the aggregate fold
+    // null-propagates — the native kernel must NOT silently truncate to
+    // min(n) or read a null element as 0.0 (a corrupt or wrong-dimension
+    // embedding would get a plausible similarity score)
+    val bad = Seq(
+      (1L, Option(Array(1.0f, 2.0f)), Option(Array(1.0f))), // length mismatch
+      (2L, Option(Array(1.0f, 2.0f)), Option(Array(1.0f, 2.0f))) // control
+    ).toDF("id", "a", "b")
+    val rows = bad.select(col("id"), VectorExpressions.dotF(col("a"), col("b")).as("n"),
+      hofDotOn(col("a"), col("b")).as("h")).orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getDouble(1) == 5.0 && rows(1).getDouble(2) == 5.0)
+    // null ELEMENT (array<float> with containsNull): NULL, not 0.0-substituted
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(1 AS float), CAST(NULL AS float)) AS a, " +
+        "array(CAST(1 AS float), CAST(1 AS float)) AS b")
+    assert(withNullElem.select(VectorExpressions.dotF(col("a"), col("b"))).head.isNullAt(0))
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = bad.select(col("id"), VectorExpressions.dotF(col("a"), col("b")))
+        .orderBy("id").collect()
+      assert(interp(0).isNullAt(1))
+      assert(interp(1).getDouble(1) == 5.0)
+      assert(withNullElem.select(VectorExpressions.dotF(col("a"), col("b"))).head.isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  /** hofDot over explicit columns (the fixture version binds a/b). */
+  private def hofDotOn(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   test("SQL registration via GraftExtensions-style injection") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
