@@ -177,7 +177,11 @@ object TrainingSetJob {
     val capped = cfg.capPerStratum match {
       case Some(k) =>
         val cc = cfg.capStrataCol
-        val keepCol = cfg.mixWeights.nonEmpty && cfg.mixStrataCol == cc
+        // a temperature mixture (mixAlpha) needs the strata column just as
+        // much as an explicit-weights one — dropping it here would force
+        // the mixture stage to re-join the corpus it was carried to avoid
+        val keepCol = (cfg.mixWeights.nonEmpty || cfg.mixAlpha.nonEmpty) &&
+          cfg.mixStrataCol == cc
         val out = Corpus.capPerStratum(
           selected.join(docs.select(col("doc_id"), col(cc)), Seq("doc_id")), cc, k)
         if (keepCol) out else out.drop(cc)

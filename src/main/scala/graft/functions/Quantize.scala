@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** floor(x·10ᵏ + 0.5)/10ᵏ as a Column (double). Spark's `floor`
-    * yields LONG; the division promotes it back to double exactly.
+    * yields LONG; for |y| < 2⁵³ that is exact and converts back to
+    * double exactly. For |y| ≥ 2⁵³ a double is already integral — the
+    * mathematical floor IS y — so y passes through directly instead of
+    * riding the long conversion, which would saturate at 2⁶³
+    * (Long.MaxValue) while DuckDB's all-double floor does not; this also
+    * covers x·10ᵏ overflowing to ±∞ (both engines then emit ±∞).
     *
     * NON-FINITE inputs pass through untouched: Spark's long-valued floor
     * would map NaN → 0 and ±∞ → Long.{Max,Min}Value while DuckDB's
@@ -50,7 +55,11 @@ object Quantize {
     val p = math.pow(10, k)
     val nonFinite = isnan(c) || c === lit(Double.PositiveInfinity) ||
       c === lit(Double.NegativeInfinity)
-    when(nonFinite, c).otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
+    val y = c * lit(p) + lit(0.5)
+    val twoTo53 = 9007199254740992.0 // 2^53: every double >= this is integral
+    when(nonFinite, c).otherwise(
+      when(abs(y) >= lit(twoTo53), y / lit(p))
+        .otherwise(floor(y) / lit(p)))
   }
 
   /** The common 6-decimal score form. */

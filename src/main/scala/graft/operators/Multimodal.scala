@@ -613,6 +613,7 @@ object Multimodal {
     // evenly-spaced sample indices (first and last always included)
     val take = math.min(maxSample, n)
     val idxs = if (take == n) (0 until n).toArray
+      else if (take == 1) Array(0) // 2+ frames, sample just the first
       else Array.tabulate(take)(k => (k.toLong * (n - 1) / (take - 1)).toInt)
     val acc = new Array[Double](16)
     var sampled = 0
@@ -680,22 +681,26 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init happens HERE (real codec handle / model load)
       rows.map { r =>
-        val checksum = fnv(r.payload)
+        // the binary column is nullable: a NULL payload degrades like a
+        // zero-byte one (checksum of nothing, stub features) instead of
+        // NPE-ing the task before the decode try/catch is even reached
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val checksum = fnv(payload)
         // A corrupt payload must degrade to the stub row, never kill the
         // task: the decoders defend their own bounds, and this catch is
         // the last-resort valve for anything they miss.
         val decoded: Option[(String, Int, Int, Int, Array[Float])] =
           try r.kind match {
             case "image" =>
-              decodeBmp(r.payload).map { case (w, h, f) => ("bmp", w, h, 0, f) }
-                .orElse(decodePng(r.payload).map { case (w, h, f) => ("png", w, h, 0, f) })
-                .orElse(decodeJpeg(r.payload).map { case (w, h, f) => ("jpeg", w, h, 0, f) })
+              decodeBmp(payload).map { case (w, h, f) => ("bmp", w, h, 0, f) }
+                .orElse(decodePng(payload).map { case (w, h, f) => ("png", w, h, 0, f) })
+                .orElse(decodeJpeg(payload).map { case (w, h, f) => ("jpeg", w, h, 0, f) })
             case "audio" =>
-              decodeWav(r.payload).map { case (_, _, f) =>
+              decodeWav(payload).map { case (_, _, f) =>
                 ("wav", r.width, r.height, 0, f) }
-                .orElse(parseMp3(r.payload).map { case (_, _, f) =>
+                .orElse(parseMp3(payload).map { case (_, _, f) =>
                   ("mp3-sideinfo", r.width, r.height, 0, f) })
-            case "video" => decodeAvi(r.payload).map { case (w, h, _, sampled, f) =>
+            case "video" => decodeAvi(payload).map { case (w, h, _, sampled, f) =>
               ("avi-mjpeg", w, h, sampled, f) }
             case _ => None
           } catch { case scala.util.control.NonFatal(_) => None }
@@ -704,14 +709,14 @@ object Multimodal {
             val (tw, th) = thumbDims(w, h, thumbMax)
             val f = if (feat.length == featureDim) feat
               else java.util.Arrays.copyOf(feat, featureDim)
-            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum,
+            MediaFeatures(r.media_id, r.kind, payload.length.toLong, checksum,
               tw, th, frames, dec, f)
           case None =>
             val feat = fakeDecode(checksum, featureDim)
             val (tw, th) = thumbDims(r.width, r.height, thumbMax)
             val frames = if (r.kind == "video")
-              math.min(32, math.max(1, r.payload.length / 4096)) else 0
-            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, checksum,
+              math.min(32, math.max(1, payload.length / 4096)) else 0
+            MediaFeatures(r.media_id, r.kind, payload.length.toLong, checksum,
               tw, th, frames, "stub", feat)
         }
       }

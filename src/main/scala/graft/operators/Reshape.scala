@@ -25,7 +25,14 @@ object Reshape {
    */
   def unpivot(valuesWide: DataFrame): DataFrame = {
     val dateCols = valuesWide.columns.filterNot(_ == "skn")
-    valuesWide
+    if (dateCols.isEmpty) {
+      // zero in-range date columns (stale file in a rolling-window ingest,
+      // wrong-period config): ingest zero rows like the reference's empty
+      // melt, not Spark's UNPIVOT_REQUIRES_VALUE_COLUMNS AnalysisException
+      valuesWide.select(col("skn").as("station_id"),
+        lit(null).cast("string").as("date"),
+        lit(null).cast("string").as("value")).limit(0)
+    } else valuesWide
       .unpivot(Array(col("skn")), dateCols.map(col), "date", "value")
       .withColumnRenamed("skn", "station_id")
   }

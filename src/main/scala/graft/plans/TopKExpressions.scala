@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -55,7 +55,14 @@ case class StructTopK(
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case s: StructType if s.fields.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case s: StructType if s.fields.nonEmpty =>
+      // orderability must be checked HERE (native sort/agg convention):
+      // a map-typed field would otherwise pass analysis and throw from
+      // getInterpretedOrdering mid-task instead
+      if (RowOrdering.isOrderable(s)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an orderable struct; ${s.sql} is not " +
+          "(map fields are unorderable)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a non-empty struct argument, got ${other.sql}")
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -53,8 +53,14 @@ object StreamingOps {
   def sessionizeBatch(events: DataFrame, gapMin: Int = 30): DataFrame = {
     // event_id tiebreak keeps lag() deterministic under same-ts events
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // FULL-precision gap: unix_timestamp truncates to whole seconds, which
+    // merges a 1800.5s gap under gapMin=30 where session_window splits it;
+    // cast-to-double keeps the microseconds. Strict `>` matches
+    // session_window exactly — a gap of precisely gapMin merges there
+    // (probe-verified: its interval join is end-inclusive).
+    def secs(c: Column) = c.cast("timestamp").cast("double")
     val newSession = when(
-      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)) > gapMin * 60L,
+      secs(col("ts")) - secs(lag(col("ts"), 1).over(byUser)) > gapMin * 60.0,
       lit(1L)).otherwise(lit(0L))
     events
       .withColumn("__new", newSession)

@@ -35,6 +35,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(out((20L, 1L)) == (2L, 11.0))
   }
 
+  test("batch sessionization matches session_window on sub-second and exact-gap boundaries") {
+    // unix_timestamp truncates to whole seconds: a 1800.5s gap read as
+    // 1800 merged where session_window split — the batch form must gap on
+    // full-precision seconds. And at EXACTLY gap, session_window merges
+    // (end-inclusive interval join), so strict `>` is the right comparator.
+    val subSec = Seq(
+      (1L, "2024-01-01 00:00:00.100", 10L, "view", 1.0),
+      (2L, "2024-01-01 00:30:00.100", 10L, "view", 1.0), // diff == 1800.000s: merge
+      (3L, "2024-01-01 00:00:00.100", 20L, "view", 1.0),
+      (4L, "2024-01-01 00:30:00.600", 20L, "view", 1.0)) // diff 1800.5s: split
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    val batch = StreamingOps.sessionizeBatch(subSec, gapMin = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq.sorted
+    assert(batch == Seq((10L, 2L), (20L, 1L), (20L, 1L)))
+    // and the streaming twin agrees on the same input
+    val dir = Files.createTempDirectory("graft_stream_subsec").toString
+    subSec.write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.readEventStream(spark, dir, subSec.schema)
+    val q = StreamingOps.sessionizeStream(stream, gapMin = 30)
+      .writeStream.format("memory").queryName("sess_subsec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("sess_subsec").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq.sorted
+    assert(streamed == batch)
+  }
+
   test("streaming windowed counts equal the batch aggregation (AvailableNow)") {
     val dir = Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)

@@ -44,6 +44,17 @@ class TopKExpressionsSpec extends AnyFunSuite {
     assert(got(2L) == Seq((3.0, 20L)))
   }
 
+  test("struct_topk rejects unorderable struct fields at analysis time") {
+    // a map field passed analysis and blew up in getInterpretedOrdering
+    // mid-task; native sort/agg convention is RowOrdering.isOrderable in
+    // checkInputDataTypes
+    val df = Seq((1L, 2L)).toDF("a", "b")
+      .select(col("a"), map(col("a"), col("b")).as("m"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(TopKExpressions.topKStructs(struct(col("a"), col("m")), 2)).collect()
+    }
+  }
+
   test("top_parts_heap reproduces window_top_parts exactly at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("window_top_parts")(spark, dir)

@@ -1481,6 +1481,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmpMinH).isEmpty)
   }
 
+  test("multimodal: NULL payload degrades to the stub row, never an NPE") {
+    implicit val s = spark
+    import s.implicits._
+    // nullable binary column: decode must not dereference payload before
+    // the degrade valve
+    val rows = Seq(
+      (900L, "image", Option.empty[Array[Byte]], 8, 8, 0, "d1"),
+      (901L, "video", Option.empty[Array[Byte]], 8, 8, 0, "d2"))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "doc_ref")
+    val out = Multimodal.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out.forall(f => f.decoder == "stub" && f.n_bytes == 0L))
+    assert(out.find(_.media_id == 901L).get.frames_sampled == 1) // stub video shape
+  }
+
+  test("multimodal: decodeAvi maxSample=1 on a multi-frame AVI samples the first frame") {
+    import graft.operators.Multimodal
+    val avi = Fixtures.aviBytes(32, 32, nFrames = 5, seed = 4)
+    val Some((w, h, total, sampled, feat)) = Multimodal.decodeAvi(avi, maxSample = 1)
+    assert((w, h, total, sampled) == (32, 32, 5, 1))
+    // the single sampled frame is frame 0 exactly
+    val f0 = Multimodal.decodeJpeg(Fixtures.jpegBytes(32, 32, 400)).get._3
+    assert(feat.sameElements(f0))
+  }
+
   test("multimodal: MJPEG AVI decode samples frames and averages pixel content") {
     import graft.operators.Multimodal
     // under the sample cap every frame is decoded, and the feature is the

@@ -50,6 +50,18 @@ class WideMatrixReshapeSpec extends AnyFunSuite {
     assert(r.getAs[String]("aggregation") == "min")
   }
 
+  test("unpivot with zero date columns ingests zero rows, not an AnalysisException") {
+    import spark.implicits._
+    // stale file in a rolling-window ingest: every header date out of
+    // range -> valuesWide is skn-only; the reference's melt emits an
+    // empty frame, so must we (Spark's raw unpivot would throw
+    // UNPIVOT_REQUIRES_VALUE_COLUMNS)
+    val sknOnly = Seq("39.2", "147.0").toDF("skn")
+    val out = Reshape.unpivot(sknOnly)
+    assert(out.columns.toSeq == Seq("station_id", "date", "value"))
+    assert(out.count() == 0)
+  }
+
   test("nodata is exact string equality: empty string is not NA") {
     import spark.implicits._
     val df = Seq(("s1", "", "NA", "1.5")).toDF("skn", "2022-03-01", "2022-03-02", "2022-03-03")
