@@ -327,10 +327,12 @@ object Fixtures {
    * luminance gradient as [[bmpBytes]]/[[pngBytes]], encoded from
    * scratch: forward DCT, uniform quantization (q=4 — mild, so the
    * planted gradient survives within a couple of gray levels), zigzag
-   * run-length symbols, and ONE canonical Huffman table assigning every
-   * symbol a 9-bit code (counts[9] = 256 — a valid prefix code that
-   * needs none of the Annex K constants; decoders read the table from
-   * DHT like any other). Three layouts:
+   * run-length symbols, and ONE canonical Huffman table: symbols 0..254
+   * get 8-bit codes, symbol 255 a 9-bit code (counts[8] = 255,
+   * counts[9] = 1 — DHT's Li fields are bytes, so a single length cannot
+   * hold all 256; a valid prefix code that needs none of the Annex K
+   * constants, and decoders read it from DHT like any other). Three
+   * layouts:
    *  - grayscale (1 component),
    *  - color 4:4:4 (Y,Cb,Cr one block each per MCU; chroma flat),
    *  - color 4:2:0 (`subsample = true`: 4 Y blocks + Cb + Cr per MCU —

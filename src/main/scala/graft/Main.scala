@@ -36,17 +36,16 @@ object Main {
     val byPosition = args.contains("--by-position")
     val date = args.sliding(2).collectFirst {
       case Array("--date", d) => java.time.LocalDate.parse(d)
-    }.getOrElse(java.time.LocalDate.now.minusDays(1))
+    }.getOrElse {
+      // a trailing `--date` with a missing value must be a usage error,
+      // not a silent fall-through to yesterday (a backfill for a specific
+      // day would quietly process the wrong day's files)
+      require(!args.contains("--date"),
+        "--date requires a value: --date YYYY-MM-DD")
+      java.time.LocalDate.now.minusDays(1)
+    }
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
-      .appName("graft-ingest")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = buildSession("graft-ingest")
 
     val cfg = loadConfig(spark, configPath, date)
     val results = IngestJob.run(spark, cfg, storeRoot, byPosition)
@@ -63,21 +62,9 @@ object Main {
   private def trainsetMain(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: graft.Main trainset <config.json> <docsParquet> <outRoot>")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
-      .appName("graft-trainset")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val resolved = new org.apache.hadoop.fs.Path(RemoteFetch.resolve(spark, args(0)))
-    val fs = resolved.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(resolved)
-    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val spark = buildSession("graft-trainset")
     val r = TrainingSetJob.run(spark, args(1), args(2),
-      graft.config.TrainingSetConfig.parse(raw))
+      graft.config.TrainingSetConfig.parse(readRaw(spark, args(0))))
     println(s"""{"clean_docs":${r.cleanDocs},"mixed_docs":${r.mixedDocs},""" +
       s""""train_chunks":${r.trainChunks},"train_bins":${r.trainBins},""" +
       s""""shards":${r.shardsWritten}}""")
@@ -93,11 +80,30 @@ object Main {
    * paths work on a cluster too.
    */
   def loadConfig(spark: SparkSession, pathOrUrl: String,
-      date: java.time.LocalDate): JobConfig = {
+      date: java.time.LocalDate): JobConfig =
+    JobConfig.parse(JobConfig.templateDates(readRaw(spark, pathOrUrl), date))
+
+  /** One session builder for both entry points — master/partitions/AQE/tz
+    * must not drift between them. */
+  private def buildSession(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read a config body from a local path, Hadoop URI, or http(s) URL
+    * (shared by both entry points). */
+  private def readRaw(spark: SparkSession, pathOrUrl: String): String = {
     val resolved = new org.apache.hadoop.fs.Path(RemoteFetch.resolve(spark, pathOrUrl))
     val fs = resolved.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(resolved)
-    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    JobConfig.parse(JobConfig.templateDates(raw, date))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 }

@@ -32,6 +32,12 @@ object SparkEntry {
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val per = tableMemo.synchronized {
+      // weak keys alone can't collect an entry here: the cached DataFrames
+      // VALUE-reference their session, keeping the key strongly reachable
+      // (the documented WeakHashMap caveat) — so purge stopped sessions
+      // explicitly on access; the weak key then only covers sessions
+      // dropped without stop()
+      tableMemo.keySet.removeIf(k => k.sparkContext.isStopped)
       var m = tableMemo.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -77,7 +83,15 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     val ts = df.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case LongType =>
+        // timestamp_micros builds an INSTANT and the NTZ cast renders it
+        // in the session zone — same hazard as the TimestampType branch
+        // below, same loud guard (a local-tz session would silently shift
+        // every ts by the zone offset vs the oracle's naive micros)
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP(NANOS)-as-long; the micros->NTZ conversion " +
+            "requires spark.sql.session.timeZone=UTC (Bench/Verify set it)")
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
       case _: TimestampNTZType => col("ts") // already naive micros
       case _: TimestampType =>
         // UTC-adjusted TIMESTAMP_MICROS: the NTZ cast goes through the

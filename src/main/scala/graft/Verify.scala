@@ -22,9 +22,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // NonFatal ONLY (Bench's documented choice): an OOM/StackOverflow
+      // must abort the dump loudly, not degrade ~125 later queries into
+      // mass failures against a broken JVM with the root cause buried
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -18,11 +18,27 @@ import org.apache.spark.sql.DataFrame
  * write+read per materialization — the right trade for multi-hour jobs.
  */
 private[graft] object Materialize {
+  /** Guards the global setCheckpointDir + checkpoint() pair: the dir is a
+    * single mutable on the SparkContext, so an interleaved
+    * (setA, setB, checkpointA) from two jobs sharing one session would
+    * land A's blocks in B's directory — and B's cleanup would then delete
+    * blocks whose truncated lineage cannot recompute. Serializing the
+    * pair pins every checkpoint to its caller's dir; a SEQUENTIAL dir
+    * change stays allowed (each ReliableCheckpointRDD remembers the path
+    * it was written under). */
+  private val reliableLock = new Object
   def apply(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        val sc = df.sparkSession.sparkContext
+        reliableLock.synchronized {
+          // skip the re-set when this dir is already current (Spark
+          // appends a UUID subdir on set, so compare by prefix)
+          if (!sc.getCheckpointDir.exists(cur =>
+              cur == dir || cur.startsWith(dir + "/")))
+            sc.setCheckpointDir(dir)
+          df.checkpoint()
+        }
       case None => df.localCheckpoint(true)
     }
 }

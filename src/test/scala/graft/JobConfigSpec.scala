@@ -82,6 +82,15 @@ class JobConfigSpec extends AnyFunSuite {
     assert(bare.store.db.contains("envdb") && bare.store.username.isEmpty)
   }
 
+  test("CLI: a trailing --date with no value is a usage error, not yesterday") {
+    // a backfill typo must fail loudly instead of silently ingesting the
+    // default (yesterday's) date-templated files
+    val e = intercept[IllegalArgumentException] {
+      graft.Main.main(Array("cfg.json", "/tmp/store", "--date"))
+    }
+    assert(e.getMessage.contains("--date requires a value"))
+  }
+
   test("date templating: %y/%m/%d zero-padded substitution") {
     assert(JobConfig.templateDates("f_%y-%m-%d.csv", LocalDate.of(2022, 3, 2)) == "f_2022-03-02.csv")
     // default is yesterday
