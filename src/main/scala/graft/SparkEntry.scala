@@ -821,6 +821,17 @@ object SparkEntry {
       // order-SENSITIVE, unlike the set-overlap family — windows join on
       // 8-byte keys, spans fuse per alignment diagonal
       Dedup.verbatimSpans(t(s, dir, "documents"), window = 8)),
+    "dedup_substr" -> ((s, dir) =>
+      // ExactSubstr (Lee et al. 2022) as a TRANSFORM: every duplicated
+      // 20-token window cut from all but its globally-first occurrence,
+      // text rebuilt — xxhash64 windows (rows-only; spec-pinned equal to
+      // the md5 bridge below, which hash-verifies the same algebra)
+      Dedup.dedupSubstrings(t(s, dir, "documents"), n = 20)),
+    "dedup_substr_bridge" -> ((s, dir) =>
+      // the same transform keyed by full-md5 window hashes — engine-
+      // reproducible keeper election, hash-verified end to end
+      Dedup.dedupSubstrings(t(s, dir, "documents"), n = 20,
+        md5Bridge = true)),
     "fingerprint_winnow" -> ((s, dir) =>
       // MOSS winnowing: rightmost-min of every g-window of k-gram hashes;
       // md5-prefix hashes make the SELECTED POSITIONS engine-stable, so
@@ -2017,6 +2028,31 @@ object SparkEntry {
         | CAST(min(pb) AS BIGINT) AS b_start,
         | CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
         |FROM g GROUP BY id_a, id_b, diag, grp""".stripMargin,
+    "dedup_substr_bridge" ->
+      // ExactSubstr cut, md5-keyed: rk = 1 within a window hash IS the
+      // min-(doc_id, pos) keeper the Spark side elects; coverage expands
+      // each cut start into its 20 token positions, survivors re-join.
+      // The empty-doc coalesce matches CutSpans' all-cut output ''.
+      """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |wins AS (SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
+        |  FROM toks JOIN nums ON i <= len(t) - 19),
+        |occ AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY h) AS c,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+        |  FROM wins),
+        |cuts AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rk > 1),
+        |cutpos AS (SELECT DISTINCT c.doc_id, c.pos + k.i - 1 AS j
+        |  FROM cuts c JOIN nums k ON k.i <= 20),
+        |tokpos AS (SELECT doc_id, n.i AS j, t[n.i] AS tok
+        |  FROM toks JOIN nums n ON n.i <= len(t)),
+        |rebuilt AS (SELECT tp.doc_id,
+        |    coalesce(string_agg(tp.tok, ' ' ORDER BY tp.j)
+        |      FILTER (WHERE cp.j IS NULL), '') AS text
+        |  FROM tokpos tp LEFT JOIN cutpos cp
+        |    ON cp.doc_id = tp.doc_id AND cp.j = tp.j
+        |  GROUP BY tp.doc_id)
+        |SELECT doc_id, text FROM rebuilt""".stripMargin,
     "fingerprint_winnow" -> winnowSelectSql,
     "decontaminate_winnow" ->
       s"""WITH csel AS ($winnowSelectSql),

@@ -913,6 +913,86 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /**
+   * ExactSubstr corpus dedup (Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better", ACL 2022 — the substring-granularity
+   * variant) as a TRANSFORM: every `n`-token window whose normalized
+   * form occurs more than once in the corpus is removed from all
+   * occurrences except the globally FIRST (min (idCol, pos) — so one
+   * copy of every duplicated passage survives), and each document's
+   * surviving tokens re-join with single spaces. [[verbatimSpans]]
+   * reports the pairwise diagnostic; this rewrites the corpus. Tokens
+   * are the single-space split of `lower(text)` (the order-sensitive
+   * family contract), so an untouched document's output text is exactly
+   * `lower(text)`, overlapping duplicated windows merge into one cut
+   * span for free, and a document duplicated in full comes back empty
+   * everywhere but its first copy.
+   *
+   * The paper runs a single-node suffix array; the cluster form is the
+   * hash-window relational shape, with NO pairwise join anywhere:
+   *  1. window relation — ~one row per corpus token (1-based pos,
+   *     window hash), emitted row-locally ([[graft.plans
+   *     .WordShingleHashes]], O(bytes) per doc); docs under `n` tokens
+   *     emit nothing and pass through untouched.
+   *  2. duplicated keys — ONE `count > 1` aggregation on the 8-byte
+   *     hash. A count is a mutable-primitive buffer, so this stays
+   *     HashAggregate; electing the keeper here as `min(struct(id,
+   *     pos))` instead would demote the aggregation to SortAggregate
+   *     and FULL-SORT the corpus-sized window relation per partition
+   *     (measured in the plan) — which is why keeper election is
+   *     deferred to step 3, where only duplicated occurrences remain.
+   *  3. keeper election + cut starts — join occurrences back on the
+   *     hash (AQE broadcasts the duplicated-key side when small; the
+   *     big side then needs no exchange at all), rank each hash's
+   *     occurrences by (idCol, pos) — the WindowExec sort touches ONLY
+   *     the duplicated subset — drop rank 1, collect each doc's
+   *     ascending start list (≤ its token count).
+   *  4. rebuild — left join on the id + one [[graft.plans.CutSpans]]
+   *     byte scan per document.
+   * Cost is linear in corpus tokens (two map-only window-kernel passes —
+   * the aggregation and the join-back each stream the corpus, the
+   * standard two-pass ExactSubstr shape) plus sorts/exchanges confined
+   * to the duplicated-occurrence relation — contrast [[verbatimSpans]]'
+   * per-window pair fan-out, quadratic in window df.
+   *
+   * `md5Bridge = true` keys windows by the full md5 hex of the shingle
+   * STRING — engine-reproducible, so the transform INCLUDING keeper
+   * election is hash-verified cross-engine (`dedup_substr_bridge`).
+   * Production keys are xxhash64: identical equality classes w.p.
+   * 1 − ~W²·2⁻⁶⁴ (the family's documented collision posture; a
+   * collision costs one spuriously cut window, never a crash), and 4×
+   * fewer key bytes through the two hash exchanges.
+   */
+  def dedupSubstrings(docs: DataFrame, n: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id",
+      md5Bridge: Boolean = false): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens: $n")
+    val eligible = docs.filter(size(TextFunctions.wsTokens(col(textCol))) >= n)
+    val wins = if (md5Bridge)
+      eligible.select(col(idCol),
+          posexplode(TextFunctions.shingles(col(textCol), n)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+          md5(col("col").cast("binary")).as("w"))
+    else
+      eligible.select(col(idCol),
+          posexplode(TextExpressions.shingleHashes(col(textCol), n, dedup = false)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("w"))
+    val dupKeys = wins.groupBy(col("w"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("w"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col(idCol), col("pos"))
+    val cutStarts = wins.join(dupKeys, Seq("w"))
+      .withColumn("__rk", row_number().over(byKey))
+      .filter(col("__rk") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    docs.join(cutStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        TextExpressions.cutSpans(col(textCol),
+          coalesce(col("__starts"), lit(Array.empty[Long])), n).as(textCol))
+  }
+
   // ---- md5 oracle bridges for the signature kernels ----------------------
   //
   // The production MinHash/SimHash paths hash with xxhash64 (the codegen'd

@@ -775,6 +775,51 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Token-span removal for substring-level exact dedup (the rebuild step
+ * of [[graft.operators.Dedup.dedupSubstrings]]): given pre-lowered text
+ * and the ASCENDING 1-based token indices where duplicated `n`-token
+ * windows start, emit the text with every covered token removed and the
+ * survivors re-joined by single spaces.
+ *
+ * Tokens are the single-space split of the (already lowered) child —
+ * the same contract as [[WinnowFingerprints]] — so each token is a
+ * contiguous byte range and the whole cut is one byte scan with a
+ * pointer walk over the starts array: O(bytes + |starts|), zero
+ * allocation beyond the output buffer. An empty starts array makes the
+ * expression the identity on the lowered text (single-space split +
+ * re-join round-trips exactly), which is what lets callers
+ * `coalesce(starts, empty)` instead of branching per row.
+ *
+ * Contract (caller-enforced, see the operator): starts ascending;
+ * coverage of start s is tokens [s, s+n). Null text or null starts →
+ * null (null-intolerant BinaryExpression default).
+ */
+case class CutSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, s"window width must be >= 1: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "cut_spans"
+
+  override def nullSafeEval(s: Any, starts: Any): Any =
+    ShingleHash.cutSpans(s.asInstanceOf[UTF8String],
+      starts.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) =>
+      s"${ev.value} = graft.plans.ShingleHash.cutSpans($c1, $c2, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
   * calls it directly (the scalac static forwarder). */
 object ShingleHash {
@@ -812,6 +857,46 @@ object ShingleHash {
       i += 1
     }
     (starts, ends)
+  }
+
+  /** [[CutSpans]] kernel: one byte scan over the (pre-lowered) text with
+    * a pointer walk over the ascending starts array. Token j (1-based,
+    * single-space split semantics — empty tokens count) is dropped iff
+    * some start s ≤ j has j < s + n; survivors re-join with single
+    * spaces. Output length ≤ input length, so one exact-size scratch
+    * buffer suffices. */
+  def cutSpans(s: UTF8String, starts: ArrayData, n: Int): UTF8String = {
+    val b = s.getBytes
+    val len = b.length
+    val nS = starts.numElements()
+    // nothing to cut → identity: single-space split + single-space
+    // re-join reconstructs any string exactly
+    if (nS == 0) return s
+    val out = new Array[Byte](len)
+    var w = 0
+    var first = true
+    var p = 0
+    var coverEnd = 0L
+    var j = 1L
+    var i = 0
+    while (i <= len) { // i == len handles the final (possibly empty) token
+      var e = i
+      while (e < len && b(e) != ' ') e += 1
+      while (p < nS && starts.getLong(p) <= j) {
+        val ce = starts.getLong(p) + n
+        if (ce > coverEnd) coverEnd = ce
+        p += 1
+      }
+      if (j >= coverEnd) { // not covered by any seen span
+        if (!first) { out(w) = ' '; w += 1 }
+        System.arraycopy(b, i, out, w, e - i)
+        w += e - i
+        first = false
+      }
+      j += 1
+      i = e + 1
+    }
+    UTF8String.fromBytes(out, 0, w)
   }
 
   /** First-occurrence dedup + compaction shared by [[hashes]] and
@@ -1664,6 +1749,14 @@ object TextExpressions {
     * doc, the posexplode form's behavior). */
   def winnowFingerprints(text: Column, k: Int, g: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(lower(text)), k, g))
+
+  /** `lower(text)` with the `n`-token windows starting at the ASCENDING
+    * 1-based token indices in `starts` removed and survivors re-joined
+    * by single spaces ([[CutSpans]]); empty starts → identity on the
+    * lowered text; null text or starts → null. */
+  def cutSpans(text: Column, starts: Column, n: Int): Column =
+    Bridge.column(CutSpans(Bridge.expression(lower(text)),
+      Bridge.expression(starts), n))
 
   /** Row-local MinHash signature (all seeds' minima) over a
     * [[shingleHashes]] array ([[MinHashFold]]). */

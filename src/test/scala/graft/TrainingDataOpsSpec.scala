@@ -331,6 +331,64 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       "within-doc repetition evicted a df=2 window (instance count, not doc frequency)")
   }
 
+  test("dedupSubstrings: keeper survives, later occurrences cut, spans merge, short docs untouched") {
+    val sdocs = Seq(
+      // 0 is the keeper of the shared 6-token run "cc dd ee ff gg hh"
+      (0L, "aa bb cc dd ee ff gg hh ii jj"),
+      // 1 shares that run -> its windows [1..3] all cut -> tokens 1..8 gone
+      (1L, "cc dd ee ff gg hh zz yy xx ww"),
+      // 2 is a FULL duplicate of 0 -> comes back empty
+      (2L, "aa bb cc dd ee ff gg hh ii jj"),
+      // 3 repeats a 4-window WITHIN itself: first occurrence kept
+      (3L, "pp qq rr ss tt uu pp qq rr ss vv ww"),
+      // 4 is shorter than the window -> untouched (lowered) even though
+      // its text is a prefix of 0's
+      (4L, "AA BB CC")).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(sdocs, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "aa bb cc dd ee ff gg hh ii jj") // keeper untouched
+    // doc 1: duplicated 4-windows start at 1,2,3 -> coverage [1,5) ∪
+    // [2,6) ∪ [3,7) = tokens 1..6 -> survivors 7..10
+    assert(out(1L) == "zz yy xx ww")
+    assert(out(2L) == "") // full dup emptied
+    // doc 3: the second "pp qq rr ss" (window start 7) cut -> tokens 7..10
+    assert(out(3L) == "pp qq rr ss tt uu vv ww")
+    assert(out(4L) == "aa bb cc") // short doc: identity on lower(text)
+    // production (xxhash64) and md5-bridge keying agree window for window
+    val bridge = Dedup.dedupSubstrings(sdocs, n = 4, md5Bridge = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bridge == out)
+  }
+
+  test("dedupSubstrings: production equals md5 bridge on the sf0.001 corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = Dedup.dedupSubstrings(corpus, n = 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Dedup.dedupSubstrings(corpus, n = 20, md5Bridge = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.exists { case (_, t) => t.isEmpty },
+      "expected at least one fully-duplicated doc emptied at sf0.001")
+  }
+
+  test("cutSpans kernel: empty starts identity, multi-space tokens, all-cut, overlap merge") {
+    import graft.plans.TextExpressions
+    val df = Seq(
+      ("A  b c", Array.empty[Long]),       // double space -> empty token kept
+      ("a b c d", Array(1L)),              // n=2: cuts tokens 1,2
+      ("a b c d", Array(1L, 2L, 3L)),      // overlapping spans cover all
+      ("a b c d e", Array(2L, 4L)),        // adjacent spans merge 2..5
+      ("", Array.empty[Long])).toDF("text", "starts")
+    val got = df.select(TextExpressions.cutSpans(col("text"), col("starts"), 2)).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == Seq("a  b c", "c d", "", "a", ""))
+    // null text -> null out
+    val nrow = Seq((Option.empty[String], Array.empty[Long])).toDF("text", "starts")
+      .select(TextExpressions.cutSpans(col("text"), col("starts"), 2)).collect()
+    assert(nrow(0).isNullAt(0))
+  }
+
   test("winnowFingerprints: equals brute force; the winnowing guarantee holds") {
     val rnd = new scala.util.Random(7)
     val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
