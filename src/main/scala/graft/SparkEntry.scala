@@ -832,6 +832,21 @@ object SparkEntry {
       // reproducible keeper election, hash-verified end to end
       Dedup.dedupSubstrings(t(s, dir, "documents"), n = 20,
         md5Bridge = true)),
+    "dedup_substr_inc" -> ((s, dir) => {
+      // persisted-registry increment ≡ fused cut over the union
+      // restricted to the batch (shared-oracle pattern, like
+      // dedup_paragraphs_inc / dedup_semantic_inc): registry = the
+      // original windows of docs < 250, batch = the rest
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_substr_registry_${
+        Integer.toHexString(dir.hashCode)}"
+      Dedup.substrRegistry(d.filter(col("doc_id") < 250), n = 20,
+          md5Bridge = true)
+        .write.mode("overwrite").parquet(path)
+      Dedup.dedupSubstringsIncremental(d.filter(col("doc_id") >= 250),
+        s.read.parquet(path), n = 20, md5Bridge = true,
+        maxCorpusId = Some(249L))
+    }),
     "fingerprint_winnow" -> ((s, dir) =>
       // MOSS winnowing: rightmost-min of every g-window of k-gram hashes;
       // md5-prefix hashes make the SELECTED POSITIONS engine-stable, so
@@ -1568,6 +1583,35 @@ object SparkEntry {
 
   private val winnowSelectSql = winnowSelectSqlFrom("documents")
 
+  /** ExactSubstr cut, md5-keyed (`dedup_substr_bridge` / `_inc`): rk = 1
+    * within a window hash IS the min-(doc_id, pos) keeper the Spark side
+    * elects; coverage expands each cut start into its 20 token
+    * positions, survivors re-join. The empty-doc coalesce matches
+    * CutSpans' all-cut output ''. `restrict` narrows the OUTPUT only
+    * (the cut verdict always ranks over the whole corpus) — the fused ≡
+    * incremental equivalence the operator proves. */
+  private def substrCutSql(restrict: String) =
+    s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |wins AS (SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
+      |  FROM toks JOIN nums ON i <= len(t) - 19),
+      |occ AS (SELECT doc_id, pos, h,
+      |    count(*) OVER (PARTITION BY h) AS c,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      |  FROM wins),
+      |cuts AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rk > 1),
+      |cutpos AS (SELECT DISTINCT c.doc_id, c.pos + k.i - 1 AS j
+      |  FROM cuts c JOIN nums k ON k.i <= 20),
+      |tokpos AS (SELECT doc_id, n.i AS j, t[n.i] AS tok
+      |  FROM toks JOIN nums n ON n.i <= len(t)),
+      |rebuilt AS (SELECT tp.doc_id,
+      |    coalesce(string_agg(tp.tok, ' ' ORDER BY tp.j)
+      |      FILTER (WHERE cp.j IS NULL), '') AS text
+      |  FROM tokpos tp LEFT JOIN cutpos cp
+      |    ON cp.doc_id = tp.doc_id AND cp.j = tp.j
+      |  GROUP BY tp.doc_id)
+      |SELECT doc_id, text FROM rebuilt $restrict""".stripMargin
+
   private val joinOn = keys.map(k => s"""inc."$k" = ex."$k"""").mkString(" AND ")
   private val clsJoinOn = keys.map(k => s"""cls."$k" = ex."$k"""").mkString(" AND ")
   private val classifySql =
@@ -2028,31 +2072,12 @@ object SparkEntry {
         | CAST(min(pb) AS BIGINT) AS b_start,
         | CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
         |FROM g GROUP BY id_a, id_b, diag, grp""".stripMargin,
-    "dedup_substr_bridge" ->
-      // ExactSubstr cut, md5-keyed: rk = 1 within a window hash IS the
-      // min-(doc_id, pos) keeper the Spark side elects; coverage expands
-      // each cut start into its 20 token positions, survivors re-join.
-      // The empty-doc coalesce matches CutSpans' all-cut output ''.
-      """WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |wins AS (SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
-        |  FROM toks JOIN nums ON i <= len(t) - 19),
-        |occ AS (SELECT doc_id, pos, h,
-        |    count(*) OVER (PARTITION BY h) AS c,
-        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
-        |  FROM wins),
-        |cuts AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rk > 1),
-        |cutpos AS (SELECT DISTINCT c.doc_id, c.pos + k.i - 1 AS j
-        |  FROM cuts c JOIN nums k ON k.i <= 20),
-        |tokpos AS (SELECT doc_id, n.i AS j, t[n.i] AS tok
-        |  FROM toks JOIN nums n ON n.i <= len(t)),
-        |rebuilt AS (SELECT tp.doc_id,
-        |    coalesce(string_agg(tp.tok, ' ' ORDER BY tp.j)
-        |      FILTER (WHERE cp.j IS NULL), '') AS text
-        |  FROM tokpos tp LEFT JOIN cutpos cp
-        |    ON cp.doc_id = tp.doc_id AND cp.j = tp.j
-        |  GROUP BY tp.doc_id)
-        |SELECT doc_id, text FROM rebuilt""".stripMargin,
+    "dedup_substr_bridge" -> substrCutSql(""),
+    "dedup_substr_inc" ->
+      // incremental ≡ fused cut restricted to batch ids (registry
+      // windows always outrank batch windows — the operator's proven
+      // equivalence), so the oracle IS the fused statement + WHERE
+      substrCutSql("WHERE doc_id >= 250"),
     "fingerprint_winnow" -> winnowSelectSql,
     "decontaminate_winnow" ->
       s"""WITH csel AS ($winnowSelectSql),

@@ -967,17 +967,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       md5Bridge: Boolean = false): DataFrame = {
     require(n >= 2, s"window must be >= 2 tokens: $n")
-    val eligible = docs.filter(size(TextFunctions.wsTokens(col(textCol))) >= n)
-    val wins = if (md5Bridge)
-      eligible.select(col(idCol),
-          posexplode(TextFunctions.shingles(col(textCol), n)))
-        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-          md5(col("col").cast("binary")).as("w"))
-    else
-      eligible.select(col(idCol),
-          posexplode(TextExpressions.shingleHashes(col(textCol), n, dedup = false)))
-        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("w"))
+    val wins = substrWindows(docs, n, textCol, idCol, md5Bridge)
     val dupKeys = wins.groupBy(col("w"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("w"))
     val byKey = org.apache.spark.sql.expressions.Window
@@ -988,6 +978,88 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     docs.join(cutStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        TextExpressions.cutSpans(col(textCol),
+          coalesce(col("__starts"), lit(Array.empty[Long])), n).as(textCol))
+  }
+
+  /** The positional window-hash relation [[dedupSubstrings]] and its
+    * incremental form share: (idCol, pos 1-based long, w) — one row per
+    * complete `n`-token window; docs under `n` tokens emit nothing. */
+  private def substrWindows(docs: DataFrame, n: Int, textCol: String,
+      idCol: String, md5Bridge: Boolean): DataFrame = {
+    val eligible = docs.filter(size(TextFunctions.wsTokens(col(textCol))) >= n)
+    if (md5Bridge)
+      eligible.select(col(idCol),
+          posexplode(TextFunctions.shingles(col(textCol), n)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+          md5(col("col").cast("binary")).as("w"))
+    else
+      eligible.select(col(idCol),
+          posexplode(TextExpressions.shingleHashes(col(textCol), n, dedup = false)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("w"))
+  }
+
+  /** The window-hash REGISTRY to persist for incremental ExactSubstr:
+    * the distinct window hash of every `n`-token window the corpus has
+    * EVER contained — hashes of the ORIGINAL text, not the cut output
+    * (the fused operator ranks a new occurrence against original corpus
+    * occurrences; a window cut from the corpus must still cut its next
+    * copy, and its hash is in some earlier batch's original windows by
+    * construction). At corpus scale persist it BUCKETED by `w` so the
+    * increment probe reads it exchange-free; after shipping a batch,
+    * append `substrRegistry(batch)` over the batch's ORIGINAL text. */
+  def substrRegistry(docs: DataFrame, n: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id", md5Bridge: Boolean = false): DataFrame =
+    substrWindows(docs, n, textCol, idCol, md5Bridge).select(col("w")).distinct()
+
+  /**
+   * Incremental [[dedupSubstrings]]: cut the INCREMENT's duplicated
+   * windows against the persisted corpus registry plus within-increment
+   * repeats — without touching corpus text. CORRECTNESS PRECONDITION —
+   * increment ids must sort AFTER every corpus id (same contract as
+   * [[dedupParagraphsIncremental]]; `maxCorpusId` turns it into a
+   * runtime check). Then the result is EXACTLY `dedupSubstrings(corpus
+   * ∪ increment)` restricted to increment docs (spec-proven): a batch
+   * occurrence whose hash is in the registry always loses its race (a
+   * corpus occurrence came first), and among registry-fresh hashes the
+   * batch-first occurrence is the global first — so cut = (hash ∈
+   * registry) ∨ (within-batch rank > 1). One registry probe (left
+   * join on the hash — exchange-free against a `w`-bucketed registry),
+   * ONE window rank over the batch's window relation, rebuild as in the
+   * fused form. The registry flag is a per-HASH fact, so every row of a
+   * `w` partition is either registry-hit or fresh — rank-within-fresh
+   * IS the partition rank, and the whole cut verdict is one filter over
+   * one windowed pass (no shared-lineage union branches — the Spark
+   * 4.1.2 relation-dedup hazard KeyedStore.merge documents). Unlike the
+   * fused form this ranks ALL batch windows, not just duplicated ones —
+   * an increment is a micro-batch by contract, so one batch-sized sort
+   * beats the fused form's extra aggregation + join.
+   */
+  def dedupSubstringsIncremental(increment: DataFrame, registry: DataFrame,
+      n: Int = 50, textCol: String = "text", idCol: String = "doc_id",
+      md5Bridge: Boolean = false, maxCorpusId: Option[Any] = None): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens: $n")
+    maxCorpusId.foreach { bound =>
+      val offenders = increment.filter(col(idCol) <= lit(bound)).count()
+      require(offenders == 0,
+        s"dedupSubstringsIncremental precondition violated: $offenders increment " +
+          s"ids sort at or below maxCorpusId=$bound — such ids would win races " +
+          "corpus windows already won, diverging from dedupSubstrings(corpus ∪ increment)")
+    }
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col(idCol), col("pos"))
+    val cutStarts = substrWindows(increment, n, textCol, idCol, md5Bridge)
+      .join(registry.select(col("w"), lit(true).as("__reg")), Seq("w"), "left")
+      .withColumn("__rk", row_number().over(byKey))
+      // registry hit → every batch occurrence lost its race; fresh hash
+      // → batch-first (rank 1) is the global first, the rest cut. A
+      // fresh singleton has rank 1, so no count guard is needed.
+      .filter(col("__reg").isNotNull || col("__rk") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    increment.join(cutStarts, Seq(idCol), "left")
       .select(col(idCol),
         TextExpressions.cutSpans(col(textCol),
           coalesce(col("__starts"), lit(Array.empty[Long])), n).as(textCol))

@@ -372,6 +372,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       "expected at least one fully-duplicated doc emptied at sf0.001")
   }
 
+  test("dedupSubstringsIncremental: equals fused restricted to the batch; precondition enforced") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cut = 25L
+    for (bridge <- Seq(false, true)) {
+      val fused = Dedup.dedupSubstrings(all, n = 20, md5Bridge = bridge)
+        .filter(col("doc_id") >= cut).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val inc = Dedup.dedupSubstringsIncremental(
+        all.filter(col("doc_id") >= cut),
+        Dedup.substrRegistry(all.filter(col("doc_id") < cut), n = 20,
+          md5Bridge = bridge),
+        n = 20, md5Bridge = bridge, maxCorpusId = Some(cut - 1)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(inc == fused, s"md5Bridge=$bridge")
+      assert(inc.nonEmpty)
+    }
+    // an increment id at or below the corpus bound must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupSubstringsIncremental(all, Dedup.substrRegistry(all, n = 20),
+        n = 20, maxCorpusId = Some(cut - 1)).collect()
+    }
+    assert(e.getMessage.contains("precondition violated"))
+  }
+
   test("cutSpans kernel: empty starts identity, multi-space tokens, all-cut, overlap merge") {
     import graft.plans.TextExpressions
     val df = Seq(
