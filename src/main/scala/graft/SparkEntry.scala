@@ -1177,6 +1177,25 @@ object SparkEntry {
     "embed_quantize" -> ((s, dir) =>
       // symmetric int8 scalar quantization, long-form emission — map-only
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    "embed_moments" -> ((s, dir) =>
+      // per-dimension mean + population variance from ONE mergeable
+      // VecMoments aggregation (17 KB buffer per partition) — the
+      // statistics input of centering / whitening / all-but-the-top
+      graft.operators.Embeddings.momentsRows(t(s, dir, "embeddings"))),
+    "embed_center" -> ((s, dir) =>
+      // mean-centering, exploded to scalars for the oracle: one moments
+      // aggregation + a map-only center kernel
+      graft.operators.Embeddings.centerRows(t(s, dir, "embeddings"))),
+    "embed_whiten" -> ((s, dir) =>
+      // ZCA whitening: moments aggregation -> driver-side 64x64 Jacobi
+      // -> map-only projection kernel; rows-only (the eigenbasis has no
+      // SQL twin) — output covariance ~ I is spec-pinned
+      graft.operators.Embeddings.whiten(t(s, dir, "embeddings"))),
+    "embed_abtt" -> ((s, dir) =>
+      // all-but-the-top (Mu & Viswanath 2018): remove mean + top-2
+      // principal directions; rows-only, spec-pinned (removed-direction
+      // variance ~ 0)
+      graft.operators.Embeddings.allButTop(t(s, dir, "embeddings"), k = 2)),
     "sim_topk_int8" -> ((s, dir) =>
       // top-k served from the dequantized int8 codes — the compression
       // rung's accuracy meter vs full-precision sim_topk
@@ -2509,6 +2528,22 @@ object SparkEntry {
         | (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
         |  AND NOT contains(text, '{')) AS keep
         |FROM c""".stripMargin,
+    "embed_moments" ->
+      // population variance = E[x²] − E[x]²; products in DOUBLE (the
+      // kernel accumulates doubles — float×float would lose parity)
+      s"""WITH ev AS (SELECT unnest(embedding)::DOUBLE AS v,
+         |    unnest(range(0, len(embedding))) AS dim FROM embeddings)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         | ${Quantize.sql6("avg(v)")} AS mean_val,
+         | ${Quantize.sql6("avg(v * v) - avg(v) * avg(v)")} AS var_val
+         |FROM ev GROUP BY dim""".stripMargin,
+    "embed_center" ->
+      s"""WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         |    unnest(range(0, len(embedding))) AS dim FROM embeddings),
+         |m AS (SELECT dim, avg(v) AS mu FROM ev GROUP BY dim)
+         |SELECT ev.vec_id, CAST(ev.dim AS BIGINT) AS dim,
+         | ${Quantize.sql6("ev.v - m.mu")} AS centered
+         |FROM ev JOIN m ON ev.dim = m.dim""".stripMargin,
     "embed_quantize" ->
       s"""WITH sc AS (SELECT vec_id, embedding,
          |    ${Quantize.sql6("greatest(list_max(embedding)::DOUBLE, " +

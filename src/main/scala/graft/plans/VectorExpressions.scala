@@ -1,12 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /**
  * Native Catalyst expression for the similarity hot path (SURVEY §2.9
@@ -382,6 +385,39 @@ case class Int8DequantCosine(child: Expression, query: Seq[Double])
 
 /** Static kernels — generated code calls these directly. */
 object VectorKernels {
+  /** [[VecCenterProject]] kernel: y = M·(x − μ), or x − μ when `m` is
+    * null. Throws on a wrong-length vector (fixed-dim-column corruption
+    * contract). */
+  def centerProject(vec: ArrayData, mu: Array[Double], m: Array[Array[Double]],
+      asFloat: Boolean): ArrayData = {
+    val d = mu.length
+    require(vec.numElements() == d,
+      s"vec_center_project: expected dim $d, got ${vec.numElements()}")
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) { x(i) = vec.getFloat(i).toDouble - mu(i); i += 1 }
+    val y = if (m.length == 0) x
+      else {
+        val out = new Array[Double](d)
+        i = 0
+        while (i < d) {
+          val row = m(i)
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += row(j) * x(j); j += 1 }
+          out(i) = acc
+          i += 1
+        }
+        out
+      }
+    if (asFloat) {
+      val f = new Array[Float](d)
+      i = 0
+      while (i < d) { f(i) = y(i).toFloat; i += 1 }
+      new GenericArrayData(f)
+    } else new GenericArrayData(y)
+  }
+
   /** [[Int8DequantCosine]] kernel — the exact HOF algebra, one pass:
     * amax = max(max(v), −min(v)) in double; s = q6(amax/127); code_d =
     * clamp(floor(v_d/s + 0.5), ±127) (0 when s = 0); dot and dequantized
@@ -520,7 +556,193 @@ object VectorKernels {
   }
 }
 
+/**
+ * First and second moments of a float-vector column in ONE mergeable
+ * aggregation — the input every embedding-postprocessing step (mean
+ * centering, PCA, ZCA whitening, all-but-the-top) needs. The buffer is
+ * a flat double array [n, Σx (d), Σ xᵢxⱼ upper triangle (d(d+1)/2)] —
+ * ~17 KB at d = 64 — updated with a fused multiply-add loop per row, so
+ * partial aggregation and map-side combine hold exactly like the
+ * KLL/HLL/StructTopK aggregates: the exchange carries ONE buffer per
+ * partition no matter the corpus size, and the 64×64 covariance of a
+ * 100 TB embedding column is one scan + one 17 KB-per-partition merge.
+ *
+ * eval emits struct<n, mean array<double>, cov array<double>> with cov
+ * the POPULATION covariance upper triangle in row-major (i ≤ j) order:
+ * cov[idx(i,j)] = Σxᵢxⱼ/n − mean_i·mean_j. Null vectors are skipped
+ * (SQL aggregate convention); a vector of the WRONG length throws —
+ * silently skipping it would corrupt the statistics, and a fixed-dim
+ * embedding column containing other lengths is upstream corruption.
+ * Empty input → null struct.
+ */
+case class VecMoments(
+    child: Expression,
+    d: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  require(d >= 1, s"vec_moments needs d >= 1: $d")
+  private val triN = d * (d + 1) / 2
+
+  override def prettyName: String = "vec_moments"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("mean", ArrayType(DoubleType, containsNull = false)),
+    StructField("cov", ArrayType(DoubleType, containsNull = false))))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](1 + d + triN)
+
+  override def update(b: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      require(a.numElements() == d,
+        s"vec_moments: expected dim $d, got ${a.numElements()} — fixed-dim " +
+          "embedding column contains a foreign length (upstream corruption)")
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        require(!a.isNullAt(i), s"vec_moments: null element at $i")
+        x(i) = a.getFloat(i).toDouble
+        i += 1
+      }
+      b(0) += 1.0
+      i = 0
+      var t = 1 + d
+      while (i < d) {
+        b(1 + i) += x(i)
+        var j = i
+        while (j < d) {
+          b(t) += x(i) * x(j)
+          j += 1
+          t += 1
+        }
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Double]): Any = {
+    val n = b(0)
+    if (n == 0.0) return null
+    val mean = new Array[Double](d)
+    var i = 0
+    while (i < d) { mean(i) = b(1 + i) / n; i += 1 }
+    val cov = new Array[Double](triN)
+    i = 0
+    var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        cov(t) = b(1 + d + t) / n - mean(i) * mean(j)
+        j += 1
+        t += 1
+      }
+      i += 1
+    }
+    val row = new GenericInternalRow(3)
+    row.update(0, n.toLong)
+    row.update(1, new GenericArrayData(mean))
+    row.update(2, new GenericArrayData(cov))
+    row
+  }
+
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+    b.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecMoments =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecMoments =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): VecMoments =
+    copy(child = newChild)
+}
+
+/**
+ * Affine embedding transform y = M·(x − μ) as one native kernel — the
+ * projection step of mean centering (M = I, elided), ZCA whitening
+ * (M = U·diag(1/√(λ+ε))·Uᵀ) and all-but-the-top (M = I − Σ uₖuₖᵀ). The
+ * matrix and mean ride the expression as plain Scala constants (the
+ * NearestCentroid convention — NOT a literal array tree, which stalls
+ * codegen at large d·d). O(d²) multiply-adds per row (O(d) when
+ * center-only), map-only, no shuffle.
+ *
+ * `asFloat` emits array<float> (the embedding column's own type, for
+ * feeding ANN/SemDeDup consumers); otherwise array<double> (full
+ * precision for oracle-checked emission). Null vector → null; wrong
+ * length throws (same corruption contract as [[VecMoments]]).
+ */
+case class VecCenterProject(child: Expression, mean: Seq[Double],
+    matrix: Seq[Seq[Double]], asFloat: Boolean)
+    extends UnaryExpression {
+  private val d = mean.length
+  require(d >= 1, "vec_center_project: empty mean")
+  require(matrix.isEmpty ||
+    (matrix.length == d && matrix.forall(_.length == d)),
+    s"vec_center_project: matrix must be ${d}x$d or empty")
+
+  @transient private lazy val mu = mean.toArray
+  @transient private lazy val m: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray // empty => center-only (no null refs in codegen)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(if (asFloat) FloatType else DoubleType, containsNull = false)
+  override def prettyName: String = "vec_center_project"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.centerProject(v.asInstanceOf[ArrayData], mu, m, asFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("cpMean", mu, "double[]")
+    val mRef = ctx.addReferenceObj("cpMatrix", m, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.centerProject($c, $muRef, $mRef, $asFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  /** struct<n, mean, cov-upper-triangle> of a d-dim float-vector column
+    * in one mergeable aggregation ([[VecMoments]]). */
+  def vecMoments(vec: Column, d: Int): Column =
+    Bridge.column(VecMoments(Bridge.expression(vec), d).toAggregateExpression())
+
+  /** y = M·(x − μ) per row ([[VecCenterProject]]); empty matrix →
+    * center-only. */
+  def centerProject(vec: Column, mean: Seq[Double],
+      matrix: Seq[Seq[Double]] = Nil, asFloat: Boolean = false): Column =
+    Bridge.column(VecCenterProject(Bridge.expression(vec), mean, matrix, asFloat))
+
   /** Σ aᵢ·bᵢ in double, sequential order — codegen'd. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))

@@ -468,6 +468,58 @@ object Scratch {
         }
       }
     }
+    if (sys.env.contains("SCRATCH_SUBSTR")) {
+      // ExactSubstr sweep. varied(): the copy id interleaved between every
+      // pair of tokens (the minhash-sweep lesson — a mere suffix leaves
+      // interior windows identical across copies and the sweep degenerates
+      // into output-bound replica behavior), so window hashes decorrelate,
+      // bytes/keys grow n× and true dup density stays ~constant — this
+      // measures the MACHINERY. replicas(): identical copies — every
+      // window reaches df = n, the cut relation is corpus-sized by
+      // problem definition (output-bound worst case; the valve question
+      // is whether the machinery stays sort/shuffle-sane, not the count).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def harness(mk: () => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      def p(n: Int, label: String, t: Double): Unit =
+        println(f"SCRATCH-SUBSTR ${n}%dx $label: $t%.2f s")
+      for (n <- Seq(1, 8, 32, 128)) {
+        def varied() = docs.crossJoin(spark.range(n).select(col("id").as("__copy")))
+          .select((col("doc_id") * lit(1000L) + col("__copy")).as("doc_id"),
+            regexp_replace(col("text"), lit("\\s+"),
+              concat(lit(" c"), col("__copy"), lit(" "))).as("text"))
+        p(n, "cut_xx ", harness(() =>
+          graft.operators.Dedup.dedupSubstrings(varied(), n = 20)))
+        locally {
+          // incremental probe: registry = even copies, batch = odd copies
+          // (registry build excluded — a one-time persisted write)
+          val reg = s"/tmp/graft_sweep_substrreg_$n"
+          graft.operators.Dedup.substrRegistry(
+              varied().filter(col("doc_id") % 2 === 0), n = 20)
+            .write.mode("overwrite").parquet(reg)
+          p(n, "cut_inc", harness(() =>
+            graft.operators.Dedup.dedupSubstringsIncremental(
+              varied().filter(col("doc_id") % 2 === 1),
+              spark.read.parquet(reg), n = 20)))
+        }
+      }
+      for (n <- Seq(1, 4, 8)) {
+        def replicas() = docs.crossJoin(spark.range(n).select(col("id").as("__copy")))
+          .select((col("doc_id") * lit(1000L) + col("__copy")).as("doc_id"),
+            col("text"))
+        p(n, "cut_replica", harness(() =>
+          graft.operators.Dedup.dedupSubstrings(replicas(), n = 20)))
+      }
+    }
     if (sys.env.contains("SCRATCH_SEMDEDUP")) {
       import org.apache.spark.sql.functions._
       val S = graft.operators.Similarity
