@@ -987,19 +987,24 @@ object Dedup {
     * incremental form share: (idCol, pos 1-based long, w) — one row per
     * complete `n`-token window; docs under `n` tokens emit nothing. */
   private def substrWindows(docs: DataFrame, n: Int, textCol: String,
-      idCol: String, md5Bridge: Boolean): DataFrame = {
-    val eligible = docs.filter(size(TextFunctions.wsTokens(col(textCol))) >= n)
+      idCol: String, md5Bridge: Boolean): DataFrame =
     if (md5Bridge)
-      eligible.select(col(idCol),
-          posexplode(TextFunctions.shingles(col(textCol), n)))
+      // WindowMd5s hashes each window's contiguous byte range in-row and
+      // emits empty for under-n docs — no eligibility filter, no shingle
+      // strings (the chained-zip_with column form was the bridge's
+      // measured dominant cost: 6.2 s → sub-second at sf0.1)
+      docs.select(col(idCol),
+          posexplode(TextExpressions.windowMd5s(col(textCol), n)))
         .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-          md5(col("col").cast("binary")).as("w"))
+          col("col").as("w"))
     else
-      eligible.select(col(idCol),
+      // the xx kernel keeps WordShingleHashes' short-doc whole-text
+      // fallback, so under-n docs are filtered out up front
+      docs.filter(size(TextFunctions.wsTokens(col(textCol))) >= n)
+        .select(col(idCol),
           posexplode(TextExpressions.shingleHashes(col(textCol), n, dedup = false)))
         .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
           col("col").as("w"))
-  }
 
   /** The window-hash REGISTRY to persist for incremental ExactSubstr:
     * the distinct window hash of every `n`-token window the corpus has

@@ -795,6 +795,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
  * coverage of start s is tokens [s, s+n). Null text or null starts →
  * null (null-intolerant BinaryExpression default).
  */
+/**
+ * md5-hex of every n-token window of the (pre-lowered) text — the
+ * ExactSubstr oracle bridge's window keys as ONE row-local kernel
+ * ([[ShingleHash.windowMd5s]]): each window is a contiguous byte range
+ * (the [[WordShingleHashes]] observation), so no shingle strings are
+ * ever built — the `shingles` column formulation chained (n−1)
+ * interpreted `zip_with` concats and was the measured dominant cost of
+ * the bridge (6.2 s → sub-second at sf0.1). Values are bit-identical
+ * to `md5(shingle_string)` / DuckDB `md5(array_to_string(...))`.
+ * Fewer than n tokens → empty array; null text → null.
+ */
+case class WindowMd5s(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"window width must be >= 1: $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "window_md5s"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHash.windowMd5s(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash.windowMd5s($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CutSpans(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
   require(n >= 1, s"window width must be >= 1: $n")
@@ -857,6 +889,55 @@ object ShingleHash {
       i += 1
     }
     (starts, ends)
+  }
+
+  /** [[WindowMd5s]] kernel: the md5-hex twin of [[hashes]] for the
+    * ExactSubstr ORACLE BRIDGE — each n-token window of the
+    * (pre-lowered) text is a contiguous byte range, hashed in place
+    * with the thread-local digest; emitted as lowercase hex, identical
+    * to `md5(window_string)` in any engine. No short-doc fallback:
+    * fewer than `n` tokens → empty array (the caller's eligibility
+    * filter semantics, kept here so the bridge cannot silently widen). */
+  def windowMd5s(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val numToks = spaces + 1
+    if (numToks < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](numToks)
+    var t = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    val md = Md5Digest.get()
+    val hex = "0123456789abcdef".getBytes
+    val m = numToks - n + 1
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      val st = starts(k)
+      val en = if (k + n == numToks) len else starts(k + n) - 1
+      md.reset()
+      md.update(bytes, st, en - st)
+      val dig = md.digest()
+      val h = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        h(b * 2) = hex((dig(b) >> 4) & 0xF)
+        h(b * 2 + 1) = hex(dig(b) & 0xF)
+        b += 1
+      }
+      out(k) = UTF8String.fromBytes(h)
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** [[CutSpans]] kernel: one byte scan over the (pre-lowered) text with
@@ -1749,6 +1830,12 @@ object TextExpressions {
     * doc, the posexplode form's behavior). */
   def winnowFingerprints(text: Column, k: Int, g: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(lower(text)), k, g))
+
+  /** array<string> md5-hex of every n-token window of `lower(text)`
+    * ([[WindowMd5s]]) — under-n-token docs yield an empty array; null
+    * text → null. */
+  def windowMd5s(text: Column, n: Int): Column =
+    Bridge.column(WindowMd5s(Bridge.expression(lower(text)), n))
 
   /** `lower(text)` with the `n`-token windows starting at the ASCENDING
     * 1-based token indices in `starts` removed and survivors re-joined

@@ -1379,6 +1379,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(spark.read.parquet(regDir).distinct().count() == 3)
   }
 
+  test("streaming substring dedup: registry grows per batch, later window copies cut") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the foreachBatch wiring of dedupSubstringsIncremental: each
+    // micro-batch cuts against the window registry-so-far, then appends
+    // its ORIGINAL windows (the substrRegistry contract — a window cut
+    // from this batch must still cut its next copy)
+    val regDir = java.nio.file.Files.createTempDirectory("substr_reg").toString
+    val outDir = java.nio.file.Files.createTempDirectory("substr_out").toString
+    Seq.empty[Long].toDF("w").write.mode("overwrite").parquet(regDir)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true) // registry append needs the ORIGINAL
+        Dedup.dedupSubstringsIncremental(b, spark.read.parquet(regDir), n = 4)
+          .write.mode("append").parquet(outDir)
+        Dedup.substrRegistry(b, n = 4)
+          .join(spark.read.parquet(regDir), Seq("w"), "left_anti")
+          .write.mode("append").parquet(regDir)
+        ()
+    }.start()
+    try {
+      in.addData(ProbeDoc(1L, "aa bb cc dd ee ff"))
+      q.processAllAvailable()
+      in.addData(ProbeDoc(2L, "xx yy aa bb cc dd zz ww"), // shares one 4-window
+        ProbeDoc(3L, "aa bb cc dd ee ff")) // full dup of batch-1 doc
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(
+      1L -> "aa bb cc dd ee ff", // first sight, untouched
+      2L -> "xx yy zz ww", // registry window "aa bb cc dd" covers tokens 3..6
+      3L -> "")) // every window registered in batch 1 -> emptied
+    // batch-boundary invariance: the stream's outputs ARE the fused cut
+    // over all docs restricted per batch (ids ordered batch-after-batch)
+    val all = Seq((1L, "aa bb cc dd ee ff"), (2L, "xx yy aa bb cc dd zz ww"),
+      (3L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val fused = Dedup.dedupSubstrings(all, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused == out)
+  }
+
   test("streaming incremental probe: micro-batches pair against the persisted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // corpus: two near-identical docs + two unrelated; banded table persisted
