@@ -860,6 +860,8 @@ object ShingleHash {
   private val Md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
   /** Two-pass maximal `[a-z0-9]`-run scanner shared by
     * [[md5FeatureBuckets]] and [[alnumHashes]] — the byte-scan equivalent
     * of `regexp_extract_all(lower(text), '[a-z0-9]+')` boundaries, exact
@@ -917,7 +919,7 @@ object ShingleHash {
       i += 1
     }
     val md = Md5Digest.get()
-    val hex = "0123456789abcdef".getBytes
+    val hex = HexDigits
     val m = numToks - n + 1
     val out = new Array[Any](m)
     var k = 0

@@ -387,4 +387,28 @@ class TextExpressionsSpec extends AnyFunSuite {
     val rowLocal = Corpus.tokenEntropy(both)
     assert(rowLocal.exceptAll(grouped).isEmpty && grouped.exceptAll(rowLocal).isEmpty)
   }
+
+  test("windowMd5s equals md5 over shingle strings — fixture + unicode + empty tokens") {
+    val adversarial = Seq(
+      (1000L, "短 文 本 with 漢字 characters repeated 短 文 本"),
+      (1001L, "one two"), // under n -> kernel empty, HOF side filtered out
+      (1002L, "a  b   c d e"), // empty tokens count (single-space contract)
+      (1003L, "MiXeD Case TOKENS here")).toDF("doc_id", "text")
+    val docs = fixture.unionByName(adversarial)
+    val n = 3
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val kernel = rows(docs.select(col("doc_id"),
+        posexplode(TextExpressions.windowMd5s(col("text"), n)))
+      .select(col("doc_id"), col("pos"), col("col")))
+    val hof = rows(docs
+      .filter(size(split(lower(col("text")), " ")) >= n)
+      .select(col("doc_id"), posexplode(TextFunctions.shingles(col("text"), n)))
+      .select(col("doc_id"), col("pos"), md5(col("col").cast("binary"))))
+    assert(kernel == hof && kernel.nonEmpty)
+    // null text -> null array (posexplode drops the doc)
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(posexplode(TextExpressions.windowMd5s(col("text"), n)))
+    assert(nulls.count() == 0)
+  }
 }
