@@ -826,11 +826,13 @@ object SparkEntry {
       // 20-token window cut from all but its globally-first occurrence,
       // text rebuilt — xxhash64 windows (rows-only; spec-pinned equal to
       // the md5 bridge below, which hash-verifies the same algebra)
-      Dedup.dedupSubstrings(t(s, dir, "documents"), n = 20)),
+      Dedup.dedupSubstrings(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 20)),
     "dedup_substr_bridge" -> ((s, dir) =>
       // the same transform keyed by full-md5 window hashes — engine-
       // reproducible keeper election, hash-verified end to end
-      Dedup.dedupSubstrings(t(s, dir, "documents"), n = 20,
+      Dedup.dedupSubstrings(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 20,
         md5Bridge = true)),
     "dedup_substr_inc" -> ((s, dir) => {
       // persisted-registry increment ≡ fused cut over the union

@@ -22,6 +22,11 @@ import graft.operators.{Corpus, Materialize, Selection}
  *   [→ gopher_gate: the Gopher rule filter
  *      ([[graft.functions.TextFunctions.gopherColumns]] keep verdict) on
  *      the source frame — map-only, before any pair machinery]
+ *   [→ substr_window: ExactSubstr substring-level cut
+ *      ([[graft.operators.Dedup.dedupSubstrings]]) — duplicated
+ *      n-token passages removed before document-level cleaning, so
+ *      min_tokens judges post-cut length and chunk budgets never pay
+ *      for passages the corpus already ships once]
  *   → cleanCorpus (quality gate → language gate → exact dedup → near-dup
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
  *   → split assignment)
@@ -128,8 +133,19 @@ object TrainingSetJob {
     // shape was re-substituted by predicate pushdown back into that
     // multi-copy form (measured 63 kernel copies — see the GopherKeep
     // scaladoc before "simplifying" this).
-    val docs = if (!cfg.gopherGate) docs0
+    val docsG = if (!cfg.gopherGate) docs0
       else docs0.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
+    // optional ExactSubstr stage (Lee et al. 2022) BEFORE the document-
+    // level cleaning: duplicated substr_window-token passages are cut
+    // from all but their first occurrence, so cleanCorpus's min_tokens
+    // gate judges the POST-CUT length (a doc reduced to boilerplate
+    // crumbs drops out), its near-dup dedup sees cut text, and chunk
+    // budgets never pay for passages the corpus already ships once.
+    // One-shot by design — see the operator's idempotency note.
+    val docs = cfg.substrWindow match {
+      case Some(w) => graft.operators.Dedup.dedupSubstrings(docsG, n = w)
+      case None => docsG
+    }
     // eval docs get the SAME normalization: decontamination shingles must
     // compare like with like, or a copy differing only typographically
     // (curly quotes, CRLF) slips under eval_min_overlap
@@ -330,6 +346,7 @@ object TrainingSetJob {
     }
     node.put("c4_clean", cfg.c4Clean)
     node.put("gopher_gate", cfg.gopherGate)
+    cfg.substrWindow.foreach(w => node.put("substr_window", w))
     if (cfg.mixWeights.nonEmpty || cfg.mixAlpha.nonEmpty) {
       node.put("mix_budget", cfg.mixBudget)
       node.put("mix_repeats", cfg.mixRepeats)

@@ -32,6 +32,7 @@ final case class TrainingSetConfig(
     capStrataCol: String = "source",
     c4Clean: Boolean = false,
     gopherGate: Boolean = false,
+    substrWindow: Option[Int] = None,
     mixWeights: Map[String, Double] = Map.empty,
     mixAlpha: Option[Double] = None,
     mixBudget: Double = 0.0,
@@ -68,6 +69,8 @@ final case class TrainingSetConfig(
     "chunk_stride (overlapping windows) and BPE cost budgets are mutually " +
       "exclusive — the cost-aware chunker has no stride form")
   require(nShards > 0, s"n_shards must be positive: $nShards")
+  require(substrWindow.forall(_ >= 2),
+    s"substr_window must be >= 2 tokens: $substrWindow")
   require(capPerStratum.forall(_ > 0),
     s"cap_per_stratum must be positive: $capPerStratum")
   require(dsirTopK.forall(_ > 0), s"dsir_top_k must be positive: $dsirTopK")
@@ -115,6 +118,7 @@ object TrainingSetConfig {
       capStrataCol = text("cap_strata_col", "source"),
       c4Clean = bool("c4_clean", d = false),
       gopherGate = bool("gopher_gate", d = false),
+      substrWindow = optNode("substr_window").map(_.asInt),
       mixWeights = optNode("mix_weights").map(r =>
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
         .getOrElse(Map.empty),

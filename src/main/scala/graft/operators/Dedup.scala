@@ -955,6 +955,12 @@ object Dedup {
    * to the duplicated-occurrence relation — contrast [[verbatimSpans]]'
    * per-window pair fan-out, quadratic in window df.
    *
+   * Output: every input column preserved, `textCol` replaced by the cut
+   * text. ONE-SHOT by design (the paper's property too): cutting joins
+   * previously-distant tokens, which can form NEW duplicated windows —
+   * re-running on the output is a different (weaker) statement, not a
+   * no-op.
+   *
    * `md5Bridge = true` keys windows by the full md5 hex of the shingle
    * STRING — engine-reproducible, so the transform INCLUDING keeper
    * election is hash-verified cross-engine (`dedup_substr_bridge`).
@@ -978,9 +984,9 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     docs.join(cutStarts, Seq(idCol), "left")
-      .select(col(idCol),
-        TextExpressions.cutSpans(col(textCol),
-          coalesce(col("__starts"), lit(Array.empty[Long])), n).as(textCol))
+      .withColumn(textCol, TextExpressions.cutSpans(col(textCol),
+        coalesce(col("__starts"), lit(Array.empty[Long])), n))
+      .drop("__starts")
   }
 
   /** The positional window-hash relation [[dedupSubstrings]] and its
@@ -1065,9 +1071,9 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     increment.join(cutStarts, Seq(idCol), "left")
-      .select(col(idCol),
-        TextExpressions.cutSpans(col(textCol),
-          coalesce(col("__starts"), lit(Array.empty[Long])), n).as(textCol))
+      .withColumn(textCol, TextExpressions.cutSpans(col(textCol),
+        coalesce(col("__starts"), lit(Array.empty[Long])), n))
+      .drop("__starts")
   }
 
   // ---- md5 oracle bridges for the signature kernels ----------------------

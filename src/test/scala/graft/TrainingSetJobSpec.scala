@@ -145,6 +145,39 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("gopher_gate").asBoolean)
   }
 
+  test("substr_window stage: duplicated passage cut from the later doc, crumbs dropped") {
+    import spark.implicits._
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val bodyA = ("unique first story keeps on going with many other words " +
+      "and even more distinct words to stay over the token floor ")
+    val bodyB = ("another second story with its own totally different framing " +
+      "and a long enough tail of words to stay over the floor too ")
+    val dir = java.nio.file.Files.createTempDirectory("substr_in").toString
+    Seq(
+      (0L, bodyA + passage, "src"), // keeper: passage survives here
+      (1L, bodyB + passage, "src"), // later copy: passage cut, body stays
+      (2L, passage, "src")) // nothing but the passage -> crumbs, min_tokens drops it
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_substr").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"substr_window":8,"min_tokens":5,"min_jaccard":0.99,
+        |"chunk_budget":64,"pack_groups":2,"n_shards":2}""".stripMargin)
+    val r = TrainingSetJob.run(spark, dir, outRoot, cfg)
+    val shipped = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(shipped.keySet == Set(0L, 1L), s"shipped: ${shipped.keySet}")
+    assert(shipped(0L).contains("alpha bravo charlie"), "keeper kept its passage")
+    assert(!shipped(1L).contains("alpha bravo charlie"), "later copy cut")
+    assert(shipped(1L).contains("another second story"), "unique body survives")
+    assert(r.cleanDocs == 2)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("substr_window").asInt == 8)
+  }
+
   test("c4 clean stage: bad lines leave the text, bad pages leave the corpus") {
     import spark.implicits._
     def page(tag: String) =
