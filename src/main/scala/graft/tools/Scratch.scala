@@ -520,6 +520,36 @@ object Scratch {
           graft.operators.Dedup.dedupSubstrings(replicas(), n = 20)))
       }
     }
+    if (sys.env.contains("SCRATCH_EMBED")) {
+      // Embeddings-postprocessing sweep: key space grows n× (ids
+      // remapped; vectors repeat, which is fine — moments and the
+      // projection are map-only/mergeable, cost is per-ROW not
+      // per-distinct-vector). whiten includes its two driver-side
+      // steps (moments head + Jacobi) per call — the fixed model cost
+      // the sweep should show amortizing, not growing.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def harness(mk: () => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      def p(n: Int, label: String, t: Double): Unit =
+        println(f"SCRATCH-EMBED ${n}%dx $label: $t%.2f s")
+      for (n <- Seq(1, 8, 32, 128)) {
+        def scaled() = emb.crossJoin(spark.range(n).select(col("id").as("__copy")))
+          .select((col("vec_id") * lit(1000L) + col("__copy")).as("vec_id"),
+            col("embedding"), col("label"))
+        p(n, "moments", harness(() =>
+          graft.operators.Embeddings.momentsRows(scaled())))
+        p(n, "whiten ", harness(() =>
+          graft.operators.Embeddings.whiten(scaled())))
+      }
+    }
     if (sys.env.contains("SCRATCH_SEMDEDUP")) {
       import org.apache.spark.sql.functions._
       val S = graft.operators.Similarity

@@ -85,6 +85,19 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(math.abs(varAlong(u(5)) - lam(5)) < 1e-3 * math.max(1.0, lam(5)))
   }
 
+  test("whitened output feeds the similarity stack unchanged") {
+    import graft.operators.Similarity
+    val w = Embeddings.whiten(emb)
+    // ANN brute-force top-k consumes the whitened column like the raw one
+    val q = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+    val topk = Similarity.topK(w, q, k = 5)
+    assert(topk.count() == 5)
+    // SemDeDup over whitened vectors: same operator, same plumbing
+    val seeds = Similarity.kmeansSeeds(w, 4)
+    val sd = Similarity.semanticDedupClustered(w, seeds, minCosine = 0.45)
+    assert(sd.count() > 0)
+  }
+
   test("centerProject kernel: center-only vs matrix path on a known case") {
     val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, -2.0f)))
       .toDF("vec_id", "embedding")

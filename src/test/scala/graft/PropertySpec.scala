@@ -178,6 +178,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: dedupSubstrings equals a brute-force reference on random corpora") {
+    // driver-side reference: enumerate every n-window string, elect the
+    // min-(doc, pos) keeper per duplicated window, mark covered tokens,
+    // rebuild — the operator's whole pipeline in ~15 transparent lines
+    def reference(docs: Seq[(Long, Array[String])], n: Int): Map[Long, String] = {
+      val wins = for {
+        (id, t) <- docs
+        i <- 0 to t.length - n
+      } yield (id, i, t.slice(i, i + n).mkString(" "))
+      val cut = wins.groupBy(_._3).valuesIterator
+        .filter(_.size > 1)
+        .flatMap(_.sortBy(o => (o._1, o._2)).tail)
+        .map(o => (o._1, o._2)).toSet
+      docs.map { case (id, t) =>
+        val covered = Array.fill(t.length)(false)
+        for ((d, s) <- cut if d == id; j <- s until math.min(s + n, t.length))
+          covered(j) = true
+        id -> t.zipWithIndex.collect { case (tok, j) if !covered(j) => tok }
+          .mkString(" ")
+      }.toMap
+    }
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    for (round <- 1 to 3) {
+      val n = 3 + round % 2
+      // small vocab => dense accidental duplication, incl. within-doc
+      // repeats; lengths 0..39 cover empty and sub-n docs
+      val docs = (0L until 12L).map { i =>
+        i -> Array.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+      }
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val want = reference(docs, n)
+      for (bridge <- Seq(false, true)) {
+        val got = graft.operators.Dedup.dedupSubstrings(df, n, md5Bridge = bridge)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == want, s"round $round n=$n bridge=$bridge: " +
+          s"diff=${got.toSet.diff(want.toSet).take(2)} / ${want.toSet.diff(got.toSet).take(2)}")
+      }
+    }
+  }
+
   test("property: verbatimSpans equals a brute-force reference on random corpora") {
     // driver-side reference: all maximal >= w runs of shared tokens per
     // pair, by direct diagonal walk over the token arrays
