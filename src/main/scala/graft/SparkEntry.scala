@@ -1179,6 +1179,12 @@ object SparkEntry {
     "embed_quantize" -> ((s, dir) =>
       // symmetric int8 scalar quantization, long-form emission — map-only
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    "quality_logreg" -> ((s, dir) =>
+      // DCLM-style trained quality filter: full-batch logistic
+      // regression over hashed uni+bigram buckets, 3 GD iterations with
+      // 9dp-quantized weights — the quantization makes the TRAINING
+      // LOOP itself hash-verifiable cross-engine, not just the scoring
+      Selection.logregScore(t(s, dir, "documents"), col("lang") === "en")),
     "embed_moments" -> ((s, dir) =>
       // per-dimension mean + population variance from ONE mergeable
       // VecMoments aggregation (17 KB buffer per partition) — the
@@ -1346,6 +1352,54 @@ object SparkEntry {
     * twin of `Selection.dsirWeights(documents, lang = 'en')`: hashed
     * uni+bigram buckets, Laplace-smoothed target/raw log-ratio, summed
     * per doc. `dsir_weights` and `dsir_sample` share one definition. */
+  /** DuckDB twin of `Selection.logregScore(target = lang = 'en')`: the
+    * SAME GD chain — per-iteration CTEs (margins → residuals →
+    * gradients → 9dp-quantized weights), bias as synthetic bucket B,
+    * sums over the identical histogram — so the whole training loop
+    * hash-verifies, not just scoring. Iteration 1 folds in w₀ = 0
+    * (margin 0 → p = 0.5) without a join, exactly like the empty-map
+    * first pass on the Spark side. */
+  private def logregSql(iters: Int, lr: Double, buckets: Int): String = {
+    val q9 = (e: String) => s"floor(($e) * 1e9 + 0.5) / 1e9"
+    val head =
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |feats AS (SELECT doc_id, y,
+         |  list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS fs
+         |  FROM toks),
+         |fx AS (SELECT doc_id, y,
+         |         ${hashBucketSql("f", buckets, Selection.DsirSalt)} AS b
+         |       FROM (SELECT doc_id, y, unnest(fs) AS f FROM feats)
+         |       UNION ALL SELECT doc_id, y, $buckets AS b FROM toks),
+         |hist0 AS (SELECT doc_id, y, b, CAST(count(*) AS DOUBLE) AS c
+         |          FROM fx GROUP BY 1, 2, 3),
+         |hist AS MATERIALIZED (SELECT doc_id, y, b,
+         |           CASE WHEN b = $buckets THEN 1.0
+         |                ELSE c / sum(CASE WHEN b = $buckets THEN 0 ELSE c END)
+         |                       OVER (PARTITION BY doc_id) END AS c
+         |         FROM hist0),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |w1 AS MATERIALIZED (SELECT b, ${q9(s"-$lr * sum((0.5 - y) * c) / any_value(nn.n)")} AS w
+         |       FROM hist CROSS JOIN nn GROUP BY b)""".stripMargin
+    val steps = (2 to iters).map { i =>
+      s"""m$i AS (SELECT h.doc_id, h.y, sum(h.c * w${i - 1}.w) AS m
+         |  FROM hist h JOIN w${i - 1} ON h.b = w${i - 1}.b GROUP BY 1, 2),
+         |r$i AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m$i),
+         |g$i AS (SELECT h.b, sum(h.c * r$i.r) / any_value(nn.n) AS g
+         |  FROM hist h JOIN r$i USING (doc_id) CROSS JOIN nn GROUP BY h.b),
+         |w$i AS MATERIALIZED (SELECT w${i - 1}.b, ${q9(s"w${i - 1}.w - $lr * g$i.g")} AS w
+         |  FROM w${i - 1} JOIN g$i ON w${i - 1}.b = g$i.b)""".stripMargin
+    }
+    val tail =
+      s"""mf AS (SELECT h.doc_id, h.y, sum(h.c * w$iters.w) AS m
+         |  FROM hist h JOIN w$iters ON h.b = w$iters.b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(y AS BIGINT) AS is_target,
+         | floor((1.0 / (1.0 + exp(-m))) * 1e6 + 0.5) / 1e6 AS score
+         |FROM mf""".stripMargin
+    (Seq(head) ++ steps ++ Seq(tail)).mkString(",\n")
+  }
+
   private def dsirSqlBody: String =
     s"""toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        |         FROM documents),
@@ -2530,6 +2584,8 @@ object SparkEntry {
         | (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
         |  AND NOT contains(text, '{')) AS keep
         |FROM c""".stripMargin,
+    "quality_logreg" -> logregSql(iters = 3, lr = 5.0,
+      buckets = Selection.DsirBuckets),
     "embed_moments" ->
       // population variance = E[x²] − E[x]²; products in DOUBLE (the
       // kernel accumulates doubles — float×float would lose parity)

@@ -443,4 +443,86 @@ object Selection {
       .orderBy(col("ares_key").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Discriminative quality scoring: full-batch logistic regression over
+   * the hashed uni+bigram bucket histogram — the trained-classifier
+   * filter of the DCLM / FineWeb-Edu pipeline shape, completing the
+   * selection family as the discriminative sibling of [[nbClassify]]
+   * (generative) and [[dsirWeights]] (importance ratios). Returns
+   * (idCol, is_target, score) with score = σ(w·x) quantized 6dp.
+   *
+   * Deterministic AND cross-engine hash-verifiable BY CONSTRUCTION, not
+   * by tolerance: w₀ = 0, fixed-lr full-batch GD for `iters`
+   * iterations, and every updated weight is quantized to 9dp before the
+   * next iteration — so the weight vector entering each iteration is
+   * EXACTLY equal in any engine whose gradient sums agree to < 5e-10
+   * (ulp-order float-summation differences, orders of magnitude below
+   * the quantum). Training drift therefore cannot accumulate across
+   * iterations, which is what lets the `quality_logreg` oracle verify
+   * the whole TRAINING LOOP, not just a final scoring pass.
+   *
+   * Shape: the per-(doc, bucket) histogram materializes ONCE
+   * (localCheckpoint — one corpus scan, the dsirWeights posture); each
+   * iteration is two aggregations OVER THE HISTOGRAM (margins keyed by
+   * doc, gradients keyed by bucket — the gradient exchange carries
+   * ≤ buckets+1 rows out) plus a ≤ buckets+1-row driver collect (the
+   * k-means loop convention). The intercept is the synthetic bucket
+   * `buckets` — one occurrence per doc appended IN the explode (no
+   * union branch) — so the bias rides the same relational algebra as
+   * every feature weight, and zero-feature or null-text docs still
+   * train and score through their bias row.
+   */
+  def logregScore(docs: DataFrame, target: Column, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = DsirBuckets, iters: Int = 3,
+      lr: Double = 5.0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(lr > 0, s"lr must be positive: $lr")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tf-normalized features (x_b = c_b / Σc per doc, bias fixed at 1):
+    // raw counts put margins on the doc-length scale and GD saturates σ
+    // within an iteration (measured: every score pinned near 0, zero
+    // class separation); normalized, |margin| ≤ max|w| and the fixed lr
+    // is stable at any document length. The per-doc total folds in one
+    // window over the (small) histogram — the corpus is not re-touched.
+    val perDoc = Window.partitionBy(col(idCol))
+    val hist = Materialize(docs.select(col(idCol),
+        target.cast("double").as("__y"),
+        explode(concat(
+          coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
+            col(textCol), buckets, DsirSalt), array()),
+          array(lit(buckets)))).as("__b"))
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .withColumn("__c", when(col("__b") === buckets, lit(1.0))
+        .otherwise(col("__c") /
+          sum(when(col("__b") =!= buckets, col("__c"))).over(perDoc))), None)
+    // N from the bias rows of the CHECKPOINTED histogram — no second
+    // corpus action
+    val n = hist.filter(col("__b") === buckets).count().toDouble
+    require(n > 0, "logregScore: empty corpus")
+    def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def margins(w: Map[Int, Double]) = {
+      val wDf = broadcast(w.toSeq.toDF("__b", "__w"))
+      hist.join(wDf, Seq("__b"), "left")
+        .groupBy(col(idCol), col("__y"))
+        .agg(sum(col("__c") * coalesce(col("__w"), lit(0.0))).as("__m"))
+    }
+    var w = Map.empty[Int, Double]
+    for (_ <- 1 to iters) {
+      val r = margins(w).select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__r"))
+      val g = hist.join(r, Seq(idCol))
+        .groupBy(col("__b"))
+        .agg((sum(col("__c") * col("__r")) / lit(n)).as("__g"))
+        .collect()
+      w = g.map { row =>
+        val b = row.getInt(0)
+        b -> q9(w.getOrElse(b, 0.0) - lr * row.getDouble(1))
+      }.toMap
+    }
+    margins(w).select(col(idCol), col("__y").cast("long").as("is_target"),
+      Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+  }
 }

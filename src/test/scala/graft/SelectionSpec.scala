@@ -238,6 +238,41 @@ class SelectionSpec extends AnyFunSuite {
     (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.1f, 0.9f, 0f)),
     (4L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
 
+  test("logregScore: learns a planted vocabulary split; deterministic; zero-feature docs score") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // learnable corpus: target docs speak "quality" vocabulary, the rest
+    // "spam" — a linear model over hashed token buckets must separate
+    val hi = Array("insight", "method", "theory", "结论", "analysis", "proof")
+    val lo = Array("click", "cheap", "winner", "free", "deal", "offer")
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 60L).map { i =>
+      val vocab = if (i % 2 == 0) hi else lo
+      val text = Array.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, text, i % 2 == 0)
+    }.toDF("doc_id", "text", "is_hi")
+    val scored = Selection.logregScore(docs, col("is_hi"), iters = 15, lr = 20.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hiScores = scored.collect { case (_, (1L, s)) => s }
+    val loScores = scored.collect { case (_, (0L, s)) => s }
+    val hiAvg = hiScores.sum / hiScores.size
+    val loAvg = loScores.sum / loScores.size
+    // bucket collisions (12 words + bigrams into 256 buckets) cap the
+    // attainable margin — assert a decisive separation, not perfection
+    assert(hiAvg > 0.75 && loAvg < 0.35 && hiAvg - loAvg > 0.5,
+      s"hi avg $hiAvg, lo avg $loAvg")
+    // byte-identical across runs (fixed GD + 9dp-quantized weights)
+    val again = Selection.logregScore(docs, col("is_hi"), iters = 15, lr = 20.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == scored)
+    // a null-text doc still trains/scores through its bias row
+    val withNull = docs.unionByName(
+      Seq((100L, null.asInstanceOf[String], false)).toDF("doc_id", "text", "is_hi"))
+    val n = Selection.logregScore(withNull, col("is_hi"))
+      .filter(col("doc_id") === 100L).collect()
+    assert(n.length == 1 && !n(0).isNullAt(2))
+  }
+
   test("kmeansAssign: nearest-by-cosine cell, seeds assign to themselves") {
     val seeds = Similarity.kmeansSeeds(vecs, 2)
     assert(seeds.length == 2 && seeds(0)(0) == 1f)
