@@ -1185,6 +1185,18 @@ object SparkEntry {
       // 9dp-quantized weights — the quantization makes the TRAINING
       // LOOP itself hash-verifiable cross-engine, not just the scoring
       Selection.logregScore(t(s, dir, "documents"), col("lang") === "en")),
+    "quality_logreg_inc" -> ((s, dir) => {
+      // the PRODUCTION split: train -> persist (bucket, w) relation ->
+      // score map-only from the loaded artifact; shares the fused
+      // oracle, so the whole round-trip is hash-verified
+      val d = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_logreg_model_${
+        Integer.toHexString(dir.hashCode)}"
+      Selection.logregModel(d, col("lang") === "en")
+        .write.mode("overwrite").parquet(path)
+      Selection.logregScoreFromModel(d, s.read.parquet(path),
+        col("lang") === "en")
+    }),
     "embed_moments" -> ((s, dir) =>
       // per-dimension mean + population variance from ONE mergeable
       // VecMoments aggregation (17 KB buffer per partition) — the
@@ -2585,6 +2597,8 @@ object SparkEntry {
         |  AND NOT contains(text, '{')) AS keep
         |FROM c""".stripMargin,
     "quality_logreg" -> logregSql(iters = 3, lr = 5.0,
+      buckets = Selection.DsirBuckets),
+    "quality_logreg_inc" -> logregSql(iters = 3, lr = 5.0,
       buckets = Selection.DsirBuckets),
     "embed_moments" ->
       // population variance = E[x²] − E[x]²; products in DOUBLE (the

@@ -476,18 +476,47 @@ object Selection {
   def logregScore(docs: DataFrame, target: Column, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = DsirBuckets, iters: Int = 3,
       lr: Double = 5.0): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    require(lr > 0, s"lr must be positive: $lr")
+    val hist = logregHist(docs, target, textCol, idCol, buckets)
+    scoreFromW(hist, logregTrain(hist, idCol, buckets, iters, lr), idCol)
+  }
+
+  /** The trained logreg model as a RELATION: (bucket, w) with the bias
+    * at bucket = `buckets` — persist it once and score every later
+    * increment map-only with [[logregScoreFromModel]] (the
+    * dsirModel/writeNbModel production split; `quality_logreg_inc`
+    * shares the fused oracle, so train → persist → score ≡ fused is
+    * hash-verified). */
+  def logregModel(docs: DataFrame, target: Column, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = DsirBuckets, iters: Int = 3,
+      lr: Double = 5.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // tf-normalized features (x_b = c_b / Σc per doc, bias fixed at 1):
-    // raw counts put margins on the doc-length scale and GD saturates σ
-    // within an iteration (measured: every score pinned near 0, zero
-    // class separation); normalized, |margin| ≤ max|w| and the fixed lr
-    // is stable at any document length. The per-doc total folds in one
-    // window over the (small) histogram — the corpus is not re-touched.
+    logregTrain(logregHist(docs, target, textCol, idCol, buckets),
+        idCol, buckets, iters, lr)
+      .toSeq.toDF("bucket", "w")
+  }
+
+  /** Map-only scoring of an increment against a persisted (bucket, w)
+    * model relation — the corpus is touched once, the model broadcasts. */
+  def logregScoreFromModel(docs: DataFrame, model: DataFrame,
+      target: Column, textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = DsirBuckets): DataFrame = {
+    val w = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    scoreFromW(logregHist(docs, target, textCol, idCol, buckets), w, idCol)
+  }
+
+  /** tf-normalized per-(doc, bucket) histogram with the bias bucket
+    * (x_b = c_b / Σc per doc, bias fixed at 1): raw counts put margins
+    * on the doc-length scale and GD saturates σ within an iteration
+    * (measured: every score pinned near 0, zero class separation);
+    * normalized, |margin| ≤ Σ|w| and the fixed lr is stable at any
+    * document length. The per-doc total folds in one window over the
+    * (small) histogram — the corpus is not re-touched. Materialized:
+    * the train loop and the scoring pass reread it per iteration. */
+  private def logregHist(docs: DataFrame, target: Column, textCol: String,
+      idCol: String, buckets: Int): DataFrame = {
     val perDoc = Window.partitionBy(col(idCol))
-    val hist = Materialize(docs.select(col(idCol),
+    Materialize(docs.select(col(idCol),
         target.cast("double").as("__y"),
         explode(concat(
           coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
@@ -498,20 +527,32 @@ object Selection {
       .withColumn("__c", when(col("__b") === buckets, lit(1.0))
         .otherwise(col("__c") /
           sum(when(col("__b") =!= buckets, col("__c"))).over(perDoc))), None)
+  }
+
+  private def logregMargins(hist: DataFrame, w: Map[Int, Double],
+      idCol: String): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.toSeq.toDF("__b", "__w"))
+    hist.join(wDf, Seq("__b"), "left")
+      .groupBy(col(idCol), col("__y"))
+      .agg(sum(col("__c") * coalesce(col("__w"), lit(0.0))).as("__m"))
+  }
+
+  /** The GD loop over a materialized histogram — 9dp-quantized weights
+    * per iteration (see [[logregScore]]'s determinism contract). */
+  private def logregTrain(hist: DataFrame, idCol: String, buckets: Int,
+      iters: Int, lr: Double): Map[Int, Double] = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(lr > 0, s"lr must be positive: $lr")
     // N from the bias rows of the CHECKPOINTED histogram — no second
     // corpus action
     val n = hist.filter(col("__b") === buckets).count().toDouble
-    require(n > 0, "logregScore: empty corpus")
+    require(n > 0, "logregTrain: empty corpus")
     def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
-    def margins(w: Map[Int, Double]) = {
-      val wDf = broadcast(w.toSeq.toDF("__b", "__w"))
-      hist.join(wDf, Seq("__b"), "left")
-        .groupBy(col(idCol), col("__y"))
-        .agg(sum(col("__c") * coalesce(col("__w"), lit(0.0))).as("__m"))
-    }
     var w = Map.empty[Int, Double]
     for (_ <- 1 to iters) {
-      val r = margins(w).select(col(idCol),
+      val r = logregMargins(hist, w, idCol).select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__r"))
       val g = hist.join(r, Seq(idCol))
         .groupBy(col("__b"))
@@ -522,7 +563,12 @@ object Selection {
         b -> q9(w.getOrElse(b, 0.0) - lr * row.getDouble(1))
       }.toMap
     }
-    margins(w).select(col(idCol), col("__y").cast("long").as("is_target"),
-      Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+    w
   }
+
+  private def scoreFromW(hist: DataFrame, w: Map[Int, Double],
+      idCol: String): DataFrame =
+    logregMargins(hist, w, idCol)
+      .select(col(idCol), col("__y").cast("long").as("is_target"),
+        Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
 }

@@ -273,6 +273,24 @@ class SelectionSpec extends AnyFunSuite {
     assert(n.length == 1 && !n(0).isNullAt(2))
   }
 
+  test("logreg model persists and scores increments identically to the fused form") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("logreg_model").toString
+    Selection.logregModel(docs, col("lang") === "en")
+      .write.mode("overwrite").parquet(path)
+    val fused = Selection.logregScore(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val inc = Selection.logregScoreFromModel(docs, spark.read.parquet(path),
+      col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(inc == fused)
+    // a NEW increment scores map-only off the same persisted weights
+    val newDocs = Seq((100L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+    val w = Selection.logregScoreFromModel(newDocs, spark.read.parquet(path),
+      col("lang") === "en").collect()
+    assert(w.length == 1 && w(0).getDouble(2) >= 0.0 && w(0).getDouble(2) <= 1.0)
+  }
+
   test("kmeansAssign: nearest-by-cosine cell, seeds assign to themselves") {
     val seeds = Similarity.kmeansSeeds(vecs, 2)
     assert(seeds.length == 2 && seeds(0)(0) == 1f)
