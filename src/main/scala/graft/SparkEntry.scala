@@ -1184,7 +1184,8 @@ object SparkEntry {
       // regression over hashed uni+bigram buckets, 3 GD iterations with
       // 9dp-quantized weights — the quantization makes the TRAINING
       // LOOP itself hash-verifiable cross-engine, not just the scoring
-      Selection.logregScore(t(s, dir, "documents"), col("lang") === "en")),
+      Selection.logregScore(t(s, dir, "documents"),
+        coalesce(col("lang") === "en", lit(false)))),
     "quality_logreg_inc" -> ((s, dir) => {
       // the PRODUCTION split: train -> persist (bucket, w) relation ->
       // score map-only from the loaded artifact; shares the fused
@@ -1192,10 +1193,11 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_logreg_model_${
         Integer.toHexString(dir.hashCode)}"
-      Selection.logregModel(d, col("lang") === "en")
+      // coalesce: the oracle's CASE maps a null lang to 0.0, not null
+      Selection.logregModel(d, coalesce(col("lang") === "en", lit(false)))
         .write.mode("overwrite").parquet(path)
       Selection.logregScoreFromModel(d, s.read.parquet(path),
-        col("lang") === "en")
+        coalesce(col("lang") === "en", lit(false)))
     }),
     "embed_moments" -> ((s, dir) =>
       // per-dimension mean + population variance from ONE mergeable

@@ -143,7 +143,12 @@ object TrainingSetJob {
     // budgets never pay for passages the corpus already ships once.
     // One-shot by design — see the operator's idempotency note.
     val docs = cfg.substrWindow match {
-      case Some(w) => graft.operators.Dedup.dedupSubstrings(docsG, n = w)
+      // preserveCase: matching is case-insensitive (the family's lowered
+      // windows) but the SHIPPED text keeps its casing — the default
+      // lowered emission exists for the oracle family, and silently
+      // lowercasing a whole training corpus would be destructive
+      case Some(w) =>
+        graft.operators.Dedup.dedupSubstrings(docsG, n = w, preserveCase = true)
       case None => docsG
     }
     // eval docs get the SAME normalization: decontamination shingles must

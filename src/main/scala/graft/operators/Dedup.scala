@@ -956,7 +956,13 @@ object Dedup {
    * per-window pair fan-out, quadratic in window df.
    *
    * Output: every input column preserved, `textCol` replaced by the cut
-   * text. ONE-SHOT by design (the paper's property too): cutting joins
+   * text — by default in the family's LOWERED normal form (the
+   * oracle-checkable emission); `preserveCase = true` keeps the
+   * original casing (duplicate MATCHING stays case-insensitive — token
+   * indices are identical in `text` and `lower(text)` — while the
+   * surviving text is cut from the original bytes: the production
+   * setting for a shipped corpus, used by TrainingSetJob's
+   * substr_window stage). ONE-SHOT by design (the paper's property too): cutting joins
    * previously-distant tokens, which can form NEW duplicated windows —
    * re-running on the output is a different (weaker) statement, not a
    * no-op.
@@ -971,7 +977,7 @@ object Dedup {
    */
   def dedupSubstrings(docs: DataFrame, n: Int = 50,
       textCol: String = "text", idCol: String = "doc_id",
-      md5Bridge: Boolean = false): DataFrame = {
+      md5Bridge: Boolean = false, preserveCase: Boolean = false): DataFrame = {
     require(n >= 2, s"window must be >= 2 tokens: $n")
     val wins = substrWindows(docs, n, textCol, idCol, md5Bridge)
     val dupKeys = wins.groupBy(col("w"))
@@ -983,9 +989,11 @@ object Dedup {
       .filter(col("__rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    val starts = coalesce(col("__starts"), lit(Array.empty[Long]))
     docs.join(cutStarts, Seq(idCol), "left")
-      .withColumn(textCol, TextExpressions.cutSpans(col(textCol),
-        coalesce(col("__starts"), lit(Array.empty[Long])), n))
+      .withColumn(textCol,
+        if (preserveCase) TextExpressions.cutSpansPreserveCase(col(textCol), starts, n)
+        else TextExpressions.cutSpans(col(textCol), starts, n))
       .drop("__starts")
   }
 
@@ -1020,7 +1028,11 @@ object Dedup {
     * copy, and its hash is in some earlier batch's original windows by
     * construction). At corpus scale persist it BUCKETED by `w` so the
     * increment probe reads it exchange-free; after shipping a batch,
-    * append `substrRegistry(batch)` over the batch's ORIGINAL text. */
+    * append `substrRegistry(batch)` over the batch's ORIGINAL text,
+    * ANTI-JOINED against the registry first (the streaming spec's
+    * recipe) — a blind append keeps one row per (hash, batch) and each
+    * recurring boilerplate hash then fans the probe join out k-fold
+    * after k batches. */
   def substrRegistry(docs: DataFrame, n: Int = 50, textCol: String = "text",
       idCol: String = "doc_id", md5Bridge: Boolean = false): DataFrame =
     substrWindows(docs, n, textCol, idCol, md5Bridge).select(col("w")).distinct()
@@ -1050,7 +1062,8 @@ object Dedup {
    */
   def dedupSubstringsIncremental(increment: DataFrame, registry: DataFrame,
       n: Int = 50, textCol: String = "text", idCol: String = "doc_id",
-      md5Bridge: Boolean = false, maxCorpusId: Option[Any] = None): DataFrame = {
+      md5Bridge: Boolean = false, maxCorpusId: Option[Any] = None,
+      preserveCase: Boolean = false): DataFrame = {
     require(n >= 2, s"window must be >= 2 tokens: $n")
     maxCorpusId.foreach { bound =>
       val offenders = increment.filter(col(idCol) <= lit(bound)).count()
@@ -1070,9 +1083,11 @@ object Dedup {
       .filter(col("__reg").isNotNull || col("__rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    val starts = coalesce(col("__starts"), lit(Array.empty[Long]))
     increment.join(cutStarts, Seq(idCol), "left")
-      .withColumn(textCol, TextExpressions.cutSpans(col(textCol),
-        coalesce(col("__starts"), lit(Array.empty[Long])), n))
+      .withColumn(textCol,
+        if (preserveCase) TextExpressions.cutSpansPreserveCase(col(textCol), starts, n)
+        else TextExpressions.cutSpans(col(textCol), starts, n))
       .drop("__starts")
   }
 

@@ -141,6 +141,9 @@ object Embeddings {
   def momentsRows(df: DataFrame, vecCol: String = "embedding",
       dim: Int = 64): DataFrame =
     df.select(VectorExpressions.vecMoments(col(vecCol), dim).as("__m"))
+      // empty/all-null input -> null struct -> ZERO rows (the oracle's
+      // GROUP BY over an empty unnest), not 64 rows of nulls
+      .filter(col("__m").isNotNull)
       .select(explode(sequence(lit(0), lit(dim - 1))).as("__i"), col("__m"))
       .select(col("__i").cast("long").as("dim"),
         Quantize.quantize(element_at(col("__m.mean"), col("__i") + 1), 6)

@@ -476,6 +476,9 @@ object Selection {
   def logregScore(docs: DataFrame, target: Column, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = DsirBuckets, iters: Int = 3,
       lr: Double = 5.0): DataFrame = {
+    // CONTRACT: target must evaluate non-null per row (coalesce at the
+    // call site) — a null label would silently drop the doc's residual
+    // from every gradient and null its is_target in the output
     val hist = logregHist(docs, target, textCol, idCol, buckets)
     scoreFromW(hist, logregTrain(hist, idCol, buckets, iters, lr), idCol)
   }

@@ -776,26 +776,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /**
- * Token-span removal for substring-level exact dedup (the rebuild step
- * of [[graft.operators.Dedup.dedupSubstrings]]): given pre-lowered text
- * and the ASCENDING 1-based token indices where duplicated `n`-token
- * windows start, emit the text with every covered token removed and the
- * survivors re-joined by single spaces.
- *
- * Tokens are the single-space split of the (already lowered) child —
- * the same contract as [[WinnowFingerprints]] — so each token is a
- * contiguous byte range and the whole cut is one byte scan with a
- * pointer walk over the starts array: O(bytes + |starts|), zero
- * allocation beyond the output buffer. An empty starts array makes the
- * expression the identity on the lowered text (single-space split +
- * re-join round-trips exactly), which is what lets callers
- * `coalesce(starts, empty)` instead of branching per row.
- *
- * Contract (caller-enforced, see the operator): starts ascending;
- * coverage of start s is tokens [s, s+n). Null text or null starts →
- * null (null-intolerant BinaryExpression default).
- */
-/**
  * md5-hex of every n-token window of the (pre-lowered) text — the
  * ExactSubstr oracle bridge's window keys as ONE row-local kernel
  * ([[ShingleHash.windowMd5s]]): each window is a contiguous byte range
@@ -827,6 +807,29 @@ case class WindowMd5s(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Token-span removal for substring-level exact dedup (the rebuild step
+ * of [[graft.operators.Dedup.dedupSubstrings]]): given text and the
+ * ASCENDING 1-based token indices where duplicated `n`-token
+ * windows start, emit the text with every covered token removed and the
+ * survivors re-joined by single spaces.
+ *
+ * Tokens are the single-space split of the child — the kernel itself is
+ * CASE-AGNOSTIC (the [[graft.plans.TextExpressions.cutSpans]] wrapper
+ * pre-lowers for the oracle family; the preserve-case wrapper passes
+ * the original text — valid because token indices are identical in
+ * `text` and `lower(text)`: Unicode lowering never produces or consumes
+ * U+0020) — so each token is a contiguous byte range and the whole cut is one byte scan with a
+ * pointer walk over the starts array: O(bytes + |starts|), zero
+ * allocation beyond the output buffer. An empty starts array makes the
+ * expression the identity on its input (single-space split + re-join
+ * round-trips exactly), which is what lets callers
+ * `coalesce(starts, empty)` instead of branching per row.
+ *
+ * Contract (caller-enforced, see the operator): starts ascending;
+ * coverage of start s is tokens [s, s+n). Null text or null starts →
+ * null (null-intolerant BinaryExpression default).
+ */
 case class CutSpans(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
   require(n >= 1, s"window width must be >= 1: $n")
@@ -1845,6 +1848,15 @@ object TextExpressions {
     * lowered text; null text or starts → null. */
   def cutSpans(text: Column, starts: Column, n: Int): Column =
     Bridge.column(CutSpans(Bridge.expression(lower(text)),
+      Bridge.expression(starts), n))
+
+  /** The CASE-PRESERVING cut: same span removal over the ORIGINAL text.
+    * Token indices are identical in `text` and `lower(text)` (Unicode
+    * lowering never produces or consumes U+0020), so starts computed
+    * over lowered windows apply verbatim — matching stays
+    * case-insensitive, the surviving text keeps its casing. */
+  def cutSpansPreserveCase(text: Column, starts: Column, n: Int): Column =
+    Bridge.column(CutSpans(Bridge.expression(text),
       Bridge.expression(starts), n))
 
   /** Row-local MinHash signature (all seeds' minima) over a

@@ -395,7 +395,13 @@ object VectorKernels {
       s"vec_center_project: expected dim $d, got ${vec.numElements()}")
     val x = new Array[Double](d)
     var i = 0
-    while (i < d) { x(i) = vec.getFloat(i).toDouble - mu(i); i += 1 }
+    while (i < d) {
+      // same corruption contract as VecMoments: a null element must
+      // throw, not silently read as 0.0f through the unsafe getter
+      require(!vec.isNullAt(i), s"vec_center_project: null element at $i")
+      x(i) = vec.getFloat(i).toDouble - mu(i)
+      i += 1
+    }
     val y = if (m.length == 0) x
       else {
         val out = new Array[Double](d)

@@ -501,14 +501,17 @@ object Scratch {
           graft.operators.Dedup.dedupSubstrings(varied(), n = 20)))
         locally {
           // incremental probe: registry = even copies, batch = odd copies
-          // (registry build excluded — a one-time persisted write)
+          // REMAPPED ABOVE every registry id (the operator's id-ordering
+          // precondition — increment ids must sort after corpus ids;
+          // registry build excluded — a one-time persisted write)
           val reg = s"/tmp/graft_sweep_substrreg_$n"
           graft.operators.Dedup.substrRegistry(
               varied().filter(col("doc_id") % 2 === 0), n = 20)
             .write.mode("overwrite").parquet(reg)
+          def batch() = varied().filter(col("doc_id") % 2 === 1)
+            .withColumn("doc_id", col("doc_id") + lit(1000000000L))
           p(n, "cut_inc", harness(() =>
-            graft.operators.Dedup.dedupSubstringsIncremental(
-              varied().filter(col("doc_id") % 2 === 1),
+            graft.operators.Dedup.dedupSubstringsIncremental(batch(),
               spark.read.parquet(reg), n = 20)))
         }
       }

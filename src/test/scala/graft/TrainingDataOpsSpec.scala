@@ -372,6 +372,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       "expected at least one fully-duplicated doc emptied at sf0.001")
   }
 
+  test("dedupSubstrings preserveCase: matching case-insensitive, surviving text keeps casing") {
+    val docs = Seq(
+      (0L, "The Quick Brown Fox Jumps Over The Lazy Dog Today"),
+      (1L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TODAY"), // case-variant dup
+      (2L, "A Different Start the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, n = 10, preserveCase = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "The Quick Brown Fox Jumps Over The Lazy Dog Today",
+      "keeper keeps its ORIGINAL casing")
+    assert(out(1L) == "", "a case-variant of the keeper is still a duplicate")
+    assert(out(2L) == "A Different Start",
+      "embedded copy cut case-insensitively; survivors keep casing")
+    // default mode: same cut set, lowered emission (the oracle family)
+    val low = Dedup.dedupSubstrings(docs, n = 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(low(0L) == "the quick brown fox jumps over the lazy dog today")
+    assert(low(2L) == "a different start")
+  }
+
   test("dedupSubstringsIncremental: equals fused restricted to the batch; precondition enforced") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -148,7 +148,9 @@ class TrainingSetJobSpec extends AnyFunSuite {
   test("substr_window stage: duplicated passage cut from the later doc, crumbs dropped") {
     import spark.implicits._
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
-    val bodyA = ("unique first story keeps on going with many other words " +
+    // mixed case: the shipped corpus must KEEP its casing (the stage uses
+    // preserveCase — matching is case-insensitive, emission is not lowered)
+    val bodyA = ("Unique First Story keeps on going with many other words " +
       "and even more distinct words to stay over the token floor ")
     val bodyB = ("another second story with its own totally different framing " +
       "and a long enough tail of words to stay over the floor too ")
@@ -169,6 +171,8 @@ class TrainingSetJobSpec extends AnyFunSuite {
       .map(row => row.getLong(0) -> row.getString(1)).toMap
     assert(shipped.keySet == Set(0L, 1L), s"shipped: ${shipped.keySet}")
     assert(shipped(0L).contains("alpha bravo charlie"), "keeper kept its passage")
+    assert(shipped(0L).contains("Unique First Story"),
+      "shipped text keeps its original casing (preserveCase in the stage)")
     assert(!shipped(1L).contains("alpha bravo charlie"), "later copy cut")
     assert(shipped(1L).contains("another second story"), "unique body survives")
     assert(r.cleanDocs == 2)
