@@ -548,13 +548,25 @@ object Selection {
       iters: Int, lr: Double): Map[Int, Double] = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(lr > 0, s"lr must be positive: $lr")
-    // N from the bias rows of the CHECKPOINTED histogram — no second
-    // corpus action
-    val n = hist.filter(col("__b") === buckets).count().toDouble
-    require(n > 0, "logregTrain: empty corpus")
     def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
-    var w = Map.empty[Int, Double]
-    for (_ <- 1 to iters) {
+    // Iteration 1 in closed form — w₀ = 0 ⇒ p = 0.5 ⇒ r = 0.5 − y, so
+    // the residual rides the histogram row itself: ONE aggregation, no
+    // margin pass (the oracle's w1 CTE computes it the same way). The
+    // bias bucket's occurrence count doubles as N (one bias row per
+    // doc), so the corpus size needs no separate action either: the
+    // aggregation emits RAW sums + counts and the driver divides.
+    val g1 = hist.groupBy(col("__b"))
+      .agg(sum(col("__c") * (lit(0.5) - col("__y"))).as("__s"),
+        count(lit(1)).as("__k"))
+      .collect()
+    val n = g1.collectFirst {
+      case row if row.getInt(0) == buckets => row.getLong(2).toDouble
+    }.getOrElse(0.0)
+    require(n > 0, "logregTrain: empty corpus")
+    var w: Map[Int, Double] = g1.map { row =>
+      row.getInt(0) -> q9(-lr * row.getDouble(1) / n)
+    }.toMap
+    for (_ <- 2 to iters) {
       val r = logregMargins(hist, w, idCol).select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__r"))
       val g = hist.join(r, Seq(idCol))
