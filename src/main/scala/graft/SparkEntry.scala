@@ -1184,8 +1184,7 @@ object SparkEntry {
       // regression over hashed uni+bigram buckets, 3 GD iterations with
       // 9dp-quantized weights — the quantization makes the TRAINING
       // LOOP itself hash-verifiable cross-engine, not just the scoring
-      Selection.logregScore(t(s, dir, "documents"),
-        coalesce(col("lang") === "en", lit(false)))),
+      Selection.logregScore(t(s, dir, "documents"), col("lang") === "en")),
     "quality_logreg_inc" -> ((s, dir) => {
       // the PRODUCTION split: train -> persist (bucket, w) relation ->
       // score map-only from the loaded artifact; shares the fused
@@ -1193,11 +1192,10 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_logreg_model_${
         Integer.toHexString(dir.hashCode)}"
-      // coalesce: the oracle's CASE maps a null lang to 0.0, not null
-      Selection.logregModel(d, coalesce(col("lang") === "en", lit(false)))
+      Selection.logregModel(d, col("lang") === "en")
         .write.mode("overwrite").parquet(path)
       Selection.logregScoreFromModel(d, s.read.parquet(path),
-        coalesce(col("lang") === "en", lit(false)))
+        col("lang") === "en")
     }),
     "embed_moments" -> ((s, dir) =>
       // per-dimension mean + population variance from ONE mergeable

@@ -989,6 +989,15 @@ object Dedup {
       .filter(col("__rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    rebuildCut(docs, cutStarts, n, textCol, idCol, preserveCase)
+  }
+
+  /** Shared rebuild tail of the fused and incremental cuts: left-join
+    * the per-doc ascending start lists, run ONE CutSpans byte scan per
+    * row (lowered emission for the oracle family, original-case when
+    * `preserveCase`). */
+  private def rebuildCut(docs: DataFrame, cutStarts: DataFrame, n: Int,
+      textCol: String, idCol: String, preserveCase: Boolean): DataFrame = {
     val starts = coalesce(col("__starts"), lit(Array.empty[Long]))
     docs.join(cutStarts, Seq(idCol), "left")
       .withColumn(textCol,
@@ -1083,12 +1092,7 @@ object Dedup {
       .filter(col("__reg").isNotNull || col("__rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
-    val starts = coalesce(col("__starts"), lit(Array.empty[Long]))
-    increment.join(cutStarts, Seq(idCol), "left")
-      .withColumn(textCol,
-        if (preserveCase) TextExpressions.cutSpansPreserveCase(col(textCol), starts, n)
-        else TextExpressions.cutSpans(col(textCol), starts, n))
-      .drop("__starts")
+    rebuildCut(increment, cutStarts, n, textCol, idCol, preserveCase)
   }
 
   // ---- md5 oracle bridges for the signature kernels ----------------------

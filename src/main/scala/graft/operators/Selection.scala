@@ -476,9 +476,8 @@ object Selection {
   def logregScore(docs: DataFrame, target: Column, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = DsirBuckets, iters: Int = 3,
       lr: Double = 5.0): DataFrame = {
-    // CONTRACT: target must evaluate non-null per row (coalesce at the
-    // call site) — a null label would silently drop the doc's residual
-    // from every gradient and null its is_target in the output
+    // null target rows label as 0.0 (non-target) — folded inside
+    // logregHist, matching the oracle's CASE ... ELSE 0.0
     val hist = logregHist(docs, target, textCol, idCol, buckets)
     scoreFromW(hist, logregTrain(hist, idCol, buckets, iters, lr), idCol)
   }
@@ -519,8 +518,12 @@ object Selection {
   private def logregHist(docs: DataFrame, target: Column, textCol: String,
       idCol: String, buckets: Int): DataFrame = {
     val perDoc = Window.partitionBy(col(idCol))
+    // null labels fold to 0.0 HERE so every caller is safe (the oracle's
+    // CASE ... ELSE 0.0): a raw null __y would NPE the driver collect on
+    // any bucket touched only by null-label docs, or silently inflate N
+    // while contributing zero residual on shared buckets
     Materialize(docs.select(col(idCol),
-        target.cast("double").as("__y"),
+        coalesce(target.cast("double"), lit(0.0)).as("__y"),
         explode(concat(
           coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
             col(textCol), buckets, DsirSalt), array()),

@@ -502,8 +502,11 @@ object Scratch {
         locally {
           // incremental probe: registry = even copies, batch = odd copies
           // REMAPPED ABOVE every registry id (the operator's id-ordering
-          // precondition — increment ids must sort after corpus ids;
-          // registry build excluded — a one-time persisted write)
+          // precondition — increment ids must sort after corpus ids; a
+          // bijective relabeling, so plan and cost are unchanged — this
+          // is contract hygiene, not a perf knob. The 1e9 offset clears
+          // sf-fixture ids (max ~6.4e6 at 128×); registry build
+          // excluded — a one-time persisted write)
           val reg = s"/tmp/graft_sweep_substrreg_$n"
           graft.operators.Dedup.substrRegistry(
               varied().filter(col("doc_id") % 2 === 0), n = 20)
