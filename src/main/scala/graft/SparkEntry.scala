@@ -1185,6 +1185,12 @@ object SparkEntry {
       // 9dp-quantized weights — the quantization makes the TRAINING
       // LOOP itself hash-verifiable cross-engine, not just the scoring
       Selection.logregScore(t(s, dir, "documents"), col("lang") === "en")),
+    "quality_logreg_auc" -> ((s, dir) =>
+      // the filter's evaluation meter: exact tie-aware ROC-AUC from ONE
+      // histogram aggregation (no global row sort — the rank algebra
+      // runs over the <= |distinct 6dp scores| relation)
+      Selection.rocAuc(
+        Selection.logregScore(t(s, dir, "documents"), col("lang") === "en"))),
     "quality_logreg_inc" -> ((s, dir) => {
       // the PRODUCTION split: train -> persist (bucket, w) relation ->
       // score map-only from the loaded artifact; shares the fused
@@ -2600,6 +2606,22 @@ object SparkEntry {
       buckets = Selection.DsirBuckets),
     "quality_logreg_inc" -> logregSql(iters = 3, lr = 5.0,
       buckets = Selection.DsirBuckets),
+    "quality_logreg_auc" ->
+      // tied-average-rank Mann-Whitney over the score histogram of the
+      // logreg statement — the same no-global-sort algebra as the
+      // operator (neg_below via the ordered window over distinct scores)
+      s"""WITH h AS (SELECT score AS s, CAST(sum(is_target) AS DOUBLE) AS p,
+         |    CAST(count(*) - sum(is_target) AS DOUBLE) AS n
+         |  FROM (${logregSql(iters = 3, lr = 5.0, buckets = Selection.DsirBuckets)}) q
+         |  GROUP BY score),
+         |hb AS (SELECT s, p, n, coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+         |  FROM h)
+         |SELECT CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+         |    floor((sum(p * (nb + n / 2.0)) / (sum(p) * sum(n))) * 1e6 + 0.5) / 1e6
+         |  END AS auc,
+         | CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+         |FROM hb""".stripMargin,
     "embed_moments" ->
       // population variance = E[x²] − E[x]²; products in DOUBLE (the
       // kernel accumulates doubles — float×float would lose parity)

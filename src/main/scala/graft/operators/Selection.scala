@@ -589,4 +589,39 @@ object Selection {
     logregMargins(hist, w, idCol)
       .select(col(idCol), col("__y").cast("long").as("is_target"),
         Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+
+  /**
+   * Exact tie-aware ROC-AUC of a scored relation — the evaluation meter
+   * for any classifier/filter in this family (Mann–Whitney form with
+   * average ranks over ties). One row out: (auc 6dp, n_pos, n_neg);
+   * auc is NULL when either class is absent (undefined, and a silent
+   * 0/0 would differ across engines).
+   *
+   * 100 TB shape: AUC needs a GLOBAL score order, but never a global
+   * row sort — scores are already finite-precision (this family
+   * quantizes to 6dp), so ONE map-side-combinable aggregation folds the
+   * corpus to ≤ |distinct scores| (score, n_pos, n_neg) rows, and the
+   * rank algebra runs as an ordered scan over that bounded histogram
+   * (the unpartitioned window is over the ≤ 2·10⁶-row model-sized
+   * relation, the lrFromCnt precedent — not the corpus):
+   *   AUC = Σ_s n_pos(s)·(neg_below(s) + n_neg(s)/2) / (P·N),
+   * exactly the tied-average-rank statistic.
+   */
+  def rocAuc(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "is_target"): DataFrame = {
+    val h = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol)).cast("double").as("__p"),
+        (count(lit(1)) - sum(col(labelCol))).cast("double").as("__n"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("__nb", coalesce(sum(col("__n")).over(below), lit(0.0)))
+      .agg(
+        when(sum(col("__p")) > 0 && sum(col("__n")) > 0,
+          Quantize.quantize(
+            sum(col("__p") * (col("__nb") + col("__n") / lit(2.0))) /
+              (sum(col("__p")) * sum(col("__n"))), 6))
+          .as("auc"),
+        sum(col("__p")).cast("long").as("n_pos"),
+        sum(col("__n")).cast("long").as("n_neg"))
+  }
 }

@@ -291,6 +291,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(w.length == 1 && w(0).getDouble(2) >= 0.0 && w(0).getDouble(2) <= 1.0)
   }
 
+  test("rocAuc: hand-computed cases — perfect, inverted, ties, one-class null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Long)]): (Option[Double], Long, Long) = {
+      val r = Selection.rocAuc(rows.toDF("score", "is_target")).head()
+      (if (r.isNullAt(0)) None else Some(r.getDouble(0)), r.getLong(1), r.getLong(2))
+    }
+    // perfect separation
+    assert(auc(Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))) == (Some(1.0), 2L, 2L))
+    // perfectly inverted
+    assert(auc(Seq((0.1, 1L), (0.2, 1L), (0.8, 0L), (0.9, 0L)))._1 == Some(0.0))
+    // all scores tied -> average rank -> 0.5 regardless of labels
+    assert(auc(Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L)))._1 == Some(0.5))
+    // mixed with a tie: scores 0.3(neg) 0.5(pos) 0.5(neg) 0.7(pos)
+    // pairs: pos(0.5) vs neg{0.3 win, 0.5 half}; pos(0.7) vs both wins
+    // AUC = (1 + 0.5 + 2) / 4 = 0.875
+    assert(auc(Seq((0.3, 0L), (0.5, 1L), (0.5, 0L), (0.7, 1L)))._1 == Some(0.875))
+    // one-class input: undefined -> null, counts still reported
+    assert(auc(Seq((0.4, 1L), (0.6, 1L))) == (None, 2L, 0L))
+    // randomized pin against the O(P*N) pairwise definition
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(300)((rnd.nextInt(20) / 20.0, rnd.nextInt(2).toLong))
+    val pos = rows.collect { case (s, 1L) => s }
+    val neg = rows.collect { case (s, 0L) => s }
+    val brute = pos.map(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum / (pos.size * neg.size)
+    val got = auc(rows)._1.get
+    assert(math.abs(got - math.floor(brute * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
   test("kmeansAssign: nearest-by-cosine cell, seeds assign to themselves") {
     val seeds = Similarity.kmeansSeeds(vecs, 2)
     assert(seeds.length == 2 && seeds(0)(0) == 1f)
