@@ -609,7 +609,16 @@ object Selection {
    */
   def rocAuc(scored: DataFrame, scoreCol: String = "score",
       labelCol: String = "is_target"): DataFrame = {
-    val h = scored.groupBy(col(scoreCol).as("__s"))
+    // unlabeled rows (null label) are EXCLUDED — an evaluation pairs
+    // labeled positives against labeled negatives; counting nulls as
+    // negatives would silently poison both the AUC and n_neg.
+    // Scores re-quantize to 6dp HERE so the histogram bound is
+    // structural, not a caller precondition: already-quantized scores
+    // (this family's emissions) pass through unchanged, raw sigmoids /
+    // cosines get at most near-tie merging instead of a corpus-sized
+    // histogram collapsing the unpartitioned window into one task.
+    val h = scored.filter(col(labelCol).isNotNull)
+      .groupBy(Quantize.quantize(col(scoreCol), 6).as("__s"))
       .agg(sum(col(labelCol)).cast("double").as("__p"),
         (count(lit(1)) - sum(col(labelCol))).cast("double").as("__n"))
     val below = Window.orderBy(col("__s"))
