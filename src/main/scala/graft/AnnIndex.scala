@@ -7,8 +7,9 @@ import graft.operators.Similarity
 import graft.operators.Similarity.{IvfIndex, PqModel}
 
 /**
- * Prebuilt, persisted ANN serving artifacts per data directory — the
- * production split the declared `sim_*` queries serve from.
+ * Prebuilt, persisted serving artifacts per data directory — the
+ * production split the declared `sim_*` queries (ANN indexes) and
+ * `quality_logreg_inc` (trained quality model) serve from.
  *
  * WHY: an ANN deployment trains its models and lays out its index ONCE
  * (then grows it incrementally — [[Similarity.growCellCodes]] /
@@ -48,12 +49,12 @@ object AnnIndex {
     sys.env.getOrElse("GRAFT_ANN_CACHE",
       s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache")
 
-  private[graft] def keyOf(sfDir: String): String = {
-    // fingerprint = every file under embeddings.parquet (Spark datasets
-    // are directories), relative path + length + mtime, sorted — a
-    // regenerated part file, added part, or re-written footer all flip
+  private[graft] def keyOf(sfDir: String, table: String = "embeddings"): String = {
+    // fingerprint = every file under the source table's parquet (Spark
+    // datasets are directories), relative path + length + mtime, sorted —
+    // a regenerated part file, added part, or re-written footer all flip
     // the key even when the top-level entry looks unchanged
-    val root = new java.io.File(s"$sfDir/embeddings.parquet")
+    val root = new java.io.File(s"$sfDir/$table.parquet")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
@@ -164,14 +165,21 @@ object AnnIndex {
    * see the class doc). `synchronized` still serializes threads within
    * this JVM so one session builds once, not once per query.
    */
-  private def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val path = dirFor(sfDir)
+  private def ensure(spark: SparkSession, sfDir: String): String =
+    ensureDir(dirFor(sfDir))(staging =>
+      buildAll(spark, sfDir, staging).collect())
+
+  /** The atomic-commit guard behind [[ensure]], reusable for any
+    * per-data-directory artifact family (the trained logreg quality
+    * model rides it too — see [[logregModel]]): `build` populates a
+    * staging directory, which commits into `path` by atomic rename. */
+  private def ensureDir(path: String)(build: String => Unit): String = synchronized {
     val marker = new java.io.File(path, "_GRAFT_READY")
     if (!marker.exists()) {
       val staging = new java.io.File(
         s"$path.staging_${ProcessHandle.current().pid()}")
       deleteRecursively(staging)
-      buildAll(spark, sfDir, staging.getPath).collect()
+      build(staging.getPath)
       java.nio.file.Files.createFile(
         new java.io.File(staging, "_GRAFT_READY").toPath)
       try {
@@ -254,5 +262,36 @@ object AnnIndex {
   def cellCodes300(spark: SparkSession, sfDir: String): DataFrame = {
     val p = s"${ensure(spark, sfDir)}/cellcodes_300"
     memo(spark, p)(Similarity.readCellCodes(spark, p))
+  }
+
+  // --------------------------------------------- trained quality filter
+
+  /** Train + persist the logistic-regression quality model for `sfDir`'s
+    * documents — the build the logreg cache amortizes, also runnable
+    * unconditionally (the `logreg_model_build` build step) so training +
+    * persist cost stays a measured ledger number. Returns a one-row
+    * summary (artifact, n) with n = the persisted relation's row count,
+    * read BACK from parquet so the build verifiably round-trips. */
+  def buildLogregModel(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Selection.logregModel(
+        spark.read.parquet(s"$sfDir/documents.parquet"), col("lang") === "en")
+      .write.mode("overwrite").parquet(s"$path/model")
+    Seq(("logreg_model", spark.read.parquet(s"$path/model").count()))
+      .toDF("artifact", "n")
+  }
+
+  /** The persisted (bucket, w) logreg model for `sfDir` — the production
+    * serving artifact `quality_logreg_inc` scores from map-only. Same
+    * contract as the ANN artifacts: first call per data directory trains
+    * through [[buildLogregModel]] (deterministic — the 9dp-quantized GD
+    * loop — so serving from the cache is bit-identical to training
+    * inline, which the shared fused oracle hash-verifies end to end);
+    * the fingerprint keys on documents.parquet, so regenerated test data
+    * can never be served a stale model. */
+  def logregModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"$cacheRoot/${keyOf(sfDir, "documents")}_logreg"
+    ensureDir(p)(staging => buildLogregModel(spark, sfDir, staging).collect())
+    memo(spark, s"$p/model")(spark.read.parquet(s"$p/model"))
   }
 }

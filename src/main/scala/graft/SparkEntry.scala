@@ -1191,18 +1191,15 @@ object SparkEntry {
       // runs over the <= |distinct 6dp scores| relation)
       Selection.rocAuc(
         Selection.logregScore(t(s, dir, "documents"), col("lang") === "en"))),
-    "quality_logreg_inc" -> ((s, dir) => {
-      // the PRODUCTION split: train -> persist (bucket, w) relation ->
-      // score map-only from the loaded artifact; shares the fused
-      // oracle, so the whole round-trip is hash-verified
-      val d = t(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_logreg_model_${
-        Integer.toHexString(dir.hashCode)}"
-      Selection.logregModel(d, col("lang") === "en")
-        .write.mode("overwrite").parquet(path)
-      Selection.logregScoreFromModel(d, s.read.parquet(path),
-        col("lang") === "en")
-    }),
+    "quality_logreg_inc" -> ((s, dir) =>
+      // the PRODUCTION serve path: score an increment map-only from the
+      // persisted (bucket, w) artifact — trained ONCE per data directory
+      // by the AnnIndex cache (the sim_* convention; training + persist
+      // cost is the `logreg_model_build` build step). Shares the fused
+      // oracle, so train -> persist -> load -> score ≡ fused-in-one-plan
+      // is hash-verified end to end.
+      Selection.logregScoreFromModel(t(s, dir, "documents"),
+        AnnIndex.logregModel(s, dir), col("lang") === "en")),
     "embed_moments" -> ((s, dir) =>
       // per-dimension mean + population variance from ONE mergeable
       // VecMoments aggregation (17 KB buffer per partition) — the
@@ -1214,14 +1211,18 @@ object SparkEntry {
       graft.operators.Embeddings.centerRows(t(s, dir, "embeddings"))),
     "embed_whiten" -> ((s, dir) =>
       // ZCA whitening: moments aggregation -> driver-side 64x64 Jacobi
-      // -> map-only projection kernel; rows-only (the eigenbasis has no
-      // SQL twin) — output covariance ~ I is spec-pinned
-      graft.operators.Embeddings.whiten(t(s, dir, "embeddings"))),
+      // -> map-only projection kernel, exploded to (vec_id, dim,
+      // whitened 6dp) — dump-safe AND hash-verified against a DuckDB
+      // statement carrying the collected (mu, W) as literals (see
+      // prepareOracles); output covariance ~ I stays spec-pinned on the
+      // array form
+      graft.operators.Embeddings.whitenRows(t(s, dir, "embeddings"))),
     "embed_abtt" -> ((s, dir) =>
       // all-but-the-top (Mu & Viswanath 2018): remove mean + top-2
-      // principal directions; rows-only, spec-pinned (removed-direction
-      // variance ~ 0)
-      graft.operators.Embeddings.allButTop(t(s, dir, "embeddings"), k = 2)),
+      // principal directions, exploded like embed_whiten (hash-verified
+      // via prepareOracles literals; removed-direction variance ~ 0
+      // spec-pinned on the array form)
+      graft.operators.Embeddings.allButTopRows(t(s, dir, "embeddings"), k = 2)),
     "sim_topk_int8" -> ((s, dir) =>
       // top-k served from the dequantized int8 codes — the compression
       // rung's accuracy meter vs full-precision sim_topk
@@ -1254,6 +1255,21 @@ object SparkEntry {
       // this repeatedly; leaving them would grow tmp without bound).
       val tmp = java.nio.file.Files.createTempDirectory("graft_ann_build")
       try AnnIndex.buildAll(s, dir, tmp.toString)
+      finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
+    }),
+    "logreg_model_build" -> ((s, dir) => {
+      // UNCONDITIONAL train + persist of the logreg quality model to a
+      // throwaway dir: the full production training cost (GD loop +
+      // parquet write + read-back count) as its own ledger number, so
+      // the serving query `quality_logreg_inc` measures scoring only
+      val tmp = java.nio.file.Files.createTempDirectory("graft_logreg_build")
+      try AnnIndex.buildLogregModel(s, dir, tmp.toString)
       finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -2680,7 +2696,53 @@ object SparkEntry {
         | printf('%s#%09d', CAST(doc_id AS VARCHAR), i) AS chunk_id,
         | array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text,
         | CAST(len(t[i*32+1 : i*32+64]) AS BIGINT) AS n_tokens
-        |FROM toks JOIN nums ON i <= greatest(len(t) - 1, 0) // 32""".stripMargin)
+        |FROM toks JOIN nums ON i <= greatest(len(t) - 1, 0) // 32""".stripMargin) ++
+    dynamicOracleSql
+
+  // ------------------------------------------- data-dependent oracles
+
+  /** Oracle statements whose SQL embeds DATA-DEPENDENT model literals —
+    * the whitening / all-but-the-top eigenbasis has no closed SQL form,
+    * but GIVEN the collected (μ, transform) the projection itself is
+    * plain per-row algebra DuckDB replays exactly (float→double element
+    * reads, the same j-ascending double dot product, the same 6dp
+    * quantize). [[prepareOracles]] fills this before Verify dumps
+    * `oracle_sql.json`; unprepared (dev subset runs, bench) the entries
+    * are simply absent and the driver falls back to its rows-only
+    * check — strictly the pre-round-13 behavior. */
+  @volatile private var dynamicOracleSql: Map[String, String] = Map.empty
+
+  /** Compute the data-dependent oracle literals for `dir`. Called by
+    * Verify AFTER the query dump (one extra moments scan + driver
+    * Jacobi per family — bounded model pulls, the k-means convention). */
+  def prepareOracles(s: SparkSession, dir: String): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val (wMu, wM) = graft.operators.Embeddings.whitenModel(emb)
+    val (aMu, aM) = graft.operators.Embeddings.abttModel(emb, k = 2)
+    dynamicOracleSql = Map(
+      "embed_whiten" -> projectOracleSql(wMu, wM, "whitened"),
+      "embed_abtt" -> projectOracleSql(aMu, aM, "residual"))
+  }
+
+  /** y = M·(x − μ) exploded to (vec_id, dim, value 6dp), with (μ, M) as
+    * full-precision literals (Double.toString round-trips exactly, so
+    * both engines read the same 64-bit values). `list_dot_product`
+    * folds element-ascending in double — the identical add sequence to
+    * the VecCenterProject kernel's j-ascending loop. */
+  private def projectOracleSql(mu: Array[Double], m: Array[Array[Double]],
+      valCol: String): String = {
+    val d = mu.length
+    def vecLit(a: Array[Double]) = a.mkString("[", ", ", "]")
+    val matLit = m.map(vecLit).mkString("[", ", ", "]")
+    s"""WITH mdl AS (SELECT ${vecLit(mu)}::DOUBLE[] AS mu, $matLit::DOUBLE[][] AS w),
+       |c AS (SELECT vec_id,
+       |    list_transform(range(1, ${d + 1}), j -> embedding[j]::DOUBLE - mdl.mu[j]) AS cv
+       |  FROM embeddings, mdl WHERE embedding IS NOT NULL),
+       |dims AS (SELECT unnest(range(0, $d)) AS dim)
+       |SELECT c.vec_id, CAST(dims.dim AS BIGINT) AS dim,
+       | ${Quantize.sql6("list_dot_product(mdl.w[CAST(dims.dim AS INTEGER) + 1], c.cv)")} AS $valCol
+       |FROM c, mdl, dims""".stripMargin
+  }
 
   /** DuckDB twin of [[TextFunctions.gopherColumns]] — the IDENTICAL RE2-safe
     * regex strings (explicit whitespace classes, `\z` not `$`, no

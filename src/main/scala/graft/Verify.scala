@@ -31,6 +31,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Data-dependent oracle literals (whiten/abtt eigenbasis) — computed
+    // AFTER the dump so a failure here degrades those entries to the
+    // driver's rows-only fallback instead of aborting the round.
+    try SparkEntry.prepareOracles(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] prepareOracles failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -115,4 +115,25 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(f == org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.FloatType, containsNull = false))
   }
+
+  test("whitenRows/allButTopRows: exploded scalars agree with the array forms") {
+    // the declared-query emission (double domain, 6dp) must be the same
+    // transform the array consumers see, up to the array form's float
+    // cast — pin |exploded − float_array_element| <= float ulp + quantum
+    for ((rows, arr, valCol) <- Seq(
+        (Embeddings.whitenRows(emb), Embeddings.whiten(emb), "whitened"),
+        (Embeddings.allButTopRows(emb, k = 2), Embeddings.allButTop(emb, k = 2), "residual"))) {
+      assert(rows.columns.toSeq == Seq("vec_id", "dim", valCol))
+      val exploded = arr.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("af"))
+      val joined = rows.join(exploded, Seq("vec_id", "dim"))
+      val n = joined.count()
+      assert(n == rows.count() && n > 0)
+      val bad = joined
+        .filter(abs(col(valCol) - col("af")) > lit(1e-6) + abs(col("af")) * lit(1.2e-7))
+        .count()
+      assert(bad == 0L, s"$valCol diverges from the array form")
+    }
+  }
 }
