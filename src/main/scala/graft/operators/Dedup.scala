@@ -943,10 +943,12 @@ object Dedup {
    *     deferred to step 3, where only duplicated occurrences remain.
    *  3. keeper election + cut starts — join occurrences back on the
    *     hash (AQE broadcasts the duplicated-key side when small; the
-   *     big side then needs no exchange at all), rank each hash's
-   *     occurrences by (idCol, pos) — the WindowExec sort touches ONLY
-   *     the duplicated subset — drop rank 1, collect each doc's
-   *     ascending start list (≤ its token count).
+   *     big side then needs no exchange at all), elect each hash's
+   *     (idCol, pos)-minimum occurrence by AGGREGATION over the
+   *     duplicated subset ([[electCutStarts]] — skew-safe where the
+   *     previous rank-window idiom straggled on hot boilerplate keys),
+   *     drop the keeper, collect each doc's ascending start list
+   *     (≤ its token count).
    *  4. rebuild — left join on the id + one [[graft.plans.CutSpans]]
    *     byte scan per document.
    * Cost is linear in corpus tokens (two map-only window-kernel passes —
@@ -982,14 +984,71 @@ object Dedup {
     val wins = substrWindows(docs, n, textCol, idCol, md5Bridge)
     val dupKeys = wins.groupBy(col("w"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("w"))
+    rebuildCut(docs, electCutStarts(wins, dupKeys, idCol), n,
+      textCol, idCol, preserveCase)
+  }
+
+  /** Keeper election over the duplicated-occurrence subset: the global
+    * (idCol, pos)-first occurrence of each duplicated window survives,
+    * every other occurrence becomes a cut start.
+    *
+    * SKEW POSTURE — this is the min-struct AGGREGATION election, chosen
+    * over `row_number().over(partitionBy(w))` in the round-13 hot-key
+    * A/B (SCALING.md): a boilerplate passage duplicated across millions
+    * of documents puts all its occurrences in ONE window partition, and
+    * the rank idiom then sorts df(w) rows in a single straggler task
+    * (measured 2.1× slower at df = 400k and growing in df). Here the
+    * keeper is `min(struct(id, pos))` per hash — plan: a partial
+    * SortAggregate whose map-side sort is of BOUNDED map partitions (by
+    * w, O(p log p) per task) and whose combine emits one row per hash
+    * per partition into the exchange, so no task ever sorts or holds a
+    * hot key's full df. Cost on unskewed corpora: the duplicated-subset
+    * relation is derived twice (keepers + join-back; at broadcast scale
+    * that re-runs the O(bytes) window kernel, at shuffle scale the two
+    * identical wins-by-w exchanges are reuse-eligible) — measured a
+    * net WIN anyway at every rung of the decorrelated-copy sweep
+    * (78.4 s vs 89.5 s at 128×), with only the output-bound
+    * identical-replica worst case paying ~25% for the second pass.
+    * Election semantics are identical — (id, pos) pairs are unique
+    * within a hash group — which the unchanged `dedup_substr_bridge`
+    * oracle hash and the randomized brute-force property spec verify. */
+  private def electCutStarts(wins: DataFrame, dupKeys: DataFrame,
+      idCol: String): DataFrame = {
+    val dupOcc = wins.join(dupKeys, Seq("w"))
+    val keepers = dupOcc.groupBy(col("w"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__keep"))
+    dupOcc.join(keepers, Seq("w"))
+      .filter(struct(col(idCol), col("pos")) =!= col("__keep"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+  }
+
+  /** The round-12 rank-based election, kept for the A/B ladder (and as
+    * the fallback shape if a profile ever shows the reused-exchange
+    * double read losing to one windowed pass on unskewed data). Hot-key
+    * hazard: one window partition per duplicated hash — see
+    * [[electCutStarts]]. */
+  private[graft] def electCutStartsRank(wins: DataFrame, dupKeys: DataFrame,
+      idCol: String): DataFrame = {
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w")).orderBy(col(idCol), col("pos"))
-    val cutStarts = wins.join(dupKeys, Seq("w"))
+    wins.join(dupKeys, Seq("w"))
       .withColumn("__rk", row_number().over(byKey))
       .filter(col("__rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
-    rebuildCut(docs, cutStarts, n, textCol, idCol, preserveCase)
+  }
+
+  /** [[dedupSubstrings]] with the rank election — sweep/A-B only. */
+  private[graft] def dedupSubstringsRankElection(docs: DataFrame, n: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id",
+      md5Bridge: Boolean = false, preserveCase: Boolean = false): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens: $n")
+    val wins = substrWindows(docs, n, textCol, idCol, md5Bridge)
+    val dupKeys = wins.groupBy(col("w"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("w"))
+    rebuildCut(docs, electCutStartsRank(wins, dupKeys, idCol), n,
+      textCol, idCol, preserveCase)
   }
 
   /** Shared rebuild tail of the fused and incremental cuts: left-join

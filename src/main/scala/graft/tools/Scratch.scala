@@ -526,6 +526,37 @@ object Scratch {
           graft.operators.Dedup.dedupSubstrings(replicas(), n = 20)))
       }
     }
+    if (sys.env.contains("SCRATCH_SUBSTR_HOT")) {
+      // Hot-window-key straggler ladder (round-13 verdict #4): ONE
+      // boilerplate passage shared verbatim by k synthetic documents —
+      // each of its 6 interior windows reaches df = k, so the rank
+      // election concentrates k rows per window PARTITION (one task
+      // sorts them) while the min-struct election streams them through
+      // a combinable aggregation. Filler tokens are copy-unique, so all
+      // other windows are df = 1 and the ladder isolates the hot keys.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      def harness(mk: () => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val passage = (1 to 25).map(i => s"boiler$i").mkString(" ")
+      for (k <- Seq(10000, 100000, 400000)) {
+        def hot() = spark.range(k).select(col("id").as("doc_id"),
+          concat_ws(" ", lit(passage),
+            concat(lit("fa"), col("id")), concat(lit("fb"), col("id")),
+            concat(lit("fc"), col("id")), concat(lit("fd"), col("id")),
+            concat(lit("fe"), col("id"))).as("text"))
+        println(f"SCRATCH-SUBSTR-HOT ${k}%dx agg : ${harness(() =>
+          graft.operators.Dedup.dedupSubstrings(hot(), n = 20))}%.2f s")
+        println(f"SCRATCH-SUBSTR-HOT ${k}%dx rank: ${harness(() =>
+          graft.operators.Dedup.dedupSubstringsRankElection(hot(), n = 20))}%.2f s")
+      }
+    }
     if (sys.env.contains("SCRATCH_EMBED")) {
       // Embeddings-postprocessing sweep: key space grows n× (ids
       // remapped; vectors repeat, which is fine — moments and the

@@ -215,6 +215,11 @@ class PropertySpec extends AnyFunSuite {
         assert(got == want, s"round $round n=$n bridge=$bridge: " +
           s"diff=${got.toSet.diff(want.toSet).take(2)} / ${want.toSet.diff(got.toSet).take(2)}")
       }
+      // both keeper elections implement the same statement (the r13
+      // hot-key A/B keeps min-struct as default, rank for the ladder)
+      val gotRank = graft.operators.Dedup.dedupSubstringsRankElection(df, n)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotRank == want, s"round $round n=$n rank election diverges")
     }
   }
 
