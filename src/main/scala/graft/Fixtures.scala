@@ -241,6 +241,25 @@ object Fixtures {
     b
   }
 
+  /** A solid-color 24-bit BMP — the color-duplicate fixture: two solids
+    * with EQUAL integer BT.601 luma but different chroma must match on
+    * the luminance grid and differ on the chroma grids. */
+  def bmpSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val base = bmpBytes(w, h, seed = 0)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 54 + y * rowSize + x * 3
+        base(o) = b.toByte; base(o + 1) = g.toByte; base(o + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    base
+  }
+
   /**
    * A valid non-interlaced 8-bit RGB (or RGBA) PNG with the SAME
    * deterministic two-axis gradient as [[bmpBytes]] (top row brightest in
@@ -341,7 +360,8 @@ object Fixtures {
    * decoder's restart path.
    */
   def jpegBytes(w: Int, h: Int, seed: Int, gray: Boolean = false,
-      subsample: Boolean = false, restartEvery: Int = 0): Array[Byte] = {
+      subsample: Boolean = false, restartEvery: Int = 0,
+      cbOff: Int = 0, crOff: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0)
     // luma plane: same two-axis gradient as pngBytes, BT.601-folded
     def rgb(x: Int, y: Int): (Int, Int, Int) = (
@@ -459,8 +479,11 @@ object Fixtures {
     }
     def lumaBlock(px0: Int, py0: Int): Array[Double] =
       Array.tabulate(64)(i => lumaAt(px0 + i % 8, py0 + i / 8) - 128.0)
-    val flatChroma = Array.fill(64)(0.0) // Cb=Cr=128 → shifted 0
-    val flatChromaZ = fdct(flatChroma)
+    // constant chroma planes: stored value = (Cb|Cr) − 128, so an offset
+    // of 0 is neutral gray and cbOff/crOff plant a uniform color cast —
+    // the fixture for the chroma-sensitive feature path
+    val flatCbZ = fdct(Array.fill(64)(cbOff.toDouble))
+    val flatCrZ = fdct(Array.fill(64)(crOff.toDouble))
     val mcusX = (w + 8 * hy - 1) / (8 * hy)
     val mcusY = (h + 8 * vy - 1) / (8 * vy)
     var dcY = 0; var dcCb = 0; var dcCr = 0
@@ -476,8 +499,8 @@ object Fixtures {
       for (by <- 0 until vy; bx <- 0 until hy)
         dcY = encodeBlock(fdct(lumaBlock((mx * hy + bx) * 8, (my * vy + by) * 8)), dcY)
       if (!gray) {
-        dcCb = encodeBlock(flatChromaZ, dcCb)
-        dcCr = encodeBlock(flatChromaZ, dcCr)
+        dcCb = encodeBlock(flatCbZ, dcCb)
+        dcCr = encodeBlock(flatCrZ, dcCr)
       }
       mcu += 1
     }

@@ -1124,6 +1124,20 @@ object SparkEntry {
       Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
     "embed_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
+    "embed_kmeans_assign_pruned_full" -> ((s, dir) =>
+      // IVF-pruned assignment with nProbe = nCoarse — provably the exact
+      // flat scan (shares embed_kmeans_assign's oracle, the *_full bridge
+      // convention): every coarse cell is probed, the member lists
+      // partition the centroid ids, and the kernel's min-index tiebreak
+      // makes the fold order-independent
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir),
+        pruned = Some((4, 4)))),
+    "embed_kmeans_assign_pruned" -> ((s, dir) =>
+      // the production pruned point (nProbe = 2 of 4 coarse cells —
+      // scans ~half the centroid table per row): rows-only by declared
+      // design, recall pinned by EmbeddingsSpec against the exact scan
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir),
+        pruned = Some((4, 2)))),
     // --- md5 oracle bridges for the signature kernels ---
     "dedup_minhash_bridge" -> ((s, dir) =>
       Dedup.minhashBridge(t(s, dir, "documents"))),
@@ -2518,6 +2532,11 @@ object SparkEntry {
          |ORDER BY ares_key DESC, doc_id LIMIT 50""".stripMargin,
     // --- k-means building blocks ---
     "embed_kmeans_assign" ->
+      s"""WITH $kmeansSqlBody
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         | floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM asg""".stripMargin,
+    // pruned assignment with every coarse cell probed == the exact scan
+    "embed_kmeans_assign_pruned_full" ->
       s"""WITH $kmeansSqlBody
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
          | floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM asg""".stripMargin,

@@ -4,10 +4,14 @@ package graft.operators
  * Baseline-JPEG entropy scan for [[Multimodal.decodeJpeg]]: canonical
  * Huffman decode (ITU-T T.81 §F.2.2 algebra — mincode/maxcode/valptr),
  * 0xFF00 byte-unstuffing, DRI/RSTn restart handling, dequantization,
- * separable 8-point float IDCT, and 4×4 grid-luminance accumulation.
- * LUMA-ONLY by design: chroma blocks are Huffman-decoded to advance the
- * bitstream but never transformed (the media feature is mean luminance,
- * which IS the Y channel JPEG stores). Any malformed construct —
+ * separable 8-point float IDCT, and grid accumulation of Y (4×4) plus,
+ * for 3-component YCbCr frames whose sampling factors divide the max
+ * (4:4:4/4:2:2/4:2:0 — every real encoder), Cb and Cr (2×2 each, at
+ * their upsampled pixel positions). Components that do not qualify are
+ * still Huffman-decoded to advance the bitstream, and a frame without
+ * chroma (grayscale) leaves the chroma grids at neutral gray — an
+ * achromatic image features identically with or without stored chroma
+ * planes. Any malformed construct —
  * over-long Huffman code, marker inside entropy data, coefficient index
  * past 63, truncation — raises and is caught at the boundary, returning
  * None so the caller degrades to the stub path (the untrusted-payload
@@ -159,6 +163,11 @@ private[operators] object JpegDecode {
     // luma must carry the max sampling factors (true of every real
     // encoder's Y plane) — its blocks then map 1:1 onto pixel tiles
     if (compH(0) != hmax || compV(0) != vmax) return None
+    // chroma transforms only for the canonical 3-component YCbCr frame
+    // whose subsampling divides the max factors (integer upsampling);
+    // anything else keeps the entropy-advance-only treatment
+    def chromaOk(c: Int): Boolean = nComp == 3 && (c == 1 || c == 2) &&
+      hmax % compH(c) == 0 && vmax % compV(c) == 0
     val ns = scanComps.length
     val dcHuff = new Array[Huff](ns)
     val acHuff = new Array[Huff](ns)
@@ -177,6 +186,8 @@ private[operators] object JpegDecode {
     val dcPred = new Array[Int](ns)
     val (coef, pix) = newScratch()
     val grid = new Multimodal.GridLuma(w, h)
+    val cbG = Multimodal.chromaGrid(w, h)
+    val crG = Multimodal.chromaGrid(w, h)
     var rstCountdown = if (restartInterval > 0) restartInterval else -1
     var my = 0
     while (my < mcusY) {
@@ -192,12 +203,13 @@ private[operators] object JpegDecode {
             while (bx < compH(comp)) {
               // ---- decode one block ----
               val isLuma = comp == 0
-              if (isLuma) java.util.Arrays.fill(coef, 0.0)
+              val wantIdct = isLuma || chromaOk(comp)
+              if (wantIdct) java.util.Arrays.fill(coef, 0.0)
               val t = dcHuff(sc).decode(br)
               if (t > 15) throw Bad
               val diff = extend(br.receive(t), t)
               dcPred(sc) += diff
-              if (isLuma) coef(0) = dcPred(sc).toDouble * qtab(0)
+              if (wantIdct) coef(0) = dcPred(sc).toDouble * qtab(0)
               var k = 1
               while (k < 64) {
                 val rs = acHuff(sc).decode(br)
@@ -209,25 +221,32 @@ private[operators] object JpegDecode {
                   k += r
                   if (k > 63) throw Bad
                   val v = extend(br.receive(s), s)
-                  if (isLuma) coef(ZigZag(k)) = v.toDouble * qtab(k)
+                  if (wantIdct) coef(ZigZag(k)) = v.toDouble * qtab(k)
                   k += 1
                 }
               }
-              if (isLuma) {
+              if (wantIdct) {
                 idct(coef, pix)
-                // accumulate reconstructed Y into the 4×4 grid
-                val px0 = (mx * compH(0) + bx) * 8
-                val py0 = (my * compV(0) + by) * 8
+                // accumulate reconstructed samples: Y at its 1:1 pixel
+                // tile, chroma at the integer-upsampled positions its
+                // samples cover (each sample stands for an fx×fy tile;
+                // the grid mean over samples equals the mean over the
+                // replicated pixels up to cell-boundary rounding)
+                val tgt = if (isLuma) grid else if (comp == 1) cbG else crG
+                val fx = hmax / compH(comp)
+                val fy = vmax / compV(comp)
+                val px0 = (mx * compH(comp) + bx) * 8
+                val py0 = (my * compV(comp) + by) * 8
                 var yy = 0
                 while (yy < 8) {
-                  val py = py0 + yy
+                  val py = (py0 + yy) * fy
                   if (py < h) {
                     var xx = 0
                     while (xx < 8) {
-                      val px = px0 + xx
+                      val px = (px0 + xx) * fx
                       if (px < w) {
                         val v = pix(yy * 8 + xx) + 128.0
-                        grid.add(px, py, math.max(0.0, math.min(255.0, v)))
+                        tgt.add(px, py, math.max(0.0, math.min(255.0, v)))
                       }
                       xx += 1
                     }
@@ -254,6 +273,6 @@ private[operators] object JpegDecode {
       }
       my += 1
     }
-    Some((w, h, grid.feature()))
+    Some((w, h, Multimodal.imageFeature(grid, cbG, crG)))
   } catch { case scala.util.control.NonFatal(_) => None }
 }

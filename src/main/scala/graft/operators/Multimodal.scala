@@ -40,7 +40,9 @@ object Multimodal {
       media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int, doc_ref: String)
 
-  /** Extracted features: one row per media item. `decoder` records which
+  /** Extracted features: one row per media item (images: 24-dim —
+    * [[imageFeature]]'s luma+chroma grids; audio: 16-dim envelope,
+    * zero-padded). `decoder` records which
     * path produced the feature — "bmp" / "png" / "jpeg" / "wav" /
     * "avi-mjpeg" (real
     * content decode) or "stub" (codec-bound payload, deterministic
@@ -64,17 +66,36 @@ object Multimodal {
    * Double sums are exact for the integer lumas BMP/PNG feed (sums stay
    * far below 2^53) and native for JPEG's fractional reconstructed Y.
    */
-  private[operators] final class GridLuma(w: Int, h: Int) {
-    private val sums = new Array[Double](16)
-    private val counts = new Array[Long](16)
+  private[operators] final class GridLuma(w: Int, h: Int, g: Int = 4,
+      neutral: Double = 0.0) {
+    private val sums = new Array[Double](g * g)
+    private val counts = new Array[Long](g * g)
     def add(x: Int, y: Int, luma: Double): Unit = {
-      val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+      val cell = math.min(g - 1, y * g / h) * g + math.min(g - 1, x * g / w)
       sums(cell) += luma
       counts(cell) += 1
     }
-    def feature(): Array[Float] = Array.tabulate(16)(c =>
-      if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+    def feature(): Array[Float] = Array.tabulate(g * g)(c =>
+      if (counts(c) == 0) (neutral / 255.0).toFloat
+      else (sums(c) / counts(c) / 255.0).toFloat)
   }
+
+  /** The 24-dim image feature: 4×4 grid mean luminance (dims 0-15) +
+    * 2×2 grid mean Cb (16-19) + 2×2 grid mean Cr (20-23), all /255.
+    * Chroma grids default to NEUTRAL gray (128/255) when a source has no
+    * chroma (grayscale JPEG/PNG) so an achromatic image looks the same
+    * whether its container stored color planes or not. */
+  private[operators] def chromaGrid(w: Int, h: Int): GridLuma =
+    new GridLuma(w, h, g = 2, neutral = 128.0)
+
+  private[operators] def imageFeature(luma: GridLuma, cb: GridLuma,
+      cr: GridLuma): Array[Float] = luma.feature() ++ cb.feature() ++ cr.feature()
+
+  /** JFIF floating-point Cb/Cr of an RGB pixel (128-centered). */
+  private[operators] def jfifCb(r: Int, g: Int, b: Int): Double =
+    128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+  private[operators] def jfifCr(r: Int, g: Int, b: Int): Double =
+    128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
 
   /** Integer BT.601 luma used by the RGB-source decoders (BMP/PNG). */
   private[operators] def bt601(r: Int, g: Int, b: Int): Int =
@@ -109,6 +130,8 @@ object Multimodal {
     val rowSize = (((w.toLong * 3) + 3) / 4 * 4).toInt
     if (pixOff.toLong + rowSize.toLong * h > p.length) return None
     val grid = new GridLuma(w, h)
+    val cbG = chromaGrid(w, h)
+    val crG = chromaGrid(w, h)
     var y = 0
     while (y < h) {
       // bottom-up storage unless height was negative (top-down)
@@ -117,12 +140,15 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val o = base + x * 3
-        grid.add(x, y, bt601(p(o + 2) & 0xFF, p(o + 1) & 0xFF, p(o) & 0xFF))
+        val b = p(o) & 0xFF; val g = p(o + 1) & 0xFF; val r = p(o + 2) & 0xFF
+        grid.add(x, y, bt601(r, g, b))
+        cbG.add(x, y, jfifCb(r, g, b))
+        crG.add(x, y, jfifCr(r, g, b))
         x += 1
       }
       y += 1
     }
-    Some((w, h, grid.feature()))
+    Some((w, h, imageFeature(grid, cbG, crG)))
   }
 
   /**
@@ -242,6 +268,8 @@ object Multimodal {
     // per-row de-filter + grid-luma accumulate in one pass (prev = the
     // RECONSTRUCTED previous row, per the PNG filter spec)
     val grid = new GridLuma(w, h)
+    val cbG = chromaGrid(w, h)
+    val crG = chromaGrid(w, h)
     val prev = new Array[Byte](stride)
     val cur = new Array[Byte](stride)
     var y = 0
@@ -271,31 +299,39 @@ object Multimodal {
       var px = 0
       while (px < w) {
         val o = px * channels
-        val luma =
-          if (channels == 1) cur(o) & 0xFF
-          else bt601(cur(o) & 0xFF, cur(o + 1) & 0xFF, cur(o + 2) & 0xFF)
-        grid.add(px, y, luma)
+        if (channels == 1) grid.add(px, y, cur(o) & 0xFF)
+        else {
+          val r = cur(o) & 0xFF; val g = cur(o + 1) & 0xFF; val b = cur(o + 2) & 0xFF
+          grid.add(px, y, bt601(r, g, b))
+          cbG.add(px, y, jfifCb(r, g, b))
+          crG.add(px, y, jfifCr(r, g, b))
+        }
         px += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some((w, h, grid.feature()))
+    Some((w, h, imageFeature(grid, cbG, crG)))
   }
 
   /**
    * REAL decode of a baseline JPEG (JFIF/EXIF container, SOF0
    * sequential DCT, 8-bit, Huffman — the overwhelming majority of
-   * real-world JPEGs), LUMA-ONLY: the grid feature is mean luminance, so
-   * only the Y component is inverse-transformed; chroma blocks are
-   * entropy-decoded (the bitstream must advance) but never IDCT'd or
-   * color-converted. Everything is pure math on bytes — canonical
+   * real-world JPEGs). Y is inverse-transformed into the 4×4 luminance
+   * grid, and for canonical 3-component YCbCr frames with integer
+   * subsampling (4:4:4/4:2:2/4:2:0) Cb and Cr are inverse-transformed
+   * into the 2×2 chroma grids at their upsampled positions — so two
+   * images with identical luminance but different color no longer
+   * feature identically. Other component layouts (CMYK, fractional
+   * sampling) keep entropy-advance-only chroma treatment, and grayscale
+   * frames leave the chroma grids neutral. Everything is pure math on
+   * bytes — canonical
    * Huffman tables from DHT, dequantization from DQT, a separable 8-point
    * float IDCT, 0xFF00 byte-unstuffing, DRI/RSTn restart handling — so no
    * codec library is involved, meeting the same standard as the
-   * BMP/PNG/WAV decoders. Returns (width, height, 16-dim feature): the
-   * 4×4 grid mean of reconstructed Y (already the BT.601 luma JPEG
-   * stores), /255 like the other decoders. None for anything this layout
+   * BMP/PNG/WAV decoders. Returns (width, height, 24-dim feature):
+   * 16 luma grid cells + 4 Cb + 4 Cr ([[imageFeature]]), /255 like the
+   * other decoders. None for anything this layout
    * can't express (progressive SOF2, arithmetic coding, 12-bit,
    * truncated/corrupt streams) — and, per the untrusted-header contract,
    * sizes are valved before allocation.
@@ -615,7 +651,7 @@ object Multimodal {
     val idxs = if (take == n) (0 until n).toArray
       else if (take == 1) Array(0) // 2+ frames, sample just the first
       else Array.tabulate(take)(k => (k.toLong * (n - 1) / (take - 1)).toInt)
-    val acc = new Array[Double](16)
+    val acc = new Array[Double](24)
     var sampled = 0
     var w = avihW
     var h = avihH
@@ -625,12 +661,12 @@ object Multimodal {
         case (fw, fh, feat) =>
           if (sampled == 0 && (w <= 0 || h <= 0)) { w = fw; h = fh }
           var c = 0
-          while (c < 16) { acc(c) += feat(c); c += 1 }
+          while (c < feat.length && c < 24) { acc(c) += feat(c); c += 1 }
           sampled += 1
       }
     }
     if (sampled == 0 || w <= 0 || h <= 0) return None
-    Some((w, h, n, sampled, Array.tabulate(16)(c => (acc(c) / sampled).toFloat)))
+    Some((w, h, n, sampled, Array.tabulate(24)(c => (acc(c) / sampled).toFloat)))
   }
 
   /** Deterministic payload checksum (FNV-ish fold) — computed for every
@@ -675,7 +711,7 @@ object Multimodal {
    * only: the REAL count of frames [[decodeAvi]] entropy-decoded on the
    * avi-mjpeg path, or the stub's synthetic 1-per-~4 KiB shape.
    */
-  def extractFeatures(media: DataFrame, featureDim: Int = 16, thumbMax: Int = 64)(
+  def extractFeatures(media: DataFrame, featureDim: Int = 24, thumbMax: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>

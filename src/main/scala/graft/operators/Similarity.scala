@@ -519,18 +519,28 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cents = index.centroids.map { case (c, v) =>
       (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
     }.toSeq.toDF("cell", "__cv", "__cn2")
     val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
       .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"), col("__unit"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__d"), col("cell"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"),
-        (col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("__d"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nProbe)
+    // nProbe nearest cells per query, elected by the struct_topk heap on
+    // (__d, cell) — the same ascending tiebreak the topKIvf probe uses.
+    // The broadcast crossJoin generates all nCells candidates for a query
+    // INSIDE one task, so partial aggregation collapses them map-side:
+    // the exchange carries |Q|·nProbe skinny (qId, cell) rows instead of
+    // the window form's |Q|·nCells rows each dragging the full query
+    // vector through the shuffle + per-partition sort. The query payload
+    // (__qv, __qn) rejoins on qId afterwards — q is the (small) query
+    // side, so this plans as a broadcast join.
+    val elected = q.crossJoin(broadcast(cents))
+      .select(col(qIdCol),
+        struct((col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("d"),
+          col("cell").as("c")).as("__dc"))
+      .groupBy(col(qIdCol))
+      .agg(graft.plans.TopKExpressions.topKStructs(col("__dc"), nProbe).as("__tk"))
+      .select(col(qIdCol), explode(col("__tk.c")).as("cell"))
+    val probes = elected.join(broadcast(q.drop("__unit")), qIdCol)
       .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"))
     val cn = if (index.assignments.columns.contains("nrm")) col("nrm")
       else norm(col(vecCol))
@@ -542,15 +552,28 @@ object Similarity {
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
-  /** Deterministic per-query top-k: rank window partitioned by query id
-    * (rounded score first, id tiebreak — mirrorable in SQL). */
+  /** Deterministic per-query top-k: `struct_topk` heap aggregation keyed
+    * on the query id — k smallest `(-cos, id)` pairs, i.e. the same
+    * `(cos DESC, id ASC)` election the SQL rank-window oracle spells.
+    *
+    * Replaces the former `row_number().over(partitionBy(qId))` idiom:
+    * the window plan pays a FULL per-partition sort of the scored
+    * relation just to feed WindowGroupLimit, while the heap aggregate is
+    * O(n log k) with map-side combine and ships ≤ k rows per query per
+    * input partition into the exchange — the same shuffle bound with the
+    * dominant local sort removed (the r12 `top_parts_heap` A/B: 0.66 s vs
+    * 1.05 s on the identical statement). The negated score orders the
+    * heap; the ORIGINAL cos rides as a payload field and is emitted
+    * as-is — re-negating the stored key would turn a 0.0 score into
+    * -0.0 after UnsafeWriter's -0.0→0.0 normalization (SPARK-26021), a
+    * byte the window form never produces. */
   private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
-      qIdCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
-  }
+      qIdCol: String): DataFrame =
+    scored.groupBy(col(qIdCol))
+      .agg(graft.plans.TopKExpressions.topKStructs(
+        struct(negate(col("cos")).as("n"), col(idCol).as("i"), col("cos")), k).as("__tk"))
+      .select(col(qIdCol), explode(col("__tk")).as("__e"))
+      .select(col(qIdCol), col("__e.i").as(idCol), col("__e.cos").as("cos"))
 
   /**
    * SemDeDup-style semantic dedup: connected components over the cosine
@@ -932,7 +955,6 @@ object Similarity {
       idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cents = ivf.centroids.map { case (c, v) =>
       (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
     }.toSeq.toDF("cell", "__cv", "__cn2")
@@ -941,12 +963,20 @@ object Similarity {
     // topKJoinIvf/topKIvf
     val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
       .select(col(qIdCol), adcTableFor(pq).as("__tbl"), col("__unit"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__d"), col("cell"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col(qIdCol), col("__tbl"), col("cell"),
-        (col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("__d"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nProbe)
+    // struct_topk probe election, same shape as topKJoinIvf: the heap
+    // collapses each query's nCells candidates map-side (the broadcast
+    // crossJoin keeps them in one task) and only (qId, cell) pairs reach
+    // the exchange; the per-query ADC table — the FAT payload, m·2^b
+    // doubles — rejoins once per elected probe instead of riding every
+    // candidate row through a window sort.
+    val elected = q.crossJoin(broadcast(cents))
+      .select(col(qIdCol),
+        struct((col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("d"),
+          col("cell").as("c")).as("__dc"))
+      .groupBy(col(qIdCol))
+      .agg(graft.plans.TopKExpressions.topKStructs(col("__dc"), nProbe).as("__tk"))
+      .select(col(qIdCol), explode(col("__tk.c")).as("cell"))
+    val probes = elected.join(broadcast(q.drop("__unit")), qIdCol)
       .select(col(qIdCol), col("__tbl"), col("cell"))
     // probes = |Q|·nProbe rows of kilobyte tables — broadcast, so the
     // (cell-partitioned) code relation streams map-only through the join
@@ -1000,14 +1030,91 @@ object Similarity {
       dot(col(vecCol), cl) / (norm(col(vecCol)) * lit(normOf(c.toSeq)))
     }: _*)
 
+  /** The fused struct<cell, cos> argmax-cosine column — one
+    * [[graft.plans.NearestCentroidCos]] kernel call (centroid table via
+    * addReferenceObj) replacing the k-literal-array `centroidScores` +
+    * `array_max` + `array_position` chain, which stalls whole-stage
+    * codegen past k ≈ 256 (the r12 sweep's named ladder stop).
+    * Bit-identical arithmetic and ordering (kernel scaladoc); optionally
+    * IVF-PRUNED: a driver-built coarse quantizer over the centroid table
+    * routes each vector to `nProbe` of `nCoarse` coarse cells and only
+    * their member centroids are scanned — O(√k·nProbe)-ish per row, the
+    * sub-linear-in-k path for cell counts that grow with the corpus. */
+  private def assignStruct(centroids: Array[Array[Float]], vecCol: String,
+      pruned: Option[(Int, Int)]): Column = pruned match {
+    case None =>
+      graft.plans.VectorExpressions.nearestCentroidCos(col(vecCol),
+        centroids.map(_.toSeq).toSeq, centroids.map(c => normOf(c.toSeq)).toSeq)
+    case Some((nCoarse, nProbe)) =>
+      val (coarse, members) = coarseOverCentroids(centroids, nCoarse)
+      graft.plans.VectorExpressions.nearestCentroidPruned(col(vecCol),
+        coarse.map(_.toSeq).toSeq, coarse.map(c => normOf(c.toSeq)).toSeq,
+        members.map(_.toSeq).toSeq,
+        centroids.map(_.toSeq).toSeq, centroids.map(c => normOf(c.toSeq)).toSeq,
+        nProbe)
+  }
+
+  /** Deterministic driver-side coarse quantizer OVER the centroid table:
+    * stride seeding, a few Lloyd rounds under cosine (first-max ties,
+    * zero-norm rows rank last), members = final assignment. k centroid
+    * vectors are model-sized (k·d floats), so this is driver math by the
+    * same convention as the k-means loop's ≤B+1-row collects — no job.
+    * The member lists only need to PARTITION 0..k-1 for the pruned
+    * kernel's nProbe = nCoarse bridge to be exact; their quality decides
+    * recall at small nProbe, not correctness. */
+  private[graft] def coarseOverCentroids(cents: Array[Array[Float]], nCoarse: Int,
+      iters: Int = 4): (Array[Array[Float]], Array[Array[Int]]) = {
+    val k = cents.length
+    val c = math.max(1, math.min(nCoarse, k))
+    val d = cents.head.length
+    val cNorm = cents.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    var coarse = Array.tabulate(c)(j => cents((j.toLong * k / c).toInt).map(_.toDouble))
+    val assign = new Array[Int](k)
+    def assignAll(): Unit = {
+      val coNorm = coarse.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      var m = 0
+      while (m < k) {
+        var bj = 0; var bcos = Double.NegativeInfinity
+        var j = 0
+        while (j < c) {
+          var acc = 0.0; var t = 0
+          while (t < d) { acc += cents(m)(t).toDouble * coarse(j)(t); t += 1 }
+          val den = cNorm(m) * coNorm(j)
+          val cos = if (den == 0.0) Double.NegativeInfinity else acc / den
+          if (!cos.isNaN && cos > bcos) { bcos = cos; bj = j }
+          j += 1
+        }
+        assign(m) = bj
+        m += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
+      val sums = Array.fill(c)(new Array[Double](d))
+      val counts = new Array[Int](c)
+      for (m <- 0 until k) {
+        counts(assign(m)) += 1
+        var t = 0
+        while (t < d) { sums(assign(m))(t) += cents(m)(t).toDouble; t += 1 }
+      }
+      coarse = Array.tabulate(c)(j =>
+        if (counts(j) == 0) coarse(j) else sums(j).map(_ / counts(j)))
+    }
+    assignAll()
+    val coarseF = coarse.map(_.map(_.toFloat))
+    val members = Array.tabulate(c)(j => (0 until k).filter(assign(_) == j).toArray)
+    (coarseF, members)
+  }
+
   def kmeansAssign(embeddings: DataFrame, centroids: Array[Array[Float]],
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      pruned: Option[(Int, Int)] = None): DataFrame = {
     require(centroids.nonEmpty, "kmeansAssign: no centroids")
     embeddings
-      .select(col(idCol), centroidScores(centroids, vecCol).as("__sc"))
+      .select(col(idCol), assignStruct(centroids, vecCol, pruned).as("__nc"))
       .select(col(idCol),
-        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
-        Quantize.quantize(array_max(col("__sc")), 6).as("cos"))
+        col("__nc.cell").as("cell"),
+        Quantize.quantize(col("__nc.cos"), 6).as("cos"))
   }
 
   /**
@@ -1020,11 +1127,12 @@ object Similarity {
    * state between steps.
    */
   def kmeansStep(embeddings: DataFrame, centroids: Array[Array[Float]],
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      pruned: Option[(Int, Int)] = None): DataFrame = {
     require(centroids.nonEmpty, "kmeansStep: no centroids")
     embeddings
-      .select(col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
-      .select((array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+      .select(col(vecCol), assignStruct(centroids, vecCol, pruned).as("__nc"))
+      .select(col("__nc.cell").as("cell"),
         posexplode(col(vecCol)).as(Seq("dim", "__v")))
       .groupBy(col("cell"), col("dim"))
       .agg(Quantize.quantize(avg(col("__v").cast("double")), 6).as("mean"))
@@ -1067,9 +1175,10 @@ object Similarity {
    */
   def semanticDedupClustered(embeddings: DataFrame, centroids: Array[Array[Float]],
       minCosine: Double, maxCell: Option[Long] = None,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      prunedAssign: Option[(Int, Int)] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupClustered: no centroids")
-    val asg = assignWithNorm(embeddings, centroids, vecCol, idCol)
+    val asg = assignWithNorm(embeddings, centroids, vecCol, idCol, prunedAssign)
     val thr = thrOf(minCosine)
     val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
       .groupBy(col("cell"))
@@ -1098,10 +1207,12 @@ object Similarity {
     * on — cannot silently diverge. Norms precompute per member so the
     * survivor kernel pays one dot per pair. */
   private def assignWithNorm(df: DataFrame, centroids: Array[Array[Float]],
-      vecCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol), centroidScores(centroids, vecCol).as("__sc"))
+      vecCol: String, idCol: String,
+      pruned: Option[(Int, Int)] = None): DataFrame =
+    df.select(col(idCol), col(vecCol),
+        assignStruct(centroids, vecCol, pruned).as("__nc"))
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
-        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int").as("cell"),
+        col("__nc.cell").as("cell"),
         norm(col(vecCol)).as("__n"))
 
   /** The least integer whose 10⁻⁶ quotient reaches τ — the quantized
@@ -1122,9 +1233,10 @@ object Similarity {
     * verdicts (a dropped near-dup can be the only ≥τ witness). */
   def writeSemanticRegistry(embeddings: DataFrame, centroids: Array[Array[Float]],
       path: String, vecCol: String = "embedding", idCol: String = "vec_id",
-      append: Boolean = false): Unit = {
+      append: Boolean = false,
+      prunedAssign: Option[(Int, Int)] = None): Unit = {
     require(centroids.nonEmpty, "writeSemanticRegistry: no centroids")
-    assignWithNorm(embeddings, centroids, vecCol, idCol)
+    assignWithNorm(embeddings, centroids, vecCol, idCol, prunedAssign)
       .withColumnRenamed("__n", "nrm")
       .repartition(col("cell"))
       // append = the production micro-batch loop: after probing, a batch's
@@ -1168,7 +1280,8 @@ object Similarity {
   def semanticDedupIncrement(batch: DataFrame, centroids: Array[Array[Float]],
       registryPath: String, minCosine: Double, maxCell: Option[Long] = None,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      prunedAssign: Option[(Int, Int)] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupIncrement: no centroids")
     val spark = batch.sparkSession
     // Materialize the scored batch BEFORE collecting its touched cells:
@@ -1177,7 +1290,7 @@ object Similarity {
     // recomputed differently would silently drop a registry witness), and
     // the centroid scoring pass should run once, not twice. A micro-batch
     // increment is small by construction, so the checkpoint is cheap.
-    val asg = Materialize(assignWithNorm(batch, centroids, vecCol, idCol)
+    val asg = Materialize(assignWithNorm(batch, centroids, vecCol, idCol, prunedAssign)
       .withColumn(idCol, when(col(idCol) < 0L, raise_error(concat(
           lit("semanticDedupIncrement: batch ids must be >= 0, got "), col(idCol))))
         .otherwise(col(idCol))), checkpointDir)

@@ -560,6 +560,156 @@ object VectorKernels {
     }
     bc
   }
+
+  /** [[NearestCentroidCos]] kernel: argmax-cosine over the full centroid
+    * table with the EXACT arithmetic of the literal `centroidScores`
+    * formulation it replaces — dot and ‖v‖² accumulate in sequential
+    * double order, cos = dot / (‖v‖ · ‖c‖), winner = first maximum under
+    * Spark's double ordering (-0.0 < 0.0 — `Double.compare` is exactly
+    * that order). Null for a null element or a length mismatch against
+    * the (uniform-dim) table, matching `FloatVectorDot`'s
+    * null-propagation through `array_max`/`array_position`; a zero
+    * denominator mirrors `Divide` (ANSI abort / non-ANSI null score,
+    * which `array_max` ignores — all-null scores yield a null struct). */
+  def nearestCentroidCos(vec: ArrayData, cents: Array[Array[Float]],
+      cnorm: Array[Double], failOnError: Boolean): InternalRow = {
+    val d = cents(0).length
+    if (vec.numElements() != d) return null
+    var i = 0
+    var vn2 = 0.0
+    while (i < d) {
+      if (vec.isNullAt(i)) return null
+      val x = vec.getFloat(i).toDouble
+      vn2 += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vn2)
+    scanCents(vec, vnorm, cents, cnorm, 0, cents.length, null, failOnError)
+  }
+
+  /** Shared member scan: first-maximum cosine over cents[from until to)
+    * (or an explicit member-index list), folding into a running best.
+    * `best` is null or {cell: Int, cos: Double} carried as the result
+    * row; the min-index tiebreak on EXACT cos ties makes the fold
+    * order-independent, so a pruned scan over probed cells equals the
+    * flat scan whenever the true winner's cell is probed. */
+  private def scanCents(vec: ArrayData, vnorm: Double,
+      cents: Array[Array[Float]], cnorm: Array[Double],
+      from: Int, to: Int, members: Array[Int],
+      failOnError: Boolean): InternalRow = {
+    val d = cents(0).length
+    var bestCos = Double.NegativeInfinity
+    var bestIdx = -1
+    var m = from
+    while (m < to) {
+      val c = if (members == null) m else members(m)
+      val cv = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += vec.getFloat(i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      val den = vnorm * cnorm(c)
+      if (den == 0.0) {
+        // mirror Divide exactly: ANSI -> abort; non-ANSI -> NULL score,
+        // which array_max IGNORES (the candidate simply cannot win)
+        if (failOnError) throw new ArithmeticException(
+          "[DIVIDE_BY_ZERO] zero-norm vector or centroid in " +
+            "nearest-centroid assignment (mirrors the literal Divide; " +
+            "set spark.sql.ansi.enabled=false for null-score semantics)")
+      } else {
+        val cos = acc / den
+        val cmp = java.lang.Double.compare(cos, bestCos)
+        if (bestIdx < 0 || cmp > 0 || (cmp == 0 && c < bestIdx)) {
+          bestCos = cos; bestIdx = c
+        }
+      }
+      m += 1
+    }
+    if (bestIdx < 0) null
+    else new GenericInternalRow(Array[Any](bestIdx, bestCos))
+  }
+
+  /** [[NearestCentroidPruned]] kernel: two-level assignment. Route the
+    * vector to its `nProbe` nearest COARSE cells (cosine, same metric as
+    * the member scan; zero-norm coarse rows rank last), then first-max
+    * scan only those cells' member centroids — O(C + Σ probed members)
+    * instead of O(k). nProbe = C is bit-identical to
+    * [[nearestCentroidCos]]: the member lists partition 0..k-1, the fold
+    * is order-independent (min-index tiebreak on exact ties, null-score
+    * candidates skipped identically), and an empty probed member set
+    * falls back to the full scan. */
+  def nearestCentroidPruned(vec: ArrayData,
+      coarse: Array[Array[Float]], coarseNorm: Array[Double],
+      members: Array[Array[Int]],
+      cents: Array[Array[Float]], cnorm: Array[Double],
+      nProbe: Int, failOnError: Boolean): InternalRow = {
+    val d = cents(0).length
+    if (vec.numElements() != d) return null
+    var i = 0
+    var vn2 = 0.0
+    while (i < d) {
+      if (vec.isNullAt(i)) return null
+      val x = vec.getFloat(i).toDouble
+      vn2 += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vn2)
+    val nc = coarse.length
+    val probes = math.min(nProbe, nc)
+    // coarse cosines once
+    val ccos = new Array[Double](nc)
+    var j = 0
+    while (j < nc) {
+      val cv = coarse(j)
+      var acc = 0.0
+      var t = 0
+      while (t < d) { acc += vec.getFloat(t).toDouble * cv(t).toDouble; t += 1 }
+      val den = vnorm * coarseNorm(j)
+      ccos(j) = if (den == 0.0) Double.NegativeInfinity else acc / den
+      if (java.lang.Double.isNaN(ccos(j))) ccos(j) = Double.NegativeInfinity
+      j += 1
+    }
+    // O(C·nProbe) selection of the probe list (cos desc, index asc)
+    val chosen = new Array[Int](probes)
+    val used = new Array[Boolean](nc)
+    var p = 0
+    var total = 0
+    while (p < probes) {
+      var bj = -1
+      var bcos = Double.NegativeInfinity
+      var q = 0
+      while (q < nc) {
+        if (!used(q) && (bj < 0 || ccos(q) > bcos)) { bj = q; bcos = ccos(q) }
+        q += 1
+      }
+      used(bj) = true
+      chosen(p) = bj
+      total += members(bj).length
+      p += 1
+    }
+    if (total == 0) return scanCents(vec, vnorm, cents, cnorm, 0, cents.length,
+      null, failOnError)
+    var best: InternalRow = null
+    var bestCos = Double.NegativeInfinity
+    var bestIdx = -1
+    p = 0
+    while (p < probes) {
+      val r = scanCents(vec, vnorm, cents, cnorm, 0, members(chosen(p)).length,
+        members(chosen(p)), failOnError)
+      if (r != null) {
+        val c = r.getInt(0)
+        val cos = r.getDouble(1)
+        val cmp = java.lang.Double.compare(cos, bestCos)
+        if (bestIdx < 0 || cmp > 0 || (cmp == 0 && c < bestIdx)) {
+          bestCos = cos; bestIdx = c; best = r
+        }
+      }
+      p += 1
+    }
+    best
+  }
 }
 
 /**
@@ -737,6 +887,131 @@ case class VecCenterProject(child: Expression, mean: Seq[Double],
     copy(child = newChild)
 }
 
+/**
+ * Argmax-cosine assignment over a centroid table shipped via
+ * `addReferenceObj` — struct<cell:int, cos:double>, the fused form of
+ * the literal `centroidScores` + `array_max` + `array_position` chain
+ * used by the k-means / SemDeDup family. Two things the literal chain
+ * cannot do at scale: (1) the generated code is ONE kernel call however
+ * many centroids there are, where k literal array expressions stall
+ * whole-stage codegen past k ≈ 256 (the r12 sweep's named ladder stop);
+ * (2) the table lives once per executor as a plain float[][], not k
+ * copies of a Literal tree per task. Arithmetic, ordering, and null
+ * semantics are bit-identical to the literal chain (see the kernel's
+ * scaladoc), so hash-verified consumers can switch freely.
+ */
+case class NearestCentroidCos(child: Expression, cents: Seq[Seq[Float]],
+    cnorm: Seq[Double],
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cnorm.length,
+    "NearestCentroidCos: need one ‖c‖ per centroid")
+  require(cents.forall(_.length == cents.head.length),
+    "NearestCentroidCos: centroid dims must be uniform")
+  @transient private lazy val cArr: Array[Array[Float]] = cents.map(_.toArray).toArray
+  @transient private lazy val nArr: Array[Double] = cnorm.toArray
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_centroid_cos"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroidCos(v.asInstanceOf[ArrayData], cArr, nArr,
+      failOnError)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("nccCents", cArr, "float[][]")
+    val nRef = ctx.addReferenceObj("nccNorm", nArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |${ev.value} = graft.plans.VectorKernels.nearestCentroidCos($v, $cRef, $nRef,
+       |  $failOnError);
+       |${ev.isNull} = (${ev.value} == null);
+       |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * IVF-pruned argmax-cosine assignment — [[NearestCentroidCos]] behind a
+ * coarse quantizer over the CENTROID table itself: route to the
+ * `nProbe` nearest of C coarse cells, scan only their member centroids.
+ * O(C + k·nProbe/C) per row instead of O(k) — sub-linear in k once
+ * C ≈ √k, which is what lets assignment keep up when the cell count
+ * scales with the corpus (SemDeDup's premise: k grows with N).
+ * `nProbe = C` provably degrades to the exact flat scan (the
+ * `embed_kmeans_assign_pruned_full` bridge): the member lists partition
+ * 0..k-1, the fold is order-independent (min-index tiebreak on exact
+ * ties), and the two degenerate cases that could order differently
+ * fall back to the flat scan inside the kernel.
+ */
+case class NearestCentroidPruned(child: Expression,
+    coarse: Seq[Seq[Float]], coarseNorm: Seq[Double],
+    members: Seq[Seq[Int]],
+    cents: Seq[Seq[Float]], cnorm: Seq[Double],
+    nProbe: Int,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  extends UnaryExpression {
+  require(coarse.nonEmpty && coarse.length == coarseNorm.length &&
+    coarse.length == members.length,
+    "NearestCentroidPruned: need one ‖c‖ and one member list per coarse cell")
+  require(cents.nonEmpty && cents.length == cnorm.length,
+    "NearestCentroidPruned: need one ‖c‖ per centroid")
+  require(cents.forall(_.length == cents.head.length) &&
+    coarse.forall(_.length == cents.head.length),
+    "NearestCentroidPruned: centroid dims must be uniform")
+  require({
+    val all = members.flatten.sorted
+    all == cents.indices.toList
+  }, "NearestCentroidPruned: member lists must partition the centroid ids")
+  require(nProbe > 0, s"NearestCentroidPruned: nProbe must be positive: $nProbe")
+
+  @transient private lazy val coArr: Array[Array[Float]] = coarse.map(_.toArray).toArray
+  @transient private lazy val conArr: Array[Double] = coarseNorm.toArray
+  @transient private lazy val mArr: Array[Array[Int]] = members.map(_.toArray).toArray
+  @transient private lazy val cArr: Array[Array[Float]] = cents.map(_.toArray).toArray
+  @transient private lazy val nArr: Array[Double] = cnorm.toArray
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_centroid_pruned"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroidPruned(v.asInstanceOf[ArrayData],
+      coArr, conArr, mArr, cArr, nArr, nProbe, failOnError)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coRef = ctx.addReferenceObj("ncpCoarse", coArr, "float[][]")
+    val conRef = ctx.addReferenceObj("ncpCoarseNorm", conArr, "double[]")
+    val mRef = ctx.addReferenceObj("ncpMembers", mArr, "int[][]")
+    val cRef = ctx.addReferenceObj("ncpCents", cArr, "float[][]")
+    val nRef = ctx.addReferenceObj("ncpNorm", nArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |${ev.value} = graft.plans.VectorKernels.nearestCentroidPruned($v,
+       |  $coRef, $conRef, $mRef, $cRef, $nRef, $nProbe, $failOnError);
+       |${ev.isNull} = (${ev.value} == null);
+       |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** struct<n, mean, cov-upper-triangle> of a d-dim float-vector column
     * in one mergeable aggregation ([[VecMoments]]). */
@@ -772,6 +1047,20 @@ object VectorExpressions {
   def nearestCentroid(vec: Column, cents: Seq[Seq[Float]],
       cn2: Seq[Double]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), cents, cn2))
+
+  /** struct<cell, cos> argmax-cosine over the full centroid table
+    * ([[NearestCentroidCos]]); `cnorm` = per-centroid ‖c‖. */
+  def nearestCentroidCos(vec: Column, cents: Seq[Seq[Float]],
+      cnorm: Seq[Double]): Column =
+    Bridge.column(NearestCentroidCos(Bridge.expression(vec), cents, cnorm))
+
+  /** struct<cell, cos> argmax-cosine through a coarse quantizer
+    * ([[NearestCentroidPruned]]); `nProbe = coarse.length` is exact. */
+  def nearestCentroidPruned(vec: Column,
+      coarse: Seq[Seq[Float]], coarseNorm: Seq[Double], members: Seq[Seq[Int]],
+      cents: Seq[Seq[Float]], cnorm: Seq[Double], nProbe: Int): Column =
+    Bridge.column(NearestCentroidPruned(Bridge.expression(vec),
+      coarse, coarseNorm, members, cents, cnorm, nProbe))
 
   /** UNQUANTIZED cosine of (int8-dequantized vec, literal query)
     * ([[Int8DequantCosine]]) — callers quantize the emission. */

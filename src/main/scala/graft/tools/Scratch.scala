@@ -626,6 +626,63 @@ object Scratch {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id")))
     }
+    if (sys.env.contains("SCRATCH_KASSIGN")) {
+      // Round-13 k-ladder: centroid-assignment cost vs k at 128× rows.
+      // The r12 ladder stopped at k = 256 — the literal centroidScores
+      // matrix stalls whole-stage codegen past that — so the k-grows-
+      // with-the-corpus regime (SemDeDup's own premise) was unmeasured.
+      // NearestCentroidCos (addReferenceObj table) unlocks arbitrary k
+      // at O(k)/row; NearestCentroidPruned routes through ~√k coarse
+      // cells for O(√k·nProbe)-ish per row — the sub-linear-in-k path.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val S = graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def harness(mk: () => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val n = 128
+      def scaled() = emb.crossJoin(spark.range(n).select(col("id").as("__copy")))
+        .select((col("vec_id") * lit(1000L) + col("__copy")).as("vec_id"),
+          col("embedding"), col("label"))
+      for (k <- Seq(64, 256, 1024, 4096)) {
+        // seeds from the SCALED frame (the base table has 2 000 rows);
+        // duplicate centroids are fine for a COST ladder — per-row work
+        // depends on k, not on centroid distinctness
+        val seeds = S.kmeansSeeds(scaled(), k)
+        val c = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val tE = harness(() => S.kmeansAssign(scaled(), seeds))
+        println(f"SCRATCH-KASSIGN ${n}x k=$k%-5d exact        : $tE%.2f s")
+        val tP = harness(() => S.kmeansAssign(scaled(), seeds, pruned = Some((c, 4))))
+        println(f"SCRATCH-KASSIGN ${n}x k=$k%-5d pruned(C=$c%d,p=4): $tP%.2f s")
+      }
+      // semantic_inc at k = 8n, n = 128 (k = 1024) — the rung the r12
+      // sweep omitted; registry and probe share the SAME assignment path
+      // (a pruned probe against an exactly-assigned registry would pair
+      // across mismatched cells)
+      locally {
+        val k = 8 * n
+        val seeds = S.kmeansSeeds(scaled(), k)
+        val c = math.ceil(math.sqrt(k.toDouble)).toInt
+        for ((label, pa) <- Seq(("exact ", None),
+            ("pruned", Some((c, 4)))): Seq[(String, Option[(Int, Int)])]) {
+          val reg = s"/tmp/graft_kassign_semreg_${label.trim}"
+          val t0 = System.nanoTime()
+          S.writeSemanticRegistry(scaled().filter(col("vec_id") % 2 === 0),
+            seeds, reg, prunedAssign = pa)
+          val tReg = (System.nanoTime() - t0) / 1e9
+          val tProbe = harness(() => S.semanticDedupIncrement(
+            scaled().filter(col("vec_id") % 2 === 1), seeds, reg,
+            minCosine = 0.45, prunedAssign = pa))
+          println(f"SCRATCH-KASSIGN ${n}x semantic_inc_k8n $label: " +
+            f"registry $tReg%.2f s, probe $tProbe%.2f s")
+        }
+      }
+    }
     if (sys.env.contains("SCRATCH_BUILDALL")) {
       for (i <- 1 to 3) {
         val tmp = java.nio.file.Files.createTempDirectory("scratch_ba")

@@ -38,6 +38,29 @@ class PlanLintSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  /** The per-query top-k election in the batch k-NN join family rides the
+    * `struct_topk` heap aggregate, not a rank window: zero Window nodes in
+    * any plan of the family (the window idiom would drag a full
+    * per-partition sort of the scored relation in front of the exchange),
+    * and the pure brute-force baseline plans zero Sort nodes of any kind —
+    * its only exchange is the ≤ k-rows-per-query heap aggregation. */
+  test("sim_topk_join family elects top-k via heap aggregation, not a window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val family = SparkEntry.queries.keys.filter(_.startsWith("sim_topk_join")).toSeq.sorted
+    assert(family.nonEmpty)
+    for (name <- family) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plans a Window node — the heap election regressed:\n$plan")
+      assert(plan.contains("struct_topk"), s"$name does not plan struct_topk")
+    }
+    val brute = SparkEntry.queries("sim_topk_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!brute.contains("Sort"),
+      s"sim_topk_join plans a Sort node:\n$brute")
+  }
+
   test("no declared query plans a CartesianProductExec") {
     val sfDir = "/root/testdata/sf0.001"
     val violations = scala.collection.mutable.ArrayBuffer[String]()

@@ -1268,7 +1268,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
-    assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 16))
+    assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 24))
     assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
     assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
     // REAL decode paths: fixture images are valid BMPs, PNGs, or JPEGs,
@@ -1287,7 +1287,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
         s"media ${f.media_id}: frames_sampled ${f.frames_sampled}")
       // MJPEG frames carry the same upward-brightening gradient content
       val top = f.feature.take(4).sum / 4
-      val bottom = f.feature.drop(12).sum / 4
+      val bottom = f.feature.slice(12, 16).sum / 4
       assert(top > bottom, s"media ${f.media_id}: top $top !> bottom $bottom")
     }
     // grid-luminance features are genuine content: bounded, non-flat,
@@ -1295,14 +1295,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     f1.filter(f => Set("bmp", "png", "jpeg")(f.decoder)).foreach { f =>
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
       val top = f.feature.take(4).sum / 4
-      val bottom = f.feature.drop(12).sum / 4
+      val bottom = f.feature.slice(12, 16).sum / 4
       assert(top > bottom, s"media ${f.media_id}: top $top !> bottom $bottom")
     }
-    // WAV RMS envelope follows the fixture's decaying amplitude
+    // WAV RMS envelope follows the fixture's decaying amplitude; the
+    // audio feature is 16-dim, zero-padded into the 24-dim schema
     f1.filter(_.decoder == "wav").foreach { f =>
-      assert(f.feature.head > f.feature.last,
+      assert(f.feature.head > f.feature(15),
         s"media ${f.media_id}: envelope ${f.feature.toSeq}")
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
+      assert(f.feature.drop(16).forall(_ == 0f))
     }
     // a corrupt payload of a decodable kind falls back to the stub
     import spark.implicits._
@@ -1495,8 +1497,8 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       val Some((bw, bh, bf)) = Multimodal.decodeBmp(Fixtures.bmpBytes(w, h, seed))
       assert((pw, ph) == (w, h) && (bw, bh) == (w, h))
       assert(pf.toSeq == bf.toSeq, s"png/bmp features diverge at ${(w, h, seed)}")
-      // planted gradient: G grows toward the top row
-      assert(pf.take(4).sum > pf.drop(12).sum)
+      // planted gradient: G grows toward the top row (luma rows 0 vs 3)
+      assert(pf.take(4).sum > pf.slice(12, 16).sum)
     }
     // RGBA (color type 6) decodes too, alpha ignored by the luma grid
     val Some((_, _, fa)) = Multimodal.decodePng(Fixtures.pngBytes(16, 16, 2, alpha = true))
@@ -1584,6 +1586,54 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmpMinH).isEmpty)
   }
 
+  test("multimodal: chroma grids separate color-only duplicates; gray stays neutral") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    import s.implicits._
+    // JPEG: same luminance, different planted color cast — luma grid
+    // must agree, chroma grids must differ, for both subsampling modes
+    for (sub <- Seq(false, true)) {
+      val neutral = Multimodal.decodeJpeg(
+        Fixtures.jpegBytes(32, 32, 5, subsample = sub)).get._3
+      val cast = Multimodal.decodeJpeg(
+        Fixtures.jpegBytes(32, 32, 5, subsample = sub, cbOff = 40, crOff = -30)).get._3
+      for (c <- 0 until 16)
+        assert(math.abs(neutral(c) - cast(c)) <= 1.0 / 255.0,
+          s"sub=$sub luma cell $c moved: ${neutral(c)} vs ${cast(c)}")
+      // planted offsets recovered at the grid (±2 gray levels for q=4)
+      for (c <- 16 until 20)
+        assert(math.abs(cast(c) - (128 + 40) / 255.0) <= 2.5 / 255.0, s"cb cell $c: ${cast(c)}")
+      for (c <- 20 until 24)
+        assert(math.abs(cast(c) - (128 - 30) / 255.0) <= 2.5 / 255.0, s"cr cell $c: ${cast(c)}")
+      for (c <- 16 until 24)
+        assert(math.abs(neutral(c) - 128 / 255.0) <= 2.5 / 255.0, s"neutral cell $c")
+    }
+    // grayscale JPEG: chroma grids sit at neutral gray exactly
+    val gray = Multimodal.decodeJpeg(Fixtures.jpegBytes(32, 32, 5, gray = true)).get._3
+    for (c <- 16 until 24) assert(gray(c) == (128.0 / 255.0).toFloat)
+    // BMP solids with EQUAL integer luma, different chroma: luma grid
+    // identical, near-dup must NOT pair them — while a byte-different
+    // same-color pair still pairs. bt601(123,123,123) = bt601(200,80,150) = 123:
+    def lumaOf(r: Int, g: Int, b: Int) = (r * 299 + g * 587 + b * 114) / 1000
+    assert(lumaOf(123, 123, 123) == lumaOf(200, 80, 150))
+    val rows = Seq(
+      (1L, "image", Fixtures.bmpSolid(32, 32, 123, 123, 123), 32, 32, 0, "a"),
+      (2L, "image", Fixtures.bmpSolid(32, 32, 200, 80, 150), 32, 32, 0, "b"),
+      (3L, "image", { val x = Fixtures.bmpSolid(32, 32, 200, 80, 150)
+        x(2) = 99.toByte; x }, 32, 32, 0, "c")) // header-byte noise, same pixels
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "doc_ref")
+    val feats = Multimodal.extractFeatures(rows)
+    val byId = feats.collect().map(f => f.media_id -> f.feature).toMap
+    assert(byId(1L).take(16).toSeq == byId(2L).take(16).toSeq, "luma grids must agree")
+    assert(byId(1L).drop(16).toSeq != byId(2L).drop(16).toSeq, "chroma grids must differ")
+    val pairs = Similarity.nearDupPairsExact(
+        feats.select(col("media_id").as("vec_id"), col("feature").as("embedding")),
+        minCosine = 0.9995)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((2L, 3L)), s"same-color pair must survive: $pairs")
+    assert(!pairs.contains((1L, 2L)), s"color-only duplicates must separate: $pairs")
+  }
+
   test("multimodal: NULL payload degrades to the stub row, never an NPE") {
     implicit val s = spark
     import s.implicits._
@@ -1617,7 +1667,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val Some((w, h, total, sampled, feat)) = Multimodal.decodeAvi(avi)
     assert((w, h, total, sampled) == (32, 32, 5, 5))
     val want = {
-      val acc = new Array[Double](16)
+      val acc = new Array[Double](24)
       for (f <- 0 until 5; (v, c) <- Multimodal.decodeJpeg(
           Fixtures.jpegBytes(32, 32, 400 + f)).get._3.zipWithIndex)
         acc(c) += v
