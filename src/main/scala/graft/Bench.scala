@@ -17,6 +17,51 @@ object Bench {
     // reader) so the first measured query doesn't absorb ~4s of JVM init.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    // ---- environment floor probes -----------------------------------
+    // The recorded artifact has been busy-box-poisoned three rounds
+    // running (r13: `paginate_after` 8.44 s recorded vs 0.083 s idle — a
+    // 102× phantom on a filter+TakeOrdered plan). min-of-N bounds
+    // within-session variance, not sustained cross-session contention,
+    // so the artifact now carries its own environment stamp: the two
+    // cheapest fixed-cost shapes (a 1-row in-memory aggregate = the pure
+    // scheduling/codegen floor; a 5-row parquet groupBy = + file listing
+    // and one shuffle) measured at bench start / middle / end. Idle, the
+    // agg probe reads ~0.01 s and the shuffle probe ~0.05–0.1 s; a probe
+    // reading 5–10× that tells any reader of BENCH_r{N}.json that the
+    // box was hot and per-query outliers are contamination, not plans.
+    def floorProbe(): (Double, Double) = {
+      def minOf(n: Int)(f: => Unit): Double =
+        (1 to n).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      val agg = minOf(5)(
+        spark.range(1).selectExpr("sum(id) as s").queryExecution.toRdd.count())
+      val shuffle = minOf(5)(
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().queryExecution.toRdd.count())
+      (agg, shuffle)
+    }
+
+    // Previous round's per-query map (the sidecar this run will
+    // overwrite): any query that comes out >3× its previous value gets
+    // an end-of-run re-attempt — on untouched code that ratio is the
+    // busy-box signature, and by run end the contention window that
+    // produced it has usually passed.
+    val qFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_FILE",
+      "/root/repo/BENCH_QUERIES.json")
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(qFile)), "UTF-8")
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + 11, txt.indexOf('}', start))
+        "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     // Each query runs at least twice and reports the MIN over SUCCESSFUL
     // runs: a one-off GC pause or background compile otherwise poisons a
     // single-shot number (round-1 recorded 14.4s for a query that
@@ -37,21 +82,27 @@ object Bench {
     // column materialized — the same work Verify's parquet write measures,
     // and the same work the DuckDB comparator does materializing results.
     var failed = Set.empty[String]
+    def attempt(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case scala.util.control.NonFatal(t) =>
+        // a failed attempt must be VISIBLE, and its failure-fast elapsed
+        // time must not masquerade as a measurement
+        System.err.println(s"[bench] $name attempt failed: ${t.getMessage}")
+        None
+      }
+    }
     // queries + declared build steps: training cost stays measured on the
     // ledger even though builds are excluded from the correctness dump
-    val results = (SparkEntry.queries ++ SparkEntry.builds).map { case (name, fn) =>
-      def attempt(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case scala.util.control.NonFatal(t) =>
-          // a failed attempt must be VISIBLE, and its failure-fast elapsed
-          // time must not masquerade as a measurement
-          System.err.println(s"[bench] $name attempt failed: ${t.getMessage}")
-          None
-        }
-      }
+    val all = (SparkEntry.queries ++ SparkEntry.builds).toSeq
+    val floorStart = floorProbe()
+    val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var floorMid: (Double, Double) = (-1.0, -1.0)
+    for (((name, fn), i) <- all.zipWithIndex) {
+      if (i == all.size / 2) floorMid = floorProbe()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var n = 0
       def unstable: Boolean = times.size < 2 || {
@@ -59,27 +110,48 @@ object Bench {
         s(1) > s(0) * 1.4
       }
       while (n < 2 || (n < 4 && unstable)) {
-        attempt().foreach(times += _)
+        attempt(name, fn).foreach(times += _)
         n += 1
       }
       if (times.isEmpty) failed += name
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      timed(name) = if (times.isEmpty) -1.0 else times.min
     }
+    // End-of-run re-adjudication: re-attempt anything >3× its previous
+    // recorded value (twice, keep the overall min). A genuine plan
+    // regression reproduces; a contention phantom evaporates.
+    val suspects = timed.collect {
+      case (name, t) if t > 0 && prev.getOrElse(name, -1.0) > 0.05 &&
+        t > 3 * prev(name) => name
+    }.toSeq
+    for (name <- suspects) {
+      val fn = all.collectFirst { case (n, f) if n == name => f }.get
+      val re = Seq(attempt(name, fn), attempt(name, fn)).flatten
+      if (re.nonEmpty && re.min < timed(name)) {
+        System.err.println(f"[bench] $name re-adjudicated: " +
+          f"${timed(name)}%.3f -> ${re.min}%.3f s (prev ${prev(name)}%.3f)")
+        timed(name) = re.min
+      }
+    }
+    val floorEnd = floorProbe()
+    val results = timed.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total covers SUCCESSFUL queries only — failures are listed, not summed
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def fl(p: (Double, Double)) = s"""{"agg":${p._1},"shuffle":${p._2}}"""
+    val floorJson = s"""{"start":${fl(floorStart)},"mid":${fl(floorMid)},""" +
+      s""""end":${fl(floorEnd)}}"""
+    val retried = suspects.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"errors":$errs,"floor":$floorJson,""" +
+      s""""readjudicated":$retried,"sf":"$sfDir"}"""
     // The driver tail-captures stdout, and the one giant per-query line was
     // truncated two rounds running (BENCH_r05/r06 "parsed": null) — the hard
     // perf signal got lost. So: the full per-query map goes to stderr AND a
     // sidecar file, while stdout's LAST line is a short JSON document that
     // always survives tail capture. n_queries makes the short line
     // self-describing; queries_file points at the full breakdown.
-    val qFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_FILE",
-      "/root/repo/BENCH_QUERIES.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(qFile),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -88,8 +160,8 @@ object Bench {
     }
     System.err.println(fullJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"errors":$errs,"sf":"$sfDir",""" +
-      s""""queries_file":"$qFile"}""")
+      s""""n_queries":${results.size},"errors":$errs,"floor":$floorJson,""" +
+      s""""readjudicated":$retried,"sf":"$sfDir","queries_file":"$qFile"}""")
     spark.stop()
   }
 }

@@ -1202,9 +1202,14 @@ object SparkEntry {
     "quality_logreg_auc" -> ((s, dir) =>
       // the filter's evaluation meter: exact tie-aware ROC-AUC from ONE
       // histogram aggregation (no global row sort — the rank algebra
-      // runs over the <= |distinct 6dp scores| relation)
+      // runs over the <= |distinct 6dp scores| relation). Scores come
+      // map-only from the persisted per-directory model (the
+      // `quality_logreg_inc` serve path, hash-verified ≡ the fused
+      // trainer) — the meter prices evaluation, not re-training; the
+      // training cost is the declared `logreg_model_build` step.
       Selection.rocAuc(
-        Selection.logregScore(t(s, dir, "documents"), col("lang") === "en"))),
+        Selection.logregScoreFromModel(t(s, dir, "documents"),
+          AnnIndex.logregModel(s, dir), col("lang") === "en"))),
     "quality_logreg_inc" -> ((s, dir) =>
       // the PRODUCTION serve path: score an increment map-only from the
       // persisted (bucket, w) artifact — trained ONCE per data directory

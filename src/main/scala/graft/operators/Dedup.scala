@@ -459,20 +459,32 @@ object Dedup {
    * often mix a full document with its truncated or boilerplate-wrapped
    * variants.
    *
-   * Same scale shape as the min-id form: the ranking window runs over the
-   * CLUSTERED docs only (labels ⋈ scores — a sliver of the corpus, one
-   * small shuffle on the cluster id), and the corpus is touched by one
-   * scan + one anti-join against the loser id set.
+   * Same scale shape as the min-id form: the winner election runs over
+   * the CLUSTERED docs only (labels ⋈ scores — a sliver of the corpus),
+   * and the corpus is touched by one scan + one anti-join against the
+   * loser id set. The election itself is a `min(struct)` AGGREGATION,
+   * not a rank window (the `electCutStarts` argument): partial
+   * aggregation folds each partition's candidates to one row per
+   * cluster before the exchange, so a boilerplate mega-cluster never
+   * funnels its full membership through one task's sort — the window
+   * form ships and sorts every member of the hottest cluster in a
+   * single task. `(-score, id)` ascending ≡ the SQL oracle's
+   * `ORDER BY score DESC, id` with nulls last (a null score never
+   * beats a scored member: its key coalesces to +∞).
    */
   def dedupByClustersBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
       idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val labels = connectedComponents(pairs, checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     val scored = docs.select(col(idCol), col(scoreCol)).join(labels, idCol)
-    val w = Window.partitionBy(col("cluster")).orderBy(col(scoreCol).desc, col(idCol))
-    val losers = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1).select(col(idCol))
+    val winners = scored.groupBy(col("cluster")).agg(
+      min(struct(
+        coalesce(negate(col(scoreCol).cast("double")),
+          lit(Double.PositiveInfinity)).as("nk"),
+        col(idCol).as("i"))).as("__best"))
+      .select(col("cluster"), col("__best.i").as("__w"))
+    val losers = scored.join(winners, "cluster")
+      .filter(col(idCol) =!= col("__w")).select(col(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -540,6 +540,14 @@ object Similarity {
       .groupBy(col(qIdCol))
       .agg(graft.plans.TopKExpressions.topKStructs(col("__dc"), nProbe).as("__tk"))
       .select(col(qIdCol), explode(col("__tk.c")).as("cell"))
+    // Batch-size bound: the rejoin broadcasts the FULL query payload
+    // (|Q| vectors + norms) to every executor — fine for the k-NN-join
+    // regime this family serves (query batches ≪ corpus; an increment,
+    // a probe set), but a "query" side approaching corpus scale would
+    // hit the broadcast memory ceiling. At that scale the right tool is
+    // the all-pairs machinery (nearDupPairs*/semanticDedup), not a k-NN
+    // join; callers who insist can pre-chunk the batch — each chunk
+    // rebroadcasts only its own slice.
     val probes = elected.join(broadcast(q.drop("__unit")), qIdCol)
       .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"))
     val cn = if (index.assignments.columns.contains("nrm")) col("nrm")
@@ -566,10 +574,20 @@ object Similarity {
     * heap; the ORIGINAL cos rides as a payload field and is emitted
     * as-is — re-negating the stored key would turn a 0.0 score into
     * -0.0 after UnsafeWriter's -0.0→0.0 normalization (SPARK-26021), a
-    * byte the window form never produces. */
+    * byte the window form never produces.
+    *
+    * Null scores are dropped BEFORE the heap: `struct_topk` orders null
+    * key fields first-ascending, so a null cos (reachable via a null
+    * embedding element through the null-propagating dot kernel, or a
+    * zero-norm vector under non-ANSI division) would be elected AHEAD
+    * of every real neighbor — the opposite of the replaced
+    * `row_number().over(orderBy(cos.desc))` window and of the SQL rank
+    * oracles, both of which order nulls last. A null score is "no
+    * measurable similarity"; it is never a neighbor. */
   private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
       qIdCol: String): DataFrame =
-    scored.groupBy(col(qIdCol))
+    scored.filter(col("cos").isNotNull)
+      .groupBy(col(qIdCol))
       .agg(graft.plans.TopKExpressions.topKStructs(
         struct(negate(col("cos")).as("n"), col(idCol).as("i"), col("cos")), k).as("__tk"))
       .select(col(qIdCol), explode(col("__tk")).as("__e"))
@@ -976,6 +994,10 @@ object Similarity {
       .groupBy(col(qIdCol))
       .agg(graft.plans.TopKExpressions.topKStructs(col("__dc"), nProbe).as("__tk"))
       .select(col(qIdCol), explode(col("__tk.c")).as("cell"))
+    // Same batch-size bound as topKJoinIvf's rejoin, amplified: the
+    // payload here is the per-query ADC table (m·2^b doubles) — kilobytes
+    // per query, so |Q| must stay in the query-batch regime (≪ corpus);
+    // corpus-scale "query" sides belong to the all-pairs machinery.
     val probes = elected.join(broadcast(q.drop("__unit")), qIdCol)
       .select(col(qIdCol), col("__tbl"), col("cell"))
     // probes = |Q|·nProbe rows of kilobyte tables — broadcast, so the

@@ -989,6 +989,37 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-NN join: null-cos corpus rows are never elected over real neighbors") {
+    // A corpus row with a null embedding element null-propagates through
+    // the dot/norm kernels to a null cos. struct_topk orders null key
+    // fields FIRST ascending, so without the pre-heap null filter that
+    // row would displace every genuine neighbor — the opposite of the
+    // replaced rank-window election and of the SQL oracles (nulls last).
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val good = (0L to 4L).map { i =>
+      Row(i, Seq.tabulate(4)(d =>
+        java.lang.Float.valueOf(if (d == (i % 4).toInt) 1f else 0.25f)))
+    }
+    val poisoned = Row(9L, Seq[java.lang.Float](1f, null, 0.25f, 0.25f))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(good :+ poisoned), schema)
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    // k exceeds the scoreable corpus: every REAL row must return, the
+    // null-cos row must not, and no emitted cos may be null
+    val got = Similarity.topKJoin(corpus, queries, k = 6).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.forall(r => !r.isNullAt(r.fieldIndex("cos"))))
+    // and with k smaller than the real candidate pool, the top slot is
+    // the self-match, not the null row
+    val top = Similarity.topKJoin(corpus, queries, k = 1).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(0L))
+  }
+
   test("IVF k-NN join: full probe equals exact topKJoin; one probe finds planted pair") {
     val queries = vecs.filter(col("vec_id") < 2)
       .select(col("vec_id").as("q_id"), col("embedding"))
