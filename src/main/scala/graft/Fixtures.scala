@@ -169,7 +169,8 @@ object Fixtures {
   /**
    * Multimodal fixture: binary payloads + typed metadata. Image payloads
    * rotate VALID 24-bit uncompressed BMPs, VALID non-interlaced 8-bit
-   * PNGs (RGB and RGBA), and VALID baseline JPEGs (4:4:4 and 4:2:0);
+   * PNGs (RGB and RGBA), and VALID JPEGs (baseline 4:4:4 and 4:2:0,
+   * plus progressive SOF2 with a planted color cast);
    * audio payloads alternate VALID 16-bit PCM WAVs and VALID MP3 frame
    * streams (deterministic gradient / sine / gain-ramp content — all
    * parseable without a codec library, so `Multimodal.extractFeatures`
@@ -190,7 +191,12 @@ object Fixtures {
         // JPEG alternating 4:4:4 and 4:2:0) so every real image decode
         // path appears in the persisted fixture
         case "image" if (i / 3) % 3 == 1 => pngBytes(w, h, i, alpha = (i / 3) % 6 == 4)
-        case "image" if (i / 3) % 3 == 2 => jpegBytes(w, h, i, subsample = (i / 3) % 6 == 5)
+        case "image" if (i / 3) % 3 == 2 =>
+          // JPEG slots rotate baseline 4:4:4 / 4:2:0 / PROGRESSIVE, so
+          // the persisted fixture exercises every real JPEG decode path
+          if ((i / 3) % 6 == 2)
+            jpegProgressiveBytes(w, h, i, cbOff = 20, crOff = -10)
+          else jpegBytes(w, h, i, subsample = (i / 3) % 6 == 5)
         case "image" => bmpBytes(w, h, i)
         // audio alternates PCM WAV (decoded to a real RMS envelope) and
         // Layer III MP3 (side-info global_gain loudness envelope)
@@ -505,6 +511,307 @@ object Fixtures {
       mcu += 1
     }
     flushBits()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /**
+   * A valid PROGRESSIVE JPEG (SOF2, Huffman) carrying the SAME content —
+   * pixel-for-pixel the same luma gradient, chroma casts, quantizer and
+   * Huffman table — as [[jpegBytes]], so a progressive decode must
+   * reproduce the baseline feature EXACTLY (successive approximation
+   * reconstructs every coefficient to full precision by the last scan).
+   * The scan script exercises all four progressive scan kinds plus EOB
+   * runs:
+   *   1. DC first (interleaved when color, Al=1),
+   *   2. DC refinement (Ah=1 → Al=0),
+   *   3. AC first Y split across two spectral bands (1–5, 6–63, Al=1),
+   *   4. AC refinement Y (1–63, Ah=1 → Al=0),
+   *   5. AC first Cb, Cr (1–63, Al=0) — the flat chroma planes have no
+   *      AC energy, so these scans are pure multi-block EOB runs.
+   * `restartEvery > 0` writes DRI and inserts RSTn every that-many units
+   * in EVERY scan (MCUs in the interleaved DC scans, blocks in the
+   * non-interleaved ones — T.81's unit definition), with EOB runs
+   * flushed at each boundary: the progressive restart path (DC
+   * predictor + EOB-run reset) is its own decoder branch.
+   */
+  def jpegProgressiveBytes(w: Int, h: Int, seed: Int, gray: Boolean = false,
+      subsample: Boolean = false, cbOff: Int = 0, crOff: Int = 0,
+      restartEvery: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0)
+    def rgb(x: Int, y: Int): (Int, Int, Int) = (
+      (x + (h - 1 - y) + seed * 11) % 256,
+      (h - 1 - y) * 255 / math.max(1, h - 1),
+      (x * 255 / math.max(1, w - 1) + seed * 37) % 256)
+    def lumaAt(x: Int, y: Int): Double = {
+      val (r, g, b) = rgb(math.min(x, w - 1), math.min(y, h - 1))
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    val q = 4
+    marker(0xDB); u16(2 + 65); u8(0x00)
+    (0 until 64).foreach(_ => u8(q))
+    if (restartEvery > 0) { marker(0xDD); u16(4); u16(restartEvery) }
+    // SOF2 — same frame layout as jpegBytes' SOF0
+    val nComp = if (gray) 1 else 3
+    marker(0xC2); u16(8 + 3 * nComp); u8(8); u16(h); u16(w); u8(nComp)
+    val (hy, vy) = if (subsample && !gray) (2, 2) else (1, 1)
+    u8(1); u8((hy << 4) | vy); u8(0) // Y
+    if (!gray) { u8(2); u8(0x11); u8(0); u8(3); u8(0x11); u8(0) }
+    // the universal 8/9-bit table (see jpegBytes), as DC(0) and AC(0)
+    for (tc <- 0 to 1) {
+      marker(0xC4); u16(2 + 17 + 256); u8((tc << 4) | 0)
+      (1 to 16).foreach(l => u8(if (l == 8) 255 else if (l == 9) 1 else 0))
+      (0 until 256).foreach(u8)
+    }
+    // --- bit writer (0xFF00 stuffing; 1-padded flush before markers) ---
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = if (n > 0) {
+      bitBuf = (bitBuf << n) | (v & ((1L << n) - 1))
+      bitCnt += n
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00)
+        bitCnt -= 8
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) {
+      val b = (((bitBuf << (8 - bitCnt)) & 0xFF)).toInt
+      val padded = b | ((1 << (8 - bitCnt)) - 1)
+      out.write(padded)
+      if (padded == 0xFF) out.write(0x00)
+      bitCnt = 0
+    }
+    def putSym(s: Int): Unit =
+      if (s < 255) putBits(s, 8) else putBits(510, 9)
+    def magnitude(v: Int): (Int, Int) = {
+      val a = math.abs(v)
+      var s = 0
+      while ((a >> s) != 0) s += 1
+      val bits = if (v >= 0) v else v + (1 << s) - 1
+      (s, bits)
+    }
+    // --- forward DCT (identical math to jpegBytes) ---
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val cosT = Array.tabulate(64) { i =>
+      val u = i / 8; val x = i % 8
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    def fdct(px: Array[Double]): Array[Int] = {
+      val tmp = new Array[Double](64)
+      for (v <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (y <- 0 until 8) s += px(y * 8 + x) * cosT(v * 8 + y)
+        tmp(v * 8 + x) = s / 2.0
+      }
+      val f = new Array[Int](64)
+      for (k <- 0 until 64) {
+        val u = zig(k) % 8; val v = zig(k) / 8
+        var s = 0.0
+        for (x <- 0 until 8) s += tmp(v * 8 + x) * cosT(u * 8 + x)
+        f(k) = math.round(s / 2.0 / q).toInt
+      }
+      f
+    }
+    // --- precompute every component's quantized zigzag blocks ---
+    val mcusX = (w + 8 * hy - 1) / (8 * hy)
+    val mcusY = (h + 8 * vy - 1) / (8 * vy)
+    val yBw = mcusX * hy // padded Y block grid (interleaved DC order)
+    val yBh = mcusY * vy
+    val yBlocks = Array.tabulate(yBh, yBw) { (by, bx) =>
+      fdct(Array.tabulate(64)(i => lumaAt(bx * 8 + i % 8, by * 8 + i / 8) - 128.0))
+    }
+    val cbBlock = fdct(Array.fill(64)(cbOff.toDouble))
+    val crBlock = fdct(Array.fill(64)(crOff.toDouble))
+    // used (non-padding) grids — AC scans are non-interleaved
+    val yUw = (w + 7) / 8
+    val yUh = (h + 7) / 8
+    val cUw = (w + 8 * hy - 1) / (8 * hy) // chroma compH=1 vs hmax=hy
+    val cUh = (h + 8 * vy - 1) / (8 * vy)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(6 + 2 * comps.length); u8(comps.length)
+      comps.foreach { id => u8(id); u8(0x00) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    def tz(v: Int, al: Int): Int = // point transform: truncate toward zero
+      if (v >= 0) v >> al else -((-v) >> al)
+    def dcOf(comp: Int, by: Int, bx: Int): Int = comp match {
+      case 0 => yBlocks(by)(bx)(0)
+      case 1 => cbBlock(0)
+      case 2 => crBlock(0)
+    }
+    val allComps = (0 until nComp).toSeq
+    // restart plumbing: every `restartEvery` units within a scan, flush
+    // to a byte boundary, emit RSTn (modulo-8 counter per scan), reset
+    // per-scan entropy state via the callback
+    def restartGate(unit: Int, rst: () => Int)(reset: => Unit): Unit =
+      if (restartEvery > 0 && unit > 0 && unit % restartEvery == 0) {
+        flushBits(); marker(0xD0 + rst() % 8); reset
+      }
+    // --- scan 1: DC first, Al=1 (interleaved when ns>1) ---
+    locally {
+      sos(allComps.map(_ + 1), 0, 0, 0, 1)
+      val pred = new Array[Int](nComp)
+      var unit = 0
+      var rsts = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        restartGate(unit, () => { val r = rsts; rsts += 1; r }) {
+          java.util.Arrays.fill(pred, 0)
+        }
+        for (c <- allComps) {
+          val (ch, cv) = if (c == 0) (hy, vy) else (1, 1)
+          for (by <- 0 until cv; bx <- 0 until ch) {
+            val v = dcOf(c, my * cv + by, mx * ch + bx) >> 1 // arithmetic
+            val (s, bits) = magnitude(v - pred(c))
+            putSym(s); putBits(bits, s)
+            pred(c) = v
+          }
+        }
+        unit += 1
+      }
+      flushBits()
+    }
+    // --- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) ---
+    locally {
+      sos(allComps.map(_ + 1), 0, 0, 1, 0)
+      var unit = 0
+      var rsts = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        restartGate(unit, () => { val r = rsts; rsts += 1; r })(())
+        for (c <- allComps) {
+          val (ch, cv) = if (c == 0) (hy, vy) else (1, 1)
+          for (by <- 0 until cv; bx <- 0 until ch)
+            putBits(dcOf(c, my * cv + by, mx * ch + bx) & 1, 1)
+        }
+        unit += 1
+      }
+      flushBits()
+    }
+    // --- AC first scan of one component's band, with EOB runs ---
+    def acFirst(comp: Int, uw: Int, uh: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(comp + 1), ss, se, 0, al)
+      var eobRun = 0
+      def flushEob(): Unit = while (eobRun > 0) {
+        var r = 0
+        while ((2 << r) <= eobRun && r < 14) r += 1
+        val take = math.min(eobRun, (2 << r) - 1)
+        putSym(r << 4)
+        putBits(take - (1 << r), r)
+        eobRun -= take
+      }
+      var unit = 0
+      var rsts = 0
+      for (by <- 0 until uh; bx <- 0 until uw) {
+        if (restartEvery > 0 && unit > 0 && unit % restartEvery == 0) {
+          flushEob(); flushBits(); marker(0xD0 + rsts % 8); rsts += 1
+        }
+        unit += 1
+        val blk = if (comp == 0) yBlocks(by)(bx)
+          else if (comp == 1) cbBlock else crBlock
+        val vs = Array.tabulate(se - ss + 1)(i => tz(blk(ss + i), al))
+        if (vs.forall(_ == 0)) eobRun += 1
+        else {
+          flushEob()
+          var run = 0
+          var lastNz = -1
+          for (i <- vs.indices) {
+            if (vs(i) == 0) run += 1
+            else {
+              while (run > 15) { putSym(0xF0); run -= 16 }
+              val (s, bits) = magnitude(vs(i))
+              putSym((run << 4) | s); putBits(bits, s)
+              run = 0; lastNz = i
+            }
+          }
+          if (lastNz < vs.length - 1) eobRun += 1 // trailing zeros → EOB
+        }
+      }
+      flushEob()
+      flushBits()
+    }
+    // --- AC refinement of one component's band (Ah = Al+1) ---
+    def acRefine(comp: Int, uw: Int, uh: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(comp + 1), ss, se, al + 1, 0 + al)
+      val p1 = 1 << al
+      var unit = 0
+      var rsts = 0
+      for (by <- 0 until uh; bx <- 0 until uw) {
+        if (restartEvery > 0 && unit > 0 && unit % restartEvery == 0) {
+          flushBits(); marker(0xD0 + rsts % 8); rsts += 1
+        }
+        unit += 1
+        val blk = if (comp == 0) yBlocks(by)(bx)
+          else if (comp == 1) cbBlock else crBlock
+        // categories over the band: 0 = zero-history, 1 = newly
+        // significant (emit with sign), 2 = already significant (one
+        // correction bit, read while the decoder advances)
+        val n = se - ss + 1
+        val cat = new Array[Int](n)
+        val corr = new Array[Int](n)
+        val sign = new Array[Int](n)
+        for (i <- 0 until n) {
+          val c0 = blk(ss + i)
+          val t = tz(c0, al)
+          if (math.abs(t) > 1) { cat(i) = 2; corr(i) = (math.abs(c0) >> al) & 1 }
+          else if (t != 0) { cat(i) = 1; sign(i) = if (t > 0) 1 else 0 }
+        }
+        // mirror the decoder's traversal exactly: ZRL consumes 16
+        // zero-history slots (correction bits for significant slots ride
+        // along in coefficient order); a (run,1) symbol places the new
+        // value after `run` zero-history slots; EOB covers the tail.
+        var k = 0
+        var done = false
+        while (!done) {
+          var nk = -1
+          var j = k
+          while (j < n && nk < 0) { if (cat(j) == 1) nk = j; j += 1 }
+          if (nk < 0) {
+            if (k < n) { // tail: EOB(1) + correction bits
+              putSym(0x00)
+              for (t <- k until n if cat(t) == 2) putBits(corr(t), 1)
+            }
+            done = true
+          } else {
+            var zeros = 0
+            for (t <- k until nk if cat(t) == 0) zeros += 1
+            while (zeros > 15) { // ZRL: advance over exactly 16 zeros
+              putSym(0xF0)
+              var cnt = 0
+              while (cnt < 16) {
+                if (cat(k) == 0) cnt += 1 else putBits(corr(k), 1)
+                k += 1
+              }
+              zeros -= 16
+            }
+            putSym((zeros << 4) | 1)
+            putBits(sign(nk), 1)
+            while (k < nk) { if (cat(k) == 2) putBits(corr(k), 1); k += 1 }
+            k = nk + 1
+          }
+        }
+      }
+      flushBits()
+    }
+    // --- scans 3-5: Y spectral bands at Al=1, then the refinement ---
+    acFirst(0, yUw, yUh, 1, 5, 1)
+    acFirst(0, yUw, yUh, 6, 63, 1)
+    acRefine(0, yUw, yUh, 1, 63, 0)
+    // --- scans 6-7: chroma AC in one full-precision pass (EOB runs) ---
+    if (!gray) {
+      acFirst(1, cUw, cUh, 1, 63, 0)
+      acFirst(2, cUw, cUh, 1, 63, 0)
+    }
     marker(0xD9) // EOI
     out.toByteArray
   }

@@ -151,6 +151,35 @@ private[operators] object JpegDecode {
   // scratch reused across blocks (driver/executor thread-local by task)
   private def newScratch() = (new Array[Double](64), new Array[Double](64))
 
+  /** Accumulate one reconstructed 8×8 block into a feature grid. `px0`/
+    * `py0` are the block's top-left in COMPONENT space; each sample
+    * stands for an fx×fy pixel tile and is added once at its top-left
+    * upsampled position — the grid mean over samples equals the mean
+    * over replicated pixels up to cell-boundary rounding (a sample whose
+    * tile straddles a grid-cell boundary is attributed wholly to its
+    * top-left cell, and edge samples with partially in-bounds tiles get
+    * full weight; bounded by one sample row/column per cell edge, inside
+    * the tolerance every consumer of this feature carries). */
+  private def accumulate(tgt: Multimodal.GridLuma, pix: Array[Double],
+      px0: Int, py0: Int, fx: Int, fy: Int, w: Int, h: Int): Unit = {
+    var yy = 0
+    while (yy < 8) {
+      val py = (py0 + yy) * fy
+      if (py < h) {
+        var xx = 0
+        while (xx < 8) {
+          val px = (px0 + xx) * fx
+          if (px < w) {
+            val v = pix(yy * 8 + xx) + 128.0
+            tgt.add(px, py, math.max(0.0, math.min(255.0, v)))
+          }
+          xx += 1
+        }
+      }
+      yy += 1
+    }
+  }
+
   /** Entropy scan entry — see [[Multimodal.decodeJpeg]] for the contract. */
   def scan(p: Array[Byte], start: Int, w: Int, h: Int, nComp: Int,
       compH: Array[Int], compV: Array[Int], compQ: Array[Int],
@@ -229,30 +258,11 @@ private[operators] object JpegDecode {
                 idct(coef, pix)
                 // accumulate reconstructed samples: Y at its 1:1 pixel
                 // tile, chroma at the integer-upsampled positions its
-                // samples cover (each sample stands for an fx×fy tile;
-                // the grid mean over samples equals the mean over the
-                // replicated pixels up to cell-boundary rounding)
+                // samples cover
                 val tgt = if (isLuma) grid else if (comp == 1) cbG else crG
-                val fx = hmax / compH(comp)
-                val fy = vmax / compV(comp)
-                val px0 = (mx * compH(comp) + bx) * 8
-                val py0 = (my * compV(comp) + by) * 8
-                var yy = 0
-                while (yy < 8) {
-                  val py = (py0 + yy) * fy
-                  if (py < h) {
-                    var xx = 0
-                    while (xx < 8) {
-                      val px = (px0 + xx) * fx
-                      if (px < w) {
-                        val v = pix(yy * 8 + xx) + 128.0
-                        tgt.add(px, py, math.max(0.0, math.min(255.0, v)))
-                      }
-                      xx += 1
-                    }
-                  }
-                  yy += 1
-                }
+                accumulate(tgt, pix,
+                  (mx * compH(comp) + bx) * 8, (my * compV(comp) + by) * 8,
+                  hmax / compH(comp), vmax / compV(comp), w, h)
               }
               bx += 1
             }
@@ -274,5 +284,279 @@ private[operators] object JpegDecode {
       my += 1
     }
     Some((w, h, Multimodal.imageFeature(grid, cbG, crG)))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  /**
+   * Progressive decode state: per-component coefficient planes (zigzag
+   * index order, MCU-padded block grid) accumulated across SOS scans —
+   * spectral selection fills disjoint coefficient bands, successive
+   * approximation raises their precision — then finalized with ONE
+   * dequant+IDCT pass per block ([[finish]]). T.81 Annex G, Huffman
+   * coding only (arithmetic-coded frames never reach here — the SOF
+   * dispatch rejects them). Memory is the valve the caller enforces at
+   * SOF2 (w·h ≤ 8 MP → ≤ ~48 MB of Int coefficients per payload): a
+   * progressive image cannot stream block-by-block the way a baseline
+   * scan does, coefficients only become final after the last scan.
+   */
+  final class ProgState(val w: Int, val h: Int, val nComp: Int,
+      val compH: Array[Int], val compV: Array[Int]) {
+    val hmax: Int = compH.max
+    val vmax: Int = compV.max
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    /** MCU-padded block-grid width/height per component (interleaved DC
+      * scans address padding blocks; storage uses this stride). */
+    val bW: Array[Int] = Array.tabulate(nComp)(c => mcusX * compH(c))
+    val bH: Array[Int] = Array.tabulate(nComp)(c => mcusY * compV(c))
+    /** used (non-padding) blocks — NON-interleaved scans traverse only
+      * ceil(componentExtent/8) blocks, the classic progressive gotcha. */
+    val uW: Array[Int] = Array.tabulate(nComp)(c =>
+      (w * compH(c) + 8 * hmax - 1) / (8 * hmax))
+    val uH: Array[Int] = Array.tabulate(nComp)(c =>
+      (h * compV(c) + 8 * vmax - 1) / (8 * vmax))
+    val coef: Array[Array[Int]] =
+      Array.tabulate(nComp)(c => new Array[Int](bW(c) * bH(c) * 64))
+    var sawDc: Boolean = false
+  }
+
+  /**
+   * Decode ONE progressive scan's entropy data into `st.coef`, returning
+   * the offset of the next marker's 0xFF byte (scans are followed by more
+   * table/scan segments until EOI). None on any malformed construct —
+   * same contract as [[scan]]. Implements the four scan kinds of T.81
+   * G.2: DC first (diff-coded, point-transformed), DC refinement (one raw
+   * bit per block), AC first (EOB-run coded band), AC refinement
+   * (correction bits + newly-significant insertions).
+   */
+  def progressiveScan(p: Array[Byte], start: Int, st: ProgState,
+      hufCounts: Array[Array[Array[Int]]], hufSymbols: Array[Array[Array[Int]]],
+      scanComps: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Option[Int] = try {
+    val ns = scanComps.length
+    if (ss < 0 || se > 63 || ss > se || al < 0 || al > 13 || ah < 0 || ah > 13)
+      return None
+    if (ss == 0 && se != 0) return None // DC scans carry only coefficient 0
+    if (ss > 0 && ns != 1) return None  // AC scans are single-component
+    if (ah != 0 && ah != al + 1) return None // successive approx. steps by 1
+    if (ss > 0 && !st.sawDc) return None // DC band must come first (G.1.1.1.1)
+    val br = new BitReader(p, start)
+    var eobrun = 0
+    val dcPred = new Array[Int](ns)
+    // Huffman tables: DC first needs a DC table; AC scans an AC table;
+    // DC refinement reads raw bits only.
+    val dcHuff = new Array[Huff](ns)
+    var acHuff: Huff = null
+    if (ss == 0 && ah == 0) {
+      var c = 0
+      while (c < ns) {
+        if (hufCounts(0)(scanDc(c)) == null) return None
+        dcHuff(c) = new Huff(hufCounts(0)(scanDc(c)), hufSymbols(0)(scanDc(c)))
+        c += 1
+      }
+    } else if (ss > 0) {
+      if (hufCounts(1)(scanAc(0)) == null) return None
+      acHuff = new Huff(hufCounts(1)(scanAc(0)), hufSymbols(1)(scanAc(0)))
+    }
+
+    def decodeDc(sc: Int, base: Int): Unit =
+      if (ah == 0) {
+        val t = dcHuff(sc).decode(br)
+        if (t > 15) throw Bad
+        dcPred(sc) += extend(br.receive(t), t)
+        st.coef(scanComps(sc))(base) = dcPred(sc) << al
+      } else if (br.bit() == 1) st.coef(scanComps(sc))(base) |= 1 << al
+
+    val p1 = 1 << al
+    val m1 = -1 << al
+    def correct(cf: Array[Int], i: Int): Unit =
+      if (br.bit() == 1 && (cf(i) & p1) == 0)
+        cf(i) += (if (cf(i) >= 0) p1 else m1)
+
+    def decodeAcFirst(cf: Array[Int], base: Int): Unit =
+      if (eobrun > 0) eobrun -= 1
+      else {
+        var k = ss
+        while (k <= se) {
+          val rs = acHuff.decode(br)
+          val r = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { // EOBn: run counts THIS block
+              eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+              k = se + 1
+            }
+          } else {
+            k += r
+            if (k > se) throw Bad
+            cf(base + k) = extend(br.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+    def decodeAcRefine(cf: Array[Int], base: Int): Unit = {
+      var k = ss
+      var tail = false // correction-bits-only pass over k..se at the end
+      if (eobrun > 0) {
+        eobrun -= 1 // block wholly inside an EOB run: tail from Ss
+        tail = true
+      } else {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = acHuff.decode(br)
+          var r = rs >> 4
+          val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) { // EOBn (run counts THIS block — pre-decrement)
+              eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+              atEob = true
+              tail = true
+            }
+            // r == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) throw Bad // refinement inserts only ±1<<Al
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (!atEob) {
+            // advance past r zero-history positions, emitting correction
+            // bits for already-significant coefficients on the way, then
+            // place the new value (if any) at the next zero-history slot
+            var placed = false
+            var scan = true
+            while (k <= se && scan) {
+              val i = base + k
+              if (cf(i) != 0) correct(cf, i)
+              else if (r == 0) {
+                if (newVal != 0) { cf(i) = newVal; placed = true }
+                scan = false
+              } else r -= 1
+              k += 1
+            }
+            if (newVal != 0 && !placed) throw Bad // ran off the band
+          }
+        }
+      }
+      if (tail) while (k <= se) { // remaining positions: correction bits
+        val i = base + k
+        if (cf(i) != 0) correct(cf, i)
+        k += 1
+      }
+    }
+
+    // --- traversal ---
+    var units = 0
+    def maybeRestart(total: Int): Unit =
+      if (restartInterval > 0 && units % restartInterval == 0 && units < total) {
+        br.restart()
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+    if (ss == 0 && ns > 1) {
+      // interleaved DC scan: MCU order over the padded grid
+      val total = st.mcusX * st.mcusY
+      var my = 0
+      while (my < st.mcusY) {
+        var mx = 0
+        while (mx < st.mcusX) {
+          if (units > 0) maybeRestart(total)
+          var sc = 0
+          while (sc < ns) {
+            val comp = scanComps(sc)
+            var by = 0
+            while (by < st.compV(comp)) {
+              var bx = 0
+              while (bx < st.compH(comp)) {
+                decodeDc(sc, ((my * st.compV(comp) + by) * st.bW(comp) +
+                  mx * st.compH(comp) + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            sc += 1
+          }
+          units += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved (single-component) scan: used-block row-major
+      val comp = scanComps(0)
+      val cf = st.coef(comp)
+      val total = st.uW(comp) * st.uH(comp)
+      var by = 0
+      while (by < st.uH(comp)) {
+        var bx = 0
+        while (bx < st.uW(comp)) {
+          if (units > 0) maybeRestart(total)
+          val base = (by * st.bW(comp) + bx) * 64
+          if (ss == 0) decodeDc(0, base)
+          else if (ah == 0) decodeAcFirst(cf, base)
+          else decodeAcRefine(cf, base)
+          units += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (ss == 0) st.sawDc = true
+    // entropy data ends at the first non-stuffing, non-RST marker
+    var q = br.pos
+    while (q + 1 < p.length && !((p(q) & 0xFF) == 0xFF && {
+      val m = p(q + 1) & 0xFF
+      m != 0x00 && (m < 0xD0 || m > 0xD7)
+    })) q += 1
+    if (q + 1 >= p.length) None else Some(q)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Dequantize + IDCT every used block of the accumulated coefficient
+    * planes and emit the 24-dim feature — the progressive counterpart of
+    * [[scan]]'s streaming tail. Same component policy: Y must carry the
+    * max sampling factors; chroma transforms only for canonical
+    * 3-component integer-subsampled frames. */
+  def finish(st: ProgState, compQ: Array[Int],
+      qt: Array[Array[Int]]): Option[(Int, Int, Array[Float])] = try {
+    if (!st.sawDc) return None
+    if (st.compH(0) != st.hmax || st.compV(0) != st.vmax) return None
+    def chromaOk(c: Int): Boolean = st.nComp == 3 && (c == 1 || c == 2) &&
+      st.hmax % st.compH(c) == 0 && st.vmax % st.compV(c) == 0
+    val grid = new Multimodal.GridLuma(st.w, st.h)
+    val cbG = Multimodal.chromaGrid(st.w, st.h)
+    val crG = Multimodal.chromaGrid(st.w, st.h)
+    val (coefNat, pix) = newScratch()
+    var c = 0
+    while (c < st.nComp) {
+      if (c == 0 || chromaOk(c)) {
+        if (compQ(c) > 3 || qt(compQ(c)) == null) return None
+        val qtab = qt(compQ(c))
+        val cf = st.coef(c)
+        val tgt = if (c == 0) grid else if (c == 1) cbG else crG
+        val fx = st.hmax / st.compH(c)
+        val fy = st.vmax / st.compV(c)
+        var by = 0
+        while (by < st.uH(c)) {
+          var bx = 0
+          while (bx < st.uW(c)) {
+            val base = (by * st.bW(c) + bx) * 64
+            var k = 0
+            while (k < 64) {
+              coefNat(ZigZag(k)) = cf(base + k).toDouble * qtab(k)
+              k += 1
+            }
+            idct(coefNat, pix)
+            accumulate(tgt, pix, bx * 8, by * 8, fx, fy, st.w, st.h)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      c += 1
+    }
+    Some((st.w, st.h, Multimodal.imageFeature(grid, cbG, crG)))
   } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -16,11 +16,12 @@ import graft.functions.Quantize
  * (JDK-standard `Inflater`) plus four integer row filters — so images
  * yield genuine 4×4-grid luminance features and audio genuine per-segment
  * RMS envelopes, content-derived embeddings the similarity/dedup operators
- * consume directly — and baseline JPEG ([[decodeJpeg]]) is Huffman
- * tables + an 8-point IDCT, pure math over bytes, decoded luma-only
- * (the feature IS luminance). Payloads
+ * consume directly — and JPEG ([[decodeJpeg]]), both baseline SOF0 and
+ * progressive SOF2 (Huffman only), is Huffman tables + an 8-point IDCT,
+ * pure math over bytes, with Y and (for canonical YCbCr layouts) Cb/Cr
+ * planes feeding the 24-dim grid feature. Payloads
  * that genuinely need a codec library (video containers, MP3/…, plus
- * the non-baseline JPEG modes) fall back to a
+ * arithmetic-coded/lossless/hierarchical JPEG modes) fall back to a
  * clearly-marked deterministic STUB (`fakeDecode`, `decoder = "stub"`):
  * those libraries don't exist in this container, and in production only
  * that branch changes — everything around it, including the contract that
@@ -43,8 +44,8 @@ object Multimodal {
   /** Extracted features: one row per media item (images: 24-dim —
     * [[imageFeature]]'s luma+chroma grids; audio: 16-dim envelope,
     * zero-padded). `decoder` records which
-    * path produced the feature — "bmp" / "png" / "jpeg" / "wav" /
-    * "avi-mjpeg" (real
+    * path produced the feature — "bmp" / "png" / "jpeg" /
+    * "jpeg-progressive" / "wav" / "avi-mjpeg" (real
     * content decode) or "stub" (codec-bound payload, deterministic
     * fake). */
   final case class MediaFeatures(
@@ -331,14 +332,32 @@ object Multimodal {
    * codec library is involved, meeting the same standard as the
    * BMP/PNG/WAV decoders. Returns (width, height, 24-dim feature):
    * 16 luma grid cells + 4 Cb + 4 Cr ([[imageFeature]]), /255 like the
-   * other decoders. None for anything this layout
-   * can't express (progressive SOF2, arithmetic coding, 12-bit,
-   * truncated/corrupt streams) — and, per the untrusted-header contract,
-   * sizes are valved before allocation.
+   * other decoders.
+   *
+   * PROGRESSIVE (SOF2, Huffman) frames decode too: the marker walk keeps
+   * consuming table/scan segments after each SOS, [[JpegDecode
+   * .progressiveScan]] accumulates every scan's band into per-component
+   * coefficient planes (spectral selection + successive approximation,
+   * DC and AC first/refinement passes, EOB runs, restart markers), and
+   * EOI triggers the single dequant+IDCT finalization ([[JpegDecode
+   * .finish]]). None for anything outside both layouts (arithmetic
+   * coding, lossless/hierarchical SOFs, 12-bit, truncated/corrupt
+   * streams) — and, per the untrusted-header contract, sizes are valved
+   * before allocation (tighter for progressive, whose coefficient
+   * planes must live until the last scan).
    */
-  def decodeJpeg(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  def decodeJpeg(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodeJpegImpl(p).map { case (_, w, h, f) => (w, h, f) }
+
+  /** [[decodeJpeg]] plus the decode-path tag ("jpeg" for baseline SOF0,
+    * "jpeg-progressive" for SOF2) — the `decoder` column's source. */
+  def decodeJpegTagged(p: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
+    decodeJpegImpl(p).map { case (prog, w, h, f) =>
+      (if (prog) "jpeg-progressive" else "jpeg", w, h, f) }
+
+  private def decodeJpegImpl(p: Array[Byte]): Option[(Boolean, Int, Int, Array[Float])] = {
     if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
-    // --- marker walk: collect DQT/DHT/SOF0/DRI until SOS ---
+    // --- marker walk: collect DQT/DHT/SOF0|SOF2/DRI until SOS ---
     val qt = new Array[Array[Int]](4)
     // huffman tables: (class 0=DC/1=AC)(id) -> (maxcode/valptr decode arrays)
     val hufCounts = Array.ofDim[Array[Int]](2, 4)
@@ -355,25 +374,42 @@ object Multimodal {
     var scanComps: Array[Int] = null // component index per scan order
     var scanDc: Array[Int] = null
     var scanAc: Array[Int] = null
+    var progressive = false
+    var prog: JpegDecode.ProgState = null
     while (sosAt < 0) {
-      if (off + 4 > p.length) return None
+      if (off + 2 > p.length) return None
       if ((p(off) & 0xFF) != 0xFF) return None
       val marker = p(off + 1) & 0xFF
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { off += 2 }
+      else if (marker == 0xD9) {
+        // EOI: a progressive frame finalizes here (baseline returns at
+        // its single SOS; EOI-before-SOS on baseline falls to the case
+        // below and returns None via the 0xD9 arm)
+        return if (progressive && prog != null)
+          JpegDecode.finish(prog, compQ, qt).map { case (w2, h2, f) =>
+            (true, w2, h2, f) }
+        else None
+      }
       else {
+        if (off + 4 > p.length) return None
         val len = ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
         if (len < 2 || off + 2 + len > p.length) return None
         val seg = off + 4
         val segEnd = off + 2 + len
         marker match {
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive (Huffman)
+            if (w >= 0) return None // second frame header
+            progressive = marker == 0xC2
             if (len < 8) return None
             if ((p(seg) & 0xFF) != 8) return None // bit depth
             h = ((p(seg + 1) & 0xFF) << 8) | (p(seg + 2) & 0xFF)
             w = ((p(seg + 3) & 0xFF) << 8) | (p(seg + 4) & 0xFF)
             nComp = p(seg + 5) & 0xFF
             if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
-            if (w.toLong * h > (64L << 20)) return None // decode-size valve
+            // decode-size valve; tighter for progressive, whose
+            // coefficient planes live until the last scan (~6 B/pixel)
+            if (w.toLong * h > (if (progressive) 8L << 20 else 64L << 20))
+              return None
             if (seg + 6 + nComp * 3 > segEnd) return None
             compId = new Array[Int](nComp); compH = new Array[Int](nComp)
             compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
@@ -387,8 +423,8 @@ object Multimodal {
               c += 1
             }
           case 0xC1 => return None // extended sequential: not baseline
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
-               0xCD | 0xCE | 0xCF => return None // progressive/arithmetic/…
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF => return None // lossless/arithmetic/…
           case 0xDB => // DQT
             var q = seg
             while (q < segEnd) {
@@ -429,7 +465,10 @@ object Multimodal {
             // read below would be out of bounds, so bound it first.
             if (seg >= segEnd) return None
             val ns = p(seg) & 0xFF
-            if (ns != nComp || seg + 1 + ns * 2 + 3 > segEnd) return None
+            // baseline: one interleaved scan of every component;
+            // progressive: any non-empty subset (AC scans: exactly one)
+            if (ns < 1 || ns > nComp || (!progressive && ns != nComp) ||
+              seg + 1 + ns * 2 + 3 > segEnd) return None
             scanComps = new Array[Int](ns)
             scanDc = new Array[Int](ns)
             scanAc = new Array[Int](ns)
@@ -443,15 +482,32 @@ object Multimodal {
               scanDc(c) = tt >> 4; scanAc(c) = tt & 0xF
               c += 1
             }
-            sosAt = segEnd
-          case 0xD9 => return None // EOI before SOS
+            if (progressive) {
+              // spectral selection + successive approximation, then the
+              // scan's entropy data; the walk resumes at the marker the
+              // scan decoder stops on (more tables/scans until EOI)
+              val ss = p(seg + 1 + ns * 2) & 0xFF
+              val se = p(seg + 2 + ns * 2) & 0xFF
+              val aa = p(seg + 3 + ns * 2) & 0xFF
+              if (prog == null)
+                prog = new JpegDecode.ProgState(w, h, nComp, compH, compV)
+              JpegDecode.progressiveScan(p, segEnd, prog, hufCounts,
+                hufSymbols, scanComps, scanDc, scanAc, ss, se,
+                aa >> 4, aa & 0xF, restartInterval) match {
+                case Some(next) => off = next
+                case None => return None
+              }
+            } else sosAt = segEnd
           case _ => () // APPn/COM/…: skip
         }
-        if (sosAt < 0) off = segEnd
+        // a progressive SOS arm already advanced `off` past its entropy
+        // data; every other still-walking marker steps to its segment end
+        if (sosAt < 0 && marker != 0xDA) off = segEnd
       }
     }
     JpegDecode.scan(p, sosAt, w, h, nComp, compH, compV, compQ,
       qt, hufCounts, hufSymbols, scanComps, scanDc, scanAc, restartInterval)
+      .map { case (w2, h2, f) => (false, w2, h2, f) }
   }
 
   /**
@@ -700,7 +756,8 @@ object Multimodal {
 
   /**
    * Decode + feature-extract + resize + frame-sample in one partition-
-   * batched pass. Images parse as BMP, PNG or baseline JPEG, audio as
+   * batched pass. Images parse as BMP, PNG or JPEG (baseline +
+   * progressive), audio as
    * WAV, and video as MJPEG AVI when the bytes really are those layouts
    * ([[decodeBmp]]/[[decodePng]]/[[decodeJpeg]]/[[decodeWav]]/
    * [[decodeAvi]] — real, library-free decoders whose features derive
@@ -730,7 +787,7 @@ object Multimodal {
             case "image" =>
               decodeBmp(payload).map { case (w, h, f) => ("bmp", w, h, 0, f) }
                 .orElse(decodePng(payload).map { case (w, h, f) => ("png", w, h, 0, f) })
-                .orElse(decodeJpeg(payload).map { case (w, h, f) => ("jpeg", w, h, 0, f) })
+                .orElse(decodeJpegTagged(payload).map { case (tag, w, h, f) => (tag, w, h, 0, f) })
             case "audio" =>
               decodeWav(payload).map { case (_, _, f) =>
                 ("wav", r.width, r.height, 0, f) }

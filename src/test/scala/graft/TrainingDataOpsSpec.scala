@@ -1305,7 +1305,8 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // REAL decode paths: fixture images are valid BMPs, PNGs, or JPEGs,
     // audio valid WAVs
     val imgDecoders = f1.filter(_.kind == "image").map(_.decoder).toSet
-    assert(imgDecoders == Set("bmp", "png", "jpeg"), s"got $imgDecoders")
+    assert(imgDecoders == Set("bmp", "png", "jpeg", "jpeg-progressive"),
+      s"got $imgDecoders")
     // audio splits between PCM WAV decode and the MP3 side-info envelope
     val audDecoders = f1.filter(_.kind == "audio").map(_.decoder).toSet
     assert(audDecoders == Set("wav", "mp3-sideinfo"), s"got $audDecoders")
@@ -1754,6 +1755,54 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Multimodal.parseMp3(Array.fill[Byte](64)(0xFF.toByte)).isEmpty)
   }
 
+  test("progressive JPEG: every scan kind reconstructs the baseline feature") {
+    import graft.operators.Multimodal
+    // jpegProgressiveBytes carries IDENTICAL content, quantizer and
+    // entropy tables as jpegBytes, re-scripted as SOF2 scans (DC
+    // first/refine at Al=1→0, two Y spectral bands + AC refinement,
+    // full-precision chroma passes riding multi-block EOB runs).
+    // Successive approximation reconstructs every coefficient exactly,
+    // so the 24-dim features must agree to float round-off — the only
+    // divergence is grid-sum accumulation ORDER (baseline streams in MCU
+    // order, progressive finalizes in used-block order).
+    val cases = Seq(
+      ("gray", (true, false, 0, 0, 0), 40, 24, 3),
+      ("4:4:4", (false, false, 0, 0, 0), 33, 47, 7),
+      ("4:4:4+color", (false, false, 40, -30, 0), 32, 32, 5),
+      ("4:2:0", (false, true, 0, 0, 0), 48, 32, 5),
+      ("4:2:0+color", (false, true, 40, -30, 0), 32, 32, 5),
+      // restart markers inside every progressive scan kind (DC pred +
+      // EOB-run reset — its own decoder branch); content identical, so
+      // the restarted stream must still reproduce the baseline feature
+      ("4:2:0+RST", (false, true, 25, -15, 2), 48, 32, 5),
+      ("4:4:4+RST1", (false, false, 0, 0, 1), 24, 24, 11))
+    for ((label, (gray, sub, cb, cr, rst), w, h, seed) <- cases) {
+      val base = Multimodal.decodeJpegTagged(
+        Fixtures.jpegBytes(w, h, seed, gray = gray, subsample = sub,
+          cbOff = cb, crOff = cr))
+      val prog = Multimodal.decodeJpegTagged(
+        Fixtures.jpegProgressiveBytes(w, h, seed, gray = gray,
+          subsample = sub, cbOff = cb, crOff = cr, restartEvery = rst))
+      assert(base.exists(_._1 == "jpeg"), s"$label baseline failed")
+      assert(prog.exists(_._1 == "jpeg-progressive"), s"$label progressive failed")
+      val (_, bw, bh, bf) = base.get
+      val (_, pw, ph, pf) = prog.get
+      assert((pw, ph) == (bw, bh), label)
+      for (c <- 0 until 24)
+        assert(math.abs(pf(c) - bf(c)) <= 1e-6f,
+          f"$label dim $c: prog ${pf(c)}%.7f vs base ${bf(c)}%.7f")
+    }
+    // the dispatcher tags the path: a progressive payload through
+    // extractFeatures reads decoder = "jpeg-progressive"
+    implicit val s = spark
+    import s.implicits._
+    val row = graft.operators.Multimodal.extractFeatures(
+      Seq((1L, "image", Fixtures.jpegProgressiveBytes(32, 32, 9), 32, 32, 0, "d1"))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "sample_rate", "doc_ref")).collect()
+    assert(row.length == 1 && row(0).decoder == "jpeg-progressive")
+  }
+
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
     import graft.operators.Multimodal
     // the untrusted-payload contract, exercised mechanically: random
@@ -1767,6 +1816,9 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       ("png-rgba", Fixtures.pngBytes(16, 16, 2, alpha = true)),
       ("jpeg", Fixtures.jpegBytes(24, 16, 1)),
       ("jpeg-420", Fixtures.jpegBytes(32, 32, 2, subsample = true, restartEvery = 1)),
+      ("jpeg-prog", Fixtures.jpegProgressiveBytes(24, 16, 1)),
+      ("jpeg-prog-420", Fixtures.jpegProgressiveBytes(32, 32, 2,
+        subsample = true, cbOff = 25, crOff = -15, restartEvery = 2)),
       ("wav", Fixtures.wavBytes(16000, 256, 1)),
       ("avi", Fixtures.aviBytes(24, 16, 3, 1)),
       ("avi-rec", Fixtures.aviBytes(16, 16, 2, 2, nested = true)),
