@@ -725,6 +725,22 @@ object Scratch {
       time("cellcodes build+write")(graft.operators.Similarity.writeCellCodes(
         graft.operators.Similarity.buildCellCodes(ivf300, codes300), s"$tmp/cellcodes_300"))
     }
+    // environment stamp bracketing the named-query runs (the Bench floor
+    // probes): a hot box shows up as an inflated floor, so a reader can
+    // tell contamination from regression without a second session
+    def floorStamp(tag: String): Unit = if (names.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      def minOf(n: Int)(f: => Unit): Double =
+        (1 to n).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      val agg = minOf(5)(
+        spark.range(1).selectExpr("sum(id) as s").queryExecution.toRdd.count())
+      val sh = minOf(5)(spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").agg(count(lit(1))).queryExecution.toRdd.count())
+      println(f"SCRATCH floor[$tag]: agg $agg%.4f s, shuffle $sh%.4f s")
+    }
+    floorStamp("start")
     for (n <- names) {
       if (n == "entry") {
         val cnt = graft.SparkEntry.entry(spark).count()
@@ -745,6 +761,7 @@ object Scratch {
         q(spark, sfDir).explain("formatted")
       }
     }
+    floorStamp("end")
     spark.stop()
   }
 }
