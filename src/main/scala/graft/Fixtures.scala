@@ -534,10 +534,15 @@ object Fixtures {
    * non-interleaved ones — T.81's unit definition), with EOB runs
    * flushed at each boundary: the progressive restart path (DC
    * predictor + EOB-run reset) is its own decoder branch.
+   * `acAl` deepens the Y successive-approximation ladder: first scans at
+   * Al=acAl, then one refinement pass per level down to 0 (libjpeg's
+   * default script ships Al=2 ladders — each level exercises the
+   * refinement decoder at a different bit position).
    */
   def jpegProgressiveBytes(w: Int, h: Int, seed: Int, gray: Boolean = false,
       subsample: Boolean = false, cbOff: Int = 0, crOff: Int = 0,
-      restartEvery: Int = 0): Array[Byte] = {
+      restartEvery: Int = 0, acAl: Int = 1): Array[Byte] = {
+    require(acAl >= 1 && acAl <= 3)
     require(w > 0 && h > 0)
     def rgb(x: Int, y: Int): (Int, Int, Int) = (
       (x + (h - 1 - y) + seed * 11) % 256,
@@ -803,10 +808,11 @@ object Fixtures {
       }
       flushBits()
     }
-    // --- scans 3-5: Y spectral bands at Al=1, then the refinement ---
-    acFirst(0, yUw, yUh, 1, 5, 1)
-    acFirst(0, yUw, yUh, 6, 63, 1)
-    acRefine(0, yUw, yUh, 1, 63, 0)
+    // --- scans 3+: Y spectral bands at Al=acAl, then one refinement
+    // pass per remaining level (acAl-1 … 0) ---
+    acFirst(0, yUw, yUh, 1, 5, acAl)
+    acFirst(0, yUw, yUh, 6, 63, acAl)
+    for (l <- acAl - 1 to 0 by -1) acRefine(0, yUw, yUh, 1, 63, l)
     // --- scans 6-7: chroma AC in one full-precision pass (EOB runs) ---
     if (!gray) {
       acFirst(1, cUw, cUh, 1, 63, 0)

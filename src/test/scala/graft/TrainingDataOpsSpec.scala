@@ -1766,23 +1766,28 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // divergence is grid-sum accumulation ORDER (baseline streams in MCU
     // order, progressive finalizes in used-block order).
     val cases = Seq(
-      ("gray", (true, false, 0, 0, 0), 40, 24, 3),
-      ("4:4:4", (false, false, 0, 0, 0), 33, 47, 7),
-      ("4:4:4+color", (false, false, 40, -30, 0), 32, 32, 5),
-      ("4:2:0", (false, true, 0, 0, 0), 48, 32, 5),
-      ("4:2:0+color", (false, true, 40, -30, 0), 32, 32, 5),
+      ("gray", (true, false, 0, 0, 0, 1), 40, 24, 3),
+      ("4:4:4", (false, false, 0, 0, 0, 1), 33, 47, 7),
+      ("4:4:4+color", (false, false, 40, -30, 0, 1), 32, 32, 5),
+      ("4:2:0", (false, true, 0, 0, 0, 1), 48, 32, 5),
+      ("4:2:0+color", (false, true, 40, -30, 0, 1), 32, 32, 5),
       // restart markers inside every progressive scan kind (DC pred +
       // EOB-run reset — its own decoder branch); content identical, so
       // the restarted stream must still reproduce the baseline feature
-      ("4:2:0+RST", (false, true, 25, -15, 2), 48, 32, 5),
-      ("4:4:4+RST1", (false, false, 0, 0, 1), 24, 24, 11))
-    for ((label, (gray, sub, cb, cr, rst), w, h, seed) <- cases) {
+      ("4:2:0+RST", (false, true, 25, -15, 2, 1), 48, 32, 5),
+      ("4:4:4+RST1", (false, false, 0, 0, 1, 1), 24, 24, 11),
+      // deeper successive-approximation ladder (libjpeg's default script
+      // ships Al=2): refinement decoded at two bit positions per coef
+      ("4:4:4+Al2", (false, false, 0, 0, 0, 2), 40, 40, 13),
+      ("4:2:0+Al3+RST", (false, true, 30, -20, 3, 3), 48, 32, 5))
+    for ((label, (gray, sub, cb, cr, rst, lvl), w, h, seed) <- cases) {
       val base = Multimodal.decodeJpegTagged(
         Fixtures.jpegBytes(w, h, seed, gray = gray, subsample = sub,
           cbOff = cb, crOff = cr))
       val prog = Multimodal.decodeJpegTagged(
         Fixtures.jpegProgressiveBytes(w, h, seed, gray = gray,
-          subsample = sub, cbOff = cb, crOff = cr, restartEvery = rst))
+          subsample = sub, cbOff = cb, crOff = cr, restartEvery = rst,
+          acAl = lvl))
       assert(base.exists(_._1 == "jpeg"), s"$label baseline failed")
       assert(prog.exists(_._1 == "jpeg-progressive"), s"$label progressive failed")
       val (_, bw, bh, bf) = base.get
