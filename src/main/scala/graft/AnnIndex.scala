@@ -294,4 +294,50 @@ object AnnIndex {
     ensureDir(p)(staging => buildLogregModel(spark, sfDir, staging).collect())
     memo(spark, s"$p/model")(spark.read.parquet(s"$p/model"))
   }
+
+  /** Train + persist the DSIR (bucket, log_ratio) importance model —
+    * the `dsir_model_build` declared build step (the logreg precedent:
+    * training cost is its own ledger number, serving measures scoring
+    * only). */
+  def buildDsirModel(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Selection.dsirModel(
+        spark.read.parquet(s"$sfDir/documents.parquet"), col("lang") === "en")
+      .write.mode("overwrite").parquet(s"$path/model")
+    Seq(("dsir_model", spark.read.parquet(s"$path/model").count()))
+      .toDF("artifact", "n")
+  }
+
+  /** The persisted DSIR model for `sfDir`, trained once per data
+    * directory under the shared fingerprint cache ([[logregModel]]'s
+    * contract): deterministic estimation, so serving from the cache is
+    * bit-identical to training inline — which `dsir_weights_inc`'s
+    * shared fused oracle hash-verifies end to end. */
+  def dsirModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"$cacheRoot/${keyOf(sfDir, "documents")}_dsir"
+    ensureDir(p)(staging => buildDsirModel(spark, sfDir, staging).collect())
+    memo(spark, s"$p/model")(spark.read.parquet(s"$p/model"))
+  }
+
+  /** Train + persist the NB domain-router model on the declared train
+    * split (hash buckets < 80) — the `nb_model_build` declared build
+    * step. */
+  def buildNbModel(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Selection.writeNbModel(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 80),
+      s"$path/model")
+    Seq(("nb_model", spark.read.parquet(s"$path/model/terms").count()))
+      .toDF("artifact", "n")
+  }
+
+  /** Path of the persisted NB router model for `sfDir` (trained once per
+    * data directory; [[logregModel]]'s cache contract — the serve API is
+    * path-based because `nbClassifyFromModel` reads two relations). */
+  def nbModelPath(spark: SparkSession, sfDir: String): String = {
+    val p = s"$cacheRoot/${keyOf(sfDir, "documents")}_nb"
+    ensureDir(p)(staging => buildNbModel(spark, sfDir, staging).collect())
+    s"$p/model"
+  }
 }

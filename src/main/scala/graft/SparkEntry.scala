@@ -1101,24 +1101,23 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       // length-weighted draw of 50 docs — the A-Res key stream
       Selection.sampleWeighted(t(s, dir, "documents"), col("n_chars"), k = 50)),
-    "dsir_weights_inc" -> ((s, dir) => {
-      // the production split: model persisted once, scoring map-only —
-      // round-trips through parquet and must equal the fused form
-      // (shared oracle). Fixed per-directory path, overwrite-idempotent.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dsir_model_${
-        Integer.toHexString(dir.hashCode)}"
-      Selection.dsirModel(t(s, dir, "documents"), col("lang") === "en")
-        .write.mode("overwrite").parquet(path)
-      Selection.dsirWeightsFromModel(t(s, dir, "documents"), s.read.parquet(path))
-    }),
-    "nb_classify_inc" -> ((s, dir) => {
-      // persisted-model routing ≡ fused train+score (shared oracle)
-      val d = t(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nb_model_${
-        Integer.toHexString(dir.hashCode)}"
-      Selection.writeNbModel(d.filter(Corpus.hashBucket(col("doc_id")) < 80), path)
-      Selection.nbClassifyFromModel(d.filter(Corpus.hashBucket(col("doc_id")) >= 80), path)
-    }),
+    "dsir_weights_inc" -> ((s, dir) =>
+      // the production split: model persisted ONCE per data directory by
+      // the AnnIndex fingerprint cache (the quality_logreg_inc
+      // convention; training + persist cost is the declared
+      // `dsir_model_build` step), scoring map-only — load -> score must
+      // equal the fused train-in-one-plan form (shared oracle, so the
+      // parquet round-trip is hash-verified end to end)
+      Selection.dsirWeightsFromModel(t(s, dir, "documents"),
+        AnnIndex.dsirModel(s, dir))),
+    "nb_classify_inc" -> ((s, dir) =>
+      // persisted-model routing ≡ fused train+score (shared oracle).
+      // Model trained ONCE per data directory by the AnnIndex cache (the
+      // logreg/dsir convention; train + persist cost is the declared
+      // `nb_model_build` step) — this measures routing only.
+      Selection.nbClassifyFromModel(
+        t(s, dir, "documents").filter(Corpus.hashBucket(col("doc_id")) >= 80),
+        AnnIndex.nbModelPath(s, dir))),
     // --- oracled k-means building blocks (cluster-then-prune substrate) ---
     "embed_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
@@ -1289,6 +1288,35 @@ object SparkEntry {
       // the serving query `quality_logreg_inc` measures scoring only
       val tmp = java.nio.file.Files.createTempDirectory("graft_logreg_build")
       try AnnIndex.buildLogregModel(s, dir, tmp.toString)
+      finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
+    }),
+    "dsir_model_build" -> ((s, dir) => {
+      // UNCONDITIONAL train + persist of the DSIR importance model to a
+      // throwaway dir (the logreg_model_build convention): histogram
+      // estimation + parquet write + read-back count as its own ledger
+      // number, so `dsir_weights_inc` measures map-only scoring
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_build")
+      try AnnIndex.buildDsirModel(s, dir, tmp.toString)
+      finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
+    }),
+    "nb_model_build" -> ((s, dir) => {
+      // UNCONDITIONAL train + persist of the NB router model (same
+      // convention): term-count aggregation + two parquet writes +
+      // read-back count; `nb_classify_inc` measures routing only
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nb_build")
+      try AnnIndex.buildNbModel(s, dir, tmp.toString)
       finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)

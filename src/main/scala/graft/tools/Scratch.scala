@@ -746,7 +746,7 @@ object Scratch {
         val cnt = graft.SparkEntry.entry(spark).count()
         println(s"SCRATCH entry: $cnt rows")
       } else {
-      val q = graft.SparkEntry.queries(n)
+      val q = graft.SparkEntry.queries.getOrElse(n, graft.SparkEntry.builds(n))
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
         // Bench's method (toRdd.count): materializes every output column.
