@@ -204,12 +204,15 @@ object Fixtures {
           mp3Bytes(nFrames = 4 + (i / 3) % 4, seed = i,
             stereo = (i / 3) % 2 == 1, id3 = (i / 3) % 6 == 5)
         case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
-        // video alternates real MJPEG AVI (one rec-grouped) and synthetic
-        // codec-bound bytes, so both the avi-mjpeg and stub paths appear
-        // in the persisted fixture
+        // video rotates real MJPEG AVI (one rec-grouped), MP4 container
+        // (real box-walk metadata + frame-size envelope), and synthetic
+        // codec-bound bytes — avi-mjpeg, mp4-meta AND stub paths all
+        // appear in the persisted fixture
         case _ if (i / 3) % 2 == 0 =>
           aviBytes(w, h, nFrames = 2 + (i / 3) % 3, seed = i,
             nested = (i / 3) % 6 == 2)
+        case _ if (i / 3) % 4 == 1 =>
+          mp4Bytes(w, h, nFrames = 8 + (i / 3) % 5, seed = i)
         case _ =>
           Array.tabulate[Byte](w * h % 997 + 64)(j => ((i * 131 + j * 31) % 251).toByte)
       }
@@ -820,6 +823,65 @@ object Fixtures {
     }
     marker(0xD9) // EOI
     out.toByteArray
+  }
+
+  /**
+   * A valid minimal ISO BMFF (MP4) video container: `ftyp` +
+   * `moov(mvhd, trak(tkhd with 16.16 dims, mdia(mdhd, hdlr 'vide',
+   * minf(stbl(stsd avc1 entry carrying dims, stts with the real frame
+   * count, stsz with a deterministic per-frame size pattern)))))` +
+   * `mdat` holding exactly those bytes. No codec bitstream — the
+   * container IS the fixture ([[graft.operators.Multimodal.parseMp4]]'s
+   * remit: dims, frame count, frame-size envelope).
+   */
+  def mp4Bytes(w: Int, h: Int, nFrames: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val zeros = (n: Int) => new Array[Byte](n)
+    // identity transform matrix (tkhd/mvhd): 0x10000, 0, 0, 0, 0x10000,
+    // 0, 0, 0, 0x40000000
+    val matrix = be32(0x10000L) ++ zeros(4) ++ zeros(4) ++ zeros(4) ++
+      be32(0x10000L) ++ zeros(4) ++ zeros(4) ++ zeros(4) ++ be32(0x40000000L)
+    val frameSizes = Array.tabulate(nFrames)(i =>
+      200L + ((seed * 31 + i * 97) % 300))
+    val dur = nFrames * 40L // timescale 1000, 25 fps
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isommp41".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", zeros(4) ++ zeros(8) ++ be32(1000) ++ be32(dur) ++
+      be32(0x10000L) ++ be16(0x0100) ++ zeros(10) ++ matrix ++ zeros(24) ++
+      be32(2))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ zeros(8) ++ be32(1) ++
+      zeros(4) ++ be32(dur) ++ zeros(8) ++ zeros(8) ++ matrix ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = box("mdhd", zeros(4) ++ zeros(8) ++ be32(1000) ++ be32(dur) ++
+      be16(0x55C4) ++ zeros(2))
+    val hdlr = box("hdlr", zeros(4) ++ zeros(4) ++
+      "vide".getBytes("US-ASCII") ++ zeros(12) ++ Array[Byte](0))
+    // avc1 video sample entry: 6 reserved + 2 data_ref_idx +
+    // 16 pre_defined/reserved + w + h + 4+4 resolution + 4 reserved +
+    // 2 frame_count + 32 compressorname + 2 depth + 2 pre_defined(-1)
+    val avc1 = box("avc1", zeros(6) ++ be16(1) ++ zeros(16) ++
+      be16(w) ++ be16(h) ++ be32(0x480000L) ++ be32(0x480000L) ++ zeros(4) ++
+      be16(1) ++ zeros(32) ++ be16(24) ++ be16(0xFFFF))
+    val stsd = box("stsd", zeros(4) ++ be32(1) ++ avc1)
+    val stts = box("stts", zeros(4) ++ be32(1) ++ be32(nFrames.toLong) ++ be32(40))
+    val stsz = box("stsz", zeros(4) ++ be32(0) ++ be32(nFrames.toLong) ++
+      frameSizes.flatMap(be32))
+    val stbl = box("stbl", stsd ++ stts ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", Array.tabulate(frameSizes.sum.toInt)(j =>
+      ((seed * 131 + j * 17) % 251).toByte))
+    ftyp ++ moov ++ mdat
   }
 
   /**

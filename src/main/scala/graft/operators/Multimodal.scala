@@ -735,12 +735,142 @@ object Multimodal {
   }
 
   /**
+   * REAL parse of an ISO BMFF (MP4/MOV/M4V) container — box walk only,
+   * pure byte layout, no codec: `ftyp` + `moov` → `mvhd`, per-`trak`
+   * `tkhd` (16.16-fixed width/height) and `mdia/hdlr` (`vide` handler)
+   * → `minf/stbl` → `stsd` (codec fourcc of the first sample entry,
+   * dims at the video-sample-entry fixed offsets) + `stts` (REAL frame
+   * count = Σ sample counts) + `stsz` (per-frame encoded sizes). The
+   * 16-dim feature is the per-segment mean ENCODED FRAME SIZE,
+   * normalized by the largest segment — the frame-size envelope is
+   * content-derived without any codec (encoded size tracks
+   * motion/complexity exactly the way MP3 `global_gain` tracks
+   * loudness, [[parseMp3]]'s precedent): identical encodes share it,
+   * different footage does not. Returns (width, height, nFrames,
+   * feature). None unless a valid `ftyp` + a `moov` with a video track
+   * carrying positive dimensions parse. All header ints are UNTRUSTED
+   * (the BMP/WAV contract): Long cursors, bounds before every read,
+   * depth/count valves — a corrupt box tree costs one stub row, never a
+   * task.
+   */
+  def parseMp4(p: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = try {
+    def be32(o: Long): Long =
+      if (o < 0 || o + 4 > p.length) -1L
+      else {
+        val i = o.toInt
+        ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+          ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+      }
+    def be16(o: Long): Int =
+      if (o < 0 || o + 2 > p.length) -1
+      else ((p(o.toInt) & 0xFF) << 8) | (p(o.toInt + 1) & 0xFF)
+    def fourcc(o: Long): String =
+      if (o < 0 || o + 4 > p.length) ""
+      else new String(p, o.toInt, 4, "US-ASCII")
+    // children of [start, end): (type, payloadStart, payloadEnd)
+    def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var o = start
+      var n = 0
+      while (o + 8 <= end && n < 4096) {
+        var size = be32(o)
+        var hdr = 8L
+        if (size == 1) { // 64-bit largesize
+          val hi = be32(o + 8); val lo = be32(o + 12)
+          if (hi < 0 || lo < 0) return out.toSeq
+          size = (hi << 32) | lo
+          hdr = 16L
+        } else if (size == 0) size = end - o // box extends to container end
+        if (size < hdr || o + size > end) return out.toSeq
+        out += ((fourcc(o + 4), o + hdr, o + size))
+        o += size
+        n += 1
+      }
+      out.toSeq
+    }
+    def child(bs: Seq[(String, Long, Long)], t: String): Option[(Long, Long)] =
+      bs.collectFirst { case (`t`, s, e) => (s, e) }
+    val top = children(0, p.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    val (moovS, moovE) = child(top, "moov").getOrElse(return None)
+    val moov = children(moovS, moovE)
+    var w = -1
+    var h = -1
+    var nFrames = 0L
+    var sizes: Array[Long] = null
+    var uniform = -1L
+    for ((t, ts, te) <- moov if t == "trak" && w < 0) {
+      val trak = children(ts, te)
+      val mdia = child(trak, "mdia").map { case (s, e) => children(s, e) }
+        .getOrElse(Seq.empty)
+      val isVideo = child(mdia, "hdlr").exists { case (s, _) =>
+        fourcc(s + 8) == "vide" }
+      if (isVideo) {
+        // tkhd v0: width/height as 16.16 fixed at payload offsets 76/80
+        // (v1 shifts the three 32-bit times to 64-bit: +12)
+        child(trak, "tkhd").foreach { case (s, e) =>
+          val off = if (be32(s) >>> 24 == 1) 88L else 76L
+          val fw = be32(s + off); val fh = be32(s + off + 4)
+          if (fw > 0 && fh > 0 && s + off + 8 <= e) {
+            w = (fw >> 16).toInt; h = (fh >> 16).toInt
+          }
+        }
+        val stbl = child(mdia, "minf").map { case (s, e) => children(s, e) }
+          .flatMap(m => child(m, "stbl")).map { case (s, e) => children(s, e) }
+          .getOrElse(Seq.empty)
+        // sample-entry dims take precedence (the codec's own numbers);
+        // video sample entry: width/height u16 at entry payload +24/+26
+        child(stbl, "stsd").foreach { case (s, e) =>
+          if (be32(s + 4) >= 1 && s + 8 + 36 <= e) {
+            val ew = be16(s + 16 + 24); val eh = be16(s + 16 + 26)
+            if (ew > 0 && eh > 0) { w = ew; h = eh }
+          }
+        }
+        child(stbl, "stts").foreach { case (s, e) =>
+          val cnt = be32(s + 4)
+          var i = 0L
+          while (i < cnt && s + 8 + i * 8 + 8 <= e && i < 65536) {
+            val sc = be32(s + 8 + i * 8)
+            if (sc > 0) nFrames += sc
+            i += 1
+          }
+        }
+        child(stbl, "stsz").foreach { case (s, e) =>
+          uniform = be32(s + 4)
+          val cnt = be32(s + 8)
+          if (uniform == 0 && cnt > 0) {
+            val take = math.min(cnt, 65536L).toInt
+            if (s + 12 + take.toLong * 4 <= e)
+              sizes = Array.tabulate(take)(i => be32(s + 12 + i.toLong * 4))
+          }
+        }
+      }
+    }
+    if (w <= 0 || h <= 0 || w > 32768 || h > 32768) return None
+    // frame-size envelope over 16 segments (uniform sizes → flat 1.0)
+    val feat = new Array[Float](16)
+    if (sizes != null && sizes.nonEmpty) {
+      val sum = new Array[Double](16)
+      val cnt = new Array[Long](16)
+      for (i <- sizes.indices) {
+        val seg = math.min(15, (i.toLong * 16 / sizes.length).toInt)
+        sum(seg) += math.max(0L, sizes(i)).toDouble
+        cnt(seg) += 1
+      }
+      val means = Array.tabulate(16)(c => if (cnt(c) == 0) 0.0 else sum(c) / cnt(c))
+      val mx = means.max
+      if (mx > 0) for (c <- 0 until 16) feat(c) = (means(c) / mx).toFloat
+    } else if (uniform > 0 && nFrames > 0) java.util.Arrays.fill(feat, 1.0f)
+    Some((w, h, math.min(nFrames, Int.MaxValue).toInt, feat))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
    * STUB decode — deterministic fake standing in for a real codec on
-   * payloads whose formats need one (video containers, MP3/…, none
-   * of which have libraries in this container). Derives a fixed-length
-   * "feature vector" from the checksum so downstream operators
-   * (similarity, dedup) are exercised with realistic shapes and
-   * reproducible values.
+   * payloads whose formats need one (non-MJPEG video CONTENT, MP3 PCM, …
+   * none of which have libraries in this container). Derives a
+   * fixed-length "feature vector" from the checksum so downstream
+   * operators (similarity, dedup) are exercised with realistic shapes
+   * and reproducible values.
    */
   private def fakeDecode(h: Long, featureDim: Int): Array[Float] =
     Array.tabulate(featureDim) { d =>
@@ -795,6 +925,8 @@ object Multimodal {
                   ("mp3-sideinfo", r.width, r.height, 0, f) })
             case "video" => decodeAvi(payload).map { case (w, h, _, sampled, f) =>
               ("avi-mjpeg", w, h, sampled, f) }
+              .orElse(parseMp4(payload).map { case (w, h, _, f) =>
+                ("mp4-meta", w, h, 0, f) })
             case _ => None
           } catch { case scala.util.control.NonFatal(_) => None }
         decoded match {

@@ -1300,8 +1300,12 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 24))
-    assert(f1.filter(_.kind == "video").forall(_.frames_sampled >= 1))
-    assert(f1.filter(_.kind != "video").forall(_.frames_sampled == 0))
+    // frames_sampled counts frames actually entropy-decoded: >=1 on the
+    // avi-mjpeg and stub paths, honestly 0 on the box-walk-only mp4-meta
+    assert(f1.filter(f => f.kind == "video" && f.decoder != "mp4-meta")
+      .forall(_.frames_sampled >= 1))
+    assert(f1.filter(f => f.kind != "video" || f.decoder == "mp4-meta")
+      .forall(_.frames_sampled == 0))
     // REAL decode paths: fixture images are valid BMPs, PNGs, or JPEGs,
     // audio valid WAVs
     val imgDecoders = f1.filter(_.kind == "image").map(_.decoder).toSet
@@ -1310,9 +1314,10 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // audio splits between PCM WAV decode and the MP3 side-info envelope
     val audDecoders = f1.filter(_.kind == "audio").map(_.decoder).toSet
     assert(audDecoders == Set("wav", "mp3-sideinfo"), s"got $audDecoders")
-    // video splits between REAL MJPEG-AVI decode and the codec-bound stub
+    // video splits between REAL MJPEG-AVI decode, the MP4 container
+    // box-walk, and the codec-bound stub
     val vidDecoders = f1.filter(_.kind == "video").map(_.decoder).toSet
-    assert(vidDecoders == Set("avi-mjpeg", "stub"), s"got $vidDecoders")
+    assert(vidDecoders == Set("avi-mjpeg", "mp4-meta", "stub"), s"got $vidDecoders")
     // the avi path reports the REAL number of frames it entropy-decoded
     f1.filter(_.decoder == "avi-mjpeg").foreach { f =>
       assert(f.frames_sampled >= 2 && f.frames_sampled <= 8,
@@ -1808,6 +1813,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0).decoder == "jpeg-progressive")
   }
 
+  test("multimodal: MP4 box walk recovers dims, frame count and size envelope") {
+    import graft.operators.Multimodal
+    val p = Fixtures.mp4Bytes(320, 240, nFrames = 12, seed = 7)
+    val Some((w, h, n, feat)) = Multimodal.parseMp4(p)
+    assert((w, h, n) == (320, 240, 12))
+    // frame-size envelope: content-derived (per-frame encoded sizes),
+    // normalized by the largest segment — deterministic, peak at 1.0,
+    // and NOT flat (the planted size pattern varies per frame)
+    assert(feat.length == 16 && feat.max == 1.0f)
+    assert(feat.distinct.length > 1, feat.mkString(","))
+    assert(Multimodal.parseMp4(p).get._4.toSeq == feat.toSeq)
+    // different footage (seed) → different envelope; same dims
+    val other = Multimodal.parseMp4(Fixtures.mp4Bytes(320, 240, 12, seed = 8)).get
+    assert(other._4.toSeq != feat.toSeq)
+    // audio-only / truncated / non-BMFF payloads degrade, never throw
+    assert(Multimodal.parseMp4(p.take(p.length / 3)).forall(_._1 > 0))
+    assert(Multimodal.parseMp4(Fixtures.wavBytes(16000, 64, 1)).isEmpty)
+    assert(Multimodal.parseMp4(Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p')).isEmpty)
+    // dispatcher: an mp4 payload through extractFeatures reads
+    // decoder = "mp4-meta" with the container's dims overriding metadata
+    implicit val s = spark
+    import s.implicits._
+    val row = Multimodal.extractFeatures(
+      Seq((1L, "video", p, 0, 0, 0, "d1"))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "sample_rate", "doc_ref")).collect()
+    assert(row.length == 1 && row(0).decoder == "mp4-meta")
+    assert(row(0).thumb_w == 64 && row(0).thumb_h == 48) // 320x240 aspect
+  }
+
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
     import graft.operators.Multimodal
     // the untrusted-payload contract, exercised mechanically: random
@@ -1828,11 +1863,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       ("avi", Fixtures.aviBytes(24, 16, 3, 1)),
       ("avi-rec", Fixtures.aviBytes(16, 16, 2, 2, nested = true)),
       ("mp3", Fixtures.mp3Bytes(4, 1)),
-      ("mp3-stereo-id3", Fixtures.mp3Bytes(3, 2, stereo = true, id3 = true)))
+      ("mp3-stereo-id3", Fixtures.mp3Bytes(3, 2, stereo = true, id3 = true)),
+      ("mp4", Fixtures.mp4Bytes(64, 48, 6, 3)))
     def runAll(p: Array[Byte]): Unit = {
       Multimodal.decodeBmp(p); Multimodal.decodePng(p)
       Multimodal.decodeJpeg(p); Multimodal.decodeWav(p)
       Multimodal.decodeAvi(p); Multimodal.parseMp3(p)
+      Multimodal.parseMp4(p)
       ()
     }
     for ((label, base) <- bases; trial <- 0 until 200) {
