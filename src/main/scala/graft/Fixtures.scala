@@ -204,15 +204,18 @@ object Fixtures {
           mp3Bytes(nFrames = 4 + (i / 3) % 4, seed = i,
             stereo = (i / 3) % 2 == 1, id3 = (i / 3) % 6 == 5)
         case "audio" => wavBytes(rate, nSamples = 800 + i * 16, seed = i)
-        // video rotates real MJPEG AVI (one rec-grouped), MP4 container
-        // (real box-walk metadata + frame-size envelope), and synthetic
-        // codec-bound bytes — avi-mjpeg, mp4-meta AND stub paths all
-        // appear in the persisted fixture
+        // video rotates real MJPEG AVI (one rec-grouped), MP4 and
+        // Matroska containers (real box/EBML-walk metadata + frame-size
+        // envelopes), and synthetic codec-bound bytes — avi-mjpeg,
+        // mp4-meta, mkv-meta AND stub paths all appear in the persisted
+        // fixture
         case _ if (i / 3) % 2 == 0 =>
           aviBytes(w, h, nFrames = 2 + (i / 3) % 3, seed = i,
             nested = (i / 3) % 6 == 2)
         case _ if (i / 3) % 4 == 1 =>
           mp4Bytes(w, h, nFrames = 8 + (i / 3) % 5, seed = i)
+        case _ if (i / 3) % 8 == 3 =>
+          mkvBytes(w, h, nFrames = 6 + (i / 3) % 4, seed = i)
         case _ =>
           Array.tabulate[Byte](w * h % 997 + 64)(j => ((i * 131 + j * 31) % 251).toByte)
       }
@@ -882,6 +885,43 @@ object Fixtures {
     val mdat = box("mdat", Array.tabulate(frameSizes.sum.toInt)(j =>
       ((seed * 131 + j * 17) % 251).toByte))
     ftyp ++ moov ++ mdat
+  }
+
+  /**
+   * A valid minimal Matroska/WebM (EBML) video container: EBML header
+   * (DocType webm) + Segment(Tracks(TrackEntry: TrackNumber 1,
+   * TrackType video, Video(PixelWidth, PixelHeight)),
+   * Cluster(Timestamp, one SimpleBlock per frame with a deterministic
+   * size pattern)). No codec bitstream — the container is the fixture
+   * ([[graft.operators.Multimodal.parseMkv]]'s remit). Sizes use the
+   * fixed 8-byte EBML form so the writer stays trivial.
+   */
+  def mkvBytes(w: Int, h: Int, nFrames: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0)
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    def sz(n: Long): Array[Byte] =
+      Array(0x01.toByte) ++ (6 to 0 by -1).map(i => ((n >> (8 * i)) & 0xFF).toByte)
+    def el(i: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      i ++ sz(payload.length.toLong) ++ payload
+    def uintEl(i: Array[Byte], v: Long): Array[Byte] = {
+      var bytes = List.empty[Byte]
+      var x = v
+      do { bytes = (x & 0xFF).toByte :: bytes; x >>= 8 } while (x > 0)
+      el(i, bytes.toArray)
+    }
+    val ebml = el(id(0x1A, 0x45, 0xDF, 0xA3),
+      el(id(0x42, 0x82), "webm".getBytes("US-ASCII")))
+    val trackEntry = el(id(0xAE),
+      uintEl(id(0xD7), 1) ++ uintEl(id(0x83), 1) ++
+        el(id(0xE0), uintEl(id(0xB0), w) ++ uintEl(id(0xBA), h)))
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), trackEntry)
+    val blocks = (0 until nFrames).map { i =>
+      val n = 100 + ((seed * 31 + i * 97) % 200)
+      val frame = Array.tabulate[Byte](n)(j => ((seed * 131 + j * 29) % 251).toByte)
+      el(id(0xA3), Array[Byte](0x81.toByte, 0, (i * 40 % 256).toByte, 0) ++ frame)
+    }.reduce(_ ++ _)
+    val cluster = el(id(0x1F, 0x43, 0xB6, 0x75), uintEl(id(0xE7), 0) ++ blocks)
+    ebml ++ el(id(0x18, 0x53, 0x80, 0x67), tracks ++ cluster)
   }
 
   /**

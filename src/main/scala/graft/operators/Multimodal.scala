@@ -865,6 +865,122 @@ object Multimodal {
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /**
+   * REAL parse of a Matroska/WebM (EBML) container — the [[parseMp4]]
+   * treatment for the other dominant web video layout, again pure byte
+   * arithmetic: EBML varint walk through `Segment` → `Tracks` →
+   * `TrackEntry` (first TrackType=1 video track: `PixelWidth`/
+   * `PixelHeight`, `TrackNumber`) and `Cluster` → `SimpleBlock` /
+   * `BlockGroup/Block` (blocks belonging to the video track: REAL frame
+   * count + encoded-size envelope, same normalization as [[parseMp4]]).
+   * Returns (width, height, nFrames, feature); None unless the EBML
+   * magic, a Segment, and a video track with positive dims parse.
+   * Untrusted-header contract throughout (Long cursors, bounds, count
+   * valves).
+   */
+  def parseMkv(p: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = try {
+    // EBML varint: leading-zero count of the first byte gives the width;
+    // IDs keep the marker bit, sizes clear it. Returns (value, width) or
+    // null on malformed/EOF.
+    def vint(o: Long, keepMarker: Boolean): (Long, Int) = {
+      if (o < 0 || o >= p.length) return null
+      val b = p(o.toInt) & 0xFF
+      if (b == 0) return null
+      val len = java.lang.Integer.numberOfLeadingZeros(b) - 23 // 1..8
+      if (o + len > p.length) return null
+      var v = (if (keepMarker) b else b & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (p((o + i).toInt) & 0xFF); i += 1 }
+      (v, len)
+    }
+    // children of [start, end): (id, payloadStart, payloadEnd)
+    def children(start: Long, end: Long): Seq[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var o = start
+      var n = 0
+      while (o < end && n < 65536) {
+        val id = vint(o, keepMarker = true)
+        if (id == null) return out.toSeq
+        val sz = vint(o + id._2, keepMarker = false)
+        if (sz == null) return out.toSeq
+        val ps = o + id._2 + sz._2
+        // all-ones size = unknown extent (streaming): last element only
+        val allOnes = sz._1 == (1L << (7 * sz._2)) - 1
+        val pe = if (allOnes) end else ps + sz._1
+        if (ps > end || pe > end || pe < ps) return out.toSeq
+        out += ((id._1, ps, pe))
+        o = pe
+        n += 1
+      }
+      out.toSeq
+    }
+    def uintAt(s: Long, e: Long): Long = {
+      var v = 0L
+      var o = s
+      if (e - s > 8) return -1
+      while (o < e) { v = (v << 8) | (p(o.toInt) & 0xFF); o += 1 }
+      v
+    }
+    val top = children(0, p.length)
+    if (!top.headOption.exists(_._1 == 0x1A45DFA3L)) return None // EBML magic
+    val (segS, segE) = top.collectFirst {
+      case (0x18538067L, s, e) => (s, e) }.getOrElse(return None)
+    val seg = children(segS, segE)
+    var w = -1
+    var h = -1
+    var trackNum = -1L
+    for ((id, s, e) <- seg if id == 0x1654AE6BL && w < 0) // Tracks
+      for ((tid, ts, te) <- children(s, e) if tid == 0xAEL && w < 0) { // TrackEntry
+        val entry = children(ts, te)
+        val isVideo = entry.exists { case (i, vs, ve) =>
+          i == 0x83L && uintAt(vs, ve) == 1L } // TrackType = video
+        if (isVideo) {
+          entry.collectFirst { case (0xE0L, vs, ve) => (vs, ve) }.foreach {
+            case (vs, ve) => // Video element
+              val vids = children(vs, ve)
+              vids.collectFirst { case (0xB0L, a, b) => uintAt(a, b) }
+                .foreach(x => w = x.toInt)
+              vids.collectFirst { case (0xBAL, a, b) => uintAt(a, b) }
+                .foreach(x => h = x.toInt)
+          }
+          trackNum = entry.collectFirst { case (0xD7L, a, b) => uintAt(a, b) }
+            .getOrElse(-1L)
+        }
+      }
+    if (w <= 0 || h <= 0 || w > 32768 || h > 32768) return None
+    // frame count + size envelope from the video track's blocks
+    val blockSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def takeBlock(s: Long, e: Long): Unit = {
+      val tn = vint(s, keepMarker = false)
+      if (tn != null && (trackNum < 0 || tn._1 == trackNum) &&
+        blockSizes.length < 65536)
+        blockSizes += math.max(0L, e - s - tn._2 - 3) // ts(2) + flags(1)
+    }
+    for ((id, s, e) <- seg if id == 0x1F43B675L) // Cluster
+      for ((bid, bs, be) <- children(s, e)) bid match {
+        case 0xA3L => takeBlock(bs, be) // SimpleBlock
+        case 0xA0L => children(bs, be).foreach { // BlockGroup → Block
+          case (0xA1L, gs, ge) => takeBlock(gs, ge)
+          case _ => ()
+        }
+        case _ => ()
+      }
+    val feat = new Array[Float](16)
+    if (blockSizes.nonEmpty) {
+      val sum = new Array[Double](16)
+      val cnt = new Array[Long](16)
+      for (i <- blockSizes.indices) {
+        val segI = math.min(15, (i.toLong * 16 / blockSizes.length).toInt)
+        sum(segI) += blockSizes(i).toDouble
+        cnt(segI) += 1
+      }
+      val means = Array.tabulate(16)(c => if (cnt(c) == 0) 0.0 else sum(c) / cnt(c))
+      val mx = means.max
+      if (mx > 0) for (c <- 0 until 16) feat(c) = (means(c) / mx).toFloat
+    }
+    Some((w, h, blockSizes.length, feat))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
    * STUB decode — deterministic fake standing in for a real codec on
    * payloads whose formats need one (non-MJPEG video CONTENT, MP3 PCM, …
    * none of which have libraries in this container). Derives a
@@ -927,6 +1043,8 @@ object Multimodal {
               ("avi-mjpeg", w, h, sampled, f) }
               .orElse(parseMp4(payload).map { case (w, h, _, f) =>
                 ("mp4-meta", w, h, 0, f) })
+              .orElse(parseMkv(payload).map { case (w, h, _, f) =>
+                ("mkv-meta", w, h, 0, f) })
             case _ => None
           } catch { case scala.util.control.NonFatal(_) => None }
         decoded match {

@@ -1301,10 +1301,12 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
     assert(f1.forall(f => f.thumb_w <= 64 && f.thumb_h <= 64 && f.feature.length == 24))
     // frames_sampled counts frames actually entropy-decoded: >=1 on the
-    // avi-mjpeg and stub paths, honestly 0 on the box-walk-only mp4-meta
-    assert(f1.filter(f => f.kind == "video" && f.decoder != "mp4-meta")
+    // avi-mjpeg and stub paths, honestly 0 on the container-walk-only
+    // mp4-meta/mkv-meta paths
+    val walkOnly = Set("mp4-meta", "mkv-meta")
+    assert(f1.filter(f => f.kind == "video" && !walkOnly(f.decoder))
       .forall(_.frames_sampled >= 1))
-    assert(f1.filter(f => f.kind != "video" || f.decoder == "mp4-meta")
+    assert(f1.filter(f => f.kind != "video" || walkOnly(f.decoder))
       .forall(_.frames_sampled == 0))
     // REAL decode paths: fixture images are valid BMPs, PNGs, or JPEGs,
     // audio valid WAVs
@@ -1314,10 +1316,11 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // audio splits between PCM WAV decode and the MP3 side-info envelope
     val audDecoders = f1.filter(_.kind == "audio").map(_.decoder).toSet
     assert(audDecoders == Set("wav", "mp3-sideinfo"), s"got $audDecoders")
-    // video splits between REAL MJPEG-AVI decode, the MP4 container
-    // box-walk, and the codec-bound stub
+    // video splits between REAL MJPEG-AVI decode, the MP4/Matroska
+    // container walks, and the codec-bound stub
     val vidDecoders = f1.filter(_.kind == "video").map(_.decoder).toSet
-    assert(vidDecoders == Set("avi-mjpeg", "mp4-meta", "stub"), s"got $vidDecoders")
+    assert(vidDecoders == Set("avi-mjpeg", "mp4-meta", "mkv-meta", "stub"),
+      s"got $vidDecoders")
     // the avi path reports the REAL number of frames it entropy-decoded
     f1.filter(_.decoder == "avi-mjpeg").foreach { f =>
       assert(f.frames_sampled >= 2 && f.frames_sampled <= 8,
@@ -1843,6 +1846,30 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(row(0).thumb_w == 64 && row(0).thumb_h == 48) // 320x240 aspect
   }
 
+  test("multimodal: Matroska EBML walk recovers dims, frame count and size envelope") {
+    import graft.operators.Multimodal
+    val p = Fixtures.mkvBytes(640, 360, nFrames = 9, seed = 4)
+    val Some((w, h, n, feat)) = Multimodal.parseMkv(p)
+    assert((w, h, n) == (640, 360, 9))
+    assert(feat.length == 16 && feat.max == 1.0f)
+    assert(feat.distinct.length > 1, feat.mkString(","))
+    // deterministic; different footage separates
+    assert(Multimodal.parseMkv(p).get._4.toSeq == feat.toSeq)
+    assert(Multimodal.parseMkv(
+      Fixtures.mkvBytes(640, 360, 9, seed = 5)).get._4.toSeq != feat.toSeq)
+    // non-EBML / truncated payloads degrade, never throw
+    assert(Multimodal.parseMkv(Fixtures.mp4Bytes(64, 48, 4, 1)).isEmpty)
+    assert(Multimodal.parseMkv(p.take(20)).isEmpty)
+    // dispatcher tag
+    implicit val s = spark
+    import s.implicits._
+    val row = Multimodal.extractFeatures(
+      Seq((1L, "video", p, 0, 0, 0, "d1"))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "sample_rate", "doc_ref")).collect()
+    assert(row.length == 1 && row(0).decoder == "mkv-meta")
+  }
+
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
     import graft.operators.Multimodal
     // the untrusted-payload contract, exercised mechanically: random
@@ -1864,12 +1891,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       ("avi-rec", Fixtures.aviBytes(16, 16, 2, 2, nested = true)),
       ("mp3", Fixtures.mp3Bytes(4, 1)),
       ("mp3-stereo-id3", Fixtures.mp3Bytes(3, 2, stereo = true, id3 = true)),
-      ("mp4", Fixtures.mp4Bytes(64, 48, 6, 3)))
+      ("mp4", Fixtures.mp4Bytes(64, 48, 6, 3)),
+      ("mkv", Fixtures.mkvBytes(64, 48, 5, 2)))
     def runAll(p: Array[Byte]): Unit = {
       Multimodal.decodeBmp(p); Multimodal.decodePng(p)
       Multimodal.decodeJpeg(p); Multimodal.decodeWav(p)
       Multimodal.decodeAvi(p); Multimodal.parseMp3(p)
-      Multimodal.parseMp4(p)
+      Multimodal.parseMp4(p); Multimodal.parseMkv(p)
       ()
     }
     for ((label, base) <- bases; trial <- 0 until 200) {
