@@ -1870,6 +1870,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0).decoder == "mkv-meta")
   }
 
+  test("multimodal: container walks round-trip over randomized geometry") {
+    import graft.operators.Multimodal
+    // seeded sweep over arbitrary dims / frame counts / size patterns:
+    // both walks must recover exactly what the writer planted
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val w = 16 + rnd.nextInt(4000)
+      val h = 16 + rnd.nextInt(2400)
+      val n = 1 + rnd.nextInt(48)
+      val s = rnd.nextInt(10000)
+      assert(Multimodal.parseMp4(Fixtures.mp4Bytes(w, h, n, s))
+        .map(t => (t._1, t._2, t._3)).contains((w, h, n)), s"mp4 $w x $h n=$n")
+      assert(Multimodal.parseMkv(Fixtures.mkvBytes(w, h, n, s))
+        .map(t => (t._1, t._2, t._3)).contains((w, h, n)), s"mkv $w x $h n=$n")
+    }
+  }
+
   test("multimodal: decoders never throw on mutated payloads (deterministic fuzz)") {
     import graft.operators.Multimodal
     // the untrusted-payload contract, exercised mechanically: random
