@@ -422,6 +422,17 @@ object SparkEntry {
       // reference implementation in TrainingDataOpsSpec)
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.bpeCount(col("text")).as("n_tokens_bpe"))),
+    "text_token_ids" -> ((s, dir) =>
+      // the EMISSION twin of tokens_bpe_ranks: actual merged-BPE
+      // token-id sequences under the canonical merges-derived vocab —
+      // the step that turns a cleaned corpus into model input. Map-only
+      // codegen'd kernel; no SQL twin (the merge fixed point is not
+      // SQL-expressible) → rows-only, with the structural invariant
+      // size(token_ids) == bpeCount spec-pinned fleet-wide and the
+      // per-word ids pinned against an independent reference merge in
+      // TrainingDataOpsSpec
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.bpeEncode(col("text")).as("token_ids"))),
     "value_quantiles" -> ((s, dir) =>
       // ONE percentile buffer per group serves both cut points (the array
       // form); two scalar aggregates would duplicate the whole sort buffer

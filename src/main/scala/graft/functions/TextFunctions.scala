@@ -56,6 +56,13 @@ object TextFunctions {
   def bpeCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
     graft.plans.BpeExpressions.bpeCount(text, merges)
 
+  /** Merged-BPE token-id sequence (`array<int>`, canonical
+    * merges-derived vocab: a–z/0–9 = 0–35, merge rank r = 36 + r) — the
+    * emission twin of [[bpeCount]], turning a cleaned corpus into model
+    * input with `size(bpeEncode(t)) == bpeCount(t)` structurally. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    graft.plans.BpeExpressions.bpeEncode(text, merges)
+
   /**
    * Load a production merges table in the GPT-2 `merges.txt` format: one
    * merge per line, the two segments space-separated, rank = line order;

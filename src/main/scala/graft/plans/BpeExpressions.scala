@@ -65,6 +65,45 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
 }
 
 /**
+ * Merged-BPE token-ID emission — the id-sequence twin of
+ * [[BpeTokenCount]]: the same reference merge loop, but emitting one
+ * vocab id per surviving segment (`array<int>`), where the vocabulary
+ * derives canonically from the merges (base symbols a–z/0–9 = 0–35,
+ * merge of rank r = 36 + r — the id space a merges-only BPE model
+ * defines). This is the step that turns a cleaned corpus into model
+ * input, so the packing/chunking budgets ([[BpeTokenCount]]) and the
+ * actual sequences come from ONE tokenizer with a structural invariant:
+ * `size(bpe_encode(t)) == bpe_token_count(t)` for every row. Same
+ * native-expression rationale and codegen shape as the counter.
+ */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val matcher = new BpeMatcher(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    matcher.encodeText(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMatcher", matcher, classOf[BpeMatcher].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeText($c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * The merge-ranks model: (pair → rank) lookup plus the reference merge
  * loop. One instance per plan (codegen reference object), shared by every
  * task thread — the word cache is a bounded ConcurrentHashMap.
@@ -80,12 +119,22 @@ final class BpeMatcher(merges: Seq[(String, String)]) extends Serializable {
   private val MaxCache = 1 << 16
   private val MaxCachedWordLen = 32
 
-  /** Merged-BPE token count of one word (reference algorithm: repeatedly
-    * merge every occurrence of the lowest-rank adjacent pair). */
-  def countWord(word: String): Long = {
-    if (word.length <= 1) return word.length.toLong
-    val cached = if (word.length <= MaxCachedWordLen) cache.get(word) else null
-    if (cached != null) return cached.longValue()
+  /** Canonical merges-derived vocabulary: base symbols `a-z` (0–25) and
+    * `0-9` (26–35), then one token per merge in rank order (36 + rank) —
+    * the standard id space of a merges-only BPE model. Every part the
+    * merge loop can produce is in it by construction (parts are base
+    * chars or concatenations a merge created). */
+  private val vocabId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    for (c <- 'a' to 'z') m.put(String.valueOf(c), c - 'a')
+    for (c <- '0' to '9') m.put(String.valueOf(c), 26 + (c - '0'))
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + b, 36 + i) }
+    m
+  }
+
+  /** The reference merge loop: repeatedly merge every occurrence of the
+    * lowest-rank adjacent pair until no merge applies. */
+  private def mergeWord(word: String): java.util.ArrayList[String] = {
     var parts = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { parts.add(String.valueOf(word.charAt(i))); i += 1 }
@@ -115,10 +164,71 @@ final class BpeMatcher(merges: Seq[(String, String)]) extends Serializable {
         parts = next
       }
     }
-    val n = parts.size().toLong
+    parts
+  }
+
+  /** Merged-BPE token count of one word. */
+  def countWord(word: String): Long = {
+    if (word.length <= 1) return word.length.toLong
+    val cached = if (word.length <= MaxCachedWordLen) cache.get(word) else null
+    if (cached != null) return cached.longValue()
+    val n = mergeWord(word).size().toLong
     if (word.length <= MaxCachedWordLen && cache.size() < MaxCache)
       cache.put(word, java.lang.Long.valueOf(n))
     n
+  }
+
+  @transient private lazy val idCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  /** Merged-BPE token ids of one word under the canonical vocab
+    * ([[vocabId]]). Same loop and cache discipline as [[countWord]]. */
+  def encodeWord(word: String): Array[Int] = {
+    if (word.isEmpty) return Array.emptyIntArray
+    val cached = if (word.length <= MaxCachedWordLen) idCache.get(word) else null
+    if (cached != null) return cached
+    val parts = mergeWord(word)
+    val ids = new Array[Int](parts.size())
+    var i = 0
+    while (i < parts.size()) {
+      val id = vocabId.get(parts.get(i))
+      ids(i) = if (id == null) -1 else id.intValue() // unreachable by construction
+      i += 1
+    }
+    if (word.length <= MaxCachedWordLen && idCache.size() < MaxCache)
+      idCache.put(word, ids)
+    ids
+  }
+
+  /** Concatenated [[encodeWord]] ids over the text's lowercased
+    * `[a-z0-9]+` runs — the id-sequence twin of [[countText]], so
+    * `encodeText(t).numElements == countText(t)` by construction (the
+    * invariant the spec pins). Same locale-safe lowercasing. */
+  def encodeText(text: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString
+    val words = new java.util.ArrayList[Array[Int]]()
+    var total = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= t.length) {
+      val c = if (i < t.length) t.charAt(i) else ' '
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) sb.append(c)
+      else if (sb.length() > 0) {
+        val ids = encodeWord(sb.toString)
+        words.add(ids); total += ids.length
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    val flat = new Array[Int](total)
+    var o = 0
+    val it = words.iterator()
+    while (it.hasNext) {
+      val a = it.next(); System.arraycopy(a, 0, flat, o, a.length); o += a.length
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(flat)
   }
 
   /** Sum of [[countWord]] over the text's lowercased `[a-z0-9]+` runs.
@@ -148,4 +258,8 @@ object BpeExpressions {
   /** Merged-BPE token count of `text` under a merge-ranks table. */
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
+
+  /** Merged-BPE token ids of `text` (canonical merges-derived vocab). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(text), merges))
 }

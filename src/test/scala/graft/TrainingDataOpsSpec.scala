@@ -749,6 +749,60 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(0L) < doc0.count(_ != ' ')) // fewer segments than characters
   }
 
+  test("bpeEncode: ids match the reference merge under the canonical vocab; size == count") {
+    // the id an emitted segment must carry: base symbols a-z/0-9 = 0-35,
+    // merge of rank r = 36 + r (the merges-only BPE id space)
+    val rank = TextFunctions.BpeMerges.zipWithIndex.toMap
+    val vocab: Map[String, Int] =
+      (('a' to 'z').map(c => c.toString -> (c - 'a')) ++
+        ('0' to '9').map(c => c.toString -> (26 + c - '0')) ++
+        TextFunctions.BpeMerges.zipWithIndex.map { case ((a, b), i) =>
+          (a + b) -> (36 + i) }).toMap
+    def refWordIds(w: String): Seq[Int] = {
+      var parts = w.map(_.toString).toVector
+      var go = true
+      while (go && parts.size > 1) {
+        val cands = parts.zip(parts.tail).flatMap(p => rank.get(p).map(r => (r, p)))
+        if (cands.isEmpty) go = false
+        else {
+          val (_, (a, b)) = cands.minBy(_._1)
+          val out = Vector.newBuilder[String]
+          var k = 0
+          while (k < parts.size) {
+            if (k < parts.size - 1 && parts(k) == a && parts(k + 1) == b) {
+              out += (a + b); k += 2
+            } else { out += parts(k); k += 1 }
+          }
+          parts = out.result()
+        }
+      }
+      parts.map(vocab)
+    }
+    def refIds(text: String): Seq[Int] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+        .flatMap(refWordIds).toSeq
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcdefghinorst!,3 İß"
+    val rndTexts = (0 until 40).map { i =>
+      (100L + i, (0 until rnd.nextInt(12)).map(_ =>
+        (0 to rnd.nextInt(10)).map(_ =>
+          alphabet.charAt(rnd.nextInt(alphabet.length))).mkString).mkString(" "))
+    }
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ rndTexts
+    val got = all.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.bpeEncode(col("text")).as("ids"),
+        TextFunctions.bpeCount(col("text")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    all.foreach { case (id, text) =>
+      val (ids, n) = got(id)
+      assert(ids == refIds(text), s"doc $id ids: '${text.take(60)}'")
+      assert(ids.length.toLong == n, s"doc $id: size(ids) != bpeCount")
+      assert(ids.forall(_ >= 0), s"doc $id: out-of-vocab id emitted")
+    }
+  }
+
   test("bigramLogProb: order-sensitive; deterministic transitions score exactly 0") {
     // a doc whose every context is deterministic (x is always followed by
     // y, y by x) has ln P = ln 1 = 0 for every pair — exact, hand-checked
