@@ -939,6 +939,15 @@ object SparkEntry {
       Corpus.packSequences(
         Corpus.chunkDocs(t(s, dir, "documents"), budget = 64),
         budget = 64, groups = 8, tokenCol = "n_tokens", idCol = "chunk_id")),
+    "pack_emit_ids" -> ((s, dir) =>
+      // the trainer-facing EMISSION: merged-BPE token ids packed into
+      // token-budget bins, each (grp, bin)'s concatenated id sequence in
+      // doc-id order — the actual model input, ONE exchange end-to-end.
+      // Rows-only (ids are not SQL-expressible); the spec pins bin
+      // membership ≡ packSequences over bpeCount, the size(seq_ids) ==
+      // bin_tokens invariant, and the concatenation against a driver
+      // reference on fixtures.
+      Corpus.packEmitIds(t(s, dir, "documents"), budget = 512, groups = 8)),
     "pack_boundaries" -> ((s, dir) =>
       // the trainer-facing manifest of the packed layout: one row per
       // (grp, bin) with each member's start offset INSIDE the bin — the

@@ -1214,6 +1214,46 @@ object Corpus {
   }
 
   /**
+   * The trainer-facing EMISSION of a packed layout: tokenize with the
+   * merged-BPE encoder, assign token-budget bins with the same parallel
+   * next-fit as [[packSequences]], and emit each (grp, bin)'s
+   * concatenated token-id sequence in document-id order — the actual
+   * fixed-length training input, closing the corpus → model-input loop
+   * ([[graft.plans.BpeEncode]] supplies the ids; budgets and sequences
+   * come from ONE tokenizer, so `size(seq_ids) == bin_tokens` is
+   * structural).
+   *
+   * Scale shape: ONE exchange end-to-end. The grp-keyed window shuffles
+   * each doc's id array once (they must co-locate by group anyway); the
+   * (grp, bin) aggregation reuses that partitioning (hash(grp) already
+   * clusters every (grp, bin) group), and the per-bin concatenation is
+   * `array_sort(collect_list(struct(id, ids)))` + flatten — emission
+   * order defined by the struct sort, not collect order, so the result
+   * is engine- and parallelism-free. Oversized docs straddle bins
+   * exactly as in [[packSequences]] (run [[chunkDocs]]/-ByCost first
+   * when units must fit).
+   */
+  def packEmitIds(docs: DataFrame, budget: Long, groups: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id",
+      merges: Seq[(String, String)] = graft.functions.TextFunctions.BpeMerges): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), hashBucket(col(idCol), groups).as("grp"),
+        graft.plans.BpeExpressions.bpeEncode(col(textCol), merges).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(greatest(running, 1L) - 1L) div ${budget}L"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col("token_ids").as("t")))),
+          s => s.getField("t"))).as("seq_ids"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /**
    * The trainer-facing manifest of a [[packSequences]] layout: one row
    * per (grp, bin) with member count, token total, and each member's
    * start OFFSET within the bin as a `id@offset` list — the

@@ -1924,6 +1924,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0).decoder == "mkv-meta")
   }
 
+  test("packEmitIds: bin membership matches packSequences over bpeCount; sequences concatenate in id order") {
+    val budget = 16L
+    val emitted = Corpus.packEmitIds(docs, budget, groups = 4).collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("bin")) ->
+        ((r.getSeq[Int](r.fieldIndex("seq_ids")),
+          r.getAs[Long]("bin_tokens"), r.getAs[Long]("n_docs")))).toMap
+    // reference layout: the declared packer over bpeCount budgets
+    val packed = Corpus.packSequences(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeCount(col("text")).as("n_tokens")),
+      budget, groups = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_tokens")))
+    // per-doc ids straight from the expression (already reference-pinned)
+    val idsOf = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeEncode(col("text")).as("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val byBin = packed.groupBy(t => (t._2, t._3))
+    assert(emitted.keySet == byBin.keySet)
+    for (((grp, bin), members) <- byBin) {
+      val (seq, binTokens, nDocs) = emitted((grp, bin))
+      val sorted = members.sortBy(_._1)
+      assert(nDocs == members.length, s"($grp,$bin)")
+      assert(binTokens == members.map(_._4).sum, s"($grp,$bin)")
+      // the structural invariant + the exact concatenation
+      assert(seq.length.toLong == binTokens, s"($grp,$bin) size != tokens")
+      assert(seq == sorted.flatMap(m => idsOf(m._1)).toSeq, s"($grp,$bin)")
+    }
+    // global conservation: every token id lands in exactly one bin slot
+    assert(emitted.values.map(_._1.length).sum == idsOf.values.map(_.length).sum)
+  }
+
   test("multimodal: container walks round-trip over randomized geometry") {
     import graft.operators.Multimodal
     // seeded sweep over arbitrary dims / frame counts / size patterns:
