@@ -939,6 +939,21 @@ object SparkEntry {
       Corpus.packSequences(
         Corpus.chunkDocs(t(s, dir, "documents"), budget = 64),
         budget = 64, groups = 8, tokenCol = "n_tokens", idCol = "chunk_id")),
+    "pack_sequences_inc" -> ((s, dir) => {
+      // incremental packing against a persisted per-group state (the
+      // registry convention): docs below the split are the registered
+      // corpus, the rest pack as an increment offset by its state —
+      // and because increments continue exactly where the registry
+      // stopped, the SHARED fused oracle (pack_sequences' window SQL
+      // filtered to the increment) hash-verifies the state round-trip
+      // end to end
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val state = Corpus.packState(Corpus.packSequences(
+        d.filter(col("doc_id") < 200L), budget = 512, groups = 8))
+      Corpus.packSequencesInc(d.filter(col("doc_id") >= 200L), state,
+        budget = 512, groups = 8)
+    }),
     "pack_emit_ids" -> ((s, dir) =>
       // the trainer-facing EMISSION: merged-BPE token ids packed into
       // token-budget bins, each (grp, bin)'s concatenated id sequence in
@@ -2371,6 +2386,21 @@ object SparkEntry {
          | FROM d)
          |SELECT doc_id, grp, (greatest(running, 1) - 1) // 512 AS bin,
          | n_tokens, running FROM r""".stripMargin,
+    "pack_sequences_inc" ->
+      // the FUSED statement restricted to the increment: state-offset
+      // packing must land every increment doc in exactly the bin the
+      // whole-corpus packing gives it
+      s"""WITH d AS (
+         | SELECT doc_id, ${hashBucketSql("doc_id", 8)} AS grp,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, grp, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         | FROM d)
+         |SELECT doc_id, grp, (greatest(running, 1) - 1) // 512 AS bin,
+         | n_tokens, running FROM r WHERE doc_id >= 200""".stripMargin,
     "chunk_docs" ->
       (chunkDocsSql + "\nSELECT doc_id, chunk, chunk_id, chunk_text, n_tokens FROM ch"),
     "chunk_docs_cost" ->

@@ -1214,6 +1214,40 @@ object Corpus {
   }
 
   /**
+   * Incremental sequence packing — the registry convention applied to
+   * [[packSequences]]: a persisted per-group state (`grp`,
+   * `running_total`) carries each group's cumulative token count, so a
+   * NEW batch of documents packs exactly where the previous corpus left
+   * off. `packState` folds a packed layout to its state;
+   * `packSequencesInc` offsets the increment's running sums by the
+   * loaded state — provided batch ids sort AFTER all registered ids
+   * (the append-only id discipline every incremental op in this engine
+   * assumes), the union of the increments' outputs is IDENTICAL to
+   * packing the whole corpus fused (`PackIncSpec`-pinned batch-boundary
+   * invariance, the ExactSubstr/semantic-registry precedent). State is
+   * ≤ `groups` rows — a broadcast, not a shuffle.
+   */
+  def packState(packed: DataFrame): DataFrame =
+    packed.groupBy(col("grp"))
+      .agg(max(col("running")).as("running_total"))
+
+  def packSequencesInc(docs: DataFrame, state: DataFrame, budget: Long,
+      groups: Int = 32, tokenCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), hashBucket(col(idCol), groups).as("grp"),
+        col(tokenCol).cast("long").as(tokenCol))
+      .join(broadcast(state.select(col("grp"),
+        col("running_total").cast("long").as("__base"))), Seq("grp"), "left")
+      .withColumn("running",
+        sum(col(tokenCol)).over(w) + coalesce(col("__base"), lit(0L)))
+      .withColumn("bin", expr(s"(greatest(running, 1L) - 1L) div ${budget}L"))
+      .select(col(idCol), col("grp"), col("bin"), col(tokenCol), col("running"))
+  }
+
+  /**
    * The trainer-facing EMISSION of a packed layout: tokenize with the
    * merged-BPE encoder, assign token-budget bins with the same parallel
    * next-fit as [[packSequences]], and emit each (grp, bin)'s

@@ -122,6 +122,7 @@ class PlanLintSpec extends AnyFunSuite {
     "pack_chunks" -> "running cost per doc: chunk split points are prefix sums",
     "pack_sequences" -> "running token total per group elects sequence breaks",
     "pack_emit_ids" -> "same next-fit prefix sum, carrying the id arrays it emits",
+    "pack_sequences_inc" -> "state-offset prefix sum over the increment (registry packing)",
     "chunk_docs_cost" -> "cost-budgeted chunking: per-doc running cost",
     "chunk_docs_bpe" -> "BPE-budgeted chunking: per-doc running token cost",
     // verbatim-span machinery: per-doc positional kernels (lead over

@@ -1956,6 +1956,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(emitted.values.map(_._1.length).sum == idsOf.values.map(_.length).sum)
   }
 
+  test("packSequencesInc: incremental chain is batch-boundary-invariant vs fused packing") {
+    // three append-only batches, state folded after each: the union of
+    // the three packings must equal packing everything fused (the
+    // ExactSubstr/semantic-registry invariance, applied to layout)
+    val d = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val budget = 16L
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("running"))).toSet
+    val fused = Corpus.packSequences(d, budget, groups = 4)
+    val b1 = Corpus.packSequences(d.filter(col("doc_id") < 2), budget, groups = 4)
+    val s1 = Corpus.packState(b1)
+    val b2 = Corpus.packSequencesInc(
+      d.filter(col("doc_id") >= 2 && col("doc_id") < 4), s1, budget, groups = 4)
+    // state folds over the UNION seen so far (a group silent in batch 2
+    // must keep its batch-1 total)
+    val s2 = Corpus.packState(b1.unionByName(b2))
+    val b3 = Corpus.packSequencesInc(d.filter(col("doc_id") >= 4), s2, budget, groups = 4)
+    assert(rows(b1) ++ rows(b2) ++ rows(b3) == rows(fused))
+    // an empty state packs like the fused form from zero
+    val empty = Corpus.packState(Corpus.packSequences(d.limit(0), budget, groups = 4))
+    assert(rows(Corpus.packSequencesInc(d, empty, budget, groups = 4)) == rows(fused))
+  }
+
   test("multimodal: container walks round-trip over randomized geometry") {
     import graft.operators.Multimodal
     // seeded sweep over arbitrary dims / frame counts / size patterns:
