@@ -284,7 +284,18 @@ object TrainingSetJob {
     val chunks = Materialize(chunker(train), cfg.checkpointDir)
     val packed = Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
       cfg.packGroups, "n_tokens", "chunk_id")
-    packed.join(chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
+    val joined = packed
+      .join(chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
+    // with a merges table in play, the packed rows also carry the actual
+    // merged-BPE token ids (BpeEncode shares the chunker's tokenizer, so
+    // size(token_ids) == n_tokens structurally on the BPE-budgeted path)
+    // — the packed/ output becomes directly loader-consumable
+    val emitted = mergesOpt match {
+      case Some(m) => joined.withColumn("token_ids",
+        graft.plans.BpeExpressions.bpeEncode(col("chunk_text"), m))
+      case None => joined
+    }
+    emitted
       .repartition(cfg.packGroups, col("grp"))
       .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
       .write.mode("overwrite").partitionBy("grp").parquet(packedDir(outRoot))

@@ -294,6 +294,10 @@ class TrainingSetJobSpec extends AnyFunSuite {
       graft.functions.TextFunctions.bpeCount(col("chunk_text"), merges))
       .filter(col("recount") =!= col("n_tokens")).count()
     assert(mismatch == 0, s"$mismatch chunks with drifted BPE counts")
+    // with merges in play the packed rows also carry the actual token-id
+    // sequences, sized exactly n_tokens (one tokenizer for budget + ids)
+    assert(packed.columns.contains("token_ids"))
+    assert(packed.filter(size(col("token_ids")) =!= col("n_tokens")).count() == 0)
     // chunks respect the BPE budget up to one straddling word's cost
     assert(packed.filter(col("n_tokens") > 64 + 32).count() == 0)
     // BPE merges compress: chunk token counts differ from ws counts, so
