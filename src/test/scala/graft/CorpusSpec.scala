@@ -1535,4 +1535,50 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(regRows == (0L until 120L).toSet)
   }
+
+  test("streaming packing: foreachBatch over the persisted layout equals fused packing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the foreachBatch wiring of packSequencesInc: each micro-batch
+    // packs against packState(output-so-far) and appends — append-only
+    // ids across batches, so the streamed layout must be IDENTICAL to
+    // packing the whole stream fused (layout's batch-boundary
+    // invariance, the registry-loop convention)
+    val outDir = java.nio.file.Files.createTempDirectory("pack_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val budget = 16L
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val d = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val state = try Corpus.packState(spark.read.parquet(outDir))
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Long, Long)].toDF("grp", "running_total") }
+        Corpus.packSequencesInc(d, state, budget, groups = 4)
+          .write.mode("append").parquet(outDir)
+        ()
+    }.start()
+    def mkDocs(r: Range) = r.map(i =>
+      ProbeDoc(i.toLong, (0 to i % 7).map(j => s"tok$j word").mkString(" ")))
+    try {
+      in.addData(mkDocs(0 until 20): _*)
+      q.processAllAvailable()
+      in.addData(mkDocs(20 until 23): _*) // tiny batch: some groups silent
+      q.processAllAvailable()
+      in.addData(mkDocs(23 until 50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"),
+        r.getAs[Long]("bin"), r.getAs[Long]("running"))).toSet
+    val fused = Corpus.packSequences(
+        mkDocs(0 until 50).toDF("doc_id", "text").select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        budget, groups = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"),
+        r.getAs[Long]("bin"), r.getAs[Long]("running"))).toSet
+    assert(streamed == fused)
+    // the fixture must actually cross bin boundaries mid-stream
+    assert(streamed.map(t => (t._2, t._3)).size > 4)
+  }
 }
