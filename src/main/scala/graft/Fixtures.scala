@@ -371,16 +371,32 @@ object Fixtures {
    * `restartEvery > 0` inserts DRI/RSTn markers, exercising the
    * decoder's restart path.
    */
+  /** Deterministic hash-pseudo-random luma for the `noise` JPEG content
+    * mode — ONE definition shared by both encoders so baseline and
+    * progressive streams carry pixel-identical content. */
+  private[graft] def noiseLuma(x: Int, y: Int, w: Int, h: Int, seed: Int): Double = {
+    val xi = math.min(x, w - 1)
+    val yi = math.min(y, h - 1)
+    var z = xi.toLong * 0x9E3779B97F4A7C15L + yi.toLong * 0xC2B2AE3D27D4EB4FL +
+      seed.toLong * 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) & 0xFFL).toDouble
+  }
+
   def jpegBytes(w: Int, h: Int, seed: Int, gray: Boolean = false,
       subsample: Boolean = false, restartEvery: Int = 0,
-      cbOff: Int = 0, crOff: Int = 0): Array[Byte] = {
+      cbOff: Int = 0, crOff: Int = 0, noise: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0)
-    // luma plane: same two-axis gradient as pngBytes, BT.601-folded
+    // luma plane: same two-axis gradient as pngBytes, BT.601-folded;
+    // `noise` switches to hash-pseudo-random pixels (full-spectrum AC
+    // energy — the adversarial content for entropy-coding edge paths)
     def rgb(x: Int, y: Int): (Int, Int, Int) = (
       (x + (h - 1 - y) + seed * 11) % 256,
       (h - 1 - y) * 255 / math.max(1, h - 1),
       (x * 255 / math.max(1, w - 1) + seed * 37) % 256)
     def lumaAt(x: Int, y: Int): Double = {
+      if (noise) return Fixtures.noiseLuma(x, y, w, h, seed)
       val (r, g, b) = rgb(math.min(x, w - 1), math.min(y, h - 1))
       0.299 * r + 0.587 * g + 0.114 * b
     }
@@ -547,7 +563,7 @@ object Fixtures {
    */
   def jpegProgressiveBytes(w: Int, h: Int, seed: Int, gray: Boolean = false,
       subsample: Boolean = false, cbOff: Int = 0, crOff: Int = 0,
-      restartEvery: Int = 0, acAl: Int = 1): Array[Byte] = {
+      restartEvery: Int = 0, acAl: Int = 1, noise: Boolean = false): Array[Byte] = {
     require(acAl >= 1 && acAl <= 3)
     require(w > 0 && h > 0)
     def rgb(x: Int, y: Int): (Int, Int, Int) = (
@@ -555,6 +571,7 @@ object Fixtures {
       (h - 1 - y) * 255 / math.max(1, h - 1),
       (x * 255 / math.max(1, w - 1) + seed * 37) % 256)
     def lumaAt(x: Int, y: Int): Double = {
+      if (noise) return Fixtures.noiseLuma(x, y, w, h, seed)
       val (r, g, b) = rgb(math.min(x, w - 1), math.min(y, h - 1))
       0.299 * r + 0.587 * g + 0.114 * b
     }

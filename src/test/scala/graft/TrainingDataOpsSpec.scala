@@ -1842,14 +1842,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       // ships Al=2): refinement decoded at two bit positions per coef
       ("4:4:4+Al2", (false, false, 0, 0, 0, 2), 40, 40, 13),
       ("4:2:0+Al3+RST", (false, true, 30, -20, 3, 3), 48, 32, 5))
-    for ((label, (gray, sub, cb, cr, rst, lvl), w, h, seed) <- cases) {
+    // pseudo-random pixels: full-spectrum AC energy hits the refinement
+    // edge paths (ZRL with interleaved correction bits, dense
+    // newly-significant insertions) that smooth gradients rarely reach
+    val noiseCases = Seq(
+      ("noise+Al2", (false, false, 0, 0, 0, 2), 40, 40, 21),
+      ("noise+420+Al3+RST", (false, true, 15, -25, 2, 3), 48, 32, 22),
+      ("noise+gray", (true, false, 0, 0, 0, 1), 33, 47, 23))
+    for ((label, (gray, sub, cb, cr, rst, lvl), w, h, seed) <- cases ++ noiseCases) {
+      val noisy = label.startsWith("noise")
       val base = Multimodal.decodeJpegTagged(
         Fixtures.jpegBytes(w, h, seed, gray = gray, subsample = sub,
-          cbOff = cb, crOff = cr))
+          cbOff = cb, crOff = cr, noise = noisy))
       val prog = Multimodal.decodeJpegTagged(
         Fixtures.jpegProgressiveBytes(w, h, seed, gray = gray,
           subsample = sub, cbOff = cb, crOff = cr, restartEvery = rst,
-          acAl = lvl))
+          acAl = lvl, noise = noisy))
       assert(base.exists(_._1 == "jpeg"), s"$label baseline failed")
       assert(prog.exists(_._1 == "jpeg-progressive"), s"$label progressive failed")
       val (_, bw, bh, bf) = base.get
