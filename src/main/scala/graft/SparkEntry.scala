@@ -1262,6 +1262,10 @@ object SparkEntry {
       // mean-centering, exploded to scalars for the oracle: one moments
       // aggregation + a map-only center kernel
       graft.operators.Embeddings.centerRows(t(s, dir, "embeddings"))),
+    "embed_truncate" -> ((s, dir) =>
+      // Matryoshka-style serving cut: first-16-dims prefix, L2-renorm —
+      // map-only, long-form 6dp scalars, fully oracled
+      graft.operators.Embeddings.truncateRenorm(t(s, dir, "embeddings"), k = 16)),
     "embed_whiten" -> ((s, dir) =>
       // ZCA whitening: moments aggregation -> driver-side 64x64 Jacobi
       // -> map-only projection kernel, exploded to (vec_id, dim,
@@ -2756,6 +2760,18 @@ object SparkEntry {
          |SELECT ev.vec_id, CAST(ev.dim AS BIGINT) AS dim,
          | ${Quantize.sql6("ev.v - m.mu")} AS centered
          |FROM ev JOIN m ON ev.dim = m.dim""".stripMargin,
+    "embed_truncate" ->
+      // same fold: prefix slice, sequential sum of squares, IEEE sqrt,
+      // 6dp after the division; zero-norm prefixes pin to 0.0
+      s"""WITH p AS (SELECT vec_id, embedding[1:16] AS pre FROM embeddings),
+         |n AS (SELECT vec_id, pre,
+         |    sqrt(list_sum(list_transform(pre, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM p),
+         |ev AS (SELECT vec_id, nrm, unnest(pre)::DOUBLE AS v,
+         |    unnest(range(0, len(pre))) AS dim FROM n)
+         |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         | ${Quantize.sql6("CASE WHEN nrm = 0 THEN 0 ELSE v / nrm END")} AS value
+         |FROM ev""".stripMargin,
     "embed_quantize" ->
       s"""WITH sc AS (SELECT vec_id, embedding,
          |    ${Quantize.sql6("greatest(list_max(embedding)::DOUBLE, " +

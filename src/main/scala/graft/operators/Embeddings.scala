@@ -278,4 +278,29 @@ object Embeddings {
           m.map(_.toSeq).toSeq, asFloat = false)))
       .select(col(idCol), col("pos").cast("long").as("dim"),
         Quantize.quantize(col("col"), 6).as(valCol))
+
+  /**
+   * Matryoshka-style truncation (Kusupati et al., "Matryoshka
+   * Representation Learning", NeurIPS 2022 — public literature): keep
+   * the first `k` dimensions and L2-renormalize, the serving move of
+   * MRL-trained embedding stacks (a prefix is a valid lower-dimensional
+   * embedding once renormalized — coarse ANN routing over the prefix,
+   * full-dim rerank). Map-only; long-form 6dp scalar emission
+   * (vec_id, dim, value) so the oracle pairs exactly. A zero-norm
+   * prefix emits 0.0 across its dims — a vector whose signal lives
+   * entirely past dimension k has no direction at k, and a silent 0/0
+   * would differ across engines.
+   */
+  def truncateRenorm(df: DataFrame, k: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pre = slice(col(vecCol), 1, k)
+    val nrm = sqrt(aggregate(pre, lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    df.select(col(idCol), nrm.as("__n"), posexplode(pre).as(Seq("dim", "__v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        Quantize.quantize(
+          when(col("__n") === 0d, lit(0.0d))
+            .otherwise(col("__v").cast("double") / col("__n")), 6).as("value"))
+  }
 }

@@ -136,4 +136,25 @@ class EmbeddingsSpec extends AnyFunSuite {
       assert(bad == 0L, s"$valCol diverges from the array form")
     }
   }
+
+  test("truncateRenorm: unit prefixes, exact dim count, zero-norm pins to 0") {
+    val k = 16
+    val out = Embeddings.truncateRenorm(emb, k)
+    // every vector emits exactly k dims, and each nonzero prefix is unit
+    // after renormalization (6dp quantization bounds the drift)
+    val norms = out.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value") * col("value")).as("ss"))
+      .collect()
+    assert(norms.nonEmpty && norms.forall(_.getAs[Long]("n") == k.toLong))
+    norms.foreach { r =>
+      val ss = r.getAs[Double]("ss")
+      assert(ss == 0.0 || math.abs(ss - 1.0) < 1e-4, s"vec ${r.get(0)}: $ss")
+    }
+    // a planted zero-prefix vector (signal entirely past dim k) emits 0s
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(k)(0f) ++ Array.fill(4)(1f)))
+      .toDF("vec_id", "embedding")
+    val zOut = Embeddings.truncateRenorm(z, k).collect()
+    assert(zOut.length == k && zOut.forall(_.getAs[Double]("value") == 0.0))
+  }
 }
