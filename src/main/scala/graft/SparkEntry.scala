@@ -620,6 +620,20 @@ object SparkEntry {
       val q = queryVec(s, dir)
       Similarity.topK(e, q, k = 10)
     }),
+    "sim_topk_mrl" -> ((s, dir) =>
+      // matryoshka serving cut: route on the first-16-dim prefix cosine,
+      // rerank the k·overscan shortlist full-dim (embed_truncate's
+      // consumer). Approximate by design → rows-only; recall vs brute
+      // force is spec-pinned and the full-overscan bridge below is the
+      // hash-verified exactness proof.
+      Similarity.topKMrl(t(s, dir, "embeddings"), queryVec(s, dir),
+        k = 10, kDims = 16, overscan = 4)),
+    "sim_topk_mrl_full" -> ((s, dir) =>
+      // overscan covering the corpus → the shortlist is everything and
+      // the rerank IS brute force — shares sim_topk's oracle (the *_full
+      // bridge convention; oracle substrate, not a scale point)
+      Similarity.topKMrl(t(s, dir, "embeddings"), queryVec(s, dir),
+        k = 10, kDims = 16, overscan = 1 << 20)),
     // Every sim_* probe below serves from the PREBUILT per-directory
     // artifacts (AnnIndex: built once through the library's persist
     // writers, partition-pruned layouts) — the production split. Training
@@ -2190,10 +2204,11 @@ object SparkEntry {
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin,
     "sim_topk" -> simTopkSql,
-    // both full-probe paths provably degrade to exact brute force, so the
-    // same SQL hash-verifies the IVF and LSH index machinery end-to-end
+    // the full-probe paths provably degrade to exact brute force, so the
+    // same SQL hash-verifies the IVF / LSH / MRL machinery end-to-end
     "sim_topk_ivf_full" -> simTopkSql,
     "sim_topk_lsh_full" -> simTopkSql,
+    "sim_topk_mrl_full" -> simTopkSql,
     // a corpus-spanning ADC shortlist + exact rerank IS brute force — the
     // shared oracle hash-verifies the PQ path end-to-end
     "sim_topk_pq_full" -> simTopkSql,

@@ -66,6 +66,45 @@ object Similarity {
   }
 
   /**
+   * MRL-routed top-k (Kusupati et al., "Matryoshka Representation
+   * Learning", NeurIPS 2022 — public literature): rank by cosine of the
+   * first-`kDims` PREFIX (the matryoshka serving cut —
+   * [[Embeddings.truncateRenorm]]'s consumer), keep a k·overscan
+   * shortlist, rerank it exactly full-dimension. The routing pass reads
+   * d/kDims× fewer floats per row and the shortlist rides the same
+   * per-partition-heap + driver-merge shape as [[topK]] (TakeOrdered —
+   * never a global sort); overscan buys recall back. `overscan`
+   * covering the corpus makes the shortlist everything, so the rerank
+   * IS [[topK]] — the hash-verified `sim_topk_mrl_full` bridge (oracle
+   * substrate, not a scale point, like every other *_full). Zero-norm
+   * prefixes score an EXPLICIT null (guarded — ANSI division would
+   * abort) and sort last under the descending route order — a vector
+   * invisible at kDims dims is routed out, the MRL contract.
+   */
+  def topKMrl(embeddings: DataFrame, query: Seq[Float], k: Int,
+      kDims: Int = 16, overscan: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(kDims > 0 && query.length >= kDims && overscan >= 1)
+    val qPre = query.take(kDims)
+    val qp = array(qPre.map(v => lit(v)): _*)
+    val qf = array(query.map(v => lit(v)): _*)
+    val pre = slice(col(vecCol), 1, kDims)
+    val pn = norm(pre)
+    embeddings
+      .select(col(idCol), col(vecCol),
+        when(pn === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(dot(pre, qp) / (pn * lit(normOf(qPre))), 6))
+          .as("__pc"))
+      .orderBy(col("__pc").desc, col(idCol))
+      .limit(k * overscan)
+      .select(col(idCol),
+        Quantize.quantize(dot(col(vecCol), qf) /
+          (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Deterministic pseudo-random hyperplane component for (table, bit, dim):
    * hash → uniform in [-1, 1). Stable across sessions/executors — the
    * "model" is pure code, no RNG state to ship.

@@ -152,6 +152,33 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(rr >= 0.7, s"rescored recall@10: $rr (got $rescored vs $exact)")
   }
 
+  test("MRL routing: full overscan equals brute force; prefix routing keeps recall and self") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Double]("cos")))
+    // overscan covering the corpus: the rerank IS brute force, row for row
+    assert(ids(Similarity.topKMrl(e, q, k = 10, kDims = 16, overscan = 1 << 20)).toSeq ==
+      ids(Similarity.topK(e, q, k = 10)).toSeq)
+    // the declared production point: prefix routing at 16 of 64 dims with
+    // 4x overscan finds the query itself and keeps useful recall on the
+    // near-random synthetic fixture (the hardest case for a prefix cut —
+    // real MRL-trained stacks concentrate signal in the prefix)
+    val exact = ids(Similarity.topK(e, q, k = 10)).map(_._1).toSet
+    val routed = ids(Similarity.topKMrl(e, q, k = 10, kDims = 16, overscan = 4))
+      .map(_._1).toSet
+    assert(routed.contains(0L), "self-match lost by prefix routing")
+    val recall = (exact & routed).size / 10.0
+    assert(recall >= 0.2, s"MRL recall@10 collapsed: $recall")
+    // zero-prefix vectors are routed out, not crashed on
+    import spark.implicits._
+    val z = Seq((900L, Array.fill(16)(0f) ++ Array.fill(48)(0.5f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(e.select(col("vec_id"), col("embedding")))
+    assert(Similarity.topKMrl(z, q, k = 5, kDims = 16, overscan = 2)
+      .collect().forall(_.getLong(0) != 900L))
+  }
+
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") < 300)
