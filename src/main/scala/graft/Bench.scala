@@ -30,7 +30,11 @@ object Bench {
     // agg probe reads ~0.01 s and the shuffle probe ~0.05–0.1 s; a probe
     // reading 5–10× that tells any reader of BENCH_r{N}.json that the
     // box was hot and per-query outliers are contamination, not plans.
-    def floorProbe(): (Double, Double) = {
+    // Each stamp also records the OS 1-minute load average (`load1`) —
+    // the box has external tenants, so the artifact carries the direct
+    // contention reading beside the indirect floor probes: a reader
+    // needs no out-of-band `uptime` context to adjudicate an outlier.
+    def floorProbe(): (Double, Double, Double) = {
       def minOf(n: Int)(f: => Unit): Double =
         (1 to n).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -40,7 +44,9 @@ object Bench {
       val shuffle = minOf(5)(
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
-      (agg, shuffle)
+      val load1 = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      (agg, shuffle, load1)
     }
 
     // Previous round's per-query map (the sidecar this run will
@@ -100,7 +106,7 @@ object Bench {
     val all = (SparkEntry.queries ++ SparkEntry.builds).toSeq
     val floorStart = floorProbe()
     val timed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    var floorMid: (Double, Double) = (-1.0, -1.0)
+    var floorMid: (Double, Double, Double) = (-1.0, -1.0, -1.0)
     for (((name, fn), i) <- all.zipWithIndex) {
       if (i == all.size / 2) floorMid = floorProbe()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -139,7 +145,8 @@ object Bench {
     // total covers SUCCESSFUL queries only — failures are listed, not summed
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def fl(p: (Double, Double)) = s"""{"agg":${p._1},"shuffle":${p._2}}"""
+    def fl(p: (Double, Double, Double)) =
+      s"""{"agg":${p._1},"shuffle":${p._2},"load1":${p._3}}"""
     val floorJson = s"""{"start":${fl(floorStart)},"mid":${fl(floorMid)},""" +
       s""""end":${fl(floorEnd)}}"""
     val retried = suspects.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

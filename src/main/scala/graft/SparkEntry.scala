@@ -430,9 +430,16 @@ object SparkEntry {
       // SQL-expressible) → rows-only, with the structural invariant
       // size(token_ids) == bpeCount spec-pinned fleet-wide and the
       // per-word ids pinned against an independent reference merge in
-      // TrainingDataOpsSpec
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.bpeEncode(col("text")).as("token_ids"))),
+      // TrainingDataOpsSpec. Dumped EXPLODED to (doc_id, pos, token_id)
+      // scalar rows — the array<int> column itself is trainer API
+      // (TextFunctions.bpeEncode / TrainingSetJob), but array cells
+      // crash the oracle harness's canonicalizer, so the ledger entry
+      // carries the order-preserving scalar twin (embed_whiten
+      // precedent).
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.bpeEncode(col("text")))
+            .as(Seq("pos", "token_id")))),
     "value_quantiles" -> ((s, dir) =>
       // ONE percentile buffer per group serves both cut points (the array
       // form); two scalar aggregates would duplicate the whole sort buffer
@@ -665,6 +672,20 @@ object SparkEntry {
       val q = queryVec(s, dir)
       Similarity.topKIvf(AnnIndex.ivfFull(s, dir), q, k = 10, nProbe = 16)
     }),
+    "sim_topk_mrl_ivf" -> ((s, dir) =>
+      // the MRL cut served from the SAME persisted IVF relation as the
+      // rest of the ANN family: probe 4 cells (partition pruning), route
+      // the pruned candidates on the 16-dim prefix, rerank the shortlist
+      // full-dim. Approximate by design → rows-only; the full bridge
+      // below is the exactness proof.
+      Similarity.topKMrlIvf(AnnIndex.ivfFull(s, dir), queryVec(s, dir),
+        k = 10, kDims = 16, overscan = 4, nProbe = 4)),
+    "sim_topk_mrl_ivf_full" -> ((s, dir) =>
+      // probe ALL cells + overscan covering the corpus → the shortlist is
+      // everything and the rerank IS brute force: one oracle hash-verifies
+      // the composed machinery (index round-trip, prefix route, rerank)
+      Similarity.topKMrlIvf(AnnIndex.ivfFull(s, dir), queryVec(s, dir),
+        k = 10, kDims = 16, overscan = 1 << 20, nProbe = 16)),
     "sim_topk_pq_full" -> ((s, dir) => {
       // overscan spans the whole corpus → the ADC shortlist is everything
       // and the exact rerank IS brute force: one oracle hash-verifies the
@@ -975,8 +996,15 @@ object SparkEntry {
       // Rows-only (ids are not SQL-expressible); the spec pins bin
       // membership ≡ packSequences over bpeCount, the size(seq_ids) ==
       // bin_tokens invariant, and the concatenation against a driver
-      // reference on fixtures.
-      Corpus.packEmitIds(t(s, dir, "documents"), budget = 512, groups = 8)),
+      // reference on fixtures. Dumped EXPLODED to (grp, bin, pos,
+      // token_id) scalar rows — the array<int> bin payload is trainer
+      // API (Corpus.packEmitIds / TrainingSetJob), but array cells
+      // crash the oracle harness's canonicalizer, so the ledger entry
+      // carries the order-preserving scalar twin (embed_whiten
+      // precedent).
+      Corpus.packEmitIds(t(s, dir, "documents"), budget = 512, groups = 8)
+        .select(col("grp"), col("bin"),
+          posexplode(col("seq_ids")).as(Seq("pos", "token_id")))),
     "pack_boundaries" -> ((s, dir) =>
       // the trainer-facing manifest of the packed layout: one row per
       // (grp, bin) with each member's start offset INSIDE the bin — the
@@ -2209,6 +2237,7 @@ object SparkEntry {
     "sim_topk_ivf_full" -> simTopkSql,
     "sim_topk_lsh_full" -> simTopkSql,
     "sim_topk_mrl_full" -> simTopkSql,
+    "sim_topk_mrl_ivf_full" -> simTopkSql,
     // a corpus-spanning ADC shortlist + exact rerank IS brute force — the
     // shared oracle hash-verifies the PQ path end-to-end
     "sim_topk_pq_full" -> simTopkSql,

@@ -53,8 +53,17 @@ import graft.operators.{Corpus, Materialize, Selection}
  *  - `packed/` — train-split sequences: chunk rows (chunk_id, chunk_text,
  *    n_tokens) with their (grp, bin, running) packing assignment,
  *    partitioned by `grp`, rows sorted (bin, chunk_id) so a trainer reads
- *    each bin's members contiguously.
- *  - `manifest.json` — row counts per stage + the effective config echo.
+ *    each bin's members contiguously. With a merges table in play
+ *    (configured, trained, or `emit_ids`' canonical default) rows also
+ *    carry `token_ids`, the actual merged-BPE model input.
+ *  - `boundaries/` (`emit_boundaries`) — the loader manifest: one row per
+ *    (grp, bin) with member count, token total and each member's
+ *    `id@offset` start inside the bin ([[Corpus.packBoundaries]]) — the
+ *    attention-reset metadata packed training needs.
+ *  - `merges.txt` (`bpe_train_merges` or `emit_ids`) — the merge table
+ *    the budgets were counted and ids emitted with.
+ *  - `manifest.json` — row counts per stage + the effective config echo
+ *    (including the effective `emit_ids`/`emit_boundaries`).
  *
  * Every stage is the individually-verified operator — this class only
  * composes and writes. The clean set is materialized ONCE before its three
@@ -77,6 +86,7 @@ object TrainingSetJob {
 
   def shardsDir(root: String) = s"$root/shards"
   def packedDir(root: String) = s"$root/packed"
+  def boundariesDir(root: String) = s"$root/boundaries"
   def manifestPath(root: String) = s"$root/manifest.json"
   def mergesPath(root: String) = s"$root/merges.txt"
 
@@ -269,6 +279,16 @@ object TrainingSetJob {
           ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
         m
       })
+      // emit_ids promotes id emission to a first-class switch: with no
+      // tokenizer configured it rides the canonical built-in merges table
+      // (the same vocab the pack_emit_ids query serves), written next to
+      // the outputs so the loader knows what the ids mean
+      .orElse(if (!cfg.emitIds) None else {
+        val m = graft.functions.TextFunctions.BpeMerges
+        writeTextFile(spark, mergesPath(outRoot),
+          ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
+        Some(m)
+      })
     val chunker: DataFrame => DataFrame = (mergesOpt, cfg.chunkStride) match {
       case (Some(merges), _) =>
         df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
@@ -300,6 +320,17 @@ object TrainingSetJob {
       .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
       .write.mode("overwrite").partitionBy("grp").parquet(packedDir(outRoot))
 
+    // terminal emission stage: the loader-facing manifest of the packed
+    // layout — one row per (grp, bin) with member count, token total and
+    // each member's `id@offset` start inside the bin (negative offset =
+    // straddler begun in the previous bin). One aggregation over the
+    // packer output; lets a loader mask attention at document boundaries
+    // without re-deriving the layout from the packed rows.
+    if (cfg.emitBoundaries)
+      Corpus.packBoundaries(packed, cfg.chunkBudget.toLong,
+          "n_tokens", "chunk_id")
+        .write.mode("overwrite").parquet(boundariesDir(outRoot))
+
     val shardsBack = spark.read.parquet(shardsDir(outRoot))
     val packedBack = spark.read.parquet(packedDir(outRoot))
     // cleaning yield from the materialized clean set (a checkpoint count,
@@ -312,12 +343,12 @@ object TrainingSetJob {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
 
     val result = Result(cleanDocs, mixedDocs, chunkCount, binCount, shardsWritten)
-    writeManifest(spark, outRoot, cfg, result)
+    writeManifest(spark, outRoot, cfg, result, idsEmitted = mergesOpt.nonEmpty)
     result
   }
 
   private def writeManifest(spark: SparkSession, root: String,
-      cfg: TrainingSetConfig, r: Result): Unit = {
+      cfg: TrainingSetConfig, r: Result, idsEmitted: Boolean): Unit = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(manifestPath(root)), true)
@@ -348,6 +379,11 @@ object TrainingSetJob {
       node.put("bpe_train_merges", n)
       node.put("bpe_merges_file", mergesPath(root))
     }
+    // effective emission flags: ids are emitted whenever ANY merges
+    // source is in play (configured tokenizer, trained, or emit_ids'
+    // canonical default) — the manifest records what actually shipped
+    node.put("emit_ids", idsEmitted)
+    node.put("emit_boundaries", cfg.emitBoundaries)
     node.put("n_shards", cfg.nShards)
     node.put("redact", cfg.redact)
     node.put("normalize", cfg.normalize)

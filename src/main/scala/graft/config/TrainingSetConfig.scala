@@ -47,6 +47,8 @@ final case class TrainingSetConfig(
     chunkStride: Option[Int] = None,
     bpeMergesPath: Option[String] = None,
     bpeTrainMerges: Option[Int] = None,
+    emitIds: Boolean = false,
+    emitBoundaries: Boolean = false,
     packGroups: Int = 32,
     nShards: Int = 64,
     checkpointDir: Option[String] = None) {
@@ -68,6 +70,10 @@ final case class TrainingSetConfig(
   require(chunkStride.isEmpty || (bpeMergesPath.isEmpty && bpeTrainMerges.isEmpty),
     "chunk_stride (overlapping windows) and BPE cost budgets are mutually " +
       "exclusive — the cost-aware chunker has no stride form")
+  require(!emitIds || chunkStride.isEmpty,
+    "emit_ids and chunk_stride are mutually exclusive — id emission rides " +
+      "the BPE cost path (size(token_ids) == n_tokens), which has no " +
+      "stride form")
   require(nShards > 0, s"n_shards must be positive: $nShards")
   require(substrWindow.forall(_ >= 2),
     s"substr_window must be >= 2 tokens: $substrWindow")
@@ -135,6 +141,8 @@ object TrainingSetConfig {
       chunkStride = optNode("chunk_stride").map(_.asInt),
       bpeMergesPath = optNode("bpe_merges_path").map(_.asText),
       bpeTrainMerges = optNode("bpe_train_merges").map(_.asInt),
+      emitIds = bool("emit_ids", d = false),
+      emitBoundaries = bool("emit_boundaries", d = false),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),
       checkpointDir = optNode("checkpoint_dir").map(_.asText))

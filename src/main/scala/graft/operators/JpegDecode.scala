@@ -296,7 +296,8 @@ private[operators] object JpegDecode {
    * dequant+IDCT pass per block ([[finish]]). T.81 Annex G, Huffman
    * coding only (arithmetic-coded frames never reach here — the SOF
    * dispatch rejects them). Memory is the valve the caller enforces at
-   * SOF2 (w·h ≤ 8 MP → ≤ ~48 MB of Int coefficients per payload): a
+   * SOF2 (Σ bW·bH·64·4 over components ≤ 48 MB — the exact size of the
+   * planes allocated below, so 8 MP for 4:2:0 but 4 MP for 4:4:4): a
    * progressive image cannot stream block-by-block the way a baseline
    * scan does, coefficients only become final after the last scan.
    */

@@ -406,10 +406,10 @@ object Multimodal {
             w = ((p(seg + 3) & 0xFF) << 8) | (p(seg + 4) & 0xFF)
             nComp = p(seg + 5) & 0xFF
             if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
-            // decode-size valve; tighter for progressive, whose
-            // coefficient planes live until the last scan (~6 B/pixel)
-            if (w.toLong * h > (if (progressive) 8L << 20 else 64L << 20))
-              return None
+            // raw decode-size valve (baseline streams block-by-block, so
+            // pixel count bounds its memory; progressive gets an exact
+            // plane-byte valve below once sampling factors are known)
+            if (w.toLong * h > (64L << 20)) return None
             if (seg + 6 + nComp * 3 > segEnd) return None
             compId = new Array[Int](nComp); compH = new Array[Int](nComp)
             compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
@@ -421,6 +421,26 @@ object Multimodal {
               if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4) return None
               compQ(c) = p(seg + 8 + c * 3) & 0xFF
               c += 1
+            }
+            if (progressive) {
+              // EXACT coefficient-plane valve: progressive planes live
+              // until the last scan, and their size depends on the
+              // sampling layout, not just pixel count (4:2:0 → ~6 B/px,
+              // 4:4:4 → ~12 B/px). Mirror ProgState's MCU-padded grid
+              // (Σ bW·bH·64·4 over components) and cap the sum at 48 MB
+              // — 8 MP for 4:2:0 (the prior cap's intent), 4 MP for a
+              // non-subsampled frame.
+              val hmax = compH.max; val vmax = compV.max
+              val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              var planeBytes = 0L
+              var pc = 0
+              while (pc < nComp) {
+                planeBytes +=
+                  mcusX.toLong * compH(pc) * mcusY * compV(pc) * 64L * 4L
+                pc += 1
+              }
+              if (planeBytes > (48L << 20)) return None
             }
           case 0xC1 => return None // extended sequential: not baseline
           case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
@@ -751,7 +771,15 @@ object Multimodal {
    * carrying positive dimensions parse. All header ints are UNTRUSTED
    * (the BMP/WAV contract): Long cursors, bounds before every read,
    * depth/count valves — a corrupt box tree costs one stub row, never a
-   * task.
+   * task. ENTRY CAPS (explicit, per the no-silent-caps convention):
+   * each box walk reads at most 4096 children per container, the `stts`
+   * walk sums at most the first 65536 (count, delta) entries, and the
+   * `stsz` envelope samples the first 65536 per-frame sizes — so for a
+   * very long or heavily-edited video, `nFrames` is a LOWER BOUND
+   * (≥ 65536 means "at least") and the size envelope describes the
+   * first ~65k frames. The caps bound a hostile header's cost at ~1 MB
+   * of reads; raising them is safe but unneeded for feature-extraction
+   * use.
    */
   def parseMp4(p: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = try {
     def be32(o: Long): Long =
@@ -873,9 +901,14 @@ object Multimodal {
    * `BlockGroup/Block` (blocks belonging to the video track: REAL frame
    * count + encoded-size envelope, same normalization as [[parseMp4]]).
    * Returns (width, height, nFrames, feature); None unless the EBML
-   * magic, a Segment, and a video track with positive dims parse.
-   * Untrusted-header contract throughout (Long cursors, bounds, count
-   * valves).
+   * magic, a Segment, and a video track with positive dims AND a
+   * TrackNumber parse (TrackNumber is mandatory in Matroska — without
+   * it blocks can't be attributed to the video track, so its absence is
+   * a parse failure rather than an inflated count). Untrusted-header
+   * contract throughout (Long cursors, bounds, count valves). ENTRY
+   * CAPS (explicit): ≤ 4096 children per element walk and the first
+   * 65536 video blocks feed nFrames/envelope — nFrames is a LOWER
+   * BOUND at 65536, same convention as [[parseMp4]].
    */
   def parseMkv(p: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = try {
     // EBML varint: leading-zero count of the first byte gives the width;
@@ -947,12 +980,16 @@ object Multimodal {
         }
       }
     if (w <= 0 || h <= 0 || w > 32768 || h > 32768) return None
+    // TrackNumber is MANDATORY in Matroska; without it a block can't be
+    // attributed to the video track, and counting every track's blocks
+    // would inflate nFrames/envelope on multiplexed files — treat its
+    // absence as a parse failure, the untrusted-header contract.
+    if (trackNum <= 0) return None
     // frame count + size envelope from the video track's blocks
     val blockSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     def takeBlock(s: Long, e: Long): Unit = {
       val tn = vint(s, keepMarker = false)
-      if (tn != null && (trackNum < 0 || tn._1 == trackNum) &&
-        blockSizes.length < 65536)
+      if (tn != null && tn._1 == trackNum && blockSizes.length < 65536)
         blockSizes += math.max(0L, e - s - tn._2 - 3) // ts(2) + flags(1)
     }
     for ((id, s, e) <- seg if id == 0x1F43B675L) // Cluster

@@ -98,8 +98,14 @@ object Similarity {
       .orderBy(col("__pc").desc, col(idCol))
       .limit(k * overscan)
       .select(col(idCol),
-        Quantize.quantize(dot(col(vecCol), qf) /
-          (norm(col(vecCol)) * lit(normOf(query))), 6).as("cos"))
+        // same zero-norm guard as the prefix leg: a zero-norm vector can
+        // reach the shortlist (tiny corpus, or the *_full bridge where the
+        // shortlist is everything), and the unguarded rerank division
+        // would yield null silently or abort under ANSI
+        when(norm(col(vecCol)) === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(dot(col(vecCol), qf) /
+            (norm(col(vecCol)) * lit(normOf(query))), 6))
+          .as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -460,23 +466,77 @@ object Similarity {
    */
   def topKIvf(index: IvfIndex, query: Seq[Float], k: Int, nProbe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // centroids live in the unit space (buildIvfIndex trains on normalized
-    // vectors) — rank cells against the NORMALIZED query so the probe order
-    // agrees with the cosine serving metric
-    val qn = normOf(query)
-    val qUnit = if (qn > 0) query.map(v => (v / qn).toFloat) else query
-    val probed = index.centroids.map { case (c, v) =>
-      val d2 = v.indices.foldLeft(0.0) { (a, i) =>
-        val d = v(i).toDouble - qUnit(i).toDouble; a + d * d
-      }
-      (c, d2)
-    }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+    val probed = probeCells(index, query, nProbe)
     val q = array(query.map(v => lit(v)): _*)
     val n = if (index.assignments.columns.contains("nrm")) col("nrm")
       else norm(col(vecCol)) // pre-norm-column assignments tables
     index.assignments.filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
       .select(col(idCol),
-        Quantize.quantize(dot(col(vecCol), q) / (n * lit(qn)), 6).as("cos"))
+        Quantize.quantize(dot(col(vecCol), q) / (n * lit(normOf(query))), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side probe list: the `nProbe` cells nearest the NORMALIZED
+    * query (centroids live in the unit space — buildIvfIndex trains on
+    * normalized vectors, so the probe order agrees with the cosine
+    * serving metric), (distance, cell) tiebreak. The model is local;
+    * ranking it costs nothing. */
+  private def probeCells(index: IvfIndex, query: Seq[Float],
+      nProbe: Int): Array[Int] = {
+    val qn = normOf(query)
+    val qUnit = if (qn > 0) query.map(v => (v / qn).toFloat) else query
+    index.centroids.map { case (c, v) =>
+      val d2 = v.indices.foldLeft(0.0) { (a, i) =>
+        val d = v(i).toDouble - qUnit(i).toDouble; a + d * d
+      }
+      (c, d2)
+    }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+  }
+
+  /**
+   * MRL serving THROUGH the persisted IVF index — [[topKMrl]]'s prefix
+   * route composed with [[topKIvf]]'s cell pruning, so the matryoshka
+   * cut serves from the same persisted relation as the rest of the ANN
+   * family: cells rank driver-side full-dim (the model is local —
+   * probing is free), the probed cells' candidates route on the
+   * first-`kDims` prefix cosine (d/kDims× fewer floats read per
+   * candidate — the MRL win applies to the post-prune scan, which is
+   * ALL the reading serving does against a cell-partitioned index), and
+   * the k·overscan shortlist reranks exactly full-dim via the index's
+   * persisted `nrm`. Both shortlist passes ride the TakeOrdered
+   * per-partition-heap + driver-merge shape — never a global sort.
+   * `nProbe = nCells` AND overscan covering the corpus degrade EXACTLY
+   * to brute force — the hash-verified `sim_topk_mrl_ivf_full` bridge.
+   * Zero-norm prefixes route to an explicit null (sorting last under
+   * the descending route order); zero-norm full vectors rerank to null —
+   * the guards shared with [[topKMrl]].
+   */
+  def topKMrlIvf(index: IvfIndex, query: Seq[Float], k: Int,
+      kDims: Int = 16, overscan: Int = 4, nProbe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(kDims > 0 && query.length >= kDims && overscan >= 1)
+    val probed = probeCells(index, query, nProbe)
+    val qPre = query.take(kDims)
+    val qp = array(qPre.map(v => lit(v)): _*)
+    val qf = array(query.map(v => lit(v)): _*)
+    val pre = slice(col(vecCol), 1, kDims)
+    val pn = norm(pre)
+    val n = if (index.assignments.columns.contains("nrm")) col("nrm")
+      else norm(col(vecCol))
+    index.assignments
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col(idCol), col(vecCol), n.as("__n"),
+        when(pn === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(dot(pre, qp) / (pn * lit(normOf(qPre))), 6))
+          .as("__pc"))
+      .orderBy(col("__pc").desc, col(idCol))
+      .limit(k * overscan)
+      .select(col(idCol),
+        when(col("__n") === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(dot(col(vecCol), qf) /
+            (col("__n") * lit(normOf(query))), 6))
+          .as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -738,7 +738,10 @@ object Scratch {
         spark.range(1).selectExpr("sum(id) as s").queryExecution.toRdd.count())
       val sh = minOf(5)(spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").agg(count(lit(1))).queryExecution.toRdd.count())
-      println(f"SCRATCH floor[$tag]: agg $agg%.4f s, shuffle $sh%.4f s")
+      val load1 = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      println(f"SCRATCH floor[$tag]: agg $agg%.4f s, shuffle $sh%.4f s, " +
+        f"load1 $load1%.2f")
     }
     floorStamp("start")
     for (n <- names) {

@@ -177,6 +177,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .unionByName(e.select(col("vec_id"), col("embedding")))
     assert(Similarity.topKMrl(z, q, k = 5, kDims = 16, overscan = 2)
       .collect().forall(_.getLong(0) != 900L))
+    // a FULLY zero vector reaching the rerank shortlist (tiny corpus:
+    // the shortlist is everything) scores an explicit null, never a
+    // divide-by-zero — the rerank leg's guard, mirroring the route leg's
+    val z2 = Seq((901L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+      .unionByName(e.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")))
+    val rr = Similarity.topKMrl(z2, q, k = 4, kDims = 16, overscan = 4)
+      .collect()
+    assert(rr.filter(_.getLong(0) == 901L).forall(_.isNullAt(1)))
+  }
+
+  test("MRL through the IVF index: full probe+overscan equals brute force; routed serving keeps self") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val index = Similarity.buildIvfIndex(e, nCells = 8, iters = 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Double]("cos")))
+    // probe ALL cells + corpus-covering overscan: the composed path IS
+    // brute force, row for row — the sim_topk_mrl_ivf_full bridge shape
+    assert(ids(Similarity.topKMrlIvf(index, q, k = 10, kDims = 16,
+      overscan = 1 << 20, nProbe = 8)).toSeq ==
+      ids(Similarity.topK(e, q, k = 10)).toSeq)
+    // production point: 4 of 8 cells + prefix routing still finds the
+    // query itself and keeps recall on the near-random fixture
+    val exact = ids(Similarity.topK(e, q, k = 10)).map(_._1).toSet
+    val routed = ids(Similarity.topKMrlIvf(index, q, k = 10, kDims = 16,
+      overscan = 4, nProbe = 4)).map(_._1).toSet
+    assert(routed.contains(0L), "self-match lost by IVF+prefix routing")
+    assert((exact & routed).size / 10.0 >= 0.2,
+      s"MRL-IVF recall@10 collapsed: ${(exact & routed).size / 10.0}")
   }
 
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {

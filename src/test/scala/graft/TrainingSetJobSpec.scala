@@ -458,4 +458,75 @@ class TrainingSetJobSpec extends AnyFunSuite {
       TrainingSetConfig.parse("""{"dsir_top_k":5}""") // missing target value
     }
   }
+
+  test("emission stage: emit_ids + emit_boundaries ship loader-ready output consistent with the manifest") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_emit").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":4,"n_shards":8,
+        |"emit_ids":true,"emit_boundaries":true}""".stripMargin)
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    assert(r.trainChunks > 0 && r.trainBins > 0)
+
+    // packed rows carry token ids under the canonical merges, and the
+    // emission is budget-faithful: size(token_ids) == n_tokens row-wise
+    // (the chunker counted the SAME tokenizer the emitter encodes with)
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    assert(packed.columns.contains("token_ids"))
+    assert(packed.filter(size(col("token_ids")) =!= col("n_tokens")).count() == 0)
+
+    // boundary manifest ⟷ emitted ids: bin sets identical, and per
+    // (grp, bin) the manifest's member count / token total equal both the
+    // packed rows' n_tokens sum AND the emitted ids' total length
+    val bounds = spark.read.parquet(TrainingSetJob.boundariesDir(outRoot))
+    val agg = packed.groupBy(col("grp"), col("bin")).agg(
+      count(lit(1)).as("nc"), sum(col("n_tokens")).as("bt"),
+      sum(size(col("token_ids"))).as("it"))
+    val j = bounds.join(agg, Seq("grp", "bin"), "full")
+    assert(j.filter(col("n_chunks").isNull || col("nc").isNull).count() == 0,
+      "boundary manifest and packed output disagree on the bin set")
+    assert(j.filter(col("n_chunks") =!= col("nc") ||
+      col("bin_tokens") =!= col("bt") || col("bin_tokens") =!= col("it"))
+      .count() == 0, "boundary counts drifted from the emitted ids")
+
+    // the id@offset entries parse back to exactly each bin's members,
+    // offsets inside (-budget, budget) (negative = straddler head)
+    val parsed = bounds
+      .select(col("grp"), col("bin"),
+        explode(split(col("manifest"), ",")).as("m"))
+      .select(col("grp"), col("bin"),
+        regexp_extract(col("m"), "^(.*)@(-?\\d+)$", 1).as("chunk_id"),
+        regexp_extract(col("m"), "^(.*)@(-?\\d+)$", 2).cast("long").as("off"))
+    val members = packed.select(col("grp"), col("bin"), col("chunk_id"))
+    assert(parsed.select(col("grp"), col("bin"), col("chunk_id"))
+      .except(members).count() == 0)
+    assert(members.except(
+      parsed.select(col("grp"), col("bin"), col("chunk_id"))).count() == 0)
+    // exact offset contract: a member assigned to a bin ends inside it
+    // (running ∈ (bin·B, (bin+1)·B]), so its start offset lies in
+    // (-n_tokens, budget). Negative = straddler begun in an earlier bin —
+    // ordinary one-boundary straddles, and multi-bin ones when a BPE
+    // chunk exceeds the budget (a single pre-token's cost can; the
+    // chunker cannot split below token granularity).
+    val offJoined = parsed.join(
+      packed.select(col("grp"), col("bin"), col("chunk_id"), col("n_tokens")),
+      Seq("grp", "bin", "chunk_id"))
+    assert(offJoined.filter(
+      col("off") >= 64 || col("off") <= -col("n_tokens")).count() == 0)
+
+    // the merges the ids mean are saved next to the outputs; the job
+    // manifest records the effective emission flags
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(TrainingSetJob.mergesPath(outRoot))))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(m.get("emit_ids").asBoolean && m.get("emit_boundaries").asBoolean)
+  }
+
+  test("config: emit_ids and chunk_stride are mutually exclusive") {
+    assertThrows[IllegalArgumentException] {
+      TrainingSetConfig.parse("""{"emit_ids":true,"chunk_stride":32}""")
+    }
+  }
 }
