@@ -783,6 +783,26 @@ object SparkEntry {
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 16, overscan = 60)
     }),
+    "sim_topk_join_mrl" -> ((s, dir) => {
+      // the matryoshka batch join: the |Q|·|C| pair-scoring pass runs on
+      // the 16-dim prefix, only the k·overscan shortlist per query is
+      // reranked full-dim (rows-only; the _full bridge hash-verifies)
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinMrl(
+        e.filter(col("vec_id") < 300),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, kDims = 16, overscan = 4)
+    }),
+    "sim_topk_join_mrl_full" -> ((s, dir) => {
+      // corpus-spanning overscan: the shortlist is everything and the
+      // rerank IS the brute-force batch join — the shared sim_topk_join
+      // oracle hash-verifies the MRL join path (route, heap, rerank)
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinMrl(
+        e.filter(col("vec_id") < 300),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, kDims = 16, overscan = 60)
+    }),
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsExact(
         t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.45)),
@@ -2246,6 +2266,9 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
     "sim_topk_join" -> simTopkJoinSql,
+    // a corpus-spanning MRL shortlist exactly reranked IS the brute-force
+    // batch join — the shared oracle hash-verifies the MRL join path
+    "sim_topk_join_mrl_full" -> simTopkJoinSql,
     // probing every IVF cell IS the brute-force batch join — same oracle
     // hash-verifies the IVF join machinery (train, assign, probe, rescore)
     "sim_topk_join_ivf_full" -> simTopkJoinSql,

@@ -659,6 +659,57 @@ object Similarity {
     topKPerQuery(scored, k, idCol, qIdCol)
   }
 
+  /**
+   * MRL k-NN JOIN — the batch form of [[topKMrl]], completing the join
+   * family (exact [[topKJoin]], LSH, IVF, PQ, and the matryoshka cut
+   * here): the O(|Q|·|C|) pair-scoring pass — the term that dominates a
+   * k-NN join — runs on the first-`kDims` PREFIX cosine only (d/kDims×
+   * less dot-product work and a heap keyed on skinny
+   * (qId, id, prefix-cos) rows), each query's k·overscan shortlist is
+   * elected by the same struct_topk heap as every other join form, and
+   * only |Q|·k·overscan full vectors are touched for the exact rerank
+   * (shortlist broadcasts; queries rejoin broadcast — the family's
+   * batch-size bound, see [[topKJoinIvf]]'s note). Overscan covering
+   * the corpus makes the shortlist everything and the rerank IS
+   * [[topKJoin]] — the hash-verified `sim_topk_join_mrl_full` bridge.
+   * Zero-norm PREFIXES route to null and are dropped by the election
+   * (a vector invisible at kDims dims is routed out — the MRL
+   * contract); zero-norm full vectors rerank to null and drop, exactly
+   * as [[topKJoin]]'s scoring does.
+   */
+  def topKJoinMrl(corpus: DataFrame, queries: DataFrame, k: Int,
+      kDims: Int = 16, overscan: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    require(kDims > 0 && overscan >= 1)
+    val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
+      slice(col(vecCol), 1, kDims).as("__qp"))
+    val qr = q.select(col(qIdCol), col("__qp"), norm(col("__qp")).as("__qpn"))
+    val cp = corpus.select(col(idCol), slice(col(vecCol), 1, kDims).as("__cp"))
+      .withColumn("__cpn", norm(col("__cp")))
+    val routed = cp.crossJoin(broadcast(qr))
+      .select(col(qIdCol), col(idCol),
+        when(col("__cpn") === 0d || col("__qpn") === 0d,
+          lit(null).cast("double"))
+          .otherwise(Quantize.quantize(
+            dot(col("__cp"), col("__qp")) / (col("__cpn") * col("__qpn")), 6))
+          .as("cos"))
+    val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
+      .select(col(qIdCol), col(idCol))
+    val reranked = broadcast(shortlist)
+      .join(corpus.select(col(idCol), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn")), idCol)
+      .join(broadcast(q.select(col(qIdCol), col("__qv"), col("__qn"))), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        when(col("__cn") === 0d || col("__qn") === 0d,
+          lit(null).cast("double"))
+          .otherwise(Quantize.quantize(
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+          .as("cos"))
+    topKPerQuery(reranked, k, idCol, qIdCol)
+  }
+
   /** Deterministic per-query top-k: `struct_topk` heap aggregation keyed
     * on the query id — k smallest `(-cos, id)` pairs, i.e. the same
     * `(cos DESC, id ASC)` election the SQL rank-window oracle spells.

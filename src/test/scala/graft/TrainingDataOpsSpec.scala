@@ -209,6 +209,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       s"MRL-IVF recall@10 collapsed: ${(exact & routed).size / 10.0}")
   }
 
+  test("MRL batch join: corpus-spanning overscan equals exact topKJoin; routed keeps self per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    // shortlist = everything → the rerank IS topKJoin, cos and all
+    assert(triples(Similarity.topKJoinMrl(corpus, queries, k = 5,
+      kDims = 16, overscan = 60)) ==
+      triples(Similarity.topKJoin(corpus, queries, k = 5)))
+    // production point: every query's own vector survives prefix routing
+    val routed = Similarity.topKJoinMrl(corpus, queries, k = 5,
+      kDims = 16, overscan = 4).collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(
+        _.map(_.getAs[Long]("vec_id")).toSet)
+    (0L until 5L).foreach(q => assert(routed(q).contains(q),
+      s"query $q lost its self-match through the MRL join route"))
+  }
+
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") < 300)
