@@ -783,6 +783,27 @@ object SparkEntry {
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 16, overscan = 60)
     }),
+    "sim_topk_join_mrl_ivf" -> ((s, dir) => {
+      // the composed batch member: IVF prunes cells per query, the
+      // pruned candidate stream scores on the 16-dim prefix, only the
+      // k·overscan shortlist reranks full-dim from the persisted index
+      // (rows-only; the _full bridge hash-verifies)
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinMrlIvf(
+        AnnIndex.ivf300(s, dir),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, kDims = 16, overscan = 4, nProbe = 4)
+    }),
+    "sim_topk_join_mrl_ivf_full" -> ((s, dir) => {
+      // every cell probed + corpus-spanning overscan ≡ brute-force batch
+      // join — the shared oracle hash-verifies the composed path (cell
+      // election, prefix route, persisted-index rerank)
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinMrlIvf(
+        AnnIndex.ivf300(s, dir),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, kDims = 16, overscan = 60, nProbe = 16)
+    }),
     "sim_topk_join_mrl" -> ((s, dir) => {
       // the matryoshka batch join: the |Q|·|C| pair-scoring pass runs on
       // the 16-dim prefix, only the k·overscan shortlist per query is
@@ -2268,7 +2289,9 @@ object SparkEntry {
     "sim_topk_join" -> simTopkJoinSql,
     // a corpus-spanning MRL shortlist exactly reranked IS the brute-force
     // batch join — the shared oracle hash-verifies the MRL join path
+    // (raw, and composed through the persisted IVF index)
     "sim_topk_join_mrl_full" -> simTopkJoinSql,
+    "sim_topk_join_mrl_ivf_full" -> simTopkJoinSql,
     // probing every IVF cell IS the brute-force batch join — same oracle
     // hash-verifies the IVF join machinery (train, assign, probe, rescore)
     "sim_topk_join_ivf_full" -> simTopkJoinSql,

@@ -616,39 +616,7 @@ object Similarity {
   def topKJoinIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id",
       qIdCol: String = "q_id"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val cents = index.centroids.map { case (c, v) =>
-      (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-    }.toSeq.toDF("cell", "__cv", "__cn2")
-    val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
-      .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"), col("__unit"))
-    // nProbe nearest cells per query, elected by the struct_topk heap on
-    // (__d, cell) — the same ascending tiebreak the topKIvf probe uses.
-    // The broadcast crossJoin generates all nCells candidates for a query
-    // INSIDE one task, so partial aggregation collapses them map-side:
-    // the exchange carries |Q|·nProbe skinny (qId, cell) rows instead of
-    // the window form's |Q|·nCells rows each dragging the full query
-    // vector through the shuffle + per-partition sort. The query payload
-    // (__qv, __qn) rejoins on qId afterwards — q is the (small) query
-    // side, so this plans as a broadcast join.
-    val elected = q.crossJoin(broadcast(cents))
-      .select(col(qIdCol),
-        struct((col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("d"),
-          col("cell").as("c")).as("__dc"))
-      .groupBy(col(qIdCol))
-      .agg(graft.plans.TopKExpressions.topKStructs(col("__dc"), nProbe).as("__tk"))
-      .select(col(qIdCol), explode(col("__tk.c")).as("cell"))
-    // Batch-size bound: the rejoin broadcasts the FULL query payload
-    // (|Q| vectors + norms) to every executor — fine for the k-NN-join
-    // regime this family serves (query batches ≪ corpus; an increment,
-    // a probe set), but a "query" side approaching corpus scale would
-    // hit the broadcast memory ceiling. At that scale the right tool is
-    // the all-pairs machinery (nearDupPairs*/semanticDedup), not a k-NN
-    // join; callers who insist can pre-chunk the batch — each chunk
-    // rebroadcasts only its own slice.
-    val probes = elected.join(broadcast(q.drop("__unit")), qIdCol)
-      .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"))
+    val probes = probeCellsJoin(index, queries, nProbe, vecCol, qIdCol)
     val cn = if (index.assignments.columns.contains("nrm")) col("nrm")
       else norm(col(vecCol))
     val scored = probes.join(
@@ -657,6 +625,98 @@ object Similarity {
       .select(col(qIdCol), col(idCol),
         Quantize.quantize(dot(col("__qv"), col("__corp")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(scored, k, idCol, qIdCol)
+  }
+
+  /** Per-query probe relation (qId, __qv, __qn, cell): nProbe nearest
+    * cells per query row, elected by the struct_topk heap on (__d, cell)
+    * — the same ascending tiebreak the topKIvf probe uses. The broadcast
+    * crossJoin generates all nCells candidates for a query INSIDE one
+    * task, so partial aggregation collapses them map-side: the exchange
+    * carries |Q|·nProbe skinny (qId, cell) rows instead of the window
+    * form's |Q|·nCells rows each dragging the full query vector through
+    * the shuffle + per-partition sort. The query payload (__qv, __qn)
+    * rejoins on qId afterwards — q is the (small) query side, so this
+    * plans as a broadcast join.
+    *
+    * Batch-size bound: the rejoin broadcasts the FULL query payload
+    * (|Q| vectors + norms) to every executor — fine for the k-NN-join
+    * regime this family serves (query batches ≪ corpus; an increment,
+    * a probe set), but a "query" side approaching corpus scale would
+    * hit the broadcast memory ceiling. At that scale the right tool is
+    * the all-pairs machinery (nearDupPairs / semanticDedup), not a k-NN
+    * join; callers who insist can pre-chunk the batch — each chunk
+    * rebroadcasts only its own slice. */
+  private def probeCellsJoin(index: IvfIndex, queries: DataFrame,
+      nProbe: Int, vecCol: String, qIdCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.map { case (c, v) =>
+      (c, v, v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }.toSeq.toDF("cell", "__cv", "__cn2")
+    val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"), col("__unit"))
+    val elected = q.crossJoin(broadcast(cents))
+      .select(col(qIdCol),
+        struct((col("__cn2") - lit(2.0) * dot(col("__unit"), col("__cv"))).as("d"),
+          col("cell").as("c")).as("__dc"))
+      .groupBy(col(qIdCol))
+      .agg(graft.plans.TopKExpressions.topKStructs(col("__dc"), nProbe).as("__tk"))
+      .select(col(qIdCol), explode(col("__tk.c")).as("cell"))
+    elected.join(broadcast(q.drop("__unit")), qIdCol)
+      .select(col(qIdCol), col("__qv"), col("__qn"), col("cell"))
+  }
+
+  /**
+   * MRL batch join THROUGH the persisted IVF index — the composed form
+   * closing the serving matrix (scalar: [[topKMrl]]/[[topKMrlIvf]];
+   * batch: [[topKJoinMrl]]/here): per-query cells elect exactly as
+   * [[topKJoinIvf]] (broadcast centroids + heap), the pruned candidates
+   * score on the first-`kDims` PREFIX only (the d/kDims× read/compute
+   * cut applies to the post-prune candidate stream — all the scoring a
+   * pruned join does), each query's k·overscan shortlist elects via the
+   * shared heap, and only the shortlist is reranked exactly full-dim
+   * from the index's persisted vectors and `nrm`. `nProbe = nCells` AND
+   * corpus-covering overscan degrade EXACTLY to the brute-force batch
+   * join — the hash-verified `sim_topk_join_mrl_ivf_full` bridge.
+   * Zero-norm prefixes route to null and drop (the MRL contract);
+   * zero-norm full vectors rerank to null and drop, as [[topKJoin]]
+   * scoring does.
+   */
+  def topKJoinMrlIvf(index: IvfIndex, queries: DataFrame, k: Int,
+      kDims: Int = 16, overscan: Int = 4, nProbe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    require(kDims > 0 && overscan >= 1)
+    val probes = probeCellsJoin(index, queries, nProbe, vecCol, qIdCol)
+      .withColumn("__qp", slice(col("__qv"), 1, kDims))
+      .withColumn("__qpn", norm(col("__qp")))
+    val cPre = slice(col("__corp"), 1, kDims)
+    val cPreN = norm(cPre)
+    val routed = probes.join(
+        index.assignments.select(col(idCol), col(vecCol).as("__corp"),
+          col("cell")), "cell")
+      .select(col(qIdCol), col(idCol),
+        when(cPreN === 0d || col("__qpn") === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(
+            dot(cPre, col("__qp")) / (cPreN * col("__qpn")), 6))
+          .as("cos"))
+    val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
+      .select(col(qIdCol), col(idCol))
+    val cn = if (index.assignments.columns.contains("nrm")) col("nrm")
+      else norm(col(vecCol))
+    val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"))
+    val reranked = broadcast(shortlist)
+      .join(index.assignments.select(col(idCol), col(vecCol).as("__cv"),
+        cn.as("__cn")), idCol)
+      .join(broadcast(q), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        when(col("__cn") === 0d || col("__qn") === 0d,
+          lit(null).cast("double"))
+          .otherwise(Quantize.quantize(
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+          .as("cos"))
+    topKPerQuery(reranked, k, idCol, qIdCol)
   }
 
   /**

@@ -228,6 +228,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
         _.map(_.getAs[Long]("vec_id")).toSet)
     (0L until 5L).foreach(q => assert(routed(q).contains(q),
       s"query $q lost its self-match through the MRL join route"))
+    // composed through the IVF index: all cells + corpus-spanning
+    // overscan is again exact, row for row
+    val index = Similarity.buildIvfIndex(corpus, nCells = 8, iters = 1)
+    assert(triples(Similarity.topKJoinMrlIvf(index, queries, k = 5,
+      kDims = 16, overscan = 60, nProbe = 8)) ==
+      triples(Similarity.topKJoin(corpus, queries, k = 5)))
+    // pruned + routed production point keeps self per query
+    val routedIvf = Similarity.topKJoinMrlIvf(index, queries, k = 5,
+      kDims = 16, overscan = 4, nProbe = 4).collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(
+        _.map(_.getAs[Long]("vec_id")).toSet)
+    (0L until 5L).foreach(q => assert(routedIvf(q).contains(q),
+      s"query $q lost its self-match through the MRL-IVF join route"))
   }
 
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
