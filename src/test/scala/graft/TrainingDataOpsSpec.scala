@@ -1969,6 +1969,55 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0).decoder == "jpeg-progressive")
   }
 
+  test("progressive JPEG valve keys on coefficient-plane bytes, not raw pixels") {
+    import graft.operators.Multimodal
+    // same pixel count, different sampling layout: 2052x2052 at 4:4:4
+    // allocates 257^2 blocks x 3 full-res planes ~ 50.7 MB of Int
+    // coefficients (> the 48 MB valve -> rejected at SOF2), while 4:2:0
+    // at the SAME dims is ~25.6 MB and decodes. A raw-pixel valve could
+    // not tell these apart — the r14 ADVICE fix, pinned.
+    val dim = 2052
+    assert(Multimodal.decodeJpeg(
+      Fixtures.jpegProgressiveBytes(dim, dim, 3)).isEmpty,
+      "4:4:4 progressive over the plane-byte cap must be rejected")
+    val ok = Multimodal.decodeJpeg(
+      Fixtures.jpegProgressiveBytes(dim, dim, 3, subsample = true))
+    assert(ok.exists { case (w, h, _) => w == dim && h == dim },
+      "4:2:0 progressive at the same pixel count must decode")
+  }
+
+  test("multimodal: MKV without the mandatory TrackNumber is a parse failure") {
+    import graft.operators.Multimodal
+    // mirror Fixtures.mkvBytes' EBML writer, minus the TrackNumber
+    // element: without it blocks can't be attributed to the video track,
+    // and counting every track's blocks would inflate nFrames on
+    // multiplexed files — absence must read as None, not a guess
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    def sz(n: Long): Array[Byte] =
+      Array(0x01.toByte) ++ (6 to 0 by -1).map(i => ((n >> (8 * i)) & 0xFF).toByte)
+    def el(i: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      i ++ sz(payload.length.toLong) ++ payload
+    def uintEl(i: Array[Byte], v: Long): Array[Byte] = {
+      var bytes = List.empty[Byte]
+      var x = v
+      do { bytes = (x & 0xFF).toByte :: bytes; x >>= 8 } while (x > 0)
+      el(i, bytes.toArray)
+    }
+    val ebml = el(id(0x1A, 0x45, 0xDF, 0xA3),
+      el(id(0x42, 0x82), "webm".getBytes("US-ASCII")))
+    val trackEntry = el(id(0xAE), // TrackType video + Video dims, NO 0xD7
+      uintEl(id(0x83), 1) ++
+        el(id(0xE0), uintEl(id(0xB0), 640) ++ uintEl(id(0xBA), 360)))
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), trackEntry)
+    val block = el(id(0xA3),
+      Array[Byte](0x81.toByte, 0, 0, 0) ++ Array.fill[Byte](50)(7))
+    val cluster = el(id(0x1F, 0x43, 0xB6, 0x75), uintEl(id(0xE7), 0) ++ block)
+    val noTrackNum = ebml ++ el(id(0x18, 0x53, 0x80, 0x67), tracks ++ cluster)
+    assert(Multimodal.parseMkv(noTrackNum).isEmpty)
+    // sanity: the complete fixture (same writer WITH TrackNumber) parses
+    assert(Multimodal.parseMkv(Fixtures.mkvBytes(640, 360, 3, 1)).isDefined)
+  }
+
   test("multimodal: MP4 box walk recovers dims, frame count and size envelope") {
     import graft.operators.Multimodal
     val p = Fixtures.mp4Bytes(320, 240, nFrames = 12, seed = 7)
