@@ -1581,4 +1581,62 @@ class CorpusSpec extends AnyFunSuite {
     // the fixture must actually cross bin boundaries mid-stream
     assert(streamed.map(t => (t._2, t._3)).size > 4)
   }
+
+  test("streaming emission: bins reconstructed from the incremental layout equal fused packEmitIds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the loader-ready claim, incrementally: each micro-batch packs
+    // BPE-counted docs against packState(output-so-far); afterwards the
+    // per-(grp, bin) id sequences reconstructed from the streamed layout
+    // (members in doc-id order, each encoded map-only) must equal
+    // packEmitIds over the whole stream fused — emission-level
+    // batch-boundary invariance, concatenation order and totals included
+    val outDir = java.nio.file.Files.createTempDirectory("emit_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeDoc]
+    val budget = 16L
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val d = batch.select(col("doc_id"),
+          size(graft.plans.BpeExpressions.bpeEncode(col("text"),
+            graft.functions.TextFunctions.BpeMerges)).cast("long").as("n_tokens"))
+        val state = try Corpus.packState(spark.read.parquet(outDir))
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Long, Long)].toDF("grp", "running_total") }
+        Corpus.packSequencesInc(d, state, budget, groups = 4)
+          .write.mode("append").parquet(outDir)
+        ()
+    }.start()
+    def mkDocs(r: Range) = r.map(i =>
+      ProbeDoc(i.toLong, (0 to i % 7).map(j => s"tok$j word$i").mkString(" ")))
+    try {
+      in.addData(mkDocs(0 until 20): _*)
+      q.processAllAvailable()
+      in.addData(mkDocs(20 until 23): _*)
+      q.processAllAvailable()
+      in.addData(mkDocs(23 until 50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val docsDf = mkDocs(0 until 50).toDF("doc_id", "text")
+    // reconstruct each bin's sequence from the streamed layout: members
+    // in doc-id order, re-encoded map-only (emission is deterministic
+    // given the layout — the ids never had to ride the stream)
+    val streamedBins = spark.read.parquet(outDir)
+      .join(docsDf, Seq("doc_id"))
+      .withColumn("token_ids", graft.plans.BpeExpressions.bpeEncode(
+        col("text"), graft.functions.TextFunctions.BpeMerges))
+      .groupBy(col("grp"), col("bin"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("doc_id").as("i"),
+          col("token_ids").as("t")))), s => s.getField("t"))).as("seq_ids"),
+        sum(size(col("token_ids")).cast("long")).as("bin_tokens"))
+      .collect()
+      .map(r => ((r.getAs[Long]("grp"), r.getAs[Long]("bin")),
+        (r.getSeq[Int](2), r.getAs[Long]("bin_tokens")))).toMap
+    val fusedBins = Corpus.packEmitIds(docsDf, budget, groups = 4)
+      .collect()
+      .map(r => ((r.getAs[Long]("grp"), r.getAs[Long]("bin")),
+        (r.getSeq[Int](2), r.getAs[Long]("bin_tokens")))).toMap
+    assert(streamedBins == fusedBins)
+    assert(fusedBins.size > 4, "fixture failed to cross bin boundaries")
+  }
 }
