@@ -435,10 +435,12 @@ object SparkEntry {
       // (TextFunctions.bpeEncode / TrainingSetJob), but array cells
       // crash the oracle harness's canonicalizer, so the ledger entry
       // carries the order-preserving scalar twin (embed_whiten
-      // precedent).
+      // precedent). The OUTER explode keeps a (doc_id, null, null)
+      // witness row for a doc encoding to zero tokens — coverage the
+      // array dump had, preserved.
       t(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(TextFunctions.bpeEncode(col("text")))
+          posexplode_outer(TextFunctions.bpeEncode(col("text")))
             .as(Seq("pos", "token_id")))),
     "value_quantiles" -> ((s, dir) =>
       // ONE percentile buffer per group serves both cut points (the array
@@ -1042,10 +1044,11 @@ object SparkEntry {
       // API (Corpus.packEmitIds / TrainingSetJob), but array cells
       // crash the oracle harness's canonicalizer, so the ledger entry
       // carries the order-preserving scalar twin (embed_whiten
-      // precedent).
+      // precedent). OUTER explode: an empty bin (all-zero-token
+      // members) keeps its (grp, bin, null, null) witness row.
       Corpus.packEmitIds(t(s, dir, "documents"), budget = 512, groups = 8)
         .select(col("grp"), col("bin"),
-          posexplode(col("seq_ids")).as(Seq("pos", "token_id")))),
+          posexplode_outer(col("seq_ids")).as(Seq("pos", "token_id")))),
     "pack_boundaries" -> ((s, dir) =>
       // the trainer-facing manifest of the packed layout: one row per
       // (grp, bin) with each member's start offset INSIDE the bin — the

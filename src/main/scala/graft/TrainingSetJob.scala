@@ -271,24 +271,24 @@ object TrainingSetJob {
     // Sennrich merge learning over the word histogram) and saved next to
     // the outputs so the trainer's tokenizer can load what the budgets
     // were counted with.
+    // any merges table that did NOT come from the user's own file is
+    // saved next to the outputs in the GPT-2 merges.txt format, so the
+    // trainer's tokenizer can load exactly what the budgets were counted
+    // and the ids emitted with
+    def saveMerges(m: Seq[(String, String)]): Seq[(String, String)] = {
+      writeTextFile(spark, mergesPath(outRoot),
+        ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
+      m
+    }
     val mergesOpt: Option[Seq[(String, String)]] = cfg.bpeMergesPath
       .map(graft.functions.TextFunctions.loadBpeMerges)
-      .orElse(cfg.bpeTrainMerges.map { n =>
-        val m = graft.functions.TextFunctions.trainBpeMerges(train, n, "text")
-        writeTextFile(spark, mergesPath(outRoot),
-          ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
-        m
-      })
+      .orElse(cfg.bpeTrainMerges.map(n => saveMerges(
+        graft.functions.TextFunctions.trainBpeMerges(train, n, "text"))))
       // emit_ids promotes id emission to a first-class switch: with no
       // tokenizer configured it rides the canonical built-in merges table
-      // (the same vocab the pack_emit_ids query serves), written next to
-      // the outputs so the loader knows what the ids mean
-      .orElse(if (!cfg.emitIds) None else {
-        val m = graft.functions.TextFunctions.BpeMerges
-        writeTextFile(spark, mergesPath(outRoot),
-          ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
-        Some(m)
-      })
+      // (the same vocab the pack_emit_ids query serves)
+      .orElse(if (cfg.emitIds)
+        Some(saveMerges(graft.functions.TextFunctions.BpeMerges)) else None)
     val chunker: DataFrame => DataFrame = (mergesOpt, cfg.chunkStride) match {
       case (Some(merges), _) =>
         df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
@@ -320,19 +320,21 @@ object TrainingSetJob {
       .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
       .write.mode("overwrite").partitionBy("grp").parquet(packedDir(outRoot))
 
+    val shardsBack = spark.read.parquet(shardsDir(outRoot))
+    val packedBack = spark.read.parquet(packedDir(outRoot))
+
     // terminal emission stage: the loader-facing manifest of the packed
     // layout — one row per (grp, bin) with member count, token total and
     // each member's `id@offset` start inside the bin (negative offset =
-    // straddler begun in the previous bin). One aggregation over the
-    // packer output; lets a loader mask attention at document boundaries
-    // without re-deriving the layout from the packed rows.
+    // straddler begun in the previous bin). Aggregated over the
+    // READ-BACK packed/ relation (it carries grp/bin/running/n_tokens),
+    // so the packer's shuffle+window pass is never re-executed; lets a
+    // loader mask attention at document boundaries without re-deriving
+    // the layout from the packed rows.
     if (cfg.emitBoundaries)
-      Corpus.packBoundaries(packed, cfg.chunkBudget.toLong,
+      Corpus.packBoundaries(packedBack, cfg.chunkBudget.toLong,
           "n_tokens", "chunk_id")
         .write.mode("overwrite").parquet(boundariesDir(outRoot))
-
-    val shardsBack = spark.read.parquet(shardsDir(outRoot))
-    val packedBack = spark.read.parquet(packedDir(outRoot))
     // cleaning yield from the materialized clean set (a checkpoint count,
     // not re-executed lineage); shipped count from the written shards
     val cleanDocs = cleaned.count()

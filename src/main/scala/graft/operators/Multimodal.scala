@@ -906,9 +906,11 @@ object Multimodal {
    * it blocks can't be attributed to the video track, so its absence is
    * a parse failure rather than an inflated count). Untrusted-header
    * contract throughout (Long cursors, bounds, count valves). ENTRY
-   * CAPS (explicit): ≤ 4096 children per element walk and the first
-   * 65536 video blocks feed nFrames/envelope — nFrames is a LOWER
-   * BOUND at 65536, same convention as [[parseMp4]].
+   * CAPS (explicit): ≤ 65536 children per element walk (a Cluster's
+   * children ARE its blocks, so this cap must clear a cluster's frame
+   * count — wider than parseMp4's 4096 box walk) and the first 65536
+   * video blocks feed nFrames/envelope — nFrames is a LOWER BOUND at
+   * 65536, same convention as [[parseMp4]].
    */
   def parseMkv(p: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = try {
     // EBML varint: leading-zero count of the first byte gives the width;

@@ -678,9 +678,10 @@ object Similarity {
    * from the index's persisted vectors and `nrm`. `nProbe = nCells` AND
    * corpus-covering overscan degrade EXACTLY to the brute-force batch
    * join — the hash-verified `sim_topk_join_mrl_ivf_full` bridge.
-   * Zero-norm prefixes route to null and drop (the MRL contract);
-   * zero-norm full vectors rerank to null and drop, as [[topKJoin]]
-   * scoring does.
+   * Zero-norm prefixes route to -Infinity (routed out at production
+   * overscan — the MRL contract — but bridge-eligible at full
+   * overscan, see [[topKJoinMrl]]); zero-norm full vectors rerank to
+   * null and drop, as [[topKJoin]] scoring does.
    */
   def topKJoinMrlIvf(index: IvfIndex, queries: DataFrame, k: Int,
       kDims: Int = 16, overscan: Int = 4, nProbe: Int = 4,
@@ -692,11 +693,14 @@ object Similarity {
       .withColumn("__qpn", norm(col("__qp")))
     val cPre = slice(col("__corp"), 1, kDims)
     val cPreN = norm(cPre)
+    // -Inf (not null) for zero-norm prefixes — same bridge-exactness
+    // reasoning as [[topKJoinMrl]]'s route leg
     val routed = probes.join(
         index.assignments.select(col(idCol), col(vecCol).as("__corp"),
           col("cell")), "cell")
       .select(col(qIdCol), col(idCol),
-        when(cPreN === 0d || col("__qpn") === 0d, lit(null).cast("double"))
+        when(cPreN === 0d || col("__qpn") === 0d,
+          lit(Double.NegativeInfinity))
           .otherwise(Quantize.quantize(
             dot(cPre, col("__qp")) / (cPreN * col("__qpn")), 6))
           .as("cos"))
@@ -732,10 +736,13 @@ object Similarity {
    * batch-size bound, see [[topKJoinIvf]]'s note). Overscan covering
    * the corpus makes the shortlist everything and the rerank IS
    * [[topKJoin]] — the hash-verified `sim_topk_join_mrl_full` bridge.
-   * Zero-norm PREFIXES route to null and are dropped by the election
-   * (a vector invisible at kDims dims is routed out — the MRL
-   * contract); zero-norm full vectors rerank to null and drop, exactly
-   * as [[topKJoin]]'s scoring does.
+   * Zero-norm PREFIXES route to -Infinity — below every real cosine,
+   * so a vector invisible at kDims dims is routed out at production
+   * overscan (the MRL contract) yet STAYS ELIGIBLE at corpus-covering
+   * overscan, where the exact rerank restores its true score (null
+   * would be dropped by the election and break the bridge); zero-norm
+   * full vectors rerank to null and drop, exactly as [[topKJoin]]'s
+   * scoring does.
    */
   def topKJoinMrl(corpus: DataFrame, queries: DataFrame, k: Int,
       kDims: Int = 16, overscan: Int = 4,
@@ -748,10 +755,17 @@ object Similarity {
     val qr = q.select(col(qIdCol), col("__qp"), norm(col("__qp")).as("__qpn"))
     val cp = corpus.select(col(idCol), slice(col(vecCol), 1, kDims).as("__cp"))
       .withColumn("__cpn", norm(col("__cp")))
+    // zero-norm prefixes route to -Infinity, NOT null: the shortlist
+    // election drops null scores (topKPerQuery's contract), which would
+    // make a zero-prefix/nonzero-full vector unreachable even at
+    // corpus-covering overscan — breaking the exact-degradation bridge.
+    // -Inf ranks below every real cosine (routed out at production
+    // overscan, the MRL contract) yet stays eligible when the shortlist
+    // is everything, where the exact rerank restores its true score.
     val routed = cp.crossJoin(broadcast(qr))
       .select(col(qIdCol), col(idCol),
         when(col("__cpn") === 0d || col("__qpn") === 0d,
-          lit(null).cast("double"))
+          lit(Double.NegativeInfinity))
           .otherwise(Quantize.quantize(
             dot(col("__cp"), col("__qp")) / (col("__cpn") * col("__qpn")), 6))
           .as("cos"))

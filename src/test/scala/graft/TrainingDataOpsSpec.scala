@@ -210,16 +210,34 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   }
 
   test("MRL batch join: corpus-spanning overscan equals exact topKJoin; routed keeps self per query") {
+    import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant a zero-PREFIX / nonzero-tail vector built from query 0's own
+    // tail, so it IS one of query 0's exact top neighbors: invisible to
+    // the route (scores -Inf) but a legal topKJoin candidate — the full
+    // bridge must still rerank it exactly (null routing would drop it
+    // from the shortlist and break bridge equality right here)
+    val q0tail = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      .drop(16).toArray
     val corpus = e.filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((902L, Array.fill(16)(0f) ++ q0tail))
+        .toDF("vec_id", "embedding"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding"))
+    // the plant must actually make query 0's exact top-5, or this test
+    // proves nothing about shortlist eligibility
+    assert(Similarity.topKJoin(corpus, queries, k = 5).collect()
+      .exists(r => r.getAs[Long]("q_id") == 0L &&
+        r.getAs[Long]("vec_id") == 902L),
+      "fixture drift: the planted zero-prefix vector left the exact top-5")
     def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
         r.getAs[Double]("cos"))).toSet
-    // shortlist = everything → the rerank IS topKJoin, cos and all
+    // shortlist = everything (301 rows with the plant → k·overscan must
+    // cover 301, not 300) → the rerank IS topKJoin, cos and all
     assert(triples(Similarity.topKJoinMrl(corpus, queries, k = 5,
-      kDims = 16, overscan = 60)) ==
+      kDims = 16, overscan = 61)) ==
       triples(Similarity.topKJoin(corpus, queries, k = 5)))
     // production point: every query's own vector survives prefix routing
     val routed = Similarity.topKJoinMrl(corpus, queries, k = 5,
@@ -232,7 +250,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // overscan is again exact, row for row
     val index = Similarity.buildIvfIndex(corpus, nCells = 8, iters = 1)
     assert(triples(Similarity.topKJoinMrlIvf(index, queries, k = 5,
-      kDims = 16, overscan = 60, nProbe = 8)) ==
+      kDims = 16, overscan = 61, nProbe = 8)) ==
       triples(Similarity.topKJoin(corpus, queries, k = 5)))
     // pruned + routed production point keeps self per query
     val routedIvf = Similarity.topKJoinMrlIvf(index, queries, k = 5,
