@@ -264,6 +264,46 @@ object AnnIndex {
     memo(spark, p)(Similarity.readCellCodes(spark, p))
   }
 
+  // --------------------------------------------- MRL prefix relations
+
+  /** Matryoshka serving cut width shared by every declared MRL query. */
+  val MrlDims = 16
+
+  /** Lay out the persisted MRL prefix relations (full corpus + the <300
+    * batch-join corpus) — the `mrl_index_build` build step body: one
+    * map-only projection pass each ([[Similarity.writeMrlPrefixes]]),
+    * kDims/Dim of the corpus bytes on disk. Kept OUTSIDE [[buildAll]]
+    * so existing committed ANN cache directories (keyed on the data
+    * fingerprint, not the artifact set) stay valid; the prefixes live
+    * under their own `_mrl` fingerprint directory, the
+    * [[logregModel]] precedent. */
+  def buildMrlPrefixes(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddingsOf(spark, sfDir)
+    Similarity.writeMrlPrefixes(e, MrlDims, s"$path/mrl_full")
+    Similarity.writeMrlPrefixes(e.filter(col("vec_id") < 300), MrlDims,
+      s"$path/mrl_300")
+    Seq(("mrl_full", spark.read.parquet(s"$path/mrl_full").count()),
+      ("mrl_300", spark.read.parquet(s"$path/mrl_300").count()))
+      .toDF("artifact", "n")
+  }
+
+  private def ensureMrl(spark: SparkSession, sfDir: String): String = {
+    val p = s"$cacheRoot/${keyOf(sfDir)}_mrl"
+    ensureDir(p)(staging => buildMrlPrefixes(spark, sfDir, staging).collect())
+    p
+  }
+
+  def mrlFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"${ensureMrl(spark, sfDir)}/mrl_full"
+    memo(spark, p)(Similarity.readMrlPrefixes(spark, p))
+  }
+
+  def mrl300(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"${ensureMrl(spark, sfDir)}/mrl_300"
+    memo(spark, p)(Similarity.readMrlPrefixes(spark, p))
+  }
+
   // --------------------------------------------- trained quality filter
 
   /** Train + persist the logistic-regression quality model for `sfDir`'s

@@ -674,6 +674,23 @@ object SparkEntry {
       val q = queryVec(s, dir)
       Similarity.topKIvf(AnnIndex.ivfFull(s, dir), q, k = 10, nProbe = 16)
     }),
+    "sim_topk_mrl_pre" -> ((s, dir) =>
+      // the MRL paper's ACTUAL serving layout: route against the
+      // persisted 16-dim prefix RELATION (kDims/d of the corpus bytes —
+      // slice() over the full column reads everything, measured slower
+      // than brute force on the join ladder), rerank the shortlist from
+      // the full-width table (rows-only; the _full bridge hash-verifies)
+      Similarity.topKMrlPre(AnnIndex.mrlFull(s, dir),
+        t(s, dir, "embeddings"), queryVec(s, dir),
+        k = 10, kDims = 16, overscan = 4)),
+    "sim_topk_mrl_pre_full" -> ((s, dir) => {
+      // overscan covering the corpus → the shortlist is everything and
+      // the rerank IS brute force — shares sim_topk's oracle
+      val n = embCount(s, dir).toInt
+      Similarity.topKMrlPre(AnnIndex.mrlFull(s, dir),
+        t(s, dir, "embeddings"), queryVec(s, dir),
+        k = 10, kDims = 16, overscan = n / 10 + 1)
+    }),
     "sim_topk_mrl_ivf" -> ((s, dir) =>
       // the MRL cut served from the SAME persisted IVF relation as the
       // rest of the ANN family: probe 4 cells (partition pruning), route
@@ -784,6 +801,25 @@ object SparkEntry {
         AnnIndex.ivf300(s, dir), AnnIndex.pqFull(s, dir)._2,
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
         k = 5, nProbe = 16, overscan = 60)
+    }),
+    "sim_topk_join_mrl_pre" -> ((s, dir) => {
+      // the batch form over the persisted prefix relation: the |Q|·|C|
+      // route scans 16/64 of the corpus bytes, only the shortlist joins
+      // back to the full table (rows-only; _full bridge hash-verifies)
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinMrlPre(AnnIndex.mrl300(s, dir),
+        e.filter(col("vec_id") < 300),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, kDims = 16, overscan = 4)
+    }),
+    "sim_topk_join_mrl_pre_full" -> ((s, dir) => {
+      // corpus-spanning overscan ≡ brute-force batch join — the shared
+      // oracle hash-verifies the persisted-prefix route + rerank
+      val e = t(s, dir, "embeddings")
+      Similarity.topKJoinMrlPre(AnnIndex.mrl300(s, dir),
+        e.filter(col("vec_id") < 300),
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5, kDims = 16, overscan = 60)
     }),
     "sim_topk_join_mrl_ivf" -> ((s, dir) => {
       // the composed batch member: IVF prunes cells per query, the
@@ -1398,6 +1434,21 @@ object SparkEntry {
       // this repeatedly; leaving them would grow tmp without bound).
       val tmp = java.nio.file.Files.createTempDirectory("graft_ann_build")
       try AnnIndex.buildAll(s, dir, tmp.toString)
+      finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
+    }),
+    "mrl_index_build" -> ((s, dir) => {
+      // UNCONDITIONAL layout of the persisted MRL prefix relations to a
+      // throwaway dir: the (cheap, map-only) projection cost as its own
+      // ledger number, so the sim_*_mrl_pre serving queries measure
+      // routing only
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mrl_build")
+      try AnnIndex.buildMrlPrefixes(s, dir, tmp.toString)
       finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -2282,6 +2333,7 @@ object SparkEntry {
     "sim_topk_lsh_full" -> simTopkSql,
     "sim_topk_mrl_full" -> simTopkSql,
     "sim_topk_mrl_ivf_full" -> simTopkSql,
+    "sim_topk_mrl_pre_full" -> simTopkSql,
     // a corpus-spanning ADC shortlist + exact rerank IS brute force — the
     // shared oracle hash-verifies the PQ path end-to-end
     "sim_topk_pq_full" -> simTopkSql,
@@ -2295,6 +2347,7 @@ object SparkEntry {
     // (raw, and composed through the persisted IVF index)
     "sim_topk_join_mrl_full" -> simTopkJoinSql,
     "sim_topk_join_mrl_ivf_full" -> simTopkJoinSql,
+    "sim_topk_join_mrl_pre_full" -> simTopkJoinSql,
     // probing every IVF cell IS the brute-force batch join — same oracle
     // hash-verifies the IVF join machinery (train, assign, probe, rescore)
     "sim_topk_join_ivf_full" -> simTopkJoinSql,

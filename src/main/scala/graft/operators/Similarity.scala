@@ -70,10 +70,15 @@ object Similarity {
    * Learning", NeurIPS 2022 — public literature): rank by cosine of the
    * first-`kDims` PREFIX (the matryoshka serving cut —
    * [[Embeddings.truncateRenorm]]'s consumer), keep a k·overscan
-   * shortlist, rerank it exactly full-dimension. The routing pass reads
-   * d/kDims× fewer floats per row and the shortlist rides the same
-   * per-partition-heap + driver-merge shape as [[topK]] (TakeOrdered —
-   * never a global sort); overscan buys recall back. `overscan`
+   * shortlist, rerank it exactly full-dimension. The routing pass
+   * touches d/kDims× fewer floats in the DOT KERNEL — flops, not IO:
+   * `slice()` over the full-width column still deserializes every
+   * element (parquet has no sub-array pruning), so the byte win needs
+   * the persisted prefix relation ([[topKMrlPre]] /
+   * [[writeMrlPrefixes]], the paper's truncated serving table). The
+   * shortlist rides the same per-partition-heap + driver-merge shape
+   * as [[topK]] (TakeOrdered — never a global sort); overscan buys
+   * recall back. `overscan`
    * covering the corpus makes the shortlist everything, so the rerank
    * IS [[topK]] — the hash-verified `sim_topk_mrl_full` bridge (oracle
    * substrate, not a scale point, like every other *_full). Zero-norm
@@ -477,6 +482,110 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Persist the MRL prefix relation — the matryoshka paper's actual
+   * serving layout: the first `kDims` dims stored as their OWN column
+   * (plus the precomputed prefix norm), so a routing scan reads
+   * kDims/d of the corpus bytes. `slice()` over the full-width column
+   * cannot do this: parquet has no sub-array pruning and the codegen'd
+   * read deserializes every element, so the column-form routes save
+   * dot-product flops only — measured SLOWER than brute force on the
+   * join ladder (SCALING.md round 15). One map-only pass, write once,
+   * grow by appending the same projection of an increment.
+   */
+  def writeMrlPrefixes(embeddings: DataFrame, kDims: Int, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    require(kDims > 0)
+    val pre = slice(col(vecCol), 1, kDims)
+    embeddings.select(col(idCol), pre.as("prefix"), norm(pre).as("pnrm"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readMrlPrefixes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /**
+   * MRL top-k over the PERSISTED prefix relation: route by prefix
+   * cosine against `prefixes` (a scan of kDims/d the bytes — the real
+   * matryoshka serving win), then rerank the k·overscan shortlist
+   * full-dim against `corpus` (a broadcast semi-join touches only the
+   * shortlist rows). Same quantize/tiebreak/zero-norm contracts as
+   * [[topKMrl]]; overscan covering the corpus is the same exact bridge
+   * (`sim_topk_mrl_pre_full`, shared brute-force oracle). Zero-norm
+   * prefixes route to an explicit null, which the DESCENDING route
+   * order sorts last — present in the shortlist only once overscan
+   * covers the corpus, where the full-dim rerank restores their true
+   * score, exactly [[topKMrl]]'s behavior.
+   */
+  def topKMrlPre(prefixes: DataFrame, corpus: DataFrame, query: Seq[Float],
+      k: Int, kDims: Int = 16, overscan: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(kDims > 0 && query.length >= kDims && overscan >= 1)
+    val qPre = query.take(kDims)
+    val qp = array(qPre.map(v => lit(v)): _*)
+    val qf = array(query.map(v => lit(v)): _*)
+    val shortlist = prefixes
+      .select(col(idCol),
+        when(col("pnrm") === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(
+            dot(col("prefix"), qp) / (col("pnrm") * lit(normOf(qPre))), 6))
+          .as("__pc"))
+      .orderBy(col("__pc").desc, col(idCol))
+      .limit(k * overscan)
+      .select(col(idCol))
+    broadcast(shortlist)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol),
+        when(norm(col(vecCol)) === 0d, lit(null).cast("double"))
+          .otherwise(Quantize.quantize(dot(col(vecCol), qf) /
+            (norm(col(vecCol)) * lit(normOf(query))), 6))
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * MRL batch join over the PERSISTED prefix relation — the layout
+   * where the matryoshka byte win is real (see [[writeMrlPrefixes]]):
+   * the |Q|·|C| pair-scoring pass scans `prefixes` (kDims/d of the
+   * corpus bytes) and the heap election ships skinny rows; only the
+   * k·overscan shortlist per query joins back to the full-width
+   * `corpus` for the exact rerank. Same election, quantize and
+   * zero-norm contracts as [[topKJoinMrl]] (-Infinity routing keeps
+   * zero-prefix vectors bridge-eligible); corpus-covering overscan is
+   * the same exact brute-force bridge (`sim_topk_join_mrl_pre_full`).
+   */
+  def topKJoinMrlPre(prefixes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, kDims: Int = 16, overscan: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      qIdCol: String = "q_id"): DataFrame = {
+    require(kDims > 0 && overscan >= 1)
+    val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
+      slice(col(vecCol), 1, kDims).as("__qp"))
+    val qr = q.select(col(qIdCol), col("__qp"), norm(col("__qp")).as("__qpn"))
+    val routed = prefixes.crossJoin(broadcast(qr))
+      .select(col(qIdCol), col(idCol),
+        when(col("pnrm") === 0d || col("__qpn") === 0d,
+          lit(Double.NegativeInfinity))
+          .otherwise(Quantize.quantize(
+            dot(col("prefix"), col("__qp")) / (col("pnrm") * col("__qpn")), 6))
+          .as("cos"))
+    val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
+      .select(col(qIdCol), col(idCol))
+    val reranked = broadcast(shortlist)
+      .join(corpus.select(col(idCol), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn")), idCol)
+      .join(broadcast(q.select(col(qIdCol), col("__qv"), col("__qn"))), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        when(col("__cn") === 0d || col("__qn") === 0d,
+          lit(null).cast("double"))
+          .otherwise(Quantize.quantize(
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+          .as("cos"))
+    topKPerQuery(reranked, k, idCol, qIdCol)
+  }
+
   /** Driver-side probe list: the `nProbe` cells nearest the NORMALIZED
     * query (centroids live in the unit space — buildIvfIndex trains on
     * normalized vectors, so the probe order agrees with the cosine
@@ -500,9 +609,8 @@ object Similarity {
    * cut serves from the same persisted relation as the rest of the ANN
    * family: cells rank driver-side full-dim (the model is local —
    * probing is free), the probed cells' candidates route on the
-   * first-`kDims` prefix cosine (d/kDims× fewer floats read per
-   * candidate — the MRL win applies to the post-prune scan, which is
-   * ALL the reading serving does against a cell-partitioned index), and
+   * first-`kDims` prefix cosine (d/kDims× fewer floats in the dot
+   * kernel — flops, not IO; see [[topKMrl]]'s slice caveat), and
    * the k·overscan shortlist reranks exactly full-dim via the index's
    * persisted `nrm`. Both shortlist passes ride the TakeOrdered
    * per-partition-heap + driver-merge shape — never a global sort.
@@ -619,7 +727,14 @@ object Similarity {
     val probes = probeCellsJoin(index, queries, nProbe, vecCol, qIdCol)
     val cn = if (index.assignments.columns.contains("nrm")) col("nrm")
       else norm(col(vecCol))
-    val scored = probes.join(
+    // BROADCAST the probe relation explicitly: it is |Q|·nProbe rows (the
+    // family's queries ≪ corpus regime, bound documented on
+    // probeCellsJoin), but its stats are hidden behind the heap
+    // aggregation lineage, and on a big corpus the planner falls back to
+    // a sort-merge join that SORTS the whole assignments relation by a
+    // 16-value key — measured 3.5× the whole-query cost at the 16×
+    // ladder rung before the hint (SCALING.md round 15)
+    val scored = broadcast(probes).join(
         index.assignments.select(col(idCol), col(vecCol).as("__corp"),
           cn.as("__cn"), col("cell")), "cell")
       .select(col(qIdCol), col(idCol),
@@ -671,9 +786,10 @@ object Similarity {
    * closing the serving matrix (scalar: [[topKMrl]]/[[topKMrlIvf]];
    * batch: [[topKJoinMrl]]/here): per-query cells elect exactly as
    * [[topKJoinIvf]] (broadcast centroids + heap), the pruned candidates
-   * score on the first-`kDims` PREFIX only (the d/kDims× read/compute
-   * cut applies to the post-prune candidate stream — all the scoring a
-   * pruned join does), each query's k·overscan shortlist elects via the
+   * score on the first-`kDims` PREFIX only (a flops cut — see
+   * [[topKMrl]]'s slice caveat; the byte cut is [[topKJoinMrlPre]]'s
+   * persisted prefix relation), each query's k·overscan shortlist
+   * elects via the
    * shared heap, and only the shortlist is reranked exactly full-dim
    * from the index's persisted vectors and `nrm`. `nProbe = nCells` AND
    * corpus-covering overscan degrade EXACTLY to the brute-force batch
@@ -691,18 +807,23 @@ object Similarity {
     val probes = probeCellsJoin(index, queries, nProbe, vecCol, qIdCol)
       .withColumn("__qp", slice(col("__qv"), 1, kDims))
       .withColumn("__qpn", norm(col("__qp")))
-    val cPre = slice(col("__corp"), 1, kDims)
-    val cPreN = norm(cPre)
+    // prefix + its norm computed in a projection BELOW the join — once
+    // per CORPUS row in the scan stage, not once per joined pair: a
+    // post-join slice/norm re-evaluates per output row (up to nProbe·|Q|
+    // per corpus row), allocating a fresh 16-float array each time —
+    // the dominant cost of the first ladder cut (SCALING.md round 15)
+    val cPre = slice(col(vecCol), 1, kDims)
     // -Inf (not null) for zero-norm prefixes — same bridge-exactness
-    // reasoning as [[topKJoinMrl]]'s route leg
-    val routed = probes.join(
-        index.assignments.select(col(idCol), col(vecCol).as("__corp"),
-          col("cell")), "cell")
+    // reasoning as [[topKJoinMrl]]'s route leg. Probe side broadcast
+    // explicitly — same hidden-stats SMJ hazard as [[topKJoinIvf]]
+    val routed = broadcast(probes).join(
+        index.assignments.select(col(idCol), cPre.as("__cp"),
+          norm(cPre).as("__cpn"), col("cell")), "cell")
       .select(col(qIdCol), col(idCol),
-        when(cPreN === 0d || col("__qpn") === 0d,
+        when(col("__cpn") === 0d || col("__qpn") === 0d,
           lit(Double.NegativeInfinity))
           .otherwise(Quantize.quantize(
-            dot(cPre, col("__qp")) / (cPreN * col("__qpn")), 6))
+            dot(col("__cp"), col("__qp")) / (col("__cpn") * col("__qpn")), 6))
           .as("cos"))
     val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
@@ -1232,11 +1353,15 @@ object Similarity {
     val shortlist = topKPerQuery(scored, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
     // exact rescoring of exactly the shortlisted (query, candidate) pairs
+    // — shortlist broadcast explicitly (|Q|·k·overscan skinny rows whose
+    // stats hide behind the heap lineage; without the hint a big corpus
+    // side falls back to a sort-merge join that sorts the whole
+    // embeddings relation by id, the topKJoinIvf ladder lesson)
     val c = embeddings.select(col(idCol), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val rescored = shortlist.join(c, idCol).join(broadcast(qv), qIdCol)
+    val rescored = broadcast(shortlist).join(c, idCol).join(broadcast(qv), qIdCol)
       .select(col(qIdCol), col(idCol),
         Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(rescored, k, idCol, qIdCol)

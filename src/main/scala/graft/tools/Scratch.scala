@@ -199,6 +199,55 @@ object Scratch {
         println(f"SCRATCH-TOPK128 $label: ${ts.min}%.2f s")
       }
     }
+    if (sys.env.contains("SCRATCH_MRL")) {
+      // MRL join ladder, SERVING-SHAPED: every form reads its own
+      // PERSISTED relation (the production layout — lineage/build cost
+      // excluded from all timings). Corpus replicated n× with a per-copy
+      // perturbation (fresh ids, decorrelated floats), 100 queries,
+      // k = 10: `exact` scans the full-width table scoring 64 dims per
+      // pair; `mrl` scans the SAME table but scores 16 dims (slice —
+      // flops saved, bytes not: parquet has no sub-array pruning);
+      // `mrlpre` scans the persisted 16-dim prefix RELATION (16/64 of
+      // the bytes) and joins the shortlist back; `mrl+ivf` serves from
+      // the persisted cell-partitioned index, pruning to 4/16 cells.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      def harness(mk: () => DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val S = graft.operators.Similarity
+      for (n <- Seq(1, 4, 16)) {
+        val base = s"/tmp/graft_mrl_sweep_$n"
+        e.crossJoin(spark.range(n).select(col("id").as("__c")))
+          .select((col("vec_id") * lit(1000L) + col("__c")).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + (col("__c") % 7).cast("float") * lit(0.013f))
+                .cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(s"$base/corpus")
+        val corpus = spark.read.parquet(s"$base/corpus")
+        S.writeMrlPrefixes(corpus, 16, s"$base/prefixes")
+        val prefixes = spark.read.parquet(s"$base/prefixes")
+        S.writeIvfIndex(S.buildIvfIndex(corpus, nCells = 16), s"$base/ivf")
+        val idx = S.readIvfIndex(spark, s"$base/ivf")
+        println(f"SCRATCH-MRL ${n}%dx exact  : ${harness(() =>
+          S.topKJoin(corpus, qs, 10))}%.2f s")
+        println(f"SCRATCH-MRL ${n}%dx mrl    : ${harness(() =>
+          S.topKJoinMrl(corpus, qs, 10, kDims = 16, overscan = 4))}%.2f s")
+        println(f"SCRATCH-MRL ${n}%dx mrlpre : ${harness(() =>
+          S.topKJoinMrlPre(prefixes, corpus, qs, 10,
+            kDims = 16, overscan = 4))}%.2f s")
+        println(f"SCRATCH-MRL ${n}%dx mrl+ivf: ${harness(() =>
+          S.topKJoinMrlIvf(idx, qs, 10,
+            kDims = 16, overscan = 4, nProbe = 4))}%.2f s")
+      }
+    }
     if (sys.env.contains("SCRATCH_SCALE_R12")) {
       // Round-12 sweep of the round-11 late arrivals that missed the
       // sweep tables: the minhash pairs bridge, int8 serving,

@@ -261,6 +261,41 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       s"query $q lost its self-match through the MRL-IVF join route"))
   }
 
+  test("MRL persisted-prefix serving: pre forms equal their column twins and the exact bridges") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") < 300)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).head.getSeq[Float](1)
+    val preDir = java.nio.file.Files.createTempDirectory("mrlpre").toString
+    Similarity.writeMrlPrefixes(corpus, 16, preDir)
+    val prefixes = spark.read.parquet(preDir)
+    // the persisted relation IS the projection: row-for-row slice + norm
+    assert(prefixes.count() == corpus.count())
+    assert(prefixes.filter(size(col("prefix")) =!= 16).count() == 0)
+    // scalar: routed pre == routed column form (same shortlist, same
+    // rerank); corpus-covering overscan == exact topK
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Double]("cos"))).toSeq
+    assert(ids(Similarity.topKMrlPre(prefixes, corpus, q, k = 10,
+      kDims = 16, overscan = 4)) ==
+      ids(Similarity.topKMrl(corpus, q, k = 10, kDims = 16, overscan = 4)))
+    assert(ids(Similarity.topKMrlPre(prefixes, corpus, q, k = 10,
+      kDims = 16, overscan = 1000)) ==
+      ids(Similarity.topK(corpus, q, k = 10)))
+    // batch: same two equalities for the join form
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    assert(triples(Similarity.topKJoinMrlPre(prefixes, corpus, queries,
+      k = 5, kDims = 16, overscan = 4)) ==
+      triples(Similarity.topKJoinMrl(corpus, queries, k = 5,
+        kDims = 16, overscan = 4)))
+    assert(triples(Similarity.topKJoinMrlPre(prefixes, corpus, queries,
+      k = 5, kDims = 16, overscan = 60)) ==
+      triples(Similarity.topKJoin(corpus, queries, k = 5)))
+  }
+
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") < 300)
