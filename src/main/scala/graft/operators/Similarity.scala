@@ -504,6 +504,18 @@ object Similarity {
   def readMrlPrefixes(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
 
+  /** Retrain-free index growth, the [[assignToCells]] convention: an
+    * increment's prefixes are the SAME deterministic projection, so
+    * appending them to the persisted relation equals rebuilding it over
+    * the grown corpus (spec-pinned) — no rewrite of the existing files. */
+  def growMrlPrefixes(increment: DataFrame, kDims: Int, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    require(kDims > 0)
+    val pre = slice(col(vecCol), 1, kDims)
+    increment.select(col(idCol), pre.as("prefix"), norm(pre).as("pnrm"))
+      .write.mode("append").parquet(path)
+  }
+
   /**
    * MRL top-k over the PERSISTED prefix relation: route by prefix
    * cosine against `prefixes` (a scan of kDims/d the bytes — the real

@@ -294,6 +294,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(triples(Similarity.topKJoinMrlPre(prefixes, corpus, queries,
       k = 5, kDims = 16, overscan = 60)) ==
       triples(Similarity.topKJoin(corpus, queries, k = 5)))
+    // retrain-free growth: append an increment's projection == rebuild
+    // over the grown corpus, row for row
+    val grown = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    Similarity.growMrlPrefixes(grown, 16, preDir)
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("mrlpre2").toString
+    Similarity.writeMrlPrefixes(
+      e.filter(col("vec_id") < 400), 16, rebuiltDir)
+    def rows(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
+    assert(rows(preDir) == rows(rebuiltDir))
   }
 
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
