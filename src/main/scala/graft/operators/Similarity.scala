@@ -711,7 +711,11 @@ object Similarity {
     val cb = corpusIndex
       .select(col(idCol), col(vecCol).as("__cv"), cn.as("__cn"),
         col("table"), col("bucket"))
-    val scored = qb.join(cb, Seq("table", "bucket"))
+    // query side broadcast explicitly (|Q|·tables rows): its stats hide
+    // behind the explode lineage, and on a big corpus index the planner
+    // otherwise sorts the whole index relation for an SMJ on the bucket
+    // key — the topKJoinIvf ladder lesson (SCALING.md round 15)
+    val scored = broadcast(qb).join(cb, Seq("table", "bucket"))
       .dropDuplicates(qIdCol, idCol)
       .select(col(qIdCol), col(idCol),
         Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))

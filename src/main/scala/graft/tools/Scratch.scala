@@ -236,8 +236,14 @@ object Scratch {
         val prefixes = spark.read.parquet(s"$base/prefixes")
         S.writeIvfIndex(S.buildIvfIndex(corpus, nCells = 16), s"$base/ivf")
         val idx = S.readIvfIndex(spark, s"$base/ivf")
+        S.writeLshIndex(S.buildLshIndex(corpus, dim = 64), s"$base/lsh")
+        val lsh = S.readLshIndex(spark, s"$base/lsh")
         println(f"SCRATCH-MRL ${n}%dx exact  : ${harness(() =>
           S.topKJoin(corpus, qs, 10))}%.2f s")
+        println(f"SCRATCH-MRL ${n}%dx ivf    : ${harness(() =>
+          S.topKJoinIvf(idx, qs, 10, nProbe = 4))}%.2f s")
+        println(f"SCRATCH-MRL ${n}%dx lsh    : ${harness(() =>
+          S.topKJoinLsh(lsh, qs, 64, 10))}%.2f s")
         println(f"SCRATCH-MRL ${n}%dx mrl    : ${harness(() =>
           S.topKJoinMrl(corpus, qs, 10, kDims = 16, overscan = 4))}%.2f s")
         println(f"SCRATCH-MRL ${n}%dx mrlpre : ${harness(() =>
