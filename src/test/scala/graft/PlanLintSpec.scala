@@ -78,6 +78,30 @@ class PlanLintSpec extends AnyFunSuite {
     assert(bruteSorts.isEmpty, s"sim_topk_join plans SortExec: $bruteSorts")
   }
 
+  /** The r15 ladder lesson, pinned: every indexed join form's probe /
+    * shortlist / query side must BROADCAST — their stats hide behind
+    * aggregation or explode lineage, and without the explicit hint a
+    * big corpus falls back to a sort-merge join that sorts the whole
+    * index relation by a low-cardinality key (measured 3.5× the whole
+    * query at the 16× rung — SCALING.md round 15). The declared queries
+    * run 300-row corpora where any shape is fast, so only a plan
+    * assertion holds the line. */
+  test("indexed sim joins keep their corpus-side joins broadcast, never sort-merge") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("sim_topk_join_ivf", "sim_topk_join_lsh",
+        "sim_topk_join_mrl_ivf", "sim_topk_join_mrl_pre",
+        "sim_topk_join_ivfpq")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      val smj = SparkTestBase.planSeq(plan).collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      assert(smj.isEmpty, s"$name plans a SortMergeJoin: $smj")
+      val bhj = SparkTestBase.planSeq(plan).collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"$name plans no BroadcastHashJoin at all")
+    }
+  }
+
   /** Fleet-wide Window allowlist: the heap election is the house idiom
     * for every "rank then keep k" shape, so a Window node is allowed only
     * where the WINDOW ITSELF is the declared semantics — an order
