@@ -682,14 +682,14 @@ object SparkEntry {
       // the full-width table (rows-only; the _full bridge hash-verifies)
       Similarity.topKMrlPre(AnnIndex.mrlFull(s, dir),
         t(s, dir, "embeddings"), queryVec(s, dir),
-        k = 10, kDims = 16, overscan = 4)),
+        k = 10, kDims = AnnIndex.MrlDims, overscan = 4)),
     "sim_topk_mrl_pre_full" -> ((s, dir) => {
       // overscan covering the corpus → the shortlist is everything and
       // the rerank IS brute force — shares sim_topk's oracle
       val n = embCount(s, dir).toInt
       Similarity.topKMrlPre(AnnIndex.mrlFull(s, dir),
         t(s, dir, "embeddings"), queryVec(s, dir),
-        k = 10, kDims = 16, overscan = n / 10 + 1)
+        k = 10, kDims = AnnIndex.MrlDims, overscan = n / 10 + 1)
     }),
     "sim_topk_mrl_ivf" -> ((s, dir) =>
       // the MRL cut served from the SAME persisted IVF relation as the
@@ -810,7 +810,7 @@ object SparkEntry {
       Similarity.topKJoinMrlPre(AnnIndex.mrl300(s, dir),
         e.filter(col("vec_id") < 300),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-        k = 5, kDims = 16, overscan = 4)
+        k = 5, kDims = AnnIndex.MrlDims, overscan = 4)
     }),
     "sim_topk_join_mrl_pre_full" -> ((s, dir) => {
       // corpus-spanning overscan ≡ brute-force batch join — the shared
@@ -819,7 +819,7 @@ object SparkEntry {
       Similarity.topKJoinMrlPre(AnnIndex.mrl300(s, dir),
         e.filter(col("vec_id") < 300),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-        k = 5, kDims = 16, overscan = 60)
+        k = 5, kDims = AnnIndex.MrlDims, overscan = 60)
     }),
     "sim_topk_join_mrl_ivf" -> ((s, dir) => {
       // the composed batch member: IVF prunes cells per query, the
@@ -1426,81 +1426,43 @@ object SparkEntry {
     * excludes them from the correctness dump: an artifact summary has no
     * SQL twin, and its former place in the query inventory read as a
     * failing `no_oracle` row every round. */
+  /** Every declared build runs UNCONDITIONALLY into a throwaway dir —
+    * the full training/layout cost as its own ledger number — and the
+    * throwaway artifacts delete before returning (bench invokes builds
+    * repeatedly; leaving them would grow tmp without bound). */
+  private def buildToTmp(prefix: String)(
+      build: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try build(tmp.toString)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   def builds: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_index_build" -> ((s, dir) => {
-      // UNCONDITIONAL build to a throwaway dir: measures full training
-      // cost. buildAll writes eagerly and the summary is driver-local, so
-      // the throwaway artifacts delete before returning (bench invokes
-      // this repeatedly; leaving them would grow tmp without bound).
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_build")
-      try AnnIndex.buildAll(s, dir, tmp.toString)
-      finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(tmp.toFile)
-      }
-    }),
-    "mrl_index_build" -> ((s, dir) => {
-      // UNCONDITIONAL layout of the persisted MRL prefix relations to a
-      // throwaway dir: the (cheap, map-only) projection cost as its own
-      // ledger number, so the sim_*_mrl_pre serving queries measure
-      // routing only
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mrl_build")
-      try AnnIndex.buildMrlPrefixes(s, dir, tmp.toString)
-      finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(tmp.toFile)
-      }
-    }),
-    "logreg_model_build" -> ((s, dir) => {
-      // UNCONDITIONAL train + persist of the logreg quality model to a
-      // throwaway dir: the full production training cost (GD loop +
-      // parquet write + read-back count) as its own ledger number, so
-      // the serving query `quality_logreg_inc` measures scoring only
-      val tmp = java.nio.file.Files.createTempDirectory("graft_logreg_build")
-      try AnnIndex.buildLogregModel(s, dir, tmp.toString)
-      finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(tmp.toFile)
-      }
-    }),
-    "dsir_model_build" -> ((s, dir) => {
-      // UNCONDITIONAL train + persist of the DSIR importance model to a
-      // throwaway dir (the logreg_model_build convention): histogram
-      // estimation + parquet write + read-back count as its own ledger
-      // number, so `dsir_weights_inc` measures map-only scoring
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_build")
-      try AnnIndex.buildDsirModel(s, dir, tmp.toString)
-      finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(tmp.toFile)
-      }
-    }),
-    "nb_model_build" -> ((s, dir) => {
-      // UNCONDITIONAL train + persist of the NB router model (same
-      // convention): term-count aggregation + two parquet writes +
-      // read-back count; `nb_classify_inc` measures routing only
-      val tmp = java.nio.file.Files.createTempDirectory("graft_nb_build")
-      try AnnIndex.buildNbModel(s, dir, tmp.toString)
-      finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(tmp.toFile)
-      }
-    }))
+    // full ANN training cost (LSH/IVF/PQ/cell-codes family)
+    "sim_index_build" -> ((s, dir) =>
+      buildToTmp("graft_ann_build")(AnnIndex.buildAll(s, dir, _))),
+    // the persisted MRL prefix relations: the (cheap, map-only)
+    // projection cost, so the sim_*_mrl_pre queries measure routing only
+    "mrl_index_build" -> ((s, dir) =>
+      buildToTmp("graft_mrl_build")(AnnIndex.buildMrlPrefixes(s, dir, _))),
+    // logreg quality model: GD loop + parquet write + read-back count,
+    // so `quality_logreg_inc` measures scoring only
+    "logreg_model_build" -> ((s, dir) =>
+      buildToTmp("graft_logreg_build")(AnnIndex.buildLogregModel(s, dir, _))),
+    // DSIR importance model: histogram estimation + write + read-back,
+    // so `dsir_weights_inc` measures map-only scoring
+    "dsir_model_build" -> ((s, dir) =>
+      buildToTmp("graft_dsir_build")(AnnIndex.buildDsirModel(s, dir, _))),
+    // NB router model: term-count aggregation + two writes + read-back,
+    // so `nb_classify_inc` measures routing only
+    "nb_model_build" -> ((s, dir) =>
+      buildToTmp("graft_nb_build")(AnnIndex.buildNbModel(s, dir, _))))
 
   // ------------------------------------------------------------- oracle SQL
 

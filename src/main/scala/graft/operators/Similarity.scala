@@ -493,13 +493,20 @@ object Similarity {
    * join ladder (SCALING.md round 15). One map-only pass, write once,
    * grow by appending the same projection of an increment.
    */
-  def writeMrlPrefixes(embeddings: DataFrame, kDims: Int, path: String,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+  /** The one prefix projection both writers share — a schema change
+    * edited here cannot desynchronize write vs grow (the append==rebuild
+    * spec pins that). */
+  private def mrlProjection(df: DataFrame, kDims: Int, vecCol: String,
+      idCol: String): DataFrame = {
     require(kDims > 0)
     val pre = slice(col(vecCol), 1, kDims)
-    embeddings.select(col(idCol), pre.as("prefix"), norm(pre).as("pnrm"))
-      .write.mode("overwrite").parquet(path)
+    df.select(col(idCol), pre.as("prefix"), norm(pre).as("pnrm"))
   }
+
+  def writeMrlPrefixes(embeddings: DataFrame, kDims: Int, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    mrlProjection(embeddings, kDims, vecCol, idCol)
+      .write.mode("overwrite").parquet(path)
 
   def readMrlPrefixes(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
@@ -509,11 +516,47 @@ object Similarity {
     * appending them to the persisted relation equals rebuilding it over
     * the grown corpus (spec-pinned) — no rewrite of the existing files. */
   def growMrlPrefixes(increment: DataFrame, kDims: Int, path: String,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    require(kDims > 0)
-    val pre = slice(col(vecCol), 1, kDims)
-    increment.select(col(idCol), pre.as("prefix"), norm(pre).as("pnrm"))
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    mrlProjection(increment, kDims, vecCol, idCol)
       .write.mode("append").parquet(path)
+
+  /** Guard against a width drift between the persisted prefix relation
+    * and the caller's `kDims`: a mismatch would not error — the dot
+    * kernel nulls on length mismatch, silently degrading the shortlist
+    * (scalar) or emptying the output (join). One `take(1)` row read per
+    * call; an empty relation passes (it can only produce empty output
+    * anyway). */
+  private def requirePrefixWidth(prefixes: DataFrame, kDims: Int): Unit =
+    prefixes.select(size(col("prefix"))).take(1).headOption.foreach { r =>
+      require(r.getInt(0) == kDims,
+        s"persisted prefix width ${r.getInt(0)} != kDims $kDims — " +
+          "rebuild the prefix relation or pass the width it was built with")
+    }
+
+  /** Execute the route ONCE and pin its result: collect the bounded
+    * shortlist (k·overscan(·|Q|) rows — the centroid-pull convention)
+    * into a LOCAL relation for the rerank join, plus an id filter
+    * pushed into the rerank scan. Two problems this solves at once:
+    * (1) reusing the shortlist's DataFrame lineage in the rerank would
+    * RE-EXECUTE the whole route inside that job (measured 2-3× whole-
+    * query cost on the ladder); (2) the broadcast join alone would
+    * STREAM the entire full-width corpus to probe the hash table —
+    * parquet cannot prune rows by a runtime broadcast — making the pre
+    * forms read MORE total bytes than brute force. The In filter
+    * reaches the scan (row-group stats + dictionary pruning), so the
+    * rerank touches only the shortlist's row groups; above a plan-bloat
+    * cap (the *_full bridges, where the shortlist IS the corpus) the
+    * filter is skipped and only the join prunes. */
+  private def materializeShortlist(shortlist: DataFrame,
+      idCol: String): (DataFrame, Option[Column]) = {
+    val rows = shortlist.collect()
+    val local = shortlist.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), shortlist.schema)
+    val ids = rows.map(_.getAs[Any](
+      shortlist.schema.fieldIndex(idCol))).distinct
+    val filter = if (ids.nonEmpty && ids.length <= 10000)
+      Some(col(idCol).isin(ids.toSeq: _*)) else None
+    (local, filter)
   }
 
   /**
@@ -533,6 +576,7 @@ object Similarity {
       k: Int, kDims: Int = 16, overscan: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(kDims > 0 && query.length >= kDims && overscan >= 1)
+    requirePrefixWidth(prefixes, kDims)
     val qPre = query.take(kDims)
     val qp = array(qPre.map(v => lit(v)): _*)
     val qf = array(query.map(v => lit(v)): _*)
@@ -545,8 +589,12 @@ object Similarity {
       .orderBy(col("__pc").desc, col(idCol))
       .limit(k * overscan)
       .select(col(idCol))
-    broadcast(shortlist)
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    // rerank reads ONLY the shortlist's row groups, and the route
+    // executes exactly once (materializeShortlist)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val base = corpus.select(col(idCol), col(vecCol))
+    broadcast(localSl)
+      .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .select(col(idCol),
         when(norm(col(vecCol)) === 0d, lit(null).cast("double"))
           .otherwise(Quantize.quantize(dot(col(vecCol), qf) /
@@ -572,6 +620,7 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       qIdCol: String = "q_id"): DataFrame = {
     require(kDims > 0 && overscan >= 1)
+    requirePrefixWidth(prefixes, kDims)
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
       slice(col(vecCol), 1, kDims).as("__qp"))
@@ -585,9 +634,13 @@ object Similarity {
           .as("cos"))
     val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
-    val reranked = broadcast(shortlist)
-      .join(corpus.select(col(idCol), col(vecCol).as("__cv"),
-        norm(col(vecCol)).as("__cn")), idCol)
+    // route executes once + rerank scan prunes to the shortlist's row
+    // groups (see materializeShortlist)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val base = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val reranked = broadcast(localSl)
+      .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .join(broadcast(q.select(col(qIdCol), col("__qv"), col("__qn"))), qIdCol)
       .select(col(qIdCol), col(idCol),
         when(col("__cn") === 0d || col("__qn") === 0d,
@@ -776,7 +829,12 @@ object Similarity {
     * hit the broadcast memory ceiling. At that scale the right tool is
     * the all-pairs machinery (nearDupPairs / semanticDedup), not a k-NN
     * join; callers who insist can pre-chunk the batch — each chunk
-    * rebroadcasts only its own slice. */
+    * rebroadcasts only its own slice. NOTE the explicit broadcast hints
+    * make the out-of-regime failure mode EXPLICIT (a broadcast size
+    * error) rather than the silent pre-r15 fallback: an SMJ that sorts
+    * the whole index relation by a low-cardinality key — measured 3.5×
+    * the whole-query cost at the 16× ladder rung. Fail-fast-with-a-
+    * named-bound is this engine's contract; pre-chunking is the escape. */
   private def probeCellsJoin(index: IvfIndex, queries: DataFrame,
       nProbe: Int, vecCol: String, qIdCol: String): DataFrame = {
     val spark = queries.sparkSession
@@ -847,9 +905,11 @@ object Similarity {
       else norm(col(vecCol))
     val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
       .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"))
-    val reranked = broadcast(shortlist)
-      .join(index.assignments.select(col(idCol), col(vecCol).as("__cv"),
-        cn.as("__cn")), idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val base = index.assignments.select(col(idCol),
+      col(vecCol).as("__cv"), cn.as("__cn"))
+    val reranked = broadcast(localSl)
+      .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .join(broadcast(q), qIdCol)
       .select(col(qIdCol), col(idCol),
         when(col("__cn") === 0d || col("__qn") === 0d,
@@ -908,9 +968,11 @@ object Similarity {
           .as("cos"))
     val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
-    val reranked = broadcast(shortlist)
-      .join(corpus.select(col(idCol), col(vecCol).as("__cv"),
-        norm(col(vecCol)).as("__cn")), idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val base = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val reranked = broadcast(localSl)
+      .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .join(broadcast(q.select(col(qIdCol), col("__qv"), col("__qn"))), qIdCol)
       .select(col(qIdCol), col(idCol),
         when(col("__cn") === 0d || col("__qn") === 0d,
@@ -1377,7 +1439,10 @@ object Similarity {
       norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val rescored = broadcast(shortlist).join(c, idCol).join(broadcast(qv), qIdCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val rescored = broadcast(localSl)
+      .join(idFilter.map(c.filter).getOrElse(c), idCol)
+      .join(broadcast(qv), qIdCol)
       .select(col(qIdCol), col(idCol),
         Quantize.quantize(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cos"))
     topKPerQuery(rescored, k, idCol, qIdCol)

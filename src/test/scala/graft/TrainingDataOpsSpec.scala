@@ -294,6 +294,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(triples(Similarity.topKJoinMrlPre(prefixes, corpus, queries,
       k = 5, kDims = 16, overscan = 60)) ==
       triples(Similarity.topKJoin(corpus, queries, k = 5)))
+    // width drift is an ERROR, not silent degradation: the dot kernel
+    // nulls on length mismatch, which would quietly wreck the shortlist
+    assertThrows[IllegalArgumentException] {
+      Similarity.topKMrlPre(prefixes, corpus, q, k = 10,
+        kDims = 32, overscan = 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.topKJoinMrlPre(prefixes, corpus, queries, k = 5,
+        kDims = 8, overscan = 4)
+    }
     // retrain-free growth: append an increment's projection == rebuild
     // over the grown corpus, row for row
     val grown = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
