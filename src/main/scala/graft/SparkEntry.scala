@@ -636,13 +636,13 @@ object SparkEntry {
       // force is spec-pinned and the full-overscan bridge below is the
       // hash-verified exactness proof.
       Similarity.topKMrl(t(s, dir, "embeddings"), queryVec(s, dir),
-        k = 10, kDims = 16, overscan = 4)),
+        k = 10, kDims = AnnIndex.MrlDims, overscan = 4)),
     "sim_topk_mrl_full" -> ((s, dir) =>
       // overscan covering the corpus → the shortlist is everything and
       // the rerank IS brute force — shares sim_topk's oracle (the *_full
       // bridge convention; oracle substrate, not a scale point)
       Similarity.topKMrl(t(s, dir, "embeddings"), queryVec(s, dir),
-        k = 10, kDims = 16, overscan = 1 << 20)),
+        k = 10, kDims = AnnIndex.MrlDims, overscan = 1 << 20)),
     // Every sim_* probe below serves from the PREBUILT per-directory
     // artifacts (AnnIndex: built once through the library's persist
     // writers, partition-pruned layouts) — the production split. Training
@@ -698,13 +698,13 @@ object SparkEntry {
       // full-dim. Approximate by design → rows-only; the full bridge
       // below is the exactness proof.
       Similarity.topKMrlIvf(AnnIndex.ivfFull(s, dir), queryVec(s, dir),
-        k = 10, kDims = 16, overscan = 4, nProbe = 4)),
+        k = 10, kDims = AnnIndex.MrlDims, overscan = 4, nProbe = 4)),
     "sim_topk_mrl_ivf_full" -> ((s, dir) =>
       // probe ALL cells + overscan covering the corpus → the shortlist is
       // everything and the rerank IS brute force: one oracle hash-verifies
       // the composed machinery (index round-trip, prefix route, rerank)
       Similarity.topKMrlIvf(AnnIndex.ivfFull(s, dir), queryVec(s, dir),
-        k = 10, kDims = 16, overscan = 1 << 20, nProbe = 16)),
+        k = 10, kDims = AnnIndex.MrlDims, overscan = 1 << 20, nProbe = 16)),
     "sim_topk_pq_full" -> ((s, dir) => {
       // overscan spans the whole corpus → the ADC shortlist is everything
       // and the exact rerank IS brute force: one oracle hash-verifies the
@@ -830,7 +830,7 @@ object SparkEntry {
       Similarity.topKJoinMrlIvf(
         AnnIndex.ivf300(s, dir),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-        k = 5, kDims = 16, overscan = 4, nProbe = 4)
+        k = 5, kDims = AnnIndex.MrlDims, overscan = 4, nProbe = 4)
     }),
     "sim_topk_join_mrl_ivf_full" -> ((s, dir) => {
       // every cell probed + corpus-spanning overscan ≡ brute-force batch
@@ -840,7 +840,7 @@ object SparkEntry {
       Similarity.topKJoinMrlIvf(
         AnnIndex.ivf300(s, dir),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-        k = 5, kDims = 16, overscan = 60, nProbe = 16)
+        k = 5, kDims = AnnIndex.MrlDims, overscan = 60, nProbe = 16)
     }),
     "sim_topk_join_mrl" -> ((s, dir) => {
       // the matryoshka batch join: the |Q|·|C| pair-scoring pass runs on
@@ -850,7 +850,7 @@ object SparkEntry {
       Similarity.topKJoinMrl(
         e.filter(col("vec_id") < 300),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-        k = 5, kDims = 16, overscan = 4)
+        k = 5, kDims = AnnIndex.MrlDims, overscan = 4)
     }),
     "sim_topk_join_mrl_full" -> ((s, dir) => {
       // corpus-spanning overscan: the shortlist is everything and the
@@ -860,7 +860,7 @@ object SparkEntry {
       Similarity.topKJoinMrl(
         e.filter(col("vec_id") < 300),
         e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-        k = 5, kDims = 16, overscan = 60)
+        k = 5, kDims = AnnIndex.MrlDims, overscan = 60)
     }),
     "sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairsExact(

@@ -516,9 +516,21 @@ object Similarity {
     * appending them to the persisted relation equals rebuilding it over
     * the grown corpus (spec-pinned) — no rewrite of the existing files. */
   def growMrlPrefixes(increment: DataFrame, kDims: Int, path: String,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    // append-time width check — the one place a mixed-width relation
+    // could be CREATED. Growing with a different kDims than the relation
+    // was built with would not error at serve time: the take(1) serve
+    // guard can sample either width, and mismatched rows' route dots
+    // null out — silently dropping them from every shortlist. Guard the
+    // write, not (expensively, per serve call) the read.
+    val spark = increment.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath))
+      requirePrefixWidth(spark.read.parquet(path), kDims)
     mrlProjection(increment, kDims, vecCol, idCol)
       .write.mode("append").parquet(path)
+  }
 
   /** Guard against a width drift between the persisted prefix relation
     * and the caller's `kDims`: a mismatch would not error — the dot
@@ -526,6 +538,20 @@ object Similarity {
     * (scalar) or emptying the output (join). One `take(1)` row read per
     * call; an empty relation passes (it can only produce empty output
     * anyway). */
+  /** The batch mirror of the scalar forms' `query.length >= kDims`
+    * require: a query vector narrower than `kDims` slices short, the
+    * dot kernel nulls on the length mismatch, and the per-query heap
+    * drops every row — silent EMPTY output for that query instead of
+    * an error. One `take(1)` row read per batch call (queries are the
+    * small side by the family contract). */
+  private def requireQueryWidth(queries: DataFrame, kDims: Int,
+      vecCol: String): Unit =
+    queries.select(size(col(vecCol))).take(1).headOption.foreach { r =>
+      require(r.getInt(0) >= kDims,
+        s"query vector width ${r.getInt(0)} < kDims $kDims — the MRL " +
+          "route slices the first kDims dims; pass kDims <= query width")
+    }
+
   private def requirePrefixWidth(prefixes: DataFrame, kDims: Int): Unit =
     prefixes.select(size(col("prefix"))).take(1).headOption.foreach { r =>
       require(r.getInt(0) == kDims,
@@ -533,28 +559,55 @@ object Similarity {
           "rebuild the prefix relation or pass the width it was built with")
     }
 
-  /** Execute the route ONCE and pin its result: collect the bounded
-    * shortlist (k·overscan(·|Q|) rows — the centroid-pull convention)
-    * into a LOCAL relation for the rerank join, plus an id filter
-    * pushed into the rerank scan. Two problems this solves at once:
-    * (1) reusing the shortlist's DataFrame lineage in the rerank would
-    * RE-EXECUTE the whole route inside that job (measured 2-3× whole-
-    * query cost on the ladder); (2) the broadcast join alone would
-    * STREAM the entire full-width corpus to probe the hash table —
-    * parquet cannot prune rows by a runtime broadcast — making the pre
-    * forms read MORE total bytes than brute force. The In filter
-    * reaches the scan (row-group stats + dictionary pruning), so the
-    * rerank touches only the shortlist's row groups; above a plan-bloat
-    * cap (the *_full bridges, where the shortlist IS the corpus) the
-    * filter is skipped and only the join prunes. */
-  private def materializeShortlist(shortlist: DataFrame,
-      idCol: String): (DataFrame, Option[Column]) = {
-    val rows = shortlist.collect()
+  /** Above this many shortlist rows the rerank legs stop collecting to
+    * the driver: the route result stays in executor blocks
+    * (localCheckpoint) and only the broadcast hint prunes the rerank.
+    * |Q|·k·overscan grows with the query batch, so without the valve a
+    * production dedup batch (1M queries, k=10, overscan=4) would pull
+    * 40M (qId, id) rows through the driver just to broadcast them back
+    * — the exact driver-memory term the family's queries≪corpus
+    * contract is supposed to exclude. */
+  private[graft] val ShortlistCollectCap = 100000
+
+  /** Above this many DISTINCT ids the In filter is skipped: a 100k-term
+    * In predicate bloats the plan (serialization + per-row-group stats
+    * evaluation) past what the row-group pruning saves. */
+  private[graft] val ShortlistInFilterCap = 10000
+
+  /** Execute the route ONCE and pin its result for the rerank join.
+    * Two problems this solves at once: (1) reusing the shortlist's
+    * DataFrame lineage in the rerank would RE-EXECUTE the whole route
+    * inside that job (measured 2-3× whole-query cost on the ladder);
+    * (2) the broadcast join alone would STREAM the entire full-width
+    * corpus to probe the hash table — parquet cannot prune rows by a
+    * runtime broadcast — making the pre forms read MORE total bytes
+    * than brute force.
+    *
+    * The pin is ALWAYS an eager localCheckpoint (executor blocks, no
+    * driver term, no filesystem round-trip); counting the pinned blocks
+    * is then free. At or below [[ShortlistCollectCap]] rows the blocks
+    * are additionally collected into a LOCAL relation plus — at or
+    * below [[ShortlistInFilterCap]] distinct ids — an In filter pushed
+    * into the rerank scan (row-group stats + dictionary pruning), so
+    * the rerank touches only the shortlist's row groups. Above the
+    * collect cap (the *_full bridges, where the shortlist IS the
+    * corpus, or a big-|Q| batch) NOTHING crosses the driver: the
+    * checkpointed frame itself feeds the rerank's broadcast join and
+    * only the join prunes. The collect branch reads the already-pinned
+    * blocks — the route never runs twice on either branch. */
+  private[graft] def materializeShortlist(shortlist: DataFrame,
+      idCol: String, collectCap: Int = ShortlistCollectCap)
+      : (DataFrame, Option[Column]) = {
+    val pinned = Materialize(shortlist, None)
+    // one probe job over the pinned blocks decides the branch AND, at or
+    // below the cap, IS the collect (limit cap+1 returns every row then)
+    val rows = pinned.limit(collectCap + 1).collect()
+    if (rows.length > collectCap) return (pinned, None)
     val local = shortlist.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), shortlist.schema)
     val ids = rows.map(_.getAs[Any](
       shortlist.schema.fieldIndex(idCol))).distinct
-    val filter = if (ids.nonEmpty && ids.length <= 10000)
+    val filter = if (ids.nonEmpty && ids.length <= ShortlistInFilterCap)
       Some(col(idCol).isin(ids.toSeq: _*)) else None
     (local, filter)
   }
@@ -621,6 +674,7 @@ object Similarity {
       qIdCol: String = "q_id"): DataFrame = {
     require(kDims > 0 && overscan >= 1)
     requirePrefixWidth(prefixes, kDims)
+    requireQueryWidth(queries, kDims, vecCol)
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
       slice(col(vecCol), 1, kDims).as("__qp"))
@@ -878,6 +932,7 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       qIdCol: String = "q_id"): DataFrame = {
     require(kDims > 0 && overscan >= 1)
+    requireQueryWidth(queries, kDims, vecCol)
     val probes = probeCellsJoin(index, queries, nProbe, vecCol, qIdCol)
       .withColumn("__qp", slice(col("__qv"), 1, kDims))
       .withColumn("__qpn", norm(col("__qp")))
@@ -946,6 +1001,7 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       qIdCol: String = "q_id"): DataFrame = {
     require(kDims > 0 && overscan >= 1)
+    requireQueryWidth(queries, kDims, vecCol)
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"),
       slice(col(vecCol), 1, kDims).as("__qp"))

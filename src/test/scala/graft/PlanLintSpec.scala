@@ -102,6 +102,49 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  /** The r15 rerank fix, pinned as a lint (it is load-bearing and
+    * regression-prone — a lineage change silently reverts to streaming
+    * the full corpus or to re-executing the route): for a below-cap
+    * shortlist, (1) the rerank's executed plan must contain exactly ONE
+    * file scan — the corpus; the prefix ROUTE ran once at build time
+    * into a pinned local relation and must NOT be re-planned inside the
+    * rerank — and (2) that corpus scan must carry the shortlist's In
+    * filter in its PushedFilters, so parquet row-group stats +
+    * dictionary pruning keep the rerank from reading the whole
+    * relation. The second half proves the lint catches the r15 bug
+    * shape: the naive reuse of the shortlist's lineage plans the route
+    * scan a second time and pushes nothing. */
+  test("mrl rerank leg: route planned once, shortlist In filter reaches the corpus scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.broadcast
+    val sfDir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("sim_topk_mrl_pre")(spark, sfDir)
+    val scans = SparkTestBase.planSeq(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 1,
+      s"rerank plans ${scans.length} file scans — the route subtree " +
+        "re-entered the rerank plan (the r15 re-execution bug shape)")
+    assert(scans.head.metadata.get("PushedFilters")
+        .exists(_.contains("In(vec_id")),
+      s"corpus scan lost the shortlist In pushdown: ${scans.head.metadata.get("PushedFilters")}")
+    // red-proof — the r15 bug shape fails both assertions: reusing the
+    // shortlist's DataFrame lineage re-plans the prefix route (a second
+    // file scan) inside the rerank and pushes no In filter
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val preDir = java.nio.file.Files.createTempDirectory("lintpre").toString
+    graft.operators.Similarity.writeMrlPrefixes(e, 16, preDir)
+    val shortlist = spark.read.parquet(preDir)
+      .orderBy(org.apache.spark.sql.functions.col("pnrm").desc)
+      .limit(40).select("vec_id")
+    val naive = broadcast(shortlist).join(e, "vec_id")
+    val naiveScans = SparkTestBase.planSeq(naive.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(naiveScans.length == 2, "red-proof drifted: the naive shape " +
+      s"should plan 2 scans, got ${naiveScans.length}")
+    assert(!naiveScans.exists(_.metadata.get("PushedFilters")
+      .exists(_.contains("In(vec_id"))))
+  }
+
   /** Fleet-wide Window allowlist: the heap election is the house idiom
     * for every "rank then keep k" shape, so a Window node is allowed only
     * where the WINDOW ITSELF is the declared semantics — an order

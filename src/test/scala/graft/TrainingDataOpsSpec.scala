@@ -314,6 +314,81 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     def rows(d: String) = spark.read.parquet(d).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
     assert(rows(preDir) == rows(rebuiltDir))
+    // mixed-width growth is rejected AT THE WRITE — the one place a
+    // mixed relation could be created: the serve-time take(1) guard can
+    // sample either width, and mismatched rows would silently null out
+    // of every shortlist instead of erroring
+    assertThrows[IllegalArgumentException] {
+      Similarity.growMrlPrefixes(grown, 8, preDir)
+    }
+    assert(rows(preDir) == rows(rebuiltDir),
+      "rejected growth must not have written anything")
+    // batch forms mirror the scalar query.length >= kDims guard: a query
+    // batch NARROWER than kDims errors instead of silently emptying each
+    // query's output (the dot kernel nulls on length mismatch and the
+    // per-query heap drops every row)
+    val narrowQ = queries.select(col("q_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    assertThrows[IllegalArgumentException] {
+      Similarity.topKJoinMrl(corpus, narrowQ, k = 5, kDims = 16, overscan = 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.topKJoinMrlPre(prefixes, corpus, narrowQ, k = 5,
+        kDims = 16, overscan = 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      val index = Similarity.buildIvfIndex(corpus, nCells = 4, iters = 1)
+      Similarity.topKJoinMrlIvf(index, narrowQ, k = 5, kDims = 16,
+        overscan = 4, nProbe = 2)
+    }
+  }
+
+  test("shortlist valve: above the collect cap nothing crosses the driver; bridge stays exact through the checkpoint branch") {
+    def localRelations(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }
+    val sl = spark.range(50).select(col("id").as("vec_id"))
+    // below cap: collected into a driver-side LOCAL relation + In filter
+    val (localLo, filtLo) =
+      Similarity.materializeShortlist(sl, "vec_id", collectCap = 100)
+    assert(localRelations(localLo).nonEmpty && filtLo.isDefined)
+    // above cap: the pin stays in executor blocks (LogicalRDD from the
+    // localCheckpoint) — NO LocalRelation means no driver collect built
+    // the rerank input; no In filter either (nothing to enumerate from)
+    val (localHi, filtHi) =
+      Similarity.materializeShortlist(sl, "vec_id", collectCap = 10)
+    assert(localRelations(localHi).isEmpty,
+      "above-cap branch still built a driver-side local relation")
+    assert(filtHi.isEmpty)
+    // both branches pin the SAME rows — the route executed once each
+    assert(localHi.collect().map(_.getLong(0)).toSet ==
+      localLo.collect().map(_.getLong(0)).toSet)
+    // mid band: collected locally but too many DISTINCT ids for a sane
+    // In predicate — filter skipped, local relation kept
+    val wide = spark.range(Similarity.ShortlistInFilterCap + 1)
+      .select(col("id").as("vec_id"))
+    val (_, filtMid) = Similarity.materializeShortlist(wide, "vec_id",
+      collectCap = Similarity.ShortlistInFilterCap + 10)
+    assert(filtMid.isEmpty)
+    // end-to-end through the DEFAULT cap: 250 queries x 500-row corpus at
+    // corpus-covering overscan = 125k shortlist rows > ShortlistCollectCap
+    // (arithmetic pinned below), so the bridge equality here EXERCISES the
+    // checkpoint branch — and must still equal exact topKJoin row for row
+    assert(Similarity.ShortlistCollectCap == 100000,
+      "cap changed: resize this fixture so it still exceeds the cap")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e
+    val queries = e.filter(col("vec_id") < 250)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    assert(corpus.count() == 500 && queries.count() == 250,
+      "fixture drift: need 500 corpus rows x 250 queries to exceed the cap")
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    assert(triples(Similarity.topKJoinMrl(corpus, queries, k = 5,
+      kDims = 16, overscan = 100)) ==
+      triples(Similarity.topKJoin(corpus, queries, k = 5)))
   }
 
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
