@@ -299,6 +299,114 @@ object AnnIndex {
     memo(spark, p)(Similarity.readMrlPrefixes(spark, p))
   }
 
+  // ------------------------------------------- semantic-dedup registry
+
+  /** Lay out the persisted semantic-dedup registry (vec_id < 300 assigned
+    * under `centroids`, cell-partitioned) — the `sem_registry_build` build
+    * step body. Centroids must be a deterministic function of the data
+    * (SparkEntry's kmeansSeeds are), so the embeddings fingerprint alone
+    * keys the cache — the [[logregModel]] contract. */
+  def buildSemRegistry(spark: SparkSession, sfDir: String, path: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    Similarity.writeSemanticRegistry(
+      embeddingsOf(spark, sfDir).filter(col("vec_id") < 300), centroids,
+      s"$path/registry")
+    Seq(("sem_registry", spark.read.parquet(s"$path/registry").count()))
+      .toDF("artifact", "n")
+  }
+
+  /** Path of the persisted semantic-dedup registry for `sfDir` (built
+    * once per data directory under the shared fingerprint cache), so
+    * `dedup_semantic_inc` measures the increment PROBE only — the
+    * production serve split: a live pipeline writes its registry once and
+    * appends after each probed batch, it does not rebuild per probe. */
+  def semRegistryPath(spark: SparkSession, sfDir: String,
+      centroids: Array[Array[Float]]): String = {
+    val p = s"$cacheRoot/${keyOf(sfDir)}_semreg"
+    ensureDir(p)(staging =>
+      buildSemRegistry(spark, sfDir, staging, centroids).collect())
+    s"$p/registry"
+  }
+
+  /** Lay out the persisted substring-dedup registry (original windows of
+    * docs < 250, md5-bridge keyed) — the `substr_registry_build` build
+    * step body. */
+  def buildSubstrRegistry(spark: SparkSession, sfDir: String,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.substrRegistry(d.filter(col("doc_id") < 250),
+        n = 20, md5Bridge = true)
+      .write.mode("overwrite").parquet(s"$path/registry")
+    Seq(("substr_registry", spark.read.parquet(s"$path/registry").count()))
+      .toDF("artifact", "n")
+  }
+
+  /** Path of the persisted substring-dedup registry for `sfDir`
+    * ([[semRegistryPath]]'s contract, keyed on documents.parquet):
+    * `dedup_substr_inc` serves the increment probe only. */
+  def substrRegistryPath(spark: SparkSession, sfDir: String): String = {
+    val p = s"$cacheRoot/${keyOf(sfDir, "documents")}_substrreg"
+    ensureDir(p)(staging => buildSubstrRegistry(spark, sfDir, staging).collect())
+    s"$p/registry"
+  }
+
+  // --------------------------------------- user-owned serving layouts
+
+  /**
+   * Train + persist ONE user-owned serving layout for a corpus — the
+   * job-level composition an embeddings pipeline grows batch by batch
+   * (the micro-batch loop of the dedup/packing registries, applied to
+   * the ANN family): `ivf` ([[Similarity.writeIvfIndex]] — trained
+   * centroids + cell-partitioned assignments), `pq`
+   * ([[Similarity.writePqIndex]] — codebooks + codes), `cellcodes`
+   * (the IVF-PQ serving relation) and `prefixes` (the MRL route
+   * relation). Unlike the per-data-directory fingerprint cache (which
+   * must stay immutable so its key stays honest), this layout is OWNED
+   * by the caller and grows in place via [[growServingLayout]].
+   */
+  def buildServingLayout(corpus: DataFrame, path: String,
+      nCells: Int = NCells, kDims: Int = MrlDims, pqM: Int = PqM,
+      pqK: Int = PqK, iters: Int = Iters): Unit = {
+    val ivf = Similarity.buildIvfIndex(corpus, nCells = nCells, iters = iters)
+    Similarity.writeIvfIndex(ivf, s"$path/ivf")
+    val pq = Similarity.trainPq(corpus, m = pqM, k = pqK, iters = iters)
+    val encoded = Similarity.pqEncode(corpus, pq)
+    Similarity.writePqIndex(encoded, pq, s"$path/pq")
+    Similarity.writeCellCodes(Similarity.buildCellCodes(ivf, encoded),
+      s"$path/cellcodes")
+    Similarity.writeMrlPrefixes(corpus, kDims, s"$path/prefixes")
+  }
+
+  /**
+   * Retrain-free growth of EVERY artifact in a [[buildServingLayout]]
+   * layout with one increment: assignments via
+   * [[Similarity.assignToCells]], codes via [[Similarity.pqEncode]],
+   * the IVF-PQ relation via [[Similarity.growCellCodes]], prefixes via
+   * [[Similarity.growMrlPrefixes]] (which also guards the width) — each
+   * appended under the EXISTING models, so (spec-pinned, per artifact
+   * and composed) growing equals rebuilding the relation over the grown
+   * corpus under those models, and every serve sees the grown corpus.
+   * The models themselves never change here; retrain on a sample when
+   * recall at fixed nProbe decays, not per increment ([[assignToCells]]'
+   * documented posture).
+   */
+  def growServingLayout(spark: SparkSession, path: String,
+      increment: DataFrame, kDims: Int = MrlDims): Unit = {
+    val ivf = Similarity.readIvfIndex(spark, s"$path/ivf")
+    val (_, pq) = Similarity.readPqIndex(spark, s"$path/pq")
+    Similarity.assignToCells(ivf, increment)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/ivf/assignments")
+    Similarity.pqEncode(increment, pq)
+      .write.mode("append").parquet(s"$path/pq/codes")
+    Similarity.growCellCodes(ivf, pq, increment)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cellcodes")
+    Similarity.growMrlPrefixes(increment, kDims, s"$path/prefixes")
+  }
+
   def mrl300(spark: SparkSession, sfDir: String): DataFrame = {
     val p = s"${ensureMrl(spark, sfDir)}/mrl_300"
     memo(spark, p)(Similarity.readMrlPrefixes(spark, p))

@@ -963,16 +963,15 @@ object SparkEntry {
       // persisted-registry increment ≡ fused cut over the union
       // restricted to the batch (shared-oracle pattern, like
       // dedup_paragraphs_inc / dedup_semantic_inc): registry = the
-      // original windows of docs < 250, batch = the rest
+      // original windows of docs < 250, batch = the rest. Registry
+      // served from the fingerprint cache (`substr_registry_build` is
+      // the declared build — the serve-split contract): a production
+      // pipeline writes its registry once and appends per batch, it
+      // does not rebuild per probe.
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_substr_registry_${
-        Integer.toHexString(dir.hashCode)}"
-      Dedup.substrRegistry(d.filter(col("doc_id") < 250), n = 20,
-          md5Bridge = true)
-        .write.mode("overwrite").parquet(path)
       Dedup.dedupSubstringsIncremental(d.filter(col("doc_id") >= 250),
-        s.read.parquet(path), n = 20, md5Bridge = true,
-        maxCorpusId = Some(249L))
+        s.read.parquet(AnnIndex.substrRegistryPath(s, dir)), n = 20,
+        md5Bridge = true, maxCorpusId = Some(249L))
     }),
     "fingerprint_winnow" -> ((s, dir) =>
       // MOSS winnowing: rightmost-min of every g-window of k-gram hashes;
@@ -1317,14 +1316,18 @@ object SparkEntry {
     "dedup_semantic_inc" -> ((s, dir) => {
       // persisted-registry increment ≡ fused dedup over the union
       // restricted to the batch (shared-oracle pattern, like
-      // nb_classify_inc): registry = vec_id < 300, batch = the rest
+      // nb_classify_inc): registry = vec_id < 300, batch = the rest.
+      // The registry is SERVED from the fingerprint cache (the
+      // logregModel serve-split contract — `sem_registry_build` is the
+      // declared build): a production pipeline writes its registry once
+      // and appends after each probed batch; rebuilding it per probe
+      // (the pre-r16 shape) billed a partitioned parquet write to every
+      // serve measurement.
       val e = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sem_registry_${
-        Integer.toHexString(dir.hashCode)}"
-      Similarity.writeSemanticRegistry(
-        e.filter(col("vec_id") < 300), kmeansSeedsOf(s, dir), path)
       Similarity.semanticDedupIncrement(
-        e.filter(col("vec_id") >= 300), kmeansSeedsOf(s, dir), path, minCosine = 0.45)
+        e.filter(col("vec_id") >= 300), kmeansSeedsOf(s, dir),
+        AnnIndex.semRegistryPath(s, dir, kmeansSeedsOf(s, dir)),
+        minCosine = 0.45)
     }),
     "mix_temperature" -> ((s, dir) =>
       // temperature-scaled mixture weights (α = 0.3, the XLM-R setting):
@@ -1462,7 +1465,17 @@ object SparkEntry {
     // NB router model: term-count aggregation + two writes + read-back,
     // so `nb_classify_inc` measures routing only
     "nb_model_build" -> ((s, dir) =>
-      buildToTmp("graft_nb_build")(AnnIndex.buildNbModel(s, dir, _))))
+      buildToTmp("graft_nb_build")(AnnIndex.buildNbModel(s, dir, _))),
+    // semantic-dedup registry: assignment + cell-partitioned parquet
+    // write + read-back, so `dedup_semantic_inc` measures the probe only
+    "sem_registry_build" -> ((s, dir) =>
+      buildToTmp("graft_semreg_build")(
+        AnnIndex.buildSemRegistry(s, dir, _, kmeansSeedsOf(s, dir)))),
+    // substring-dedup registry: window extraction + parquet write +
+    // read-back, so `dedup_substr_inc` measures the probe only
+    "substr_registry_build" -> ((s, dir) =>
+      buildToTmp("graft_substrreg_build")(
+        AnnIndex.buildSubstrRegistry(s, dir, _))))
 
   // ------------------------------------------------------------- oracle SQL
 

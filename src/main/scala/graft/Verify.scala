@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER: every regular signal runs single-JVM local[n],
+    // which hides closure-serialization and broadcast-codec bugs that
+    // only surface when state crosses a REAL executor boundary (ref-held
+    // model objects, custom aggregate buffers). Overriding to
+    // local-cluster[w,c,mem] (via spark-submit, which ships the app jar)
+    // runs the identical dump against separate executor JVMs.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -254,6 +254,88 @@ object Scratch {
             kDims = 16, overscan = 4, nProbe = 4))}%.2f s")
       }
     }
+    if (sys.env.contains("SCRATCH_MRL_COLD")) {
+      // COLD-IO rung for the persisted MRL prefix relation — the r15
+      // honesty note's missing measurement: writeMrlPrefixes' kDims/d
+      // byte cut "is a cold-IO lever by nature" but every prior ladder
+      // rung ran page-cached, where the route forms converge ±15%. Here
+      // the page cache is dropped (sync; echo 3 > /proc/sys/vm/
+      // drop_caches — root required, bail honestly if not) before EVERY
+      // timed run, so each scan pays real device reads. Scalar serve
+      // (route term = one relation scan under a TakeOrdered heap —
+      // byte-dominated, unlike the join forms where pair flops dominate):
+      //   exact  : full-width corpus scan, 64-dim dots
+      //   mrl    : SAME corpus scan, 16-dim slice dots (flops cut only)
+      //   mrlpre : 16-dim prefix RELATION scan (kDims/d of the bytes)
+      //            + k·overscan-row rerank via the In-pruned corpus scan
+      import org.apache.spark.sql.functions._
+      val n = sys.env.get("SCRATCH_MRL_COLD").filter(_.nonEmpty)
+        .map(_.toInt).getOrElse(1024)
+      def dropCaches(): Boolean = try {
+        new ProcessBuilder("sync").start().waitFor()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"),
+          "3\n".getBytes("UTF-8"))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (!dropCaches())
+        println("SCRATCH-MRLCOLD: cannot drop page cache (not root?) — aborting rung")
+      else {
+        val S = graft.operators.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = s"/tmp/graft_mrl_cold_$n"
+        // per-ELEMENT hash noise, not the ladder's per-copy shift: 7
+        // distinct variants of each source vector dictionary-encode to
+        // ~1/10 raw size, which silently deletes the byte story this
+        // rung exists to measure — every element must be unique so the
+        // on-disk relation is ~raw-width, like real embeddings
+        e.crossJoin(spark.range(n).select(col("id").as("__c")))
+          .select((col("vec_id") * lit(100000L) + col("__c")).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => (x + pmod(xxhash64(col("vec_id"), col("__c"), i),
+                lit(100000)).cast("float") * lit(1e-8f))
+                .cast("float")).as("embedding"))
+          .repartition(8) // comparable multi-file layout for both relations
+          .write.mode("overwrite").parquet(s"$base/corpus")
+        val corpus = spark.read.parquet(s"$base/corpus")
+        S.writeMrlPrefixes(corpus, 16, s"$base/prefixes")
+        val prefixes = spark.read.parquet(s"$base/prefixes")
+        def duBytes(p: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+          walk(new java.io.File(p))
+        }
+        println(f"SCRATCH-MRLCOLD ${n}%dx rows=${corpus.count()}%d " +
+          f"corpus=${duBytes(s"$base/corpus") / 1e6}%.0f MB " +
+          f"prefixes=${duBytes(s"$base/prefixes") / 1e6}%.0f MB")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head.getSeq[Float](0).toSeq
+        def run(label: String, cold: Boolean)(mk: () => org.apache.spark.sql.DataFrame): Unit = {
+          // rep1 pays whole-stage-codegen compilation for the plan shape
+          // and is reported but excluded from the min — 3 reps total
+          val ts = (1 to 3).map { _ =>
+            if (cold) require(dropCaches(), "cache drop failed mid-rung")
+            val t0 = System.nanoTime()
+            mk().queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val kind = if (cold) "cold" else "warm"
+          println(f"SCRATCH-MRLCOLD ${n}%dx $label $kind: " +
+            f"${ts.map(t => f"$t%.2f").mkString("/")} s " +
+            f"(min-after-warmup ${ts.drop(1).min}%.2f)")
+        }
+        for (cold <- Seq(true, false)) {
+          run("exact ", cold)(() => S.topK(corpus, qv, 10))
+          run("mrl   ", cold)(() => S.topKMrl(corpus, qv, 10,
+            kDims = 16, overscan = 4))
+          run("mrlpre", cold)(() => S.topKMrlPre(prefixes, corpus, qv, 10,
+            kDims = 16, overscan = 4))
+        }
+        println(f"SCRATCH-MRLCOLD load1 ${java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage}%.2f")
+      }
+    }
     if (sys.env.contains("SCRATCH_SCALE_R12")) {
       // Round-12 sweep of the round-11 late arrivals that missed the
       // sweep tables: the minhash pairs bridge, int8 serving,

@@ -391,6 +391,65 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       triples(Similarity.topKJoin(corpus, queries, k = 5)))
   }
 
+  test("serving layout: two retrain-free increments equal a same-model rebuild, artifact by artifact and at serve") {
+    // the job-level composition of the spec-pinned grow functions
+    // (assignToCells / pqEncode / growCellCodes / growMrlPrefixes): build
+    // on A, grow with B then C, and the layout must equal a ONE-PASS
+    // rebuild of every relation over A∪B∪C under the SAME models — the
+    // registry-increment invariance the dedup/packing families already
+    // pin, composed across the whole ANN artifact family. ("Rebuild"
+    // keeps the models: retraining on the grown corpus is a RECALL
+    // decision, not an increment — assignToCells' documented posture.)
+    val S = graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.filter(col("vec_id") < 300)
+    val b = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val c = e.filter(col("vec_id") >= 400)
+    val grownDir = java.nio.file.Files.createTempDirectory("layout_g").toString
+    AnnIndex.buildServingLayout(a, grownDir)
+    AnnIndex.growServingLayout(spark, grownDir, b)
+    AnnIndex.growServingLayout(spark, grownDir, c)
+    val ivf = S.readIvfIndex(spark, s"$grownDir/ivf") // grown assignments
+    val (grownCodes, pq) = S.readPqIndex(spark, s"$grownDir/pq")
+    def pairs(df: org.apache.spark.sql.DataFrame, second: String) =
+      df.select(col("vec_id"), col(second)).collect()
+        .map(r => (r.getLong(0), r.get(1))).toSet
+    // artifact by artifact: grown == one-pass rebuild under the models
+    val rebuiltAsg = S.assignToCells(ivf, e)
+    assert(pairs(spark.read.parquet(s"$grownDir/ivf/assignments"), "cell") ==
+      pairs(rebuiltAsg, "cell"))
+    val rebuiltCodes = S.pqEncode(e, pq)
+    assert(pairs(grownCodes, "codes").map { case (i, x) => (i, x.toString) } ==
+      pairs(rebuiltCodes, "codes").map { case (i, x) => (i, x.toString) })
+    val rebuiltCells = S.buildCellCodes(
+      S.IvfIndex(rebuiltAsg, ivf.centroids), rebuiltCodes)
+    assert(pairs(spark.read.parquet(s"$grownDir/cellcodes"), "cell") ==
+      pairs(rebuiltCells, "cell"))
+    val rebuiltPreDir = java.nio.file.Files.createTempDirectory("layout_r").toString
+    S.writeMrlPrefixes(e, AnnIndex.MrlDims, rebuiltPreDir)
+    def preRows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
+    assert(preRows(s"$grownDir/prefixes") == preRows(rebuiltPreDir))
+    // at serve: the grown layout's exact bridges equal brute force over
+    // the GROWN corpus — increments are fully visible to every probe
+    val q = e.filter(col("vec_id") === 450).head.getSeq[Float](1)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("cos"))).toSeq
+    val prefixes = S.readMrlPrefixes(spark, s"$grownDir/prefixes")
+    assert(ids(S.topKMrlPre(prefixes, e, q, k = 10,
+      kDims = AnnIndex.MrlDims, overscan = 1000)) == ids(S.topK(e, q, k = 10)))
+    val cellCodes = S.readCellCodes(spark, s"$grownDir/cellcodes")
+    val served = S.topKIvfPq(cellCodes, e, ivf, pq, q, k = 10,
+      nProbe = 16, overscan = 100).collect().map(_.getLong(0)).toSet
+    assert(served == S.topK(e, q, k = 10).collect().map(_.getLong(0)).toSet)
+    // production-shaped probe still finds the increment's own vector
+    val probed = S.topKIvfPq(cellCodes, e, ivf, pq, q, k = 10,
+      nProbe = 4, overscan = 10).collect().map(_.getLong(0)).toSet
+    assert(probed.contains(450L),
+      "a grown vector is invisible to the pruned IVF-PQ probe")
+  }
+
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") < 300)
