@@ -492,6 +492,17 @@ object Similarity {
    * dot-product flops only — measured SLOWER than brute force on the
    * join ladder (SCALING.md round 15). One map-only pass, write once,
    * grow by appending the same projection of an increment.
+   *
+   * Honest bound on the byte win (measured COLD, r16): the on-disk cut
+   * is real (1.07 GB → 0.32 GB at 64→16 dims on incompressible
+   * vectors) and it is a BYTES-TOUCHED lever — what an IO-billed object
+   * store or a disk-bound cluster prices. It is NOT a local wall-clock
+   * lever: with the page cache dropped before every run, cold ≈ warm on
+   * fast local storage (parallel refill outpaces the scan's compute)
+   * and the pre route's extra pass costs about what its byte cut saves
+   * (exact 1.04 s vs mrlpre 1.37 s cold at the 2048× rung — SCALING.md
+   * round 16). The measured LOCAL win of this relation stays vs the
+   * column form (2.8 s → 1.4 s cold), which re-reads full-width rows.
    */
   /** The one prefix projection both writers share — a schema change
     * edited here cannot desynchronize write vs grow (the append==rebuild
@@ -594,7 +605,16 @@ object Similarity {
     * corpus, or a big-|Q| batch) NOTHING crosses the driver: the
     * checkpointed frame itself feeds the rerank's broadcast join and
     * only the join prunes. The collect branch reads the already-pinned
-    * blocks — the route never runs twice on either branch. */
+    * blocks — the route never runs twice on either branch.
+    *
+    * Layout caveat (measured, SCALING.md r16): the In filter prunes row
+    * groups only when the corpus layout CLUSTERS ids (sorted / range-
+    * partitioned / bucketed writes — which production writers control);
+    * on a hash-scattered layout every row group's (min,max) id stats
+    * span the whole domain, nothing prunes, and the rerank re-reads the
+    * full corpus (+1 s at the 1 GB rung). The join stays correct either
+    * way — pruning is a layout-conditional optimization, not a
+    * correctness term. */
   private[graft] def materializeShortlist(shortlist: DataFrame,
       idCol: String, collectCap: Int = ShortlistCollectCap)
       : (DataFrame, Option[Column]) = {
