@@ -344,6 +344,51 @@ object Scratch {
           .getOperatingSystemMXBean.getSystemLoadAverage}%.2f")
       }
     }
+    if (sys.env.contains("SCRATCH_MRL_BIGQ")) {
+      // Big-|Q| probe of the valved rerank (r16): a query batch large
+      // enough that |Q|·k·overscan EXCEEDS ShortlistCollectCap, so the
+      // batch joins run the checkpoint branch (no driver collect, no In
+      // filter — join-only pruning) against a persisted 16× corpus.
+      // Completing at ladder-consistent cost IS the claim; the r15 shape
+      // would have pulled the whole shortlist through the driver.
+      import org.apache.spark.sql.functions._
+      val S = graft.operators.Similarity
+      val n = 16
+      val base = s"/tmp/graft_mrl_sweep_$n" // reuse the ladder's layout
+      if (!new java.io.File(s"$base/corpus").exists()) {
+        val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        e0.crossJoin(spark.range(n).select(col("id").as("__c")))
+          .select((col("vec_id") * lit(1000L) + col("__c")).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + (col("__c") % 7).cast("float") * lit(0.013f))
+                .cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(s"$base/corpus")
+        val c = spark.read.parquet(s"$base/corpus")
+        S.writeIvfIndex(S.buildIvfIndex(c, nCells = 16), s"$base/ivf")
+      }
+      val corpus = spark.read.parquet(s"$base/corpus")
+      val idx = S.readIvfIndex(spark, s"$base/ivf")
+      // 4000 queries · k10 · overscan4 = 160k shortlist rows > the 100k
+      // collect cap — both joins below run the checkpoint branch
+      val qs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .crossJoin(spark.range(2).select(col("id").as("__c")))
+        .select((col("vec_id") * lit(10L) + col("__c")).as("q_id"),
+          col("embedding"))
+      println(s"SCRATCH-BIGQ corpus=${corpus.count()} queries=${qs.count()} " +
+        s"shortlist=${qs.count() * 40} cap=${S.ShortlistCollectCap}")
+      def t(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-BIGQ $label: ${ts.map(x => f"$x%.2f").mkString("/")} s")
+      }
+      t("join_mrl     ")(S.topKJoinMrl(corpus, qs, 10, kDims = 16, overscan = 4))
+      t("join_mrl_ivf ")(S.topKJoinMrlIvf(idx, qs, 10, kDims = 16,
+        overscan = 4, nProbe = 4))
+    }
     if (sys.env.contains("SCRATCH_SCALE_R12")) {
       // Round-12 sweep of the round-11 late arrivals that missed the
       // sweep tables: the minhash pairs bridge, int8 serving,
