@@ -397,6 +397,20 @@ object AnnIndex {
       increment: DataFrame, kDims: Int = MrlDims): Unit = {
     val ivf = Similarity.readIvfIndex(spark, s"$path/ivf")
     val (_, pq) = Similarity.readPqIndex(spark, s"$path/pq")
+    // width guard at the ONE entry point that could poison the whole
+    // layout (the growMrlPrefixes append-guard's reasoning, widened):
+    // a mismatched increment would not error downstream — pqEncode's
+    // subspace dots null on length mismatch and write NULL codes, and
+    // mixed-width full vectors null out of every rerank — silent
+    // degradation instead of a loud failure. The PQ model's persisted
+    // dim is the layout's authoritative width.
+    increment.select(size(col("embedding"))).take(1)
+      .headOption.foreach { r =>
+        require(r.getInt(0) == pq.dim,
+          s"increment vector width ${r.getInt(0)} != layout dim ${pq.dim}" +
+            " — a mixed-width layout degrades silently; re-embed the " +
+            "increment or rebuild the layout at the new width")
+      }
     Similarity.assignToCells(ivf, increment)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/ivf/assignments")

@@ -448,6 +448,17 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       nProbe = 4, overscan = 10).collect().map(_.getLong(0)).toSet
     assert(probed.contains(450L),
       "a grown vector is invisible to the pruned IVF-PQ probe")
+    // a mismatched-width increment is rejected LOUDLY at the layout's
+    // one growth entry point — downstream it would not error (pqEncode
+    // writes null codes, mixed-width vectors null out of reranks):
+    // the same silent-degradation class the growMrlPrefixes guard closes
+    val narrow = e.select(col("vec_id") + 10000L as "vec_id",
+      slice(col("embedding"), 1, 32).as("embedding"))
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.growServingLayout(spark, grownDir, narrow)
+    }
+    assert(spark.read.parquet(s"$grownDir/prefixes").count() == 500,
+      "rejected growth must not have appended anything")
   }
 
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
