@@ -1279,6 +1279,25 @@ object SparkEntry {
       Similarity.kmeansAssign(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
     "embed_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
+    "select_diverse" -> ((s, dir) =>
+      // cluster-balanced diversity selection: ≤12 members per k-means
+      // cell, elected by the salted id-hash rank — flattens embedding-
+      // space density (dense boilerplate regions contribute the same
+      // budget as sparse ones), the SemDeDup-era cluster-balanced
+      // sampling step; heap election, no rank window
+      Selection.selectDiverse(t(s, dir, "embeddings"),
+        kmeansSeedsOf(s, dir), perCell = 12)),
+    "decontaminate_semantic" -> ((s, dir) => {
+      // embedding-side eval decontamination: drop corpus vectors within
+      // cosine 0.45 of ANY eval vector (vec_id < 25 stands in for the
+      // eval set) — catches paraphrased leakage the lexical family
+      // can't; eval side broadcast, corpus map-only
+      val e = t(s, dir, "embeddings")
+      Similarity.decontaminateSemantic(
+        e.filter(col("vec_id") >= 25).select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 25), minCosine = 0.45)
+        .select(col("vec_id"))
+    }),
     "embed_kmeans_assign_pruned_full" -> ((s, dir) =>
       // IVF-pruned assignment with nProbe = nCoarse — provably the exact
       // flat scan (shares embed_kmeans_assign's oracle, the *_full bridge
@@ -2743,6 +2762,24 @@ object SparkEntry {
       s"""WITH $kmeansSqlBody
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
          | floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM asg""".stripMargin,
+    "select_diverse" ->
+      s"""WITH $kmeansSqlBody,
+         |r AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${hashValueSql("vec_id", Corpus.SampleSalt)}, vec_id) AS rk
+         |  FROM asg)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell
+         |FROM r WHERE rk <= 12""".stripMargin,
+    "decontaminate_semantic" ->
+      s"""SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id >= 25 AND NOT EXISTS (
+         |  SELECT 1 FROM embeddings v WHERE v.vec_id < 25
+         |  AND sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+         |  AND sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) > 0
+         |  AND ${Quantize.sql6(
+           "list_dot_product(e.embedding::DOUBLE[], v.embedding::DOUBLE[]) / " +
+             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+             "sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))")} >= 0.45)""".stripMargin,
     // pruned assignment with every coarse cell probed == the exact scan
     "embed_kmeans_assign_pruned_full" ->
       s"""WITH $kmeansSqlBody

@@ -607,6 +607,39 @@ object Selection {
    *   AUC = Σ_s n_pos(s)·(neg_below(s) + n_neg(s)/2) / (P·N),
    * exactly the tied-average-rank statistic.
    */
+  /**
+   * Cluster-balanced ("diversity") selection: assign every vector to its
+   * nearest centroid ([[Similarity.kmeansAssign]] — map-only against the
+   * literal centroid table) and keep AT MOST `perCell` members per cell,
+   * elected by the salted md5 id-hash rank (smallest hash first, id
+   * tiebreak) — [[Corpus.sampleByHash]]'s determinism contract applied
+   * per cluster. This flattens embedding-space density: a dense region
+   * (near-duplicate web boilerplate, templated text) contributes the
+   * same budget as a sparse one — the cluster-balanced sampling step of
+   * SemDeDup-era curation recipes, and the selection-side complement of
+   * [[Similarity.semanticDedupClustered]] (which removes near-dups
+   * WITHIN a radius; this caps whole-region mass).
+   *
+   * 100 TB posture: one map-only assignment pass + ONE `struct_topk`
+   * heap aggregation keyed on cell (≤ perCell rows per cell per
+   * partition reach the exchange — the house election idiom, no rank
+   * window, no per-cell sort). The centroid model broadcasts at any
+   * corpus size; output is (idCol, cell) — scalars, hash-verifiable.
+   */
+  def selectDiverse(embeddings: DataFrame, centroids: Array[Array[Float]],
+      perCell: Int, vecCol: String = "embedding", idCol: String = "vec_id",
+      salt: String = Corpus.SampleSalt): DataFrame = {
+    require(centroids.nonEmpty, "selectDiverse: no centroids")
+    require(perCell > 0, s"selectDiverse: perCell must be positive: $perCell")
+    Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol)
+      .groupBy(col("cell"))
+      .agg(graft.plans.TopKExpressions.topKStructs(
+        struct(Corpus.hashValue(col(idCol), salt).as("h"),
+          col(idCol).as("i")), perCell).as("__tk"))
+      .select(col("cell"), explode(col("__tk")).as("__e"))
+      .select(col("__e.i").as(idCol), col("cell"))
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String = "score",
       labelCol: String = "is_target"): DataFrame = {
     // unlabeled rows (null label) are EXCLUDED — an evaluation pairs

@@ -1120,6 +1120,38 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /**
+   * SEMANTIC decontamination — the embedding-side complement of the
+   * lexical `Corpus.decontaminate` family: drop every corpus vector
+   * whose cosine against ANY eval-set vector reaches `minCosine`
+   * (paraphrased or re-embedded eval leakage that exact/winnow n-gram
+   * matching cannot see). Survivors keep their full row.
+   *
+   * 100 TB shape: the eval set is the SMALL side by definition
+   * (benchmarks are thousands of rows, the corpus is the 100 TB) — it
+   * broadcasts explicitly, the corpus streams map-only through a
+   * BroadcastNestedLoopJoin LeftAnti (no shuffle, no cartesian; the
+   * per-pair cost is one codegen'd dot). Quantized-6dp cosine vs the
+   * same epsilon-robust threshold as the near-dup family (`thrOf`), so
+   * the DuckDB oracle's NOT EXISTS reproduces the cut bit-for-bit.
+   * Zero-norm vectors (either side) score null → never contaminated —
+   * "no measurable similarity", the family's null contract.
+   */
+  def decontaminateSemantic(embeddings: DataFrame, evalSet: DataFrame,
+      minCosine: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val thr = thrOf(minCosine)
+    val ev = evalSet.select(col(vecCol).as("__ev"))
+      .withColumn("__evn", norm(col("__ev")))
+    val cos = Quantize.quantize(
+      dot(col(vecCol), col("__ev")) / (col("__n") * col("__evn")), 6)
+    embeddings.withColumn("__n", norm(col(vecCol)))
+      .join(broadcast(ev),
+        col("__n") > 0 && col("__evn") > 0 && cos >= lit(thr.toDouble / 1e6),
+        "left_anti")
+      .drop("__n")
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Product-quantization codebooks: `centroids(m)(code)` = the code-th

@@ -440,4 +440,39 @@ class SelectionSpec extends AnyFunSuite {
     assert((0 until Dedup.BridgePerms).forall(i =>
       Dedup.bridgeA(i) > 0 && Dedup.bridgeA(i) < Dedup.BridgeP))
   }
+
+  test("selectDiverse caps every cell, flattens density, and is layout-deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 8)
+    val out = Selection.selectDiverse(e, seeds, perCell = 12).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // cap holds per cell; no id selected twice
+    val perCell = out.groupBy(_._2).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 12), s"cell cap broken: $perCell")
+    assert(out.map(_._1).distinct.length == out.length)
+    // density flattening: a cell with >= 12 members contributes exactly
+    // 12; one with fewer contributes all of them
+    val sizes = Similarity.kmeansAssign(e, seeds).groupBy(col("cell"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (cell, n) =>
+      assert(perCell.getOrElse(cell, 0) == math.min(n, 12L).toInt,
+        s"cell $cell: ${perCell.getOrElse(cell, 0)} of $n selected")
+    }
+    // the election is the salted hash rank, not partition luck: the same
+    // rows repartitioned arbitrarily select the identical set
+    val reshuffled = Selection.selectDiverse(e.repartition(13), seeds,
+      perCell = 12).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(reshuffled.toSet == out.toSet)
+    // selected ids are each cell's perCell SMALLEST salted hashes —
+    // independent recomputation through the same public hash column
+    val hashes = e.select(col("vec_id"),
+      Corpus.hashValue(col("vec_id"), Corpus.SampleSalt).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCell = Similarity.kmeansAssign(e, seeds).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._2)
+    byCell.foreach { case (cell, members) =>
+      val expect = members.map(_._1).sortBy(id => (hashes(id), id)).take(12).toSet
+      assert(out.filter(_._2 == cell).map(_._1).toSet == expect)
+    }
+  }
 }

@@ -461,6 +461,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       "rejected growth must not have appended anything")
   }
 
+  test("semantic decontamination: planted eval leak drops, zero-norm rows never contaminate") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val evalVec = e.filter(col("vec_id") === 3).head.getSeq[Float](1).toArray
+    val corpus = e.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      // plant: an exact copy of an eval vector (cos 1.0) and a zero
+      // vector (null cosine — never contaminated, the family contract)
+      .unionByName(Seq((900L, evalVec), (901L, Array.fill(64)(0f)))
+        .toDF("vec_id", "embedding"))
+    val evalSet = e.filter(col("vec_id") < 25)
+    val out = Similarity.decontaminateSemantic(corpus, evalSet,
+      minCosine = 0.99).collect().map(_.getLong(0)).toSet
+    assert(!out.contains(900L), "the planted eval copy survived")
+    assert(out.contains(901L), "a zero-norm vector was dropped as contaminated")
+    assert(out.size == 101, s"expected 101 survivors, got ${out.size}")
+    // survivors keep full rows (the operator filters, never projects)
+    assert(Similarity.decontaminateSemantic(corpus, evalSet, 0.99)
+      .columns.toSeq == Seq("vec_id", "embedding"))
+    // plan shape: eval side broadcast — BroadcastNestedLoopJoin LeftAnti,
+    // never a CartesianProduct (the corpus streams map-only)
+    val plan = Similarity.decontaminateSemantic(corpus, evalSet, 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("PQ batch join: full-overscan rescored equals exact topKJoin; raw ADC finds self") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") < 300)
