@@ -1287,6 +1287,13 @@ object SparkEntry {
       // sampling step; heap election, no rank window
       Selection.selectDiverse(t(s, dir, "embeddings"),
         kmeansSeedsOf(s, dir), perCell = 12)),
+    "split_by_cluster" -> ((s, dir) =>
+      // cluster-disjoint split: the split hashes the CELL, not the id,
+      // so embedding-near neighbors can never straddle the train/eval
+      // boundary — the leak split_leakage MEASURES, prevented at
+      // assignment time; map-only against the broadcast centroids
+      Selection.splitByCluster(t(s, dir, "embeddings"),
+        kmeansSeedsOf(s, dir))),
     "decontaminate_semantic" -> ((s, dir) => {
       // embedding-side eval decontamination: drop corpus vectors within
       // cosine 0.45 of ANY eval vector (vec_id < 25 stands in for the
@@ -2770,6 +2777,13 @@ object SparkEntry {
          |  FROM asg)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell
          |FROM r WHERE rk <= 12""".stripMargin,
+    "split_by_cluster" ->
+      s"""WITH $kmeansSqlBody
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT vec_id, cell, ${hashBucketSql("cell", 100)} AS b
+         |      FROM asg)""".stripMargin,
     "decontaminate_semantic" ->
       s"""SELECT e.vec_id FROM embeddings e
          |WHERE e.vec_id >= 25 AND NOT EXISTS (

@@ -640,6 +640,33 @@ object Selection {
       .select(col("__e.i").as(idCol), col("cell"))
   }
 
+  /**
+   * CLUSTER-DISJOINT train/val/test split: assign every vector to its
+   * nearest centroid and split by the hash of the CELL, not the id —
+   * every member of a cluster lands in the same split, so embedding-near
+   * neighbors (paraphrases, templated near-dups) can never straddle the
+   * train/eval boundary. Doc-level splits ([[Corpus.splitAssign]]) leak
+   * exactly this way — `split_leakage` exists to MEASURE that; this is
+   * the operator that prevents it. Same bucket grammar and percentages
+   * as splitAssign (its salt conventions documented there), applied to
+   * the cell id.
+   *
+   * 100 TB: one map-only assignment against the broadcast centroid
+   * table; the split label is a pure column expression — no join, no
+   * shuffle, no state. Granularity caveat: splits quantize to cluster
+   * mass, so nCells must be ≫ 1/min(pct) for the realized fractions to
+   * approach the requested ones (with 8 cells a 10% slice is one cell
+   * — or none); train a finer model for tight fractions.
+   */
+  def splitByCluster(embeddings: DataFrame, centroids: Array[Array[Float]],
+      trainPct: Int = 80, valPct: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "splitByCluster: no centroids")
+    Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol)
+      .select(col(idCol), col("cell"),
+        Corpus.splitExpr(col("cell"), trainPct, valPct).as("split"))
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String = "score",
       labelCol: String = "is_target"): DataFrame = {
     // unlabeled rows (null label) are EXCLUDED — an evaluation pairs

@@ -441,6 +441,35 @@ class SelectionSpec extends AnyFunSuite {
       Dedup.bridgeA(i) > 0 && Dedup.bridgeA(i) < Dedup.BridgeP))
   }
 
+  test("splitByCluster: whole clusters land in one split — no near-neighbor straddle") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 8)
+    val out = Selection.splitByCluster(e, seeds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.length == 500)
+    // the defining property: a cell's members all carry ONE split label
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cell $cell straddles splits: ${rows.map(_._3).distinct.toSeq}")
+    }
+    // the label is splitExpr over the cell — same grammar as splitAssign
+    val expect = (0 until 8).map { c =>
+      c -> spark.range(1).select(
+        Corpus.splitExpr(lit(c)).as("s")).head.getString(0)
+    }.toMap
+    out.foreach { case (_, cell, split) => assert(split == expect(cell)) }
+    // and therefore: every cosine-near pair is split-consistent (the
+    // leak splitLeakage measures is structurally zero within clusters)
+    val asg = Similarity.kmeansAssign(e, seeds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val splits = out.map(r => (r._1, r._3)).toMap
+    Similarity.nearDupPairsExact(e, minCosine = 0.5).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (asg(a) == asg(b))
+        assert(splits(a) == splits(b), s"near pair ($a,$b) straddles splits")
+    }
+  }
+
   test("selectDiverse caps every cell, flattens density, and is layout-deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seeds = Similarity.kmeansSeeds(e, 8)
