@@ -1287,6 +1287,19 @@ object SparkEntry {
       // sampling step; heap election, no rank window
       Selection.selectDiverse(t(s, dir, "embeddings"),
         kmeansSeedsOf(s, dir), perCell = 12)),
+    "select_diverse_inc" -> ((s, dir) => {
+      // ship-once increment: registry = the fused selection over
+      // vec_id < 60 (scarce, so cells keep open slots); the batch
+      // competes for each cell's REMAINING
+      // slots (a shipped example cannot be unshipped) — in-plan
+      // registry, the dedup_paragraphs_inc pattern
+      val e = t(s, dir, "embeddings")
+      Selection.selectDiverseInc(
+        e.filter(col("vec_id") >= 60), kmeansSeedsOf(s, dir),
+        Selection.selectDiverse(e.filter(col("vec_id") < 60),
+          kmeansSeedsOf(s, dir), perCell = 12),
+        perCell = 12)
+    }),
     "split_by_cluster" -> ((s, dir) =>
       // cluster-disjoint split: the split hashes the CELL, not the id,
       // so embedding-near neighbors can never straddle the train/eval
@@ -2777,6 +2790,19 @@ object SparkEntry {
          |  FROM asg)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell
          |FROM r WHERE rk <= 12""".stripMargin,
+    "select_diverse_inc" ->
+      s"""WITH $kmeansSqlBody,
+         |reg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${hashValueSql("vec_id", Corpus.SampleSalt)}, vec_id) AS rk
+         |  FROM asg WHERE vec_id < 60) WHERE rk <= 12),
+         |regc AS (SELECT cell, count(*) AS n FROM reg GROUP BY cell),
+         |b AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${hashValueSql("vec_id", Corpus.SampleSalt)}, vec_id) AS rk
+         |  FROM asg WHERE vec_id >= 60)
+         |SELECT b.vec_id, CAST(b.cell AS INTEGER) AS cell
+         |FROM b LEFT JOIN regc USING (cell)
+         |WHERE b.rk <= 12 - coalesce(regc.n, 0)""".stripMargin,
     "split_by_cluster" ->
       s"""WITH $kmeansSqlBody
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,

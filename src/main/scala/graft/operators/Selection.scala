@@ -641,6 +641,41 @@ object Selection {
   }
 
   /**
+   * INCREMENTAL [[selectDiverse]] under the SHIP-ONCE contract: registry
+   * members (prior increments' selections) are grandfathered — a shipped
+   * training example cannot be unshipped — so the batch competes only
+   * for each cell's REMAINING slots (`perCell − |registry ∩ cell|`),
+   * elected by the same salted hash rank. This intentionally differs
+   * from "re-run the fused selection over the union", which could
+   * displace an already-shipped registry member; the production
+   * micro-batch loop is build registry → per batch: probe remaining
+   * slots → append the batch's selections to the registry.
+   *
+   * Same plan shape as the fused form plus one broadcast join of the
+   * ≤ |cells| per-cell slot counts: assignment map-only, ONE heap
+   * aggregation (the batch can never need more than perCell per cell),
+   * rank-vs-remaining filter on the heap's SORTED output positions.
+   */
+  def selectDiverseInc(batch: DataFrame, centroids: Array[Array[Float]],
+      registry: DataFrame, perCell: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      salt: String = Corpus.SampleSalt): DataFrame = {
+    require(centroids.nonEmpty, "selectDiverseInc: no centroids")
+    require(perCell > 0, s"selectDiverseInc: perCell must be positive: $perCell")
+    val taken = registry.groupBy(col("cell")).agg(count(lit(1)).as("__taken"))
+    Similarity.kmeansAssign(batch, centroids, vecCol, idCol)
+      .groupBy(col("cell"))
+      .agg(graft.plans.TopKExpressions.topKStructs(
+        struct(Corpus.hashValue(col(idCol), salt).as("h"),
+          col(idCol).as("i")), perCell).as("__tk"))
+      .join(broadcast(taken), Seq("cell"), "left")
+      .select(col("cell"), col("__taken"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .filter(col("__pos") < lit(perCell) - coalesce(col("__taken"), lit(0L)))
+      .select(col("__e.i").as(idCol), col("cell"))
+  }
+
+  /**
    * CLUSTER-DISJOINT train/val/test split: assign every vector to its
    * nearest centroid and split by the hash of the CELL, not the id —
    * every member of a cluster lands in the same split, so embedding-near

@@ -607,6 +607,14 @@ object Similarity {
     * only the join prunes. The collect branch reads the already-pinned
     * blocks — the route never runs twice on either branch.
     *
+    * `checkpointDir` (threaded from every rerank leg, the
+    * semanticDedupIncrement convention): a localCheckpoint's blocks DIE
+    * with their executor and the truncated lineage cannot recompute
+    * them — fine single-JVM, a late-job killer on long cluster runs.
+    * Passing a dir switches the pin to a RELIABLE checkpoint (see
+    * [[Materialize]]); only the above-cap branch keeps the pin alive
+    * long enough to care.
+    *
     * Layout caveat (measured, SCALING.md r16): the In filter prunes row
     * groups only when the corpus layout CLUSTERS ids (sorted / range-
     * partitioned / bucketed writes — which production writers control);
@@ -616,9 +624,10 @@ object Similarity {
     * way — pruning is a layout-conditional optimization, not a
     * correctness term. */
   private[graft] def materializeShortlist(shortlist: DataFrame,
-      idCol: String, collectCap: Int = ShortlistCollectCap)
+      idCol: String, collectCap: Int = ShortlistCollectCap,
+      checkpointDir: Option[String] = None)
       : (DataFrame, Option[Column]) = {
-    val pinned = Materialize(shortlist, None)
+    val pinned = Materialize(shortlist, checkpointDir)
     // one probe job over the pinned blocks decides the branch AND, at or
     // below the cap, IS the collect (limit cap+1 returns every row then)
     val rows = pinned.limit(collectCap + 1).collect()
@@ -647,7 +656,8 @@ object Similarity {
    */
   def topKMrlPre(prefixes: DataFrame, corpus: DataFrame, query: Seq[Float],
       k: Int, kDims: Int = 16, overscan: Int = 4,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(kDims > 0 && query.length >= kDims && overscan >= 1)
     requirePrefixWidth(prefixes, kDims)
     val qPre = query.take(kDims)
@@ -664,7 +674,8 @@ object Similarity {
       .select(col(idCol))
     // rerank reads ONLY the shortlist's row groups, and the route
     // executes exactly once (materializeShortlist)
-    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
+      checkpointDir = checkpointDir)
     val base = corpus.select(col(idCol), col(vecCol))
     broadcast(localSl)
       .join(idFilter.map(base.filter).getOrElse(base), idCol)
@@ -691,7 +702,8 @@ object Similarity {
   def topKJoinMrlPre(prefixes: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int, kDims: Int = 16, overscan: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      qIdCol: String = "q_id"): DataFrame = {
+      qIdCol: String = "q_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(kDims > 0 && overscan >= 1)
     requirePrefixWidth(prefixes, kDims)
     requireQueryWidth(queries, kDims, vecCol)
@@ -710,7 +722,8 @@ object Similarity {
       .select(col(qIdCol), col(idCol))
     // route executes once + rerank scan prunes to the shortlist's row
     // groups (see materializeShortlist)
-    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
+      checkpointDir = checkpointDir)
     val base = corpus.select(col(idCol), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val reranked = broadcast(localSl)
@@ -950,7 +963,8 @@ object Similarity {
   def topKJoinMrlIvf(index: IvfIndex, queries: DataFrame, k: Int,
       kDims: Int = 16, overscan: Int = 4, nProbe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      qIdCol: String = "q_id"): DataFrame = {
+      qIdCol: String = "q_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(kDims > 0 && overscan >= 1)
     requireQueryWidth(queries, kDims, vecCol)
     val probes = probeCellsJoin(index, queries, nProbe, vecCol, qIdCol)
@@ -980,7 +994,8 @@ object Similarity {
       else norm(col(vecCol))
     val q = withUnit(queries.select(col(qIdCol), col(vecCol)), vecCol)
       .select(col(qIdCol), col(vecCol).as("__qv"), col("nrm").as("__qn"))
-    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
+      checkpointDir = checkpointDir)
     val base = index.assignments.select(col(idCol),
       col(vecCol).as("__cv"), cn.as("__cn"))
     val reranked = broadcast(localSl)
@@ -1019,7 +1034,8 @@ object Similarity {
   def topKJoinMrl(corpus: DataFrame, queries: DataFrame, k: Int,
       kDims: Int = 16, overscan: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      qIdCol: String = "q_id"): DataFrame = {
+      qIdCol: String = "q_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(kDims > 0 && overscan >= 1)
     requireQueryWidth(queries, kDims, vecCol)
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"),
@@ -1044,7 +1060,8 @@ object Similarity {
           .as("cos"))
     val shortlist = topKPerQuery(routed, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
-    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
+      checkpointDir = checkpointDir)
     val base = corpus.select(col(idCol), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val reranked = broadcast(localSl)
@@ -1501,7 +1518,8 @@ object Similarity {
   def topKJoinIvfPq(cellCodes: DataFrame, embeddings: DataFrame,
       ivf: IvfIndex, pq: PqModel, queries: DataFrame, k: Int,
       nProbe: Int = 4, overscan: Int = 10, vecCol: String = "embedding",
-      idCol: String = "vec_id", qIdCol: String = "q_id"): DataFrame = {
+      idCol: String = "vec_id", qIdCol: String = "q_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = ivf.centroids.map { case (c, v) =>
@@ -1547,7 +1565,8 @@ object Similarity {
       norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
-    val (localSl, idFilter) = materializeShortlist(shortlist, idCol)
+    val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
+      checkpointDir = checkpointDir)
     val rescored = broadcast(localSl)
       .join(idFilter.map(c.filter).getOrElse(c), idCol)
       .join(broadcast(qv), qIdCol)

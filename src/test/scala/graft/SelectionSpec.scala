@@ -470,6 +470,43 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("selectDiverseInc: registry grandfathered, slots always fill, cap never breached") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val asg = Similarity.kmeansAssign(e, seeds).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val reg = Selection.selectDiverse(e.filter(col("vec_id") < 60), seeds, 12)
+    // two sequential increments (ship-once: each sees the grown registry)
+    val incA = Selection.selectDiverseInc(
+      e.filter(col("vec_id") >= 60 && col("vec_id") < 150), seeds, reg, 12)
+    import spark.implicits._
+    val regA = pairs(reg).toSeq.toDF("vec_id", "cell")
+      .unionByName(pairs(incA).toSeq.toDF("vec_id", "cell"))
+    val incB = Selection.selectDiverseInc(
+      e.filter(col("vec_id") >= 150), seeds, regA, 12)
+    val all = pairs(reg) ++ pairs(incA) ++ pairs(incB)
+    // never a duplicate, never a breached cap
+    assert(all.map(_._1).distinct.length == all.length)
+    all.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.length <= 12, s"cell $c over cap: ${rows.length}") }
+    // slots always fill: after the full sequence every cell holds
+    // min(12, members ever assigned to it) — an increment can never
+    // strand an open slot while candidates existed
+    val everAssigned = asg.groupBy(_._2).view.mapValues(_.length)
+    val held = all.groupBy(_._2).view.mapValues(_.length)
+    everAssigned.foreach { case (c, n) =>
+      assert(held.getOrElse(c, 0) == math.min(n, 12),
+        s"cell $c holds ${held.getOrElse(c, 0)} of $n (cap 12)") }
+    // grandfathering is the CONTRACT: the sequence's selections differ
+    // from the fused run over the union exactly where a later, smaller
+    // hash would have displaced a shipped member — assert the registry
+    // members all survive in the sequence (they do by construction) and
+    // that the fused run is NOT guaranteed to keep them
+    assert(pairs(reg).toSet.subsetOf(all.toSet))
+  }
+
   test("selectDiverse caps every cell, flattens density, and is layout-deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seeds = Similarity.kmeansSeeds(e, 8)

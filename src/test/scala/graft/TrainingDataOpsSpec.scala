@@ -389,6 +389,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(triples(Similarity.topKJoinMrl(corpus, queries, k = 5,
       kDims = 16, overscan = 100)) ==
       triples(Similarity.topKJoin(corpus, queries, k = 5)))
+    // the multi-hour-cluster knob: a RELIABLE checkpointDir (pin survives
+    // executor loss — the Materialize contract) routes the same branch
+    // and returns the identical rows
+    val ckDir = java.nio.file.Files.createTempDirectory("slck").toString
+    assert(triples(Similarity.topKJoinMrl(corpus, queries, k = 5,
+      kDims = 16, overscan = 100, checkpointDir = Some(ckDir))) ==
+      triples(Similarity.topKJoin(corpus, queries, k = 5)))
   }
 
   test("serving layout: two retrain-free increments equal a same-model rebuild, artifact by artifact and at serve") {
