@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Corpus, Dedup, Selection, Similarity}
 
+/** Encoder-visible row type for the streaming diversity-selection test's
+  * MemoryStream (the ProbeDoc convention). */
+case class ProbeVec(vec_id: Long, embedding: Array[Float])
+
 /** Data-selection family: DSIR, NB router, A-Res sampling, k-means steps,
   * md5 signature bridges. Value pins recompute expectations with PLAIN
   * Scala (own MessageDigest md5, own fold) — no shared code with the
@@ -505,6 +509,59 @@ class SelectionSpec extends AnyFunSuite {
     // members all survive in the sequence (they do by construction) and
     // that the fused run is NOT guaranteed to keep them
     assert(pairs(reg).toSet.subsetOf(all.toSet))
+  }
+
+  test("streaming diversity selection: the foreachBatch registry loop equals the sequential increments") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the production micro-batch loop end to end: each arriving batch
+    // probes the persisted registry for its cells' remaining slots and
+    // APPENDS its selections, so later batches see them — ship-once
+    // semantics under Structured Streaming, equal (same batch
+    // boundaries) to the eager increment sequence
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 8)
+    def vecs(lo: Long, hi: Long) = e
+      .filter(col("vec_id") >= lo && col("vec_id") < hi).collect()
+      .map(r => ProbeVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val regDir = java.nio.file.Files.createTempDirectory("divreg").toString
+    val selDir = java.nio.file.Files.createTempDirectory("divsel").toString
+    Selection.selectDiverse(e.filter(col("vec_id") < 60), seeds, 12)
+      // bootstrap: the already-shipped selection (append mode — the
+      // temp dir already exists empty)
+      .write.mode("append").parquet(regDir)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ProbeVec]
+    val q = in.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sel = Selection.selectDiverseInc(batch, seeds,
+          spark.read.parquet(regDir), 12)
+        // Materialize BEFORE the registry append: sel's lineage reads
+        // regDir, which the second write extends — localCheckpoint pins
+        // the result so the append cannot feed back into it
+        val pinned = graft.operators.Materialize(sel, None)
+        pinned.write.mode("append").parquet(selDir)
+        pinned.write.mode("append").parquet(regDir)
+        ()
+    }.start()
+    try {
+      in.addData(vecs(60, 200): _*); q.processAllAvailable()
+      in.addData(vecs(200, 350): _*); q.processAllAvailable()
+      in.addData(vecs(350, 500): _*); q.processAllAvailable()
+    } finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+    // eager twin: the same three increments run sequentially
+    import spark.implicits._
+    val reg0 = Selection.selectDiverse(e.filter(col("vec_id") < 60), seeds, 12)
+    var reg = pairs(reg0)
+    var selected = Set.empty[(Long, Int)]
+    for ((lo, hi) <- Seq((60L, 200L), (200L, 350L), (350L, 500L))) {
+      val inc = pairs(Selection.selectDiverseInc(
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi), seeds,
+        reg.toSeq.toDF("vec_id", "cell"), 12))
+      selected ++= inc; reg ++= inc
+    }
+    assert(pairs(spark.read.parquet(selDir)) == selected)
   }
 
   test("selectDiverse caps every cell, flattens density, and is layout-deterministic") {
