@@ -394,31 +394,56 @@ object AnnIndex {
    * documented posture).
    */
   def growServingLayout(spark: SparkSession, path: String,
-      increment: DataFrame, kDims: Int = MrlDims): Unit = {
+      increment: DataFrame, kDims: Int = MrlDims,
+      checkpointDir: Option[String] = None): Unit = {
     val ivf = Similarity.readIvfIndex(spark, s"$path/ivf")
     val (_, pq) = Similarity.readPqIndex(spark, s"$path/pq")
-    // width guard at the ONE entry point that could poison the whole
-    // layout (the growMrlPrefixes append-guard's reasoning, widened):
-    // a mismatched increment would not error downstream — pqEncode's
+    // Pin the increment ONCE (checkpointDir = the long-cluster-run knob,
+    // the Materialize contract): every check and derived relation below
+    // reads the pinned blocks — the increment's lineage (often a
+    // filtered/derived frame) executes once, not once per artifact.
+    val inc = graft.operators.Materialize(increment, checkpointDir)
+    // EVERY-ROW width guard at the ONE entry point that could poison the
+    // whole layout (the growMrlPrefixes append-guard's reasoning,
+    // widened): a mismatched row would not error downstream — pqEncode's
     // subspace dots null on length mismatch and write NULL codes, and
     // mixed-width full vectors null out of every rerank — silent
-    // degradation instead of a loud failure. The PQ model's persisted
-    // dim is the layout's authoritative width.
-    increment.select(size(col("embedding"))).take(1)
-      .headOption.foreach { r =>
-        require(r.getInt(0) == pq.dim,
-          s"increment vector width ${r.getInt(0)} != layout dim ${pq.dim}" +
-            " — a mixed-width layout degrades silently; re-embed the " +
-            "increment or rebuild the layout at the new width")
+    // degradation instead of a loud failure. take(1) sampling is NOT
+    // enough here: an increment concatenated from two embedding batches
+    // can be mixed-width, and one bad row poisons four relations. The
+    // scan is over the already-pinned blocks of a micro-batch-sized
+    // increment — cheap by the increment contract. The PQ model's
+    // persisted dim is the layout's authoritative width.
+    inc.select(size(col("embedding")).as("__w"))
+      .filter(col("__w") =!= pq.dim).take(1).headOption.foreach { r =>
+        require(requirement = false,
+          s"increment contains a vector of width ${r.getInt(0)} != layout " +
+            s"dim ${pq.dim} — a mixed-width layout degrades silently; " +
+            "re-embed the increment or rebuild the layout at the new width")
       }
-    Similarity.assignToCells(ivf, increment)
-      .write.mode("append").partitionBy("cell")
+    // ALL guards before ANY write — a failure after a partial append
+    // would leave three of four relations grown, and a retry would
+    // double-append; the prefix-width check is one take(1) read
+    require(kDims <= pq.dim, s"kDims $kDims > layout dim ${pq.dim}")
+    val prefixes = Similarity.readMrlPrefixes(spark, s"$path/prefixes")
+    prefixes.select(size(col("prefix"))).take(1).headOption.foreach { r =>
+      require(r.getInt(0) == kDims,
+        s"persisted prefix width ${r.getInt(0)} != kDims $kDims — pass " +
+          "the width the layout was built with")
+    }
+    // assigned/encoded each feed TWO writes (their own relation + the
+    // cellcodes join) — pin so each computes once
+    val assigned = graft.operators.Materialize(
+      Similarity.assignToCells(ivf, inc), checkpointDir)
+    val encoded = graft.operators.Materialize(
+      Similarity.pqEncode(inc, pq), checkpointDir)
+    assigned.write.mode("append").partitionBy("cell")
       .parquet(s"$path/ivf/assignments")
-    Similarity.pqEncode(increment, pq)
-      .write.mode("append").parquet(s"$path/pq/codes")
-    Similarity.growCellCodes(ivf, pq, increment)
+    encoded.write.mode("append").parquet(s"$path/pq/codes")
+    Similarity.buildCellCodes(
+        Similarity.IvfIndex(assigned, ivf.centroids), encoded)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cellcodes")
-    Similarity.growMrlPrefixes(increment, kDims, s"$path/prefixes")
+    Similarity.growMrlPrefixes(inc, kDims, s"$path/prefixes")
   }
 
   def mrl300(spark: SparkSession, sfDir: String): DataFrame = {

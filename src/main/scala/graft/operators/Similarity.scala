@@ -528,17 +528,21 @@ object Similarity {
     * the grown corpus (spec-pinned) — no rewrite of the existing files. */
   def growMrlPrefixes(increment: DataFrame, kDims: Int, path: String,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    // append-time width check — the one place a mixed-width relation
-    // could be CREATED. Growing with a different kDims than the relation
-    // was built with would not error at serve time: the take(1) serve
-    // guard can sample either width, and mismatched rows' route dots
-    // null out — silently dropping them from every shortlist. Guard the
-    // write, not (expensively, per serve call) the read.
+    // append-time width checks — the one place a mixed-width relation
+    // could be CREATED. Two ways in, both guarded: (a) growing with a
+    // different kDims than the relation was built with; (b) an
+    // increment whose OWN vectors are narrower than kDims, which
+    // slice() would clip to their short width. Neither errors at serve
+    // time: the take(1) serve guard can sample either width, and
+    // mismatched rows' route dots null out — silently dropping them
+    // from every shortlist. Guard the write, not (expensively, per
+    // serve call) the read.
     val spark = increment.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hPath))
       requirePrefixWidth(spark.read.parquet(path), kDims)
+    requireQueryWidth(increment, kDims, vecCol)
     mrlProjection(increment, kDims, vecCol, idCol)
       .write.mode("append").parquet(path)
   }

@@ -377,6 +377,13 @@ object Scratch {
           col("embedding"))
       println(s"SCRATCH-BIGQ corpus=${corpus.count()} queries=${qs.count()} " +
         s"shortlist=${qs.count() * 40} cap=${S.ShortlistCollectCap}")
+      // self-checking claim: this rung exists to exercise the ABOVE-cap
+      // (checkpoint) branch — on a smaller sf dir the same arithmetic
+      // lands below the cap and would silently measure the collect
+      // branch while reporting it as valve evidence
+      require(qs.count() * 40 > S.ShortlistCollectCap,
+        s"shortlist ${qs.count() * 40} <= cap ${S.ShortlistCollectCap}: " +
+          "run this rung against sf0.1 (or scale the query replication)")
       def t(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
         val ts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

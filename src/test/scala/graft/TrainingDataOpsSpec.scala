@@ -459,13 +459,41 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // one growth entry point — downstream it would not error (pqEncode
     // writes null codes, mixed-width vectors null out of reranks):
     // the same silent-degradation class the growMrlPrefixes guard closes
+    def layoutCounts() = Seq("ivf/assignments", "pq/codes", "cellcodes",
+      "prefixes").map(rel => rel ->
+        spark.read.parquet(s"$grownDir/$rel").count()).toMap
+    val before = layoutCounts()
     val narrow = e.select(col("vec_id") + 10000L as "vec_id",
       slice(col("embedding"), 1, 32).as("embedding"))
     assertThrows[IllegalArgumentException] {
       AnnIndex.growServingLayout(spark, grownDir, narrow)
     }
-    assert(spark.read.parquet(s"$grownDir/prefixes").count() == 500,
-      "rejected growth must not have appended anything")
+    // a MIXED-width increment (one bad row hidden among good ones) is
+    // rejected too — take(1) sampling would miss it
+    val mixed = e.filter(col("vec_id") < 20)
+      .select(col("vec_id") + 20000L as "vec_id", col("embedding"))
+      .unionByName(narrow.limit(1))
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.growServingLayout(spark, grownDir, mixed)
+    }
+    // a kDims mismatch fails BEFORE any write — a post-append failure
+    // would leave a partially grown layout whose retry double-appends
+    val goodInc = e.filter(col("vec_id") < 20)
+      .select(col("vec_id") + 30000L as "vec_id", col("embedding"))
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.growServingLayout(spark, grownDir, goodInc, kDims = 8)
+    }
+    assert(layoutCounts() == before,
+      "rejected growth must not have appended to ANY relation")
+    // growMrlPrefixes' own guard: an increment NARROWER than kDims would
+    // append clipped prefixes (slice clips, the serve guard samples)
+    assertThrows[IllegalArgumentException] {
+      S.growMrlPrefixes(narrow.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding")),
+        AnnIndex.MrlDims, s"$grownDir/prefixes")
+    }
+    assert(spark.read.parquet(s"$grownDir/prefixes").count() ==
+      before("prefixes"))
   }
 
   test("semantic decontamination: planted eval leak drops, zero-norm rows never contaminate") {
