@@ -1287,6 +1287,13 @@ object SparkEntry {
       // sampling step; heap election, no rank window
       Selection.selectDiverse(t(s, dir, "embeddings"),
         kmeansSeedsOf(s, dir), perCell = 12)),
+    "select_prototypical" -> ((s, dir) =>
+      // the coherence FLOOR paired with select_diverse's density CAP:
+      // keep vectors whose nearest-centroid cosine reaches 0.12 (≈ the
+      // 25th percentile on this data) — embedding-space noise that
+      // density-based dedup never touches drops; map-only
+      Selection.selectPrototypical(t(s, dir, "embeddings"),
+        kmeansSeedsOf(s, dir), minCos = 0.12)),
     "select_diverse_inc" -> ((s, dir) => {
       // ship-once increment: registry = the fused selection over
       // vec_id < 60 (scarce, so cells keep open slots); the batch
@@ -2790,6 +2797,11 @@ object SparkEntry {
          |  FROM asg)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell
          |FROM r WHERE rk <= 12""".stripMargin,
+    "select_prototypical" ->
+      s"""WITH $kmeansSqlBody
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         | floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM asg
+         |WHERE floor(cos * 1e6 + 0.5) / 1e6 >= 0.12""".stripMargin,
     "select_diverse_inc" ->
       s"""WITH $kmeansSqlBody,
          |reg AS (SELECT vec_id, cell FROM (

@@ -641,6 +641,31 @@ object Selection {
   }
 
   /**
+   * Prototypicality gate — the other half of the cluster-curation
+   * recipe ([[selectDiverse]] CAPS density; this FLOORS coherence):
+   * keep vectors whose quantized cosine to their NEAREST centroid
+   * reaches `minCos`. Rows below represent no cluster — embedding-space
+   * noise (OCR garbage, wrong-modality rows, encoder failures) that
+   * density-based dedup never touches because nothing else is near it.
+   * Zero-norm vectors follow the assignment kernel's ANSI contract
+   * (every [[Similarity.kmeansAssign]] consumer's): fail-fast under
+   * ANSI — a zero-norm embedding is producer-side corruption the gate
+   * must not paper over — and null-score → dropped under non-ANSI.
+   *
+   * 100 TB: map-only ([[Similarity.kmeansAssign]] against the literal
+   * broadcast centroid table) + a filter on the already-quantized
+   * score — no shuffle, no state. `minCos` compares on the 6dp grid,
+   * so the SQL oracle reproduces the cut exactly.
+   */
+  def selectPrototypical(embeddings: DataFrame,
+      centroids: Array[Array[Float]], minCos: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "selectPrototypical: no centroids")
+    Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol)
+      .filter(col("cos") >= minCos)
+  }
+
+  /**
    * INCREMENTAL [[selectDiverse]] under the SHIP-ONCE contract: registry
    * members (prior increments' selections) are grandfathered — a shipped
    * training example cannot be unshipped — so the batch competes only

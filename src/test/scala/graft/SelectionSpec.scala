@@ -474,6 +474,36 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("selectPrototypical: below-floor rows drop, zero-norm fail-fasts under ANSI") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 8)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val out = Selection.selectPrototypical(corpus, seeds, minCos = 0.12)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("cos")))
+    assert(out.forall(_._2 >= 0.12))
+    // the gate is exactly the assignment relation filtered — nothing
+    // reranked, nothing reassigned
+    val expect = Similarity.kmeansAssign(corpus, seeds).collect()
+      .collect { case r if r.getDouble(2) >= 0.12 => r.getLong(0) }.toSet
+    assert(out.map(_._1).toSet == expect)
+    // and it genuinely cuts: both sides of the floor are populated on
+    // this fixture (a vacuous gate would prove nothing)
+    assert(out.nonEmpty && out.length < corpus.count())
+    // zero-norm input follows the assignment kernel's ANSI contract:
+    // fail-fast (producer-side corruption the gate must not paper over)
+    // — the test session runs ANSI, so the throw is the pinned behavior
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    // ArithmeticException directly: the planted row rides a local
+    // relation, so ConvertToLocalRelation evaluates the kernel at
+    // optimization time, before any task wraps it in SparkException
+    assertThrows[ArithmeticException] {
+      Selection.selectPrototypical(
+        corpus.unionByName(Seq((900L, Array.fill(64)(0f)))
+          .toDF("vec_id", "embedding")), seeds, minCos = 0.12).collect()
+    }
+  }
+
   test("selectDiverseInc: registry grandfathered, slots always fill, cap never breached") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seeds = Similarity.kmeansSeeds(e, 8)
