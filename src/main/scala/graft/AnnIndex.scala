@@ -303,9 +303,8 @@ object AnnIndex {
 
   /** Lay out the persisted semantic-dedup registry (vec_id < 300 assigned
     * under `centroids`, cell-partitioned) — the `sem_registry_build` build
-    * step body. Centroids must be a deterministic function of the data
-    * (SparkEntry's kmeansSeeds are), so the embeddings fingerprint alone
-    * keys the cache — the [[logregModel]] contract. */
+    * step body. The cache key is (embeddings fingerprint, centroid
+    * fingerprint) — see [[semRegistryPath]]. */
   def buildSemRegistry(spark: SparkSession, sfDir: String, path: String,
       centroids: Array[Array[Float]]): DataFrame = {
     import spark.implicits._
@@ -320,13 +319,31 @@ object AnnIndex {
     * once per data directory under the shared fingerprint cache), so
     * `dedup_semantic_inc` measures the increment PROBE only — the
     * production serve split: a live pipeline writes its registry once and
-    * appends after each probed batch, it does not rebuild per probe. */
+    * appends after each probed batch, it does not rebuild per probe.
+    * The cache key folds in a CENTROID fingerprint (r16 ADVICE): the
+    * registry's cells are a function of (data, centroids), and keying on
+    * the data alone would silently serve a registry built under OTHER
+    * centroids to a caller passing different ones — the "centroids must
+    * be deterministic from the data" contract, now enforced by the key
+    * instead of merely documented. */
   def semRegistryPath(spark: SparkSession, sfDir: String,
       centroids: Array[Array[Float]]): String = {
-    val p = s"$cacheRoot/${keyOf(sfDir)}_semreg"
+    val p = s"$cacheRoot/${keyOf(sfDir)}_semreg_${centroidKey(centroids)}"
     ensureDir(p)(staging =>
       buildSemRegistry(spark, sfDir, staging, centroids).collect())
     s"$p/registry"
+  }
+
+  /** Content fingerprint of a centroid model — MD5 over the exact float
+    * bits plus row lengths, truncated to 64 bits for a path-friendly
+    * key. Any reordered, resized or perturbed centroid flips it. */
+  private def centroidKey(centroids: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(
+      4 * (centroids.iterator.map(_.length).sum + centroids.length))
+    centroids.foreach { c => bb.putInt(c.length); c.foreach(bb.putFloat) }
+    md.update(bb.array(), 0, bb.position())
+    md.digest().take(8).map("%02x".format(_)).mkString
   }
 
   /** Lay out the persisted substring-dedup registry (original windows of
@@ -391,7 +408,11 @@ object AnnIndex {
    * corpus under those models, and every serve sees the grown corpus.
    * The models themselves never change here; retrain on a sample when
    * recall at fixed nProbe decays, not per increment ([[assignToCells]]'
-   * documented posture).
+   * documented posture). Growth is IDEMPOTENT per increment content: each
+   * relation records applied increments via marker files, so a retry
+   * after a mid-sequence failure appends only the relations the failed
+   * attempt missed (see the marker comment in the body for the residual
+   * append-vs-marker crash window).
    */
   def growServingLayout(spark: SparkSession, path: String,
       increment: DataFrame, kDims: Int = MrlDims,
@@ -421,9 +442,10 @@ object AnnIndex {
             s"dim ${pq.dim} — a mixed-width layout degrades silently; " +
             "re-embed the increment or rebuild the layout at the new width")
       }
-    // ALL guards before ANY write — a failure after a partial append
-    // would leave three of four relations grown, and a retry would
-    // double-append; the prefix-width check is one take(1) read
+    // ALL guards before ANY write — a guard failure must never leave a
+    // partial append behind (mid-WRITE failures are the per-relation
+    // increment markers' job below); the prefix-width check is one
+    // take(1) read
     require(kDims <= pq.dim, s"kDims $kDims > layout dim ${pq.dim}")
     val prefixes = Similarity.readMrlPrefixes(spark, s"$path/prefixes")
     prefixes.select(size(col("prefix"))).take(1).headOption.foreach { r =>
@@ -437,13 +459,54 @@ object AnnIndex {
       Similarity.assignToCells(ivf, inc), checkpointDir)
     val encoded = graft.operators.Materialize(
       Similarity.pqEncode(inc, pq), checkpointDir)
-    assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$path/ivf/assignments")
-    encoded.write.mode("append").parquet(s"$path/pq/codes")
-    Similarity.buildCellCodes(
-        Similarity.IvfIndex(assigned, ivf.centroids), encoded)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cellcodes")
-    Similarity.growMrlPrefixes(inc, kDims, s"$path/prefixes")
+    // The four appends are sequential and parquet appends are not
+    // transactional, so a mid-sequence failure (disk full, executor loss)
+    // would leave some relations grown and others not — and a BLIND retry
+    // would double-append the grown ones. Each relation therefore records
+    // the applied increment as a marker file (underscore-prefixed, so
+    // every parquet reader ignores it) keyed on a CONTENT fingerprint of
+    // the pinned increment: a retry of the same increment skips the
+    // already-appended relations and completes only the missing ones —
+    // growth is idempotent per increment content. Residual window, stated
+    // honestly: a crash BETWEEN an append finishing and its marker
+    // creation still double-appends that one relation on retry (closing
+    // it needs a transactional table format); recovery for that case is
+    // [[buildServingLayout]] from the source corpus.
+    val incId = incrementKey(inc, idCol = "vec_id")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def appendOnce(rel: String)(write: => Unit): Unit = {
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/$rel/_graft_inc_applied_$incId")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) { write; fs.create(marker, false).close() }
+    }
+    appendOnce("ivf/assignments") {
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/ivf/assignments")
+    }
+    appendOnce("pq/codes") {
+      encoded.write.mode("append").parquet(s"$path/pq/codes")
+    }
+    appendOnce("cellcodes") {
+      Similarity.buildCellCodes(
+          Similarity.IvfIndex(assigned, ivf.centroids), encoded)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cellcodes")
+    }
+    appendOnce("prefixes") {
+      Similarity.growMrlPrefixes(inc, kDims, s"$path/prefixes")
+    }
+  }
+
+  /** Content fingerprint of an increment: row count + order-independent
+    * bit_xor of xxhash64(id, embedding) — one cheap job over the already-
+    * pinned blocks (bit_xor, not sum: a 64-bit hash sum overflows under
+    * ANSI). Identical content ⇒ identical key, which is exactly the
+    * retry-detection contract [[growServingLayout]]'s markers need. */
+  private def incrementKey(inc: DataFrame, idCol: String): String = {
+    val r = inc.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col(idCol), col("embedding"))).as("h")).head
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(h)}"
   }
 
   def mrl300(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1325,6 +1325,21 @@ object SparkEntry {
         e.filter(col("vec_id") < 25), minCosine = 0.45)
         .select(col("vec_id"))
     }),
+    "corpus_curate_semantic" -> ((s, dir) => {
+      // the embedding-side FLAGSHIP (the corpus_clean_full of this
+      // family): coherence floor (cos ≥ 0.12) → SemDeDup (0.45) →
+      // eval decontamination (0.45 vs vec_id < 25) → per-cell diversity
+      // cap (12) → cluster-disjoint split, end-to-end as ONE statement —
+      // each stage is individually hash-verified; this pins their
+      // interaction. One corpus scan, one real exchange (Selection.
+      // curateSemantic's scaladoc); corpus = vec_id ≥ 25 (eval rows are
+      // not training candidates)
+      val e = t(s, dir, "embeddings")
+      Selection.curateSemantic(
+        e.filter(col("vec_id") >= 25).select(col("vec_id"), col("embedding")),
+        kmeansSeedsOf(s, dir), e.filter(col("vec_id") < 25),
+        minCos = 0.12, dedupCos = 0.45, decontCos = 0.45, perCell = 12)
+    }),
     "embed_kmeans_assign_pruned_full" -> ((s, dir) =>
       // IVF-pruned assignment with nProbe = nCoarse — provably the exact
       // flat scan (shares embed_kmeans_assign's oracle, the *_full bridge
@@ -2832,6 +2847,42 @@ object SparkEntry {
            "list_dot_product(e.embedding::DOUBLE[], v.embedding::DOUBLE[]) / " +
              "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
              "sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))")} >= 0.45)""".stripMargin,
+    // the flagship composes the five stage oracles IN ORDER — floor,
+    // cell-scoped dedup among floor survivors, NOT EXISTS vs the eval
+    // rows, per-cell hash-rank cap, cell-hash split — over the same asg
+    "corpus_curate_semantic" ->
+      s"""WITH $kmeansSqlBody,
+         |proto AS (SELECT vec_id, cell FROM asg
+         |  WHERE vec_id >= 25 AND floor(cos * 1e6 + 0.5) / 1e6 >= 0.12),
+         |dup AS (SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM proto a JOIN proto b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${Quantize.sql6(
+           "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / " +
+             "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * " +
+             "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))")} >= 0.45),
+         |ded AS (SELECT vec_id, cell FROM proto
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM dup)),
+         |dec AS (SELECT d.vec_id, d.cell FROM ded d
+         |  JOIN embeddings de ON de.vec_id = d.vec_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM embeddings v WHERE v.vec_id < 25
+         |    AND sqrt(list_dot_product(de.embedding::DOUBLE[], de.embedding::DOUBLE[])) > 0
+         |    AND sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) > 0
+         |    AND ${Quantize.sql6(
+           "list_dot_product(de.embedding::DOUBLE[], v.embedding::DOUBLE[]) / " +
+             "(sqrt(list_dot_product(de.embedding::DOUBLE[], de.embedding::DOUBLE[])) * " +
+             "sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))")} >= 0.45)),
+         |div AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${hashValueSql("vec_id", Corpus.SampleSalt)}, vec_id) AS rk
+         |  FROM dec) WHERE rk <= 12)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT vec_id, cell, ${hashBucketSql("cell", 100)} AS b
+         |      FROM div)""".stripMargin,
     // pruned assignment with every coarse cell probed == the exact scan
     "embed_kmeans_assign_pruned_full" ->
       s"""WITH $kmeansSqlBody

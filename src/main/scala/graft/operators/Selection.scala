@@ -631,14 +631,25 @@ object Selection {
       salt: String = Corpus.SampleSalt): DataFrame = {
     require(centroids.nonEmpty, "selectDiverse: no centroids")
     require(perCell > 0, s"selectDiverse: perCell must be positive: $perCell")
-    Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol)
+    diverseElect(Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol),
+      perCell, idCol, salt)
+  }
+
+  /** The per-cell budget election both diversity forms and the curation
+    * flagship share: keep each cell's `perCell` smallest
+    * (salted-md5-hash, id) members via ONE `struct_topk` heap
+    * aggregation — [[Corpus.sampleByHash]]'s determinism contract
+    * applied per cluster, never a rank window or per-cell sort. Input:
+    * any relation carrying (idCol, cell). */
+  private def diverseElect(assigned: DataFrame, perCell: Int,
+      idCol: String, salt: String): DataFrame =
+    assigned
       .groupBy(col("cell"))
       .agg(graft.plans.TopKExpressions.topKStructs(
         struct(Corpus.hashValue(col(idCol), salt).as("h"),
           col(idCol).as("i")), perCell).as("__tk"))
       .select(col("cell"), explode(col("__tk")).as("__e"))
       .select(col("__e.i").as(idCol), col("cell"))
-  }
 
   /**
    * Prototypicality gate — the other half of the cluster-curation
@@ -723,6 +734,63 @@ object Selection {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(centroids.nonEmpty, "splitByCluster: no centroids")
     Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol)
+      .select(col(idCol), col("cell"),
+        Corpus.splitExpr(col("cell"), trainPct, valPct).as("split"))
+  }
+
+  /**
+   * The embedding-side FLAGSHIP — what a real semantic-curation run
+   * executes END-TO-END, the [[Corpus.corpusClean]] precedent applied to
+   * this family (each stage is individually hash-verified; the
+   * composition is where stage-interaction bugs live — the
+   * `corpus_clean` lesson):
+   *
+   *   1. coherence floor — [[selectPrototypical]]'s cut: quantized
+   *      nearest-centroid cosine ≥ `minCos` (embedding-space noise that
+   *      density-based dedup never touches drops first, so it can never
+   *      occupy a diversity slot)
+   *   2. SemDeDup — [[Similarity.semanticDedupClustered]]'s cell-scoped
+   *      smaller-id-witness rule among the FLOOR'S survivors
+   *   3. decontamination — [[Similarity.decontaminateSemantic]] vs the
+   *      eval set (after dedup: a near-dup of a contaminated row is
+   *      itself within reach of the eval vector and is dropped HERE, not
+   *      grandfathered by its twin's removal)
+   *   4. diversity cap — [[selectDiverse]]'s per-cell heap election over
+   *      what remains (capping before decontamination could ship a cell
+   *      whose every elected member was contaminated)
+   *   5. cluster-disjoint split — [[splitByCluster]]'s cell-hash bucket
+   *
+   * Output: (idCol, cell, split) per curated training example — the
+   * manifest a training-set writer joins back to the payload.
+   *
+   * 100 TB shape — ONE corpus scan, ONE real exchange: stage 1 assigns
+   * map-only with the vector riding ([[Similarity.assignKeepVec]] — no
+   * survivors-ids semi-join back to the corpus), stage 2 is the one
+   * cell-keyed aggregation (vectors still riding,
+   * [[Similarity.semanticDedupClusteredKeepVec]]), stage 3 streams
+   * map-only past the broadcast eval set, and stages 4–5 reuse the
+   * CELL ALREADY ON EVERY ROW — the second cell-keyed aggregation hashes
+   * on the same key, so Catalyst reuses the dedup exchange's
+   * partitioning, and the split label is a pure column expression.
+   * Nothing corpus-sized crosses the driver and nothing re-joins the
+   * corpus.
+   */
+  def curateSemantic(embeddings: DataFrame, centroids: Array[Array[Float]],
+      evalSet: DataFrame, minCos: Double, dedupCos: Double,
+      decontCos: Double, perCell: Int, trainPct: Int = 80, valPct: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      salt: String = Corpus.SampleSalt): DataFrame = {
+    require(centroids.nonEmpty, "curateSemantic: no centroids")
+    require(perCell > 0, s"curateSemantic: perCell must be positive: $perCell")
+    val floored = Similarity.assignKeepVec(embeddings, centroids, vecCol, idCol)
+      .filter(col("cos") >= minCos)
+      .select(col(idCol), col(vecCol))
+    val deduped = Similarity.semanticDedupClusteredKeepVec(
+      floored, centroids, dedupCos, vecCol, idCol)
+    val decontaminated = Similarity.decontaminateSemantic(
+      deduped, evalSet, decontCos, vecCol, idCol)
+    diverseElect(decontaminated.select(col(idCol), col("cell")),
+        perCell, idCol, salt)
       .select(col(idCol), col("cell"),
         Corpus.splitExpr(col("cell"), trainPct, valPct).as("split"))
   }

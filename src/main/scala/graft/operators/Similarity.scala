@@ -542,7 +542,19 @@ object Similarity {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hPath))
       requirePrefixWidth(spark.read.parquet(path), kDims)
-    requireQueryWidth(increment, kDims, vecCol)
+    // EVERY-ROW scan, not the serve guards' take(1) sample: an increment
+    // concatenated from two embedding batches can be mixed-width with a
+    // wide first row, and one clipped prefix poisons the relation
+    // silently (growServingLayout's reasoning — the write path affords
+    // one pass over a micro-batch-sized increment; serve paths do not).
+    increment.select(size(col(vecCol)).as("__w"))
+      .filter(col("__w") < kDims).take(1).headOption.foreach { r =>
+        require(requirement = false,
+          s"increment contains a vector of width ${r.getInt(0)} < kDims " +
+            s"$kDims — slice() would clip it to a short prefix that every " +
+            "route dot silently nulls out; re-embed the increment or " +
+            "rebuild the relation at the narrower width")
+      }
     mrlProjection(increment, kDims, vecCol, idCol)
       .write.mode("append").parquet(path)
   }
@@ -606,10 +618,28 @@ object Similarity {
     * into the rerank scan (row-group stats + dictionary pruning), so
     * the rerank touches only the shortlist's row groups. Above the
     * collect cap (the *_full bridges, where the shortlist IS the
-    * corpus, or a big-|Q| batch) NOTHING crosses the driver: the
-    * checkpointed frame itself feeds the rerank's broadcast join and
-    * only the join prunes. The collect branch reads the already-pinned
-    * blocks — the route never runs twice on either branch.
+    * corpus, or a big-|Q| batch) the checkpointed frame itself feeds
+    * the rerank and only the join prunes. The collect branch reads the
+    * already-pinned blocks — the route never runs twice on either
+    * branch.
+    *
+    * The returned frame carries its JOIN STRATEGY: below the cap the
+    * local relation comes back wrapped in `broadcast(...)` (|rows| ≤
+    * the cap by construction — the hash relation costs exactly the
+    * collect already paid, and the corpus side stays shuffle-free);
+    * above the cap it comes back with a SHUFFLE_HASH hint instead, so
+    * the rerank join shuffles both sides on `idCol` and the shortlist
+    * genuinely never transits the driver — a broadcast hint here would
+    * be a trap, because `BroadcastExchangeExec` COLLECTS the broadcast
+    * side's rows on the driver before re-broadcasting (the 1M-query ×
+    * k·overscan batch would pull its 40M-row shortlist through driver
+    * memory inside the exchange and die on Spark's 8 GB broadcast
+    * ceiling). The hint also keeps the big corpus side from falling
+    * back to a sort-merge join that SORTS the whole relation by id —
+    * the build side is the (smaller) shortlist either way. Callers must
+    * therefore NOT re-wrap the result in `broadcast(...)`; they join it
+    * as returned (lint-pinned: no BroadcastExchange may feed the rerank
+    * above the cap, PlanLintSpec).
     *
     * `checkpointDir` (threaded from every rerank leg, the
     * semanticDedupIncrement convention): a localCheckpoint's blocks DIE
@@ -635,22 +665,22 @@ object Similarity {
     // one probe job over the pinned blocks decides the branch AND, at or
     // below the cap, IS the collect (limit cap+1 returns every row then)
     val rows = pinned.limit(collectCap + 1).collect()
-    if (rows.length > collectCap) return (pinned, None)
+    if (rows.length > collectCap) return (pinned.hint("shuffle_hash"), None)
     val local = shortlist.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), shortlist.schema)
     val ids = rows.map(_.getAs[Any](
       shortlist.schema.fieldIndex(idCol))).distinct
     val filter = if (ids.nonEmpty && ids.length <= ShortlistInFilterCap)
       Some(col(idCol).isin(ids.toSeq: _*)) else None
-    (local, filter)
+    (broadcast(local), filter)
   }
 
   /**
    * MRL top-k over the PERSISTED prefix relation: route by prefix
    * cosine against `prefixes` (a scan of kDims/d the bytes — the real
    * matryoshka serving win), then rerank the k·overscan shortlist
-   * full-dim against `corpus` (a broadcast semi-join touches only the
-   * shortlist rows). Same quantize/tiebreak/zero-norm contracts as
+   * full-dim against `corpus` (the valve-hinted shortlist join touches
+   * only the shortlist rows). Same quantize/tiebreak/zero-norm contracts as
    * [[topKMrl]]; overscan covering the corpus is the same exact bridge
    * (`sim_topk_mrl_pre_full`, shared brute-force oracle). Zero-norm
    * prefixes route to an explicit null, which the DESCENDING route
@@ -681,7 +711,7 @@ object Similarity {
     val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
       checkpointDir = checkpointDir)
     val base = corpus.select(col(idCol), col(vecCol))
-    broadcast(localSl)
+    localSl
       .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .select(col(idCol),
         when(norm(col(vecCol)) === 0d, lit(null).cast("double"))
@@ -730,7 +760,7 @@ object Similarity {
       checkpointDir = checkpointDir)
     val base = corpus.select(col(idCol), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val reranked = broadcast(localSl)
+    val reranked = localSl
       .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .join(broadcast(q.select(col(qIdCol), col("__qv"), col("__qn"))), qIdCol)
       .select(col(qIdCol), col(idCol),
@@ -1002,7 +1032,7 @@ object Similarity {
       checkpointDir = checkpointDir)
     val base = index.assignments.select(col(idCol),
       col(vecCol).as("__cv"), cn.as("__cn"))
-    val reranked = broadcast(localSl)
+    val reranked = localSl
       .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .join(broadcast(q), qIdCol)
       .select(col(qIdCol), col(idCol),
@@ -1023,7 +1053,7 @@ object Similarity {
    * (qId, id, prefix-cos) rows), each query's k·overscan shortlist is
    * elected by the same struct_topk heap as every other join form, and
    * only |Q|·k·overscan full vectors are touched for the exact rerank
-   * (shortlist broadcasts; queries rejoin broadcast — the family's
+   * (shortlist joins via the valve's hint; queries rejoin broadcast — the family's
    * batch-size bound, see [[topKJoinIvf]]'s note). Overscan covering
    * the corpus makes the shortlist everything and the rerank IS
    * [[topKJoin]] — the hash-verified `sim_topk_join_mrl_full` bridge.
@@ -1068,7 +1098,7 @@ object Similarity {
       checkpointDir = checkpointDir)
     val base = corpus.select(col(idCol), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val reranked = broadcast(localSl)
+    val reranked = localSl
       .join(idFilter.map(base.filter).getOrElse(base), idCol)
       .join(broadcast(q.select(col(qIdCol), col("__qv"), col("__qn"))), qIdCol)
       .select(col(qIdCol), col(idCol),
@@ -1561,17 +1591,17 @@ object Similarity {
     val shortlist = topKPerQuery(scored, k * overscan, idCol, qIdCol)
       .select(col(qIdCol), col(idCol))
     // exact rescoring of exactly the shortlisted (query, candidate) pairs
-    // — shortlist broadcast explicitly (|Q|·k·overscan skinny rows whose
-    // stats hide behind the heap lineage; without the hint a big corpus
-    // side falls back to a sort-merge join that sorts the whole
-    // embeddings relation by id, the topKJoinIvf ladder lesson)
+    // — the valve hints the shortlist side explicitly (|Q|·k·overscan
+    // skinny rows whose stats hide behind the heap lineage; without a
+    // hint a big corpus side falls back to a sort-merge join that sorts
+    // the whole embeddings relation by id, the topKJoinIvf ladder lesson)
     val c = embeddings.select(col(idCol), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(qIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
     val (localSl, idFilter) = materializeShortlist(shortlist, idCol,
       checkpointDir = checkpointDir)
-    val rescored = broadcast(localSl)
+    val rescored = localSl
       .join(idFilter.map(c.filter).getOrElse(c), idCol)
       .join(broadcast(qv), qIdCol)
       .select(col(qIdCol), col(idCol),
@@ -1797,6 +1827,44 @@ object Similarity {
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
         col("__nc.cell").as("cell"),
         norm(col(vecCol)).as("__n"))
+
+  /** [[kmeansAssign]]'s projection KEEPING the vector — the curation
+    * flagship's stage-1 shape ([[graft.operators.Selection.curateSemantic]]):
+    * the coherence floor filters on the quantized score while the vector
+    * rides through to the dedup/decontamination stages on the same
+    * map-only pass, instead of a survivors-ids semi-join back to the
+    * corpus (which would re-scan it). Same kernel, same 6dp quantize,
+    * same id-cast as [[assignWithNorm]] — one assignment semantics. */
+  private[graft] def assignKeepVec(df: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol), col(vecCol),
+        assignStruct(centroids, vecCol, None).as("__nc"))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        col("__nc.cell").as("cell"),
+        Quantize.quantize(col("__nc.cos"), 6).as("cos"))
+
+  /** [[semanticDedupClustered]] with the VECTORS riding through: same
+    * assignment, same survivors kernel, but each cell's members filter
+    * against the survivor-id array row-locally (array_contains — O(k)
+    * per member, the same order as the kernel's own pair scan) so the
+    * output is (idCol, vecCol, cell) and a downstream stage needing the
+    * vector (the flagship's decontamination) pays NO join back to the
+    * corpus. The standalone form keeps its cheaper direct explode of the
+    * survivor ids — use it when ids suffice. */
+  private[graft] def semanticDedupClusteredKeepVec(embeddings: DataFrame,
+      centroids: Array[Array[Float]], minCosine: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedupClusteredKeepVec: no centroids")
+    val thr = thrOf(minCosine)
+    assignWithNorm(embeddings, centroids, vecCol, idCol)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col(idCol), col(vecCol), col("__n"))).as("__m"))
+      .select(col("cell"), explode(filter(col("__m"),
+        m => array_contains(graft.plans.VectorExpressions.semDedupSurvivors(
+          col("__m"), thr.toDouble), m(idCol)))).as("__e"))
+      .select(col(s"__e.$idCol").as(idCol), col(s"__e.$vecCol").as(vecCol),
+        col("cell"))
+  }
 
   /** The least integer whose 10⁻⁶ quotient reaches τ — the quantized
     * threshold the [[graft.plans.SemDedupSurvivors]] kernel compares

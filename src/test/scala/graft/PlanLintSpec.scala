@@ -145,6 +145,53 @@ class PlanLintSpec extends AnyFunSuite {
       .exists(_.contains("In(vec_id"))))
   }
 
+  /** The r16 verdict's finding, pinned as a lint: ABOVE the collect cap
+    * the rerank must not feed the pinned shortlist through a
+    * BroadcastExchange — `BroadcastExchangeExec` collects the broadcast
+    * side's rows ON THE DRIVER before re-broadcasting, so a broadcast
+    * hint there silently re-introduces the exact driver-memory term the
+    * valve exists to remove (a 1M-query × k·overscan batch would pull
+    * its 40M-row shortlist through driver memory inside the exchange
+    * and die on Spark's 8 GB broadcast ceiling). The valve now returns
+    * the above-cap frame SHUFFLE_HASH-hinted; this lint pins the
+    * executed-plan consequence end-to-end through a real rerank leg. */
+  test("shortlist valve above the cap: rerank shuffles on id — no BroadcastExchange carries the pinned shortlist") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.functions.{broadcast, col}
+    def broadcastsOfPin(df: org.apache.spark.sql.DataFrame) = {
+      df.count() // finalize AQE so the walked plan is the executed one
+      SparkTestBase.planSeq(df.queryExecution.executedPlan).collect {
+        case b: BroadcastExchangeExec
+            if SparkTestBase.planSeq(b).exists(_.isInstanceOf[RDDScanExec]) => b
+      }
+    }
+    // 250 queries × 500 corpus at corpus-covering overscan = 125k
+    // shortlist rows > ShortlistCollectCap → the above-cap branch
+    assert(graft.operators.Similarity.ShortlistCollectCap == 100000,
+      "cap changed: resize this fixture so it still exceeds the cap")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 250)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val df = graft.operators.Similarity.topKJoinMrl(e, queries, k = 5,
+      kDims = 16, overscan = 100)
+    val plan = { df.count(); SparkTestBase.planSeq(df.queryExecution.executedPlan) }
+    assert(plan.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "above-cap rerank lost its shuffle-hash join: " +
+        plan.map(_.nodeName).distinct.mkString(", "))
+    assert(broadcastsOfPin(df).isEmpty,
+      "a BroadcastExchange carries the pinned shortlist — the shortlist " +
+        "transits the driver inside the exchange (the r16 verdict's trap)")
+    // red-proof: the pre-r17 shape — broadcast-hinting the pinned frame —
+    // IS caught by this walk (BroadcastExchange over the RDD scan)
+    val pinned = graft.operators.Materialize(
+      e.filter(col("vec_id") < 200).select(col("vec_id")), None)
+    val naive = broadcast(pinned).join(e, "vec_id")
+    assert(broadcastsOfPin(naive).nonEmpty,
+      "red-proof drifted: a broadcast-hinted pin should be flagged")
+  }
+
   /** Fleet-wide Window allowlist: the heap election is the house idiom
     * for every "rank then keep k" shape, so a Window node is allowed only
     * where the WINDOW ITSELF is the declared semantics — an order

@@ -343,24 +343,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("shortlist valve: above the collect cap nothing crosses the driver; bridge stays exact through the checkpoint branch") {
+  test("shortlist valve: above the collect cap the shortlist never transits the driver; bridge stays exact through the checkpoint branch") {
     def localRelations(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect {
         case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
       }
     val sl = spark.range(50).select(col("id").as("vec_id"))
-    // below cap: collected into a driver-side LOCAL relation + In filter
+    // below cap: collected into a driver-side LOCAL relation (returned
+    // pre-wrapped in broadcast — the hash relation costs exactly the
+    // collect already paid) + In filter
     val (localLo, filtLo) =
       Similarity.materializeShortlist(sl, "vec_id", collectCap = 100)
     assert(localRelations(localLo).nonEmpty && filtLo.isDefined)
     // above cap: the pin stays in executor blocks (LogicalRDD from the
-    // localCheckpoint) — NO LocalRelation means no driver collect built
-    // the rerank input; no In filter either (nothing to enumerate from)
+    // localCheckpoint) — NO LocalRelation (no driver collect built the
+    // rerank input), no In filter, and — the r16 verdict's finding — no
+    // broadcast either: the frame comes back SHUFFLE_HASH-hinted, so a
+    // rerank join shuffles on id instead of collecting the shortlist on
+    // the driver inside a BroadcastExchange (which is what a broadcast
+    // hint would do regardless of the pin). PlanLintSpec pins the
+    // executed-plan shape; here we pin the returned logical contract.
     val (localHi, filtHi) =
       Similarity.materializeShortlist(sl, "vec_id", collectCap = 10)
     assert(localRelations(localHi).isEmpty,
       "above-cap branch still built a driver-side local relation")
     assert(filtHi.isEmpty)
+    val hiHints = localHi.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h.name
+    }
+    assert(hiHints.exists(_.equalsIgnoreCase("shuffle_hash")),
+      s"above-cap branch lost its SHUFFLE_HASH hint: $hiHints")
+    assert(!hiHints.exists(_.equalsIgnoreCase("broadcast")),
+      "above-cap branch re-grew a broadcast hint — the driver-collect trap")
     // both branches pin the SAME rows — the route executed once each
     assert(localHi.collect().map(_.getLong(0)).toSet ==
       localLo.collect().map(_.getLong(0)).toSet)
@@ -494,6 +508,61 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(s"$grownDir/prefixes").count() ==
       before("prefixes"))
+  }
+
+  test("serving layout growth is idempotent per increment: blind retry no-ops, partial-append retry completes exactly") {
+    // the r16 ADVICE hazard: four sequential non-transactional appends —
+    // a mid-sequence failure leaves some relations grown, and a blind
+    // retry used to double-append the grown ones. Now each relation
+    // records applied increments via content-keyed markers.
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def copyTree(src: Path, dst: Path): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteTree(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.delete(_))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("layout_idem").toString
+    AnnIndex.buildServingLayout(e.filter(col("vec_id") < 300), dir)
+    val rels = Seq("ivf/assignments", "pq/codes", "cellcodes", "prefixes")
+    def counts() = rels.map(rel => rel ->
+      spark.read.parquet(s"$dir/$rel").count()).toMap
+    val preGrow = Files.createTempDirectory("layout_idem_bak")
+    copyTree(Paths.get(dir), preGrow)
+    val b = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    AnnIndex.growServingLayout(spark, dir, b)
+    val grown = counts()
+    assert(rels.forall(r => grown(r) > 300L - 1), "grow fixture drift")
+    // blind retry of the SAME increment: every relation carries its
+    // marker — nothing double-appends, the call is a no-op
+    AnnIndex.growServingLayout(spark, dir, b)
+    assert(counts() == grown, "blind retry double-appended a relation")
+    // simulated mid-sequence failure: restore the LAST THREE relations to
+    // their pre-grow state (assignments keeps increment b + its marker —
+    // exactly "crashed after the first append"), then retry must append
+    // ONLY the missing three and land equal to the clean single grow
+    deleteTree(Paths.get(dir, "cellcodes"))
+    deleteTree(Paths.get(dir, "prefixes"))
+    deleteTree(Paths.get(dir, "pq", "codes"))
+    copyTree(preGrow.resolve("cellcodes"), Paths.get(dir, "cellcodes"))
+    copyTree(preGrow.resolve("prefixes"), Paths.get(dir, "prefixes"))
+    copyTree(preGrow.resolve("pq").resolve("codes"), Paths.get(dir, "pq", "codes"))
+    AnnIndex.growServingLayout(spark, dir, b)
+    assert(counts() == grown,
+      "partial-append retry did not complete to the clean-grow state " +
+        s"(got ${counts()}, want $grown)")
+    // a DIFFERENT increment still appends everywhere (markers key on
+    // increment content, not on "something was applied")
+    AnnIndex.growServingLayout(spark, dir, e.filter(col("vec_id") >= 400))
+    val grown2 = counts()
+    assert(rels.forall(r => grown2(r) > grown(r)),
+      "a new increment was wrongly skipped by another increment's marker")
   }
 
   test("semantic decontamination: planted eval leak drops, zero-norm rows never contaminate") {
