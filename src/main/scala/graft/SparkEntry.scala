@@ -1314,6 +1314,12 @@ object SparkEntry {
       // assignment time; map-only against the broadcast centroids
       Selection.splitByCluster(t(s, dir, "embeddings"),
         kmeansSeedsOf(s, dir))),
+    "split_by_cluster_meter" -> ((s, dir) =>
+      // the realized-fraction meter behind split_by_cluster's
+      // granularity caveat: splits quantize to cluster mass, so this
+      // turns "nCells must be ≫ 1/min(pct)" into a checkable number —
+      // one ≤3-row aggregation + a broadcast 1-row total
+      Selection.splitMeter(t(s, dir, "embeddings"), kmeansSeedsOf(s, dir))),
     "decontaminate_semantic" -> ((s, dir) => {
       // embedding-side eval decontamination: drop corpus vectors within
       // cosine 0.45 of ANY eval vector (vec_id < 25 stands in for the
@@ -2837,6 +2843,17 @@ object SparkEntry {
          |      ELSE 'test' END AS split
          |FROM (SELECT vec_id, cell, ${hashBucketSql("cell", 100)} AS b
          |      FROM asg)""".stripMargin,
+    "split_by_cluster_meter" ->
+      s"""WITH $kmeansSqlBody,
+         |sp AS (SELECT vec_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT vec_id, cell, ${hashBucketSql("cell", 100)} AS b
+         |        FROM asg)),
+         |per AS (SELECT split, count(*) AS n_vecs FROM sp GROUP BY 1),
+         |tot AS (SELECT sum(n_vecs) AS t FROM per)
+         |SELECT split, n_vecs, ${Quantize.sql6("n_vecs / t")} AS share
+         |FROM per, tot""".stripMargin,
     "decontaminate_semantic" ->
       s"""SELECT e.vec_id FROM embeddings e
          |WHERE e.vec_id >= 25 AND NOT EXISTS (

@@ -727,7 +727,9 @@ object Selection {
    * shuffle, no state. Granularity caveat: splits quantize to cluster
    * mass, so nCells must be ≫ 1/min(pct) for the realized fractions to
    * approach the requested ones (with 8 cells a 10% slice is one cell
-   * — or none); train a finer model for tight fractions.
+   * — or none); train a finer model for tight fractions, and MEASURE the
+   * realized split with [[splitMeter]] — the caveat as a checkable
+   * number, not a doc line.
    */
   def splitByCluster(embeddings: DataFrame, centroids: Array[Array[Float]],
       trainPct: Int = 80, valPct: Int = 10,
@@ -736,6 +738,33 @@ object Selection {
     Similarity.kmeansAssign(embeddings, centroids, vecCol, idCol)
       .select(col(idCol), col("cell"),
         Corpus.splitExpr(col("cell"), trainPct, valPct).as("split"))
+  }
+
+  /**
+   * REALIZED-fraction meter for [[splitByCluster]]: per split label, the
+   * member count and its share of the corpus — the checkable number
+   * behind the granularity caveat above (splits quantize to cluster
+   * mass, so the realized fractions approach the requested ones only as
+   * nCells ≫ 1/min(pct); with 8 cells a 10% slice is one cell — or
+   * none). A pipeline runs this meter after assignment and retrains a
+   * finer model when the deviation is out of tolerance — the
+   * `quality_logreg_auc` pattern: the operator's blind spot gets its own
+   * declared, oracle-checked measurement instead of a doc caveat.
+   *
+   * 100 TB: the split aggregation collapses to ≤ 3 rows after map-side
+   * combine; the total rejoins as a broadcast of ONE row — no second
+   * scan, no window.
+   */
+  def splitMeter(embeddings: DataFrame, centroids: Array[Array[Float]],
+      trainPct: Int = 80, valPct: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val per = splitByCluster(embeddings, centroids, trainPct, valPct,
+        vecCol, idCol)
+      .groupBy(col("split")).agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum(col("n_vecs")).as("__t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_vecs"),
+        Quantize.quantize(col("n_vecs") / col("__t"), 6).as("share"))
   }
 
   /**

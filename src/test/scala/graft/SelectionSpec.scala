@@ -474,6 +474,33 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("splitMeter: shares sum to 1, counts match the assignment, finer models converge to the requested split") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def deviation(k: Int): Double = {
+      val seeds = Similarity.kmeansSeeds(e, k)
+      val m = Selection.splitMeter(e, seeds).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // internal consistency: counts match a direct recount of the
+      // assignment, shares are count/total on the 6dp grid
+      val direct = Selection.splitByCluster(e, seeds).groupBy(col("split"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m.view.mapValues(_._1).toMap == direct)
+      val total = m.values.map(_._1).sum.toDouble
+      m.foreach { case (_, (n, share)) =>
+        assert(math.abs(share - n / total) < 2e-6) }
+      // L∞ deviation of realized vs requested (80/10/10)
+      val req = Map("train" -> 0.80, "val" -> 0.10, "test" -> 0.10)
+      req.map { case (s, p) => math.abs(m.get(s).map(_._2).getOrElse(0.0) - p) }.max
+    }
+    // the caveat, measured: at 8 cells a 10% slice quantizes to whole
+    // clusters (deviation can be huge); a finer model must do no worse,
+    // and by 64 cells on this data the split is within 15 points
+    val d8 = deviation(8); val d64 = deviation(64)
+    assert(d64 <= d8 + 1e-9,
+      s"finer model diverged: L-inf $d64 at 64 cells vs $d8 at 8")
+    assert(d64 < 0.15, s"64-cell realized split still off by $d64")
+  }
+
   test("selectPrototypical: below-floor rows drop, zero-norm fail-fasts under ANSI") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -627,5 +654,67 @@ class SelectionSpec extends AnyFunSuite {
       val expect = members.map(_._1).sortBy(id => (hashes(id), id)).take(12).toSet
       assert(out.filter(_._2 == cell).map(_._1).toSet == expect)
     }
+  }
+
+  test("curateSemantic: the fused flagship equals the public stages chained in declared order") {
+    // stage-order pin for corpus_curate_semantic: the one-scan fused plan
+    // (vectors riding through assignKeepVec / dedupKeepVec) must equal
+    // the five PUBLIC operators chained with explicit survivor semi-joins
+    // — a deliberately different plan shape, so a fusion bug (a stage
+    // seeing pre- instead of post-survivors, a dropped quantize, a cell
+    // recomputed differently) cannot hide. Composition is where
+    // stage-interaction bugs live — the corpus_clean lesson.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.kmeansSeeds(e, 8)
+    val corpus = e.filter(col("vec_id") >= 25)
+      .select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") < 25)
+    // the public chain, stage by stage in the declared order
+    val protoIds = Selection.selectPrototypical(corpus, seeds, minCos = 0.12)
+      .select(col("vec_id"))
+    val protoVecs = corpus.join(protoIds, Seq("vec_id"), "left_semi")
+    val dedIds = Similarity.semanticDedupClustered(protoVecs, seeds,
+      minCosine = 0.45).select(col("vec_id"))
+    val dedVecs = corpus.join(dedIds, Seq("vec_id"), "left_semi")
+    val nDedProbe = dedVecs.count()
+    // SELF-CALIBRATED decontamination threshold: at sf0.001 the declared
+    // 0.45 cuts nothing AFTER dedup (every near-eval row already lost to
+    // a smaller-id near-dup), which would leave the order pin vacuous at
+    // this stage — probe down until the stage bites (the declared query
+    // keeps 0.45; its oracle pins real behavior at sf0.01)
+    val decontCos = Seq(0.45, 0.35, 0.25, 0.15).find(t =>
+      Similarity.decontaminateSemantic(dedVecs, evalSet, t).count() < nDedProbe)
+      .getOrElse(fail("no probed threshold makes decontamination cut — fixture drift"))
+    val got = Selection.curateSemantic(corpus, seeds, evalSet,
+      minCos = 0.12, dedupCos = 0.45, decontCos = decontCos, perCell = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got.nonEmpty, "flagship fixture drift: empty curation output")
+    val decVecs = Similarity.decontaminateSemantic(dedVecs, evalSet,
+      minCosine = decontCos)
+    val div = Selection.selectDiverse(decVecs, seeds, perCell = 12)
+    val want = div.join(Selection.splitByCluster(corpus, seeds)
+        .select(col("vec_id"), col("split")), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == want, s"fused flagship diverged from the public chain: " +
+      s"only-fused=${(got -- want).take(5)} only-chain=${(want -- got).take(5)}")
+    // fixture is non-degenerate: every stage actually cuts something on
+    // this data (otherwise the order pin is vacuous)
+    val nCorpus = corpus.count(); val nProto = protoVecs.count()
+    val nDed = dedVecs.count(); val nDec = decVecs.count()
+    assert(nProto < nCorpus, "floor cut nothing")
+    assert(nDed < nProto, "SemDeDup cut nothing")
+    assert(nDec < nDed, "decontamination cut nothing")
+    assert(got.size < nDec, "diversity cap cut nothing")
+    // hard invariants regardless of data: cap per cell, no contaminated
+    // survivor, split constant per cell
+    assert(got.groupBy(_._2).forall(_._2.size <= 12), "cell cap breached")
+    val cleanIds = Similarity.decontaminateSemantic(
+      corpus, evalSet, minCosine = decontCos).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => cleanIds.contains(r._1)),
+      "a contaminated id survived the flagship")
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).size >= 1) &&
+      got.groupBy(_._2).forall(_._2.groupBy(_._3).size == 1),
+      "a cell straddles splits — the leak splitByCluster exists to prevent")
   }
 }
