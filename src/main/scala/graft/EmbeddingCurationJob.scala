@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.EmbeddingCurationConfig
+import graft.operators.{Corpus, Materialize, Selection, Similarity}
+
+/**
+ * Config-driven embedding-side curation — the job-level home for the
+ * `corpus_curate_semantic` stage family, run as the production
+ * MICRO-BATCH loop rather than the one-shot fused statement: each
+ * increment probes (and then grows) the job's persisted registries, so
+ * what shipped once stays shipped and later batches dedup/compete
+ * against everything that came before. [[TrainingSetJob]] is this
+ * pipeline's text-side sibling; this job owns the embedding stages the
+ * r16 review left without a config entry point.
+ *
+ * Per increment, in `corpus_curate_semantic`'s declared order (every
+ * stage an [[EmbeddingCurationConfig]] switch, each the individually
+ * oracle-verified operator):
+ *
+ *   1. coherence floor  — [[Selection.selectPrototypical]]'s cut
+ *      (fused form: per-row, increment-invariant)
+ *   2. SemDeDup         — [[Similarity.semanticDedupIncrement]] vs the
+ *      job's registry; the registry then grows with EVERY floor-surviving
+ *      member (the every-member contract: a removed near-dup can still be
+ *      the only ≥τ witness against a later batch)
+ *   3. decontamination  — [[Similarity.decontaminateSemantic]] vs the
+ *      configured eval set (per-row, increment-invariant)
+ *   4. diversity cap    — [[Selection.selectDiverseInc]] vs the job's
+ *      selection registry (SHIP-ONCE: registry members are grandfathered,
+ *      the batch competes for remaining slots); the registry then grows
+ *      with the increment's selections
+ *   5. split            — [[Corpus.splitExpr]] over the cell (cluster-
+ *      disjoint, [[Selection.splitByCluster]]'s contract)
+ *
+ * plus, with `grow_layout`, the ANN serving layout over the CURATED
+ * corpus: built on the first increment's survivors
+ * ([[AnnIndex.buildServingLayout]]), grown retrain-free afterwards
+ * ([[AnnIndex.growServingLayout]] — idempotent per increment content).
+ *
+ * Output layout under `outRoot`:
+ *  - `curated/`               — (vec_id, cell, split) per shipped example
+ *  - `centroids/`             — the job's pinned centroid model (trained
+ *    once, on the FIRST batch via [[Similarity.kmeansSeeds]]; every later
+ *    increment assigns under the same model — retraining is a recall
+ *    decision, [[Similarity.assignToCells]]' posture)
+ *  - `registries/semdedup/`   — every floor survivor, cell-partitioned
+ *  - `registries/selection/`  — every shipped (vec_id, cell)
+ *  - `layout/`                — the grown ANN serving layout
+ *  - `increments/`            — one row of per-stage counts per increment
+ *
+ * INCREMENT SEMANTICS, stated exactly: stages 1/3/5 are per-row, so the
+ * loop equals the fused statement for them; stage 2 equals the fused
+ * dedup over (registry ∪ batch) restricted to the batch
+ * ([[Similarity.semanticDedupIncrement]]'s spec-pinned contract, which
+ * also means registry members always WIN ties against batch members);
+ * stage 4 is deliberately NOT the fused selection — ship-once cannot
+ * unship a registry member the fused run would have displaced
+ * ([[Selection.selectDiverseInc]]'s documented divergence). The job spec
+ * pins both sides: the stages that must equal the fused run do, and the
+ * ship-once invariants (never breach the cap, never strand a slot) hold
+ * across increments.
+ */
+object EmbeddingCurationJob {
+
+  /** Per-stage yields of one increment: rows entering, after the floor,
+    * after dedup, after decontamination, and shipped (post-cap). Stages
+    * that are switched off repeat the previous count. */
+  final case class Result(batchVecs: Long, floored: Long, deduped: Long,
+      decontaminated: Long, curated: Long)
+
+  def curatedDir(root: String) = s"$root/curated"
+  def centroidsDir(root: String) = s"$root/centroids"
+  def dedupRegistryDir(root: String) = s"$root/registries/semdedup"
+  def selectionRegistryDir(root: String) = s"$root/registries/selection"
+  def layoutDir(root: String) = s"$root/layout"
+  def incrementsDir(root: String) = s"$root/increments"
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The job's centroid model: trained on the FIRST batch (deterministic
+    * [[Similarity.kmeansSeeds]] — the k lowest-id vectors) and persisted,
+    * so every later increment assigns under the identical model — the
+    * registries' cell keys stay comparable across the job's lifetime. */
+  private def ensureCentroids(spark: SparkSession, batch: DataFrame,
+      outRoot: String, nCells: Int, vecCol: String,
+      idCol: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val dir = centroidsDir(outRoot)
+    if (!exists(spark, dir)) {
+      val seeds = Similarity.kmeansSeeds(batch, nCells, vecCol, idCol)
+      require(seeds.length == nCells,
+        s"first batch has only ${seeds.length} vectors for $nCells cells")
+      seeds.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).orderBy(col("cell")).collect()
+      .map(_.getSeq[Float](1).toArray)
+  }
+
+  /** Run ONE increment through the configured stages; append its
+    * curations and grow the registries/layout. See the class doc for the
+    * exact increment semantics per stage. */
+  def runIncrement(spark: SparkSession, batch: DataFrame, outRoot: String,
+      cfg: EmbeddingCurationConfig = EmbeddingCurationConfig(),
+      vecCol: String = "embedding", idCol: String = "vec_id"): Result = {
+    import spark.implicits._
+    // pin the increment once — every stage, registry write and count
+    // below reads these blocks, not a re-executed source lineage
+    val b = Materialize(batch.select(col(idCol).cast("long").as(idCol),
+      col(vecCol)), cfg.checkpointDir)
+    val nBatch = b.count()
+    val centroids = ensureCentroids(spark, b, outRoot, cfg.nCells,
+      vecCol, idCol)
+
+    // 1. coherence floor (per-row; fused form)
+    val floored = cfg.minCos match {
+      case Some(c) => Materialize(
+        Similarity.assignKeepVec(b, centroids, vecCol, idCol)
+          .filter(col("cos") >= c).select(col(idCol), col(vecCol)),
+        cfg.checkpointDir)
+      case None => b
+    }
+    val nFloored = floored.count()
+
+    // 2. SemDeDup vs the persisted registry; registry then grows with
+    // every floor survivor. Survivors are PINNED before the append —
+    // their lineage reads the registry, and appending first would make
+    // the batch its own witness.
+    val deduped = cfg.dedupCos match {
+      case Some(tau) =>
+        val regPath = dedupRegistryDir(outRoot)
+        val regExists = exists(spark, regPath)
+        val survivorIds =
+          if (regExists) Similarity.semanticDedupIncrement(floored, centroids,
+            regPath, tau, vecCol = vecCol, idCol = idCol,
+            checkpointDir = cfg.checkpointDir)
+          else Similarity.semanticDedupClustered(floored, centroids, tau,
+            vecCol = vecCol, idCol = idCol)
+        val pinned = Materialize(
+          floored.join(survivorIds.select(col(idCol)), Seq(idCol), "left_semi"),
+          cfg.checkpointDir)
+        Similarity.writeSemanticRegistry(floored, centroids, regPath,
+          vecCol = vecCol, idCol = idCol, append = regExists)
+        pinned
+      case None => floored
+    }
+    val nDeduped = deduped.count()
+
+    // 3. decontamination vs the configured eval set (per-row)
+    val decontaminated = cfg.evalDir match {
+      case Some(dir) => Similarity.decontaminateSemantic(deduped,
+        spark.read.parquet(dir), cfg.decontCos, vecCol, idCol)
+      case None => deduped
+    }
+    val nDecont = decontaminated.count()
+
+    // 4. ship-once diversity cap vs the selection registry (which then
+    // grows with this increment's selections — pin before append, as in
+    // stage 2); without a cap, every survivor ships with its cell
+    val selected = cfg.perCell match {
+      case Some(k) =>
+        val selPath = selectionRegistryDir(outRoot)
+        val selExists = exists(spark, selPath)
+        val sel =
+          if (selExists) Selection.selectDiverseInc(decontaminated, centroids,
+            spark.read.parquet(selPath), k, vecCol, idCol)
+          else Selection.selectDiverse(decontaminated, centroids, k,
+            vecCol, idCol)
+        val pinned = Materialize(sel, cfg.checkpointDir)
+        pinned.write.mode(if (selExists) "append" else "overwrite")
+          .parquet(selPath)
+        pinned
+      case None => Similarity.kmeansAssign(decontaminated, centroids,
+        vecCol, idCol).select(col(idCol), col("cell"))
+    }
+
+    // 5. cluster-disjoint split; append the increment's manifest
+    val curated = Materialize(selected.select(col(idCol), col("cell"),
+      Corpus.splitExpr(col("cell"), cfg.trainPct, cfg.valPct).as("split")),
+      cfg.checkpointDir)
+    curated.write.mode("append").parquet(curatedDir(outRoot))
+    val nCurated = curated.count()
+
+    // serving layout over the curated corpus (idempotent growth —
+    // AnnIndex's per-increment markers)
+    if (cfg.growLayout) {
+      val vecs = deduped.join(curated.select(col(idCol)), Seq(idCol),
+        "left_semi").select(col(idCol), col(vecCol))
+      val lp = layoutDir(outRoot)
+      if (!exists(spark, s"$lp/ivf"))
+        AnnIndex.buildServingLayout(vecs, lp, nCells = cfg.layoutCells)
+      else AnnIndex.growServingLayout(spark, lp, vecs,
+        checkpointDir = cfg.checkpointDir)
+    }
+
+    Seq((nBatch, nFloored, nDeduped, nDecont, nCurated))
+      .toDF("batch_vecs", "floored", "deduped", "decontaminated", "curated")
+      .write.mode("append").parquet(incrementsDir(outRoot))
+    Result(nBatch, nFloored, nDeduped, nDecont, nCurated)
+  }
+}

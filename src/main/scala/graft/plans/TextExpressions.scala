@@ -855,6 +855,105 @@ case class CutSpans(left: Expression, right: Expression, n: Int)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Row-local cost-budgeted chunking — the kernel behind
+ * [[graft.operators.Corpus.chunkDocsByCost]]: given a doc's tokens and
+ * their per-token costs, emit the (chunk, chunk_text, n_tokens) rows the
+ * former explode → per-doc-window running sum → (doc, chunk) aggregation
+ * computed — but in ONE pass over the row, no exchange at all. A
+ * document's chunk assignment depends only on its own token stream, so
+ * shipping every token through a corpus-sized shuffle just to run a
+ * per-doc prefix sum was pure overhead: at sf0.1 the window form
+ * exchanged ~1M exploded token rows (0.43 s vs DuckDB's 0.057 — the r16
+ * verdict's 7.6× tail); at 100 TB that exchange is corpus-sized. The
+ * map-only form scans, chunks in-row, and explodes only the ≤
+ * tokens/chunk-budget output rows.
+ *
+ * Semantics are the window form's, exactly: running = inclusive prefix
+ * sum of costs (null costs contribute nothing — SUM-over-window's null
+ * rule), chunk = (max(running,1) − 1) div budget, chunk_text = the
+ * chunk's tokens joined by single spaces in token order, n_tokens = the
+ * chunk's cost sum (null when every member cost is null — SUM's rule
+ * again). Chunk indices need not be contiguous or monotone (negative
+ * costs can revisit a chunk); grouping is by chunk VALUE in first-
+ * appearance order, matching the aggregation. Interpreted eval plus a
+ * static-call codegen stub, the [[CutSpans]] pattern.
+ */
+case class CostChunks(left: Expression, right: Expression, budget: Long)
+    extends BinaryExpression {
+  require(budget > 0, s"budget must be positive: $budget")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = true))))
+  override def prettyName: String = "cost_chunks"
+
+  override def nullSafeEval(toks: Any, costs: Any): Any =
+    ChunkKernel.costChunks(toks.asInstanceOf[ArrayData],
+      costs.asInstanceOf[ArrayData], budget)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) =>
+      s"${ev.value} = graft.plans.ChunkKernel.costChunks($c1, $c2, ${budget}L);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** [[CostChunks]]' per-row kernel — static so generated code calls it
+  * directly (the [[ShingleHash]] convention). */
+object ChunkKernel {
+  private final class Acc {
+    val text = new java.lang.StringBuilder
+    var sum = 0L
+    var hasCost = false
+  }
+
+  def costChunks(toks: ArrayData, costs: ArrayData, budget: Long): ArrayData = {
+    val n = toks.numElements()
+    // by-construction equal lengths (costs = transform over the same
+    // token array); a drifted caller must fail loudly, not mis-chunk
+    require(costs.numElements() == n,
+      s"cost_chunks: ${costs.numElements()} costs for $n tokens")
+    val order = new java.util.ArrayList[java.lang.Long]
+    val accs = new java.util.HashMap[java.lang.Long, Acc]
+    var run = 0L
+    var i = 0
+    while (i < n) {
+      val hasCost = !costs.isNullAt(i)
+      if (hasCost) run += costs.getLong(i)
+      val chunk: java.lang.Long = (math.max(run, 1L) - 1L) / budget
+      var acc = accs.get(chunk)
+      if (acc == null) {
+        acc = new Acc; accs.put(chunk, acc); order.add(chunk)
+      }
+      if (acc.text.length > 0) acc.text.append(' ')
+      acc.text.append(toks.getUTF8String(i).toString)
+      if (hasCost) { acc.sum += costs.getLong(i); acc.hasCost = true }
+      i += 1
+    }
+    val out = new Array[Any](order.size())
+    var j = 0
+    while (j < order.size()) {
+      val chunk = order.get(j)
+      val acc = accs.get(chunk)
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        chunk.longValue(), UTF8String.fromString(acc.text.toString),
+        if (acc.hasCost) acc.sum else null)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** The per-row kernel of [[WordShingleHashes]] — static so generated code
   * calls it directly (the scalac static forwarder). */
 object ShingleHash {
@@ -1774,6 +1873,14 @@ object TextExpressions {
     * aggregation exchange. Null text → null. */
   def tokenCounts(text: Column): Column =
     Bridge.column(TokenCountPairs(Bridge.expression(lower(text))))
+
+  /** array<struct<chunk,chunk_text,n_tokens>> of cost-budgeted chunks
+    * over a token array + per-token cost array ([[CostChunks]]) — the
+    * map-only replacement for explode → per-doc window → re-aggregate.
+    * Null tokens/costs → null (the upstream coalesce decides). */
+  def costChunks(toks: Column, costs: Column, budget: Long): Column =
+    Bridge.column(CostChunks(Bridge.expression(toks),
+      Bridge.expression(costs), budget))
 
   /** Row-local tf-idf top-k over a [[tokenCounts]] array; `dfMap` must
     * have binary-sorted keys (see [[TfidfTopTerms]]). Returns

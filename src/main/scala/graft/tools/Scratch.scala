@@ -179,6 +179,57 @@ object Scratch {
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
     }
+    if (sys.env.contains("SCRATCH_FLOOR_R17")) {
+      // Price the two >2× comparator tails the r16 verdict flagged
+      // (chunk_docs_cost 7.6×, top_parts_heap 5.8× vs DuckDB at sf0.1)
+      // by counting what each statement actually SCHEDULES: jobs, stages
+      // and tasks through the exact Bench harness, beside min-of-6 wall
+      // time and the same-shape floor probes. The hypothesis under test
+      // is the dsir pattern — a multi-job chain each paying the ~0.1 s
+      // local scheduling floor — vs a genuinely slow plan.
+      import java.util.concurrent.atomic.AtomicInteger
+      val jobs = new AtomicInteger; val stages = new AtomicInteger
+      val tasks = new AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+          }
+        })
+      def price(name: String): Unit = {
+        val df = () => graft.SparkEntry.queries(name)(spark, sfDir)
+        df().queryExecution.toRdd.count() // warm (cache plans, codegen)
+        val ts = (1 to 6).map { _ =>
+          val t0 = System.nanoTime()
+          df().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(300) // drain listener events
+        jobs.set(0); stages.set(0); tasks.set(0)
+        df().queryExecution.toRdd.count()
+        Thread.sleep(300)
+        println(f"SCRATCH-R17 $name%-18s min ${ts.min}%.3f s  " +
+          f"(${ts.map(t => f"$t%.2f").mkString(",")})  " +
+          s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      }
+      Seq("chunk_docs", "chunk_docs_cost", "window_top_parts",
+        "top_parts_heap").foreach(price)
+      def floor(label: String)(f: => Unit): Unit = {
+        val ts = (1 to 10).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-R17 floor $label: min ${ts.min}%.4f s")
+      }
+      floor("1-stage agg")(
+        spark.range(1).selectExpr("sum(id) as s").queryExecution.toRdd.count())
+      floor("2-stage shuffle")(
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().queryExecution.toRdd.count())
+    }
     if (sys.env.contains("SCRATCH_TOPK128")) {
       // focused 128× rung for the int8 serving kernel (native vs HOF)
       import org.apache.spark.sql.functions._

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.config.EmbeddingCurationConfig
+import graft.operators.{Selection, Similarity}
+
+/** The embedding-side job loop: two increments through every configured
+  * stage, registries carrying state between them, the serving layout
+  * grown per increment. Pins the increment semantics the class doc
+  * states exactly: per-row stages equal the fused operators, the dedup
+  * increment equals the fused dedup restricted to the batch, ship-once
+  * selection never breaches the cap, and the grown layout SERVES the
+  * curated corpus exactly (its exact bridges equal brute force). */
+class EmbeddingCurationJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("two increments: stage yields match the fused operators, ship-once holds, grown layout serves the curated corpus exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val evalDir = java.nio.file.Files.createTempDirectory("ecj_eval").toString
+    e.filter(col("vec_id") < 25).write.mode("overwrite").parquet(evalDir)
+    val corpus = e.filter(col("vec_id") >= 25)
+    val batchA = corpus.filter(col("vec_id") < 300)
+    val batchB = corpus.filter(col("vec_id") >= 300)
+    val root = java.nio.file.Files.createTempDirectory("ecj_root").toString
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), evalDir = Some(evalDir), decontCos = 0.45,
+      perCell = Some(12), growLayout = true, layoutCells = 4)
+    val r1 = EmbeddingCurationJob.runIncrement(spark, batchA, root, cfg)
+    val r2 = EmbeddingCurationJob.runIncrement(spark, batchB, root, cfg)
+
+    // the job's pinned centroid model: trained on the FIRST batch only,
+    // identical for both increments (registry cells stay comparable)
+    val cents = spark.read.parquet(EmbeddingCurationJob.centroidsDir(root))
+      .orderBy(col("cell")).collect().map(_.getSeq[Float](1).toArray)
+    assert(cents.length == 8)
+    assert(cents.map(_.toSeq).toSeq ==
+      Similarity.kmeansSeeds(batchA, 8).map(_.toSeq).toSeq)
+
+    // per-row stages equal the fused operators per batch
+    def floorIds(b: org.apache.spark.sql.DataFrame) =
+      Selection.selectPrototypical(b, cents, minCos = 0.12)
+        .select(col("vec_id"))
+    assert(r1.floored == floorIds(batchA).count())
+    assert(r2.floored == floorIds(batchB).count())
+    // dedup increment ≡ fused dedup over (floorA ∪ floorB) restricted to
+    // batch B (semanticDedupIncrement's contract, composed through the
+    // job's floor stage); increment 1 IS the fused dedup
+    val flooredA = batchA.join(floorIds(batchA), Seq("vec_id"), "left_semi")
+    val flooredB = batchB.join(floorIds(batchB), Seq("vec_id"), "left_semi")
+    assert(r1.deduped ==
+      Similarity.semanticDedupClustered(flooredA, cents, 0.45).count())
+    assert(r2.deduped == Similarity.semanticDedupClustered(
+        flooredA.unionByName(flooredB), cents, 0.45)
+      .filter(col("vec_id") >= 300).count())
+
+    // curated output: appended across increments, cap never breached
+    // ACROSS them (ship-once: increment 1's rows still present, cells at
+    // a cap stay there), split constant per cell
+    val curated = spark.read.parquet(EmbeddingCurationJob.curatedDir(root))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(curated.length == r1.curated + r2.curated)
+    assert(curated.map(_._1).distinct.length == curated.length)
+    val perCell = curated.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 12), s"cap breached: $perCell")
+    curated.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cell $cell straddles splits")
+    }
+    // the selection registry IS the curated id set (ship-once ledger)
+    val reg = spark.read.parquet(
+      EmbeddingCurationJob.selectionRegistryDir(root)).collect()
+      .map(_.getLong(0)).toSet
+    assert(reg == curated.map(_._1).toSet)
+
+    // grown serving layout SERVES the curated corpus exactly: the MRL
+    // exact bridge (corpus-covering overscan) and full-probe IVF-PQ both
+    // equal brute force over the curated vectors — increment 2's
+    // additions are fully visible, nothing double-appended
+    val curVecs = corpus.join(
+      spark.read.parquet(EmbeddingCurationJob.curatedDir(root))
+        .select(col("vec_id")), Seq("vec_id"), "left_semi")
+    assert(spark.read.parquet(
+        s"${EmbeddingCurationJob.layoutDir(root)}/prefixes").count() ==
+      curVecs.count(), "layout prefixes != curated corpus")
+    val q = curVecs.orderBy(col("vec_id").desc).head.getSeq[Float](1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val prefixes = Similarity.readMrlPrefixes(spark,
+      s"${EmbeddingCurationJob.layoutDir(root)}/prefixes")
+    assert(ids(Similarity.topKMrlPre(prefixes, curVecs, q, k = 10,
+        kDims = AnnIndex.MrlDims, overscan = 1000)) ==
+      ids(Similarity.topK(curVecs, q, k = 10)))
+    val ivf = Similarity.readIvfIndex(spark,
+      s"${EmbeddingCurationJob.layoutDir(root)}/ivf")
+    val (_, pq) = Similarity.readPqIndex(spark,
+      s"${EmbeddingCurationJob.layoutDir(root)}/pq")
+    val cellCodes = Similarity.readCellCodes(spark,
+      s"${EmbeddingCurationJob.layoutDir(root)}/cellcodes")
+    assert(Similarity.topKIvfPq(cellCodes, curVecs, ivf, pq, q, k = 10,
+        nProbe = 4, overscan = 100).collect().map(_.getLong(0)).toSet ==
+      ids(Similarity.topK(curVecs, q, k = 10)).toSet)
+
+    // increments ledger: one row per increment, matching the Results
+    val inc = spark.read.parquet(EmbeddingCurationJob.incrementsDir(root))
+      .collect().map(r => EmbeddingCurationJob.Result(r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(inc == Set(r1, r2))
+  }
+}
