@@ -5,7 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER: Verify's convention — local-cluster[w,c,mem]
+      // (via spark-submit, which ships the app jar) runs the identical
+      // bench against real executor JVMs, where exchanges and broadcasts
+      // pay serialization instead of same-heap memcpy
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
