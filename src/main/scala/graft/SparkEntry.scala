@@ -605,6 +605,14 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, minJaccard = 0.5))),
+    "dedup_soft_weights" -> ((s, dir) => {
+      // soft dedup: weight = 1/|near-dup cluster| per document (6dp) —
+      // reweighting instead of removal, the training-mixture form of the
+      // cluster family; unpaired docs are their own cluster at weight 1
+      val docs = t(s, dir, "documents")
+      Dedup.softDedupWeights(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5))
+    }),
     "dedup_survivors" -> ((s, dir) => {
       // the pipeline's real deliverable: the corpus with non-survivor
       // near-dup cluster members removed
@@ -2353,6 +2361,17 @@ object SparkEntry {
          |$ccCtesSql
          |SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
          |FROM labels""".stripMargin,
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
+         |$ccCtesSql,
+         |sizes AS (SELECT cluster, count(*) AS n FROM labels GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+         | CAST(coalesce(s.n, 1) AS BIGINT) AS n_members,
+         | ${Quantize.sql6("1.0 / coalesce(s.n, 1)")} AS weight
+         |FROM documents d
+         |LEFT JOIN labels l ON l.id = d.doc_id
+         |LEFT JOIN sizes s ON s.cluster = l.cluster""".stripMargin,
     "dedup_survivors" ->
       s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
          |$ccCtesSql

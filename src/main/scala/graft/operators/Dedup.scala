@@ -451,6 +451,42 @@ object Dedup {
   }
 
   /**
+   * SOFT deduplication — DOWN-WEIGHT duplicated content instead of
+   * dropping it: every document gets `weight = 1/|near-dup cluster|`
+   * (6dp), so a cluster contributes ONE document's worth of gradient
+   * mass however many variants it ships. The hard forms above answer
+   * "which copy survives"; this answers the training-mixture question
+   * "how much should each copy count" — the sampled-softly alternative
+   * (cf. the SlimPajama/soft-dedup line of work: hard removal discards
+   * the natural distribution of duplicated content, reweighting keeps
+   * it while canceling the duplication bias). Output:
+   * (idCol, cluster, n_members, weight) for EVERY corpus document —
+   * unpaired docs are their own cluster of 1 at weight 1 — ready to
+   * feed [[Corpus.sampleWeighted]] / a loss-weighting loader column.
+   *
+   * Scale shape: connected components run over the PAIRS (a sliver of
+   * the corpus — [[dedupByClusters]]' posture), cluster sizes are one
+   * aggregation of the label relation (≤ paired docs), and the corpus
+   * is touched by one scan + one left join against the labels. The
+   * labels/sizes side is bounded by the paired population, so AQE
+   * broadcasts it when small and shuffles when a boilerplate flood
+   * makes it genuinely large — both correct.
+   */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
+    val labels = connectedComponents(pairs, checkpointDir = checkpointDir)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(sizes, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        coalesce(col("__n"), lit(1L)).as("n_members"),
+        graft.functions.Quantize.quantize(
+          lit(1.0) / coalesce(col("__n"), lit(1L)), 6).as("weight"))
+  }
+
+  /**
    * [[dedupByClusters]] with a QUALITY-AWARE survivor policy: per cluster
    * the row with the highest `scoreCol` survives (ties → min id), instead
    * of blindly keeping the smallest id. Real pipelines keep the best

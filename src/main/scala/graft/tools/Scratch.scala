@@ -230,6 +230,35 @@ object Scratch {
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
     }
+    if (sys.env.contains("SCRATCH_CURATE")) {
+      // Scale rung for the r17 embedding-side flagship: curateSemantic
+      // at 1× and 16× corpus (the MRL sweep's persisted 16× layout).
+      // The defining claim is ONE corpus-sized exchange (the SemDeDup
+      // cell aggregation) — so wall-clock should scale ~linearly in the
+      // corpus with no superlinear join/window term.
+      import org.apache.spark.sql.functions._
+      val S = graft.operators.Similarity
+      val base = "/tmp/graft_mrl_sweep_16"
+      require(new java.io.File(s"$base/corpus").exists(),
+        "run SCRATCH_MRL_BIGQ once first to lay out the 16x corpus")
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val e16 = spark.read.parquet(s"$base/corpus")
+      for ((label, e) <- Seq(("1x ", e1), ("16x", e16))) {
+        val seeds = S.kmeansSeeds(e, 8)
+        val evalSet = e.limit(25)
+        def run() = graft.operators.Selection.curateSemantic(
+          e, seeds, evalSet, minCos = 0.12, dedupCos = 0.45,
+          decontCos = 0.45, perCell = 12)
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          run().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-CURATE $label n=${e.count()}%6d: " +
+          f"${ts.min}%.2f s (${ts.map(t => f"$t%.2f").mkString(",")})")
+      }
+    }
     if (sys.env.contains("SCRATCH_TOPK128")) {
       // focused 128× rung for the int8 serving kernel (native vs HOF)
       import org.apache.spark.sql.functions._

@@ -192,6 +192,38 @@ class PlanLintSpec extends AnyFunSuite {
       "red-proof drifted: a broadcast-hinted pin should be flagged")
   }
 
+  /** The embedding-side flagship's 100 TB shape, pinned: ONE corpus
+    * scan, ONE shuffle exchange (the SemDeDup cell aggregation — the
+    * diversity election reuses its hash partitioning), the eval side the
+    * BUILD side of a broadcast join, and the corpus filter pushed into
+    * the parquet scan. Regressions this catches: a stage re-joining the
+    * corpus (second corpus scan), the second cell aggregation losing
+    * partitioning reuse (second exchange), the decontamination join
+    * flipping to build the CORPUS side (driver-collects the corpus), a
+    * projection change un-pushing the id filter. */
+  test("curateSemantic flagship: one corpus scan, one exchange, eval side broadcast, filter pushed") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = SparkEntry.queries("corpus_curate_semantic")(
+      spark, "/root/testdata/sf0.001")
+    df.count() // finalize AQE
+    val plan = SparkTestBase.planSeq(df.queryExecution.executedPlan)
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 2, // the corpus + the (broadcast) eval slice
+      s"flagship plans ${scans.length} scans — a stage re-joined the corpus")
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThanOrEqual(vec_id,25)"))),
+      "corpus filter no longer pushed into the scan")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length == 1,
+      s"flagship plans ${shuffles.length} shuffles — the diversity " +
+        "election lost the dedup exchange's partitioning reuse")
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.length == 1 && bnlj.head.buildSide.toString == "BuildRight",
+      s"decontamination join shape drifted: ${bnlj.map(_.buildSide)}")
+  }
+
   /** Fleet-wide Window allowlist: the heap election is the house idiom
     * for every "rank then keep k" shape, so a Window node is allowed only
     * where the WINDOW ITSELF is the declared semantics — an order

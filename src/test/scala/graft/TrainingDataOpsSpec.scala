@@ -1109,6 +1109,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 3L, 5L))
   }
 
+  test("softDedupWeights: every cluster contributes exactly one document of mass") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+    val w = Dedup.softDedupWeights(docs, pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_members"), r.getAs[Double]("weight")))
+    // every corpus doc appears exactly once — soft dedup drops nothing
+    assert(w.map(_._1).toSeq.sorted == docs.collect().map(_.getLong(0)).toSeq.sorted)
+    // cluster {0,1,4} → weight 1/3 each; singletons keep weight 1 with
+    // themselves as cluster
+    val byId = w.map(t => t._1 -> t).toMap
+    Seq(0L, 1L, 4L).foreach { id =>
+      assert(byId(id)._3 == 3L && math.abs(byId(id)._4 - 1.0 / 3) < 1e-6) }
+    Seq(2L, 3L, 5L).foreach { id =>
+      assert(byId(id) == ((id, id, 1L, 1.0))) }
+    // the defining invariant: per cluster, weights sum to ~1 (6dp grid)
+    w.groupBy(_._2).foreach { case (c, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < rows.length * 1e-6,
+        s"cluster $c mass ${rows.map(_._4).sum}")
+    }
+    // reweighting is partition-deterministic (the sampler contract)
+    val re = Dedup.softDedupWeights(docs.repartition(7), pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(re.toSet == w.toSet)
+  }
+
   test("dedupByClustersBest keeps the highest-scoring member per cluster") {
     // cluster {0,1,4}: doc 1 gets the top score, so it survives instead
     // of min id 0; unclustered docs always survive
