@@ -613,6 +613,17 @@ object SparkEntry {
       Dedup.softDedupWeights(docs,
         Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5))
     }),
+    "dedup_soft_sample" -> ((s, dir) => {
+      // the composition the soft weights exist FOR: an A-Res weighted
+      // draw where each near-dup cluster competes with ONE document of
+      // total mass — a boilerplate flood cannot crowd the sample the way
+      // it would under uniform or length weights
+      val docs = t(s, dir, "documents")
+      Selection.sampleWeighted(
+        Dedup.softDedupWeights(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)),
+        col("weight"), k = 100)
+    }),
     "dedup_survivors" -> ((s, dir) => {
       // the pipeline's real deliverable: the corpus with non-survivor
       // near-dup cluster members removed
@@ -2372,6 +2383,21 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN labels l ON l.id = d.doc_id
          |LEFT JOIN sizes s ON s.cluster = l.cluster""".stripMargin,
+    "dedup_soft_sample" ->
+      s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
+         |$ccCtesSql,
+         |sizes AS (SELECT cluster, count(*) AS n FROM labels GROUP BY 1),
+         |sw AS (SELECT d.doc_id,
+         |  ${Quantize.sql6("1.0 / coalesce(s.n, 1)")} AS weight
+         |  FROM documents d
+         |  LEFT JOIN labels l ON l.id = d.doc_id
+         |  LEFT JOIN sizes s ON s.cluster = l.cluster)
+         |SELECT doc_id, CAST(weight AS DOUBLE) AS w,
+         | floor((ln((h + 0.5) / 4294967296.0) / weight) * 1e6 + 0.5) / 1e6 AS ares_key
+         |FROM (SELECT doc_id, weight,
+         |        ${hashValueSql("doc_id", Selection.WeightSalt)} AS h
+         |      FROM sw WHERE weight > 0)
+         |ORDER BY ares_key DESC, doc_id LIMIT 100""".stripMargin,
     "dedup_survivors" ->
       s"""WITH RECURSIVE pairs AS ($oracleJaccardSql),
          |$ccCtesSql

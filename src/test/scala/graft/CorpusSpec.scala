@@ -313,6 +313,47 @@ class CorpusSpec extends AnyFunSuite {
     assert((3 to 10).forall(i => cover(s"w$i") == 2), s"coverage: $cover")
   }
 
+  test("CostChunks kernel: fuzz against an independent running-sum fold (incl. zero and varying costs)") {
+    // the r17 kernel replaced a window plan that was itself hash-verified;
+    // this pins the full semantics (running = inclusive prefix sum,
+    // chunk = (max(run,1)-1) div budget, text joined in token order,
+    // n_tokens = per-chunk cost sum) against a PLAIN Scala fold sharing
+    // no code with the kernel, over randomized token/cost streams
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 40) {
+      val n = rnd.nextInt(30)
+      val toks = (0 until n).map(i => s"w${rnd.nextInt(8)}_$i")
+      val costs = (0 until n).map(_ => rnd.nextInt(5).toLong) // incl. 0
+      val budget = 1L + rnd.nextInt(7)
+      // independent fold
+      var run = 0L
+      val expect = scala.collection.mutable.LinkedHashMap[Long, (List[String], Long)]()
+      toks.zip(costs).foreach { case (t, c) =>
+        run += c
+        val chunk = (math.max(run, 1L) - 1L) / budget
+        val (ts, s) = expect.getOrElse(chunk, (Nil, 0L))
+        expect(chunk) = (ts :+ t, s + c)
+      }
+      val df = Seq((toks, costs)).toDF("toks", "costs")
+        .select(explode(graft.plans.TextExpressions.costChunks(
+          col("toks"), col("costs"), budget)).as("c"))
+        .select(col("c.chunk"), col("c.chunk_text"), col("c.n_tokens"))
+      val got = df.collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val want = expect.map { case (k, (ts, s)) => k -> (ts.mkString(" "), s) }.toMap
+      assert(got == want, s"trial $trial (n=$n budget=$budget): $got vs $want")
+    }
+    // all-null costs: running never moves (SUM's null rule), one chunk 0,
+    // null n_tokens
+    val nullCosts = Seq((Seq("a", "b"), Seq[java.lang.Long](null, null)))
+      .toDF("toks", "costs")
+      .select(explode(graft.plans.TextExpressions.costChunks(
+        col("toks"), col("costs"), 4L)).as("c"))
+      .select(col("c.chunk"), col("c.chunk_text"), col("c.n_tokens")).collect()
+    assert(nullCosts.length == 1 && nullCosts.head.getLong(0) == 0L &&
+      nullCosts.head.getString(1) == "a b" && nullCosts.head.isNullAt(2))
+  }
+
   test("chunkDocsByCost: unit cost equals chunkDocs exactly; BPE costs conserve totals") {
     import graft.functions.TextFunctions
     val docs = Seq(
