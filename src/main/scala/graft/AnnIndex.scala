@@ -435,10 +435,15 @@ object AnnIndex {
     // scan is over the already-pinned blocks of a micro-batch-sized
     // increment — cheap by the increment contract. The PQ model's
     // persisted dim is the layout's authoritative width.
+    // isNull branch: size(null) is null under ANSI, and null =!= dim is
+    // null — a null embedding would slip past a bare inequality filter
     inc.select(size(col("embedding")).as("__w"))
-      .filter(col("__w") =!= pq.dim).take(1).headOption.foreach { r =>
+      .filter(col("__w").isNull || col("__w") =!= pq.dim)
+      .take(1).headOption.foreach { r =>
+        val w = if (r.isNullAt(0)) "null (null embedding)"
+                else r.getInt(0).toString
         require(requirement = false,
-          s"increment contains a vector of width ${r.getInt(0)} != layout " +
+          s"increment contains a vector of width $w != layout " +
             s"dim ${pq.dim} — a mixed-width layout degrades silently; " +
             "re-embed the increment or rebuild the layout at the new width")
       }
@@ -498,15 +503,45 @@ object AnnIndex {
   }
 
   /** Content fingerprint of an increment: row count + order-independent
-    * bit_xor of xxhash64(id, embedding) — one cheap job over the already-
-    * pinned blocks (bit_xor, not sum: a 64-bit hash sum overflows under
-    * ANSI). Identical content ⇒ identical key, which is exactly the
-    * retry-detection contract [[growServingLayout]]'s markers need. */
-  private def incrementKey(inc: DataFrame, idCol: String): String = {
-    val r = inc.agg(count(lit(1)).as("n"),
-      bit_xor(xxhash64(col(idCol), col("embedding"))).as("h")).head
+    * bit_xor of xxhash64(id, embedding, multiplicity) — one cheap job
+    * over the already-pinned blocks (bit_xor, not sum: a 64-bit hash sum
+    * overflows under ANSI). Multiplicity is folded INTO the hash, not
+    * left to xor cancellation: under plain xor a row with even
+    * multiplicity cancels to 0, so two different increments that each
+    * consist of duplicated rows (exactly the accidental-double-batch
+    * scenario markers exist for) and share a row count would collide.
+    * Identical content (as a multiset) ⇒ identical key, which is exactly
+    * the retry-detection contract [[growServingLayout]]'s markers need.
+    * Shared with [[EmbeddingCurationJob]]'s increment-level markers. */
+  private[graft] def incrementKey(inc: DataFrame, idCol: String,
+      vecCol: String = "embedding"): String = {
+    val r = inc.groupBy(col(idCol), col(vecCol))
+      .agg(count(lit(1)).as("__m"))
+      .agg(sum(col("__m")).as("n"),
+        bit_xor(xxhash64(col(idCol), col(vecCol), col("__m"))).as("h"))
+      .head
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
     val h = if (r.isNullAt(1)) 0L else r.getLong(1)
-    s"${r.getLong(0)}_${java.lang.Long.toHexString(h)}"
+    s"${n}_${java.lang.Long.toHexString(h)}"
+  }
+
+  /** Record `increment` as already applied to every relation of a
+    * [[buildServingLayout]] layout — called after a FIRST-increment
+    * build so a retry of that increment (which sees the layout existing
+    * and routes to [[growServingLayout]]) skips the rows the build
+    * already contains instead of double-appending them. Same key, same
+    * marker convention as [[growServingLayout]]'s appendOnce. */
+  private[graft] def markLayoutApplied(spark: SparkSession, path: String,
+      increment: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val incId = incrementKey(increment, idCol, vecCol)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (rel <- Seq("ivf/assignments", "pq/codes", "cellcodes", "prefixes")) {
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/$rel/_graft_inc_applied_$incId")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) fs.create(marker, false).close()
+    }
   }
 
   def mrl300(spark: SparkSession, sfDir: String): DataFrame = {

@@ -78,6 +78,11 @@ object EmbeddingCurationJob {
   def selectionRegistryDir(root: String) = s"$root/registries/selection"
   def layoutDir(root: String) = s"$root/layout"
   def incrementsDir(root: String) = s"$root/increments"
+  /** Per-increment write-ahead state, keyed on the batch's CONTENT
+    * fingerprint: stage verdicts that depend on mutable registry state
+    * are persisted here before the registries grow, so a retried
+    * increment replays its recorded verdicts (see [[runIncrement]]). */
+  def incStateDir(root: String, key: String) = s"$root/inc_state/inc_$key"
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -107,7 +112,29 @@ object EmbeddingCurationJob {
 
   /** Run ONE increment through the configured stages; append its
     * curations and grow the registries/layout. See the class doc for the
-    * exact increment semantics per stage. */
+    * exact increment semantics per stage.
+    *
+    * RETRY-SAFE: the increment's outputs are recorded under a CONTENT
+    * key of the pinned batch ([[AnnIndex.incrementKey]]), and every
+    * stage whose verdict depends on mutable job state is write-ahead:
+    *  - stage 2's survivor set is persisted (`inc_state/<key>/survivor_ids`)
+    *    BEFORE the semdedup registry grows — a retried batch replays the
+    *    persisted verdict instead of re-probing a registry that already
+    *    contains the batch (which would drop every member as its own
+    *    cos=1.0 witness and ship zero rows);
+    *  - stage 4's selections are persisted (`inc_state/<key>/selected`)
+    *    before the selection registry grows, for the same reason
+    *    (ship-once would see the batch already shipped);
+    *  - every append (both registries, curated, the manifest) records
+    *    the applied increment as a marker file in the target relation
+    *    (growServingLayout's appendOnce convention), so a retry skips
+    *    completed writes instead of double-appending.
+    * A fully-completed increment is therefore a no-op on retry (same
+    * counts returned, nothing re-appended); a mid-sequence failure
+    * completes only the missing writes. Residual window, stated
+    * honestly: a crash BETWEEN an append finishing and its marker
+    * creation still double-appends that one relation (transactional
+    * table formats close it; parquet appends cannot). */
   def runIncrement(spark: SparkSession, batch: DataFrame, outRoot: String,
       cfg: EmbeddingCurationConfig = EmbeddingCurationConfig(),
       vecCol: String = "embedding", idCol: String = "vec_id"): Result = {
@@ -119,8 +146,20 @@ object EmbeddingCurationJob {
     val nBatch = b.count()
     val centroids = ensureCentroids(spark, b, outRoot, cfg.nCells,
       vecCol, idCol)
+    val incKey = AnnIndex.incrementKey(b, idCol, vecCol)
+    val stateDir = incStateDir(outRoot, incKey)
+    // a parquet dir counts as written only once its _SUCCESS commits —
+    // `exists` alone would treat a crashed partial write as state
+    def completed(path: String): Boolean = exists(spark, s"$path/_SUCCESS")
+    def appendOnce(relDir: String)(write: => Unit): Unit = {
+      val marker = new Path(s"$relDir/_graft_inc_applied_$incKey")
+      val fs = FileSystem.get(marker.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) { write; fs.create(marker, false).close() }
+    }
 
-    // 1. coherence floor (per-row; fused form)
+    // 1. coherence floor (per-row and model-pinned — deterministic on
+    // retry, no write-ahead needed)
     val floored = cfg.minCos match {
       case Some(c) => Materialize(
         Similarity.assignKeepVec(b, centroids, vecCol, idCol)
@@ -131,30 +170,38 @@ object EmbeddingCurationJob {
     val nFloored = floored.count()
 
     // 2. SemDeDup vs the persisted registry; registry then grows with
-    // every floor survivor. Survivors are PINNED before the append —
-    // their lineage reads the registry, and appending first would make
-    // the batch its own witness.
+    // every floor survivor. The probe's verdict is WRITE-AHEAD (persisted
+    // under the increment's content key) before the registry append: the
+    // verdict depends on registry state, so once the append lands, a
+    // re-probe would find the batch as its own witness.
     val deduped = cfg.dedupCos match {
       case Some(tau) =>
         val regPath = dedupRegistryDir(outRoot)
-        val regExists = exists(spark, regPath)
-        val survivorIds =
-          if (regExists) Similarity.semanticDedupIncrement(floored, centroids,
-            regPath, tau, vecCol = vecCol, idCol = idCol,
-            checkpointDir = cfg.checkpointDir)
-          else Similarity.semanticDedupClustered(floored, centroids, tau,
-            vecCol = vecCol, idCol = idCol)
+        val survPath = s"$stateDir/survivor_ids"
+        if (!completed(survPath)) {
+          val s =
+            if (completed(regPath)) Similarity.semanticDedupIncrement(
+              floored, centroids, regPath, tau, vecCol = vecCol,
+              idCol = idCol, checkpointDir = cfg.checkpointDir)
+            else Similarity.semanticDedupClustered(floored, centroids, tau,
+              vecCol = vecCol, idCol = idCol)
+          s.select(col(idCol)).write.mode("overwrite").parquet(survPath)
+        }
         val pinned = Materialize(
-          floored.join(survivorIds.select(col(idCol)), Seq(idCol), "left_semi"),
+          floored.join(spark.read.parquet(survPath).select(col(idCol)),
+            Seq(idCol), "left_semi"),
           cfg.checkpointDir)
-        Similarity.writeSemanticRegistry(floored, centroids, regPath,
-          vecCol = vecCol, idCol = idCol, append = regExists)
+        appendOnce(regPath) {
+          Similarity.writeSemanticRegistry(floored, centroids, regPath,
+            vecCol = vecCol, idCol = idCol, append = completed(regPath))
+        }
         pinned
       case None => floored
     }
     val nDeduped = deduped.count()
 
-    // 3. decontamination vs the configured eval set (per-row)
+    // 3. decontamination vs the configured eval set (per-row against an
+    // immutable external set — deterministic on retry)
     val decontaminated = cfg.evalDir match {
       case Some(dir) => Similarity.decontaminateSemantic(deduped,
         spark.read.parquet(dir), cfg.decontCos, vecCol, idCol)
@@ -163,47 +210,60 @@ object EmbeddingCurationJob {
     val nDecont = decontaminated.count()
 
     // 4. ship-once diversity cap vs the selection registry (which then
-    // grows with this increment's selections — pin before append, as in
-    // stage 2); without a cap, every survivor ships with its cell
+    // grows with this increment's selections) — write-ahead like stage 2:
+    // once the registry holds the batch, a re-run's ship-once probe would
+    // see every member already shipped
     val selected = cfg.perCell match {
       case Some(k) =>
         val selPath = selectionRegistryDir(outRoot)
-        val selExists = exists(spark, selPath)
-        val sel =
-          if (selExists) Selection.selectDiverseInc(decontaminated, centroids,
-            spark.read.parquet(selPath), k, vecCol, idCol)
-          else Selection.selectDiverse(decontaminated, centroids, k,
-            vecCol, idCol)
-        val pinned = Materialize(sel, cfg.checkpointDir)
-        pinned.write.mode(if (selExists) "append" else "overwrite")
-          .parquet(selPath)
+        val shipPath = s"$stateDir/selected"
+        if (!completed(shipPath)) {
+          val sel =
+            if (completed(selPath)) Selection.selectDiverseInc(decontaminated,
+              centroids, spark.read.parquet(selPath), k, vecCol, idCol)
+            else Selection.selectDiverse(decontaminated, centroids, k,
+              vecCol, idCol)
+          sel.write.mode("overwrite").parquet(shipPath)
+        }
+        val pinned = spark.read.parquet(shipPath)
+        appendOnce(selPath) {
+          pinned.write.mode(if (completed(selPath)) "append" else "overwrite")
+            .parquet(selPath)
+        }
         pinned
       case None => Similarity.kmeansAssign(decontaminated, centroids,
         vecCol, idCol).select(col(idCol), col("cell"))
     }
 
-    // 5. cluster-disjoint split; append the increment's manifest
+    // 5. cluster-disjoint split (per-row over the pinned selections);
+    // append the curations once per increment content
     val curated = Materialize(selected.select(col(idCol), col("cell"),
       Corpus.splitExpr(col("cell"), cfg.trainPct, cfg.valPct).as("split")),
       cfg.checkpointDir)
-    curated.write.mode("append").parquet(curatedDir(outRoot))
+    appendOnce(curatedDir(outRoot)) {
+      curated.write.mode("append").parquet(curatedDir(outRoot))
+    }
     val nCurated = curated.count()
 
     // serving layout over the curated corpus (idempotent growth —
-    // AnnIndex's per-increment markers)
+    // AnnIndex's per-increment markers; a first-increment BUILD records
+    // the same markers so its retry routes through grow and skips)
     if (cfg.growLayout) {
       val vecs = deduped.join(curated.select(col(idCol)), Seq(idCol),
         "left_semi").select(col(idCol), col(vecCol))
       val lp = layoutDir(outRoot)
-      if (!exists(spark, s"$lp/ivf"))
+      if (!exists(spark, s"$lp/ivf")) {
         AnnIndex.buildServingLayout(vecs, lp, nCells = cfg.layoutCells)
-      else AnnIndex.growServingLayout(spark, lp, vecs,
+        AnnIndex.markLayoutApplied(spark, lp, vecs, idCol, vecCol)
+      } else AnnIndex.growServingLayout(spark, lp, vecs,
         checkpointDir = cfg.checkpointDir)
     }
 
-    Seq((nBatch, nFloored, nDeduped, nDecont, nCurated))
-      .toDF("batch_vecs", "floored", "deduped", "decontaminated", "curated")
-      .write.mode("append").parquet(incrementsDir(outRoot))
+    appendOnce(incrementsDir(outRoot)) {
+      Seq((nBatch, nFloored, nDeduped, nDecont, nCurated))
+        .toDF("batch_vecs", "floored", "deduped", "decontaminated", "curated")
+        .write.mode("append").parquet(incrementsDir(outRoot))
+    }
     Result(nBatch, nFloored, nDeduped, nDecont, nCurated)
   }
 }

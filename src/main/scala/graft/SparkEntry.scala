@@ -2379,7 +2379,7 @@ object SparkEntry {
          |SELECT d.doc_id,
          | CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster,
          | CAST(coalesce(s.n, 1) AS BIGINT) AS n_members,
-         | ${Quantize.sql6("1.0 / coalesce(s.n, 1)")} AS weight
+         | greatest(${Quantize.sql6("1.0 / coalesce(s.n, 1)")}, 1e-6) AS weight
          |FROM documents d
          |LEFT JOIN labels l ON l.id = d.doc_id
          |LEFT JOIN sizes s ON s.cluster = l.cluster""".stripMargin,
@@ -2388,7 +2388,7 @@ object SparkEntry {
          |$ccCtesSql,
          |sizes AS (SELECT cluster, count(*) AS n FROM labels GROUP BY 1),
          |sw AS (SELECT d.doc_id,
-         |  ${Quantize.sql6("1.0 / coalesce(s.n, 1)")} AS weight
+         |  greatest(${Quantize.sql6("1.0 / coalesce(s.n, 1)")}, 1e-6) AS weight
          |  FROM documents d
          |  LEFT JOIN labels l ON l.id = d.doc_id
          |  LEFT JOIN sizes s ON s.cluster = l.cluster)

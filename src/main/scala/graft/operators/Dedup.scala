@@ -463,6 +463,11 @@ object Dedup {
    * (idCol, cluster, n_members, weight) for EVERY corpus document —
    * unpaired docs are their own cluster of 1 at weight 1 — ready to
    * feed [[Corpus.sampleWeighted]] / a loss-weighting loader column.
+   * The quantized weight is clamped to ≥1e-6: above 2M members 6dp
+   * rounding would hit exactly 0 and a weighted draw's `weight > 0`
+   * filter would erase the cluster entirely (mass 0, not mass 1); the
+   * clamp trades "exactly one document of mass" for "at least one" on
+   * >2M-member clusters, which is the right failure direction.
    *
    * Scale shape: connected components run over the PAIRS (a sliver of
    * the corpus — [[dedupByClusters]]' posture), cluster sizes are one
@@ -482,8 +487,13 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("cluster"), col(idCol)).as("cluster"),
         coalesce(col("__n"), lit(1L)).as("n_members"),
-        graft.functions.Quantize.quantize(
-          lit(1.0) / coalesce(col("__n"), lit(1L)), 6).as("weight"))
+        // clamp: 6dp quantization rounds 1/n to 0 above 2M members, and
+        // weight 0 would drop the whole cluster from a weighted draw —
+        // mass 0 instead of the documented "exactly one document of
+        // mass". 1e-6 keeps mega-clusters in the draw (the unit-mass
+        // invariant degrades gracefully: ≥1 instead of exactly 1)
+        greatest(graft.functions.Quantize.quantize(
+          lit(1.0) / coalesce(col("__n"), lit(1L)), 6), lit(1e-6)).as("weight"))
   }
 
   /**

@@ -547,10 +547,17 @@ object Similarity {
     // wide first row, and one clipped prefix poisons the relation
     // silently (growServingLayout's reasoning — the write path affords
     // one pass over a micro-batch-sized increment; serve paths do not).
-    increment.select(size(col(vecCol)).as("__w"))
-      .filter(col("__w") < kDims).take(1).headOption.foreach { r =>
+    // isNull branch: under ANSI size(null) is null, which would PASS a
+    // bare `< kDims` filter — a null embedding must fail as loudly as a
+    // short one (mrlProjection would otherwise write a null prefix row
+    // into the persisted relation)
+    increment.select(col(idCol), size(col(vecCol)).as("__w"))
+      .filter(col("__w").isNull || col("__w") < kDims)
+      .take(1).headOption.foreach { r =>
+        val w = if (r.isNullAt(1)) "null (null embedding)"
+                else r.getInt(1).toString
         require(requirement = false,
-          s"increment contains a vector of width ${r.getInt(0)} < kDims " +
+          s"increment row $idCol=${r.get(0)} has vector width $w < kDims " +
             s"$kDims — slice() would clip it to a short prefix that every " +
             "route dot silently nulls out; re-embed the increment or " +
             "rebuild the relation at the narrower width")

@@ -109,4 +109,69 @@ class EmbeddingCurationJobSpec extends AnyFunSuite {
         r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(inc == Set(r1, r2))
   }
+
+  test("retry safety: a replayed increment is a no-op; a stage-3 crash after the registry grew still ships the batch on retry") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val evalDir = java.nio.file.Files.createTempDirectory("ecj_eval2").toString
+    e.filter(col("vec_id") < 25).write.mode("overwrite").parquet(evalDir)
+    val corpus = e.filter(col("vec_id") >= 25)
+    val batchA = corpus.filter(col("vec_id") < 300)
+    val batchB = corpus.filter(col("vec_id") >= 300)
+    val root = java.nio.file.Files.createTempDirectory("ecj_retry").toString
+    // perCell 40 (vs the main spec's 12): at 12 every cell is at cap
+    // after increment 1 and a LEGITIMATE increment 2 ships zero rows —
+    // the retry assertions below need a batch that genuinely ships
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), evalDir = Some(evalDir), decontCos = 0.45,
+      perCell = Some(40), growLayout = true, layoutCells = 4)
+    def n(dir: String) = spark.read.parquet(dir).count()
+    // control: the same two increments through a never-crashed job —
+    // the retried run below must land exactly here
+    val ctlRoot = java.nio.file.Files.createTempDirectory("ecj_ctl").toString
+    val ctlCfg = cfg.copy(growLayout = false)
+    EmbeddingCurationJob.runIncrement(spark, batchA, ctlRoot, ctlCfg)
+    val ctl2 = EmbeddingCurationJob.runIncrement(spark, batchB, ctlRoot, ctlCfg)
+    assert(ctl2.curated > 0, "control increment 2 ships nothing — test vacuous")
+
+    val r1 = EmbeddingCurationJob.runIncrement(spark, batchA, root, cfg)
+    val snap = Seq(EmbeddingCurationJob.curatedDir(root),
+      EmbeddingCurationJob.dedupRegistryDir(root),
+      EmbeddingCurationJob.selectionRegistryDir(root),
+      s"${EmbeddingCurationJob.layoutDir(root)}/prefixes",
+      s"${EmbeddingCurationJob.layoutDir(root)}/pq/codes",
+      EmbeddingCurationJob.incrementsDir(root)).map(d => d -> n(d))
+
+    // verbatim replay of a COMPLETED increment: same Result, nothing
+    // double-appended anywhere (markers skip every write; the first-
+    // increment layout BUILD recorded its markers so the replay's grow
+    // path skips too)
+    val r1b = EmbeddingCurationJob.runIncrement(spark, batchA, root, cfg)
+    assert(r1b == r1)
+    snap.foreach { case (d, c) =>
+      assert(n(d) == c, s"replay double-appended $d") }
+
+    // the ADVICE scenario: increment B fails in stage 3 AFTER stage 2
+    // persisted its survivors and grew the semdedup registry (simulated
+    // with an unreadable eval dir — the read throws before stage 3 runs)
+    val badCfg = cfg.copy(evalDir = Some(s"$root/no_such_eval"))
+    intercept[Exception] {
+      EmbeddingCurationJob.runIncrement(spark, batchB, root, badCfg) }
+    val regAfterCrash = n(EmbeddingCurationJob.dedupRegistryDir(root))
+    assert(regAfterCrash > snap(1)._2, "crash simulation never reached stage 2")
+
+    // retry with the fixed config: the persisted stage-2 verdict replays
+    // (instead of re-probing a registry that now CONTAINS the batch,
+    // which would drop every member as its own cos=1.0 witness and ship
+    // zero rows), the registry is not double-appended, and the shipped
+    // set equals the fused semantics — identical to the two-increment
+    // run in the main spec
+    val r2 = EmbeddingCurationJob.runIncrement(spark, batchB, root, cfg)
+    assert(r2 == ctl2,
+      "retried increment diverged from the never-crashed control")
+    assert(r2.curated > 0, "retried batch shipped zero rows")
+    assert(n(EmbeddingCurationJob.dedupRegistryDir(root)) == regAfterCrash,
+      "registry double-appended on retry")
+    assert(n(EmbeddingCurationJob.curatedDir(root)) == r1.curated + r2.curated)
+  }
 }
