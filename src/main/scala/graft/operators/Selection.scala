@@ -38,15 +38,23 @@ import graft.functions.{Quantize, TextFunctions}
  *    partition to fold the two histograms, ONE broadcast row out, then
  *    map-only scoring (`aggregate` over the per-row feature array against
  *    the broadcast log-ratio array). The top-k select is
- *    TakeOrderedAndProject (per-partition heaps), not a global sort.
+ *    TakeOrderedAndProject (per-partition heaps) up to [[TopKMergeCap]];
+ *    above it (production "select 5% of the corpus" k) the
+ *    [[topKThresholdCut]] valve selects the identical set with no
+ *    single-point merge.
  *  - NB: one term-keyed exchange for the (term, class) counts (map-side
  *    combined; the exchange carries ≤ vocab·classes rows), one single-row
  *    fold into a broadcast term→count-array map, map-only scoring. For
  *    open-vocabulary corpora beyond the broadcast ceiling, cap the
  *    modelled vocab (`vocabCap`) — untracked terms fall to the Laplace
  *    floor, exactly how production fastText-style routers bound their
- *    tables.
- *  - A-Res: a pure map (hash, ln, divide) + TakeOrderedAndProject.
+ *    tables. The vocabCap head itself is a TakeOrdered over the term
+ *    relation — inherently cap-bounded: its k IS the broadcast-model
+ *    size, which the broadcast ceiling binds long before the merge
+ *    funnel would (no valve needed there by construction).
+ *  - A-Res: a pure map (hash, ln, divide) + TakeOrderedAndProject, with
+ *    the same [[TopKMergeCap]] → [[topKThresholdCut]] valve for
+ *    corpus-fraction k.
  */
 object Selection {
 
@@ -246,10 +254,100 @@ object Selection {
     * on the QUANTIZED value so the kept set is engine-exact. */
   def dsirTopK(docs: DataFrame, target: Column, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
-      buckets: Int = DsirBuckets): DataFrame =
-    dsirWeights(docs, target, textCol, idCol, buckets)
-      .orderBy(col("weight").desc, col(idCol))
-      .limit(k)
+      buckets: Int = DsirBuckets, mergeCap: Int = TopKMergeCap,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val scored = dsirWeights(docs, target, textCol, idCol, buckets)
+    if (k <= mergeCap)
+      scored.orderBy(col("weight").desc, col(idCol)).limit(k)
+    else topKThresholdCut(scored, "weight", idCol, k, checkpointDir)
+  }
+
+  /** Above this k, the top-k selectors route through
+    * [[topKThresholdCut]] instead of `orderBy.limit`:
+    * TakeOrderedAndProject's final merge concentrates the full k-row
+    * result in ONE task (per-partition heaps, single-point merge) —
+    * fine for "top 10k docs", a funnel for "select 5% of the corpus"
+    * where k is hundreds of millions. 4M rows ≈ a few hundred MB at the
+    * merge point, comfortably inside one task; beyond that the valve's
+    * extra light jobs cost less than the merge. */
+  val TopKMergeCap: Int = 4 * 1000 * 1000
+
+  /**
+   * EXACT top-k by (`keyCol` DESC, `idCol` ASC) with NO single-point
+   * merge — the cap-safe twin of `orderBy.limit(k)`, selecting the
+   * identical row set (spec-pinned):
+   *
+   *   1. threshold precut — `approx_percentile` (bounded-memory GK
+   *      sketch, one map-side-combined aggregate) estimates the k-th
+   *      key; the fraction is guard-banded by the sketch's rank-error
+   *      bound (≤ n/accuracy) and VERIFIED by a count, widening
+   *      geometrically on the (rare) under-cut. The corpus is then
+   *      touched by one map-only filter → ~k(1+ε) candidates.
+   *   2. distributed exact rank over the candidates — range-repartition
+   *      on the sort key (the only shuffle, ~k rows), per-partition
+   *      `row_number` (a window PARTITIONED by `spark_partition_id`, so
+   *      no global-sort single task), plus a ≤ #partitions-row collect
+   *      of per-partition counts whose running sums broadcast back as
+   *      rank offsets. `global_rank = offset(pid) + rn ≤ k`.
+   *
+   * Ties at the threshold break by the same (key, id) order as the
+   * TakeOrdered path — `idCol` must be unique, so the selection is
+   * total and deterministic. Output is distributed (partition-local
+   * sorted), never funneled through one task.
+   */
+  private[graft] def topKThresholdCut(scored0: DataFrame, keyCol: String,
+      idCol: String, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = scored0.sparkSession
+    if (k <= 0) return scored0.limit(0)
+    // one scoring pass: count, sketch, filter and rank all read the
+    // pinned blocks (dropBottomQuantile's Materialize contract)
+    val scored = Materialize(scored0, checkpointDir)
+    val n = scored.count()
+    val cand: DataFrame =
+      if (k >= n) scored
+      else {
+        val acc = 100000 // GK sketch accuracy: rank error <= n/acc
+        var mult = 3L
+        var out: Option[DataFrame] = None
+        while (out.isEmpty) {
+          val depth = k.toLong + mult * math.max(1L, n / acc)
+          if (depth >= n) out = Some(scored)
+          else {
+            val f = 1.0 - depth.toDouble / n
+            val thr = scored.agg(
+              approx_percentile(col(keyCol), lit(f), lit(acc)).as("t")).head
+            if (thr.isNullAt(0)) out = Some(scored)
+            else {
+              val c = Materialize(
+                scored.filter(col(keyCol) >= thr.getDouble(0)), checkpointDir)
+              if (c.count() >= k) out = Some(c) else mult *= 4
+            }
+          }
+        }
+        out.get
+      }
+    // distributed exact rank over the ~k-row candidate sliver
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Materialize(
+      cand.repartitionByRange(parts, col(keyCol).desc, col(idCol).asc)
+        .sortWithinPartitions(col(keyCol).desc, col(idCol).asc)
+        .withColumn("__pid", spark_partition_id()), checkpointDir)
+    val perPart = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = perPart.map { case (p, c) =>
+      val o = (p, running); running += c; o }
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(keyCol).desc, col(idCol).asc)
+    sorted.withColumn("__rn", row_number().over(w))
+      .join(offDf, Seq("__pid"))
+      .filter(col("__off") + col("__rn") <= k)
+      .drop("__pid", "__rn", "__off")
+  }
 
   /**
    * Multinomial Naive Bayes with Laplace smoothing: train token counts on
@@ -432,16 +530,18 @@ object Selection {
    * selection; plans as a map + TakeOrderedAndProject.
    */
   def sampleWeighted(docs: DataFrame, weight: Column, k: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", mergeCap: Int = TopKMergeCap,
+      checkpointDir: Option[String] = None): DataFrame = {
     val u = (Corpus.hashValue(col(idCol), WeightSalt) + lit(0.5)) / lit(4294967296.0)
     // w is reported as DOUBLE: the draw uses the true fractional weight,
     // so the emitted weight must be the same value (a long cast would
     // report w = 0 for every weight in (0,1) while still sampling by it)
-    docs.filter(weight > 0)
+    val scored = docs.filter(weight > 0)
       .select(col(idCol), weight.cast("double").as("w"),
         Quantize.quantize(log(u) / weight.cast("double"), 6).as("ares_key"))
-      .orderBy(col("ares_key").desc, col(idCol))
-      .limit(k)
+    if (k <= mergeCap)
+      scored.orderBy(col("ares_key").desc, col(idCol)).limit(k)
+    else topKThresholdCut(scored, "ares_key", idCol, k, checkpointDir)
   }
 
   /**

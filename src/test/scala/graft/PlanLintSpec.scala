@@ -192,6 +192,35 @@ class PlanLintSpec extends AnyFunSuite {
       "red-proof drifted: a broadcast-hinted pin should be flagged")
   }
 
+  /** Above [[Selection.TopKMergeCap]], the weighted selectors must not
+    * plan TakeOrderedAndProject: its final merge concentrates the full
+    * k-row result in one task — fine at "top 10k", a driver-side funnel
+    * at "select 5% of the corpus". The threshold-cut valve's plan is a
+    * map-only precut + ~k-row range exchange + pid-partitioned
+    * row_number — no single-point merge anywhere. */
+  test("selection above the merge cap plans no TakeOrdered merge; below it, it does") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.functions.{col, length}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+    def takeOrdered(df: org.apache.spark.sql.DataFrame) = {
+      df.queryExecution.toRdd.count() // finalize AQE
+      SparkTestBase.planSeq(df.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[TakeOrderedAndProjectExec])
+    }
+    val valve = graft.operators.Selection.sampleWeighted(
+      d, col("n_chars"), k = 64, mergeCap = -1)
+    assert(takeOrdered(valve).isEmpty,
+      "above-cap selection still plans a TakeOrdered single-point merge")
+    // positive control: the below-cap path genuinely plans the node this
+    // lint looks for (the walk is not vacuous)
+    val base = graft.operators.Selection.sampleWeighted(
+      d, col("n_chars"), k = 64)
+    assert(takeOrdered(base).nonEmpty,
+      "below-cap selection no longer plans TakeOrderedAndProject — " +
+        "retarget this lint's positive control")
+  }
+
   /** The embedding-side flagship's 100 TB shape, pinned: ONE corpus
     * scan, ONE shuffle exchange (the SemDeDup cell aggregation — the
     * diversity election reuses its hash partitioning), the eval side the

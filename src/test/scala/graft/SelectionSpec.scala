@@ -235,6 +235,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(fout == Map(1L -> 0.7, 2L -> 0.2), s"got $fout")
   }
 
+  // ---- threshold-cut valve ----
+
+  test("topKThresholdCut valve selects exactly the TakeOrdered set") {
+    // real corpus so the approximate precut genuinely cuts (and its
+    // guard-band/widening logic runs against a non-trivial key spread)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+    val n = d.count()
+    for (k <- Seq(1, 7, 64, 500, n.toInt + 100)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      val base = rows(Selection.sampleWeighted(d, col("n_chars"), k))
+      val valve = rows(Selection.sampleWeighted(d, col("n_chars"), k,
+        mergeCap = -1))
+      assert(valve == base, s"valve diverged from TakeOrdered at k=$k")
+      assert(base.size == math.min(k.toLong, n))
+    }
+    // k <= 0: empty through the valve too
+    assert(Selection.sampleWeighted(d, col("n_chars"), 0, mergeCap = -1)
+      .count() == 0)
+    // dsirTopK rides the same valve over its quantized weight key
+    val docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(Selection.dsirTopK(docs2, col("lang") === "en", 25,
+        mergeCap = -1)) ==
+      ids(Selection.dsirTopK(docs2, col("lang") === "en", 25)))
+  }
+
   // ---- k-means building blocks ----
 
   private lazy val vecs = Seq(
