@@ -29,7 +29,11 @@ import graft.operators.{Corpus, Materialize, Selection}
  *      for passages the corpus already ships once]
  *   → cleanCorpus (quality gate → language gate → exact dedup → near-dup
  *   survivors [→ decontamination → PII redaction → stratified rebalance]
- *   → split assignment)
+ *   → split assignment) — with `soft_dedup`, the near-dup stage
+ *   reweights instead of removes: every cluster member ships carrying
+ *   `weight = 1/|cluster|` into the shards (unit mass per cluster;
+ *   compose with `sample_k` + `sample_weight_col = "weight"` for the
+ *   reweight-then-draw pipeline)
  *   [→ selection: DSIR top-k toward a target domain
  *      ([[graft.operators.Selection.dsirTopK]]) or a deterministic
  *      weighted draw ([[graft.operators.Selection.sampleWeighted]])]
@@ -169,7 +173,7 @@ object TrainingSetJob {
     val cleaned0 = Corpus.cleanCorpus(docs, cfg.lang, cfg.minTokens,
       cfg.maxDigitRatio, cfg.ngram, cfg.minJaccard, cfg.maxDf, "text",
       "doc_id", cfg.checkpointDir, evalDocs, cfg.evalMinOverlap, cfg.redact,
-      cfg.strata)
+      cfg.strata, cfg.softDedup)
     // without redaction cleanCorpus returns ids only — join the text back
     // (semi-shaped inner join on the id; AQE broadcasts the smaller side)
     val cleaned = Materialize(

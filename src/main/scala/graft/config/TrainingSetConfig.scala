@@ -22,6 +22,7 @@ final case class TrainingSetConfig(
     ngram: Int = 3,
     minJaccard: Double = 0.5,
     maxDf: Option[Long] = None,
+    softDedup: Boolean = false,
     evalDir: Option[String] = None,
     evalMinOverlap: Long = 5,
     redact: Boolean = false,
@@ -112,6 +113,7 @@ object TrainingSetConfig {
       ngram = int("ngram", 3),
       minJaccard = dbl("min_jaccard", 0.5),
       maxDf = optNode("max_df").map(_.asLong),
+      softDedup = bool("soft_dedup", d = false),
       evalDir = optNode("eval_dir").map(_.asText),
       evalMinOverlap = long("eval_min_overlap", 5),
       redact = bool("redact", d = false),

@@ -717,6 +717,13 @@ object Corpus {
    *    ([[sampleStratified]] — a map-only hash filter), e.g. downsample
    *    the dominant source. The strata column is carried through the
    *    pipeline only when requested.
+   *  - `softDedup`: the near-dup stage reweights instead of removes —
+   *    every cluster member survives with `weight = 1/|cluster|`
+   *    ([[Dedup.softDedupWeights]]; exact dups are still removed hard),
+   *    and the `weight` column rides the output into the shards for a
+   *    loss-weighting loader. The `dedup_soft_weights` oracle verifies
+   *    the weights; TrainingSetJobSpec pins that cluster unit mass
+   *    survives the full pipeline.
    * All four stages on are hash-verified end-to-end by the
    * `corpus_clean_full` one-statement oracle.
    */
@@ -726,7 +733,8 @@ object Corpus {
       idCol: String = "doc_id", checkpointDir: Option[String] = None,
       evalDocs: Option[DataFrame] = None, evalMinOverlap: Long = 5,
       redact: Boolean = false,
-      strata: Option[(String, Map[String, Int], Int)] = None): DataFrame = {
+      strata: Option[(String, Map[String, Int], Int)] = None,
+      softDedup: Boolean = false): DataFrame = {
     val qc = TextFunctions.qualityColumns(col(textCol)).toMap
     val gated = docs.filter(qc("n_tokens") >= minTokens &&
       qc("digit_ratio") <= maxDigitRatio &&
@@ -735,11 +743,20 @@ object Corpus {
     val exactKept = Materialize(gated.join(
       Dedup.exact(gated, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
       .select(keepCols.map(col): _*), checkpointDir)
-    val survivors = Dedup.dedupByClusters(exactKept,
-      Dedup.ngramJaccardPairs(exactKept, n = n, minJaccard = minJaccard,
-        textCol = textCol, idCol = idCol, maxDf = maxDf,
-        checkpointDir = checkpointDir),
-      idCol, checkpointDir)
+    val pairs = Dedup.ngramJaccardPairs(exactKept, n = n,
+      minJaccard = minJaccard, textCol = textCol, idCol = idCol,
+      maxDf = maxDf, checkpointDir = checkpointDir)
+    // softDedup REWEIGHTS the near-dup stage instead of removing: every
+    // cluster member survives carrying weight = 1/|cluster| (unit mass
+    // per cluster — Dedup.softDedupWeights), ready for a loss-weighting
+    // loader or a downstream weighted draw. Exact duplicates are still
+    // removed hard in both modes: byte-identical copies carry no
+    // distributional signal worth preserving.
+    val survivors =
+      if (softDedup) exactKept.join(
+        Dedup.softDedupWeights(exactKept, pairs, idCol, checkpointDir)
+          .select(col(idCol), col("weight")), Seq(idCol))
+      else Dedup.dedupByClusters(exactKept, pairs, idCol, checkpointDir)
     // decontaminate on the ORIGINAL text (contamination is about overlap
     // with the eval set as published), redact after, rebalance last —
     // the filters commute, so this order just keeps semantics obvious
@@ -752,6 +769,7 @@ object Corpus {
       sampleStratified(redacted, sc, rates, dflt, idCol)
     }
     val outCols = col(idCol) +: ((if (redact) Seq(col(textCol)) else Nil) ++
+      (if (softDedup) Seq(col("weight")) else Nil) ++
       Seq(col("bucket"), col("split")))
     splitAssign(balanced, idCol).select(outCols: _*)
   }

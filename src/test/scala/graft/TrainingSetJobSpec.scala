@@ -423,6 +423,52 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(shipped == expect)
   }
 
+  test("soft_dedup branch: near-dup members ship reweighted, cluster unit mass survives the pipeline") {
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_soft").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"soft_dedup":true,"chunk_budget":64,"pack_groups":2,"n_shards":4}""")
+    val r = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot, cfg)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // soft keeps every near-dup member the hard form removes
+    val hardClean = Corpus.cleanCorpus(docs).count()
+    assert(r.cleanDocs == Corpus.cleanCorpus(docs, softDedup = true).count())
+    assert(r.cleanDocs > hardClean,
+      "fixture has no near-dup clusters — the soft branch is untested")
+    // the weight column rides all the way into the shards, in (0, 1]
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    assert(shards.columns.contains("weight"))
+    assert(shards.count() == r.cleanDocs)
+    assert(shards.filter(col("weight") <= 0 || col("weight") > 1).count() == 0)
+    // UNIT MASS, end to end: hard dedup ships exactly one doc per
+    // near-dup cluster (singletons included), so Σ shipped weights ==
+    // #clusters == the hard-dedup count — each cluster contributes
+    // exactly one document of mass however many variants it ships
+    // (tolerance: weights are 6dp-quantized, 1e-6 per member)
+    val mass = shards.agg(sum(col("weight"))).head.getDouble(0)
+    assert(math.abs(mass - hardClean) < 0.01,
+      s"shipped mass $mass != cluster count $hardClean")
+
+    // composability: a downstream A-Res draw ON the soft weights —
+    // reweight-then-sample (the dedup_soft_sample composition) as one
+    // job config, the near-dup-debiased draw the weights exist for
+    val outRoot2 = java.nio.file.Files.createTempDirectory("trainset_soft2").toString
+    val cfg2 = TrainingSetConfig.parse(
+      """{"soft_dedup":true,"sample_k":9,"sample_weight_col":"weight",
+        |"chunk_budget":64,"pack_groups":2,"n_shards":4}""".stripMargin)
+    val r2 = TrainingSetJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outRoot2, cfg2)
+    assert(r2.mixedDocs == 9)
+    val soft = Corpus.cleanCorpus(docs, softDedup = true)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val expect = graft.operators.Selection
+      .sampleWeighted(soft, col("weight"), 9)
+      .collect().map(_.getLong(0)).toSet
+    val shipped = spark.read.parquet(TrainingSetJob.shardsDir(outRoot2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped == expect)
+  }
+
   test("gopher gate: the signals kernel appears exactly once in the optimized plan") {
     // the job's gate shape: gopherKeep is ONE boolean kernel, so the
     // optimized plan must contain exactly one kernel expression and zero
