@@ -1023,10 +1023,12 @@ object SparkEntry {
         Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 0.1)),
     "quality_gate_stratified" -> ((s, dir) => {
       // per-SOURCE decile floor: each source drops its own worst 10% — a
-      // noisy source cannot consume the global cut for everyone
-      val docs = t(s, dir, "documents")
-      val scored = Corpus.unigramLogProb(docs)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // noisy source cannot consume the global cut for everyone. The
+      // stratum column is CARRIED through the scoring projection
+      // (unigramLogProb's carry param) — joining it back would re-scan
+      // and corpus-exchange the documents relation for one column
+      val scored = Corpus.unigramLogProb(t(s, dir, "documents"),
+        carry = Seq("source"))
       Corpus.dropBottomQuantileByStratum(scored, "logprob", 0.1, "source")
         .select(col("doc_id"), col("source"), col("logprob"))
     }),

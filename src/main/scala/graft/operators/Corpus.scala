@@ -794,9 +794,18 @@ object Corpus {
    * ceiling applies as tf-idf's df map: at open-vocabulary scale where
    * the vocab can't broadcast, pass `broadcastModel = false` for the
    * shuffle-join form.
+   *
+   * `carry` lists extra doc columns to ride the output (id, carry...,
+   * logprob): a downstream stage keyed on a doc attribute (the
+   * per-source gate's stratum column) would otherwise JOIN the corpus
+   * back to the scores — a corpus-sized exchange plus a second scan
+   * that carrying deletes outright (broadcast form: the carried column
+   * rides the map-only score projection; join form: it joins the
+   * per-doc aggregation key, functionally dependent on the id).
    */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", broadcastModel: Boolean = true): DataFrame = {
+      idCol: String = "doc_id", broadcastModel: Boolean = true,
+      carry: Seq[String] = Nil): DataFrame = {
     // Token HASHES, not strings ([[graft.plans.WordShingleHashes]] alnum
     // mode — same tokenizer as [[TextFunctions.tokens]]): the output is
     // (doc, score) only, so grouping/joining by the 8-byte hash computes
@@ -805,8 +814,8 @@ object Corpus {
     if (broadcastModel) {
       // token-less docs emit nothing — the explode form's semantics, as a
       // pre-filter (the kernel needs a non-empty array to average over)
-      val th = docs.select(col(idCol),
-        TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"))
+      val th = docs.select(col(idCol) +: carry.map(col) :+
+          TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"): _*)
         .where(size(col("__th")) > 0)
       // sort_array: the kernel binary-searches the map's key array
       val model = th.select(explode(col("__th")).as("t"))
@@ -815,15 +824,16 @@ object Corpus {
           collect_list(struct(col("t"), col("cnt"))))).as("__m"),
           sum(col("cnt")).as("total"))
       th.crossJoin(broadcast(model))
-        .select(col(idCol), TextExpressions.hashLogProbAvg(
-          col("__th"), col("__m"), col("total")).as("logprob"))
+        .select(col(idCol) +: carry.map(col) :+
+          TextExpressions.hashLogProbAvg(
+            col("__th"), col("__m"), col("total")).as("logprob"): _*)
     } else {
-      val terms = docs.select(col(idCol),
-        explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"))
+      val terms = docs.select(col(idCol) +: carry.map(col) :+
+        explode(TextExpressions.tokenGramHashes(col(textCol), 1)).as("term"): _*)
       val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       val total = terms.agg(count(lit(1)).as("total"))
       terms.join(counts, "term").crossJoin(broadcast(total))
-        .groupBy(col(idCol))
+        .groupBy(col(idCol) +: carry.map(col): _*)
         .agg(Quantize.quantize(avg(log(col("cnt") / col("total"))), 6).as("logprob"))
     }
   }

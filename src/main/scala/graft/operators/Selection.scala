@@ -908,14 +908,15 @@ object Selection {
       evalSet: DataFrame, minCos: Double, dedupCos: Double,
       decontCos: Double, perCell: Int, trainPct: Int = 80, valPct: Int = 10,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      salt: String = Corpus.SampleSalt): DataFrame = {
+      salt: String = Corpus.SampleSalt,
+      maxCell: Option[Long] = None): DataFrame = {
     require(centroids.nonEmpty, "curateSemantic: no centroids")
     require(perCell > 0, s"curateSemantic: perCell must be positive: $perCell")
     val floored = Similarity.assignKeepVec(embeddings, centroids, vecCol, idCol)
       .filter(col("cos") >= minCos)
       .select(col(idCol), col(vecCol))
     val deduped = Similarity.semanticDedupClusteredKeepVec(
-      floored, centroids, dedupCos, vecCol, idCol)
+      floored, centroids, dedupCos, vecCol, idCol, maxCell)
     val decontaminated = Similarity.decontaminateSemantic(
       deduped, evalSet, decontCos, vecCol, idCol)
     diverseElect(decontaminated.select(col(idCol), col("cell")),

@@ -1798,7 +1798,10 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       prunedAssign: Option[(Int, Int)] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupClustered: no centroids")
-    val asg = assignWithNorm(embeddings, centroids, vecCol, idCol, prunedAssign)
+    // capped: pin the assignment — four consumers otherwise re-execute
+    // the corpus×k assignment as lineage (see the KeepVec form's note)
+    val asg0 = assignWithNorm(embeddings, centroids, vecCol, idCol, prunedAssign)
+    val asg = if (maxCell.isDefined) Materialize(asg0, None) else asg0
     val thr = thrOf(minCosine)
     val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
       .groupBy(col("cell"))
@@ -1857,13 +1860,24 @@ object Similarity {
     * output is (idCol, vecCol, cell) and a downstream stage needing the
     * vector (the flagship's decontamination) pays NO join back to the
     * corpus. The standalone form keeps its cheaper direct explode of the
-    * survivor ids — use it when ids suffice. */
+    * survivor ids — use it when ids suffice. `maxCell` carries the same
+    * valve semantics as [[semanticDedupClustered]]: cells over the
+    * occupancy cap skip pairing entirely, every member survives. */
   private[graft] def semanticDedupClusteredKeepVec(embeddings: DataFrame,
       centroids: Array[Array[Float]], minCosine: Double,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxCell: Option[Long] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupClusteredKeepVec: no centroids")
     val thr = thrOf(minCosine)
-    assignWithNorm(embeddings, centroids, vecCol, idCol)
+    // with the cap engaged the assignment feeds FOUR consumers (occupancy
+    // count + anti-join probe on the pairing side, occupancy count +
+    // semi-join probe on the pass-through side) — left as lineage, the
+    // full corpus×k assignment re-executes per consumer (measured 12.4 s
+    // vs 6.8 s uncapped at 16×/k=128 before pinning). Uncapped stays pure
+    // lineage: the flagship's one-scan plan lint depends on it.
+    val asg0 = assignWithNorm(embeddings, centroids, vecCol, idCol)
+    val asg = if (maxCell.isDefined) Materialize(asg0, None) else asg0
+    val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col(idCol), col(vecCol), col("__n"))).as("__m"))
       // the survivors array MUST be hoisted out of the filter lambda:
@@ -1876,6 +1890,17 @@ object Similarity {
         m => array_contains(col("__s"), m(idCol)))).as("__e"))
       .select(col(s"__e.$idCol").as(idCol), col(s"__e.$vecCol").as(vecCol),
         col("cell"))
+    maxCell match {
+      case None => fromPairing
+      case Some(c) =>
+        // over-cap cells: every member survives (pairing skipped) —
+        // the capBuckets disposition, with the vector riding through
+        val overCap = asg.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") > c).select(col("cell"))
+        fromPairing.unionByName(
+          asg.join(broadcast(overCap), Seq("cell"), "left_semi")
+            .select(col(idCol), col(vecCol), col("cell")))
+    }
   }
 
   /** The least integer whose 10⁻⁶ quotient reaches τ — the quantized

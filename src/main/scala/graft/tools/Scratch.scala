@@ -230,6 +230,55 @@ object Scratch {
         spark.read.parquet(s"$sfDir/region.parquet")
           .groupBy("r_name").count().queryExecution.toRdd.count())
     }
+    if (sys.env.contains("SCRATCH_PRICE")) {
+      // Generalized comparator-tail pricing (the SCRATCH_FLOOR_R17
+      // pattern): SCRATCH_PRICE=q1,q2,... prints min-of-6 wall beside
+      // the jobs/stages/tasks each statement actually schedules and the
+      // fixed-cost floor shapes — separating "a multi-job chain each
+      // paying the ~0.1 s local scheduling floor" from "a slow plan".
+      import java.util.concurrent.atomic.AtomicInteger
+      val jobs = new AtomicInteger; val stages = new AtomicInteger
+      val tasks = new AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+          }
+        })
+      def price(name: String): Unit = {
+        val df = () => graft.SparkEntry.queries(name)(spark, sfDir)
+        df().queryExecution.toRdd.count() // warm (cache plans, codegen)
+        val ts = (1 to 6).map { _ =>
+          val t0 = System.nanoTime()
+          df().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(300) // drain listener events
+        jobs.set(0); stages.set(0); tasks.set(0)
+        df().queryExecution.toRdd.count()
+        Thread.sleep(300)
+        println(f"SCRATCH-PRICE $name%-22s min ${ts.min}%.3f s  " +
+          f"(${ts.map(t => f"$t%.2f").mkString(",")})  " +
+          s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      }
+      sys.env("SCRATCH_PRICE").split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(price)
+      def floor(label: String)(f: => Unit): Unit = {
+        val ts = (1 to 10).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCRATCH-PRICE floor $label: min ${ts.min}%.4f s")
+      }
+      floor("1-stage agg")(
+        spark.range(1).selectExpr("sum(id) as s").queryExecution.toRdd.count())
+      floor("2-stage shuffle")(
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().queryExecution.toRdd.count())
+    }
     if (sys.env.contains("SCRATCH_CURATE")) {
       // Scale rung for the r17 embedding-side flagship: curateSemantic
       // at 1× and 16× corpus (the MRL sweep's persisted 16× layout).
@@ -244,12 +293,24 @@ object Scratch {
       val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val e16 = spark.read.parquet(s"$base/corpus")
-      for ((label, e) <- Seq(("1x ", e1), ("16x", e16))) {
-        val seeds = S.kmeansSeeds(e, 8)
+      // Two 16× postures: the r17 rung held k at 8, so per-cell
+      // occupancy grew 16× and the O(occupancy²) SemDeDup scan became
+      // the asymptotic term (sublinear only via kernel early-exit). The
+      // PRODUCTION contract is k ∝ N — constant expected occupancy —
+      // plus the maxCell valve engaged, which is what the k=128 row
+      // measures: wall should land ~linear vs the 1× row (the only
+      // corpus-sized term is the one cell-keyed exchange).
+      val n16 = e16.count()
+      for ((label, e, k, cap) <- Seq(
+          ("1x  k=8   cap=off", e1, 8, None),
+          ("16x k=8   cap=off", e16, 8, None),
+          ("16x k=128 cap=4xE", e16, 128,
+            Some(4L * math.max(1L, n16 / 128))))) {
+        val seeds = S.kmeansSeeds(e, k)
         val evalSet = e.limit(25)
         def run() = graft.operators.Selection.curateSemantic(
           e, seeds, evalSet, minCos = 0.12, dedupCos = 0.45,
-          decontCos = 0.45, perCell = 12)
+          decontCos = 0.45, perCell = 12, maxCell = cap)
         val ts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           run().queryExecution.toRdd.count()

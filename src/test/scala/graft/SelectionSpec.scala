@@ -746,5 +746,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(got.groupBy(_._2).forall(_._2.map(_._3).size >= 1) &&
       got.groupBy(_._2).forall(_._2.groupBy(_._3).size == 1),
       "a cell straddles splits — the leak splitByCluster exists to prevent")
+
+    // maxCell valve through the fused path: cap 0 skips pairing in every
+    // cell (all floor survivors reach decontamination — the capBuckets
+    // disposition with vectors riding), and a cap above every occupancy
+    // leaves the result byte-identical to the uncapped run
+    val capped = Selection.curateSemantic(corpus, seeds, evalSet,
+      minCos = 0.12, dedupCos = 0.45, decontCos = decontCos, perCell = 12,
+      maxCell = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val wantCapped = Selection.selectDiverse(
+      Similarity.decontaminateSemantic(protoVecs, evalSet, decontCos),
+      seeds, perCell = 12)
+      .join(Selection.splitByCluster(corpus, seeds)
+        .select(col("vec_id"), col("split")), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(capped == wantCapped,
+      "cap-0 flagship != chain with the dedup stage skipped")
+    val cappedHigh = Selection.curateSemantic(corpus, seeds, evalSet,
+      minCos = 0.12, dedupCos = 0.45, decontCos = decontCos, perCell = 12,
+      maxCell = Some(nCorpus + 1))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(cappedHigh == got, "a never-binding cap changed the result")
   }
 }
