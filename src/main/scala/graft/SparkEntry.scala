@@ -1166,6 +1166,12 @@ object SparkEntry {
       // the flagship composition: quality gate → language gate → exact-dup
       // collapse → near-dup survivors → split assignment, end-to-end
       Corpus.cleanCorpus(t(s, dir, "documents"))),
+    "corpus_clean_soft" -> ((s, dir) =>
+      // the reweight-instead-of-remove branch (TrainingSetJob's
+      // soft_dedup): near-dup clusters survive WHOLE, each member
+      // carrying weight = 1/|cluster| into the split — unit mass per
+      // cluster, the loss-weighting loader contract
+      Corpus.cleanCorpus(t(s, dir, "documents"), softDedup = true)),
     "corpus_clean_full" -> ((s, dir) => {
       // the PRODUCTION clean: everything corpus_clean runs PLUS
       // decontamination against a 5% hash-sample "eval set", PII redaction
@@ -2693,6 +2699,23 @@ object SparkEntry {
          |FROM (SELECT doc_id, ${hashBucketSql("doc_id", 100)} AS bucket FROM e
          |      WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster))""".stripMargin
     },
+    "corpus_clean_soft" ->
+      // corpus_clean's base CTEs with the near-dup stage REWEIGHTING
+      // instead of removing: every e-row survives; cluster sizes fold to
+      // weight = greatest(1/n @ 6dp, 1e-6) — the same expression the
+      // dedup_soft_weights oracle pins, composed through the gates
+      s"""WITH RECURSIVE
+         |${baseCleanCtes("doc_id, text")},
+         |sizes AS (SELECT cluster, count(*) AS n FROM labels GROUP BY 1)
+         |SELECT e.doc_id,
+         | greatest(${Quantize.sql6("1.0 / coalesce(s.n, 1)")}, 1e-6) AS weight,
+         | ${hashBucketSql("e.doc_id", 100)} AS bucket,
+         | CASE WHEN ${hashBucketSql("e.doc_id", 100)} < 80 THEN 'train'
+         |      WHEN ${hashBucketSql("e.doc_id", 100)} < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM e
+         |LEFT JOIN labels l ON l.id = e.doc_id
+         |LEFT JOIN sizes s ON s.cluster = l.cluster""".stripMargin,
     "corpus_clean_full" -> {
       // corpus_clean's shared base CTEs + the production stages in the
       // same ONE statement: decontamination (shared shingle CTEs vs the

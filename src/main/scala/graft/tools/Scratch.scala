@@ -320,6 +320,41 @@ object Scratch {
           f"${ts.min}%.2f s (${ts.map(t => f"$t%.2f").mkString(",")})")
       }
     }
+    if (sys.env.contains("SCRATCH_ECJ")) {
+      // Registry-growth rung for EmbeddingCurationJob (r17 verdict #6):
+      // N increments at sfDir scale, per-batch wall beside the semdedup
+      // registry's size as it grows (every floor survivor appends). At
+      // FIXED nCells the probe is Σ_cells batch_c × reg_c — linear in
+      // registry occupancy — so the honest expectation is a shallow
+      // linear slope at nCells=8 and a flatter one at nCells sized to
+      // the job's expected total (the k ∝ N posture): both measured.
+      import org.apache.spark.sql.functions._
+      // the 16× MRL-sweep corpus when laid out (32k vectors — real pair
+      // work per probe), else the sfDir table (floor-dominated rung)
+      val big = "/tmp/graft_mrl_sweep_16/corpus"
+      val e = (if (new java.io.File(big).exists()) spark.read.parquet(big)
+        else spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        .select(col("vec_id"), col("embedding"))
+      val nBatches = 8
+      for (cells <- Seq(8, 128)) {
+        val root = java.nio.file.Files.createTempDirectory(
+          s"ecj_rung_$cells").toString
+        val cfg = graft.config.EmbeddingCurationConfig(nCells = cells,
+          minCos = Some(0.02), dedupCos = Some(0.45))
+        for (b <- 0 until nBatches) {
+          val batch = e.filter(pmod(col("vec_id"), lit(nBatches)) === b)
+          val t0 = System.nanoTime()
+          val r = graft.EmbeddingCurationJob.runIncrement(
+            spark, batch, root, cfg)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val regN = spark.read.parquet(
+            graft.EmbeddingCurationJob.dedupRegistryDir(root)).count()
+          println(f"SCRATCH-ECJ cells=$cells%-3d batch=$b wall=$wall%.2f s " +
+            f"batch_vecs=${r.batchVecs}%6d deduped=${r.deduped}%6d " +
+            f"registry_after=$regN%7d")
+        }
+      }
+    }
     if (sys.env.contains("SCRATCH_TOPK128")) {
       // focused 128× rung for the int8 serving kernel (native vs HOF)
       import org.apache.spark.sql.functions._
