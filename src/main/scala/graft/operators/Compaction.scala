@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/**
+ * Maintenance compaction for the engine's persisted partitioned
+ * relations — the incremental registries (semdedup, selection, substr
+ * windows, paragraph hashes) and the ANN layout relations, all of which
+ * GROW by parquet `append`: every increment writes at least one new
+ * file into each touched partition directory, so a long-running
+ * micro-batch job accumulates files (and file-listing cost on every
+ * probe's pruned scan) linearly in increments even when the row count
+ * barely moves. Measured motivation (SCALING.md r18 §5): tiny batches ×
+ * many cells grow the registry's file count faster than its rows.
+ *
+ * [[compactPartitioned]] rewrites the relation with ONE file per
+ * partition value — `repartition(partitionCols)` puts every row of a
+ * partition value in exactly one task, so each partition directory
+ * receives exactly one output file — then swaps directories:
+ *
+ *   1. write the compacted copy to `<path>__compact_tmp` (verified:
+ *      same row count before anything is touched);
+ *   2. carry over the underscore-prefixed MARKER files from the old
+ *      root (`_graft_inc_applied_*` — the idempotent-append ledger;
+ *      parquet readers ignore them but retry safety depends on them);
+ *   3. rename old → `<path>__compact_old`, tmp → path, delete old.
+ *
+ * Crash disposition, stated honestly: a crash before step 3 leaves the
+ * original untouched (delete the tmp and retry); a crash inside step 3
+ * leaves either `__compact_old` or both directories on disk — the data
+ * exists in exactly one complete copy at every instant (renames are
+ * atomic per directory on HDFS-like stores), and recovery is renaming
+ * whichever complete copy remains back to `path`. Run compaction from
+ * the job's maintenance window, not concurrently with appends.
+ *
+ * Returns (filesBefore, filesAfter) data-file counts for the caller's
+ * ledger.
+ */
+object Compaction {
+
+  def compactPartitioned(spark: SparkSession, path: String,
+      partitionCols: Seq[String]): (Long, Long) = {
+    require(partitionCols.nonEmpty, "compactPartitioned: no partition columns")
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"compactPartitioned: $path does not exist")
+
+    def dataFiles(root: Path): Seq[Path] = {
+      val it = fs.listFiles(root, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          out += f
+      }
+      out.toSeq
+    }
+    val before = dataFiles(p)
+
+    val df = spark.read.parquet(path)
+    val nBefore = df.count()
+    val tmp = new Path(path + "__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // one task per partition value -> one file per partition directory
+    df.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    val nAfter = spark.read.parquet(tmp.toString).count()
+    require(nAfter == nBefore,
+      s"compactPartitioned: compacted copy has $nAfter rows, expected " +
+        s"$nBefore — original left untouched at $path, copy at $tmp")
+
+    // carry the idempotent-append markers (root-level underscore files,
+    // except the write protocol's own _SUCCESS which the copy already
+    // has): a retried increment consults these — losing them on
+    // compaction would double-append the next retry
+    fs.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("_") && s.getPath.getName != "_SUCCESS")
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new Path(tmp, s.getPath.getName), false, false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+
+    val old = new Path(path + "__compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compactPartitioned: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"compactPartitioned: rename $tmp -> $p " +
+      s"failed — complete copies at $old and $tmp; rename one back to $path")
+    fs.delete(old, true)
+    (before.size.toLong, dataFiles(p).size.toLong)
+  }
+}

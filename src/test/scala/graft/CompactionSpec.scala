@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Compaction, Similarity}
+
+/** Registry compaction: appended partitioned relations accumulate one+
+  * file per touched partition per increment; compaction rewrites to one
+  * file per partition value while preserving the row set, the partition
+  * layout (pruned probes still prune), and the idempotent-append marker
+  * files retry safety depends on. */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("compactPartitioned: one file per cell, identical rows, markers survive, probe unchanged") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = Similarity.kmeansSeeds(e, 4)
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val reg = s"$root/reg"
+    // three appends -> >=3 files in every touched cell partition
+    Similarity.writeSemanticRegistry(e.filter(col("vec_id") < 60), seeds, reg)
+    Similarity.writeSemanticRegistry(
+      e.filter(col("vec_id") >= 60 && col("vec_id") < 120), seeds, reg,
+      append = true)
+    Similarity.writeSemanticRegistry(
+      e.filter(col("vec_id") >= 120 && col("vec_id") < 180), seeds, reg,
+      append = true)
+    // a marker like EmbeddingCurationJob/AnnIndex appendOnce leaves
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(reg), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$reg/_graft_inc_applied_test")
+    fs.create(marker, false).close()
+
+    def rows() = spark.read.parquet(reg).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+    val batch = e.filter(col("vec_id") >= 180 && col("vec_id") < 240)
+    def probe() = Similarity.semanticDedupIncrement(batch, seeds, reg,
+      minCosine = 0.45).collect().map(_.getAs[Long]("vec_id")).toSet
+    val rowsBefore = rows()
+    val probeBefore = probe()
+
+    val (nBefore, nAfter) = Compaction.compactPartitioned(
+      spark, reg, Seq("cell"))
+    assert(nBefore > nAfter, s"no compaction happened: $nBefore -> $nAfter")
+    // one data file per cell directory
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(reg))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val data = fs.listStatus(c.getPath)
+        .filter(f => !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      assert(data.length == 1,
+        s"${c.getPath.getName} has ${data.length} data files after compaction")
+    }
+    assert(rows() == rowsBefore, "compaction changed the row set")
+    assert(fs.exists(marker), "idempotent-append marker lost by compaction")
+    assert(probe() == probeBefore, "pruned probe diverged after compaction")
+    // no leftover staging/backup directories
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(reg + "__compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(reg + "__compact_old")))
+  }
+}
