@@ -110,6 +110,24 @@ object EmbeddingCurationJob {
       .map(_.getSeq[Float](1).toArray)
   }
 
+  /** Maintenance compaction of the job's append-grown relations — one
+    * file per touched partition (or per increment, for the plain
+    * relations) otherwise accumulates per batch, and probe/read listing
+    * cost grows with files, not rows (SCALING.md r18 §5). Returns
+    * relation → (filesBefore, filesAfter). Run from a maintenance
+    * window: never concurrently with an increment. */
+  def compact(spark: SparkSession, outRoot: String): Map[String, (Long, Long)] = {
+    def exists0(path: String) = exists(spark, path)
+    val partitioned = Seq(dedupRegistryDir(outRoot) -> Seq("cell"))
+    val plain = Seq(selectionRegistryDir(outRoot), curatedDir(outRoot),
+      incrementsDir(outRoot))
+    (partitioned.collect { case (p, cols) if exists0(p) =>
+      p -> operators.Compaction.compactPartitioned(spark, p, cols)
+    } ++ plain.collect { case p if exists0(p) =>
+      p -> operators.Compaction.compactPlain(spark, p)
+    }).toMap
+  }
+
   /** Run ONE increment through the configured stages; append its
     * curations and grow the registries/layout. See the class doc for the
     * exact increment semantics per stage.

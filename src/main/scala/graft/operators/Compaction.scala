@@ -43,19 +43,36 @@ object Compaction {
   def compactPartitioned(spark: SparkSession, path: String,
       partitionCols: Seq[String]): (Long, Long) = {
     require(partitionCols.nonEmpty, "compactPartitioned: no partition columns")
+    // one task per partition value -> one file per partition directory
+    rewrite(spark, path, df => df.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*))
+  }
+
+  /** [[compactPartitioned]] for UNPARTITIONED append-grown relations
+    * (the curation job's selection registry / curated output / manifest):
+    * same verify-then-swap protocol, rewritten to `targetFiles` files. */
+  def compactPlain(spark: SparkSession, path: String,
+      targetFiles: Int = 1): (Long, Long) = {
+    require(targetFiles > 0, s"compactPlain: targetFiles must be > 0")
+    rewrite(spark, path, df => df.repartition(targetFiles).write)
+  }
+
+  private def rewrite(spark: SparkSession, path: String,
+      writer: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : (Long, Long) = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"compactPartitioned: $path does not exist")
+    require(fs.exists(p), s"compaction: $path does not exist")
 
-    def dataFiles(root: Path): Seq[Path] = {
+    def dataFiles(root: Path): Long = {
       val it = fs.listFiles(root, true)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      var n = 0L
       while (it.hasNext) {
         val f = it.next().getPath
-        if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
-          out += f
+        if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) n += 1
       }
-      out.toSeq
+      n
     }
     val before = dataFiles(p)
 
@@ -63,12 +80,10 @@ object Compaction {
     val nBefore = df.count()
     val tmp = new Path(path + "__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // one task per partition value -> one file per partition directory
-    df.repartition(partitionCols.map(col): _*)
-      .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    writer(df).parquet(tmp.toString)
     val nAfter = spark.read.parquet(tmp.toString).count()
     require(nAfter == nBefore,
-      s"compactPartitioned: compacted copy has $nAfter rows, expected " +
+      s"compaction: compacted copy has $nAfter rows, expected " +
         s"$nBefore — original left untouched at $path, copy at $tmp")
 
     // carry the idempotent-append markers (root-level underscore files,
@@ -85,10 +100,10 @@ object Compaction {
 
     val old = new Path(path + "__compact_old")
     if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"compactPartitioned: rename $p -> $old failed")
-    require(fs.rename(tmp, p), s"compactPartitioned: rename $tmp -> $p " +
+    require(fs.rename(p, old), s"compaction: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"compaction: rename $tmp -> $p " +
       s"failed — complete copies at $old and $tmp; rename one back to $path")
     fs.delete(old, true)
-    (before.size.toLong, dataFiles(p).size.toLong)
+    (before, dataFiles(p))
   }
 }

@@ -327,7 +327,12 @@ object Selection {
         }
         out.get
       }
-    // distributed exact rank over the ~k-row candidate sliver
+    // distributed exact rank over the ~k-row candidate sliver. The pin
+    // is CORRECTNESS here, not just economy: __pid is captured into the
+    // stored rows, so the per-partition counts job and the row_number
+    // job below read the SAME partition ids — left as lineage, a
+    // re-executed range exchange (AQE re-plan, speculative retry) could
+    // renumber partitions between the two jobs and mis-offset every rank
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = Materialize(
       cand.repartitionByRange(parts, col(keyCol).desc, col(idCol).asc)

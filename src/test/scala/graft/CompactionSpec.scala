@@ -62,4 +62,36 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(reg + "__compact_tmp")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(reg + "__compact_old")))
   }
+
+  test("EmbeddingCurationJob.compact: mid-job compaction is invisible to later increments") {
+    import graft.config.EmbeddingCurationConfig
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), perCell = Some(40))
+    def drive(root: String, compactAfter2: Boolean) = {
+      val batches = Seq(e.filter(col("vec_id") < 200),
+        e.filter(col("vec_id") >= 200 && col("vec_id") < 400),
+        e.filter(col("vec_id") >= 400))
+      val r01 = batches.take(2).map(b =>
+        EmbeddingCurationJob.runIncrement(spark, b, root, cfg))
+      val stats = if (compactAfter2)
+        EmbeddingCurationJob.compact(spark, root) else Map.empty
+      (r01 :+ EmbeddingCurationJob.runIncrement(spark, batches(2), root, cfg),
+        stats)
+    }
+    val rootA = java.nio.file.Files.createTempDirectory("cmp_ctl").toString
+    val rootB = java.nio.file.Files.createTempDirectory("cmp_cmp").toString
+    val (ctl, _) = drive(rootA, compactAfter2 = false)
+    val (got, stats) = drive(rootB, compactAfter2 = true)
+    assert(stats.nonEmpty && stats.forall { case (_, (b, a)) => a <= b },
+      s"compaction grew a relation: $stats")
+    assert(stats.exists { case (_, (b, a)) => a < b },
+      "compaction was a no-op everywhere — fixture too small to test")
+    assert(got == ctl, "a compaction between increments changed job results")
+    def curated(root: String) = spark.read.parquet(
+      EmbeddingCurationJob.curatedDir(root)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(curated(rootB) == curated(rootA))
+  }
 }
