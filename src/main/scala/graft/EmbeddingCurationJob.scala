@@ -110,6 +110,38 @@ object EmbeddingCurationJob {
       .map(_.getSeq[Float](1).toArray)
   }
 
+  /** The micro-batch loop as a Structured Streaming SINK: each delivered
+    * batch of (idCol, vecCol) rows runs one [[runIncrement]]. foreachBatch
+    * delivers AT-LEAST-ONCE — after a crash between the batch's side
+    * effects and the checkpoint commit, the same batch is REDELIVERED —
+    * which is exactly the hazard the increment's content-keyed write-ahead
+    * protocol absorbs: a redelivered batch replays its recorded verdicts
+    * and marker-guarded appends touch nothing twice, so the curation
+    * EFFECT is exactly-once (spec: the stream loop equals the sequential
+    * batch loop; the retry spec pins redelivery == never-crashed).
+    * The FIRST delivered batch trains the job's pinned centroid model
+    * ([[ensureCentroids]]) and must carry ≥ nCells vectors.
+    * `Trigger.AvailableNow` drains-and-stops; a processing-time trigger
+    * tails the source. */
+  def runStream(spark: SparkSession, stream: DataFrame, outRoot: String,
+      checkpoint: String,
+      cfg: EmbeddingCurationConfig = EmbeddingCurationConfig(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = runIncrement(spark, batch, outRoot, cfg, vecCol, idCol)
+        println(s"""{"batch":$batchId,"batch_vecs":${r.batchVecs},""" +
+          s""""floored":${r.floored},"deduped":${r.deduped},""" +
+          s""""decontaminated":${r.decontaminated},"curated":${r.curated}}""")
+        ()
+      }
+      .start()
+
   /** Maintenance compaction of the job's append-grown relations — one
     * file per touched partition (or per increment, for the plain
     * relations) otherwise accumulates per batch, and probe/read listing

@@ -15,6 +15,7 @@ import graft.operators.{Selection, Similarity}
   * curated corpus exactly (its exact bridges equal brute force). */
 class EmbeddingCurationJobSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
 
   test("two increments: stage yields match the fused operators, ship-once holds, grown layout serves the curated corpus exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -108,6 +109,43 @@ class EmbeddingCurationJobSpec extends AnyFunSuite {
       .collect().map(r => EmbeddingCurationJob.Result(r.getLong(0),
         r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(inc == Set(r1, r2))
+  }
+
+  test("streaming sink: the foreachBatch loop equals the sequential batch loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), perCell = Some(40))
+    val splits = Seq(e.filter(col("vec_id") < 200),
+      e.filter(col("vec_id") >= 200 && col("vec_id") < 400),
+      e.filter(col("vec_id") >= 400))
+    // control: the sequential batch loop
+    val ctlRoot = java.nio.file.Files.createTempDirectory("ecj_sctl").toString
+    splits.foreach(b => EmbeddingCurationJob.runIncrement(spark, b, ctlRoot, cfg))
+    // the stream: same three batches through foreachBatch micro-batches
+    val root = java.nio.file.Files.createTempDirectory("ecj_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ecj_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SemVec]
+    val q = EmbeddingCurationJob.runStream(spark, in.toDS().toDF(), root,
+      ckpt, cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      splits.foreach { b =>
+        in.addData(b.collect().map(r =>
+          SemVec(r.getLong(0), r.getSeq[Float](1).toArray)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def state(r: String) = (
+      spark.read.parquet(EmbeddingCurationJob.curatedDir(r)).collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet,
+      spark.read.parquet(EmbeddingCurationJob.dedupRegistryDir(r)).count(),
+      spark.read.parquet(EmbeddingCurationJob.selectionRegistryDir(r))
+        .collect().map(_.getLong(0)).toSet)
+    assert(state(root) == state(ctlRoot),
+      "streaming loop diverged from the sequential batch loop")
   }
 
   test("retry safety: a replayed increment is a no-op; a stage-3 crash after the registry grew still ships the batch on retry") {
