@@ -320,6 +320,29 @@ object Scratch {
           f"${ts.min}%.2f s (${ts.map(t => f"$t%.2f").mkString(",")})")
       }
     }
+    if (sys.env.contains("SCRATCH_VALVE")) {
+      // Price the r18 threshold-cut valve vs TakeOrdered at local scale:
+      // the valve exists for corpus-fraction k (no single-point merge);
+      // below the cap TakeOrdered is expected to win on wall — this rung
+      // records by how much, so the 4M default cap is a measured choice.
+      import org.apache.spark.sql.functions._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+      val n = d.count()
+      for (k <- Seq(100, 1000, (n / 2).toInt)) {
+        for ((label, cap) <- Seq(("takeordered", Int.MaxValue),
+            ("valve      ", -1))) {
+          val ts = (1 to 4).map { _ =>
+            val t0 = System.nanoTime()
+            graft.operators.Selection.sampleWeighted(d, col("n_chars"), k,
+              mergeCap = cap).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"SCRATCH-VALVE k=$k%7d $label: min ${ts.min}%.3f s " +
+            f"(${ts.map(t => f"$t%.2f").mkString(",")})")
+        }
+      }
+    }
     if (sys.env.contains("SCRATCH_ECJ")) {
       // Registry-growth rung for EmbeddingCurationJob (r17 verdict #6):
       // N increments at sfDir scale, per-batch wall beside the semdedup
