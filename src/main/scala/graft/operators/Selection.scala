@@ -300,58 +300,78 @@ object Selection {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = scored0.sparkSession
     if (k <= 0) return scored0.limit(0)
-    // one scoring pass: count, sketch, filter and rank all read the
-    // pinned blocks (dropBottomQuantile's Materialize contract)
+    // ONE pass computes the keys (pinned — both callers' keys are
+    // md5-derived, ~60 s/pass at a 20M-row rung, so re-executing the
+    // scoring lineage per consumer dominates everything else); then:
+    //   job 1 — count + a 999-point percentile GRID in one aggregate
+    //     over the pinned blocks (the fraction depends on n, so a
+    //     single-fraction sketch would need n first = one more job; the
+    //     grid trades ≤ n/1000 extra candidate rows for it — negligible
+    //     at corpus-fraction k);
+    //   job 2 — the threshold filter feeding the range exchange of the
+    //     ~k-row sliver, pinned (pid stability, see below) WITHOUT an
+    //     intermediate candidates checkpoint — the guard-band check
+    //     reads the per-partition counts of the pinned sliver itself.
     val scored = Materialize(scored0, checkpointDir)
-    val n = scored.count()
-    val cand: DataFrame =
-      if (k >= n) scored
-      else {
-        val acc = 100000 // GK sketch accuracy: rank error <= n/acc
-        var mult = 3L
-        var out: Option[DataFrame] = None
-        while (out.isEmpty) {
-          val depth = k.toLong + mult * math.max(1L, n / acc)
-          if (depth >= n) out = Some(scored)
-          else {
-            val f = 1.0 - depth.toDouble / n
-            val thr = scored.agg(
-              approx_percentile(col(keyCol), lit(f), lit(acc)).as("t")).head
-            if (thr.isNullAt(0)) out = Some(scored)
-            else {
-              val c = Materialize(
-                scored.filter(col(keyCol) >= thr.getDouble(0)), checkpointDir)
-              if (c.count() >= k) out = Some(c) else mult *= 4
-            }
-          }
-        }
-        out.get
-      }
-    // distributed exact rank over the ~k-row candidate sliver. The pin
-    // is CORRECTNESS here, not just economy: __pid is captured into the
-    // stored rows, so the per-partition counts job and the row_number
-    // job below read the SAME partition ids — left as lineage, a
-    // re-executed range exchange (AQE re-plan, speculative retry) could
-    // renumber partitions between the two jobs and mis-offset every rank
+    val acc = 100000 // GK rank error <= n/acc per sketch guarantee
+    val gridN = 1000
+    val r = scored.agg(count(lit(1)).as("n"),
+      approx_percentile(col(keyCol),
+        array((1 until gridN).map(i => lit(i.toDouble / gridN)): _*),
+        lit(acc)).as("g")).head
+    val n = r.getLong(0)
+    if (n == 0) return scored0.limit(0)
+    val grid: Seq[Double] =
+      if (r.isNullAt(1)) Seq.empty else r.getSeq[Double](1)
+    // grid(i) estimates the key at fraction (i+1)/gridN; aim depth
+    // (= k + 2 error widths) below the top and round the fraction DOWN
+    // a grid step — both roundings widen the candidate set, never
+    // narrow it. idx < 0 = no cut (keep everything).
+    val depth = k.toLong + 2L * math.max(1L, n / acc)
+    var idx: Int =
+      if (depth >= n || grid.isEmpty) -1
+      else math.min(gridN - 2,
+        ((1.0 - depth.toDouble / n) * gridN).toInt - 1)
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = Materialize(
-      cand.repartitionByRange(parts, col(keyCol).desc, col(idCol).asc)
-        .sortWithinPartitions(col(keyCol).desc, col(idCol).asc)
-        .withColumn("__pid", spark_partition_id()), checkpointDir)
-    val perPart = sorted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__c")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var running = 0L
-    val offsets = perPart.map { case (p, c) =>
-      val o = (p, running); running += c; o }
-    val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
-      .toDF("__pid", "__off"))
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(col(keyCol).desc, col(idCol).asc)
-    sorted.withColumn("__rn", row_number().over(w))
-      .join(offDf, Seq("__pid"))
-      .filter(col("__off") + col("__rn") <= k)
-      .drop("__pid", "__rn", "__off")
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      val cand = if (idx < 0) scored
+        else scored.filter(col(keyCol) >= grid(idx))
+      // distributed exact rank over the ~k-row candidate sliver. The pin
+      // is CORRECTNESS, not just economy: __pid is captured into the
+      // stored rows, so the per-partition counts job and the row_number
+      // job read the SAME partition ids — left as lineage, a re-executed
+      // range exchange (AQE re-plan, speculative retry) could renumber
+      // partitions between the jobs and mis-offset every rank. It also
+      // doubles as the candidate-count job (sum of per-partition counts),
+      // so verifying the guard band costs no extra pass.
+      val sorted = Materialize(
+        cand.repartitionByRange(parts, col(keyCol).desc, col(idCol).asc)
+          .sortWithinPartitions(col(keyCol).desc, col(idCol).asc)
+          .withColumn("__pid", spark_partition_id()), checkpointDir)
+      val perPart = sorted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c")).collect()
+        .map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1)
+      val total = perPart.map(_._2).sum
+      if (total >= k || idx < 0) {
+        var running = 0L
+        val offsets = perPart.map { case (p, c) =>
+          val o = (p, running); running += c; o }
+        val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
+          .toDF("__pid", "__off"))
+        val w = Window.partitionBy(col("__pid"))
+          .orderBy(col(keyCol).desc, col(idCol).asc)
+        out = Some(sorted.withColumn("__rn", row_number().over(w))
+          .join(offDf, Seq("__pid"))
+          .filter(col("__off") + col("__rn") <= k)
+          .drop("__pid", "__rn", "__off"))
+      } else {
+        // under-cut (heavy ties just above the threshold can starve the
+        // band): widen 10 grid steps per retry, falling back to no cut
+        idx = if (idx < 10) -1 else idx - 10
+      }
+    }
+    out.get
   }
 
   /**

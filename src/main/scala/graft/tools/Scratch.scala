@@ -343,6 +343,38 @@ object Scratch {
         }
       }
     }
+    if (sys.env.contains("SCRATCH_VALVE_BIG")) {
+      // The crossover the valve exists FOR, demonstrated: top-k over a
+      // ~20M-row scored relation at k ≈ 30% of the corpus (the "select
+      // a corpus fraction" posture). TakeOrderedAndProject keeps
+      // min(k, partitionRows) per partition and merges them in ONE
+      // task — at k ≥ partition size that task receives the ENTIRE
+      // relation; the valve precuts map-only to ~k(1+ε) and ranks
+      // distributed. Run with SPARK_DRIVER_MEM=14g.
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+      val reps = 4096
+      def scored() = base.crossJoin(
+          spark.range(reps).select(col("id").as("__c")))
+        .select((col("doc_id") * reps + col("__c")).as("doc_id"),
+          (col("n_chars") + pmod(col("__c"), lit(97))).as("n_chars"))
+      val n = scored().count()
+      for (k <- Seq(6 * 1000 * 1000)) {
+        for ((label, cap) <- Seq(("valve      ", -1),
+            ("takeordered", Int.MaxValue))) {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            graft.operators.Selection.sampleWeighted(scored(),
+              col("n_chars"), k, mergeCap = cap)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"SCRATCH-VALVE-BIG n=$n k=$k $label: min ${ts.min}%.2f s " +
+            f"(${ts.map(t => f"$t%.2f").mkString(",")})")
+        }
+      }
+    }
     if (sys.env.contains("SCRATCH_ECJ")) {
       // Registry-growth rung for EmbeddingCurationJob (r17 verdict #6):
       // N increments at sfDir scale, per-batch wall beside the semdedup
