@@ -1042,6 +1042,16 @@ object SparkEntry {
       // budget-sized document pieces (sequence+explode+slice, map-only);
       // chunks concatenate back to the ws-normalized original
       Corpus.chunkDocs(t(s, dir, "documents"), budget = 64)),
+    "chunk_docs_sentences" -> ((s, dir) =>
+      // sentence-preserving chunking: boundaries never fall inside a
+      // sentence (punctuation-run grammar, next-fit atom packing). The
+      // fixture corpus carries no punctuation, so the input projection
+      // injects deterministic terminators (plain string replace — no
+      // regex-dialect drift) to exercise real multi-sentence packing at
+      // every scale; both engines see the identical derived text
+      Corpus.chunkDocsSentences(
+        t(s, dir, "documents").withColumn("text",
+          expr("replace(text, ' data ', ' data. ')")), budget = 64)),
     "chunk_docs_cost" -> ((s, dir) =>
       // the cost-aware chunker under a UNIT cost degrades exactly to
       // chunkDocs — the hash-verified bridge for the windowed running-sum
@@ -2650,6 +2660,30 @@ object SparkEntry {
       (chunkDocsSql + "\nSELECT doc_id, chunk, chunk_id, chunk_text, n_tokens FROM ch"),
     "chunk_docs_cost" ->
       (chunkDocsSql + "\nSELECT doc_id, chunk, chunk_id, chunk_text, n_tokens FROM ch"),
+    "chunk_docs_sentences" ->
+      // the sentence grammar's two alternation branches are mutually
+      // exclusive at any position, so RE2 (here) and java.util.regex
+      // (Spark) produce identical matches — see chunkDocsSentences
+      s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+         |sen0 AS (SELECT doc_id, list_transform(
+         |   regexp_extract_all(lower(coalesce(replace(text, ' data ', ' data. '), '')),
+         |     '[^.!?]*[.!?]+|[^.!?]+${"$"}'),
+         |   x -> trim(x)) AS s0 FROM documents),
+         |sen1 AS (SELECT doc_id, list_filter(s0, x -> len(x) > 0) AS s1 FROM sen0),
+         |sen AS (SELECT doc_id, CASE WHEN len(s1) = 0 THEN [''] ELSE s1 END AS s
+         |        FROM sen1),
+         |atoms AS (SELECT doc_id, i, s[i] AS x,
+         |   CAST(len(string_split(s[i], ' ')) AS BIGINT) AS c
+         |  FROM sen JOIN nums ON i <= len(s)),
+         |r AS (SELECT doc_id, i, x, c,
+         |   CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY i
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+         |  FROM atoms)
+         |SELECT doc_id, (greatest(running, 1) - 1) // 64 AS chunk,
+         | printf('%s#%09d', CAST(doc_id AS VARCHAR), (greatest(running, 1) - 1) // 64) AS chunk_id,
+         | string_agg(x, ' ' ORDER BY i) AS chunk_text,
+         | CAST(sum(c) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "pack_chunks" ->
       s"""${chunkDocsSql},
          |d AS (SELECT chunk_id, ${hashBucketSql("chunk_id", 8)} AS grp, n_tokens FROM ch),

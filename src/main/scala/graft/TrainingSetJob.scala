@@ -301,6 +301,9 @@ object TrainingSetJob {
         // overlapping windows: consecutive chunks share budget−stride
         // context tokens (config guards this off the BPE cost path)
         df => Corpus.chunkDocsOverlap(df, cfg.chunkBudget, stride, "text", shipId)
+      case (None, None) if cfg.chunkSentences =>
+        // sentence-preserving boundaries (config guards exclusivity)
+        df => Corpus.chunkDocsSentences(df, cfg.chunkBudget.toLong, "text", shipId)
       case (None, None) => df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", shipId)
     }
     // chunks feed TWO consumers (the packer and the chunk_text join) —

@@ -46,6 +46,7 @@ final case class TrainingSetConfig(
     sampleWeightCol: String = "n_chars",
     chunkBudget: Int = 512,
     chunkStride: Option[Int] = None,
+    chunkSentences: Boolean = false,
     bpeMergesPath: Option[String] = None,
     bpeTrainMerges: Option[Int] = None,
     emitIds: Boolean = false,
@@ -71,6 +72,10 @@ final case class TrainingSetConfig(
   require(chunkStride.isEmpty || (bpeMergesPath.isEmpty && bpeTrainMerges.isEmpty),
     "chunk_stride (overlapping windows) and BPE cost budgets are mutually " +
       "exclusive — the cost-aware chunker has no stride form")
+  require(!chunkSentences || (chunkStride.isEmpty && bpeMergesPath.isEmpty &&
+    bpeTrainMerges.isEmpty && !emitIds),
+    "chunk_sentences is exclusive with chunk_stride and the BPE cost/id " +
+      "paths — sentence atoms pack on whitespace-token costs")
   require(!emitIds || chunkStride.isEmpty,
     "emit_ids and chunk_stride are mutually exclusive — id emission rides " +
       "the BPE cost path (size(token_ids) == n_tokens), which has no " +
@@ -141,6 +146,7 @@ object TrainingSetConfig {
       sampleWeightCol = text("sample_weight_col", "n_chars"),
       chunkBudget = int("chunk_budget", 512),
       chunkStride = optNode("chunk_stride").map(_.asInt),
+      chunkSentences = bool("chunk_sentences", d = false),
       bpeMergesPath = optNode("bpe_merges_path").map(_.asText),
       bpeTrainMerges = optNode("bpe_train_merges").map(_.asInt),
       emitIds = bool("emit_ids", d = false),

@@ -1186,6 +1186,59 @@ object Corpus {
    * splits an alnum run, so per-chunk BPE costs sum exactly to the
    * document's total. Output schema = [[chunkDocs]]'s.
    */
+  /**
+   * SENTENCE-PRESERVING chunking — the retrieval/pretraining variant
+   * where a chunk boundary never falls inside a sentence: the document
+   * splits into sentence atoms, and atoms pack next-fit into
+   * token-budget chunks (the [[chunkDocsByCost]] algebra with the atom
+   * = a sentence and its cost = its whitespace-token count). A sentence
+   * longer than the budget ships WHOLE as its own over-budget chunk —
+   * that is the contract's point (hard mid-sentence cuts are what this
+   * variant exists to avoid), and the same next-fit tolerance
+   * [[packSequences]] documents applies at every boundary straddle.
+   *
+   * The sentence grammar is deliberately a deterministic PUNCTUATION-RUN
+   * split, not a linguistic segmenter: a sentence is the shortest span
+   * ending in a `[.!?]` run, plus a final unterminated fragment —
+   * `[^.!?]*[.!?]+|[^.!?]+$`, then trim. The two alternation branches
+   * are mutually exclusive at any position (one requires a terminator,
+   * the other forbids it to end-of-string), so leftmost-first and
+   * leftmost-longest regex engines produce IDENTICAL matches — which is
+   * what lets the `chunk_docs_sentences` oracle hash-verify the whole
+   * operator cross-engine. The split is LOSSLESS in character content
+   * modulo lowering, trimming, and one space gained at each sentence
+   * boundary ("3.5" splits after "3." into two sentences but drops no
+   * text; reassembling the chunks in order reproduces the document's
+   * content — spec-pinned, exactly for terminator-clean docs).
+   *
+   * Shape: map-only, exactly [[chunkDocsByCost]] — sentence extraction,
+   * per-atom costs and the next-fit running sum are all row-local
+   * ([[graft.plans.CostChunks]]); the only output fan-out is the
+   * explode of already-built chunk rows. Output schema = [[chunkDocs]]'s.
+   */
+  def chunkDocsSentences(docs: DataFrame, budget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val sents0 = transform(
+      regexp_extract_all(lower(coalesce(col(textCol), lit(""))),
+        lit("[^.!?]*[.!?]+|[^.!?]+$"), lit(0)),
+      x => trim(x))
+    val sents1 = filter(sents0, x => length(x) > 0)
+    // a doc with no sentences (null/empty/whitespace text) still emits
+    // one empty chunk — chunkDocs' "a doc never vanishes" rule
+    val sents = when(size(sents1) === 0, array(lit(""))).otherwise(sents1)
+    docs.select(col(idCol), sents.as("__sents"))
+      .select(col(idCol), explode(graft.plans.TextExpressions.costChunks(
+        col("__sents"),
+        transform(col("__sents"), x => size(split(x, " ")).cast("long")),
+        budget)).as("__ch"))
+      .select(col(idCol), col("__ch.chunk").as("chunk"),
+        format_string("%s#%09d", col(idCol).cast("string"),
+          col("__ch.chunk")).as("chunk_id"),
+        col("__ch.chunk_text").as("chunk_text"),
+        col("__ch.n_tokens").as("n_tokens"))
+  }
+
   def chunkDocsByCost(docs: DataFrame, budget: Long, costOf: Column => Column,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

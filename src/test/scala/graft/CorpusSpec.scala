@@ -281,6 +281,61 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocsSentences: boundaries at sentence ends, lossless reassembly, oversized sentences ship whole") {
+    val docs = Seq(
+      (0L, "One two three. Four five! Six seven eight nine? Ten."),
+      (1L, "no terminal punctuation at all just words"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, (1 to 20).map(i => s"w$i").mkString(" ") + ". Short one."),
+      (5L, "Version 3.5 shipped. U.S. sales rose."))
+      .toDF("doc_id", "text")
+    val ch = Corpus.chunkDocsSentences(docs, budget = 5).collect()
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L)) // no doc vanishes
+    // lossless reassembly: chunks in order reproduce the lowercased
+    // document's CHARACTER CONTENT (mid-token periods like "3.5" split
+    // the sentence and gain a boundary space, but drop no text)
+    byDoc.foreach { case (id, rows) =>
+      val joined = rows.sortBy(_.getAs[Long]("chunk"))
+        .map(_.getAs[String]("chunk_text")).mkString(" ")
+      val src = Option(docs.filter(col("doc_id") === id).head.getString(1))
+        .getOrElse("")
+      assert(joined.replace(" ", "") == src.toLowerCase.replace(" ", ""),
+        s"doc $id dropped text: [$joined] vs [$src]")
+      // and docs WITHOUT mid-token terminators round-trip exactly
+      if (id != 5L) {
+        val want = src.toLowerCase.trim.replaceAll("\\s+", " ")
+        assert(joined == want, s"doc $id: [$joined] != [$want]")
+      }
+    }
+    // sentence integrity: every chunk ends at a sentence boundary (a
+    // terminator run) or is the document's final chunk
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk"))
+      sorted.dropRight(1).foreach { r =>
+        val t = r.getAs[String]("chunk_text")
+        assert(t.isEmpty || t.matches(".*[.!?]+$"),
+          s"doc $id chunk [${t}] ends mid-sentence")
+      }
+    }
+    // budget: a chunk exceeds it only by its straddling/oversized
+    // sentence (doc 4's 20-token first sentence ships whole)
+    val big = byDoc(4L).sortBy(_.getAs[Long]("chunk"))
+    assert(big.head.getAs[Long]("n_tokens") == 20L,
+      "oversized sentence was split")
+    // multi-sentence packing at the budget: doc 0's 3+2-token sentences
+    // pack next-fit (5-token chunk boundary after sentence two)
+    val d0 = byDoc(0L).sortBy(_.getAs[Long]("chunk"))
+      .map(r => (r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+    assert(d0.head == ("one two three. four five!", 5L), s"got ${d0.head}")
+    // empty/null docs: one empty chunk each, identical shape
+    assert(byDoc(2L).map(r => (r.getAs[Long]("chunk"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).toSeq ==
+      byDoc(3L).map(r => (r.getAs[Long]("chunk"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).toSeq)
+  }
+
   test("chunkDocsOverlap: stride=budget equals chunkDocs; stride<budget shares context") {
     val docs = Seq(
       (0L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 tokens

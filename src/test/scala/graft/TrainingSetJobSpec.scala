@@ -423,6 +423,48 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(shipped == expect)
   }
 
+  test("sentence chunking stage: packed chunks equal chunkDocsSentences over the train split") {
+    import spark.implicits._
+    // own punctuated corpus: the shared fixture docs carry no terminators
+    // (every doc would be one oversized single-sentence chunk). Long
+    // multi-sentence docs, distinct tails to dodge exact/near dedup.
+    val sent = "the quick fox jumped over the lazy dog near the old barn"
+    val dir = java.nio.file.Files.createTempDirectory("sent_in").toString
+    Seq.tabulate(24) { i =>
+      val body = (0 until 6).map(j => s"$sent tail$i word$j.").mkString(" ")
+      (i.toLong, body, "src1")
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_sent").toString
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_sentences":true,"chunk_budget":16,"min_jaccard":0.99,
+        |"pack_groups":2,"n_shards":4}""".stripMargin)
+    val r = TrainingSetJob.run(spark, dir, outRoot, cfg)
+    val shards = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+    val train = shards.filter(col("split") === "train")
+    val expect = Corpus.chunkDocsSentences(train, 16)
+    val packed = spark.read.parquet(TrainingSetJob.packedDir(outRoot))
+    assert(r.trainChunks == expect.count() && packed.count() == expect.count())
+    // a chunk's text is whole sentences: boundary integrity survives
+    // the job wiring (non-final chunks end in a terminator run)
+    val byDoc = packed
+      .join(expect.select(col("chunk_id"), col("doc_id"), col("chunk")), Seq("chunk_id"))
+      .select(col("doc_id"), col("chunk"), col("chunk_text")).collect()
+      .groupBy(_.getLong(0))
+    val nonFinal = byDoc.values.flatMap(rows =>
+      rows.sortBy(_.getLong(1)).dropRight(1)).map(_.getString(2))
+    assert(nonFinal.nonEmpty, "fixture produced no multi-chunk docs")
+    nonFinal.foreach(t => assert(t.isEmpty || t.matches(".*[.!?]+$"),
+      s"chunk ends mid-sentence: [$t]"))
+    // exclusivity: sentence atoms have no stride/BPE form
+    intercept[IllegalArgumentException] {
+      TrainingSetConfig.parse("""{"chunk_sentences":true,"chunk_stride":32}""")
+    }
+    intercept[IllegalArgumentException] {
+      TrainingSetConfig.parse("""{"chunk_sentences":true,"emit_ids":true}""")
+    }
+  }
+
   test("soft_dedup branch: near-dup members ship reweighted, cluster unit mass survives the pipeline") {
     val outRoot = java.nio.file.Files.createTempDirectory("trainset_soft").toString
     val cfg = TrainingSetConfig.parse(
