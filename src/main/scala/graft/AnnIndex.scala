@@ -512,7 +512,17 @@ object AnnIndex {
     * scenario markers exist for) and share a row count would collide.
     * Identical content (as a multiset) ⇒ identical key, which is exactly
     * the retry-detection contract [[growServingLayout]]'s markers need.
-    * Shared with [[EmbeddingCurationJob]]'s increment-level markers. */
+    * Shared with [[EmbeddingCurationJob]]'s increment-level markers.
+    *
+    * KEY SCHEME VERSIONING: the multiplicity fold changed the key format
+    * (the original xor'd only (id, embedding)), so keys carry a `v2_`
+    * prefix — an old-format marker can never alias a new key. Layouts
+    * grown under the v1 scheme lose retry protection for their OLD
+    * increments after upgrading (their markers no longer match anything);
+    * new increments are protected normally. If a pre-upgrade increment
+    * might be retried, rebuild the layout from the source corpus first
+    * ([[buildServingLayout]] — the same recovery the marker scaladoc
+    * prescribes for the append-vs-marker crash window). */
   private[graft] def incrementKey(inc: DataFrame, idCol: String,
       vecCol: String = "embedding"): String = {
     val r = inc.groupBy(col(idCol), col(vecCol))
@@ -522,7 +532,7 @@ object AnnIndex {
       .head
     val n = if (r.isNullAt(0)) 0L else r.getLong(0)
     val h = if (r.isNullAt(1)) 0L else r.getLong(1)
-    s"${n}_${java.lang.Long.toHexString(h)}"
+    s"v2_${n}_${java.lang.Long.toHexString(h)}"
   }
 
   /** Record `increment` as already applied to every relation of a

@@ -162,8 +162,11 @@ object Bench {
       val fn = all.collectFirst { case (n, f) if n == name => f }.get
       val re = Seq(attempt(name, fn), attempt(name, fn)).flatten
       if (re.nonEmpty && re.min < timed(name)) {
+        // getOrElse: the same-run median rule flags queries with NO prev
+        // entry — a bare prev(name) here would abort the whole bench
         System.err.println(f"[bench] $name re-adjudicated: " +
-          f"${timed(name)}%.3f -> ${re.min}%.3f s (prev ${prev(name)}%.3f)")
+          f"${timed(name)}%.3f -> ${re.min}%.3f s " +
+          f"(prev ${prev.getOrElse(name, -1.0)}%.3f)")
         timed(name) = re.min
       }
     }

@@ -189,6 +189,16 @@ object EmbeddingCurationJob {
       cfg: EmbeddingCurationConfig = EmbeddingCurationConfig(),
       vecCol: String = "embedding", idCol: String = "vec_id"): Result = {
     import spark.implicits._
+    // a compaction swap that crashed between its renames leaves a
+    // relation MISSING with its data parked in __compact_old — to this
+    // job that looks exactly like a first increment (the registry probe
+    // would silently restart from empty and re-ship every prior
+    // near-duplicate). Fail loudly with the recovery instruction.
+    for (d <- Seq(dedupRegistryDir(outRoot), selectionRegistryDir(outRoot),
+        curatedDir(outRoot), incrementsDir(outRoot)))
+      require(!operators.Compaction.crashedSwapBackup(spark, d),
+        s"crashed compaction swap: $d is missing but ${d}__compact_old " +
+          "exists — rename the backup back before running increments")
     // pin the increment once — every stage, registry write and count
     // below reads these blocks, not a re-executed source lineage
     val b = Materialize(batch.select(col(idCol).cast("long").as(idCol),
@@ -296,15 +306,30 @@ object EmbeddingCurationJob {
     val nCurated = curated.count()
 
     // serving layout over the curated corpus (idempotent growth —
-    // AnnIndex's per-increment markers; a first-increment BUILD records
-    // the same markers so its retry routes through grow and skips)
+    // AnnIndex's per-increment markers). A first-increment BUILD goes
+    // through a STAGING dir: the four relations AND the increment's
+    // markers are written under `<layout>__build_tmp`, then one atomic
+    // directory rename publishes them together — a crash anywhere before
+    // the rename leaves no layout (retry rebuilds from scratch), after
+    // it the markers are already in place, so the build path has no
+    // multi-relation double-append window (the grow path's documented
+    // one-relation append-vs-marker window is the only residual).
     if (cfg.growLayout) {
       val vecs = deduped.join(curated.select(col(idCol)), Seq(idCol),
         "left_semi").select(col(idCol), col(vecCol))
       val lp = layoutDir(outRoot)
       if (!exists(spark, s"$lp/ivf")) {
-        AnnIndex.buildServingLayout(vecs, lp, nCells = cfg.layoutCells)
-        AnnIndex.markLayoutApplied(spark, lp, vecs, idCol, vecCol)
+        val fs = FileSystem.get(new Path(lp).toUri,
+          spark.sparkContext.hadoopConfiguration)
+        val tmp = new Path(lp + "__build_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        AnnIndex.buildServingLayout(vecs, tmp.toString,
+          nCells = cfg.layoutCells)
+        AnnIndex.markLayoutApplied(spark, tmp.toString, vecs, idCol, vecCol)
+        val dst = new Path(lp)
+        Option(dst.getParent).foreach(fs.mkdirs)
+        require(fs.rename(tmp, dst),
+          s"publishing the built layout failed: rename $tmp -> $dst")
       } else AnnIndex.growServingLayout(spark, lp, vecs,
         checkpointDir = cfg.checkpointDir)
     }

@@ -191,15 +191,21 @@ object TrainingSetJob {
         val tc = cfg.dsirTargetCol
         val withT = if (cleaned.columns.contains(tc)) cleaned
           else cleaned.join(docs.select(col("doc_id"), col(tc)), Seq("doc_id"))
+        // checkpointDir threads through: above TopKMergeCap the valve
+        // pins the scored relation, and a corpus-sized pin on a long
+        // cluster run must be a RELIABLE checkpoint, not a localCheckpoint
+        // whose blocks die with an executor
         val keep = Selection.dsirTopK(withT,
-          col(tc) === lit(cfg.dsirTargetValue.get), k).select(col("doc_id"))
+          col(tc) === lit(cfg.dsirTargetValue.get), k,
+          checkpointDir = cfg.checkpointDir).select(col("doc_id"))
         cleaned.join(keep, Seq("doc_id"), "left_semi")
       case (None, Some(k)) =>
         val wc = cfg.sampleWeightCol
         val withW = if (cleaned.columns.contains(wc)) cleaned
           else cleaned.join(docs.select(col("doc_id"), col(wc)), Seq("doc_id"))
         cleaned.join(
-          Selection.sampleWeighted(withW, col(wc), k).select(col("doc_id")),
+          Selection.sampleWeighted(withW, col(wc), k,
+            checkpointDir = cfg.checkpointDir).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
       case _ => cleaned
     }

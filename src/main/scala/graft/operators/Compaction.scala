@@ -63,14 +63,30 @@ object Compaction {
       : (Long, Long) = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    // a crashed swap (between the two renames) leaves the data under
+    // __compact_old and nothing at `path` — fail LOUDLY with the
+    // recovery instruction instead of letting a caller re-initialize
+    // the relation from scratch (see crashedSwapBackup)
+    val oldLeftover = new Path(path + "__compact_old")
+    require(fs.exists(p) || !fs.exists(oldLeftover),
+      s"compaction: $path is missing but a complete pre-compaction copy " +
+        s"exists at $oldLeftover — a prior swap crashed mid-rename; " +
+        s"rename it back to $path before proceeding")
     require(fs.exists(p), s"compaction: $path does not exist")
 
+    // data files only: skip underscore/dot files AND anything under an
+    // underscore/dot DIRECTORY (a crashed append's _temporary staging
+    // tree must not inflate the ledger)
     def dataFiles(root: Path): Long = {
       val it = fs.listFiles(root, true)
       var n = 0L
       while (it.hasNext) {
         val f = it.next().getPath
-        if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) n += 1
+        def hiddenSegment(q: Path): Boolean =
+          q != null && q != root &&
+            (q.getName.startsWith("_") || q.getName.startsWith(".") ||
+              hiddenSegment(q.getParent))
+        if (!hiddenSegment(f)) n += 1
       }
       n
     }
@@ -105,5 +121,17 @@ object Compaction {
       s"failed — complete copies at $old and $tmp; rename one back to $path")
     fs.delete(old, true)
     (before, dataFiles(p))
+  }
+
+  /** True when `path` is missing but its `__compact_old` backup exists —
+    * the signature of a swap that crashed between its two renames. Jobs
+    * that append to compactable relations call this at entry so the
+    * condition surfaces as an actionable error instead of a silent
+    * re-initialization of the relation (the registry-probe hazard: a
+    * missing registry looks exactly like a first increment). */
+  def crashedSwapBackup(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) && fs.exists(new Path(path + "__compact_old"))
   }
 }

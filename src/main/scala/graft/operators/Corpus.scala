@@ -1186,6 +1186,25 @@ object Corpus {
    * splits an alnum run, so per-chunk BPE costs sum exactly to the
    * document's total. Output schema = [[chunkDocs]]'s.
    */
+  def chunkDocsByCost(docs: DataFrame, budget: Long, costOf: Column => Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    // coalesce: null text behaves as empty (one empty chunk via the [""]
+    // token split), matching chunkDocs/chunkDocsOverlap — a NULL array
+    // would null the kernel, explode would emit zero rows, and the doc
+    // would vanish entirely
+    docs.select(col(idCol),
+        TextFunctions.wsTokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col(idCol), explode(graft.plans.TextExpressions.costChunks(
+        col("__toks"),
+        transform(col("__toks"), t => costOf(t).cast("long")), budget)).as("__ch"))
+      .select(col(idCol), col("__ch.chunk").as("chunk"),
+        format_string("%s#%09d", col(idCol).cast("string"),
+          col("__ch.chunk")).as("chunk_id"),
+        col("__ch.chunk_text").as("chunk_text"),
+        col("__ch.n_tokens").as("n_tokens"))
+  }
+
   /**
    * SENTENCE-PRESERVING chunking — the retrieval/pretraining variant
    * where a chunk boundary never falls inside a sentence: the document
@@ -1239,24 +1258,6 @@ object Corpus {
         col("__ch.n_tokens").as("n_tokens"))
   }
 
-  def chunkDocsByCost(docs: DataFrame, budget: Long, costOf: Column => Column,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
-    // coalesce: null text behaves as empty (one empty chunk via the [""]
-    // token split), matching chunkDocs/chunkDocsOverlap — a NULL array
-    // would null the kernel, explode would emit zero rows, and the doc
-    // would vanish entirely
-    docs.select(col(idCol),
-        TextFunctions.wsTokens(coalesce(col(textCol), lit(""))).as("__toks"))
-      .select(col(idCol), explode(graft.plans.TextExpressions.costChunks(
-        col("__toks"),
-        transform(col("__toks"), t => costOf(t).cast("long")), budget)).as("__ch"))
-      .select(col(idCol), col("__ch.chunk").as("chunk"),
-        format_string("%s#%09d", col(idCol).cast("string"),
-          col("__ch.chunk")).as("chunk_id"),
-        col("__ch.chunk_text").as("chunk_text"),
-        col("__ch.n_tokens").as("n_tokens"))
-  }
 
   /**
    * Sequence packing: assign each document to a token-budget bin, the
