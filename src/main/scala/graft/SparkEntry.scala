@@ -1021,6 +1021,16 @@ object SparkEntry {
       // form; approx=true is the extreme-count scale twin)
       Corpus.dropBottomQuantile(
         Corpus.unigramLogProb(t(s, dir, "documents")), "logprob", 0.1)),
+    "quality_lm_ref" -> ((s, dir) => {
+      // CCNet-shaped reference-LM perplexity: every doc scored under a
+      // Jelinek-Mercer bigram LM trained on a 20% hash-sample "clean
+      // reference" — unseen transitions back off to the reference
+      // unigram, unseen tokens to the Laplace floor
+      val docs = t(s, dir, "documents")
+      Corpus.lmRefScore(
+        docs.filter(Corpus.hashBucket(col("doc_id")) < 20), docs,
+        lambda = LmRefLambda)
+    }),
     "quality_gate_stratified" -> ((s, dir) => {
       // per-SOURCE decile floor: each source drops its own worst 10% — a
       // noisy source cannot consume the global cut for everyone. The
@@ -1839,6 +1849,10 @@ object SparkEntry {
     * `generate_series` DuckDB can't drive from a column. The nums bound
     * (4096 chunks = 256k tokens/doc at budget 64) is a FIXTURE bound for
     * this oracle statement only — the Spark operator has no cap. */
+  /** Reference-LM interpolation weight — shared by the Spark statement
+    * and its oracle so both engines use the identical IEEE coefficients. */
+  private val LmRefLambda = 0.9
+
   private val chunkDocsSql =
     s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(0, 4095)),
        |toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t FROM documents),
@@ -2621,6 +2635,32 @@ object SparkEntry {
       s"""WITH lp AS ($logprobSql),
          |thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM lp)
          |SELECT doc_id, logprob FROM lp, thr WHERE logprob >= t""".stripMargin,
+    "quality_lm_ref" ->
+      // λ and (1−λ) interpolate from the SAME Scala doubles the Spark
+      // side uses (1−0.9 is not the literal 0.1 in IEEE — injecting the
+      // computed value keeps both engines on one coefficient)
+      s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+         |ref AS (SELECT text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 20),
+         |rtoks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM ref),
+         |rbg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |        FROM rtoks JOIN nums ON i <= len(ts) - 1),
+         |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY 1, 2),
+         |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rbg GROUP BY 1),
+         |runi AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
+         |         FROM (SELECT unnest(ts) AS t FROM rtoks) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+         |        FROM runi),
+         |dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+         |          FROM documents),
+         |dbg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+         |        FROM dtoks JOIN nums ON i <= len(ts) - 1)
+         |SELECT doc_id,
+         | floor(avg(ln($LmRefLambda * coalesce(c2 * 1.0 / c1, 0)
+         |   + ${1 - LmRefLambda} * (coalesce(cu, 0) + 1.0) / (n + v))) * 1e6 + 0.5) / 1e6
+         |   AS lm_ref
+         |FROM dbg LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw USING (w1)
+         |LEFT JOIN runi ON runi.t = dbg.w2 CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
     "quality_gate_stratified" ->
       s"""WITH lp AS ($logprobSql),
          |ls AS (SELECT lp.doc_id, lp.logprob, d.source

@@ -921,6 +921,67 @@ object Corpus {
   }
 
   /**
+   * REFERENCE-corpus LM quality score — the CCNet-shaped perplexity
+   * filter (Wenzek et al. 2020): score every document under an n-gram
+   * LM trained on a separate CLEAN reference, instead of the corpus's
+   * own statistics ([[unigramLogProb]]/[[bigramLogProb]], whose model IS
+   * the scored corpus, so no transition is ever unseen). Here unseen
+   * mass is the point: a doc full of transitions the reference never
+   * makes scores low. Jelinek-Mercer interpolation keeps every term
+   * finite and proper:
+   *
+   *   P(w2|w1) = λ·c_ref(w1,w2)/c_ref(w1,·)
+   *            + (1−λ)·(c_ref(w2)+1)/(N_ref+V_ref)
+   *
+   * (bigram MLE backed off to a Laplace-smoothed reference unigram; an
+   * unseen bigram contributes the unigram term, an unseen TOKEN the
+   * 1/(N+V) floor — never ln 0). Output: (idCol, lm_ref) with
+   * lm_ref = 6dp-quantized mean ln P over the doc's adjacent pairs;
+   * docs under 2 tokens emit nothing (the bigram families' rule).
+   *
+   * Scale shape: the reference model is three map-side-combined counts
+   * (bigram, context, unigram — all vocabulary-sized, AQE broadcasts
+   * them when they fit) plus a 1-row totals aggregate; the corpus side
+   * is one pair projection and one per-doc average — the reference is
+   * scanned only to build the model, the corpus only once. Token
+   * identity is the family's 64-bit hash stream (counts by hash equal
+   * counts by token modulo the documented 2⁻⁶⁴ collision risk), which
+   * is what lets the string-keyed DuckDB oracle (`quality_lm_ref`)
+   * hash-verify the whole statement.
+   */
+  def lmRefScore(reference: DataFrame, docs: DataFrame, lambda: Double = 0.9,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    def withTh(df: DataFrame, keep: Seq[Column]) = df.select(
+      keep :+ TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"): _*)
+    def pairs(df: DataFrame, keep: Seq[Column]) = df
+      .select(keep :+ explode(zip_with(
+        slice(col("__th"), lit(1), greatest(size(col("__th")) - 1, lit(0))),
+        slice(col("__th"), lit(2), greatest(size(col("__th")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"): _*)
+      .select(keep :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
+    val refTh = withTh(reference, Nil)
+    val cbg = pairs(refTh, Nil).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // c(w1,·) derives from the bigram aggregate (bigramLogProb's shape)
+    val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = refTh.select(explode(col("__th")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("__n"),
+      count(lit(1)).as("__v"))
+    pairs(withTh(docs, Seq(col(idCol))), Seq(col(idCol)))
+      .join(cbg, Seq("w1", "w2"), "left")
+      .join(cw, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("__t", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(Quantize.quantize(avg(log(
+        lit(lambda) * coalesce(col("c2") / col("c1"), lit(0.0)) +
+          lit(1 - lambda) * (coalesce(col("cu"), lit(0L)) + lit(1L)) /
+            (col("__n") + col("__v")))), 6).as("lm_ref"))
+  }
+
+  /**
    * Quality-quantile gate: drop the bottom `q`-quantile of rows by
    * `scoreCol` — the "perplexity filter" stage of a real pipeline (score
    * with [[unigramLogProb]] or a model pass, then cut the worst X%).

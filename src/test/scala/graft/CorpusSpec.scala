@@ -189,6 +189,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(0L) > out(1L))
   }
 
+  test("lmRefScore: reference-LM perplexity ranks in-distribution above unseen, floors exactly") {
+    // reference: "the cat sat" twice → bigrams (the,cat)=2 (cat,sat)=2;
+    // unigrams the=2 cat=2 sat=2, N=6, V=3
+    val ref = Seq((100L, "the cat sat"), (101L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat sat"),        // every transition seen
+      (1L, "the sat cat"),        // known tokens, unseen transitions
+      (2L, "zz qq ww"),           // nothing known: pure Laplace floor
+      (3L, "one"))                // <2 tokens: emits nothing
+      .toDF("doc_id", "text")
+    val lam = 0.9
+    val out = Corpus.lmRefScore(ref, docs, lam).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_ref")).toMap
+    assert(!out.contains(3L), "sub-bigram doc must emit nothing")
+    assert(out(0L) > out(1L) && out(1L) > out(2L),
+      s"ranking violated: $out")
+    def q6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc 0: both pairs P = lam*(2/2) + (1-lam)*(2+1)/(6+3)
+    val pSeen = lam + (1 - lam) * 3.0 / 9
+    assert(out(0L) == q6(math.log(pSeen)))
+    // doc 2: every pair at the exact unseen-token floor (1-lam)*1/(N+V)
+    assert(out(2L) == q6(math.log((1 - lam) * 1.0 / 9)))
+    // doc 1: unseen bigrams back off to the known-unigram term only
+    assert(out(1L) == q6(math.log((1 - lam) * 3.0 / 9)))
+  }
+
   test("packSequences: next-fit bins from running token totals; zero-token prefix safe") {
     // groups=1 puts every doc in one stream → hand-checkable bins
     val docs = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 0L), (4L, 25L))
