@@ -83,6 +83,19 @@ object EmbeddingCurationJob {
     * are persisted here before the registries grow, so a retried
     * increment replays its recorded verdicts (see [[runIncrement]]). */
   def incStateDir(root: String, key: String) = s"$root/inc_state/inc_$key"
+  private def incStateRoot(root: String) = s"$root/inc_state"
+
+  /** Fingerprint of the config fields that shaped one write-ahead
+    * VERDICT (see [[runIncrement]]'s per-stage claims): a retry must
+    * replay a persisted verdict only under the parameters that produced
+    * it — re-evaluating under new ones is not an option once the
+    * registries hold the batch. Per-verdict (not whole-config) so a
+    * retry that fixes an UNRELATED field (the retry spec's broken
+    * evalDir) still replays stage 2's verdict. */
+  private[graft] def cfgFingerprint(fields: Any*): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fields.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -138,6 +151,21 @@ object EmbeddingCurationJob {
         println(s"""{"batch":$batchId,"batch_vecs":${r.batchVecs},""" +
           s""""floored":${r.floored},"deduped":${r.deduped},""" +
           s""""decontaminated":${r.decontaminated},"curated":${r.curated}}""")
+        // config-driven maintenance: compact the append-grown relations
+        // every N applied increments (counted from the manifest's marker
+        // ledger — one listing). foreachBatch serializes batches, so the
+        // "never concurrently with an increment" contract holds by
+        // construction; compaction is idempotent, so a redelivered batch
+        // re-triggering on the same count is harmless.
+        cfg.compactEvery.foreach { n =>
+          val applied = appliedIncrements(spark, outRoot)
+          if (applied > 0 && applied % n == 0) {
+            val c = compact(spark, outRoot)
+            println(s"""{"batch":$batchId,"compacted":${c.size},""" +
+              s""""files":"${c.map { case (k, v) =>
+                s"${k.split('/').last}:${v._1}->${v._2}" }.mkString(",")}"}""")
+          }
+        }
         ()
       }
       .start()
@@ -157,7 +185,46 @@ object EmbeddingCurationJob {
       p -> operators.Compaction.compactPartitioned(spark, p, cols)
     } ++ plain.collect { case p if exists0(p) =>
       p -> operators.Compaction.compactPlain(spark, p)
-    }).toMap
+    }).toMap + ("inc_state" -> gcIncState(spark, outRoot))
+  }
+
+  /** GC the write-ahead state of FULLY-COMPLETED increments: the
+    * increments-manifest marker is [[runIncrement]]'s LAST write, so its
+    * existence proves every earlier append landed — no retry of that
+    * increment can need the verdicts again (a post-GC redelivery
+    * recomputes verdicts against the grown registry, which ships nothing
+    * AND appends nothing because every relation's marker still gates it;
+    * only that replay's returned per-stage counts are off, the relations
+    * stay exactly-once). Without this, inc_state grows one roughly
+    * batch-sized parquet dir per increment forever. Returns
+    * (dirsBefore, dirsAfter). */
+  private[graft] def gcIncState(spark: SparkSession, outRoot: String): (Long, Long) = {
+    val root = new Path(incStateRoot(outRoot))
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L)
+    val dirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("inc_"))
+    val before = dirs.length.toLong
+    val manifest = incrementsDir(outRoot)
+    var kept = 0L
+    dirs.foreach { s =>
+      val key = s.getPath.getName.stripPrefix("inc_")
+      if (exists(spark, s"$manifest/_graft_inc_applied_$key"))
+        fs.delete(s.getPath, true)
+      else kept += 1
+    }
+    (before, kept)
+  }
+
+  /** Number of increments applied so far — counted from the manifest's
+    * idempotent-append markers (the existing ledger), so the trigger
+    * below costs one directory listing, not a scan. */
+  private def appliedIncrements(spark: SparkSession, outRoot: String): Long = {
+    val dir = new Path(incrementsDir(outRoot))
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir)
+      .count(_.getPath.getName.startsWith("_graft_inc_applied_")).toLong
   }
 
   /** Run ONE increment through the configured stages; append its
@@ -211,6 +278,37 @@ object EmbeddingCurationJob {
     // a parquet dir counts as written only once its _SUCCESS commits —
     // `exists` alone would treat a crashed partial write as state
     def completed(path: String): Boolean = exists(spark, s"$path/_SUCCESS")
+    // Per-VERDICT config guard: a persisted write-ahead verdict replays
+    // only under the config fields that produced it. Mismatch with the
+    // verdict COMPLETE fails loudly (re-evaluating is impossible — the
+    // registries may already hold the batch); mismatch with the verdict
+    // incomplete re-claims (nothing was mutated yet: every registry
+    // append happens strictly after its verdict's _SUCCESS). Residual
+    // window, same class as append-vs-marker: a crash between a verdict
+    // completing and its claim file landing lets one changed-config
+    // retry through unflagged.
+    def claimCfg(tag: String, fp: String, verdictDone: Boolean): Unit = {
+      val sd = new Path(stateDir)
+      val fs = FileSystem.get(sd.toUri, spark.sparkContext.hadoopConfiguration)
+      val prefix = s"_cfg_${tag}_"
+      val existing =
+        if (fs.exists(sd)) fs.listStatus(sd).map(_.getPath.getName)
+          .filter(_.startsWith(prefix)).toSeq
+        else { fs.mkdirs(sd); Seq.empty[String] }
+      val cur = prefix + fp
+      if (!existing.contains(cur)) {
+        require(existing.isEmpty || !verdictDone,
+          s"retry of increment $incKey under a CHANGED config: the " +
+            s"persisted '$tag' verdict was produced under " +
+            s"${existing.mkString(",")} but this run is $cur — its " +
+            "write-ahead state cannot be re-evaluated (the registries may " +
+            "already hold this batch); finish the retry under the original " +
+            s"config, or clear $stateDir AND roll back this increment's " +
+            "registry appends before re-parameterizing")
+        existing.foreach(n => fs.delete(new Path(sd, n), false))
+        fs.create(new Path(sd, cur), false).close()
+      }
+    }
     def appendOnce(relDir: String)(write: => Unit): Unit = {
       val marker = new Path(s"$relDir/_graft_inc_applied_$incKey")
       val fs = FileSystem.get(marker.toUri,
@@ -238,6 +336,11 @@ object EmbeddingCurationJob {
       case Some(tau) =>
         val regPath = dedupRegistryDir(outRoot)
         val survPath = s"$stateDir/survivor_ids"
+        // the survivor verdict is shaped by the centroid model (nCells),
+        // the floor and the dedup threshold — not by the later stages'
+        // fields, so a retry fixing only those replays it
+        claimCfg("survivors", cfgFingerprint(cfg.nCells, cfg.minCos, tau),
+          completed(survPath))
         if (!completed(survPath)) {
           val s =
             if (completed(regPath)) Similarity.semanticDedupIncrement(
@@ -277,6 +380,13 @@ object EmbeddingCurationJob {
       case Some(k) =>
         val selPath = selectionRegistryDir(outRoot)
         val shipPath = s"$stateDir/selected"
+        // the ship verdict sees every upstream stage's output plus the
+        // cap and the split percentages (the curated append replays the
+        // splitExpr over these selections)
+        claimCfg("selected", cfgFingerprint(cfg.nCells, cfg.minCos,
+            cfg.dedupCos, cfg.evalDir, cfg.decontCos, k, cfg.trainPct,
+            cfg.valPct),
+          completed(shipPath))
         if (!completed(shipPath)) {
           val sel =
             if (completed(selPath)) Selection.selectDiverseInc(decontaminated,

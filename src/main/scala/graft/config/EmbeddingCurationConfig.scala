@@ -26,6 +26,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
  *  - `grow_layout` — maintain the ANN serving layout over the CURATED
  *    corpus per increment ([[graft.AnnIndex.buildServingLayout]] /
  *    [[graft.AnnIndex.growServingLayout]])
+ *  - `compact_every` — run [[graft.EmbeddingCurationJob.compact]]
+ *    automatically every N applied increments inside the micro-batch
+ *    loop (file-count maintenance + completed-increment state GC);
+ *    absent = manual maintenance windows only
  */
 final case class EmbeddingCurationConfig(
     nCells: Int = 8,
@@ -38,9 +42,12 @@ final case class EmbeddingCurationConfig(
     valPct: Int = 10,
     growLayout: Boolean = false,
     layoutCells: Int = 16,
-    checkpointDir: Option[String] = None) {
+    checkpointDir: Option[String] = None,
+    compactEvery: Option[Int] = None) {
   require(nCells > 0, s"n_cells must be positive: $nCells")
   require(perCell.forall(_ > 0), s"per_cell must be positive: $perCell")
+  require(compactEvery.forall(_ > 0),
+    s"compact_every must be positive: $compactEvery")
   require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
     s"train/val percentages out of range: $trainPct/$valPct")
   require(layoutCells > 0, s"layout_cells must be positive: $layoutCells")
@@ -74,6 +81,7 @@ object EmbeddingCurationConfig {
       valPct = int("val_pct", 10),
       growLayout = bool("grow_layout", d = false),
       layoutCells = int("layout_cells", 16),
-      checkpointDir = optNode("checkpoint_dir").map(_.asText))
+      checkpointDir = optNode("checkpoint_dir").map(_.asText),
+      compactEvery = optNode("compact_every").map(_.asInt))
   }
 }

@@ -41,4 +41,20 @@ private[graft] object Materialize {
         }
       case None => df.localCheckpoint(true)
     }
+
+  /** Best-effort release of a frame previously returned by [[apply]]:
+    * unpersists the localCheckpoint blocks backing its `LogicalRDD`
+    * leaves so iterative callers (the topK widening loop, CC rounds)
+    * don't accumulate pinned copies for the job's lifetime. Reliable
+    * checkpoints are left alone — their files belong to the caller's
+    * checkpoint dir lifecycle, and deleting them under a frame that
+    * may still be read would be destructive. Safe to call only once
+    * every consumer of `df` has finished reading it. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

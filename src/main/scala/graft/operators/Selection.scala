@@ -334,7 +334,12 @@ object Selection {
         ((1.0 - depth.toDouble / n) * gridN).toInt - 1)
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     var out: Option[DataFrame] = None
+    var prevSorted: Option[DataFrame] = None
     while (out.isEmpty) {
+      // an under-cut retry supersedes the previous iteration's pinned
+      // sliver — release it (localCheckpoint blocks otherwise accumulate
+      // one ~k-row copy per widening for the job's lifetime)
+      prevSorted.foreach(Materialize.release)
       val cand = if (idx < 0) scored
         else scored.filter(col(keyCol) >= grid(idx))
       // distributed exact rank over the ~k-row candidate sliver. The pin
@@ -369,8 +374,12 @@ object Selection {
         // under-cut (heavy ties just above the threshold can starve the
         // band): widen 10 grid steps per retry, falling back to no cut
         idx = if (idx < 10) -1 else idx - 10
+        prevSorted = Some(sorted)
       }
     }
+    // the result reads only the FINAL sorted sliver's blocks — the
+    // corpus-sized scored pin has no remaining consumer
+    Materialize.release(scored)
     out.get
   }
 
@@ -934,14 +943,15 @@ object Selection {
       decontCos: Double, perCell: Int, trainPct: Int = 80, valPct: Int = 10,
       vecCol: String = "embedding", idCol: String = "vec_id",
       salt: String = Corpus.SampleSalt,
-      maxCell: Option[Long] = None): DataFrame = {
+      maxCell: Option[Long] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(centroids.nonEmpty, "curateSemantic: no centroids")
     require(perCell > 0, s"curateSemantic: perCell must be positive: $perCell")
     val floored = Similarity.assignKeepVec(embeddings, centroids, vecCol, idCol)
       .filter(col("cos") >= minCos)
       .select(col(idCol), col(vecCol))
     val deduped = Similarity.semanticDedupClusteredKeepVec(
-      floored, centroids, dedupCos, vecCol, idCol, maxCell)
+      floored, centroids, dedupCos, vecCol, idCol, maxCell, checkpointDir)
     val decontaminated = Similarity.decontaminateSemantic(
       deduped, evalSet, decontCos, vecCol, idCol)
     diverseElect(decontaminated.select(col(idCol), col("cell")),

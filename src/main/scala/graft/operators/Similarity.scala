@@ -1796,12 +1796,17 @@ object Similarity {
   def semanticDedupClustered(embeddings: DataFrame, centroids: Array[Array[Float]],
       minCosine: Double, maxCell: Option[Long] = None,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      prunedAssign: Option[(Int, Int)] = None): DataFrame = {
+      prunedAssign: Option[(Int, Int)] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupClustered: no centroids")
     // capped: pin the assignment — four consumers otherwise re-execute
-    // the corpus×k assignment as lineage (see the KeepVec form's note)
+    // the corpus×k assignment as lineage (see the KeepVec form's note).
+    // maxCell is specifically a corpus-scale valve, so on a long cluster
+    // run the pin must survive executor loss: thread checkpointDir
+    // (reliable checkpoint) exactly like TrainingSetJob's stage pins —
+    // a localCheckpoint's blocks die with their executor.
     val asg0 = assignWithNorm(embeddings, centroids, vecCol, idCol, prunedAssign)
-    val asg = if (maxCell.isDefined) Materialize(asg0, None) else asg0
+    val asg = if (maxCell.isDefined) Materialize(asg0, checkpointDir) else asg0
     val thr = thrOf(minCosine)
     val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
       .groupBy(col("cell"))
@@ -1866,7 +1871,8 @@ object Similarity {
   private[graft] def semanticDedupClusteredKeepVec(embeddings: DataFrame,
       centroids: Array[Array[Float]], minCosine: Double,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      maxCell: Option[Long] = None): DataFrame = {
+      maxCell: Option[Long] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupClusteredKeepVec: no centroids")
     val thr = thrOf(minCosine)
     // with the cap engaged the assignment feeds FOUR consumers (occupancy
@@ -1875,8 +1881,10 @@ object Similarity {
     // full corpus×k assignment re-executes per consumer (measured 12.4 s
     // vs 6.8 s uncapped at 16×/k=128 before pinning). Uncapped stays pure
     // lineage: the flagship's one-scan plan lint depends on it.
+    // checkpointDir upgrades the pin to a reliable checkpoint for long
+    // cluster runs (executor loss destroys localCheckpoint blocks).
     val asg0 = assignWithNorm(embeddings, centroids, vecCol, idCol)
-    val asg = if (maxCell.isDefined) Materialize(asg0, None) else asg0
+    val asg = if (maxCell.isDefined) Materialize(asg0, checkpointDir) else asg0
     val fromPairing = Dedup.capBuckets(asg, Seq("cell"), maxCell)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col(idCol), col(vecCol), col("__n"))).as("__m"))

@@ -212,4 +212,116 @@ class EmbeddingCurationJobSpec extends AnyFunSuite {
       "registry double-appended on retry")
     assert(n(EmbeddingCurationJob.curatedDir(root)) == r1.curated + r2.curated)
   }
+
+  test("changed-config retry: a persisted verdict rejects new parameters loudly; an unrelated-field change replays fine") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 25)
+    val batch = corpus.filter(col("vec_id") < 300)
+    val root = java.nio.file.Files.createTempDirectory("ecj_cfg").toString
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), perCell = Some(12))
+    val r1 = EmbeddingCurationJob.runIncrement(spark, batch, root, cfg)
+    // the hazard the fingerprint closes: retry of the SAME batch under a
+    // different dedup threshold — the persisted survivor verdict was
+    // produced under 0.45 and the registry already holds the batch, so
+    // silently replaying OR re-evaluating would both be wrong
+    val ex1 = intercept[IllegalArgumentException] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root,
+        cfg.copy(dedupCos = Some(0.30)))
+    }
+    assert(ex1.getMessage.contains("CHANGED config"))
+    // same for the ship verdict: a different per-cell cap
+    val ex2 = intercept[IllegalArgumentException] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root,
+        cfg.copy(perCell = Some(5)))
+    }
+    assert(ex2.getMessage.contains("CHANGED config"))
+    // a field NEITHER verdict depends on (execution posture) replays as
+    // the identical no-op
+    val r1b = EmbeddingCurationJob.runIncrement(spark, batch, root,
+      cfg.copy(layoutCells = 99))
+    assert(r1b == r1)
+  }
+
+  test("compact_every mid-stream: yields preserved across a triggered compaction, files shrink, completed inc_state GC'd") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cfg0 = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), perCell = Some(40))
+    val splits = Seq(e.filter(col("vec_id") < 200),
+      e.filter(col("vec_id") >= 200 && col("vec_id") < 400),
+      e.filter(col("vec_id") >= 400))
+    // control: the sequential loop, never compacted
+    val ctlRoot = java.nio.file.Files.createTempDirectory("ecj_cctl").toString
+    splits.foreach(b =>
+      EmbeddingCurationJob.runIncrement(spark, b, ctlRoot, cfg0))
+    // the stream with compaction triggered after EVERY increment — the
+    // strongest version of the 2-increment yield contract: batches 2 and
+    // 3 each probe freshly-compacted registries
+    val root = java.nio.file.Files.createTempDirectory("ecj_cstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ecj_cckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SemVec]
+    val q = EmbeddingCurationJob.runStream(spark, in.toDS().toDF(), root,
+      ckpt, cfg0.copy(compactEvery = Some(1)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      splits.foreach { b =>
+        in.addData(b.collect().map(r =>
+          SemVec(r.getLong(0), r.getSeq[Float](1).toArray)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def state(r: String) = (
+      spark.read.parquet(EmbeddingCurationJob.curatedDir(r)).collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet,
+      spark.read.parquet(EmbeddingCurationJob.dedupRegistryDir(r)).count(),
+      spark.read.parquet(EmbeddingCurationJob.selectionRegistryDir(r))
+        .collect().map(_.getLong(0)).toSet)
+    assert(state(root) == state(ctlRoot),
+      "triggered compaction changed the curation outcome")
+    // compacted relations: ONE data file each (vs 3 appends uncompacted)
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles(EmbeddingCurationJob.selectionRegistryDir(root)) == 1)
+    assert(dataFiles(EmbeddingCurationJob.curatedDir(root)) == 1)
+    assert(dataFiles(EmbeddingCurationJob.selectionRegistryDir(ctlRoot)) >= 3)
+    // every increment completed, so every write-ahead state dir is GC'd
+    val stateRoot = new java.io.File(s"$root/inc_state")
+    assert(!stateRoot.exists() || stateRoot.listFiles().isEmpty,
+      "completed increments' write-ahead state not GC'd")
+    assert(new java.io.File(s"$ctlRoot/inc_state").listFiles().length == 3)
+  }
+
+  test("crashed compaction swap: the next increment fails with the recovery instruction; renaming the backup recovers") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 25)
+    val batchA = corpus.filter(col("vec_id") < 300)
+    val batchB = corpus.filter(col("vec_id") >= 300)
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), perCell = Some(40))
+    // control for the recovered run
+    val ctlRoot = java.nio.file.Files.createTempDirectory("ecj_xctl").toString
+    EmbeddingCurationJob.runIncrement(spark, batchA, ctlRoot, cfg)
+    val ctl2 = EmbeddingCurationJob.runIncrement(spark, batchB, ctlRoot, cfg)
+
+    val root = java.nio.file.Files.createTempDirectory("ecj_xswap").toString
+    EmbeddingCurationJob.runIncrement(spark, batchA, root, cfg)
+    // simulate a swap that crashed between its two renames: the relation
+    // gone, the complete pre-compaction copy parked at __compact_old
+    val reg = new java.io.File(EmbeddingCurationJob.dedupRegistryDir(root))
+    val parked = new java.io.File(reg.getPath + "__compact_old")
+    assert(reg.renameTo(parked))
+    val ex = intercept[IllegalArgumentException] {
+      EmbeddingCurationJob.runIncrement(spark, batchB, root, cfg)
+    }
+    assert(ex.getMessage.contains("crashed compaction swap"))
+    // the documented recovery: rename the backup back, then proceed
+    assert(parked.renameTo(reg))
+    val r2 = EmbeddingCurationJob.runIncrement(spark, batchB, root, cfg)
+    assert(r2 == ctl2, "recovered run diverged from the never-crashed control")
+  }
 }
