@@ -104,8 +104,53 @@ object TrainingSetJob {
     out.close()
   }
 
+  private def readTextFile(spark: SparkSession, path: String): String = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Identity of one logical run, for the stage-resume markers: the
+    * source dir plus every SEMANTIC config field (checkpointDir is
+    * execution posture — a crashed run retried WITH a checkpoint dir
+    * added must still resume, not restart). Any semantic change makes a
+    * different run: its markers miss and every stage recomputes. */
+  private[graft] def runKey(docsDir: String, cfg: TrainingSetConfig): String = {
+    val canon = docsDir + "|" + cfg.copy(checkpointDir = None)
+      .productIterator.map {
+        // map fields canonicalize by sorted entries (construction order
+        // must not change the key)
+        case m: Map[_, _] =>
+          m.map { case (k, v) => s"$k->$v" }.toSeq.sorted.mkString(",")
+        case x => String.valueOf(x)
+      }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
   def run(spark: SparkSession, docsDir: String, outRoot: String,
       cfg: TrainingSetConfig = TrainingSetConfig()): Result = {
+    // STAGE-LEVEL RESUME: each written output records a completion marker
+    // keyed on the run identity ([[runKey]]), so a re-run after a crash
+    // skips the stages whose outputs already landed — a stage-8 crash in
+    // this 10-stage pipeline otherwise re-runs the whole cleaning cascade
+    // from scratch (idempotent but ruinous at corpus scale). Markers are
+    // written AFTER their stage's output commits: a crash mid-write
+    // leaves no marker and the retry overwrites the partial output.
+    val rk = runKey(docsDir, cfg)
+    def stageMarker(s: String) = s"$outRoot/_resume/${rk}_$s"
+    def stageDone(s: String): Boolean = {
+      val p = new Path(stageMarker(s))
+      FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def markStage(s: String, payload: String = "done"): Unit =
+      writeTextFile(spark, stageMarker(s), payload)
+
+    val cleanDocs: Long = if (stageDone("shards"))
+      readTextFile(spark, stageMarker("shards")).trim.toLong
+    else {
     // optional normalization BEFORE any gate: applied to the source frame
     // itself so every later text consumer (gates, shingles, the
     // join-back when redaction is off) sees normalized text — ragged
@@ -268,8 +313,19 @@ object TrainingSetJob {
       else (mixed0, "doc_id")
 
     Corpus.writeShards(mixed, shardsDir(outRoot), cfg.nShards, shipId)
-
-    val train = mixed.filter(col("split") === "train")
+    // the marker carries the cleaning yield: on resume the clean frame
+    // exists in no written output (mixtures/caps filtered it), and
+    // recomputing it would re-run the cleaning cascade the marker skips
+    val cd = cleaned.count()
+    markStage("shards", cd.toString)
+    cd
+    }
+    // every later stage reads the WRITTEN shards — one code path whether
+    // this run produced them or a crashed prior run did, which makes
+    // resume == single-shot structural rather than incidental
+    val shardsBack = spark.read.parquet(shardsDir(outRoot))
+    val shipId = if (cfg.mixRepeats) "copy_uid" else "doc_id"
+    val train = shardsBack.filter(col("split") === "train")
     // chunk + pack budgets count merged-BPE tokens when a merges table is
     // configured — packing budgets that drift from the real tokenizer are
     // the #1 practical gap for a training-data user. The merges table is
@@ -290,15 +346,24 @@ object TrainingSetJob {
         ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n")
       m
     }
+    // on resume, a previously-saved table reloads from merges.txt (the
+    // GPT-2 format round-trips exactly) instead of re-training — the
+    // budgets and ids must be counted with the table the crashed run
+    // already shipped
+    def savedOrElse(make: => Seq[(String, String)]): Seq[(String, String)] =
+      if (stageDone("merges"))
+        graft.functions.TextFunctions.loadBpeMerges(mergesPath(outRoot))
+      else { val m = saveMerges(make); markStage("merges"); m }
     val mergesOpt: Option[Seq[(String, String)]] = cfg.bpeMergesPath
       .map(graft.functions.TextFunctions.loadBpeMerges)
-      .orElse(cfg.bpeTrainMerges.map(n => saveMerges(
+      .orElse(cfg.bpeTrainMerges.map(n => savedOrElse(
         graft.functions.TextFunctions.trainBpeMerges(train, n, "text"))))
       // emit_ids promotes id emission to a first-class switch: with no
       // tokenizer configured it rides the canonical built-in merges table
       // (the same vocab the pack_emit_ids query serves)
       .orElse(if (cfg.emitIds)
-        Some(saveMerges(graft.functions.TextFunctions.BpeMerges)) else None)
+        Some(savedOrElse(graft.functions.TextFunctions.BpeMerges)) else None)
+    if (!stageDone("packed")) {
     val chunker: DataFrame => DataFrame = (mergesOpt, cfg.chunkStride) match {
       case (Some(merges), _) =>
         df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
@@ -332,8 +397,8 @@ object TrainingSetJob {
       .repartition(cfg.packGroups, col("grp"))
       .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
       .write.mode("overwrite").partitionBy("grp").parquet(packedDir(outRoot))
-
-    val shardsBack = spark.read.parquet(shardsDir(outRoot))
+    markStage("packed")
+    }
     val packedBack = spark.read.parquet(packedDir(outRoot))
 
     // terminal emission stage: the loader-facing manifest of the packed
@@ -344,13 +409,14 @@ object TrainingSetJob {
     // so the packer's shuffle+window pass is never re-executed; lets a
     // loader mask attention at document boundaries without re-deriving
     // the layout from the packed rows.
-    if (cfg.emitBoundaries)
+    if (cfg.emitBoundaries && !stageDone("boundaries")) {
       Corpus.packBoundaries(packedBack, cfg.chunkBudget.toLong,
           "n_tokens", "chunk_id")
         .write.mode("overwrite").parquet(boundariesDir(outRoot))
-    // cleaning yield from the materialized clean set (a checkpoint count,
-    // not re-executed lineage); shipped count from the written shards
-    val cleanDocs = cleaned.count()
+      markStage("boundaries")
+    }
+    // shipped count from the written shards (the cleaning yield came from
+    // the shards stage marker — see above)
     val mixedDocs = shardsBack.count()
     val shardsWritten = shardsBack.select(col("shard")).distinct().count()
     val Array(chunkCount, binCount) = packedBack

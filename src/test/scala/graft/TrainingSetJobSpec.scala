@@ -617,4 +617,88 @@ class TrainingSetJobSpec extends AnyFunSuite {
       TrainingSetConfig.parse("""{"emit_ids":true,"chunk_stride":32}""")
     }
   }
+
+  test("stage resume: a crash after the shards stage re-runs only the tail; resume == single-shot byte-identical") {
+    val docsDir = "/root/testdata/sf0.001/documents.parquet"
+    val cfg = TrainingSetConfig.parse(
+      """{"chunk_budget":64,"pack_groups":4,"n_shards":8,
+        |"bpe_train_merges":24,"emit_boundaries":true}""".stripMargin)
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete(); ()
+    }
+    def bytes(p: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)).toSeq
+    def packedRows(root: String) = spark.read
+      .parquet(TrainingSetJob.packedDir(root))
+      .select(col("chunk_id"), col("grp"), col("bin"), col("running"),
+        col("n_tokens"), col("chunk_text"), col("token_ids"))
+      .collect().map(_.toString).toSet
+    def boundRows(root: String) = spark.read
+      .parquet(TrainingSetJob.boundariesDir(root))
+      .collect().map(_.toString).toSet
+
+    // control: one uninterrupted run
+    val ctl = java.nio.file.Files.createTempDirectory("ts_rctl").toString
+    val rCtl = TrainingSetJob.run(spark, docsDir, ctl, cfg)
+
+    // the crashed run: complete once, then erase what a crash DURING the
+    // packed write leaves missing — packed/, boundaries/, the manifest,
+    // and their stage markers; shards/ + its marker + merges.txt survive
+    val root = java.nio.file.Files.createTempDirectory("ts_res").toString
+    TrainingSetJob.run(spark, docsDir, root, cfg)
+    val firstManifest = bytes(TrainingSetJob.manifestPath(root))
+    rmrf(TrainingSetJob.packedDir(root))
+    rmrf(TrainingSetJob.boundariesDir(root))
+    rmrf(TrainingSetJob.manifestPath(root))
+    new java.io.File(s"$root/_resume").listFiles()
+      .filter(f => f.getName.endsWith("_packed") ||
+        f.getName.endsWith("_boundaries"))
+      .foreach(_.delete())
+    // sentinel: the shards output must NOT be rewritten by the resume
+    val shardsSucc = new java.io.File(
+      TrainingSetJob.shardsDir(root), "_SUCCESS")
+    val shardsMtime = shardsSucc.lastModified()
+    val mergesMtime = new java.io.File(
+      TrainingSetJob.mergesPath(root)).lastModified()
+
+    val r2 = TrainingSetJob.run(spark, docsDir, root, cfg)
+    assert(r2 == rCtl, "resumed run's Result diverged from single-shot")
+    assert(shardsSucc.lastModified() == shardsMtime,
+      "resume re-ran the cleaning cascade / shard write")
+    assert(new java.io.File(TrainingSetJob.mergesPath(root))
+      .lastModified() == mergesMtime, "resume re-trained the merges table")
+    // byte-identical manifest (vs this root's own single-shot run;
+    // cross-root comparison normalizes the embedded merges-file path),
+    // identical packed + boundaries content, identical merges table
+    // (the trained table reloaded from merges.txt)
+    assert(bytes(TrainingSetJob.manifestPath(root)) == firstManifest)
+    def normManifest(r: String) = new String(
+      bytes(TrainingSetJob.manifestPath(r)).toArray, "UTF-8")
+      .replace(r, "<ROOT>")
+    assert(normManifest(root) == normManifest(ctl))
+    assert(bytes(TrainingSetJob.mergesPath(root)) ==
+      bytes(TrainingSetJob.mergesPath(ctl)))
+    assert(packedRows(root) == packedRows(ctl))
+    assert(boundRows(root) == boundRows(ctl))
+
+    // re-run on a COMPLETED root: every stage skips (the packed write is
+    // the expensive tail — its _SUCCESS must survive untouched)
+    val packedSucc = new java.io.File(
+      s"${TrainingSetJob.packedDir(root)}/_SUCCESS")
+    val packedMtime = packedSucc.lastModified()
+    val r3 = TrainingSetJob.run(spark, docsDir, root, cfg)
+    assert(r3 == rCtl)
+    assert(packedSucc.lastModified() == packedMtime,
+      "no-op re-run rewrote the packed output")
+
+    // a SEMANTIC config change is a different run (markers miss); a
+    // posture-only change (checkpoint dir) is the same run and resumes
+    assert(TrainingSetJob.runKey(docsDir, cfg) !=
+      TrainingSetJob.runKey(docsDir, cfg.copy(chunkBudget = 65)))
+    assert(TrainingSetJob.runKey(docsDir, cfg) ==
+      TrainingSetJob.runKey(docsDir,
+        cfg.copy(checkpointDir = Some("/tmp/ck"))))
+  }
 }
