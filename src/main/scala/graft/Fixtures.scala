@@ -25,6 +25,7 @@ object Fixtures {
   val ParaParquet = s"$Dir/parquet/para_docs"
   val MessyParquet = s"$Dir/parquet/messy_docs"
   val MarkupParquet = s"$Dir/parquet/markup_docs"
+  val SentenceParquet = s"$Dir/parquet/sentence_docs"
 
   /** Canonical job spec — FIXTURES.md F-3 / `example_config.json:13-32`. */
   val F1Spec: DatasetSpec = DatasetSpec(
@@ -163,6 +164,34 @@ object Fixtures {
       (8L, "<SCRIPT>upperCase()</SCRIPT>mixed <B>tags</B> here"),
       (9L, "unclosed <em tag stays? and a lone > sign"),
       (10L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  /** Punctuated fixture for the sentence-preserving chunker
+    * (`chunk_docs_sentences`): the synthetic corpus carries no sentence
+    * terminators, so this table supplies what the real grammar must
+    * face — `.`/`!`/`?` runs, ellipses, terminator-adjacent whitespace,
+    * a sentence larger than the chunk budget (must ship unsplit in its
+    * own chunk), a trailing unterminated fragment, and empty text.
+    * doc_ids offset far past any sf corpus so the union in the declared
+    * query can never collide. */
+  def sentenceDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val oversized = (1 to 80).map(i => s"word$i").mkString(" ") + "."
+    Seq(
+      (900000000L, "one short sentence."),
+      (900000001L, "first sentence. second sentence! third sentence? done."),
+      (900000002L, "shouting now!!! really?! yes... trailing fragment no terminator"),
+      (900000003L, "a sentence that repeats a sentence that repeats. " +
+        "another one follows with more words to cross the budget boundary " +
+        "when packed next to its neighbors. short tail."),
+      (900000004L, oversized + " tiny after."),
+      (900000005L, ("fill " * 30).trim + ". " + ("pack " * 30).trim + ". " +
+        ("more " * 30).trim + ". " + ("data " * 30).trim + "."),
+      (900000006L, "Mixed CASE Sentences Work Too. SECOND ONE HERE!"),
+      (900000007L, "spaces   stay outside sentences .  next one ?last one."),
+      (900000008L, ""),
+      (900000009L, "no terminator at all just words flowing on"))
       .toDF("doc_id", "text")
   }
 
@@ -1084,6 +1113,8 @@ object FixtureGen {
       .write.mode("overwrite").parquet(Fixtures.MessyParquet)
     Fixtures.markupDocs(spark).coalesce(1)
       .write.mode("overwrite").parquet(Fixtures.MarkupParquet)
+    Fixtures.sentenceDocs(spark).coalesce(1)
+      .write.mode("overwrite").parquet(Fixtures.SentenceParquet)
     spark.stop()
   }
 }

@@ -1055,13 +1055,16 @@ object SparkEntry {
     "chunk_docs_sentences" -> ((s, dir) =>
       // sentence-preserving chunking: boundaries never fall inside a
       // sentence (punctuation-run grammar, next-fit atom packing). The
-      // fixture corpus carries no punctuation, so the input projection
-      // injects deterministic terminators (plain string replace — no
-      // regex-dialect drift) to exercise real multi-sentence packing at
-      // every scale; both engines see the identical derived text
+      // synthetic corpus carries no terminators — those docs exercise
+      // the whole-doc-as-one-atom (oversized-sentence) branch at every
+      // scale — and the punctuated sentence_docs fixture rides along in
+      // the union so the oracle also exercises real multi-sentence
+      // packing, `!?` runs, ellipses and the budget-exceeding sentence;
+      // both engines read the identical two tables
       Corpus.chunkDocsSentences(
-        t(s, dir, "documents").withColumn("text",
-          expr("replace(text, ' data ', ' data. ')")), budget = 64)),
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(s.read.parquet(Fixtures.SentenceParquet)),
+        budget = 64)),
     "chunk_docs_cost" -> ((s, dir) =>
       // the cost-aware chunker under a UNIT cost degrades exactly to
       // chunkDocs — the hash-verified bridge for the windowed running-sum
@@ -2705,10 +2708,13 @@ object SparkEntry {
       // exclusive at any position, so RE2 (here) and java.util.regex
       // (Spark) produce identical matches — see chunkDocsSentences
       s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+         |docs_u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text
+         |  FROM read_parquet('${Fixtures.SentenceParquet}/*.parquet')),
          |sen0 AS (SELECT doc_id, list_transform(
-         |   regexp_extract_all(lower(coalesce(replace(text, ' data ', ' data. '), '')),
+         |   regexp_extract_all(lower(coalesce(text, '')),
          |     '[^.!?]*[.!?]+|[^.!?]+${"$"}'),
-         |   x -> trim(x)) AS s0 FROM documents),
+         |   x -> trim(x)) AS s0 FROM docs_u),
          |sen1 AS (SELECT doc_id, list_filter(s0, x -> len(x) > 0) AS s1 FROM sen0),
          |sen AS (SELECT doc_id, CASE WHEN len(s1) = 0 THEN [''] ELSE s1 END AS s
          |        FROM sen1),
