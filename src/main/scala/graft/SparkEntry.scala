@@ -1031,6 +1031,18 @@ object SparkEntry {
         docs.filter(Corpus.hashBucket(col("doc_id")) < 20), docs,
         lambda = LmRefLambda)
     }),
+    "quality_lm_ref_pruned" -> ((s, dir) => {
+      // the 100 TB posture: SRILM-style count pruning caps the bigram
+      // model relation (the vocab²-shaped broadcast term) at a count
+      // floor — dropped transitions back off to the unigram term, c1
+      // totals stay unpruned so surviving probabilities don't
+      // renormalize. Hash-verified (the pruning is one HAVING in the
+      // oracle); floor 1 ≡ unpruned is spec-pinned
+      val docs = t(s, dir, "documents")
+      Corpus.lmRefScore(
+        docs.filter(Corpus.hashBucket(col("doc_id")) < 20), docs,
+        lambda = LmRefLambda, minBigramCount = Some(2L))
+    }),
     "quality_gate_stratified" -> ((s, dir) => {
       // per-SOURCE decile floor: each source drops its own worst 10% — a
       // noisy source cannot consume the global cut for everyone. The
@@ -1938,6 +1950,37 @@ object SparkEntry {
        | count(*) AS n_kept
        |FROM kept GROUP BY doc_id $finalClause""".stripMargin
 
+  /** DuckDB twin of `Corpus.lmRefScore` — λ and (1−λ) interpolate from
+    * the SAME Scala doubles the Spark side uses (1−0.9 is not the
+    * literal 0.1 in IEEE — injecting the computed value keeps both
+    * engines on one coefficient). `bigramHaving` is the count-pruning
+    * valve (`quality_lm_ref_pruned` passes `HAVING count(*) >= 2`);
+    * `cw` stays unpruned so surviving conditionals never renormalize. */
+  private def lmRefSql(bigramHaving: String = ""): String =
+    s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+       |ref AS (SELECT text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 20),
+       |rtoks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM ref),
+       |rbg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |        FROM rtoks JOIN nums ON i <= len(ts) - 1),
+       |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY 1, 2
+       |        $bigramHaving),
+       |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rbg GROUP BY 1),
+       |runi AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
+       |         FROM (SELECT unnest(ts) AS t FROM rtoks) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+       |        FROM runi),
+       |dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |          FROM documents),
+       |dbg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+       |        FROM dtoks JOIN nums ON i <= len(ts) - 1)
+       |SELECT doc_id,
+       | floor(avg(ln($LmRefLambda * coalesce(c2 * 1.0 / c1, 0)
+       |   + ${1 - LmRefLambda} * (coalesce(cu, 0) + 1.0) / (n + v))) * 1e6 + 0.5) / 1e6
+       |   AS lm_ref
+       |FROM dbg LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw USING (w1)
+       |LEFT JOIN runi ON runi.t = dbg.w2 CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+
   /** Word-3-gram shingle CTE chain over `src` (doc_id, text) — emits
     * `<p>toks`, `<p>pos`, `<p>sh0` (the distinct (doc_id, shingle) set).
     * Callers define `nums AS (SELECT generate_series AS i FROM
@@ -2638,32 +2681,8 @@ object SparkEntry {
       s"""WITH lp AS ($logprobSql),
          |thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM lp)
          |SELECT doc_id, logprob FROM lp, thr WHERE logprob >= t""".stripMargin,
-    "quality_lm_ref" ->
-      // λ and (1−λ) interpolate from the SAME Scala doubles the Spark
-      // side uses (1−0.9 is not the literal 0.1 in IEEE — injecting the
-      // computed value keeps both engines on one coefficient)
-      s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
-         |ref AS (SELECT text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 20),
-         |rtoks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM ref),
-         |rbg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
-         |        FROM rtoks JOIN nums ON i <= len(ts) - 1),
-         |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY 1, 2),
-         |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rbg GROUP BY 1),
-         |runi AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
-         |         FROM (SELECT unnest(ts) AS t FROM rtoks) GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
-         |        FROM runi),
-         |dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-         |          FROM documents),
-         |dbg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-         |        FROM dtoks JOIN nums ON i <= len(ts) - 1)
-         |SELECT doc_id,
-         | floor(avg(ln($LmRefLambda * coalesce(c2 * 1.0 / c1, 0)
-         |   + ${1 - LmRefLambda} * (coalesce(cu, 0) + 1.0) / (n + v))) * 1e6 + 0.5) / 1e6
-         |   AS lm_ref
-         |FROM dbg LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw USING (w1)
-         |LEFT JOIN runi ON runi.t = dbg.w2 CROSS JOIN tot
-         |GROUP BY doc_id""".stripMargin,
+    "quality_lm_ref" -> lmRefSql(),
+    "quality_lm_ref_pruned" -> lmRefSql("HAVING count(*) >= 2"),
     "quality_gate_stratified" ->
       s"""WITH lp AS ($logprobSql),
          |ls AS (SELECT lp.doc_id, lp.logprob, d.source

@@ -950,8 +950,11 @@ object Corpus {
    * hash-verify the whole statement.
    */
   def lmRefScore(reference: DataFrame, docs: DataFrame, lambda: Double = 0.9,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      minBigramCount: Option[Long] = None): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    require(minBigramCount.forall(_ >= 1),
+      s"min_bigram_count must be >= 1: $minBigramCount")
     def withTh(df: DataFrame, keep: Seq[Column]) = df.select(
       keep :+ TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"): _*)
     def pairs(df: DataFrame, keep: Seq[Column]) = df
@@ -961,10 +964,26 @@ object Corpus {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"): _*)
       .select(keep :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
     val refTh = withTh(reference, Nil)
-    val cbg = pairs(refTh, Nil).groupBy(col("w1"), col("w2"))
+    val cbg0 = pairs(refTh, Nil).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
-    // c(w1,·) derives from the bigram aggregate (bigramLogProb's shape)
-    val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // c(w1,·) derives from the bigram aggregate (bigramLogProb's shape) —
+    // and from the UNPRUNED one: count pruning must not renormalize the
+    // surviving bigrams' conditional probabilities
+    val cw = cbg0.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // the broadcast-ceiling valve (SRILM-style count pruning): the bigram
+    // relation is the model's vocab²-shaped term — a big clean reference
+    // pushes it past any broadcast threshold, at which point AQE plans a
+    // shuffle join whose exchange carries the CORPUS-sized exploded
+    // bigram stream. Dropping bigrams below a count floor keeps the
+    // high-mass rows (Zipf: the tail is singletons) and unmatched doc
+    // bigrams fall back to the (1−λ)·unigram term, exactly the unseen-
+    // bigram path — so capped scores are per-row ≤ uncapped (log is
+    // monotone and the dropped λ·c2/c1 term is non-negative), equal at
+    // floor 1, and the pruned form stays oracle-expressible (a HAVING).
+    val cbg = minBigramCount match {
+      case Some(m) => cbg0.filter(col("c2") >= m)
+      case None => cbg0
+    }
     val uni = refTh.select(explode(col("__th")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum(col("cu")).as("__n"),

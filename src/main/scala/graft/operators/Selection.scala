@@ -637,8 +637,36 @@ object Selection {
   def logregScoreFromModel(docs: DataFrame, model: DataFrame,
       target: Column, textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = DsirBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val w = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    scoreFromW(logregHist(docs, target, textCol, idCol, buckets), w, idCol)
+    val wDf = broadcast(w.toSeq.toDF("__b", "__w"))
+    // SERVE is one scan + ONE exchange: the margin algebra
+    //   m_d = Σ_b w_b·(c_db/T_d) + w_bias = (Σ_token w_b)/T_d + w_bias
+    // folds per-token weights and the token count in the SAME doc-keyed
+    // aggregation, so the train path's per-(doc,bucket) histogram, its
+    // per-doc normalization WINDOW (a second exchange) and its eager
+    // Materialize (which only the GD loop rereads) all drop out of the
+    // serving plan — they were 3 of its 7 scheduled jobs. The exchange
+    // carries one map-combined partial per doc; the broadcast model
+    // join is codegen'd.
+    docs.select(col(idCol),
+        coalesce(target.cast("double"), lit(0.0)).as("__y"),
+        explode(concat(
+          coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
+            col(textCol), buckets, DsirSalt), array()),
+          array(lit(buckets)))).as("__b"))
+      .join(wDf, Seq("__b"), "left")
+      .groupBy(col(idCol), col("__y"))
+      .agg((coalesce(
+          sum(when(col("__b") =!= buckets,
+            coalesce(col("__w"), lit(0.0)))) /
+          sum(when(col("__b") =!= buckets, lit(1.0))), lit(0.0)) +
+        coalesce(sum(when(col("__b") === buckets,
+          coalesce(col("__w"), lit(0.0)))), lit(0.0))).as("__m"))
+      .select(col(idCol), col("__y").cast("long").as("is_target"),
+        Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6)
+          .as("score"))
   }
 
   /** tf-normalized per-(doc, bucket) histogram with the bias bucket

@@ -320,6 +320,92 @@ object Scratch {
           f"${ts.min}%.2f s (${ts.map(t => f"$t%.2f").mkString(",")})")
       }
     }
+    if (sys.env.contains("SCRATCH_LMREF")) {
+      // r18 verdict #5: lmRefScore's bigram model relation is
+      // vocab²-shaped — a big clean reference will not broadcast. Grow
+      // the corpus 16× with COPY-SALTED tokens (suffix every token with
+      // the copy index, so the vocabulary — and thus the model relation —
+      // actually grows 16×; plain duplication would leave it unchanged)
+      // and record: the model-relation row count, the join posture AQE
+      // actually picks (broadcast vs shuffle), and the wall — beside the
+      // count-pruning valve at floor 2.
+      import org.apache.spark.sql.functions._
+      val C = graft.operators.Corpus
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val d16 = graft.operators.Materialize((0 until 16).map { i =>
+        d1.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", "$1q" + i).as("text"))
+      }.reduce(_ unionByName _), None)
+      def ref(df: org.apache.spark.sql.DataFrame) =
+        df.filter(C.hashBucket(col("doc_id")) < 20)
+      def cbgCount(df: org.apache.spark.sql.DataFrame, m: Option[Long]) = {
+        val th = graft.plans.TextExpressions.tokenGramHashes(col("text"), 1)
+        val p = ref(df).select(th.as("__th"))
+          .select(explode(zip_with(
+            slice(col("__th"), lit(1), greatest(size(col("__th")) - 1, lit(0))),
+            slice(col("__th"), lit(2), greatest(size(col("__th")) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+          .groupBy(col("__p.w1"), col("__p.w2")).agg(count(lit(1)).as("c2"))
+        m.fold(p)(f => p.filter(col("c2") >= f)).count()
+      }
+      // adversarial vocab posture: salt every token with its DOC id, so
+      // the reference's bigram relation degenerates to one row per
+      // bigram INSTANCE (all singletons) — the vocab²-shaped worst case
+      // a huge diverse clean reference approaches; floor-2 pruning
+      // drops the entire singleton tail
+      val dsalt = graft.operators.Materialize(d16.select(col("doc_id"),
+        regexp_replace(col("text"), lit("([a-z0-9]+)"),
+          concat(lit("$1u"), col("doc_id").cast("string"))).as("text")), None)
+      for ((label, docs, m) <- Seq(
+          ("1x  unpruned    ", d1, Option.empty[Long]),
+          ("16x unpruned    ", d16, Option.empty[Long]),
+          ("16x floor2      ", d16, Some(2L)),
+          ("16x salt unprune", dsalt, Option.empty[Long]),
+          ("16x salt floor2 ", dsalt, Some(2L)))) {
+        val rows = cbgCount(docs, m)
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          C.lmRefScore(ref(docs), docs, 0.9, minBigramCount = m)
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val qe = C.lmRefScore(ref(docs), docs, 0.9, minBigramCount = m)
+          .queryExecution
+        qe.toRdd.count()
+        val plan = qe.executedPlan.toString
+        def cnt(s: String) = s.r.findAllIn(plan).size
+        println(f"SCRATCH-LMREF $label cbg=$rows%9d  min ${ts.min}%.2f s " +
+          f"(${ts.map(t => f"$t%.2f").mkString(",")})  " +
+          s"bhj=${cnt("BroadcastHashJoin")} smj=${cnt("SortMergeJoin")} " +
+          s"shj=${cnt("ShuffledHashJoin")}")
+      }
+      // past-the-ceiling posture: AQE broadcasts the 820k-row salted
+      // relation at the default 10 MB threshold (runtime shuffle stats),
+      // so emulate a model that EXCEEDS the ceiling by dropping the
+      // threshold 10× — records what the switch actually costs and that
+      // the floor-2 valve restores the broadcast posture
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+      try for ((label, m) <- Seq(("16x salt 1MBthr ", Option.empty[Long]),
+          ("16x salt 1MB+fl2", Some(2L)))) {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          C.lmRefScore(ref(dsalt), dsalt, 0.9, minBigramCount = m)
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val qe = C.lmRefScore(ref(dsalt), dsalt, 0.9, minBigramCount = m)
+          .queryExecution
+        qe.toRdd.count()
+        val plan = qe.executedPlan.toString
+        def cnt(s: String) = s.r.findAllIn(plan).size
+        println(f"SCRATCH-LMREF $label                min ${ts.min}%.2f s " +
+          f"(${ts.map(t => f"$t%.2f").mkString(",")})  " +
+          s"bhj=${cnt("BroadcastHashJoin")} smj=${cnt("SortMergeJoin")} " +
+          s"shj=${cnt("ShuffledHashJoin")}")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
     if (sys.env.contains("SCRATCH_VALVE")) {
       // Price the r18 threshold-cut valve vs TakeOrdered at local scale:
       // the valve exists for corpus-fraction k (no single-point merge);
@@ -409,6 +495,59 @@ object Scratch {
             f"registry_after=$regN%7d")
         }
       }
+    }
+    if (sys.env.contains("SCRATCH_ANNGROW")) {
+      // r18 verdict #6: recall ACROSS layout growth. Grown ≡ rebuild is
+      // spec-pinned for the relations (same models ⇒ same rows), but the
+      // MODELS are trained on the FIRST increment only — this rung grows
+      // a serving layout through 8 increments and reports recall@10 of
+      // the production IVF-PQ serve (nProbe=4, overscan=50) against
+      // brute force over the corpus-so-far at every step (expected:
+      // flat), then rebuilds fresh at the final size (models retrained
+      // on the full corpus) as the recall ceiling comparison.
+      import org.apache.spark.sql.functions._
+      val S = graft.operators.Similarity
+      val big = "/tmp/graft_mrl_sweep_16/corpus"
+      val e = (if (new java.io.File(big).exists()) spark.read.parquet(big)
+        else spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        .select(col("vec_id"), col("embedding"))
+      val nB = 8
+      val root = java.nio.file.Files.createTempDirectory("anngrow").toString
+      val lp = s"$root/layout"
+      val queries = e.filter(pmod(col("vec_id"), lit(nB)) === 0)
+        .orderBy(col("vec_id")).limit(16).collect()
+        .map(_.getSeq[Float](1))
+      def recallOf(layout: String, corpus: org.apache.spark.sql.DataFrame) = {
+        val ivf = S.readIvfIndex(spark, s"$layout/ivf")
+        val (_, pq) = S.readPqIndex(spark, s"$layout/pq")
+        val cc = S.readCellCodes(spark, s"$layout/cellcodes")
+        queries.map { q =>
+          val exact = S.topK(corpus, q, 10).collect()
+            .map(_.getLong(0)).toSet
+          val approx = S.topKIvfPq(cc, corpus, ivf, pq, q, k = 10,
+            nProbe = 4, overscan = 50).collect().map(_.getLong(0)).toSet
+          (approx intersect exact).size / 10.0
+        }
+      }
+      var grown: org.apache.spark.sql.DataFrame = null
+      for (b <- 0 until nB) {
+        val batch = e.filter(pmod(col("vec_id"), lit(nB)) === b)
+        if (b == 0) { graft.AnnIndex.buildServingLayout(batch, lp); grown = batch }
+        else {
+          graft.AnnIndex.growServingLayout(spark, lp, batch)
+          grown = grown.unionByName(batch)
+        }
+        val corpus = graft.operators.Materialize(grown, None)
+        val r = recallOf(lp, corpus)
+        println(f"SCRATCH-ANNGROW step=$b n=${corpus.count()}%6d " +
+          f"recall@10=${r.sum / r.length}%.3f min=${r.min}%.2f")
+      }
+      val lpR = s"$root/rebuilt"
+      graft.AnnIndex.buildServingLayout(
+        graft.operators.Materialize(grown, None), lpR)
+      val rr = recallOf(lpR, graft.operators.Materialize(grown, None))
+      println(f"SCRATCH-ANNGROW rebuilt(all) n=${grown.count()}%6d " +
+        f"recall@10=${rr.sum / rr.length}%.3f min=${rr.min}%.2f")
     }
     if (sys.env.contains("SCRATCH_TOPK128")) {
       // focused 128× rung for the int8 serving kernel (native vs HOF)

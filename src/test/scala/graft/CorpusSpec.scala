@@ -216,6 +216,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) == q6(math.log((1 - lam) * 3.0 / 9)))
   }
 
+  test("lmRefScore count pruning: floor 1 is identity, floor 2 prunes singleton bigrams to the backoff term, c1 never renormalizes") {
+    // reference: (the,cat)=2 but (cat,sat)=1 and (cat,ran)=1 —
+    // c1(cat)=2 must stay 2 after pruning drops both singletons
+    val ref = Seq((100L, "the cat sat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat"),            // surviving bigram
+      (1L, "cat sat"),            // pruned bigram → unigram backoff
+      (2L, "the cat sat"))        // one of each
+      .toDF("doc_id", "text")
+    val lam = 0.9
+    def run(m: Option[Long]) = Corpus.lmRefScore(ref, docs, lam,
+        minBigramCount = m).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_ref")).toMap
+    val base = run(None)
+    // floor 1 keeps every bigram (counts are >= 1): byte-identical
+    assert(run(Some(1L)) == base)
+    val pruned = run(Some(2L))
+    def q6(x: Double) = math.round(x * 1e6) / 1e6
+    // N=6, V=4 (the=2 cat=2 sat=1 ran=1); unigram(sat)=(1+1)/10
+    // doc 0 survives with c2/c1 = 2/2 intact (no renormalization)
+    assert(pruned(0L) == q6(math.log(lam + (1 - lam) * 3.0 / 10)))
+    assert(pruned(0L) == base(0L))
+    // doc 1's (cat,sat) was pruned: exactly the unseen-transition backoff
+    assert(pruned(1L) == q6(math.log((1 - lam) * 2.0 / 10)))
+    // monotone per row: pruning only removes a non-negative λ term
+    assert(docs.collect().map(_.getLong(0)).filter(base.contains)
+      .forall(id => pruned(id) <= base(id)), s"$pruned vs $base")
+    assert(pruned(2L) < base(2L))
+  }
+
   test("packSequences: next-fit bins from running token totals; zero-token prefix safe") {
     // groups=1 puts every doc in one stream → hand-checkable bins
     val docs = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 0L), (4L, 25L))
