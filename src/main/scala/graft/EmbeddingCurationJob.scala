@@ -93,9 +93,7 @@ object EmbeddingCurationJob {
     * retry that fixes an UNRELATED field (the retry spec's broken
     * evalDir) still replays stage 2's verdict. */
   private[graft] def cfgFingerprint(fields: Any*): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(fields.mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+    Keys.md5Hex12(fields.mkString("|"))
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -191,13 +189,11 @@ object EmbeddingCurationJob {
   /** GC the write-ahead state of FULLY-COMPLETED increments: the
     * increments-manifest marker is [[runIncrement]]'s LAST write, so its
     * existence proves every earlier append landed — no retry of that
-    * increment can need the verdicts again (a post-GC redelivery
-    * recomputes verdicts against the grown registry, which ships nothing
-    * AND appends nothing because every relation's marker still gates it;
-    * only that replay's returned per-stage counts are off, the relations
-    * stay exactly-once). Without this, inc_state grows one roughly
-    * batch-sized parquet dir per increment forever. Returns
-    * (dirsBefore, dirsAfter). */
+    * increment can need the verdicts again (a post-GC redelivery takes
+    * [[runIncrement]]'s fully-applied short-circuit and returns the
+    * ledger row's exact recorded counts without touching any verdict or
+    * registry). Without this, inc_state grows one roughly batch-sized
+    * parquet dir per increment forever. Returns (dirsBefore, dirsAfter). */
   private[graft] def gcIncState(spark: SparkSession, outRoot: String): (Long, Long) = {
     val root = new Path(incStateRoot(outRoot))
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
@@ -271,10 +267,31 @@ object EmbeddingCurationJob {
     val b = Materialize(batch.select(col(idCol).cast("long").as(idCol),
       col(vecCol)), cfg.checkpointDir)
     val nBatch = b.count()
-    val centroids = ensureCentroids(spark, b, outRoot, cfg.nCells,
-      vecCol, idCol)
     val incKey = AnnIndex.incrementKey(b, idCol, vecCol)
     val stateDir = incStateDir(outRoot, incKey)
+    // A FULLY-APPLIED increment short-circuits to its recorded ledger
+    // row: every append is marker-gated so a redelivery's effects are
+    // nil, and this path is deliberately CONFIG-AGNOSTIC — a legitimate
+    // config change across a stream restart must not crash on the
+    // checkpoint's redelivered last batch (the claims guard below
+    // protects PARTIALLY-applied increments, whose registries may hold
+    // the batch). It also keeps completed-replay counts exact after
+    // gcIncState removed the write-ahead verdicts. Pre-upgrade ledgers
+    // without the inc_key column fall through to the marker-gated path.
+    if (exists(spark, s"${incrementsDir(outRoot)}/_graft_inc_applied_$incKey")) {
+      val ledger = spark.read.parquet(incrementsDir(outRoot))
+      if (ledger.columns.contains("inc_key")) {
+        val hit = ledger.filter(col("inc_key") === incKey).limit(1)
+          .collect().headOption
+        hit.foreach { r =>
+          return Result(r.getAs[Long]("batch_vecs"), r.getAs[Long]("floored"),
+            r.getAs[Long]("deduped"), r.getAs[Long]("decontaminated"),
+            r.getAs[Long]("curated"))
+        }
+      }
+    }
+    val centroids = ensureCentroids(spark, b, outRoot, cfg.nCells,
+      vecCol, idCol)
     // a parquet dir counts as written only once its _SUCCESS commits —
     // `exists` alone would treat a crashed partial write as state
     def completed(path: String): Boolean = exists(spark, s"$path/_SUCCESS")
@@ -332,15 +349,19 @@ object EmbeddingCurationJob {
     // under the increment's content key) before the registry append: the
     // verdict depends on registry state, so once the append lands, a
     // re-probe would find the batch as its own witness.
+    // the survivor verdict is shaped by the centroid model (nCells),
+    // the floor and the dedup threshold — not by the later stages'
+    // fields, so a retry fixing only those replays it. The claim sits
+    // OUTSIDE the option branch: DISABLING the stage on retry is also a
+    // config change (the registry already holds the batch), so the
+    // option itself folds into the fingerprint
+    claimCfg("survivors",
+      cfgFingerprint(cfg.nCells, cfg.minCos, cfg.dedupCos),
+      completed(s"$stateDir/survivor_ids"))
     val deduped = cfg.dedupCos match {
       case Some(tau) =>
         val regPath = dedupRegistryDir(outRoot)
         val survPath = s"$stateDir/survivor_ids"
-        // the survivor verdict is shaped by the centroid model (nCells),
-        // the floor and the dedup threshold — not by the later stages'
-        // fields, so a retry fixing only those replays it
-        claimCfg("survivors", cfgFingerprint(cfg.nCells, cfg.minCos, tau),
-          completed(survPath))
         if (!completed(survPath)) {
           val s =
             if (completed(regPath)) Similarity.semanticDedupIncrement(
@@ -376,17 +397,18 @@ object EmbeddingCurationJob {
     // grows with this increment's selections) — write-ahead like stage 2:
     // once the registry holds the batch, a re-run's ship-once probe would
     // see every member already shipped
+    // the ship verdict sees every upstream stage's output plus the cap
+    // and the split percentages (the curated append replays the
+    // splitExpr over these selections); claim outside the branch — a
+    // retry that toggles the cap off is a config change too
+    claimCfg("selected", cfgFingerprint(cfg.nCells, cfg.minCos,
+        cfg.dedupCos, cfg.evalDir, cfg.decontCos, cfg.perCell,
+        cfg.trainPct, cfg.valPct),
+      completed(s"$stateDir/selected"))
     val selected = cfg.perCell match {
       case Some(k) =>
         val selPath = selectionRegistryDir(outRoot)
         val shipPath = s"$stateDir/selected"
-        // the ship verdict sees every upstream stage's output plus the
-        // cap and the split percentages (the curated append replays the
-        // splitExpr over these selections)
-        claimCfg("selected", cfgFingerprint(cfg.nCells, cfg.minCos,
-            cfg.dedupCos, cfg.evalDir, cfg.decontCos, k, cfg.trainPct,
-            cfg.valPct),
-          completed(shipPath))
         if (!completed(shipPath)) {
           val sel =
             if (completed(selPath)) Selection.selectDiverseInc(decontaminated,
@@ -445,8 +467,12 @@ object EmbeddingCurationJob {
     }
 
     appendOnce(incrementsDir(outRoot)) {
-      Seq((nBatch, nFloored, nDeduped, nDecont, nCurated))
-        .toDF("batch_vecs", "floored", "deduped", "decontaminated", "curated")
+      // inc_key rides the ledger row so a fully-applied increment's
+      // redelivery can return these exact counts (the short-circuit at
+      // entry) without recomputing any verdict
+      Seq((nBatch, nFloored, nDeduped, nDecont, nCurated, incKey))
+        .toDF("batch_vecs", "floored", "deduped", "decontaminated",
+          "curated", "inc_key")
         .write.mode("append").parquet(incrementsDir(outRoot))
     }
     Result(nBatch, nFloored, nDeduped, nDecont, nCurated)

@@ -118,16 +118,14 @@ object TrainingSetJob {
     * added must still resume, not restart). Any semantic change makes a
     * different run: its markers miss and every stage recomputes. */
   private[graft] def runKey(docsDir: String, cfg: TrainingSetConfig): String = {
-    val canon = docsDir + "|" + cfg.copy(checkpointDir = None)
+    Keys.md5Hex12(docsDir + "|" + cfg.copy(checkpointDir = None)
       .productIterator.map {
         // map fields canonicalize by sorted entries (construction order
         // must not change the key)
         case m: Map[_, _] =>
           m.map { case (k, v) => s"$k->$v" }.toSeq.sorted.mkString(",")
         case x => String.valueOf(x)
-      }.mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      }.mkString("|"))
   }
 
   def run(spark: SparkSession, docsDir: String, outRoot: String,
@@ -147,6 +145,28 @@ object TrainingSetJob {
     }
     def markStage(s: String, payload: String = "done"): Unit =
       writeTextFile(spark, stageMarker(s), payload)
+    // the stage OUTPUTS are shared per outRoot while markers are keyed
+    // per run — so when a DIFFERENT run last wrote this outRoot, every
+    // surviving marker describes outputs this run is about to overwrite
+    // (or already overwritten by that run): invalidate them, or a later
+    // re-run of the earlier config would skip every stage and label the
+    // other config's outputs as its own. CURRENT records the last writer.
+    locally {
+      val dir = new Path(s"$outRoot/_resume")
+      val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+      val cur = new Path(dir, "CURRENT")
+      val prev = if (fs.exists(cur)) readTextFile(spark, cur.toString).trim
+        else ""
+      if (prev != rk) {
+        // ALL markers go — including this run's own from an even earlier
+        // epoch (A ran, B overwrote the outputs, A re-runs: A's stale
+        // markers describe B's outputs, not A's)
+        if (fs.exists(dir)) fs.listStatus(dir)
+          .filter(_.getPath.getName != "CURRENT")
+          .foreach(s => fs.delete(s.getPath, false))
+        writeTextFile(spark, cur.toString, rk)
+      }
+    }
 
     val cleanDocs: Long = if (stageDone("shards"))
       readTextFile(spark, stageMarker("shards")).trim.toLong

@@ -320,7 +320,7 @@ object Selection {
         array((1 until gridN).map(i => lit(i.toDouble / gridN)): _*),
         lit(acc)).as("g")).head
     val n = r.getLong(0)
-    if (n == 0) return scored0.limit(0)
+    if (n == 0) { Materialize.release(scored); return scored0.limit(0) }
     val grid: Seq[Double] =
       if (r.isNullAt(1)) Seq.empty else r.getSeq[Double](1)
     // grid(i) estimates the key at fraction (i+1)/gridN; aim depth

@@ -213,35 +213,74 @@ class EmbeddingCurationJobSpec extends AnyFunSuite {
     assert(n(EmbeddingCurationJob.curatedDir(root)) == r1.curated + r2.curated)
   }
 
-  test("changed-config retry: a persisted verdict rejects new parameters loudly; an unrelated-field change replays fine") {
+  test("changed-config retry: a PARTIALLY-applied increment rejects new parameters loudly; a fully-applied one replays as the recorded no-op") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    val evalDir = java.nio.file.Files.createTempDirectory("ecj_cfge").toString
+    e.filter(col("vec_id") < 25).write.mode("overwrite").parquet(evalDir)
     val corpus = e.filter(col("vec_id") >= 25)
     val batch = corpus.filter(col("vec_id") < 300)
-    val root = java.nio.file.Files.createTempDirectory("ecj_cfg").toString
     val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
-      dedupCos = Some(0.45), perCell = Some(12))
-    val r1 = EmbeddingCurationJob.runIncrement(spark, batch, root, cfg)
-    // the hazard the fingerprint closes: retry of the SAME batch under a
-    // different dedup threshold — the persisted survivor verdict was
-    // produced under 0.45 and the registry already holds the batch, so
-    // silently replaying OR re-evaluating would both be wrong
+      dedupCos = Some(0.45), evalDir = Some(evalDir), perCell = Some(40))
+    val ctlRoot = java.nio.file.Files.createTempDirectory("ecj_cfgc").toString
+    val ctl = EmbeddingCurationJob.runIncrement(spark, batch, ctlRoot, cfg)
+
+    // crash at stage 3 (broken eval dir), AFTER the survivor verdict
+    // persisted and the dedup registry grew — the write-ahead hazard
+    val root = java.nio.file.Files.createTempDirectory("ecj_cfg").toString
+    intercept[Exception] { EmbeddingCurationJob.runIncrement(spark, batch,
+      root, cfg.copy(evalDir = Some(s"$root/nope"))) }
+    // retry under a DIFFERENT dedup threshold: the persisted verdict was
+    // produced under 0.45 and the registry holds the batch — silently
+    // replaying OR re-evaluating would both be wrong
     val ex1 = intercept[IllegalArgumentException] {
       EmbeddingCurationJob.runIncrement(spark, batch, root,
         cfg.copy(dedupCos = Some(0.30)))
     }
     assert(ex1.getMessage.contains("CHANGED config"))
-    // same for the ship verdict: a different per-cell cap
+    // DISABLING the stage on retry is a config change too
     val ex2 = intercept[IllegalArgumentException] {
       EmbeddingCurationJob.runIncrement(spark, batch, root,
-        cfg.copy(perCell = Some(5)))
+        cfg.copy(dedupCos = None))
     }
     assert(ex2.getMessage.contains("CHANGED config"))
-    // a field NEITHER verdict depends on (execution posture) replays as
-    // the identical no-op
+    // the original config completes the retry == never-crashed control
+    val r1 = EmbeddingCurationJob.runIncrement(spark, batch, root, cfg)
+    assert(r1 == ctl)
+    // FULLY applied: a changed-config redelivery (the config-upgrade-
+    // across-restart case) short-circuits to the recorded ledger row —
+    // a no-op with the ORIGINAL counts, never a crash
     val r1b = EmbeddingCurationJob.runIncrement(spark, batch, root,
-      cfg.copy(layoutCells = 99))
+      cfg.copy(dedupCos = Some(0.30), perCell = Some(5)))
     assert(r1b == r1)
+
+    // the ship-verdict claim: crash AFTER stage 4 persisted (poisoned
+    // layout dir makes the grow step throw), then a changed/disabled cap
+    // on retry must fail loudly
+    val root2 = java.nio.file.Files.createTempDirectory("ecj_cfg2").toString
+    val cfg2 = cfg.copy(growLayout = true, layoutCells = 4)
+    val poison = new java.io.File(
+      s"${EmbeddingCurationJob.layoutDir(root2)}/ivf")
+    assert(poison.mkdirs())
+    intercept[Exception] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root2, cfg2) }
+    val ex3 = intercept[IllegalArgumentException] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root2,
+        cfg2.copy(perCell = Some(5)))
+    }
+    assert(ex3.getMessage.contains("CHANGED config"))
+    val ex4 = intercept[IllegalArgumentException] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root2,
+        cfg2.copy(perCell = None))
+    }
+    assert(ex4.getMessage.contains("CHANGED config"))
+    // un-poison and finish under the original config: == control
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(EmbeddingCurationJob.layoutDir(root2)))
+    val r2 = EmbeddingCurationJob.runIncrement(spark, batch, root2, cfg2)
+    assert(r2 == ctl)
   }
 
   test("compact_every mid-stream: yields preserved across a triggered compaction, files shrink, completed inc_state GC'd") {
