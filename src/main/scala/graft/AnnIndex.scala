@@ -590,6 +590,39 @@ object AnnIndex {
     memo(spark, s"$p/model")(spark.read.parquet(s"$p/model"))
   }
 
+  /** Train + persist the reference-LM model (bigram counts, left-context
+    * totals, unigram counts — `Corpus.lmRefModelRelations` over the
+    * declared 20% hash-sample reference) — the `lm_ref_model_build`
+    * build step; `quality_lm_ref_inc` serves from it. Persisted
+    * UNPRUNED: count pruning is a serve-time floor, so one model serves
+    * every `min_bigram_count`. */
+  def buildLmRefModel(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    import spark.implicits._
+    val ref = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 20)
+    val (cbg, cw, uni) = graft.operators.Corpus.lmRefModelRelations(ref)
+    cbg.write.mode("overwrite").parquet(s"$path/cbg")
+    cw.write.mode("overwrite").parquet(s"$path/cw")
+    uni.write.mode("overwrite").parquet(s"$path/uni")
+    Seq(("cbg", spark.read.parquet(s"$path/cbg").count()),
+      ("cw", spark.read.parquet(s"$path/cw").count()),
+      ("uni", spark.read.parquet(s"$path/uni").count()))
+      .toDF("artifact", "n")
+  }
+
+  /** The persisted reference-LM model for `sfDir`, trained once per data
+    * directory ([[logregModel]]'s contract): counts are exact longs, so
+    * serving from the parquet round trip is bit-identical to folding
+    * inline — which `quality_lm_ref_inc`'s shared fused oracle
+    * hash-verifies end to end. */
+  def lmRefModel(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val p = s"$cacheRoot/${keyOf(sfDir, "documents")}_lmref"
+    ensureDir(p)(staging => buildLmRefModel(spark, sfDir, staging).collect())
+    memo(spark, s"$p/model")((spark.read.parquet(s"$p/cbg"),
+      spark.read.parquet(s"$p/cw"), spark.read.parquet(s"$p/uni")))
+  }
+
   /** Train + persist the DSIR (bucket, log_ratio) importance model —
     * the `dsir_model_build` declared build step (the logreg precedent:
     * training cost is its own ledger number, serving measures scoring

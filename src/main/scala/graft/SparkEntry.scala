@@ -1031,6 +1031,17 @@ object SparkEntry {
         docs.filter(Corpus.hashBucket(col("doc_id")) < 20), docs,
         lambda = LmRefLambda)
     }),
+    "quality_lm_ref_inc" -> ((s, dir) => {
+      // the PRODUCTION serve path: score against the persisted
+      // reference-LM model (trained ONCE per data directory by the
+      // AnnIndex cache — the logreg/dsir convention; train + persist
+      // cost is the declared `lm_ref_model_build` step). Counts are
+      // exact longs, so load -> score ≡ fused fold-in-one-plan is
+      // hash-verified end to end by the shared oracle.
+      val (cbg, cw, uni) = AnnIndex.lmRefModel(s, dir)
+      Corpus.lmRefScoreFromModel(t(s, dir, "documents"), cbg, cw, uni,
+        lambda = LmRefLambda)
+    }),
     "quality_lm_ref_pruned" -> ((s, dir) => {
       // the 100 TB posture: SRILM-style count pruning caps the bigram
       // model relation (the vocab²-shaped broadcast term) at a count
@@ -1587,6 +1598,10 @@ object SparkEntry {
     // so `quality_logreg_inc` measures scoring only
     "logreg_model_build" -> ((s, dir) =>
       buildToTmp("graft_logreg_build")(AnnIndex.buildLogregModel(s, dir, _))),
+    // reference-LM model: three count relations + writes + read-back,
+    // so `quality_lm_ref_inc` measures the scoring joins only
+    "lm_ref_model_build" -> ((s, dir) =>
+      buildToTmp("graft_lmref_build")(AnnIndex.buildLmRefModel(s, dir, _))),
     // DSIR importance model: histogram estimation + write + read-back,
     // so `dsir_weights_inc` measures map-only scoring
     "dsir_model_build" -> ((s, dir) =>
@@ -2682,6 +2697,7 @@ object SparkEntry {
          |thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM lp)
          |SELECT doc_id, logprob FROM lp, thr WHERE logprob >= t""".stripMargin,
     "quality_lm_ref" -> lmRefSql(),
+    "quality_lm_ref_inc" -> lmRefSql(),
     "quality_lm_ref_pruned" -> lmRefSql("HAVING count(*) >= 2"),
     "quality_gate_stratified" ->
       s"""WITH lp AS ($logprobSql),

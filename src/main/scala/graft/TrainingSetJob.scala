@@ -212,8 +212,35 @@ object TrainingSetJob {
     // shape was re-substituted by predicate pushdown back into that
     // multi-copy form (measured 63 kernel copies — see the GopherKeep
     // scaladoc before "simplifying" this).
-    val docsG = if (!cfg.gopherGate) docs0
+    val docsG0 = if (!cfg.gopherGate) docs0
       else docs0.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
+    // optional CCNet-style reference-perplexity gate: score every doc
+    // under a Jelinek-Mercer bigram LM trained on the clean reference
+    // (`lm_ref_dir`, normalized like the corpus; absent → the corpus's
+    // own 20% hash sample, the declared-query posture) and drop the
+    // bottom `lm_ref_drop_q` quantile. `lm_ref_min_bigram` is the
+    // count-pruning valve for a big reference's vocab²-shaped bigram
+    // relation (SCALING.md r19 §4). Placed with the web-scale
+    // pre-filters: everything downstream (substr cuts, dedup shingles,
+    // mixtures) runs on the perplexity-gated corpus. Docs too short to
+    // score (< 2 tokens) do not survive the gate — they emit no bigram
+    // and would die at min_tokens regardless.
+    val docsG = cfg.lmRefDropQ match {
+      case Some(q) =>
+        val ref = cfg.lmRefDir
+          .map(d => normalized(spark.read.parquet(d)
+            .select(col("doc_id"), col("text"))))
+          .getOrElse(docsG0.filter(Corpus.hashBucket(col("doc_id")) < 20)
+            .select(col("doc_id"), col("text")))
+        val scored = Corpus.lmRefScore(ref,
+          docsG0.select(col("doc_id"), col("text")), cfg.lmRefLambda,
+          minBigramCount = cfg.lmRefMinBigram)
+        docsG0.join(
+          Corpus.dropBottomQuantile(scored, "lm_ref", q,
+            checkpointDir = cfg.checkpointDir).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case None => docsG0
+    }
     // optional ExactSubstr stage (Lee et al. 2022) BEFORE the document-
     // level cleaning: duplicated substr_window-token passages are cut
     // from all but their first occurrence, so cleanCorpus's min_tokens
@@ -499,6 +526,12 @@ object TrainingSetJob {
     }
     node.put("c4_clean", cfg.c4Clean)
     node.put("gopher_gate", cfg.gopherGate)
+    cfg.lmRefDropQ.foreach { q =>
+      node.put("lm_ref_drop_q", q)
+      node.put("lm_ref_lambda", cfg.lmRefLambda)
+      cfg.lmRefDir.foreach(d => node.put("lm_ref_dir", d))
+      cfg.lmRefMinBigram.foreach(m => node.put("lm_ref_min_bigram", m))
+    }
     cfg.substrWindow.foreach(w => node.put("substr_window", w))
     if (cfg.mixWeights.nonEmpty || cfg.mixAlpha.nonEmpty) {
       node.put("mix_budget", cfg.mixBudget)

@@ -33,6 +33,10 @@ final case class TrainingSetConfig(
     capStrataCol: String = "source",
     c4Clean: Boolean = false,
     gopherGate: Boolean = false,
+    lmRefDropQ: Option[Double] = None,
+    lmRefDir: Option[String] = None,
+    lmRefLambda: Double = 0.9,
+    lmRefMinBigram: Option[Long] = None,
     substrWindow: Option[Int] = None,
     mixWeights: Map[String, Double] = Map.empty,
     mixAlpha: Option[Double] = None,
@@ -83,6 +87,14 @@ final case class TrainingSetConfig(
   require(nShards > 0, s"n_shards must be positive: $nShards")
   require(substrWindow.forall(_ >= 2),
     s"substr_window must be >= 2 tokens: $substrWindow")
+  require(lmRefDropQ.forall(q => q > 0 && q < 1),
+    s"lm_ref_drop_q must be in (0,1): $lmRefDropQ")
+  require(lmRefLambda > 0 && lmRefLambda < 1,
+    s"lm_ref_lambda must be in (0,1): $lmRefLambda")
+  require(lmRefMinBigram.forall(_ >= 1),
+    s"lm_ref_min_bigram must be >= 1: $lmRefMinBigram")
+  require(lmRefDir.isEmpty || lmRefDropQ.nonEmpty,
+    "lm_ref_dir without lm_ref_drop_q does nothing — set the drop quantile")
   require(capPerStratum.forall(_ > 0),
     s"cap_per_stratum must be positive: $capPerStratum")
   require(dsirTopK.forall(_ > 0), s"dsir_top_k must be positive: $dsirTopK")
@@ -131,6 +143,10 @@ object TrainingSetConfig {
       capStrataCol = text("cap_strata_col", "source"),
       c4Clean = bool("c4_clean", d = false),
       gopherGate = bool("gopher_gate", d = false),
+      lmRefDropQ = optNode("lm_ref_drop_q").map(_.asDouble),
+      lmRefDir = optNode("lm_ref_dir").map(_.asText),
+      lmRefLambda = dbl("lm_ref_lambda", 0.9),
+      lmRefMinBigram = optNode("lm_ref_min_bigram").map(_.asLong),
       substrWindow = optNode("substr_window").map(_.asInt),
       mixWeights = optNode("mix_weights").map(r =>
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)

@@ -952,46 +952,75 @@ object Corpus {
   def lmRefScore(reference: DataFrame, docs: DataFrame, lambda: Double = 0.9,
       textCol: String = "text", idCol: String = "doc_id",
       minBigramCount: Option[Long] = None): DataFrame = {
-    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
-    require(minBigramCount.forall(_ >= 1),
-      s"min_bigram_count must be >= 1: $minBigramCount")
-    def withTh(df: DataFrame, keep: Seq[Column]) = df.select(
+    val (cbg, cw, uni) = lmRefModelRelations(reference, textCol)
+    lmRefScoreFromModel(docs, cbg, cw, uni, lambda, textCol, idCol,
+      minBigramCount)
+  }
+
+  private def lmRefTh(df: DataFrame, textCol: String, keep: Seq[Column]) =
+    df.select(
       keep :+ TextExpressions.tokenGramHashes(col(textCol), 1).as("__th"): _*)
-    def pairs(df: DataFrame, keep: Seq[Column]) = df
-      .select(keep :+ explode(zip_with(
-        slice(col("__th"), lit(1), greatest(size(col("__th")) - 1, lit(0))),
-        slice(col("__th"), lit(2), greatest(size(col("__th")) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"): _*)
-      .select(keep :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
-    val refTh = withTh(reference, Nil)
-    val cbg0 = pairs(refTh, Nil).groupBy(col("w1"), col("w2"))
+
+  private def lmRefPairs(df: DataFrame, keep: Seq[Column]) = df
+    .select(keep :+ explode(zip_with(
+      slice(col("__th"), lit(1), greatest(size(col("__th")) - 1, lit(0))),
+      slice(col("__th"), lit(2), greatest(size(col("__th")) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"): _*)
+    .select(keep :+ col("__p.w1").as("w1") :+ col("__p.w2").as("w2"): _*)
+
+  /** The reference-LM model fold — the three UNPRUNED relations a
+    * persisted model ships (`lm_ref_model_build`): bigram counts
+    * (w1, w2, c2), left-context totals (w1, c1), unigram counts (t, cu).
+    * Totals/vocab derive from `uni` at serve time (one 1-row aggregate),
+    * so there is no fourth artifact to drift. Count pruning is a SERVE
+    * decision ([[lmRefScoreFromModel]]) — persisting unpruned means one
+    * model serves every floor. */
+  private[graft] def lmRefModelRelations(reference: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val refTh = lmRefTh(reference, textCol, Nil)
+    val cbg = lmRefPairs(refTh, Nil).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     // c(w1,·) derives from the bigram aggregate (bigramLogProb's shape) —
     // and from the UNPRUNED one: count pruning must not renormalize the
     // surviving bigrams' conditional probabilities
-    val cw = cbg0.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    // the broadcast-ceiling valve (SRILM-style count pruning): the bigram
-    // relation is the model's vocab²-shaped term — a big clean reference
-    // pushes it past any broadcast threshold, at which point AQE plans a
-    // shuffle join whose exchange carries the CORPUS-sized exploded
-    // bigram stream. Dropping bigrams below a count floor keeps the
-    // high-mass rows (Zipf: the tail is singletons) and unmatched doc
-    // bigrams fall back to the (1−λ)·unigram term, exactly the unseen-
-    // bigram path — so capped scores are per-row ≤ uncapped (log is
-    // monotone and the dropped λ·c2/c1 term is non-negative), equal at
-    // floor 1, and the pruned form stays oracle-expressible (a HAVING).
+    val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = refTh.select(explode(col("__th")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    (cbg, cw, uni)
+  }
+
+  /** Score `docs` under an already-folded (or persisted and re-read)
+    * reference-LM model — the serve split ([[lmRefScore]] composes the
+    * fold and this).
+    *
+    * `minBigramCount` is the broadcast-ceiling valve (SRILM-style count
+    * pruning): the bigram relation is the model's vocab²-shaped term — a
+    * big clean reference pushes it past any broadcast threshold, at
+    * which point AQE plans a shuffle join whose exchange carries the
+    * CORPUS-sized exploded bigram stream. Dropping bigrams below a count
+    * floor keeps the high-mass rows (Zipf: the tail is singletons) and
+    * unmatched doc bigrams fall back to the (1−λ)·unigram term, exactly
+    * the unseen-bigram path — so capped scores are per-row ≤ uncapped
+    * (log is monotone and the dropped λ·c2/c1 term is non-negative),
+    * equal at floor 1, and the pruned form stays oracle-expressible (a
+    * HAVING). Measured posture: SCALING.md r19 §4. */
+  private[graft] def lmRefScoreFromModel(docs: DataFrame, cbg0: DataFrame,
+      cw: DataFrame, uni: DataFrame, lambda: Double = 0.9,
+      textCol: String = "text", idCol: String = "doc_id",
+      minBigramCount: Option[Long] = None): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    require(minBigramCount.forall(_ >= 1),
+      s"min_bigram_count must be >= 1: $minBigramCount")
     val cbg = minBigramCount match {
       case Some(m) => cbg0.filter(col("c2") >= m)
       case None => cbg0
     }
-    val uni = refTh.select(explode(col("__th")).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum(col("cu")).as("__n"),
       count(lit(1)).as("__v"))
-    pairs(withTh(docs, Seq(col(idCol))), Seq(col(idCol)))
+    lmRefPairs(lmRefTh(docs, textCol, Seq(col(idCol))), Seq(col(idCol)))
       .join(cbg, Seq("w1", "w2"), "left")
       .join(cw, Seq("w1"), "left")
-      .join(uni.withColumnRenamed("__t", "w2"), Seq("w2"), "left")
+      .join(uni.withColumnRenamed("t", "w2"), Seq("w2"), "left")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(Quantize.quantize(avg(log(

@@ -145,6 +145,42 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("gopher_gate").asBoolean)
   }
 
+  test("lm_ref gate stage: out-of-distribution docs drop at the reference-perplexity quantile") {
+    import spark.implicits._
+    // clean reference: repeated in-distribution prose
+    val proto = "the quick brown fox jumps over the lazy dog near the river bank "
+    val refDir = java.nio.file.Files.createTempDirectory("lmref_ref").toString
+    Seq.tabulate(6)(i => (100L + i, proto * 4))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+    val dir = java.nio.file.Files.createTempDirectory("lmref_in").toString
+    // 4 in-distribution docs (distinct tails dodge exact dedup, long
+    // enough for min_tokens), 1 gibberish doc the gate must drop
+    (Seq.tabulate(4)(i => (i.toLong, proto * 3 + s"ending note $i", "src3")) ++
+      Seq((10L, "zxq vplk wrn qqf mtt abcx lqzz pfm wwt yyx uuo ppl kkm jjn",
+        "src3")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_lmref").toString
+    val cfg = TrainingSetConfig.parse(
+      s"""{"lm_ref_drop_q":0.2,"lm_ref_dir":"$refDir","min_jaccard":0.99,
+         |"chunk_budget":64,"pack_groups":2,"n_shards":2}""".stripMargin)
+    val r = TrainingSetJob.run(spark, dir, outRoot, cfg)
+    val kept = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L), s"kept: $kept")
+    assert(r.cleanDocs == 4)
+    // the gate equals the standalone composition over the same inputs
+    val docs = spark.read.parquet(dir)
+    val expect = Corpus.dropBottomQuantile(
+        Corpus.lmRefScore(spark.read.parquet(refDir), docs), "lm_ref", 0.2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == expect)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("lm_ref_drop_q").asDouble == 0.2)
+  }
+
   test("substr_window stage: duplicated passage cut from the later doc, crumbs dropped") {
     import spark.implicits._
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
