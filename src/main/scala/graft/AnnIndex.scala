@@ -598,12 +598,21 @@ object AnnIndex {
     * every `min_bigram_count`. */
   def buildLmRefModel(spark: SparkSession, sfDir: String, path: String): DataFrame = {
     import spark.implicits._
-    val ref = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 20)
-    val (cbg, cw, uni) = graft.operators.Corpus.lmRefModelRelations(ref)
+    // pin the reference sample: cbg and uni are independent folds over
+    // the same tokenization, and cw derives from the WRITTEN cbg — left
+    // as lineage, the three writes would re-execute the reference scan
+    // and the pairs aggregation ~3× (r19 review finding)
+    val ref = graft.operators.Materialize(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 20)
+        .select(col("doc_id"), col("text")), None)
+    val (cbg, _, uni) = graft.operators.Corpus.lmRefModelRelations(ref)
     cbg.write.mode("overwrite").parquet(s"$path/cbg")
-    cw.write.mode("overwrite").parquet(s"$path/cw")
+    spark.read.parquet(s"$path/cbg").groupBy(col("w1"))
+      .agg(org.apache.spark.sql.functions.sum(col("c2")).as("c1"))
+      .write.mode("overwrite").parquet(s"$path/cw")
     uni.write.mode("overwrite").parquet(s"$path/uni")
+    graft.operators.Materialize.release(ref)
     Seq(("cbg", spark.read.parquet(s"$path/cbg").count()),
       ("cw", spark.read.parquet(s"$path/cw").count()),
       ("uni", spark.read.parquet(s"$path/uni").count()))

@@ -93,7 +93,13 @@ object EmbeddingCurationJob {
     * retry that fixes an UNRELATED field (the retry spec's broken
     * evalDir) still replays stage 2's verdict. */
   private[graft] def cfgFingerprint(fields: Any*): String =
-    Keys.md5Hex12(fields.mkString("|"))
+    // Options fold to their content (None stays "None"): the claim must
+    // not depend on whether a call site passed the wrapped or unwrapped
+    // value — the r19 review caught exactly that skew between two sites
+    Keys.md5Hex12(fields.map {
+      case Some(x) => String.valueOf(x)
+      case x => String.valueOf(x)
+    }.mkString("|"))
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -279,11 +285,16 @@ object EmbeddingCurationJob {
     // gcIncState removed the write-ahead verdicts. Pre-upgrade ledgers
     // without the inc_key column fall through to the marker-gated path.
     if (exists(spark, s"${incrementsDir(outRoot)}/_graft_inc_applied_$incKey")) {
-      val ledger = spark.read.parquet(incrementsDir(outRoot))
+      // mergeSchema: a ledger spanning the inc_key upgrade has mixed
+      // footers, and an unmerged read can infer the OLD schema and
+      // silently disable this path
+      val ledger = spark.read.option("mergeSchema", "true")
+        .parquet(incrementsDir(outRoot))
       if (ledger.columns.contains("inc_key")) {
         val hit = ledger.filter(col("inc_key") === incKey).limit(1)
           .collect().headOption
         hit.foreach { r =>
+          Materialize.release(b)
           return Result(r.getAs[Long]("batch_vecs"), r.getAs[Long]("floored"),
             r.getAs[Long]("deduped"), r.getAs[Long]("decontaminated"),
             r.getAs[Long]("curated"))
@@ -349,6 +360,13 @@ object EmbeddingCurationJob {
     // under the increment's content key) before the registry append: the
     // verdict depends on registry state, so once the append lands, a
     // re-probe would find the batch as its own witness.
+    // whether this increment already mutated a relation — the claim
+    // guard's real lock condition: a persisted verdict OR a landed
+    // marker-gated append means re-evaluating under new parameters is
+    // no longer safe (catches the enable-a-stage-on-retry direction,
+    // where no verdict was ever persisted but the curated rows landed)
+    def appliedTo(relDir: String): Boolean =
+      exists(spark, s"$relDir/_graft_inc_applied_$incKey")
     // the survivor verdict is shaped by the centroid model (nCells),
     // the floor and the dedup threshold — not by the later stages'
     // fields, so a retry fixing only those replays it. The claim sits
@@ -357,7 +375,8 @@ object EmbeddingCurationJob {
     // option itself folds into the fingerprint
     claimCfg("survivors",
       cfgFingerprint(cfg.nCells, cfg.minCos, cfg.dedupCos),
-      completed(s"$stateDir/survivor_ids"))
+      completed(s"$stateDir/survivor_ids") ||
+        appliedTo(dedupRegistryDir(outRoot)))
     val deduped = cfg.dedupCos match {
       case Some(tau) =>
         val regPath = dedupRegistryDir(outRoot)
@@ -404,7 +423,9 @@ object EmbeddingCurationJob {
     claimCfg("selected", cfgFingerprint(cfg.nCells, cfg.minCos,
         cfg.dedupCos, cfg.evalDir, cfg.decontCos, cfg.perCell,
         cfg.trainPct, cfg.valPct),
-      completed(s"$stateDir/selected"))
+      completed(s"$stateDir/selected") ||
+        appliedTo(selectionRegistryDir(outRoot)) ||
+        appliedTo(curatedDir(outRoot)))
     val selected = cfg.perCell match {
       case Some(k) =>
         val selPath = selectionRegistryDir(outRoot)

@@ -222,20 +222,27 @@ object TrainingSetJob {
     // count-pruning valve for a big reference's vocab²-shaped bigram
     // relation (SCALING.md r19 §4). Placed with the web-scale
     // pre-filters: everything downstream (substr cuts, dedup shingles,
-    // mixtures) runs on the perplexity-gated corpus. Docs too short to
-    // score (< 2 tokens) do not survive the gate — they emit no bigram
-    // and would die at min_tokens regardless.
+    // mixtures) runs on the perplexity-gated corpus. GATE CONTRACT:
+    // docs too short to score (< 2 tokens — no bigram) never pass,
+    // whatever the quantile; an unscorable doc has no perplexity to
+    // judge and a CCNet filter ships only what the reference LM vouches
+    // for. (With the default min_tokens they would drop later anyway.)
     val docsG = cfg.lmRefDropQ match {
       case Some(q) =>
+        // the gate consumes docsG0 three times (self-reference sample,
+        // scoring side, the keep join) — pinned, or the upstream
+        // c4/gopher kernels re-execute per consumer, breaking the
+        // one-scan invariant the gopherKeep note above measures
+        val pinned = Materialize(docsG0, cfg.checkpointDir)
         val ref = cfg.lmRefDir
           .map(d => normalized(spark.read.parquet(d)
             .select(col("doc_id"), col("text"))))
-          .getOrElse(docsG0.filter(Corpus.hashBucket(col("doc_id")) < 20)
+          .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
             .select(col("doc_id"), col("text")))
         val scored = Corpus.lmRefScore(ref,
-          docsG0.select(col("doc_id"), col("text")), cfg.lmRefLambda,
+          pinned.select(col("doc_id"), col("text")), cfg.lmRefLambda,
           minBigramCount = cfg.lmRefMinBigram)
-        docsG0.join(
+        pinned.join(
           Corpus.dropBottomQuantile(scored, "lm_ref", q,
             checkpointDir = cfg.checkpointDir).select(col("doc_id")),
           Seq("doc_id"), "left_semi")

@@ -95,6 +95,12 @@ final case class TrainingSetConfig(
     s"lm_ref_min_bigram must be >= 1: $lmRefMinBigram")
   require(lmRefDir.isEmpty || lmRefDropQ.nonEmpty,
     "lm_ref_dir without lm_ref_drop_q does nothing — set the drop quantile")
+  require(lmRefMinBigram.isEmpty || lmRefDropQ.nonEmpty,
+    "lm_ref_min_bigram without lm_ref_drop_q does nothing — set the drop " +
+      "quantile")
+  require(lmRefLambda == 0.9 || lmRefDropQ.nonEmpty,
+    "lm_ref_lambda without lm_ref_drop_q does nothing — set the drop " +
+      "quantile")
   require(capPerStratum.forall(_ > 0),
     s"cap_per_stratum must be positive: $capPerStratum")
   require(dsirTopK.forall(_ > 0), s"dsir_top_k must be positive: $dsirTopK")

@@ -92,7 +92,11 @@ object Compaction {
     }
     val before = dataFiles(p)
 
-    val df = spark.read.parquet(path)
+    // mergeSchema: an append-grown relation can span a schema upgrade
+    // (the increments ledger's inc_key column) — an unmerged read infers
+    // one arbitrary footer's schema and the rewrite would permanently
+    // strip the newer columns from every row
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val nBefore = df.count()
     val tmp = new Path(path + "__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)

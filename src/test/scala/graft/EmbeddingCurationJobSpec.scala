@@ -281,6 +281,22 @@ class EmbeddingCurationJobSpec extends AnyFunSuite {
     rmrf(new java.io.File(EmbeddingCurationJob.layoutDir(root2)))
     val r2 = EmbeddingCurationJob.runIncrement(spark, batch, root2, cfg2)
     assert(r2 == ctl)
+
+    // ENABLE direction: a crashed perCell=None run whose curated rows
+    // already landed must reject a retry that turns the cap ON — no ship
+    // verdict was ever persisted, but the curated relation holds the
+    // uncapped set (the r19 second-review finding)
+    val root3 = java.nio.file.Files.createTempDirectory("ecj_cfg3").toString
+    val cfg3 = cfg.copy(perCell = None, growLayout = true, layoutCells = 4)
+    assert(new java.io.File(
+      s"${EmbeddingCurationJob.layoutDir(root3)}/ivf").mkdirs())
+    intercept[Exception] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root3, cfg3) }
+    val ex5 = intercept[IllegalArgumentException] {
+      EmbeddingCurationJob.runIncrement(spark, batch, root3,
+        cfg3.copy(perCell = Some(5)))
+    }
+    assert(ex5.getMessage.contains("CHANGED config"))
   }
 
   test("compact_every mid-stream: yields preserved across a triggered compaction, files shrink, completed inc_state GC'd") {
