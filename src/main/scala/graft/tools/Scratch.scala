@@ -496,6 +496,35 @@ object Scratch {
         }
       }
     }
+    if (sys.env.contains("SCRATCH_RESUME")) {
+      // Price the r19 stage-level resume: full TrainingSetJob run at
+      // sfDir vs a resume after a simulated crash during the packed
+      // write (packed/boundaries/manifest erased, shards + merges kept).
+      // The saving IS the cleaning cascade (normalize→gates→dedup→
+      // shards) the markers skip.
+      val cfg = graft.config.TrainingSetConfig.parse(
+        """{"chunk_budget":256,"pack_groups":8,"n_shards":16,
+          |"bpe_train_merges":48,"emit_boundaries":true,
+          |"lm_ref_drop_q":0.1}""".stripMargin)
+      val root = java.nio.file.Files.createTempDirectory("ts_price").toString
+      val docs = s"$sfDir/documents.parquet"
+      def timed(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"SCRATCH-RESUME $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      timed("full run    ")(graft.TrainingSetJob.run(spark, docs, root, cfg))
+      def rmrf(p: String): Unit = { val f = new java.io.File(p)
+        if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+        f.delete(); () }
+      rmrf(graft.TrainingSetJob.packedDir(root))
+      rmrf(graft.TrainingSetJob.boundariesDir(root))
+      rmrf(graft.TrainingSetJob.manifestPath(root))
+      new java.io.File(s"$root/_resume").listFiles()
+        .filter(f => f.getName.endsWith("_packed") ||
+          f.getName.endsWith("_boundaries")).foreach(_.delete())
+      timed("tail resume ")(graft.TrainingSetJob.run(spark, docs, root, cfg))
+      timed("no-op re-run")(graft.TrainingSetJob.run(spark, docs, root, cfg))
+    }
     if (sys.env.contains("SCRATCH_ANNGROW")) {
       // r18 verdict #6: recall ACROSS layout growth. Grown ≡ rebuild is
       // spec-pinned for the relations (same models ⇒ same rows), but the
