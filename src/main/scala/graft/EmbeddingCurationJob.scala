@@ -198,8 +198,17 @@ object EmbeddingCurationJob {
     * increment can need the verdicts again (a post-GC redelivery takes
     * [[runIncrement]]'s fully-applied short-circuit and returns the
     * ledger row's exact recorded counts without touching any verdict or
-    * registry). Without this, inc_state grows one roughly batch-sized
-    * parquet dir per increment forever. Returns (dirsBefore, dirsAfter). */
+    * registry). That short-circuit requires the LEDGER ROW to carry
+    * `inc_key`: pre-upgrade rows don't, so their increments — though
+    * fully applied — would fall through to the verdict-replay path on
+    * redelivery, and GC'ing their verdicts would leave that path
+    * recomputing stage verdicts against registries that already hold
+    * the batch (wrong counts; appends stay marker-gated, so no data
+    * corruption). A state dir is therefore deleted only when the
+    * manifest marker exists AND the ledger contains a row with its
+    * inc_key — i.e. the short-circuit is actually available. Without
+    * this GC, inc_state grows one roughly batch-sized parquet dir per
+    * increment forever. Returns (dirsBefore, dirsAfter). */
   private[graft] def gcIncState(spark: SparkSession, outRoot: String): (Long, Long) = {
     val root = new Path(incStateRoot(outRoot))
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
@@ -208,10 +217,22 @@ object EmbeddingCurationJob {
       s.isDirectory && s.getPath.getName.startsWith("inc_"))
     val before = dirs.length.toLong
     val manifest = incrementsDir(outRoot)
+    // one ledger read for the whole sweep (mergeSchema: a ledger spanning
+    // the inc_key upgrade has mixed footers — same defense as the
+    // short-circuit's own read); the ledger is one tiny row per increment
+    val ledgerKeys: Set[String] =
+      if (!exists(spark, manifest)) Set.empty
+      else {
+        val ledger = spark.read.option("mergeSchema", "true").parquet(manifest)
+        if (!ledger.columns.contains("inc_key")) Set.empty
+        else ledger.select(col("inc_key")).na.drop().distinct()
+          .collect().map(_.getString(0)).toSet
+      }
     var kept = 0L
     dirs.foreach { s =>
       val key = s.getPath.getName.stripPrefix("inc_")
-      if (exists(spark, s"$manifest/_graft_inc_applied_$key"))
+      if (ledgerKeys.contains(key) &&
+          exists(spark, s"$manifest/_graft_inc_applied_$key"))
         fs.delete(s.getPath, true)
       else kept += 1
     }

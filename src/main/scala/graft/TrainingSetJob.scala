@@ -143,8 +143,26 @@ object TrainingSetJob {
       val p = new Path(stageMarker(s))
       FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    def markStage(s: String, payload: String = "done"): Unit =
+    // SINGLE-WRITER CONTRACT per outRoot (the Compaction convention): the
+    // stage outputs are shared paths, so two concurrent runs with
+    // different configs would overwrite each other's outputs while each
+    // labels them with its own markers. The CURRENT sentinel makes the
+    // race detectable: each run stamps CURRENT with its runKey at entry,
+    // so if CURRENT no longer reads this run's key at marker time,
+    // another writer entered mid-run — the output this marker would
+    // describe may already be the OTHER config's. Fail loudly instead of
+    // publishing a lying marker (the crashed run resumes cleanly: no
+    // marker means the stage re-runs).
+    def markStage(s: String, payload: String = "done"): Unit = {
+      val cur = s"$outRoot/_resume/CURRENT"
+      val now = readTextFile(spark, cur).trim
+      require(now == rk,
+        s"concurrent writer detected on $outRoot: CURRENT is '$now' but " +
+          s"this run is '$rk' — TrainingSetJob requires a single writer " +
+          "per outRoot; this run's outputs may have been overwritten, " +
+          "re-run it alone")
       writeTextFile(spark, stageMarker(s), payload)
+    }
     // the stage OUTPUTS are shared per outRoot while markers are keyed
     // per run — so when a DIFFERENT run last wrote this outRoot, every
     // surviving marker describes outputs this run is about to overwrite

@@ -633,7 +633,21 @@ object Selection {
   }
 
   /** Map-only scoring of an increment against a persisted (bucket, w)
-    * model relation — the corpus is touched once, the model broadcasts. */
+    * model relation — the corpus is touched once, the model broadcasts.
+    *
+    * REASSOCIATION RISK, stated for the oracle pairing: the margin here
+    * folds as (Σ_token w)/T + bias where the fused/oracle algebra is
+    * Σ_b w_b·(c_b/T) + bias — identical over the reals, but the
+    * floating-point summation GROUPING differs (per-token stream vs
+    * per-bucket partials), so cross-engine hash equality for
+    * `quality_logreg_inc` rests on the 6dp score quantization absorbing
+    * the ulp-scale difference. That holds at the shipped fixtures and
+    * for any margin not within ~1e-13 of a 0.5e-6 rounding boundary;
+    * it is input-dependent in principle. Mirroring the oracle's
+    * per-bucket form exactly would need the (doc, bucket) partial-sum
+    * aggregation back — a second exchange, deleting the one-exchange
+    * serve win this method exists for — so the quantization contract
+    * is the deliberate trade. */
   def logregScoreFromModel(docs: DataFrame, model: DataFrame,
       target: Column, textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = DsirBuckets): DataFrame = {

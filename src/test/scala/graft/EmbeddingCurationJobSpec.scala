@@ -379,4 +379,42 @@ class EmbeddingCurationJobSpec extends AnyFunSuite {
     val r2 = EmbeddingCurationJob.runIncrement(spark, batchB, root, cfg)
     assert(r2 == ctl2, "recovered run diverged from the never-crashed control")
   }
+
+  test("gcIncState keeps pre-upgrade increments' write-ahead state (no inc_key in the ledger => no short-circuit => verdicts still needed)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") < 300)
+    val cfg = EmbeddingCurationConfig(minCos = Some(0.12),
+      dedupCos = Some(0.45), perCell = Some(40))
+    val root = java.nio.file.Files.createTempDirectory("ecj_gcpre").toString
+    val r1 = EmbeddingCurationJob.runIncrement(spark, batch, root, cfg)
+    // simulate a PRE-UPGRADE ledger: rewrite it without the inc_key
+    // column (the manifest marker stays — the increment IS fully applied)
+    val inc = EmbeddingCurationJob.incrementsDir(root)
+    val old = spark.read.parquet(inc).drop("inc_key").collect()
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(old.toSeq),
+      spark.read.parquet(inc).drop("inc_key").schema)
+    val tmp = java.nio.file.Files.createTempDirectory("ecj_gcledger").toString
+    oldDf.write.mode("overwrite").parquet(tmp)
+    for (f <- new java.io.File(inc).listFiles()
+        if f.isFile && f.getName.endsWith(".parquet")) f.delete()
+    for (f <- new java.io.File(tmp).listFiles()
+        if f.isFile && f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(inc, f.getName).toPath)
+    // GC must KEEP the state dir: without inc_key the redelivery cannot
+    // short-circuit and must replay the persisted verdicts
+    val (before, kept) = EmbeddingCurationJob.gcIncState(spark, root)
+    assert(before == 1L && kept == 1L,
+      s"pre-upgrade increment's write-ahead state was GC'd: ($before, $kept)")
+    // and the redelivery indeed replays to the exact original counts
+    val r2 = EmbeddingCurationJob.runIncrement(spark, batch, root, cfg)
+    assert(r2 == r1, "post-GC-sweep redelivery diverged from the original")
+    // control: with the inc_key ledger intact the same sweep deletes it
+    val root2 = java.nio.file.Files.createTempDirectory("ecj_gcpost").toString
+    EmbeddingCurationJob.runIncrement(spark, batch, root2, cfg)
+    val (b2, k2) = EmbeddingCurationJob.gcIncState(spark, root2)
+    assert(b2 == 1L && k2 == 0L, s"upgraded increment not GC'd: ($b2, $k2)")
+  }
 }
