@@ -1065,6 +1065,22 @@ object SparkEntry {
       Corpus.dropBottomQuantileByStratum(scored, "logprob", 0.1, "source")
         .select(col("doc_id"), col("source"), col("logprob"))
     }),
+    "quality_lm_ref_stratified" -> ((s, dir) => {
+      // the faithful CCNet gate: one reference LM PER LANGUAGE (each
+      // trained on that language's 20% hash-sample reference), every doc
+      // scored under its own language's model, and the drop-quantile cut
+      // applied per language — quality_lm_ref's global form both judges
+      // minority languages under majority-language transition statistics
+      // and lets one noisy language consume the whole global cut
+      val docs = t(s, dir, "documents")
+      val scored = Corpus.lmRefScoreStratified(
+        docs.filter(Corpus.hashBucket(col("doc_id")) < 20)
+          .select(col("lang"), col("text")),
+        docs.select(col("doc_id"), col("lang"), col("text")), "lang",
+        lambda = LmRefLambda)
+      Corpus.dropBottomQuantileByStratum(scored, "lm_ref", 0.1, "lang")
+        .select(col("doc_id"), col("lang"), col("lm_ref"))
+    }),
     "pack_sequences" -> ((s, dir) =>
       // token-budget bin assignment (parallel next-fit over 8 hash groups)
       Corpus.packSequences(
@@ -1996,6 +2012,42 @@ object SparkEntry {
        |LEFT JOIN runi ON runi.t = dbg.w2 CROSS JOIN tot
        |GROUP BY doc_id""".stripMargin
 
+  /** [[lmRefSql]] with the stratum (language) key threaded through every
+    * model CTE and the serve joins, plus the per-stratum drop-quantile
+    * cut — the `quality_lm_ref_stratified` oracle (CCNet's per-language
+    * model + per-language cut). The totals join is INNER: a language
+    * absent from the reference has no model and its docs drop. */
+  private def lmRefStratifiedSql: String =
+    s"""WITH nums AS (SELECT generate_series AS i FROM generate_series(1, 65536)),
+       |ref AS (SELECT lang, text FROM documents WHERE ${hashBucketSql("doc_id", 100)} < 20),
+       |rtoks AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM ref),
+       |rbg AS (SELECT lang, ts[i] AS w1, ts[i + 1] AS w2
+       |        FROM rtoks JOIN nums ON i <= len(ts) - 1),
+       |cbg AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |        FROM rbg GROUP BY 1, 2, 3),
+       |cw AS (SELECT lang, w1, CAST(count(*) AS BIGINT) AS c1 FROM rbg GROUP BY 1, 2),
+       |runi AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS cu
+       |         FROM (SELECT lang, unnest(ts) AS t FROM rtoks) GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(cu) AS BIGINT) AS n,
+       |               CAST(count(*) AS BIGINT) AS v FROM runi GROUP BY 1),
+       |dtoks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |          FROM documents),
+       |dbg AS (SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+       |        FROM dtoks JOIN nums ON i <= len(ts) - 1),
+       |scored AS (SELECT doc_id, dbg.lang AS lang,
+       |  floor(avg(ln($LmRefLambda * coalesce(c2 * 1.0 / c1, 0)
+       |    + ${1 - LmRefLambda} * (coalesce(cu, 0) + 1.0) / (n + v))) * 1e6 + 0.5) / 1e6
+       |    AS lm_ref
+       |  FROM dbg LEFT JOIN cbg ON cbg.lang = dbg.lang AND cbg.w1 = dbg.w1 AND cbg.w2 = dbg.w2
+       |  LEFT JOIN cw ON cw.lang = dbg.lang AND cw.w1 = dbg.w1
+       |  LEFT JOIN runi ON runi.lang = dbg.lang AND runi.t = dbg.w2
+       |  JOIN tot ON tot.lang = dbg.lang
+       |  GROUP BY 1, 2),
+       |thr AS (SELECT lang, quantile_cont(lm_ref, 0.1) AS th
+       |        FROM scored GROUP BY 1)
+       |SELECT doc_id, lang, lm_ref FROM scored JOIN thr USING (lang)
+       |WHERE lm_ref >= th""".stripMargin
+
   /** Word-3-gram shingle CTE chain over `src` (doc_id, text) — emits
     * `<p>toks`, `<p>pos`, `<p>sh0` (the distinct (doc_id, shingle) set).
     * Callers define `nums AS (SELECT generate_series AS i FROM
@@ -2699,6 +2751,7 @@ object SparkEntry {
     "quality_lm_ref" -> lmRefSql(),
     "quality_lm_ref_inc" -> lmRefSql(),
     "quality_lm_ref_pruned" -> lmRefSql("HAVING count(*) >= 2"),
+    "quality_lm_ref_stratified" -> lmRefStratifiedSql,
     "quality_gate_stratified" ->
       s"""WITH lp AS ($logprobSql),
          |ls AS (SELECT lp.doc_id, lp.logprob, d.source

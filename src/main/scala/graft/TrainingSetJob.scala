@@ -252,18 +252,41 @@ object TrainingSetJob {
         // c4/gopher kernels re-execute per consumer, breaking the
         // one-scan invariant the gopherKeep note above measures
         val pinned = Materialize(docsG0, cfg.checkpointDir)
-        val ref = cfg.lmRefDir
-          .map(d => normalized(spark.read.parquet(d)
-            .select(col("doc_id"), col("text"))))
-          .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
-            .select(col("doc_id"), col("text")))
-        val scored = Corpus.lmRefScore(ref,
-          pinned.select(col("doc_id"), col("text")), cfg.lmRefLambda,
-          minBigramCount = cfg.lmRefMinBigram)
-        pinned.join(
-          Corpus.dropBottomQuantile(scored, "lm_ref", q,
-            checkpointDir = cfg.checkpointDir).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+        cfg.lmRefStrataCol match {
+          // CCNet's actual filter shape: one reference LM per stratum
+          // (per LANGUAGE — `lm_ref_strata_col = "lang"`) and the drop
+          // quantile applied per stratum, so minority languages are
+          // neither judged under majority-language transition statistics
+          // nor consumed by one noisy language's global tail. Docs whose
+          // stratum has no reference rows drop (no model to vouch —
+          // lmRefScoreStratified's inner totals join).
+          case Some(sc) =>
+            val ref = cfg.lmRefDir
+              .map(d => normalized(spark.read.parquet(d)
+                .select(col(sc), col("text"))))
+              .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
+                .select(col(sc), col("text")))
+            val scored = Corpus.lmRefScoreStratified(ref,
+              pinned.select(col("doc_id"), col(sc), col("text")), sc,
+              cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
+            pinned.join(
+              Corpus.dropBottomQuantileByStratum(scored, "lm_ref", q, sc,
+                checkpointDir = cfg.checkpointDir).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+          case None =>
+            val ref = cfg.lmRefDir
+              .map(d => normalized(spark.read.parquet(d)
+                .select(col("doc_id"), col("text"))))
+              .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
+                .select(col("doc_id"), col("text")))
+            val scored = Corpus.lmRefScore(ref,
+              pinned.select(col("doc_id"), col("text")), cfg.lmRefLambda,
+              minBigramCount = cfg.lmRefMinBigram)
+            pinned.join(
+              Corpus.dropBottomQuantile(scored, "lm_ref", q,
+                checkpointDir = cfg.checkpointDir).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+        }
       case None => docsG0
     }
     // optional ExactSubstr stage (Lee et al. 2022) BEFORE the document-
@@ -556,6 +579,7 @@ object TrainingSetJob {
       node.put("lm_ref_lambda", cfg.lmRefLambda)
       cfg.lmRefDir.foreach(d => node.put("lm_ref_dir", d))
       cfg.lmRefMinBigram.foreach(m => node.put("lm_ref_min_bigram", m))
+      cfg.lmRefStrataCol.foreach(c => node.put("lm_ref_strata_col", c))
     }
     cfg.substrWindow.foreach(w => node.put("substr_window", w))
     if (cfg.mixWeights.nonEmpty || cfg.mixAlpha.nonEmpty) {

@@ -37,6 +37,7 @@ final case class TrainingSetConfig(
     lmRefDir: Option[String] = None,
     lmRefLambda: Double = 0.9,
     lmRefMinBigram: Option[Long] = None,
+    lmRefStrataCol: Option[String] = None,
     substrWindow: Option[Int] = None,
     mixWeights: Map[String, Double] = Map.empty,
     mixAlpha: Option[Double] = None,
@@ -101,6 +102,9 @@ final case class TrainingSetConfig(
   require(lmRefLambda == 0.9 || lmRefDropQ.nonEmpty,
     "lm_ref_lambda without lm_ref_drop_q does nothing — set the drop " +
       "quantile")
+  require(lmRefStrataCol.isEmpty || lmRefDropQ.nonEmpty,
+    "lm_ref_strata_col without lm_ref_drop_q does nothing — set the drop " +
+      "quantile")
   require(capPerStratum.forall(_ > 0),
     s"cap_per_stratum must be positive: $capPerStratum")
   require(dsirTopK.forall(_ > 0), s"dsir_top_k must be positive: $dsirTopK")
@@ -153,6 +157,7 @@ object TrainingSetConfig {
       lmRefDir = optNode("lm_ref_dir").map(_.asText),
       lmRefLambda = dbl("lm_ref_lambda", 0.9),
       lmRefMinBigram = optNode("lm_ref_min_bigram").map(_.asLong),
+      lmRefStrataCol = optNode("lm_ref_strata_col").map(_.asText),
       substrWindow = optNode("substr_window").map(_.asInt),
       mixWeights = optNode("mix_weights").map(r =>
         r.properties.asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)

@@ -1030,6 +1030,67 @@ object Corpus {
   }
 
   /**
+   * Per-stratum reference-LM scoring — the faithful CCNet shape: one
+   * Jelinek-Mercer bigram LM per stratum (CCNet trains per LANGUAGE —
+   * pass `lang`), each trained on the reference docs OF that stratum,
+   * and every doc scored under its own stratum's model. Emits
+   * (idCol, strataCol, lm_ref). Compose with
+   * [[dropBottomQuantileByStratum]] for the full CCNet gate: a noisy
+   * language neither consumes the global cut nor gets judged under
+   * another language's transition statistics (the `quality_lm_ref`
+   * global form's two failure modes on a multilingual corpus).
+   *
+   * Same algebra as [[lmRefScore]] with the stratum key threaded through
+   * every model relation: bigram/context/unigram counts and the
+   * totals/vocab aggregate are all per-stratum, and the serve joins key
+   * on (stratum, gram). A doc whose stratum has NO reference docs is
+   * DROPPED (inner totals join): CCNet has no LM for an unseen language
+   * — there is no perplexity to judge, and the gate ships only what a
+   * reference LM vouches for.
+   *
+   * Scale shape unchanged from [[lmRefScore]]: the model relations gain
+   * the stratum key but stay vocabulary-sized per stratum (union over
+   * strata ≈ one multilingual model's size); `minBigramCount` is the
+   * same SRILM pruning valve, applied per stratum at serve while the
+   * context totals stay unpruned.
+   */
+  def lmRefScoreStratified(reference: DataFrame, docs: DataFrame,
+      strataCol: String, lambda: Double = 0.9, textCol: String = "text",
+      idCol: String = "doc_id", minBigramCount: Option[Long] = None): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    require(minBigramCount.forall(_ >= 1),
+      s"min_bigram_count must be >= 1: $minBigramCount")
+    val refTh = lmRefTh(reference, textCol, Seq(col(strataCol)))
+    val cbg0 = lmRefPairs(refTh, Seq(col(strataCol)))
+      .groupBy(col(strataCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // pruning is a serve decision over the bigram relation only — the
+    // context totals derive from the UNPRUNED counts (lmRefScoreFromModel's
+    // no-renormalization contract)
+    val cbg = minBigramCount match {
+      case Some(m) => cbg0.filter(col("c2") >= m)
+      case None => cbg0
+    }
+    val cw = cbg0.groupBy(col(strataCol), col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = refTh.select(col(strataCol), explode(col("__th")).as("t"))
+      .groupBy(col(strataCol), col("t")).agg(count(lit(1)).as("cu"))
+    val tot = uni.groupBy(col(strataCol))
+      .agg(sum(col("cu")).as("__n"), count(lit(1)).as("__v"))
+    lmRefPairs(lmRefTh(docs, textCol, Seq(col(idCol), col(strataCol))),
+        Seq(col(idCol), col(strataCol)))
+      .join(cbg, Seq(strataCol, "w1", "w2"), "left")
+      .join(cw, Seq(strataCol, "w1"), "left")
+      .join(uni.withColumnRenamed("t", "w2"), Seq(strataCol, "w2"), "left")
+      // inner: strata absent from the reference have no model (see doc)
+      .join(broadcast(tot), Seq(strataCol))
+      .groupBy(col(idCol), col(strataCol))
+      .agg(Quantize.quantize(avg(log(
+        lit(lambda) * coalesce(col("c2") / col("c1"), lit(0.0)) +
+          lit(1 - lambda) * (coalesce(col("cu"), lit(0L)) + lit(1L)) /
+            (col("__n") + col("__v")))), 6).as("lm_ref"))
+  }
+
+  /**
    * Quality-quantile gate: drop the bottom `q`-quantile of rows by
    * `scoreCol` — the "perplexity filter" stage of a real pipeline (score
    * with [[unigramLogProb]] or a model pass, then cut the worst X%).

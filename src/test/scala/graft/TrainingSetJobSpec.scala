@@ -181,6 +181,54 @@ class TrainingSetJobSpec extends AnyFunSuite {
     assert(m.get("lm_ref_drop_q").asDouble == 0.2)
   }
 
+  test("lm_ref stratified gate: each language drops its own worst under its own reference model") {
+    import spark.implicits._
+    // two languages with disjoint vocabularies; each has its own clean
+    // reference prose and its own gibberish doc. A GLOBAL gate judged
+    // under pooled statistics could let one language's tail consume the
+    // whole cut; the per-lang gate must drop exactly each language's own
+    // gibberish doc at q=0.25 (1 of 4 docs per lang).
+    // both strata must pass cleanCorpus's downstream en-langid gate, so
+    // stratum B is English too — what matters here is DISJOINT content
+    // vocabulary, so each stratum's model only vouches for its own prose
+    val protoA = "the quick brown fox jumps over the lazy dog near the river bank "
+    val protoB = "a slow purple crab walks under the bright winter moon by an old stone wall "
+    val refDir = java.nio.file.Files.createTempDirectory("lmrefs_ref").toString
+    (Seq.tabulate(6)(i => (100L + i, protoA * 4, "enx")) ++
+      Seq.tabulate(6)(i => (200L + i, protoB * 4, "dex")))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(refDir)
+    val dir = java.nio.file.Files.createTempDirectory("lmrefs_in").toString
+    (Seq.tabulate(3)(i => (i.toLong, protoA * 3 + s"ending note $i", "enx", "src3")) ++
+      Seq((10L, "zxq vplk wrn qqf mtt abcx lqzz pfm wwt yyx uuo ppl kkm jjn",
+        "enx", "src3")) ++
+      Seq.tabulate(3)(i => (20L + i, protoB * 3 + s"closing remark $i", "dex", "src3")) ++
+      Seq((30L, "qqv zzt rrk lln mmp wwx kkf ttb ggh jjd ssu vvn bbq ccz",
+        "dex", "src3")))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("trainset_lmrefs").toString
+    val cfg = TrainingSetConfig.parse(
+      s"""{"lm_ref_drop_q":0.25,"lm_ref_dir":"$refDir",
+         |"lm_ref_strata_col":"lang","min_jaccard":0.99,
+         |"chunk_budget":64,"pack_groups":2,"n_shards":2}""".stripMargin)
+    val r = TrainingSetJob.run(spark, dir, outRoot, cfg)
+    val kept = spark.read.parquet(TrainingSetJob.shardsDir(outRoot))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 20L, 21L, 22L), s"kept: $kept")
+    assert(r.cleanDocs == 6)
+    // the gate equals the standalone composition over the same inputs
+    val docs = spark.read.parquet(dir)
+    val expect = Corpus.dropBottomQuantileByStratum(
+        Corpus.lmRefScoreStratified(spark.read.parquet(refDir), docs, "lang"),
+        "lm_ref", 0.25, "lang")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == expect)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(TrainingSetJob.manifestPath(outRoot))), "UTF-8"))
+    assert(m.get("lm_ref_strata_col").asText == "lang")
+  }
+
   test("substr_window stage: duplicated passage cut from the later doc, crumbs dropped") {
     import spark.implicits._
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
