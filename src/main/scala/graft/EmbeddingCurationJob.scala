@@ -101,10 +101,8 @@ object EmbeddingCurationJob {
       case x => String.valueOf(x)
     }.mkString("|"))
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    IncProtocol.exists(spark, path)
 
   /** The job's centroid model: trained on the FIRST batch (deterministic
     * [[Similarity.kmeansSeeds]] — the k lowest-id vectors) and persisted,
@@ -326,7 +324,7 @@ object EmbeddingCurationJob {
       vecCol, idCol)
     // a parquet dir counts as written only once its _SUCCESS commits —
     // `exists` alone would treat a crashed partial write as state
-    def completed(path: String): Boolean = exists(spark, s"$path/_SUCCESS")
+    def completed(path: String): Boolean = IncProtocol.completed(spark, path)
     // Per-VERDICT config guard: a persisted write-ahead verdict replays
     // only under the config fields that produced it. Mismatch with the
     // verdict COMPLETE fails loudly (re-evaluating is impossible — the
@@ -358,12 +356,8 @@ object EmbeddingCurationJob {
         fs.create(new Path(sd, cur), false).close()
       }
     }
-    def appendOnce(relDir: String)(write: => Unit): Unit = {
-      val marker = new Path(s"$relDir/_graft_inc_applied_$incKey")
-      val fs = FileSystem.get(marker.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) { write; fs.create(marker, false).close() }
-    }
+    def appendOnce(relDir: String)(write: => Unit): Unit =
+      IncProtocol.appendOnce(spark, relDir, incKey)(write)
 
     // 1. coherence floor (per-row and model-pinned — deterministic on
     // retry, no write-ahead needed)
@@ -387,7 +381,7 @@ object EmbeddingCurationJob {
     // no longer safe (catches the enable-a-stage-on-retry direction,
     // where no verdict was ever persisted but the curated rows landed)
     def appliedTo(relDir: String): Boolean =
-      exists(spark, s"$relDir/_graft_inc_applied_$incKey")
+      IncProtocol.appliedTo(spark, relDir, incKey)
     // the survivor verdict is shaped by the centroid model (nCells),
     // the floor and the dedup threshold — not by the later stages'
     // fields, so a retry fixing only those replays it. The claim sits

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.TrainingSetConfig
-import graft.operators.{Corpus, Materialize, Selection}
+import graft.operators.{Corpus, Dedup, Materialize, Selection}
 
 /**
  * Config-driven end-to-end training-set production — the training-data
@@ -68,6 +68,14 @@ import graft.operators.{Corpus, Materialize, Selection}
  *    the budgets were counted and ids emitted with.
  *  - `manifest.json` — row counts per stage + the effective config echo
  *    (including the effective `emit_ids`/`emit_boundaries`).
+ *
+ * Two execution forms share the output layout: [[run]] (the one-shot
+ * batch job, stage-level resumable) and [[runIncrement]]/[[runStream]]
+ * (the micro-batch loop — new batches adjudicate their substring cuts,
+ * exact-dup keeps, near-dup survivors and pack bins against persisted
+ * registries, so the corpus grows without re-running the cascade; see
+ * [[runIncrement]] for the exact per-stage increment semantics and the
+ * supported config subset).
  *
  * Every stage is the individually-verified operator — this class only
  * composes and writes. The clean set is materialized ONCE before its three
@@ -521,6 +529,476 @@ object TrainingSetJob {
     val result = Result(cleanDocs, mixedDocs, chunkCount, binCount, shardsWritten)
     writeManifest(spark, outRoot, cfg, result, idsEmitted = mergesOpt.nonEmpty)
     result
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental form — the text-side micro-batch loop ([[EmbeddingCurationJob]]
+  // is the embedding-side sibling whose write-ahead/marker-gated protocol
+  // this mirrors via [[IncProtocol]]).
+  // ------------------------------------------------------------------
+
+  /** Per-stage yields of one increment: rows delivered, surviving the
+    * per-row + perplexity + substring + quality gates (= entering exact
+    * dedup), shipped to the shards (post dedup/decontamination/
+    * rebalance), and the increment's train chunks / touched bins. */
+  final case class IncResult(batchDocs: Long, gatedDocs: Long,
+      cleanDocs: Long, trainChunks: Long, trainBins: Long)
+
+  def exactRegistryDir(root: String) = s"$root/registries/exact"
+  def shingleRegistryDir(root: String) = s"$root/registries/shingles"
+  def substrRegistryDir(root: String) = s"$root/registries/substr"
+  def lmRefModelDir(root: String) = s"$root/lm_ref/model"
+  def lmRefThresholdDir(root: String) = s"$root/lm_ref/threshold"
+  def watermarkDir(root: String) = s"$root/watermark"
+  def incrementsDir(root: String) = s"$root/increments"
+  def incStateDir(root: String, key: String) = s"$root/inc_state/inc_$key"
+
+  /** The config subset the incremental form supports. Everything here is
+    * either per-row (gates, redaction, hash splits/rebalance) or has an
+    * exact registry-incremental form (ExactSubstr windows, exact-dup
+    * hashes, Jaccard shingle sets, pack state); the rest are corpus-
+    * GLOBAL statistics that a batch cannot see — they belong to the
+    * batch job, and silently approximating them per batch would ship a
+    * corpus the config didn't describe. */
+  private def requireIncrementable(cfg: TrainingSetConfig): Unit = {
+    def no(ok: Boolean, what: String, why: String): Unit =
+      require(ok, s"runIncrement does not support $what: $why — run the " +
+        "batch job (TrainingSetJob.run), or drop the field from the " +
+        "incremental config")
+    no(cfg.mixWeights.isEmpty && cfg.mixAlpha.isEmpty, "mixtures",
+      "per-stratum budgets are corpus-global totals")
+    no(cfg.capPerStratum.isEmpty, "cap_per_stratum",
+      "an exact global cap cannot be enforced per batch without unshipping")
+    no(cfg.dsirTopK.isEmpty && cfg.sampleK.isEmpty,
+      "selection (dsir_top_k / sample_k)",
+      "global top-k and fixed-size draws compete across the whole corpus")
+    no(!cfg.softDedup, "soft_dedup",
+      "cluster weights are global cluster sizes")
+    no(cfg.maxDf.isEmpty, "max_df",
+      "the shingle df cap is a union-wide statistic")
+    no(cfg.bpeTrainMerges.isEmpty, "bpe_train_merges",
+      "the merge table is trained on the full train split; pass " +
+        "bpe_merges_path (a fixed tokenizer) or emit_ids instead")
+    no(cfg.lmRefDropQ.isEmpty || cfg.lmRefDir.nonEmpty,
+      "lm_ref self-reference",
+      "the 20% self-sample is batch-dependent; incremental gating " +
+        "requires an external lm_ref_dir (the model is persisted once, " +
+        "and the drop quantile is calibrated on the FIRST increment and " +
+        "pinned — the CCNet production posture)")
+  }
+
+  /** The micro-batch loop as a Structured Streaming SINK — each
+    * delivered batch of document rows runs one [[runIncrement]].
+    * foreachBatch delivers AT-LEAST-ONCE; the content-keyed write-ahead
+    * protocol absorbs redelivery exactly as in
+    * [[EmbeddingCurationJob.runStream]] (replayed verdicts, marker-gated
+    * appends — exactly-once curation EFFECT). Batches must respect the
+    * append-only id discipline (see [[runIncrement]]); a source that
+    * replays OLD ids fails the watermark check loudly rather than
+    * silently re-adjudicating races the corpus already settled. */
+  def runStream(spark: SparkSession, stream: DataFrame, outRoot: String,
+      checkpoint: String, cfg: TrainingSetConfig = TrainingSetConfig(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = runIncrement(spark, batch, outRoot, cfg)
+        println(s"""{"batch":$batchId,"batch_docs":${r.batchDocs},""" +
+          s""""gated":${r.gatedDocs},"clean":${r.cleanDocs},""" +
+          s""""train_chunks":${r.trainChunks},"train_bins":${r.trainBins}}""")
+        ()
+      }
+      .start()
+
+  /**
+   * Run ONE increment of documents through the full text pipeline
+   * against the job's persisted registries and models, and append its
+   * outputs — the incremental form of [[run]]: what shipped once stays
+   * shipped, and every later batch's races (substring cuts, exact-dup
+   * keeps, near-dup survivors, pack bins) are adjudicated against
+   * everything that came before.
+   *
+   * Stage semantics per increment, stated exactly:
+   *  - markup-strip / normalize / C4 / Gopher / quality / langid /
+   *    redaction / stratified rebalance / split: PER-ROW — the loop
+   *    equals the batch job trivially.
+   *  - lm_ref gate: the model is folded ONCE from the external
+   *    `lm_ref_dir` reference and persisted; the drop threshold is
+   *    calibrated on the FIRST increment's score quantile and PINNED
+   *    (per stratum under `lm_ref_strata_col`). This is the one
+   *    DECLARED DIVERGENCE from the batch job, which re-computes the
+   *    quantile over the whole corpus: a pinned gate is what CCNet
+   *    production runs, and an ever-moving per-batch quantile would
+   *    make shipped/dropped depend on batch boundaries.
+   *  - ExactSubstr cut: [[graft.operators.Dedup.dedupSubstringsIncremental]]
+   *    vs the window registry — EXACTLY the fused cut over
+   *    (corpus ∪ batch) restricted to the batch (its spec-pinned
+   *    contract); the registry then grows with every gate survivor's
+   *    original windows.
+   *  - exact dedup: content hashes vs the hash registry — a batch doc
+   *    whose (post-cut) text hash is registered drops (the corpus copy
+   *    has the smaller id); within the batch, min-id per hash. Equals
+   *    fused-over-union restricted to the batch under the id
+   *    discipline.
+   *  - near-dup: batch-internal [[graft.operators.Dedup.ngramJaccardPairs]]
+   *    ∪ cross edges vs the shingle registry
+   *    ([[graft.operators.Dedup.ngramJaccardPairsAgainst]]), connected
+   *    components over REAL ids — a batch doc survives iff it is the
+   *    minimum of its component, which (ids ascending, no df cap)
+   *    equals the fused verdict over the union restricted to the
+   *    batch: touching any corpus doc, directly or transitively, means
+   *    a smaller id is in the component. The registry then grows with
+   *    every exact-kept member (the every-member contract — a dropped
+   *    near-dup can still be the witness that drops a later copy).
+   *  - packing: [[graft.operators.Corpus.packSequencesInc]] against the
+   *    state folded from the written `packed/` relation — bit-identical
+   *    to fused packing of the union (its oracle contract).
+   *
+   * APPEND-ONLY ID DISCIPLINE (the precondition every registry op
+   * shares): each batch's ids must sort strictly after every previously
+   * ingested id — in the id column's native order (dedup races) AND in
+   * string order (the packer windows over string chunk ids derived from
+   * them). Both are enforced against the persisted watermark; a
+   * violating batch fails loudly before any state mutates.
+   *
+   * RETRY-SAFE via the [[IncProtocol]] conventions: the batch pins
+   * under a content key; every verdict that depends on mutable state
+   * (substring cut, exact keeps, near-dup survivors, the increment's
+   * packed rows) is write-ahead under `inc_state/<key>/` BEFORE the
+   * state it depends on grows; every append is marker-gated; a
+   * fully-applied increment short-circuits to its ledger row. The
+   * job-level CONFIG PIN is stricter than [[EmbeddingCurationJob]]'s
+   * per-verdict claims: an incremental job's semantic config is
+   * IMMUTABLE for its lifetime (the registries encode the window size,
+   * shingle width, thresholds and pack geometry — re-parameterizing
+   * mid-job would adjudicate new batches under statistics the old
+   * config built), so any change fails loudly at entry.
+   */
+  def runIncrement(spark: SparkSession, batch: DataFrame, outRoot: String,
+      cfg: TrainingSetConfig = TrainingSetConfig()): IncResult = {
+    import spark.implicits._
+    requireIncrementable(cfg)
+    // job-level config pin (see scaladoc): first increment stamps the
+    // semantic config identity; every later one must match it
+    locally {
+      val pin = s"$outRoot/_inc_config"
+      val rk = runKey("__incremental__", cfg)
+      if (!IncProtocol.exists(spark, pin)) writeTextFile(spark, pin, rk)
+      else {
+        val prev = readTextFile(spark, pin).trim
+        require(prev == rk,
+          s"incremental config changed under $outRoot (pinned $prev, got " +
+            s"$rk): the job's registries were built under the pinned " +
+            "config — finish this job under it, or start a new outRoot")
+      }
+    }
+    val idc = col("doc_id")
+    // pin the increment once — every stage, registry append and count
+    // below reads these blocks, not a re-executed source lineage
+    val b = Materialize(batch, cfg.checkpointDir)
+    val nBatch = b.count()
+    val incKey = AnnIndex.incrementKey(b, "doc_id", "text")
+    val stateDir = incStateDir(outRoot, incKey)
+    def completed(p: String) = IncProtocol.completed(spark, p)
+    def appendOnce(relDir: String)(write: => Unit): Unit =
+      IncProtocol.appendOnce(spark, relDir, incKey)(write)
+    // fully-applied short-circuit: the ledger marker is the LAST write,
+    // so its existence proves every append landed — return the recorded
+    // counts without touching any verdict or registry
+    if (IncProtocol.appliedTo(spark, incrementsDir(outRoot), incKey)) {
+      val hit = spark.read.parquet(incrementsDir(outRoot))
+        .filter(col("inc_key") === incKey).limit(1).collect().headOption
+      hit.foreach { r =>
+        Materialize.release(b)
+        return IncResult(r.getAs[Long]("batch_docs"), r.getAs[Long]("gated"),
+          r.getAs[Long]("clean"), r.getAs[Long]("train_chunks"),
+          r.getAs[Long]("train_bins"))
+      }
+    }
+    // watermark check — skipped when this increment already left a trace
+    // (its first run passed the check, and the watermark may since
+    // include the batch itself)
+    val isRetry = IncProtocol.exists(spark, stateDir) ||
+      Seq(substrRegistryDir(outRoot), exactRegistryDir(outRoot),
+        shingleRegistryDir(outRoot), shardsDir(outRoot), packedDir(outRoot))
+        .exists(d => IncProtocol.appliedTo(spark, d, incKey))
+    if (!isRetry && completed(watermarkDir(outRoot))) {
+      val wm = broadcast(spark.read.parquet(watermarkDir(outRoot)))
+      val bad = b.crossJoin(wm)
+        .filter(idc <= col("max_id") ||
+          idc.cast("string") <= col("max_id_str")).count()
+      require(bad == 0,
+        s"append-only id discipline violated: $bad batch ids sort at or " +
+          "below the ingested watermark (native or string order) — such " +
+          "ids would win dedup races the corpus already settled and " +
+          "interleave pack windows; re-key the batch")
+    }
+
+    // ---- per-row gates (identical expressions to the batch job) ----
+    def normalized(df: DataFrame): DataFrame = {
+      val stripped = if (!cfg.stripMarkup) df
+        else df.withColumn("text",
+          graft.functions.TextFunctions.stripMarkup(col("text")))
+      if (!cfg.normalize) stripped
+      else stripped.withColumn("text",
+        graft.functions.TextFunctions.normalizeText(col("text")))
+    }
+    val docs1 = normalized(b)
+    val docs0 = if (!cfg.c4Clean) docs1
+      else docs1
+        .withColumn("__c4", graft.plans.TextExpressions.c4LineClean(col("text")))
+        .filter(col("__c4.keep"))
+        .withColumn("text", col("__c4.clean_text"))
+        .drop("__c4")
+    val docsG0 = if (!cfg.gopherGate) docs0
+      else docs0.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
+
+    // ---- lm_ref gate: persisted model + pinned threshold ----
+    val docsG = cfg.lmRefDropQ match {
+      case Some(q) =>
+        val pinned = Materialize(docsG0, cfg.checkpointDir)
+        val md = lmRefModelDir(outRoot)
+        val scCol = cfg.lmRefStrataCol
+        if (!completed(s"$md/uni")) {
+          val refRaw = spark.read.parquet(cfg.lmRefDir.get)
+          scCol match {
+            case Some(sc) =>
+              val (cbg, cw, uni) = Corpus.lmRefStratifiedModelRelations(
+                normalized(refRaw.select(col(sc), col("text"))), sc)
+              cbg.write.mode("overwrite").parquet(s"$md/cbg")
+              cw.write.mode("overwrite").parquet(s"$md/cw")
+              uni.write.mode("overwrite").parquet(s"$md/uni")
+            case None =>
+              val (cbg, cw, uni) = Corpus.lmRefModelRelations(
+                normalized(refRaw.select(col("text"))))
+              cbg.write.mode("overwrite").parquet(s"$md/cbg")
+              cw.write.mode("overwrite").parquet(s"$md/cw")
+              uni.write.mode("overwrite").parquet(s"$md/uni")
+          }
+        }
+        val cbg = spark.read.parquet(s"$md/cbg")
+        val cw = spark.read.parquet(s"$md/cw")
+        val uni = spark.read.parquet(s"$md/uni")
+        def score(df: DataFrame): DataFrame = scCol match {
+          case Some(sc) => Corpus.lmRefScoreStratifiedFromModel(
+            df.select(col("doc_id"), col(sc), col("text")), cbg, cw, uni,
+            sc, cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
+          case None => Corpus.lmRefScoreFromModel(
+            df.select(col("doc_id"), col("text")), cbg, cw, uni,
+            cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
+        }
+        val td = lmRefThresholdDir(outRoot)
+        if (!completed(td)) {
+          // FIRST increment calibrates the pinned threshold(s) — exact
+          // percentile, the dropBottomQuantile convention
+          val s0 = score(pinned)
+          val thr = scCol match {
+            case Some(sc) => s0.groupBy(col(sc))
+              .agg(percentile(col("lm_ref"), lit(q)).as("__thr"))
+            case None => s0.agg(percentile(col("lm_ref"), lit(q)).as("__thr"))
+          }
+          thr.write.mode("overwrite").parquet(td)
+        }
+        val thr = broadcast(spark.read.parquet(td))
+        val keep = (scCol match {
+          case Some(sc) => score(pinned).join(thr, Seq(sc))
+          case None => score(pinned).crossJoin(thr)
+        }).filter(col("lm_ref") >= col("__thr")).select(col("doc_id"))
+        pinned.join(keep, Seq("doc_id"), "left_semi")
+      case None => docsG0
+    }
+
+    // ---- ExactSubstr cut vs the window registry (write-ahead) ----
+    val preSubstr = Materialize(docsG, cfg.checkpointDir)
+    val docs = cfg.substrWindow match {
+      case Some(w) =>
+        val reg = substrRegistryDir(outRoot)
+        val cutPath = s"$stateDir/substr_cut"
+        if (!completed(cutPath)) {
+          val cut =
+            if (completed(reg)) Dedup.dedupSubstringsIncremental(preSubstr,
+              spark.read.parquet(reg), n = w, preserveCase = true)
+            else Dedup.dedupSubstrings(preSubstr, n = w, preserveCase = true)
+          cut.write.mode("overwrite").parquet(cutPath)
+        }
+        appendOnce(reg) {
+          // the batch's original windows, anti-joined against the
+          // registry first (the substrRegistry contract: one row per
+          // hash EVER, or recurring boilerplate fans the probe k-fold)
+          val fresh = Dedup.substrRegistry(preSubstr, n = w)
+          val toAdd = if (completed(reg))
+            fresh.join(spark.read.parquet(reg), Seq("w"), "left_anti")
+          else fresh
+          toAdd.write.mode(if (completed(reg)) "append" else "overwrite")
+            .parquet(reg)
+        }
+        spark.read.parquet(cutPath)
+      case None => preSubstr
+    }
+
+    // ---- quality + langid gates (cleanCorpus's per-row head) ----
+    val qc = graft.functions.TextFunctions.qualityColumns(col("text")).toMap
+    val gated = Materialize(docs.filter(qc("n_tokens") >= cfg.minTokens &&
+      qc("digit_ratio") <= cfg.maxDigitRatio &&
+      graft.functions.TextFunctions.langId(col("text")) === cfg.lang),
+      cfg.checkpointDir)
+    val nGated = gated.count()
+
+    // ---- exact dedup vs the hash registry (write-ahead) ----
+    val exactReg = exactRegistryDir(outRoot)
+    val exactIdsPath = s"$stateDir/exact_ids"
+    if (!completed(exactIdsPath)) {
+      val inBatch = Dedup.exact(gated)  // (text_hash, doc_id=min, n_dups)
+      val keep = if (completed(exactReg))
+        inBatch.join(spark.read.parquet(exactReg), Seq("text_hash"), "left_anti")
+      else inBatch
+      keep.select(col("doc_id"), col("text_hash"))
+        .write.mode("overwrite").parquet(exactIdsPath)
+    }
+    val exactKept = Materialize(
+      gated.join(spark.read.parquet(exactIdsPath).select(idc),
+        Seq("doc_id"), "left_semi"), cfg.checkpointDir)
+    appendOnce(exactReg) {
+      // the kept docs' hashes ARE the batch's registry-fresh hashes
+      // (dropped batch docs share a keeper's hash or a registered one)
+      spark.read.parquet(exactIdsPath).select(col("text_hash"))
+        .write.mode(if (completed(exactReg)) "append" else "overwrite")
+        .parquet(exactReg)
+    }
+
+    // ---- near-dup vs the shingle registry (write-ahead) ----
+    val shReg = shingleRegistryDir(outRoot)
+    val survIdsPath = s"$stateDir/jaccard_ids"
+    if (!completed(survIdsPath)) {
+      val internal = Dedup.ngramJaccardPairs(exactKept, n = cfg.ngram,
+        minJaccard = cfg.minJaccard, checkpointDir = cfg.checkpointDir)
+      val pairs = if (completed(shReg))
+        internal.unionByName(Dedup.ngramJaccardPairsAgainst(exactKept,
+          spark.read.parquet(shReg), n = cfg.ngram,
+          minJaccard = cfg.minJaccard))
+      else internal
+      Dedup.dedupByClusters(exactKept.select(idc), pairs,
+          checkpointDir = cfg.checkpointDir)
+        .write.mode("overwrite").parquet(survIdsPath)
+    }
+    val survivors = exactKept.join(spark.read.parquet(survIdsPath),
+      Seq("doc_id"), "left_semi")
+    appendOnce(shReg) {
+      // every exact-kept member registers (the every-member contract)
+      Dedup.shingleRelation(exactKept, n = cfg.ngram)
+        .write.mode(if (completed(shReg)) "append" else "overwrite")
+        .parquet(shReg)
+    }
+
+    // ---- per-row tail: decontaminate → redact → rebalance → split ----
+    val decontaminated = cfg.evalDir match {
+      case Some(d) =>
+        val ev = normalized(spark.read.parquet(d)
+          .select(col("doc_id"), col("text")))
+        Corpus.decontaminate(survivors, ev, cfg.ngram, cfg.evalMinOverlap)
+      case None => survivors
+    }
+    val redacted = if (cfg.redact) decontaminated.withColumn("text",
+      graft.functions.TextFunctions.redactPii(col("text")))
+    else decontaminated
+    val balanced = cfg.strata.fold(redacted) { case (sc, rates, dflt) =>
+      Corpus.sampleStratified(redacted, sc, rates, dflt)
+    }
+    val clean = Materialize(Corpus.splitAssign(balanced)
+      .select(col("doc_id"), col("bucket"), col("split"), col("text")),
+      cfg.checkpointDir)
+    val nClean = clean.count()
+
+    // ---- shards append ----
+    appendOnce(shardsDir(outRoot)) {
+      Corpus.writeShards(clean, shardsDir(outRoot), cfg.nShards,
+        mode = if (completed(shardsDir(outRoot))) "append" else "overwrite")
+    }
+
+    // ---- merges (fixed tokenizer or the canonical table — saved once) ----
+    val mergesOpt: Option[Seq[(String, String)]] = cfg.bpeMergesPath
+      .map(graft.functions.TextFunctions.loadBpeMerges)
+      .orElse(if (cfg.emitIds) Some {
+        if (!IncProtocol.exists(spark, mergesPath(outRoot))) {
+          val m = graft.functions.TextFunctions.BpeMerges
+          writeTextFile(spark, mergesPath(outRoot),
+            ("#version: 0.2" +: m.map { case (a, b) => s"$a $b" })
+              .mkString("\n") + "\n")
+          m
+        } else graft.functions.TextFunctions.loadBpeMerges(mergesPath(outRoot))
+      } else None)
+
+    // ---- chunk + incremental pack of the increment's train split ----
+    val train = clean.filter(col("split") === "train")
+    val chunker: DataFrame => DataFrame = (mergesOpt, cfg.chunkStride) match {
+      case (Some(merges), _) =>
+        df => Corpus.chunkDocsByCost(df, cfg.chunkBudget.toLong,
+          tok => graft.functions.TextFunctions.bpeCount(tok, merges),
+          "text", "doc_id")
+      case (None, Some(stride)) =>
+        df => Corpus.chunkDocsOverlap(df, cfg.chunkBudget, stride,
+          "text", "doc_id")
+      case (None, None) if cfg.chunkSentences =>
+        df => Corpus.chunkDocsSentences(df, cfg.chunkBudget.toLong,
+          "text", "doc_id")
+      case (None, None) =>
+        df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", "doc_id")
+    }
+    val packedRowsPath = s"$stateDir/packed_rows"
+    if (!completed(packedRowsPath)) {
+      val chunks = Materialize(chunker(train), cfg.checkpointDir)
+      val packed =
+        if (completed(packedDir(outRoot)))
+          Corpus.packSequencesInc(chunks,
+            Corpus.packState(spark.read.parquet(packedDir(outRoot))),
+            cfg.chunkBudget.toLong, cfg.packGroups, "n_tokens", "chunk_id")
+        else Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
+          cfg.packGroups, "n_tokens", "chunk_id")
+      val joined = packed.join(
+        chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
+      val emitted = mergesOpt match {
+        case Some(m) => joined.withColumn("token_ids",
+          graft.plans.BpeExpressions.bpeEncode(col("chunk_text"), m))
+        case None => joined
+      }
+      emitted.write.mode("overwrite").parquet(packedRowsPath)
+      Materialize.release(chunks)
+    }
+    val packedRows = spark.read.parquet(packedRowsPath)
+    appendOnce(packedDir(outRoot)) {
+      packedRows
+        .repartition(cfg.packGroups, col("grp"))
+        .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
+        .write.mode(if (IncProtocol.exists(spark, packedDir(outRoot)))
+          "append" else "overwrite")
+        .partitionBy("grp").parquet(packedDir(outRoot))
+    }
+    val Array(nChunks, nBins) = packedRows
+      .agg(count(lit(1)), count_distinct(struct(col("grp"), col("bin"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+
+    // ---- boundaries: recompute over the WRITTEN packed relation (one
+    // aggregation scan — bins straddle increments, so per-increment
+    // boundary rows cannot compose) ----
+    if (cfg.emitBoundaries) {
+      Corpus.packBoundaries(spark.read.parquet(packedDir(outRoot)),
+          cfg.chunkBudget.toLong, "n_tokens", "chunk_id")
+        .write.mode("overwrite").parquet(boundariesDir(outRoot))
+    }
+
+    // ---- watermark, then the ledger (its marker is the LAST write) ----
+    b.agg(max(idc).as("max_id"), max(idc.cast("string")).as("max_id_str"))
+      .coalesce(1).write.mode("overwrite").parquet(watermarkDir(outRoot))
+    appendOnce(incrementsDir(outRoot)) {
+      Seq((nBatch, nGated, nClean, nChunks, nBins, incKey))
+        .toDF("batch_docs", "gated", "clean", "train_chunks", "train_bins",
+          "inc_key")
+        .write.mode("append").parquet(incrementsDir(outRoot))
+    }
+    IncResult(nBatch, nGated, nClean, nChunks, nBins)
   }
 
   private def writeManifest(spark: SparkSession, root: String,

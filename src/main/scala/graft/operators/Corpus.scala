@@ -496,11 +496,16 @@ object Corpus {
    * contiguous and each shard internally ordered without any global sort.
    */
   def writeShards(docs: DataFrame, path: String, nShards: Int = 1024,
-      idCol: String = "doc_id"): Unit =
+      idCol: String = "doc_id", mode: String = "overwrite"): Unit =
+    // mode="append" is the incremental-job form: each increment adds its
+    // rows to the same shard=<n>/ directories (per-increment files, each
+    // internally sort_key-ordered — the shard's global hash order holds
+    // per file, not across files; readers that need one sorted stream
+    // per shard re-sort in-shard, readers that need the SET don't care)
     shardAssign(docs, nShards, idCol)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("sort_key"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode(mode).partitionBy("shard").parquet(path)
 
   /**
    * Bloom-filter decontamination — the shape for a LARGE reference set.
@@ -1057,23 +1062,48 @@ object Corpus {
   def lmRefScoreStratified(reference: DataFrame, docs: DataFrame,
       strataCol: String, lambda: Double = 0.9, textCol: String = "text",
       idCol: String = "doc_id", minBigramCount: Option[Long] = None): DataFrame = {
+    val (cbg, cw, uni) =
+      lmRefStratifiedModelRelations(reference, strataCol, textCol)
+    lmRefScoreStratifiedFromModel(docs, cbg, cw, uni, strataCol, lambda,
+      textCol, idCol, minBigramCount)
+  }
+
+  /** The per-stratum model fold — [[lmRefModelRelations]] with the
+    * stratum key in every relation: (stratum, w1, w2, c2),
+    * (stratum, w1, c1), (stratum, t, cu). Persist these and serve
+    * increments with [[lmRefScoreStratifiedFromModel]] (the
+    * `lm_ref_model_build` production split, per stratum). */
+  private[graft] def lmRefStratifiedModelRelations(reference: DataFrame,
+      strataCol: String, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val refTh = lmRefTh(reference, textCol, Seq(col(strataCol)))
+    val cbg = lmRefPairs(refTh, Seq(col(strataCol)))
+      .groupBy(col(strataCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // context totals derive from the UNPRUNED bigram counts
+    // (lmRefScoreFromModel's no-renormalization contract — pruning is a
+    // serve decision in [[lmRefScoreStratifiedFromModel]])
+    val cw = cbg.groupBy(col(strataCol), col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = refTh.select(col(strataCol), explode(col("__th")).as("t"))
+      .groupBy(col(strataCol), col("t")).agg(count(lit(1)).as("cu"))
+    (cbg, cw, uni)
+  }
+
+  /** Serve split of [[lmRefScoreStratified]]: score `docs` against
+    * already-folded (or persisted and re-read) per-stratum model
+    * relations. Totals/vocab derive from `uni` per stratum (one
+    * #strata-row aggregate — no fourth artifact to drift). */
+  private[graft] def lmRefScoreStratifiedFromModel(docs: DataFrame,
+      cbg0: DataFrame, cw: DataFrame, uni: DataFrame, strataCol: String,
+      lambda: Double = 0.9, textCol: String = "text", idCol: String = "doc_id",
+      minBigramCount: Option[Long] = None): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
     require(minBigramCount.forall(_ >= 1),
       s"min_bigram_count must be >= 1: $minBigramCount")
-    val refTh = lmRefTh(reference, textCol, Seq(col(strataCol)))
-    val cbg0 = lmRefPairs(refTh, Seq(col(strataCol)))
-      .groupBy(col(strataCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    // pruning is a serve decision over the bigram relation only — the
-    // context totals derive from the UNPRUNED counts (lmRefScoreFromModel's
-    // no-renormalization contract)
     val cbg = minBigramCount match {
       case Some(m) => cbg0.filter(col("c2") >= m)
       case None => cbg0
     }
-    val cw = cbg0.groupBy(col(strataCol), col("w1")).agg(sum(col("c2")).as("c1"))
-    val uni = refTh.select(col(strataCol), explode(col("__th")).as("t"))
-      .groupBy(col(strataCol), col("t")).agg(count(lit(1)).as("cu"))
     val tot = uni.groupBy(col(strataCol))
       .agg(sum(col("cu")).as("__n"), count(lit(1)).as("__v"))
     lmRefPairs(lmRefTh(docs, textCol, Seq(col(idCol), col(strataCol))),

@@ -682,6 +682,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
+  /** The (idCol, n_sh, shingle) relation of a corpus — the persisted
+    * REGISTRY form for incremental exact-Jaccard near-dup: shingle-SET
+    * hashes computed in-row ([[graft.plans.TextExpressions.shingleHashes]]
+    * — the same projection [[ngramJaccardPairs]]'s candidate machinery
+    * uses, so registry counts and fused counts are bit-identical), n_sh
+    * riding as a column. Map-only. At corpus scale persist it BUCKETED by
+    * `shingle` (the [[writeBandedTable]] convention) so the increment
+    * probe's join reads the corpus side exchange-free. */
+  def shingleRelation(docs: DataFrame, n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        TextExpressions.shingleHashes(col(textCol), n, dedup = true).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
+        explode(col("__sh")).as("shingle"))
+
+  /**
+   * Incremental exact-Jaccard candidate edges: increment docs against a
+   * persisted corpus [[shingleRelation]] — the cross-pair half of
+   * incremental near-dup dedup (increment-internal pairs come from the
+   * ordinary [[ngramJaccardPairs]] over the batch). Increment ids must
+   * be disjoint from corpus ids. Same exact algebra as the fused
+   * self-join — shared-shingle counting with the J ≥ t size-ratio
+   * prefilter, 6dp-quantized scores — restricted to cross pairs, so
+   * `ngramJaccardPairs(corpus ∪ increment)` = corpus-internal pairs ∪
+   * increment-internal pairs ∪ THESE (spec-pinned). Emits
+   * (id_a, id_b, jaccard) with id_a < id_b. No df cap: the cap is a
+   * statistic of the UNION's shingle dfs, which an increment probe
+   * cannot see — incremental callers run uncapped (the batch side is
+   * micro-batch-sized by contract; the prefilter and the corpus-side
+   * bucketed layout carry the scale load).
+   */
+  def ngramJaccardPairsAgainst(increment: DataFrame, corpusRel: DataFrame,
+      n: Int = 3, minJaccard: Double = 0.2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val a = shingleRelation(increment, n, textCol, idCol).as("a")
+    val b = corpusRel.as("b")
+    val tEff = lit(math.max(0.0, minJaccard - 1e-6))
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+          tEff * greatest(col("a.n_sh"), col("b.n_sh")))
+      .groupBy(col(s"a.$idCol").as("__ia"), col(s"b.$idCol").as("__ib"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", Quantize.quantize(
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+  }
+
   /**
    * Paragraph-level exact dedup (the C4/Dolma line-dedup stage): every
    * distinct paragraph survives exactly ONCE across the whole corpus — at

@@ -578,6 +578,69 @@ object Scratch {
       println(f"SCRATCH-ANNGROW rebuilt(all) n=${grown.count()}%6d " +
         f"recall@10=${rr.sum / rr.length}%.3f min=${rr.min}%.2f")
     }
+    if (sys.env.contains("SCRATCH_ANNSWEEP")) {
+      // r19 verdict #5: the recall-vs-cost CURVE behind the IVF-PQ
+      // serve's operating point — the growth rung fixed (nProbe=4,
+      // overscan=50) and read 0.55 recall@10 at its smallest corpus
+      // with no curve to pick defaults from. Sweep nProbe × overscan at
+      // two corpus sizes (fresh layout per size, 16 queries, recall@10
+      // vs brute force), reporting beside each recall the serve's cost
+      // drivers: mean rows entering the ADC scan (rows in probed cells
+      // — the bytes-touched proxy; overscan-independent) and the exact
+      // re-rank join size (k·overscan shortlist rows).
+      import org.apache.spark.sql.functions._
+      val S = graft.operators.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      for (n <- Seq(1, 4)) {
+        val corpus = graft.operators.Materialize(
+          if (n == 1) e
+          else e.crossJoin(spark.range(n).select(col("id").as("__c")))
+            .select((col("vec_id") * lit(1000L) + col("__c")).as("vec_id"),
+              transform(col("embedding"),
+                x => (x + (col("__c") % 7).cast("float") * lit(0.013f))
+                  .cast("float")).as("embedding")), None)
+        val nRows = corpus.count()
+        val root = java.nio.file.Files.createTempDirectory("annsweep").toString
+        graft.AnnIndex.buildServingLayout(corpus, root)
+        val ivf = S.readIvfIndex(spark, s"$root/ivf")
+        val (_, pq) = S.readPqIndex(spark, s"$root/pq")
+        val cc = S.readCellCodes(spark, s"$root/cellcodes")
+        val occ = cc.groupBy(col("cell")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val queries = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+          .orderBy(col("vec_id")).limit(16).collect().map(_.getSeq[Float](1))
+        val exact = queries.map(q =>
+          S.topK(corpus, q, 10).collect().map(_.getLong(0)).toSet)
+        // probed cells per (query, nProbe): the serve's own selection
+        // rule (nearest centroids by L2 on the unit query)
+        def probedCells(q: Seq[Float], nProbe: Int): Seq[Int] = {
+          val qn = math.sqrt(q.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
+          val qu = if (qn > 0) q.map(v => (v / qn).toFloat) else q
+          ivf.centroids.map { case (c, v) =>
+            val d2 = v.indices.foldLeft(0.0) { (a, i) =>
+              val d = v(i).toDouble - qu(i).toDouble; a + d * d }
+            (c, d2)
+          }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
+        }
+        for (nProbe <- Seq(1, 2, 4, 8); overscan <- Seq(10, 25, 50, 100)) {
+          val rs = queries.zip(exact).map { case (q, ex) =>
+            val approx = S.topKIvfPq(cc, corpus, ivf, pq, q, k = 10,
+              nProbe = nProbe, overscan = overscan)
+              .collect().map(_.getLong(0)).toSet
+            (approx intersect ex).size / 10.0
+          }
+          val scanRows = queries.map(q =>
+            probedCells(q, nProbe).map(c => occ.getOrElse(c, 0L)).sum)
+            .sum / queries.length
+          println(f"SCRATCH-ANNSWEEP ${n}x n=$nRows%6d nProbe=$nProbe " +
+            f"overscan=$overscan%3d recall@10=${rs.sum / rs.length}%.3f " +
+            f"min=${rs.min}%.2f adc_rows=$scanRows%6d " +
+            f"rerank_rows=${10 * overscan}")
+        }
+        graft.operators.Materialize.release(corpus)
+      }
+    }
     if (sys.env.contains("SCRATCH_TOPK128")) {
       // focused 128× rung for the int8 serving kernel (native vs HOF)
       import org.apache.spark.sql.functions._
