@@ -45,6 +45,24 @@ object AnnIndex {
   val PqK = 16
   val Iters = 2
 
+  /** Default IVF-PQ SERVE operating point — from the measured
+    * recall-vs-cost curve (SCALING.md r20, SCRATCH_ANNSWEEP: nProbe ×
+    * overscan at two corpus sizes against brute force). On an
+    * UNSTRUCTURED corpus (synthetic near-random vectors — the pruning
+    * worst case) recall is probe-bound AND re-rank-bound: ≥0.9 recall@10
+    * first appears at probing 3/4 of the cells with a 50·k exact re-rank
+    * shortlist — (12 of 16, 50) reads 0.931 at the small rung, (12, 100)
+    * 0.931–0.944 at both rungs — while the old fixed point (4, 10)
+    * reads 0.49. Real corpora with cluster structure sustain recall at
+    * far smaller probe fractions (the r19 growth rung climbs 0.55 → 1.0
+    * as neighborhood structure accumulates), so these defaults are the
+    * CONSERVATIVE floor: start here, monitor recall, and lower nProbe /
+    * raise nCells as the corpus's structure reveals itself — cost
+    * scales with probed-cell occupancy (the sweep's adc_rows column),
+    * so structured corpora buy their speed back immediately. */
+  val ServeNProbe = 12
+  val ServeOverscan = 50
+
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_ANN_CACHE",
       s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache")

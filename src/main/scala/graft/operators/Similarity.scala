@@ -1423,8 +1423,10 @@ object Similarity {
    * and only the probed slivers of data.
    */
   def topKIvfPq(cellCodes: DataFrame, embeddings: DataFrame, ivf: IvfIndex,
-      pq: PqModel, query: Seq[Float], k: Int, nProbe: Int = 4,
-      overscan: Int = 10, vecCol: String = "embedding",
+      pq: PqModel, query: Seq[Float], k: Int,
+      nProbe: Int = graft.AnnIndex.ServeNProbe,
+      overscan: Int = graft.AnnIndex.ServeOverscan,
+      vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val qn = normOf(query)
     val qUnit = if (qn > 0) query.map(v => (v / qn).toFloat) else query
@@ -1558,7 +1560,9 @@ object Similarity {
    */
   def topKJoinIvfPq(cellCodes: DataFrame, embeddings: DataFrame,
       ivf: IvfIndex, pq: PqModel, queries: DataFrame, k: Int,
-      nProbe: Int = 4, overscan: Int = 10, vecCol: String = "embedding",
+      nProbe: Int = graft.AnnIndex.ServeNProbe,
+      overscan: Int = graft.AnnIndex.ServeOverscan,
+      vecCol: String = "embedding",
       idCol: String = "vec_id", qIdCol: String = "q_id",
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession

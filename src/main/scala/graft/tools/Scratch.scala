@@ -623,7 +623,7 @@ object Scratch {
             (c, d2)
           }.sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1).toSeq
         }
-        for (nProbe <- Seq(1, 2, 4, 8); overscan <- Seq(10, 25, 50, 100)) {
+        for (nProbe <- Seq(1, 2, 4, 8, 12, 16); overscan <- Seq(10, 25, 50, 100)) {
           val rs = queries.zip(exact).map { case (q, ex) =>
             val approx = S.topKIvfPq(cc, corpus, ivf, pq, q, k = 10,
               nProbe = nProbe, overscan = overscan)
