@@ -260,7 +260,16 @@ object TrainingSetJob {
         // c4/gopher kernels re-execute per consumer, breaking the
         // one-scan invariant the gopherKeep note above measures
         val pinned = Materialize(docsG0, cfg.checkpointDir)
-        cfg.lmRefStrataCol match {
+        // the reference frame: the external clean corpus, or the 20%
+        // hash self-sample (`keyCol` = the stratum column in the
+        // per-language form, the doc id otherwise — both arms share
+        // this loading/normalization rule so it cannot drift)
+        def ref(keyCol: String): DataFrame = cfg.lmRefDir
+          .map(d => normalized(spark.read.parquet(d)
+            .select(col(keyCol), col("text"))))
+          .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
+            .select(col(keyCol), col("text")))
+        val keepIds = cfg.lmRefStrataCol match {
           // CCNet's actual filter shape: one reference LM per stratum
           // (per LANGUAGE — `lm_ref_strata_col = "lang"`) and the drop
           // quantile applied per stratum, so minority languages are
@@ -269,32 +278,19 @@ object TrainingSetJob {
           // stratum has no reference rows drop (no model to vouch —
           // lmRefScoreStratified's inner totals join).
           case Some(sc) =>
-            val ref = cfg.lmRefDir
-              .map(d => normalized(spark.read.parquet(d)
-                .select(col(sc), col("text"))))
-              .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
-                .select(col(sc), col("text")))
-            val scored = Corpus.lmRefScoreStratified(ref,
-              pinned.select(col("doc_id"), col(sc), col("text")), sc,
-              cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
-            pinned.join(
-              Corpus.dropBottomQuantileByStratum(scored, "lm_ref", q, sc,
-                checkpointDir = cfg.checkpointDir).select(col("doc_id")),
-              Seq("doc_id"), "left_semi")
+            Corpus.dropBottomQuantileByStratum(
+              Corpus.lmRefScoreStratified(ref(sc),
+                pinned.select(col("doc_id"), col(sc), col("text")), sc,
+                cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram),
+              "lm_ref", q, sc, checkpointDir = cfg.checkpointDir)
           case None =>
-            val ref = cfg.lmRefDir
-              .map(d => normalized(spark.read.parquet(d)
-                .select(col("doc_id"), col("text"))))
-              .getOrElse(pinned.filter(Corpus.hashBucket(col("doc_id")) < 20)
-                .select(col("doc_id"), col("text")))
-            val scored = Corpus.lmRefScore(ref,
-              pinned.select(col("doc_id"), col("text")), cfg.lmRefLambda,
-              minBigramCount = cfg.lmRefMinBigram)
-            pinned.join(
-              Corpus.dropBottomQuantile(scored, "lm_ref", q,
-                checkpointDir = cfg.checkpointDir).select(col("doc_id")),
-              Seq("doc_id"), "left_semi")
+            Corpus.dropBottomQuantile(
+              Corpus.lmRefScore(ref("doc_id"),
+                pinned.select(col("doc_id"), col("text")), cfg.lmRefLambda,
+                minBigramCount = cfg.lmRefMinBigram),
+              "lm_ref", q, checkpointDir = cfg.checkpointDir)
         }
+        pinned.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
       case None => docsG0
     }
     // optional ExactSubstr stage (Lee et al. 2022) BEFORE the document-
@@ -627,12 +623,17 @@ object TrainingSetJob {
    *    equals the batch job trivially.
    *  - lm_ref gate: the model is folded ONCE from the external
    *    `lm_ref_dir` reference and persisted; the drop threshold is
-   *    calibrated on the FIRST increment's score quantile and PINNED
-   *    (per stratum under `lm_ref_strata_col`). This is the one
-   *    DECLARED DIVERGENCE from the batch job, which re-computes the
-   *    quantile over the whole corpus: a pinned gate is what CCNet
-   *    production runs, and an ever-moving per-batch quantile would
-   *    make shipped/dropped depend on batch boundaries.
+   *    calibrated from the FIRST increment with scorable docs and
+   *    PINNED (a degenerate first batch pins nothing rather than a
+   *    null threshold). Under `lm_ref_strata_col` calibration is LAZY
+   *    PER STRATUM: each stratum pins its threshold on the first
+   *    increment where it appears with scorable docs — a language
+   *    arriving after the calibration increment calibrates then,
+   *    instead of being dropped forever. This is the one DECLARED
+   *    DIVERGENCE from the batch job, which re-computes the quantile
+   *    over the whole corpus: a pinned gate is what CCNet production
+   *    runs, and an ever-moving per-batch quantile would make
+   *    shipped/dropped depend on batch boundaries.
    *  - ExactSubstr cut: [[graft.operators.Dedup.dedupSubstringsIncremental]]
    *    vs the window registry — EXACTLY the fused cut over
    *    (corpus ∪ batch) restricted to the batch (its spec-pinned
@@ -696,9 +697,15 @@ object TrainingSetJob {
       }
     }
     val idc = col("doc_id")
+    // every Materialize pin this increment takes is registered here and
+    // released in the finally below — the runStream loop would otherwise
+    // leak ~6 batch-sized cached RDDs per delivered micro-batch
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // pin the increment once — every stage, registry append and count
     // below reads these blocks, not a re-executed source lineage
     val b = Materialize(batch, cfg.checkpointDir)
+    pins += b
+    try {
     val nBatch = b.count()
     val incKey = AnnIndex.incrementKey(b, "doc_id", "text")
     val stateDir = incStateDir(outRoot, incKey)
@@ -712,7 +719,6 @@ object TrainingSetJob {
       val hit = spark.read.parquet(incrementsDir(outRoot))
         .filter(col("inc_key") === incKey).limit(1).collect().headOption
       hit.foreach { r =>
-        Materialize.release(b)
         return IncResult(r.getAs[Long]("batch_docs"), r.getAs[Long]("gated"),
           r.getAs[Long]("clean"), r.getAs[Long]("train_chunks"),
           r.getAs[Long]("train_bins"))
@@ -725,6 +731,12 @@ object TrainingSetJob {
       Seq(substrRegistryDir(outRoot), exactRegistryDir(outRoot),
         shingleRegistryDir(outRoot), shardsDir(outRoot), packedDir(outRoot))
         .exists(d => IncProtocol.appliedTo(spark, d, incKey))
+    if (!isRetry) require(
+      !IncProtocol.exists(spark, watermarkDir(outRoot)) ||
+        completed(watermarkDir(outRoot)),
+      s"watermark at ${watermarkDir(outRoot)} is incomplete — a prior " +
+        "increment crashed mid-write; redeliver/retry that increment " +
+        "(which rewrites the watermark) before ingesting new batches")
     if (!isRetry && completed(watermarkDir(outRoot))) {
       val wm = broadcast(spark.read.parquet(watermarkDir(outRoot)))
       val bad = b.crossJoin(wm)
@@ -756,10 +768,11 @@ object TrainingSetJob {
     val docsG0 = if (!cfg.gopherGate) docs0
       else docs0.filter(graft.functions.TextFunctions.gopherKeep(col("text")))
 
-    // ---- lm_ref gate: persisted model + pinned threshold ----
+    // ---- lm_ref gate: persisted model + pinned threshold(s) ----
     val docsG = cfg.lmRefDropQ match {
       case Some(q) =>
         val pinned = Materialize(docsG0, cfg.checkpointDir)
+        pins += pinned
         val md = lmRefModelDir(outRoot)
         val scCol = cfg.lmRefStrataCol
         if (!completed(s"$md/uni")) {
@@ -782,37 +795,66 @@ object TrainingSetJob {
         val cbg = spark.read.parquet(s"$md/cbg")
         val cw = spark.read.parquet(s"$md/cw")
         val uni = spark.read.parquet(s"$md/uni")
-        def score(df: DataFrame): DataFrame = scCol match {
+        // ONE scoring pass per increment: the threshold calibration and
+        // the keep filter both read the materialized scores
+        // (dropBottomQuantile's documented one-pass contract)
+        val scored = Materialize(scCol match {
           case Some(sc) => Corpus.lmRefScoreStratifiedFromModel(
-            df.select(col("doc_id"), col(sc), col("text")), cbg, cw, uni,
+            pinned.select(col("doc_id"), col(sc), col("text")), cbg, cw, uni,
             sc, cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
           case None => Corpus.lmRefScoreFromModel(
-            df.select(col("doc_id"), col("text")), cbg, cw, uni,
+            pinned.select(col("doc_id"), col("text")), cbg, cw, uni,
             cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
-        }
+        }, cfg.checkpointDir)
+        pins += scored
         val td = lmRefThresholdDir(outRoot)
-        if (!completed(td)) {
-          // FIRST increment calibrates the pinned threshold(s) — exact
-          // percentile, the dropBottomQuantile convention
-          val s0 = score(pinned)
-          val thr = scCol match {
-            case Some(sc) => s0.groupBy(col(sc))
-              .agg(percentile(col("lm_ref"), lit(q)).as("__thr"))
-            case None => s0.agg(percentile(col("lm_ref"), lit(q)).as("__thr"))
-          }
-          thr.write.mode("overwrite").parquet(td)
+        val keep = scCol match {
+          case Some(sc) =>
+            // LAZY per-stratum calibration: each stratum pins its
+            // threshold on the FIRST increment where it appears with
+            // scorable docs — a language that first arrives after the
+            // calibration increment calibrates then, instead of being
+            // silently inner-joined out of the corpus forever. The
+            // append is marker-gated per increment content (a retry's
+            // thresholds are the ones its first attempt pinned), and
+            // each stratum's row is written exactly once (left_anti
+            // against the existing table).
+            appendOnce(td) {
+              val fresh0 = scored.groupBy(col(sc))
+                .agg(percentile(col("lm_ref"), lit(q)).as("__thr"))
+              val fresh = if (completed(td))
+                fresh0.join(spark.read.parquet(td).select(col(sc)),
+                  Seq(sc), "left_anti")
+              else fresh0
+              fresh.write.mode(if (completed(td)) "append" else "overwrite")
+                .parquet(td)
+            }
+            scored.join(broadcast(spark.read.parquet(td)), Seq(sc))
+              .filter(col("lm_ref") >= col("__thr")).select(col("doc_id"))
+          case None =>
+            // global threshold: calibrated on the first increment that
+            // actually scored docs — a degenerate first batch (nothing
+            // scorable) must not pin a null threshold that would then
+            // silently drop every later document
+            if (!completed(td)) {
+              val t = scored.agg(percentile(col("lm_ref"), lit(q)).as("__thr"))
+              if (t.head().get(0) != null)
+                t.write.mode("overwrite").parquet(td)
+            }
+            if (completed(td))
+              scored.crossJoin(broadcast(spark.read.parquet(td)))
+                .filter(col("lm_ref") >= col("__thr")).select(col("doc_id"))
+            // no threshold yet == nothing scorable yet: unscorable docs
+            // never pass a CCNet gate (the batch job's same contract)
+            else scored.limit(0).select(col("doc_id"))
         }
-        val thr = broadcast(spark.read.parquet(td))
-        val keep = (scCol match {
-          case Some(sc) => score(pinned).join(thr, Seq(sc))
-          case None => score(pinned).crossJoin(thr)
-        }).filter(col("lm_ref") >= col("__thr")).select(col("doc_id"))
         pinned.join(keep, Seq("doc_id"), "left_semi")
       case None => docsG0
     }
 
     // ---- ExactSubstr cut vs the window registry (write-ahead) ----
     val preSubstr = Materialize(docsG, cfg.checkpointDir)
+    pins += preSubstr
     val docs = cfg.substrWindow match {
       case Some(w) =>
         val reg = substrRegistryDir(outRoot)
@@ -845,6 +887,7 @@ object TrainingSetJob {
       qc("digit_ratio") <= cfg.maxDigitRatio &&
       graft.functions.TextFunctions.langId(col("text")) === cfg.lang),
       cfg.checkpointDir)
+    pins += gated
     val nGated = gated.count()
 
     // ---- exact dedup vs the hash registry (write-ahead) ----
@@ -861,6 +904,7 @@ object TrainingSetJob {
     val exactKept = Materialize(
       gated.join(spark.read.parquet(exactIdsPath).select(idc),
         Seq("doc_id"), "left_semi"), cfg.checkpointDir)
+    pins += exactKept
     appendOnce(exactReg) {
       // the kept docs' hashes ARE the batch's registry-fresh hashes
       // (dropped batch docs share a keeper's hash or a registered one)
@@ -910,12 +954,15 @@ object TrainingSetJob {
     val clean = Materialize(Corpus.splitAssign(balanced)
       .select(col("doc_id"), col("bucket"), col("split"), col("text")),
       cfg.checkpointDir)
+    pins += clean
     val nClean = clean.count()
 
-    // ---- shards append ----
+    // ---- shards append (skipped when the increment shipped nothing —
+    // an empty partitionBy write leaves a schema-less directory) ----
     appendOnce(shardsDir(outRoot)) {
-      Corpus.writeShards(clean, shardsDir(outRoot), cfg.nShards,
-        mode = if (completed(shardsDir(outRoot))) "append" else "overwrite")
+      if (nClean > 0)
+        Corpus.writeShards(clean, shardsDir(outRoot), cfg.nShards,
+          mode = if (completed(shardsDir(outRoot))) "append" else "overwrite")
     }
 
     // ---- merges (fixed tokenizer or the canonical table — saved once) ----
@@ -947,43 +994,60 @@ object TrainingSetJob {
       case (None, None) =>
         df => Corpus.chunkDocs(df, cfg.chunkBudget, "text", "doc_id")
     }
+    // An increment with ZERO train chunks writes nothing: an empty
+    // partitionBy write leaves a schema-less directory that every later
+    // packState/boundaries read would fail to infer — so emptiness is
+    // detected up front and the whole pack stage (verdict + append)
+    // skips. Deterministic on retry (chunks derive from the pinned
+    // clean set), so skipping needs no write-ahead record.
     val packedRowsPath = s"$stateDir/packed_rows"
-    if (!completed(packedRowsPath)) {
+    val hasTrainChunks = completed(packedRowsPath) || {
       val chunks = Materialize(chunker(train), cfg.checkpointDir)
-      val packed =
-        if (completed(packedDir(outRoot)))
-          Corpus.packSequencesInc(chunks,
-            Corpus.packState(spark.read.parquet(packedDir(outRoot))),
-            cfg.chunkBudget.toLong, cfg.packGroups, "n_tokens", "chunk_id")
-        else Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
-          cfg.packGroups, "n_tokens", "chunk_id")
-      val joined = packed.join(
-        chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
-      val emitted = mergesOpt match {
-        case Some(m) => joined.withColumn("token_ids",
-          graft.plans.BpeExpressions.bpeEncode(col("chunk_text"), m))
-        case None => joined
+      pins += chunks
+      if (chunks.limit(1).count() == 0) false
+      else {
+        val packed =
+          if (completed(packedDir(outRoot)))
+            Corpus.packSequencesInc(chunks,
+              Corpus.packState(spark.read.parquet(packedDir(outRoot))),
+              cfg.chunkBudget.toLong, cfg.packGroups, "n_tokens", "chunk_id")
+          else Corpus.packSequences(chunks, cfg.chunkBudget.toLong,
+            cfg.packGroups, "n_tokens", "chunk_id")
+        val joined = packed.join(
+          chunks.select(col("chunk_id"), col("chunk_text")), Seq("chunk_id"))
+        val emitted = mergesOpt match {
+          case Some(m) => joined.withColumn("token_ids",
+            graft.plans.BpeExpressions.bpeEncode(col("chunk_text"), m))
+          case None => joined
+        }
+        emitted.write.mode("overwrite").parquet(packedRowsPath)
+        true
       }
-      emitted.write.mode("overwrite").parquet(packedRowsPath)
-      Materialize.release(chunks)
     }
-    val packedRows = spark.read.parquet(packedRowsPath)
-    appendOnce(packedDir(outRoot)) {
-      packedRows
-        .repartition(cfg.packGroups, col("grp"))
-        .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
-        .write.mode(if (IncProtocol.exists(spark, packedDir(outRoot)))
-          "append" else "overwrite")
-        .partitionBy("grp").parquet(packedDir(outRoot))
+    val (nChunks, nBins) = if (!hasTrainChunks) (0L, 0L) else {
+      val packedRows = spark.read.parquet(packedRowsPath)
+      appendOnce(packedDir(outRoot)) {
+        packedRows
+          .repartition(cfg.packGroups, col("grp"))
+          .sortWithinPartitions(col("grp"), col("bin"), col("chunk_id"))
+          // _SUCCESS decides the mode (the shards append's convention):
+          // a crashed first write retries as overwrite, clearing any
+          // orphaned part files instead of appending onto them
+          .write.mode(if (completed(packedDir(outRoot))) "append"
+            else "overwrite")
+          .partitionBy("grp").parquet(packedDir(outRoot))
+      }
+      val Array(c, bn) = packedRows
+        .agg(count(lit(1)), count_distinct(struct(col("grp"), col("bin"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      (c, bn)
     }
-    val Array(nChunks, nBins) = packedRows
-      .agg(count(lit(1)), count_distinct(struct(col("grp"), col("bin"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
 
     // ---- boundaries: recompute over the WRITTEN packed relation (one
     // aggregation scan — bins straddle increments, so per-increment
-    // boundary rows cannot compose) ----
-    if (cfg.emitBoundaries) {
+    // boundary rows cannot compose; guarded on the relation actually
+    // having committed data) ----
+    if (cfg.emitBoundaries && completed(packedDir(outRoot))) {
       Corpus.packBoundaries(spark.read.parquet(packedDir(outRoot)),
           cfg.chunkBudget.toLong, "n_tokens", "chunk_id")
         .write.mode("overwrite").parquet(boundariesDir(outRoot))
@@ -999,6 +1063,7 @@ object TrainingSetJob {
         .write.mode("append").parquet(incrementsDir(outRoot))
     }
     IncResult(nBatch, nGated, nClean, nChunks, nBins)
+    } finally pins.foreach(Materialize.release)
   }
 
   private def writeManifest(spark: SparkSession, root: String,

@@ -221,6 +221,75 @@ class TrainingSetIncSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("lm_ref self-reference"))
   }
 
+  test("lm_ref stratified in the loop: a stratum arriving after the calibration increment calibrates lazily instead of dropping forever") {
+    import spark.implicits._
+    val protoA = "the quick brown fox jumps over the lazy dog near the river bank "
+    val protoB = "a slow purple crab walks under the bright winter moon by an old stone wall "
+    val refDir = java.nio.file.Files.createTempDirectory("tslz_ref").toString
+    (Seq.tabulate(6)(i => (900L + i, protoA * 4, "enx")) ++
+      Seq.tabulate(6)(i => (950L + i, protoB * 4, "dex")))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(refDir)
+    // batch 1: ONLY enx; batch 2 introduces dex (2 good + 1 gibberish)
+    val b1 = (Seq.tabulate(3)(i =>
+      (100L + i, protoA * 3 + s"ending note item$i", "enx")) :+
+      ((110L, "zxq vplk wrn qqf mtt abcx lqzz pfm wwt yyx uuo ppl kkm jjn", "enx")))
+      .toDF("doc_id", "text", "lang")
+    val b2 = (Seq.tabulate(2)(i =>
+      (200L + i, protoB * 3 + s"closing remark item$i", "dex")) ++
+      Seq((210L, "qqv zzt rrk lln mmp wwx kkf ttb ggh jjd ssu vvn bbq ccz", "dex"),
+        (211L, protoA * 3 + "another fine ending here", "enx")))
+      .toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files.createTempDirectory("tslz_inc").toString
+    val c = TrainingSetConfig(lmRefDropQ = Some(0.25),
+      lmRefDir = Some(refDir), lmRefStrataCol = Some("lang"),
+      minJaccard = 0.99, chunkBudget = 64, packGroups = 2, nShards = 2)
+    TrainingSetJob.runIncrement(spark, b1, root, c)
+    val thr1 = spark.read.parquet(TrainingSetJob.lmRefThresholdDir(root))
+    assert(thr1.count() == 1 &&
+      thr1.head().getString(0) == "enx", "batch 1 should pin enx only")
+    TrainingSetJob.runIncrement(spark, b2, root, c)
+    val thr2 = spark.read.parquet(TrainingSetJob.lmRefThresholdDir(root))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(thr2.keySet == Set("enx", "dex"), s"dex not lazily calibrated: $thr2")
+    // enx's pinned threshold did not move when batch 2 arrived
+    assert(thr2("enx") == thr1.head().getDouble(1))
+    val shipped = shippedIds(root)
+    assert(Seq(100L, 101L, 102L, 200L, 201L, 211L).forall(shipped.contains),
+      s"good docs dropped: $shipped")
+    assert(!shipped.contains(110L) && !shipped.contains(210L),
+      "gibberish passed a per-stratum gate")
+  }
+
+  test("degenerate first batch: no threshold pinned, no schema-less empty writes; the job recovers on the first real batch") {
+    import spark.implicits._
+    val proto = "the quick brown fox jumps over the lazy dog near the river bank "
+    val refDir = java.nio.file.Files.createTempDirectory("tsdg_ref").toString
+    Seq.tabulate(6)(i => (900L + i, proto * 4)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(refDir)
+    // batch 1 is all unscorable (single tokens — no bigram to judge):
+    // nothing ships, NO threshold may be pinned, and the empty shards/
+    // packed relations must not be written as schema-less directories
+    val b1 = Seq((100L, "one"), (101L, "two")).toDF("doc_id", "text")
+    val b2 = (Seq.tabulate(4)(i =>
+      (200L + i, proto * 3 + s"ending note item$i")) :+
+      ((210L, "zxq vplk wrn qqf mtt abcx lqzz pfm wwt yyx uuo ppl kkm jjn")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("tsdg_inc").toString
+    val c = TrainingSetConfig(lmRefDropQ = Some(0.2), lmRefDir = Some(refDir),
+      minJaccard = 0.99, chunkBudget = 64, packGroups = 2, nShards = 2)
+    val r1 = TrainingSetJob.runIncrement(spark, b1, root, c)
+    assert(r1.cleanDocs == 0 && r1.trainChunks == 0)
+    assert(!IncProtocol.completed(spark,
+      TrainingSetJob.lmRefThresholdDir(root)),
+      "a null threshold was pinned from the unscorable batch")
+    // the first REAL batch calibrates and ships normally
+    val r2 = TrainingSetJob.runIncrement(spark, b2, root, c)
+    assert(r2.cleanDocs == 4 && r2.trainChunks > 0, s"$r2")
+    val shipped = shippedIds(root)
+    assert(shipped == Set(200L, 201L, 202L, 203L), s"shipped: $shipped")
+    assert(spark.read.parquet(TrainingSetJob.packedDir(root)).count() > 0)
+  }
+
   test("unsupported global stages fail loudly at entry") {
     import spark.implicits._
     val b = Seq((100L, "some words here")).toDF("doc_id", "text")
