@@ -207,35 +207,8 @@ object EmbeddingCurationJob {
     * inc_key — i.e. the short-circuit is actually available. Without
     * this GC, inc_state grows one roughly batch-sized parquet dir per
     * increment forever. Returns (dirsBefore, dirsAfter). */
-  private[graft] def gcIncState(spark: SparkSession, outRoot: String): (Long, Long) = {
-    val root = new Path(incStateRoot(outRoot))
-    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0L, 0L)
-    val dirs = fs.listStatus(root).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("inc_"))
-    val before = dirs.length.toLong
-    val manifest = incrementsDir(outRoot)
-    // one ledger read for the whole sweep (mergeSchema: a ledger spanning
-    // the inc_key upgrade has mixed footers — same defense as the
-    // short-circuit's own read); the ledger is one tiny row per increment
-    val ledgerKeys: Set[String] =
-      if (!exists(spark, manifest)) Set.empty
-      else {
-        val ledger = spark.read.option("mergeSchema", "true").parquet(manifest)
-        if (!ledger.columns.contains("inc_key")) Set.empty
-        else ledger.select(col("inc_key")).na.drop().distinct()
-          .collect().map(_.getString(0)).toSet
-      }
-    var kept = 0L
-    dirs.foreach { s =>
-      val key = s.getPath.getName.stripPrefix("inc_")
-      if (ledgerKeys.contains(key) &&
-          exists(spark, s"$manifest/_graft_inc_applied_$key"))
-        fs.delete(s.getPath, true)
-      else kept += 1
-    }
-    (before, kept)
-  }
+  private[graft] def gcIncState(spark: SparkSession, outRoot: String): (Long, Long) =
+    IncProtocol.gcIncState(spark, incStateRoot(outRoot), incrementsDir(outRoot))
 
   /** Number of increments applied so far — counted from the manifest's
     * idempotent-append markers (the existing ledger), so the trigger

@@ -43,4 +43,41 @@ private[graft] object IncProtocol {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) { write; fs.create(marker, false).close() }
   }
+
+  /** GC the write-ahead state of FULLY-COMPLETED increments under
+    * `stateRoot` (dirs named `inc_<key>`): a state dir is deleted only
+    * when the increments LEDGER at `ledgerDir` both carries the
+    * increment's applied marker (its last write — every append landed)
+    * AND contains a ledger row with `inc_key == key`, i.e. the
+    * fully-applied short-circuit is actually available on redelivery —
+    * without the row, a redelivered increment would fall through to the
+    * verdict-replay path and need the verdicts this GC would have
+    * deleted. One mergeSchema ledger read per sweep (a ledger spanning
+    * the inc_key schema upgrade has mixed footers). Returns
+    * (dirsBefore, dirsKept). */
+  def gcIncState(spark: SparkSession, stateRoot: String,
+      ledgerDir: String): (Long, Long) = {
+    val root = new Path(stateRoot)
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L)
+    val dirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("inc_"))
+    val before = dirs.length.toLong
+    val ledgerKeys: Set[String] =
+      if (!exists(spark, ledgerDir)) Set.empty
+      else {
+        val ledger = spark.read.option("mergeSchema", "true").parquet(ledgerDir)
+        if (!ledger.columns.contains("inc_key")) Set.empty
+        else ledger.select(org.apache.spark.sql.functions.col("inc_key"))
+          .na.drop().distinct().collect().map(_.getString(0)).toSet
+      }
+    var kept = 0L
+    dirs.foreach { s =>
+      val key = s.getPath.getName.stripPrefix("inc_")
+      if (ledgerKeys.contains(key) && appliedTo(spark, ledgerDir, key))
+        fs.delete(s.getPath, true)
+      else kept += 1
+    }
+    (before, kept)
+  }
 }

@@ -121,12 +121,15 @@ object TrainingSetJob {
   }
 
   /** Identity of one logical run, for the stage-resume markers: the
-    * source dir plus every SEMANTIC config field (checkpointDir is
-    * execution posture — a crashed run retried WITH a checkpoint dir
-    * added must still resume, not restart). Any semantic change makes a
+    * source dir plus every SEMANTIC config field (checkpointDir and
+    * compactEvery are execution/maintenance posture — a crashed run
+    * retried WITH a checkpoint dir or compaction cadence added must
+    * still resume, not restart, and toggling compaction must not trip
+    * the incremental config pin). Any semantic change makes a
     * different run: its markers miss and every stage recomputes. */
   private[graft] def runKey(docsDir: String, cfg: TrainingSetConfig): String = {
-    Keys.md5Hex12(docsDir + "|" + cfg.copy(checkpointDir = None)
+    Keys.md5Hex12(docsDir + "|" + cfg.copy(checkpointDir = None,
+      compactEvery = None)
       .productIterator.map {
         // map fields canonicalize by sorted entries (construction order
         // must not change the key)
@@ -583,6 +586,44 @@ object TrainingSetJob {
         "pinned — the CCNet production posture)")
   }
 
+  /** Maintenance compaction of the incremental job's append-grown
+    * relations (the [[EmbeddingCurationJob.compact]] convention): one
+    * file per increment otherwise accumulates in every registry, the
+    * shards, the packed layout and the ledger — and probe/read listing
+    * cost grows with FILES, not rows. Shards and packed compact through
+    * the SORTED variant (their read contracts include within-partition
+    * order); registries and the ledger are plain. Also GCs the
+    * write-ahead state of fully-completed increments
+    * ([[IncProtocol.gcIncState]]). Returns relation → (before, after).
+    * Run from a maintenance window — never concurrently with an
+    * increment (the single-writer contract). */
+  def compact(spark: SparkSession, outRoot: String): Map[String, (Long, Long)] = {
+    val sorted = Seq(
+      shardsDir(outRoot) -> (Seq("shard"), Seq("sort_key")),
+      packedDir(outRoot) -> (Seq("grp"), Seq("bin", "chunk_id")))
+    val plain = Seq(exactRegistryDir(outRoot), shingleRegistryDir(outRoot),
+      substrRegistryDir(outRoot), lmRefThresholdDir(outRoot),
+      incrementsDir(outRoot))
+    (sorted.collect { case (p, (pc, sc))
+        if IncProtocol.completed(spark, p) =>
+      p -> operators.Compaction.compactPartitionedSorted(spark, p, pc, sc)
+    } ++ plain.collect { case p if IncProtocol.completed(spark, p) =>
+      p -> operators.Compaction.compactPlain(spark, p)
+    }).toMap + ("inc_state" ->
+      IncProtocol.gcIncState(spark, s"$outRoot/inc_state",
+        incrementsDir(outRoot)))
+  }
+
+  /** Applied-increment count from the ledger's idempotent-append
+    * markers — one directory listing, no scan. */
+  private def appliedIncrements(spark: SparkSession, outRoot: String): Long = {
+    val dir = new Path(incrementsDir(outRoot))
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir)
+      .count(_.getPath.getName.startsWith("_graft_inc_applied_")).toLong
+  }
+
   /** The micro-batch loop as a Structured Streaming SINK — each
     * delivered batch of document rows runs one [[runIncrement]].
     * foreachBatch delivers AT-LEAST-ONCE; the content-keyed write-ahead
@@ -605,6 +646,19 @@ object TrainingSetJob {
         println(s"""{"batch":$batchId,"batch_docs":${r.batchDocs},""" +
           s""""gated":${r.gatedDocs},"clean":${r.cleanDocs},""" +
           s""""train_chunks":${r.trainChunks},"train_bins":${r.trainBins}}""")
+        // config-driven maintenance: compact the append-grown relations
+        // every N applied increments (the ECJ runStream convention —
+        // foreachBatch serializes batches, so "never concurrently with
+        // an increment" holds by construction; compaction is
+        // idempotent, so a redelivery re-triggering on the same count
+        // is harmless)
+        cfg.compactEvery.foreach { n =>
+          val applied = appliedIncrements(spark, outRoot)
+          if (applied > 0 && applied % n == 0) {
+            val c = compact(spark, outRoot)
+            println(s"""{"batch":$batchId,"compacted":${c.size}}""")
+          }
+        }
         ()
       }
       .start()
@@ -696,6 +750,18 @@ object TrainingSetJob {
             "config — finish this job under it, or start a new outRoot")
       }
     }
+    // a compaction swap that crashed between its renames leaves a
+    // relation MISSING with its data parked at __compact_old — to this
+    // job a missing registry looks exactly like a first increment (the
+    // probes would silently restart from empty and re-ship every prior
+    // duplicate). Fail loudly with the recovery instruction (the ECJ
+    // entry guard).
+    for (d <- Seq(exactRegistryDir(outRoot), shingleRegistryDir(outRoot),
+        substrRegistryDir(outRoot), lmRefThresholdDir(outRoot),
+        shardsDir(outRoot), packedDir(outRoot), incrementsDir(outRoot)))
+      require(!operators.Compaction.crashedSwapBackup(spark, d),
+        s"crashed compaction swap: $d is missing but ${d}__compact_old " +
+          "exists — rename the backup back before running increments")
     val idc = col("doc_id")
     // every Materialize pin this increment takes is registered here and
     // released in the finally below — the runStream loop would otherwise

@@ -58,7 +58,10 @@ final case class TrainingSetConfig(
     emitBoundaries: Boolean = false,
     packGroups: Int = 32,
     nShards: Int = 64,
+    compactEvery: Option[Int] = None,
     checkpointDir: Option[String] = None) {
+  require(compactEvery.forall(_ > 0),
+    s"compact_every must be positive: $compactEvery")
   require(bpeMergesPath.isEmpty || bpeTrainMerges.isEmpty,
     "bpe_merges_path and bpe_train_merges are mutually exclusive")
   require(bpeTrainMerges.forall(_ > 0),
@@ -180,6 +183,7 @@ object TrainingSetConfig {
       emitBoundaries = bool("emit_boundaries", d = false),
       packGroups = int("pack_groups", 32),
       nShards = int("n_shards", 64),
+      compactEvery = optNode("compact_every").map(_.asInt),
       checkpointDir = optNode("checkpoint_dir").map(_.asText))
   }
 }

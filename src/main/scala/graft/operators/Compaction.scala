@@ -48,6 +48,20 @@ object Compaction {
       .write.partitionBy(partitionCols: _*))
   }
 
+  /** [[compactPartitioned]] preserving a WITHIN-PARTITION sort order —
+    * for relations whose read contract includes row order inside each
+    * partition directory (the training-set job's shards are
+    * sort_key-ordered per shard, packed/ is (bin, chunk_id)-ordered per
+    * group): plain compaction would merge the per-increment files in
+    * arbitrary order, silently downgrading the layout readers rely on. */
+  def compactPartitionedSorted(spark: SparkSession, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String]): (Long, Long) = {
+    require(partitionCols.nonEmpty, "compactPartitionedSorted: no partition columns")
+    rewrite(spark, path, df => df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.partitionBy(partitionCols: _*))
+  }
+
   /** [[compactPartitioned]] for UNPARTITIONED append-grown relations
     * (the curation job's selection registry / curated output / manifest):
     * same verify-then-swap protocol, rewritten to `targetFiles` files. */

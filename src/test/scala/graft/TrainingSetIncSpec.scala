@@ -290,6 +290,78 @@ class TrainingSetIncSpec extends AnyFunSuite {
     assert(spark.read.parquet(TrainingSetJob.packedDir(root)).count() > 0)
   }
 
+  test("compact_every mid-stream: outputs preserved across triggered compactions, files shrink, completed inc_state GC'd") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("tsc_docs").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("tsc_eval").toString
+    corpusRows.toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    evalRows.toDF("doc_id", "text").write.mode("overwrite").parquet(evalDir)
+    val all = spark.read.parquet(docsDir)
+    val c = cfg(evalDir)
+
+    // control: the sequential loop, never compacted
+    val ctl = java.nio.file.Files.createTempDirectory("tsc_ctl").toString
+    TrainingSetJob.runIncrement(spark, all.filter(col("doc_id") < 150), ctl, c)
+    TrainingSetJob.runIncrement(spark,
+      all.filter(col("doc_id") >= 150 && col("doc_id") < 200), ctl, c)
+    TrainingSetJob.runIncrement(spark, all.filter(col("doc_id") >= 200), ctl, c)
+
+    // the stream with compaction after EVERY increment — the strongest
+    // version of the contract: batches 2 and 3 probe freshly-compacted
+    // registries and pack against a freshly-compacted packed/ state.
+    // compactEvery is maintenance posture, NOT semantic: it must not
+    // trip the incremental config pin vs the control's config.
+    val root = java.nio.file.Files.createTempDirectory("tsc_inc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tsc_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[IncDoc]
+    val q = TrainingSetJob.runStream(spark, in.toDS().toDF(), root, ckpt,
+      c.copy(compactEvery = Some(1)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      for (b <- Seq(all.filter(col("doc_id") < 150),
+          all.filter(col("doc_id") >= 150 && col("doc_id") < 200),
+          all.filter(col("doc_id") >= 200))) {
+        in.addData(b.collect().map(r => IncDoc(r.getLong(0), r.getString(1))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(shardSet(root) == shardSet(ctl), "compaction changed the shards")
+    assert(packedSet(root) == packedSet(ctl), "compaction changed the packing")
+    assert(boundarySet(root) == boundarySet(ctl), "compaction changed boundaries")
+    // compacted: ONE data file per relation (vs >=3 appends uncompacted);
+    // packed/ and shards/ keep their within-partition sort contract
+    def dataFiles(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0
+      else f.listFiles().flatMap(x =>
+        if (x.isDirectory && !x.getName.startsWith("_")) x.listFiles()
+        else Array(x))
+        .count(x => x.isFile && x.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles(TrainingSetJob.exactRegistryDir(root)) == 1)
+    assert(dataFiles(TrainingSetJob.exactRegistryDir(ctl)) >= 3)
+    val packedPart = new java.io.File(TrainingSetJob.packedDir(root))
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("grp="))
+    assert(packedPart.forall(p =>
+      p.listFiles().count(f => f.getName.endsWith(".parquet")) == 1),
+      "packed partition not compacted to one file")
+    // within-partition (bin, chunk_id) order survived the sorted compaction
+    for (p <- packedPart) {
+      val rows = spark.read.parquet(p.getPath)
+        .select(col("bin"), col("chunk_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"packed ${p.getName} lost its sort order")
+    }
+    // every increment completed -> its write-ahead state is GC'd
+    val stateRoot = new java.io.File(s"$root/inc_state")
+    assert(!stateRoot.exists() || stateRoot.listFiles().isEmpty,
+      "completed increments' write-ahead state not GC'd")
+    assert(new java.io.File(s"$ctl/inc_state").listFiles().length == 3)
+  }
+
   test("unsupported global stages fail loudly at entry") {
     import spark.implicits._
     val b = Seq((100L, "some words here")).toDF("doc_id", "text")
