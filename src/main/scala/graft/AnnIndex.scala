@@ -297,13 +297,31 @@ object AnnIndex {
     * [[logregModel]] precedent. */
   def buildMrlPrefixes(spark: SparkSession, sfDir: String, path: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val e = embeddingsOf(spark, sfDir)
-    Similarity.writeMrlPrefixes(e, MrlDims, s"$path/mrl_full")
-    Similarity.writeMrlPrefixes(e.filter(col("vec_id") < 300), MrlDims,
-      s"$path/mrl_300")
-    Seq(("mrl_full", spark.read.parquet(s"$path/mrl_full").count()),
-      ("mrl_300", spark.read.parquet(s"$path/mrl_300").count()))
-      .toDF("artifact", "n")
+    // the two prefix relations are independent map-only writes — submit
+    // concurrently (guide-§2.6 overlap, the buildAll/buildLmRefModel
+    // posture) so the small write's jobs back-fill the big write's tail
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fullF = Future {
+        Similarity.writeMrlPrefixes(e, MrlDims, s"$path/mrl_full")
+        spark.read.parquet(s"$path/mrl_full").count()
+      }
+      val f300 = Future {
+        Similarity.writeMrlPrefixes(e.filter(col("vec_id") < 300), MrlDims,
+          s"$path/mrl_300")
+        spark.read.parquet(s"$path/mrl_300").count()
+      }
+      Seq(("mrl_full", Await.result(fullF, Duration.Inf)),
+        ("mrl_300", Await.result(f300, Duration.Inf)))
+        .toDF("artifact", "n")
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 
   private def ensureMrl(spark: SparkSession, sfDir: String): String = {
@@ -616,6 +634,8 @@ object AnnIndex {
     * every `min_bigram_count`. */
   def buildLmRefModel(spark: SparkSession, sfDir: String, path: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     // pin the reference sample: cbg and uni are independent folds over
     // the same tokenization, and cw derives from the WRITTEN cbg — left
     // as lineage, the three writes would re-execute the reference scan
@@ -625,16 +645,34 @@ object AnnIndex {
         .filter(graft.operators.Corpus.hashBucket(col("doc_id")) < 20)
         .select(col("doc_id"), col("text")), None)
     val (cbg, _, uni) = graft.operators.Corpus.lmRefModelRelations(ref)
-    cbg.write.mode("overwrite").parquet(s"$path/cbg")
-    spark.read.parquet(s"$path/cbg").groupBy(col("w1"))
-      .agg(org.apache.spark.sql.functions.sum(col("c2")).as("c1"))
-      .write.mode("overwrite").parquet(s"$path/cw")
-    uni.write.mode("overwrite").parquet(s"$path/uni")
-    graft.operators.Materialize.release(ref)
-    Seq(("cbg", spark.read.parquet(s"$path/cbg").count()),
-      ("cw", spark.read.parquet(s"$path/cw").count()),
-      ("uni", spark.read.parquet(s"$path/uni").count()))
-      .toDF("artifact", "n")
+    // Two independent job chains over the pinned reference — {cbg write →
+    // cw fold+write} and {uni write} — submitted concurrently (guide-§2.6
+    // overlap, the buildAll posture): the scheduler back-fills each
+    // chain's single-task tail stages with the other's work, and the
+    // read-back counts overlap the same way. Determinism is untouched —
+    // each artifact's bytes depend only on its own deterministic lineage.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val cbgChain = Future {
+        cbg.write.mode("overwrite").parquet(s"$path/cbg")
+        spark.read.parquet(s"$path/cbg").groupBy(col("w1"))
+          .agg(org.apache.spark.sql.functions.sum(col("c2")).as("c1"))
+          .write.mode("overwrite").parquet(s"$path/cw")
+      }
+      val uniF = Future(uni.write.mode("overwrite").parquet(s"$path/uni"))
+      Await.result(cbgChain, Duration.Inf); Await.result(uniF, Duration.Inf)
+      val counts = Seq("cbg", "cw", "uni").map(a =>
+        a -> Future(spark.read.parquet(s"$path/$a").count()))
+      counts.map { case (a, f) => (a, Await.result(f, Duration.Inf)) }
+        .toDF("artifact", "n")
+    } finally {
+      graft.operators.Materialize.release(ref)
+      // failure path: never leave a sibling future writing under `path`
+      // after the exception propagates (the buildAll contract)
+      pool.shutdownNow()
+      pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 
   /** The persisted reference-LM model for `sfDir`, trained once per data

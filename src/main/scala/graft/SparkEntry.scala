@@ -442,16 +442,65 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode_outer(TextFunctions.bpeEncode(col("text")))
             .as(Seq("pos", "token_id")))),
-    "value_quantiles" -> ((s, dir) =>
-      // ONE percentile buffer per group serves both cut points (the array
-      // form); two scalar aggregates would duplicate the whole sort buffer
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+    "value_quantiles" -> ((s, dir) => {
+      // Exact per-group percentiles via DISTRIBUTED SORT + interpolation
+      // (r20 optimization). The previous form was one `percentile(...)`
+      // buffer per group: every partial aggregate builds an in-memory
+      // value→count map of its partition's rows, the exchange carries the
+      // serialized maps, and one final task per group merges them — the
+      // slowest statement of the inventory at 33× DuckDB (1.23 s baseline
+      // vs 0.037 s), and the map buffer is unbounded per-task state at
+      // corpus scale. This form computes the IDENTICAL value (Spark's
+      // Percentile/DuckDB's quantile_cont interpolation at rank p·(n−1):
+      // (hi−pos)·v_lo + (pos−lo)·v_hi, the same IEEE operation order)
+      // from a row_number over the (flag, price) sort — codegen'd
+      // external sort that spills gracefully instead of an OOM-prone
+      // object buffer, one 16-byte row per input into the exchange
+      // instead of a per-partition count map, and the interpolation rows
+      // are selected by rank, so the final aggregate sees ≤ 4 rows per
+      // group. Oracle (`quantile_cont`) hash-verifies equivalence.
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .filter(col("l_extendedprice").isNotNull)
+      val ranked = base.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+      // group sizes from a separate map-side-combined count (3 rows out),
+      // NOT from max(__rn) over the window output: that diamond would
+      // compute the window twice (ReusedExchange dedups exchanges only)
+      val targets = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("l_returnflag"),
+          (lit(0.5) * (col("__n") - 1).cast("double")).as("__pos50"),
+          (lit(0.95) * (col("__n") - 1).cast("double")).as("__pos95"))
+        .select(col("l_returnflag"), col("__pos50"), col("__pos95"),
+          (floor(col("__pos50")).cast("long") + 1).as("__lo50"),
+          (ceil(col("__pos50")).cast("long") + 1).as("__hi50"),
+          (floor(col("__pos95")).cast("long") + 1).as("__lo95"),
+          (ceil(col("__pos95")).cast("long") + 1).as("__hi95"))
+      // Percentile's getPercentile: lower/higher are the 0-based floor/
+      // ceil ranks; __lo/__hi above are their 1-based row_number twins
+      def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column) =
+        when(lo === hi, vLo).otherwise(
+          ((hi - 1).cast("double") - pos) * vLo +
+            (pos - (lo - 1).cast("double")) * vHi)
+      ranked.join(broadcast(targets), Seq("l_returnflag"))
+        .filter(col("__rn") === col("__lo50") || col("__rn") === col("__hi50") ||
+          col("__rn") === col("__lo95") || col("__rn") === col("__hi95"))
+        .groupBy(col("l_returnflag"), col("__pos50"), col("__pos95"),
+          col("__lo50"), col("__hi50"), col("__lo95"), col("__hi95"))
+        .agg(
+          max(when(col("__rn") === col("__lo50"), col("l_extendedprice"))).as("__v50lo"),
+          max(when(col("__rn") === col("__hi50"), col("l_extendedprice"))).as("__v50hi"),
+          max(when(col("__rn") === col("__lo95"), col("l_extendedprice"))).as("__v95lo"),
+          max(when(col("__rn") === col("__hi95"), col("l_extendedprice"))).as("__v95hi"))
         .select(
           col("l_returnflag"),
-          Quantize.quantize(col("ps").getItem(0), 4).as("p50"),
-          Quantize.quantize(col("ps").getItem(1), 4).as("p95"))),
+          Quantize.quantize(interp(col("__pos50"), col("__lo50"), col("__hi50"),
+            col("__v50lo"), col("__v50hi")), 4).as("p50"),
+          Quantize.quantize(interp(col("__pos95"), col("__lo95"), col("__hi95"),
+            col("__v95lo"), col("__v95hi")), 4).as("p95"))
+    }),
     "distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),

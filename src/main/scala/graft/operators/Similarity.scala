@@ -456,12 +456,20 @@ object Similarity {
     * half a Lloyd step past the trained centroids `readIvfIndex` restores). */
   def ivfCentroidsOf(assignments: DataFrame,
       vecCol: String = "embedding"): Array[(Int, Array[Float])] =
-    assignments.select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        e => e.getField("m").cast("float")).as("cvec"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    // ONE mergeable vector aggregation (r20): the previous shape exploded
+    // every vector into d (cell, dim, x) rows — a ×d row blow-up INTO the
+    // exchange — then paid a second exchange to reassemble arrays with
+    // collect_list. [[graft.plans.VecMeanAgg]] folds [n, Σx…] per cell
+    // per partition (one (1+d)-double buffer into a single exchange) and
+    // emits the per-dim means directly; the float cast happens on the
+    // ≤nCells collected rows. Same sum/count algebra — centroids can move
+    // at ulp order vs the exploded avg, which the ANN family tolerates by
+    // construction (serving never depends on WHICH centroids trained; the
+    // `*_full` bridge oracles hold for any centroid set).
+    assignments.groupBy(col("cell"))
+      .agg(graft.plans.VectorExpressions.vecMean(col(vecCol)).as("cvec"))
+      .collect().map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
 
   /**
    * ANN top-k through an IVF index: rank cells by centroid distance
@@ -1290,14 +1298,14 @@ object Similarity {
   }
 
   /** Per-(subspace, code) means — the Lloyd update, all subspaces in one
-    * aggregation pass (mirrors [[ivfCentroidsOf]] per subspace). */
+    * aggregation pass (mirrors [[ivfCentroidsOf]] per subspace: one
+    * mergeable [[graft.plans.VecMeanAgg]] fold per (m, code) group, no
+    * ×sub explode into the exchange, no collect_list reassembly). */
   private def subMeans(assigned: DataFrame): Map[(Int, Int), Array[Float]] =
-    assigned.select(col("__m"), col("__code"), posexplode(col("__sv")).as(Seq("d", "x")))
-      .groupBy(col("__m"), col("__code"), col("d")).agg(avg(col("x")).as("mn"))
-      .groupBy(col("__m"), col("__code"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("mn")))),
-        e => e.getField("mn").cast("float")).as("cvec"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+    assigned.groupBy(col("__m"), col("__code"))
+      .agg(graft.plans.VectorExpressions.vecMean(col("__sv")).as("cvec"))
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(_.toFloat).toArray)
       .toMap
 
   /** Encode the corpus: (id, codes array<int> ordered by subspace) — the

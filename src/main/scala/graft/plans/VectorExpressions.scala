@@ -838,6 +838,99 @@ case class VecMoments(
 }
 
 /**
+ * Per-dimension MEAN of a float-vector column in one mergeable
+ * aggregation — the k-means Lloyd-update fold (r20 optimization). The
+ * previous update shape exploded every vector into d (group, dim, x)
+ * rows and paid TWO hash-aggregate exchanges (per-(group,dim) avg, then
+ * a collect_list reassembly) per Lloyd round; this buffer carries
+ * [n, Σx₀ … Σx_{d−1}] — one (1+d)-double partial per group per
+ * partition into a SINGLE exchange, the [[VecMoments]] posture without
+ * the O(d²) covariance triangle. Dimension is inferred from the first
+ * vector seen (empty buffer until then), so callers need not thread d.
+ * Same sum/count algebra as the exploded avg form — centroids can move
+ * at ulp order vs the old shape (summation grouping differs), which the
+ * ANN family tolerates by construction: serving correctness never
+ * depends on WHICH centroids trained (the `*_full` bridge oracles hold
+ * for any centroid set, see [[graft.operators.Similarity.buildIvfIndex]]).
+ * Null vectors are skipped; a wrong-length vector throws (the
+ * [[VecMoments]] corruption contract). Empty input → null.
+ */
+case class VecMeanAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "vec_mean"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+
+  // empty until the first vector fixes d at 1+d slots: [n, Σx…]
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(b: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return b
+    val a = v.asInstanceOf[ArrayData]
+    val d = a.numElements()
+    val buf = if (b.length == 0) new Array[Double](1 + d) else b
+    require(buf.length == 1 + d,
+      s"$prettyName: expected dim ${buf.length - 1}, got $d — fixed-dim " +
+        "vector column contains a foreign length (upstream corruption)")
+    buf(0) += 1.0
+    var i = 0
+    while (i < d) {
+      require(!a.isNullAt(i), s"$prettyName: null element at $i")
+      buf(1 + i) += a.getFloat(i).toDouble
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    if (o.length == 0) return b
+    if (b.length == 0) return o.clone()
+    require(b.length == o.length,
+      s"$prettyName: merging buffers of different dims")
+    var i = 0
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Double]): Any = {
+    if (b.length == 0 || b(0) == 0.0) return null
+    val n = b(0)
+    val mean = new Array[Double](b.length - 1)
+    var i = 0
+    while (i < mean.length) { mean(i) = b(1 + i) / n; i += 1 }
+    new GenericArrayData(mean)
+  }
+
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+    b.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecMeanAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecMeanAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): VecMeanAgg =
+    copy(child = newChild)
+}
+
+/**
  * Affine embedding transform y = M·(x − μ) as one native kernel — the
  * projection step of mean centering (M = I, elided), ZCA whitening
  * (M = U·diag(1/√(λ+ε))·Uᵀ) and all-but-the-top (M = I − Σ uₖuₖᵀ). The
@@ -1017,6 +1110,11 @@ object VectorExpressions {
     * in one mergeable aggregation ([[VecMoments]]). */
   def vecMoments(vec: Column, d: Int): Column =
     Bridge.column(VecMoments(Bridge.expression(vec), d).toAggregateExpression())
+
+  /** array<double> per-dimension mean of a float-vector column in one
+    * mergeable aggregation ([[VecMeanAgg]]) — the Lloyd-update fold. */
+  def vecMean(vec: Column): Column =
+    Bridge.column(VecMeanAgg(Bridge.expression(vec)).toAggregateExpression())
 
   /** y = M·(x − μ) per row ([[VecCenterProject]]); empty matrix →
     * center-only. */

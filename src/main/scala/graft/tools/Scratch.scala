@@ -250,7 +250,10 @@ object Scratch {
           }
         })
       def price(name: String): Unit = {
-        val df = () => graft.SparkEntry.queries(name)(spark, sfDir)
+        // builds are priceable too (r20): training cost is a declared
+        // bench entry, so its jobs/stages/tasks shape matters as well
+        val fns = graft.SparkEntry.queries ++ graft.SparkEntry.builds
+        val df = () => fns(name)(spark, sfDir)
         df().queryExecution.toRdd.count() // warm (cache plans, codegen)
         val ts = (1 to 6).map { _ =>
           val t0 = System.nanoTime()
