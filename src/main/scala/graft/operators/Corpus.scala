@@ -542,11 +542,15 @@ object Corpus {
     def hashedShingles(d: DataFrame) =
       Dedup.shingleTable(d, n, textCol, idCol, dedup = false)
         .select(xxhash64(col("shingle")).as("shingle"))
-    val evalSh = hashedShingles(evalDocs).distinct()
-    // two jobs over the (small-relative-to-corpus) reference side only:
-    // an exact count to size the filter, then the treewise bloom build
+    // pin the deduped eval-side shingle hashes (r20): the exact count
+    // that sizes the filter and the treewise bloom build are two actions
+    // over the same relation — left as lineage each re-runs the eval
+    // shingling + distinct exchange (the buildLmRefModel "pin the
+    // reference" finding applied here)
+    val evalSh = Materialize(hashedShingles(evalDocs).distinct(), None)
     val expected = math.max(evalSh.count(), 1L)
     val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
+    Materialize.release(evalSh)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val probe = Bridge.column(BloomFilterMightContain(

@@ -1248,9 +1248,6 @@ object Similarity {
       trainPct: Int = 100): PqModel = {
     require(trainPct > 0 && trainPct <= 100, s"trainPct must be in (0,100]: $trainPct")
     val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
-    val dim = prepped.select(size(col("__unit"))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val sub = dim / m
     val trainSet = if (trainPct >= 100) prepped
       else Corpus.sampleByHash(prepped, trainPct, idCol)
     val seedVecs = trainSet.select(col(idCol), col("__unit"))
@@ -1258,6 +1255,12 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray)
     require(seedVecs.length == k,
       s"training set has only ${seedVecs.length} vectors for $k codes — raise trainPct")
+    // dim from the seed rows already on the driver — the dedicated
+    // `head` scan job this used to pay priced at a full dispatch floor
+    // for one integer (r20)
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
     var books: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
       (mi, ci) => seedVecs(ci).slice(mi * sub, (mi + 1) * sub)
     }

@@ -285,6 +285,9 @@ class PlanLintSpec extends AnyFunSuite {
     // ≤ B+1 hash buckets, or ≤ |domains| rows — the lrFromCnt precedent;
     // a single-task window over kilobytes is the right plan)
     "quality_logreg_auc" -> "rank algebra over the ≤|distinct scores| histogram",
+    "value_quantiles" -> ("exact-percentile rank selection (r20): row_number " +
+      "over the per-group sort replaces the unbounded percentile() map " +
+      "buffer — the window IS the order statistic, spills gracefully"),
     "quality_quantile_gate" -> "quantile thresholds over the bounded bucket relation",
     "sample_stratified" -> "per-stratum ordered allocation over bounded strata",
     "dsir_weights" -> "model fold: cumulative mass over the ≤B+1 bucket histogram",

@@ -315,4 +315,49 @@ class VectorExpressionsSpec extends AnyFunSuite {
       graft.functions.TextFunctions.bpeCount(col("text")).as("n")).head().getLong(0)
     assert(viaSql == viaCol && viaSql > 0)
   }
+
+  // ---- vec_mean (r20: the k-means Lloyd-update fold) ------------------
+
+  test("vec_mean equals the exploded avg formulation to double tolerance") {
+    val rnd = new scala.util.Random(42)
+    val d = 5
+    val vecs = (1 to 200).map { i =>
+      (i % 7, Array.fill(d)(rnd.nextFloat() * 2 - 1))
+    }.toDF("g", "v")
+    val viaAgg = vecs.groupBy(col("g"))
+      .agg(VectorExpressions.vecMean(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val viaExplode = vecs
+      .select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("g"), col("d")).agg(avg(col("x")).as("m"))
+      .groupBy(col("g"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        e => e.getField("m")).as("mv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(viaAgg.keySet == viaExplode.keySet)
+    for (g <- viaAgg.keySet; i <- 0 until d)
+      // sum/count vs Average partial-merge: same algebra, ulp-order
+      // grouping differences only
+      assert(math.abs(viaAgg(g)(i) - viaExplode(g)(i)) < 1e-12,
+        s"group $g dim $i")
+  }
+
+  test("vec_mean: null vectors skipped, empty input null, dim mismatch throws") {
+    val withNulls = Seq(
+      (0, Option(Array(1.0f, 3.0f))),
+      (0, Option.empty[Array[Float]]),
+      (1, Option.empty[Array[Float]])).toDF("g", "v")
+    val rows = withNulls.groupBy(col("g"))
+      .agg(VectorExpressions.vecMean(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(rows(0).isDefined &&
+      rows(0).get.asInstanceOf[scala.collection.Seq[Double]].toSeq == Seq(1.0, 3.0))
+    assert(rows(1).isEmpty) // all-null group folds to null, not a crash
+    val bad = Seq((0, Array(1.0f)), (0, Array(1.0f, 2.0f))).toDF("g", "v")
+    val ex = intercept[Exception] {
+      bad.groupBy(col("g"))
+        .agg(VectorExpressions.vecMean(col("v")).as("m")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
