@@ -117,29 +117,41 @@ object AnnIndex {
     // overlap matters less, but concurrent submission never hurts: FIFO
     // scheduling drains the independent DAGs back-to-back.
     // 6 threads: 5 top-level futures + the nested encodeFull, so the
-    // chain can never wait on a queue slot held by its own parent
+    // chain can never wait on a queue slot held by its own parent.
+    // Every future tags its jobs with one cancellable job group: on a
+    // failed Await the catch cancels the GROUP, which stops siblings'
+    // in-flight Spark jobs — interrupting the submitting threads alone
+    // (the previous posture) only abandoned their JobWaiters and left
+    // the jobs writing under `path` (r20 review).
+    val sc = spark.sparkContext
+    val group = s"ann_build_${ProcessHandle.current().pid()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def tagged[T](f: => T): T = {
+      sc.setJobGroup(group, "sim_index_build", interruptOnCancel = true)
+      try f finally sc.clearJobGroup()
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val lshF = Future(Similarity.writeLshIndex(
-        Similarity.buildLshIndex(e, dim = Dim), s"$path/lsh_full"))
-      val lsh3 = Future(Similarity.writeLshIndex(
-        Similarity.buildLshIndex(corpus300, dim = Dim), s"$path/lsh_300"))
-      val ivfFullF = Future {
+      val lshF = Future(tagged(Similarity.writeLshIndex(
+        Similarity.buildLshIndex(e, dim = Dim), s"$path/lsh_full")))
+      val lsh3 = Future(tagged(Similarity.writeLshIndex(
+        Similarity.buildLshIndex(corpus300, dim = Dim), s"$path/lsh_300")))
+      val ivfFullF = Future(tagged {
         val ivf = Similarity.buildIvfIndex(e, nCells = NCells, iters = Iters)
         Similarity.writeIvfIndex(ivf, s"$path/ivf_full"); ivf
-      }
-      val ivf300F = Future {
+      })
+      val ivf300F = Future(tagged {
         val ivf = Similarity.buildIvfIndex(corpus300, nCells = NCells, iters = Iters)
         Similarity.writeIvfIndex(ivf, s"$path/ivf_300"); ivf
-      }
+      })
       // ONE PQ model (trained on the full set — what every declared pq
       // query uses), TWO code relations: full-corpus codes for the
       // single-query probes, corpus<300 codes for the batch joins
-      val pqChain = Future {
+      val pqChain = Future(tagged {
         val pq = Similarity.trainPq(e, m = PqM, k = PqK, iters = Iters)
-        val encodeFull = Future(Similarity.writePqIndex(
-          Similarity.pqEncode(e, pq), pq, s"$path/pq_full"))
+        val encodeFull = Future(tagged(Similarity.writePqIndex(
+          Similarity.pqEncode(e, pq), pq, s"$path/pq_full")))
         val codes300 = Similarity.pqEncode(corpus300, pq)
         codes300.write.mode("overwrite").parquet(s"$path/codes_300")
         val ivf300 = Await.result(ivf300F, Duration.Inf)
@@ -147,7 +159,7 @@ object AnnIndex {
           Similarity.buildCellCodes(ivf300, codes300), s"$path/cellcodes_300")
         Await.result(encodeFull, Duration.Inf)
         (pq, codes300)
-      }
+      })
       val (pq, codes300) = Await.result(pqChain, Duration.Inf)
       val ivfFull = Await.result(ivfFullF, Duration.Inf)
       val ivf300 = Await.result(ivf300F, Duration.Inf)
@@ -160,14 +172,12 @@ object AnnIndex {
         ("codes_300", codes300.count()),
         ("cellcodes_300", NCells.toLong))
         .toDF("artifact", "n")
+    } catch { case t: Throwable =>
+      // stop sibling jobs still writing under `path` before the caller's
+      // cleanup/retry can race them
+      sc.cancelJobGroup(group)
+      throw t
     } finally {
-      // Failure path: an Await that threw (e.g. the PQ chain) must not
-      // leave sibling futures writing artifacts under `path` after
-      // buildAll has propagated its exception — interrupt outstanding
-      // work and drain the pool before returning, so a caller-side
-      // cleanup/retry of the same path cannot race half-done writers.
-      // Success path: every future is already awaited, so this is a
-      // plain shutdown with nothing queued.
       pool.shutdownNow()
       pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
     }
@@ -302,22 +312,34 @@ object AnnIndex {
     val e = embeddingsOf(spark, sfDir)
     // the two prefix relations are independent map-only writes — submit
     // concurrently (guide-§2.6 overlap, the buildAll/buildLmRefModel
-    // posture) so the small write's jobs back-fill the big write's tail
+    // posture) so the small write's jobs back-fill the big write's tail;
+    // jobs ride one cancellable group so a failure stops the sibling's
+    // in-flight write, not just its submitting thread (r20 review)
+    val sc = spark.sparkContext
+    val group = s"mrl_build_${ProcessHandle.current().pid()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def tagged[T](f: => T): T = {
+      sc.setJobGroup(group, "mrl_index_build", interruptOnCancel = true)
+      try f finally sc.clearJobGroup()
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val fullF = Future {
+      val fullF = Future(tagged {
         Similarity.writeMrlPrefixes(e, MrlDims, s"$path/mrl_full")
         spark.read.parquet(s"$path/mrl_full").count()
-      }
-      val f300 = Future {
+      })
+      val f300 = Future(tagged {
         Similarity.writeMrlPrefixes(e.filter(col("vec_id") < 300), MrlDims,
           s"$path/mrl_300")
         spark.read.parquet(s"$path/mrl_300").count()
-      }
+      })
       Seq(("mrl_full", Await.result(fullF, Duration.Inf)),
         ("mrl_300", Await.result(f300, Duration.Inf)))
         .toDF("artifact", "n")
+    } catch { case t: Throwable =>
+      sc.cancelJobGroup(group)
+      throw t
     } finally {
       pool.shutdownNow()
       pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
@@ -651,27 +673,43 @@ object AnnIndex {
     // chain's single-task tail stages with the other's work, and the
     // read-back counts overlap the same way. Determinism is untouched —
     // each artifact's bytes depend only on its own deterministic lineage.
+    // Every chain tags its jobs with one cancellable job group: on
+    // failure the catch cancels the GROUP (interrupting running tasks),
+    // which is what actually stops a sibling's in-flight Spark job —
+    // interrupting the submitting thread alone would only abandon its
+    // JobWaiter and leave the job writing under `path` (r20 review).
+    val sc = spark.sparkContext
+    val group = s"lmref_build_${ProcessHandle.current().pid()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def tagged[T](f: => T): T = {
+      sc.setJobGroup(group, "lm_ref_model_build", interruptOnCancel = true)
+      try f finally sc.clearJobGroup()
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val cbgChain = Future {
+      val cbgChain = Future(tagged {
         cbg.write.mode("overwrite").parquet(s"$path/cbg")
         spark.read.parquet(s"$path/cbg").groupBy(col("w1"))
           .agg(org.apache.spark.sql.functions.sum(col("c2")).as("c1"))
           .write.mode("overwrite").parquet(s"$path/cw")
-      }
-      val uniF = Future(uni.write.mode("overwrite").parquet(s"$path/uni"))
+      })
+      val uniF = Future(tagged(
+        uni.write.mode("overwrite").parquet(s"$path/uni")))
       Await.result(cbgChain, Duration.Inf); Await.result(uniF, Duration.Inf)
       val counts = Seq("cbg", "cw", "uni").map(a =>
-        a -> Future(spark.read.parquet(s"$path/$a").count()))
+        a -> Future(tagged(spark.read.parquet(s"$path/$a").count())))
       counts.map { case (a, f) => (a, Await.result(f, Duration.Inf)) }
         .toDF("artifact", "n")
+    } catch { case t: Throwable =>
+      sc.cancelJobGroup(group) // stop sibling jobs still writing
+      throw t
     } finally {
-      graft.operators.Materialize.release(ref)
-      // failure path: never leave a sibling future writing under `path`
-      // after the exception propagates (the buildAll contract)
       pool.shutdownNow()
       pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+      // release only after the pool is drained: a sibling still reading
+      // the pinned blocks must not see them unpersisted mid-job
+      graft.operators.Materialize.release(ref)
     }
   }
 

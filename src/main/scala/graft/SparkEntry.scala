@@ -462,32 +462,41 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
-        .filter(col("l_extendedprice").isNotNull)
-      val ranked = base.withColumn("__rn", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+      // percentile() ignores NULL values but still EMITS every group
+      // (all-NULL group → NULL quantiles) and groups NULL flags — both
+      // preserved here: the rank side drops null prices only, group
+      // sizes count non-null prices over ALL groups, joins are
+      // null-safe, and the final left join re-emits priceless groups
+      // with NULL quantiles (r20 review parity fix)
+      val ranked = base.filter(col("l_extendedprice").isNotNull)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
       // group sizes from a separate map-side-combined count (3 rows out),
       // NOT from max(__rn) over the window output: that diamond would
       // compute the window twice (ReusedExchange dedups exchanges only)
       val targets = base.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("__n"))
-        .select(col("l_returnflag"),
+        .agg(count(col("l_extendedprice")).as("__n"))
+        .select(col("l_returnflag").as("__flag"),
           (lit(0.5) * (col("__n") - 1).cast("double")).as("__pos50"),
           (lit(0.95) * (col("__n") - 1).cast("double")).as("__pos95"))
-        .select(col("l_returnflag"), col("__pos50"), col("__pos95"),
+        .select(col("__flag"), col("__pos50"), col("__pos95"),
           (floor(col("__pos50")).cast("long") + 1).as("__lo50"),
           (ceil(col("__pos50")).cast("long") + 1).as("__hi50"),
           (floor(col("__pos95")).cast("long") + 1).as("__lo95"),
           (ceil(col("__pos95")).cast("long") + 1).as("__hi95"))
       // Percentile's getPercentile: lower/higher are the 0-based floor/
       // ceil ranks; __lo/__hi above are their 1-based row_number twins
+      // (an n = 0 group reads lo = hi = 0, matching no rank — it reaches
+      // the output through the left join below, quantiles NULL)
       def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column) =
         when(lo === hi, vLo).otherwise(
           ((hi - 1).cast("double") - pos) * vLo +
             (pos - (lo - 1).cast("double")) * vHi)
-      ranked.join(broadcast(targets), Seq("l_returnflag"))
+      val cut = ranked.join(broadcast(targets),
+          col("l_returnflag") <=> col("__flag"))
         .filter(col("__rn") === col("__lo50") || col("__rn") === col("__hi50") ||
           col("__rn") === col("__lo95") || col("__rn") === col("__hi95"))
-        .groupBy(col("l_returnflag"), col("__pos50"), col("__pos95"),
+        .groupBy(col("__flag"), col("__pos50"), col("__pos95"),
           col("__lo50"), col("__hi50"), col("__lo95"), col("__hi95"))
         .agg(
           max(when(col("__rn") === col("__lo50"), col("l_extendedprice"))).as("__v50lo"),
@@ -495,11 +504,14 @@ object SparkEntry {
           max(when(col("__rn") === col("__lo95"), col("l_extendedprice"))).as("__v95lo"),
           max(when(col("__rn") === col("__hi95"), col("l_extendedprice"))).as("__v95hi"))
         .select(
-          col("l_returnflag"),
+          col("__flag").as("__cflag"),
           Quantize.quantize(interp(col("__pos50"), col("__lo50"), col("__hi50"),
             col("__v50lo"), col("__v50hi")), 4).as("p50"),
           Quantize.quantize(interp(col("__pos95"), col("__lo95"), col("__hi95"),
             col("__v95lo"), col("__v95hi")), 4).as("p95"))
+      targets.select(col("__flag"))
+        .join(cut, col("__flag") <=> col("__cflag"), "left")
+        .select(col("__flag").as("l_returnflag"), col("p50"), col("p95"))
     }),
     "distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(

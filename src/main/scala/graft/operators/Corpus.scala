@@ -548,9 +548,10 @@ object Corpus {
     // shingling + distinct exchange (the buildLmRefModel "pin the
     // reference" finding applied here)
     val evalSh = Materialize(hashedShingles(evalDocs).distinct(), None)
-    val expected = math.max(evalSh.count(), 1L)
-    val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
-    Materialize.release(evalSh)
+    val bloom = try {
+      val expected = math.max(evalSh.count(), 1L)
+      evalSh.stat.bloomFilter("shingle", expected, fpp)
+    } finally Materialize.release(evalSh) // no pin leak on a failed build
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val probe = Bridge.column(BloomFilterMightContain(

@@ -693,41 +693,31 @@ object Selection {
     * the train loop and the scoring pass reread it per iteration. */
   private def logregHist(docs: DataFrame, target: Column, textCol: String,
       idCol: String, buckets: Int): DataFrame = {
+    val perDoc = Window.partitionBy(col(idCol))
     // null labels fold to 0.0 HERE so every caller is safe (the oracle's
     // CASE ... ELSE 0.0): a raw null __y would NPE the driver collect on
     // any bucket touched only by null-label docs, or silently inflate N
     // while contributing zero residual on shared buckets.
     //
-    // tf normalization (r20): the per-doc instance total Σc is the SIZE
-    // of the bucket array — a row-local fact known BEFORE the explode —
-    // so it rides the aggregation as a grouping key functionally
-    // dependent on the id. The previous shape recovered it with a
-    // per-doc window AFTER the (id, y, b) count, paying a SECOND
-    // histogram-sized exchange plus its sort; same value either way
-    // (sum of the per-bucket counts = the array size, divided in the
-    // same IEEE order), hash-verified by the shared fused oracle.
+    // The tf total stays a per-doc WINDOW over the histogram — this is
+    // the oracle's own algebra (sum(...) OVER (PARTITION BY doc_id)).
+    // An r20 experiment moved it in-row (Σc = size of the bucket array,
+    // known before the explode), deleting the window exchange+sort — but
+    // on duplicate-id inputs the in-row total normalizes per ROW where
+    // this (and the oracle) normalize per DOC, an input-dependent
+    // divergence for a change that measured par locally (1.58 → 1.50 s
+    // matched A/B, within noise). Reverted; see OPTIMIZATION_r20.md §2.5.
     Materialize(docs.select(col(idCol),
         coalesce(target.cast("double"), lit(0.0)).as("__y"),
-        // the bucket array bound in its OWN projection (the assignCodes
-        // convention): it is referenced twice below — size and explode —
-        // and inlining the md5 kernel twice stalls codegen
-        coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
-          col(textCol), buckets, DsirSalt), array()).as("__f"))
-      .select(col(idCol), col("__y"),
-        size(col("__f")).cast("double").as("__tot"),
-        explode(concat(col("__f"), array(lit(buckets)))).as("__b"))
-      .groupBy(col(idCol), col("__y"), col("__tot"), col("__b"))
+        explode(concat(
+          coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
+            col(textCol), buckets, DsirSalt), array()),
+          array(lit(buckets)))).as("__b"))
+      .groupBy(col(idCol), col("__y"), col("__b"))
       .agg(count(lit(1)).cast("double").as("__c"))
       .withColumn("__c", when(col("__b") === buckets, lit(1.0))
-        .otherwise(col("__c") / col("__tot")))
-      .drop("__tot")
-      // materialize DOC-KEYED (the partitioning the window used to leave
-      // behind): every GD iteration's margins aggregation and
-      // residual-join key on the id — without this, each of the `iters`
-      // loop bodies would pay the histogram exchange this rewrite saved
-      // once. Exchange count vs the old shape is unchanged; the win is
-      // the deleted per-doc window SORT over the histogram.
-      .repartition(col(idCol)), None)
+        .otherwise(col("__c") /
+          sum(when(col("__b") =!= buckets, col("__c"))).over(perDoc))), None)
   }
 
   private def logregMargins(hist: DataFrame, w: Map[Int, Double],

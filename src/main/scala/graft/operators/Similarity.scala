@@ -468,6 +468,10 @@ object Similarity {
     // `*_full` bridge oracles hold for any centroid set).
     assignments.groupBy(col("cell"))
       .agg(graft.plans.VectorExpressions.vecMean(col(vecCol)).as("cvec"))
+      // an all-null cell folds to a null mean — omit it, exactly like the
+      // old explode form (null vectors exploded to zero rows), so the
+      // caller's means.getOrElse keeps the previous centroid
+      .filter(col("cvec").isNotNull)
       .collect().map(r =>
         r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
 
@@ -1247,6 +1251,7 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       trainPct: Int = 100): PqModel = {
     require(trainPct > 0 && trainPct <= 100, s"trainPct must be in (0,100]: $trainPct")
+    require(m >= 1 && k >= 1, s"m and k must be >= 1: m=$m k=$k")
     val prepped = withUnit(embeddings.select(col(idCol), col(vecCol)), vecCol)
     val trainSet = if (trainPct >= 100) prepped
       else Corpus.sampleByHash(prepped, trainPct, idCol)
@@ -1307,6 +1312,7 @@ object Similarity {
   private def subMeans(assigned: DataFrame): Map[(Int, Int), Array[Float]] =
     assigned.groupBy(col("__m"), col("__code"))
       .agg(graft.plans.VectorExpressions.vecMean(col("__sv")).as("cvec"))
+      .filter(col("cvec").isNotNull) // all-null code: omit, keep previous
       .collect().map(r =>
         (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(_.toFloat).toArray)
       .toMap

@@ -31,6 +31,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val unknown = only.diff(graft.SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"PlanDump: unknown query name(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        "— a silently-skipped typo would leave the evidence file unwritten")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     var failed = List.empty[String]
