@@ -858,18 +858,20 @@ object TrainingSetJob {
               uni.write.mode("overwrite").parquet(s"$md/uni")
           }
         }
+        // cw stays a persisted artifact (one model serves every floor) but
+        // the serve no longer reads it: c(w1,·) folds into the cbg
+        // broadcast as a model-side window (lmRefScoreFromModel)
         val cbg = spark.read.parquet(s"$md/cbg")
-        val cw = spark.read.parquet(s"$md/cw")
         val uni = spark.read.parquet(s"$md/uni")
         // ONE scoring pass per increment: the threshold calibration and
         // the keep filter both read the materialized scores
         // (dropBottomQuantile's documented one-pass contract)
         val scored = Materialize(scCol match {
           case Some(sc) => Corpus.lmRefScoreStratifiedFromModel(
-            pinned.select(col("doc_id"), col(sc), col("text")), cbg, cw, uni,
+            pinned.select(col("doc_id"), col(sc), col("text")), cbg, uni,
             sc, cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
           case None => Corpus.lmRefScoreFromModel(
-            pinned.select(col("doc_id"), col("text")), cbg, cw, uni,
+            pinned.select(col("doc_id"), col("text")), cbg, uni,
             cfg.lmRefLambda, minBigramCount = cfg.lmRefMinBigram)
         }, cfg.checkpointDir)
         pins += scored

@@ -962,8 +962,8 @@ object Corpus {
   def lmRefScore(reference: DataFrame, docs: DataFrame, lambda: Double = 0.9,
       textCol: String = "text", idCol: String = "doc_id",
       minBigramCount: Option[Long] = None): DataFrame = {
-    val (cbg, cw, uni) = lmRefModelRelations(reference, textCol)
-    lmRefScoreFromModel(docs, cbg, cw, uni, lambda, textCol, idCol,
+    val (cbg, _, uni) = lmRefModelRelations(reference, textCol)
+    lmRefScoreFromModel(docs, cbg, uni, lambda, textCol, idCol,
       minBigramCount)
   }
 
@@ -1015,21 +1015,32 @@ object Corpus {
     * equal at floor 1, and the pruned form stays oracle-expressible (a
     * HAVING). Measured posture: SCALING.md r19 §4. */
   private[graft] def lmRefScoreFromModel(docs: DataFrame, cbg0: DataFrame,
-      cw: DataFrame, uni: DataFrame, lambda: Double = 0.9,
+      uni: DataFrame, lambda: Double = 0.9,
       textCol: String = "text", idCol: String = "doc_id",
       minBigramCount: Option[Long] = None): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
     require(minBigramCount.forall(_ >= 1),
       s"min_bigram_count must be >= 1: $minBigramCount")
+    // c(w1,·) folded INTO the bigram relation as a model-side window:
+    // c1 = Σ_w2 c2 is an exact long sum (order-free, bit-identical to the
+    // cw relation it replaces — the oracle's own cw CTE is this GROUP BY),
+    // and c1 is only ever consulted when c2 matched (coalesce(c2/c1, 0)
+    // nulls out with c2), so the separate (w1)-keyed cw broadcast JOIN
+    // bought nothing: this deletes one vocab-sized broadcast build and one
+    // hash probe per CORPUS pair row. The window re-shuffles only the
+    // vocab²-sized aggregated model, never the reference stream. Pruning
+    // filters AFTER the window so c1 stays the UNPRUNED total (the
+    // no-renormalization contract).
+    val cbgW = cbg0.withColumn("c1",
+      sum(col("c2")).over(Window.partitionBy(col("w1"))))
     val cbg = minBigramCount match {
-      case Some(m) => cbg0.filter(col("c2") >= m)
-      case None => cbg0
+      case Some(m) => cbgW.filter(col("c2") >= m)
+      case None => cbgW
     }
     val tot = uni.agg(sum(col("cu")).as("__n"),
       count(lit(1)).as("__v"))
     lmRefPairs(lmRefTh(docs, textCol, Seq(col(idCol))), Seq(col(idCol)))
       .join(cbg, Seq("w1", "w2"), "left")
-      .join(cw, Seq("w1"), "left")
       .join(uni.withColumnRenamed("t", "w2"), Seq("w2"), "left")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
@@ -1067,9 +1078,9 @@ object Corpus {
   def lmRefScoreStratified(reference: DataFrame, docs: DataFrame,
       strataCol: String, lambda: Double = 0.9, textCol: String = "text",
       idCol: String = "doc_id", minBigramCount: Option[Long] = None): DataFrame = {
-    val (cbg, cw, uni) =
+    val (cbg, _, uni) =
       lmRefStratifiedModelRelations(reference, strataCol, textCol)
-    lmRefScoreStratifiedFromModel(docs, cbg, cw, uni, strataCol, lambda,
+    lmRefScoreStratifiedFromModel(docs, cbg, uni, strataCol, lambda,
       textCol, idCol, minBigramCount)
   }
 
@@ -1099,22 +1110,25 @@ object Corpus {
     * relations. Totals/vocab derive from `uni` per stratum (one
     * #strata-row aggregate — no fourth artifact to drift). */
   private[graft] def lmRefScoreStratifiedFromModel(docs: DataFrame,
-      cbg0: DataFrame, cw: DataFrame, uni: DataFrame, strataCol: String,
+      cbg0: DataFrame, uni: DataFrame, strataCol: String,
       lambda: Double = 0.9, textCol: String = "text", idCol: String = "doc_id",
       minBigramCount: Option[Long] = None): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
     require(minBigramCount.forall(_ >= 1),
       s"min_bigram_count must be >= 1: $minBigramCount")
+    // per-stratum c(w1,·) folded into the bigram broadcast (see
+    // [[lmRefScoreFromModel]]): same exact-long window, keyed (stratum, w1)
+    val cbgW = cbg0.withColumn("c1",
+      sum(col("c2")).over(Window.partitionBy(col(strataCol), col("w1"))))
     val cbg = minBigramCount match {
-      case Some(m) => cbg0.filter(col("c2") >= m)
-      case None => cbg0
+      case Some(m) => cbgW.filter(col("c2") >= m)
+      case None => cbgW
     }
     val tot = uni.groupBy(col(strataCol))
       .agg(sum(col("cu")).as("__n"), count(lit(1)).as("__v"))
     lmRefPairs(lmRefTh(docs, textCol, Seq(col(idCol), col(strataCol))),
         Seq(col(idCol), col(strataCol)))
       .join(cbg, Seq(strataCol, "w1", "w2"), "left")
-      .join(cw, Seq(strataCol, "w1"), "left")
       .join(uni.withColumnRenamed("t", "w2"), Seq(strataCol, "w2"), "left")
       // inner: strata absent from the reference have no model (see doc)
       .join(broadcast(tot), Seq(strataCol))
@@ -1174,11 +1188,20 @@ object Corpus {
    */
   def dropBottomQuantileByStratum(scored: DataFrame, scoreCol: String,
       q: Double, strataCol: String, approx: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, pin: Boolean = true): DataFrame = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
     // same one-pass contract as [[dropBottomQuantile]]: materialize the
-    // scored frame once; thresholds and filter read the cached blocks
-    val mat = Materialize(scored, checkpointDir)
+    // scored frame once; thresholds and filter read the cached blocks.
+    // `pin = false` is for scores whose plan ENDS in an aggregation
+    // exchange (the lm_ref family's per-doc avg): there the exchange
+    // already captures every expensive map-side byte, AQE stage reuse
+    // shares it between the threshold branch and the filter branch of the
+    // one final plan, and a localCheckpoint would only store the same
+    // rows a second time and pay an extra action. Map-only scores
+    // (unigramLogProb's broadcast form) must keep the pin — without an
+    // exchange there is nothing for stage reuse to share and the scoring
+    // pass would genuinely run twice.
+    val mat = if (pin) Materialize(scored, checkpointDir) else scored
     val thrCol = if (approx) approx_percentile(col(scoreCol), lit(q), lit(10000))
       else percentile(col(scoreCol), lit(q))
     val thr = mat.groupBy(col(strataCol)).agg(thrCol.as("__thr"))
