@@ -116,8 +116,9 @@ object AnnIndex {
     // cluster scale each training pass saturates the executors and the
     // overlap matters less, but concurrent submission never hurts: FIFO
     // scheduling drains the independent DAGs back-to-back.
-    // 6 threads: 5 top-level futures + the nested encodeFull, so the
-    // chain can never wait on a queue slot held by its own parent.
+    // 8 threads: 2 LSH futures + the training future, whose continuation
+    // blocks while its 3 nested write futures run — sized so a child can
+    // never wait on a queue slot held by its own blocked parent.
     // Every future tags its jobs with one cancellable job group: on a
     // failed Await the catch cancels the GROUP, which stops siblings'
     // in-flight Spark jobs — interrupting the submitting threads alone
@@ -130,39 +131,45 @@ object AnnIndex {
       sc.setJobGroup(group, "sim_index_build", interruptOnCancel = true)
       try f finally sc.clearJobGroup()
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val lshF = Future(tagged(Similarity.writeLshIndex(
         Similarity.buildLshIndex(e, dim = Dim), s"$path/lsh_full")))
       val lsh3 = Future(tagged(Similarity.writeLshIndex(
         Similarity.buildLshIndex(corpus300, dim = Dim), s"$path/lsh_300")))
-      val ivfFullF = Future(tagged {
-        val ivf = Similarity.buildIvfIndex(e, nCells = NCells, iters = Iters)
-        Similarity.writeIvfIndex(ivf, s"$path/ivf_full"); ivf
-      })
-      val ivf300F = Future(tagged {
-        val ivf = Similarity.buildIvfIndex(corpus300, nCells = NCells, iters = Iters)
-        Similarity.writeIvfIndex(ivf, s"$path/ivf_300"); ivf
-      })
-      // ONE PQ model (trained on the full set — what every declared pq
-      // query uses), TWO code relations: full-corpus codes for the
-      // single-query probes, corpus<300 codes for the batch joins
-      val pqChain = Future(tagged {
-        val pq = Similarity.trainPq(e, m = PqM, k = PqK, iters = Iters)
+      // ONE fused training pass drives both IVF models and the PQ
+      // codebooks (Similarity.trainAnnModels): one seed collect for the
+      // full side, one aggregation job per Lloyd round instead of three —
+      // the round-trip ladder was the build's critical path (r21). ONE PQ
+      // model (trained on the full set — what every declared pq query
+      // uses), TWO code relations: full-corpus codes for the single-query
+      // probes, corpus<300 codes for the batch joins.
+      val modelsF = Future(tagged(Similarity.trainAnnModels(
+        e, corpus300, nCells = NCells, m = PqM, k = PqK, iters = Iters)))
+      val artifactsF = modelsF.map { case (ivfFull, ivf300, pq) =>
+        // every artifact below depends only on the trained models — fan
+        // the five writes out as concurrent jobs (guide-§2.6 back-fill)
+        val wIvfFull = Future(tagged(
+          Similarity.writeIvfIndex(ivfFull, s"$path/ivf_full")))
+        val wIvf300 = Future(tagged(
+          Similarity.writeIvfIndex(ivf300, s"$path/ivf_300")))
         val encodeFull = Future(tagged(Similarity.writePqIndex(
           Similarity.pqEncode(e, pq), pq, s"$path/pq_full")))
         val codes300 = Similarity.pqEncode(corpus300, pq)
-        codes300.write.mode("overwrite").parquet(s"$path/codes_300")
-        val ivf300 = Await.result(ivf300F, Duration.Inf)
-        Similarity.writeCellCodes(
-          Similarity.buildCellCodes(ivf300, codes300), s"$path/cellcodes_300")
+        // the cellcodes build joins the codes300 LINEAGE, not the written
+        // parquet — both writes are independent jobs, submit them as such
+        val wCodes300 = Future(tagged(
+          codes300.write.mode("overwrite").parquet(s"$path/codes_300")))
+        tagged(Similarity.writeCellCodes(
+          Similarity.buildCellCodes(ivf300, codes300), s"$path/cellcodes_300"))
+        Await.result(wCodes300, Duration.Inf)
+        Await.result(wIvfFull, Duration.Inf)
+        Await.result(wIvf300, Duration.Inf)
         Await.result(encodeFull, Duration.Inf)
-        (pq, codes300)
-      })
-      val (pq, codes300) = Await.result(pqChain, Duration.Inf)
-      val ivfFull = Await.result(ivfFullF, Duration.Inf)
-      val ivf300 = Await.result(ivf300F, Duration.Inf)
+        (ivfFull, ivf300, pq, codes300)
+      }
+      val (ivfFull, ivf300, pq, codes300) = Await.result(artifactsF, Duration.Inf)
       Await.result(lshF, Duration.Inf); Await.result(lsh3, Duration.Inf)
       Seq(
         ("lsh_full", Dim.toLong), ("lsh_300", Dim.toLong),

@@ -435,6 +435,104 @@ object Similarity {
   }
 
   /**
+   * Fused ANN training for the declared build (`AnnIndex.buildAll`): the
+   * two IVF models (full corpus, `e300`) and the PQ codebooks advance
+   * their Lloyd rounds inside ONE aggregation job per round — a union of
+   * the three per-family mean folds — and the full-side IVF and PQ seed
+   * from ONE TakeOrdered collect.
+   *
+   * Equivalence to the standalone trainers ([[buildIvfIndex]] /
+   * [[trainPq]] at `trainPct = 100`):
+   *  - seeds: both full-side families order by `(xxhash64(id), id)` — a
+   *    total order — and take a prefix, so `limit(max(nCells, k))` gives
+   *    each family exactly the rows its own `limit` would have;
+   *  - rounds: each union branch is the same aggregation the standalone
+   *    trainer collects (same assignment kernels, same [[graft.plans.VecMeanAgg]]
+   *    folds over the same partitioning) — co-scheduling branches in one
+   *    job changes nothing about any branch's partials. Centroid doubles
+   *    remain per-session reproducible, not bit-stable across layouts
+   *    (the [[ivfCentroidsOf]] merge-order caveat; serving never depends
+   *    on WHICH centroids trained — the `*_full` bridge oracles hold for
+   *    any centroid set).
+   *
+   * Driver round-trips drop from 3 seed collects + 3 collects per round
+   * to 2 + 1 per round — the r21 answer to the build's job-ladder floor.
+   */
+  private[graft] def trainAnnModels(eFull: DataFrame, e300: DataFrame,
+      nCells: Int, m: Int, k: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : (IvfIndex, IvfIndex, PqModel) = {
+    require(nCells >= 1 && m >= 1 && k >= 1,
+      s"nCells, m and k must be >= 1: nCells=$nCells m=$m k=$k")
+    val preppedFull = withUnit(eFull.select(col(idCol), col(vecCol)), vecCol)
+    val prepped300 = withUnit(e300.select(col(idCol), col(vecCol)), vecCol)
+    val nSeed = math.max(nCells, k)
+    // ONE collect for both seed prefixes: each branch keeps its own
+    // TakeOrdered over the same (xxhash64(id), id) total order the
+    // standalone trainers use — the union only co-schedules the two scans
+    // in one job. Rows carry their sort keys and are re-sorted on the
+    // driver; collect order across union branches is not contractual.
+    def seedBranch(prepped: DataFrame, fam: Int, n: Int) = prepped
+      .select(col(idCol), col("__unit"))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+      .select(lit(fam).as("fam"), xxhash64(col(idCol)).as("h"),
+        col(idCol).cast("long").as("id"), col("__unit"))
+    val seedAll = seedBranch(preppedFull, 0, nSeed)
+      .unionAll(seedBranch(prepped300, 1, nCells)).collect()
+    def seedsOf(fam: Int): Array[Array[Float]] = seedAll
+      .filter(_.getInt(0) == fam).sortBy(r => (r.getLong(1), r.getLong(2)))
+      .map(_.getSeq[Float](3).toArray)
+    val seedRows = seedsOf(0)
+    require(seedRows.length == nSeed,
+      s"full corpus has only ${seedRows.length} vectors for $nSeed seeds")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    var centsFull: Array[(Int, Array[Float])] =
+      Array.tabulate(nCells)(i => (i, seedRows(i)))
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
+      (mi, ci) => seedRows(ci).slice(mi * sub, (mi + 1) * sub)
+    }
+    var cents300: Array[(Int, Array[Float])] =
+      seedsOf(1).zipWithIndex.map { case (v, i) => (i, v) }
+    require(cents300.length == nCells,
+      s"e300 has only ${cents300.length} vectors for $nCells cells")
+    def unitVecs(prepped: DataFrame) = prepped.select(col(idCol),
+      col("__unit").as(vecCol), col("__unit"), lit(1.0).as("nrm"))
+    val vm = graft.plans.VectorExpressions.vecMean _
+    for (_ <- 0 until iters) {
+      val bFull = assignCells(unitVecs(preppedFull), centsFull, vecCol, idCol)
+        .groupBy(col("cell")).agg(vm(col(vecCol)).as("cvec"))
+        .select(lit(0).as("fam"), col("cell").as("k1"), lit(0).as("k2"),
+          col("cvec"))
+      val b300 = assignCells(unitVecs(prepped300), cents300, vecCol, idCol)
+        .groupBy(col("cell")).agg(vm(col(vecCol)).as("cvec"))
+        .select(lit(1).as("fam"), col("cell").as("k1"), lit(0).as("k2"),
+          col("cvec"))
+      val bPq = assignCodes(preppedFull, books, sub, idCol)
+        .groupBy(col("__m"), col("__code")).agg(vm(col("__sv")).as("cvec"))
+        .select(lit(2).as("fam"), col("__m").as("k1"), col("__code").as("k2"),
+          col("cvec"))
+      // all-null groups fold to a null mean — omit, keep previous centroid
+      // (each standalone trainer's documented rule)
+      val rows = bFull.unionAll(b300).unionAll(bPq)
+        .filter(col("cvec").isNotNull).collect()
+      def meansOf(fam: Int): Map[(Int, Int), Array[Float]] =
+        rows.filter(_.getInt(0) == fam).map(r => (r.getInt(1), r.getInt(2)) ->
+          r.getSeq[Double](3).map(_.toFloat).toArray).toMap
+      val (mFull, m300, mPq) = (meansOf(0), meansOf(1), meansOf(2))
+      centsFull = centsFull.map { case (c, v) => (c, mFull.getOrElse((c, 0), v)) }
+      cents300 = cents300.map { case (c, v) => (c, m300.getOrElse((c, 0), v)) }
+      books = Array.tabulate(m, k) { (mi, ci) =>
+        mPq.getOrElse((mi, ci), books(mi)(ci))
+      }
+    }
+    (IvfIndex(assignCells(preppedFull, centsFull, vecCol, idCol), centsFull),
+      IvfIndex(assignCells(prepped300, cents300, vecCol, idCol), cents300),
+      PqModel(m, k, dim, books))
+  }
+
+  /**
    * Incremental index growth: assign NEW vectors to an EXISTING index's
    * cells without retraining — the IVF analog of `Dedup.probeBanded`.
    * One broadcast-centroid pass over the increment only; append the
@@ -1403,7 +1501,10 @@ object Similarity {
   /** Persist codes + codebooks; exact model round-trip like
     * [[writeIvfIndex]] (re-deriving codebooks from codes is impossible —
     * they ARE the model). Codes are the corpus-sized relation (`m` small
-    * ints per id); the model is kilobytes. */
+    * ints per id); the model is kilobytes. The model rows are the whole
+    * persisted model: `(m, k, dim)` fall out of the dense m×k row grid
+    * and the subvector width, so no meta sidecar — one fewer write job
+    * here and one fewer `head` job in every [[readPqIndex]] (r21). */
   def writePqIndex(encoded: DataFrame, model: PqModel, path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
@@ -1412,18 +1513,21 @@ object Similarity {
       yield (mi, ci, model.centroids(mi)(ci).toSeq)
     rows.toDF("m", "code", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/model")
-    Seq((model.m, model.k, model.dim)).toDF("m", "k", "dim").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, PqModel) = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (m, k, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // (m, k, dim) derived from the model rows — [[writePqIndex]] always
+    // writes the full dense m×k grid, and dim = m · |subvector|
+    val modelRows = spark.read.parquet(s"$path/model").collect()
+    require(modelRows.nonEmpty, s"empty pq model at $path/model")
+    val m = modelRows.iterator.map(_.getInt(0)).max + 1
+    val k = modelRows.iterator.map(_.getInt(1)).max + 1
     val cents = Array.ofDim[Array[Float]](m, k)
-    spark.read.parquet(s"$path/model").collect().foreach { r =>
+    modelRows.foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
     }
+    val dim = m * cents(0)(0).length
     (spark.read.parquet(s"$path/codes"), PqModel(m, k, dim, cents))
   }
 

@@ -292,6 +292,16 @@ class PlanLintSpec extends AnyFunSuite {
     "sample_stratified" -> "per-stratum ordered allocation over bounded strata",
     "dsir_weights" -> "model fold: cumulative mass over the ≤B+1 bucket histogram",
     "dsir_sample" -> "same model fold upstream of the TakeOrdered selection",
+    // lm_ref family (r21): the left-context total c1 folds as a window
+    // over the AGGREGATED bigram model relation — sum(c2) per (strata?,
+    // w1) partition of the ≤|bigram types| rows — replacing the separate
+    // cw aggregation + broadcast join (one fewer model scan + join probe
+    // per serve); the window never touches the corpus
+    "quality_lm_ref" -> "left-context totals per w1 over the bigram model relation",
+    "quality_lm_ref_pruned" -> "same model-side c1 fold (pruned serve)",
+    "quality_lm_ref_inc" -> "same c1 fold over the persisted model relation",
+    "quality_lm_ref_stratified" -> ("same per-(lang, w1) c1 fold + the " +
+      "per-language quantile threshold over the ≤|langs| cut relation"),
     "mix_temperature" -> "normalizing sums over the ≤|domains| mixture relation",
     // sequence packing / chunking: greedy running-total semantics — the
     // prefix sum IS the operator; every window is keyed per doc or per

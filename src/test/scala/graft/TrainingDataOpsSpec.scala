@@ -660,6 +660,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       grown.nonEmpty)
   }
 
+  test("fused ANN trainer equals the standalone trainers (build-step bridge)") {
+    // trainAnnModels co-schedules the three Lloyd trainings in one job per
+    // round and both seed prefixes in one collect — same seeds, same
+    // per-family aggregations, so the models must match the standalone
+    // trainers (centroids to aggregation-merge-order ulp, assignments and
+    // codebook shape exactly) at the build's own constants
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e300 = e.filter(col("vec_id") < 300)
+    val (ivfFull, ivf300, pq) = Similarity.trainAnnModels(
+      e, e300, nCells = 16, m = 8, k = 16, iters = 2)
+    val refFull = Similarity.buildIvfIndex(e, nCells = 16, iters = 2)
+    val ref300 = Similarity.buildIvfIndex(e300, nCells = 16, iters = 2)
+    val refPq = Similarity.trainPq(e, m = 8, k = 16, iters = 2)
+    def close(a: Array[Float], b: Array[Float]): Boolean =
+      a.length == b.length &&
+        a.zip(b).forall { case (x, y) => math.abs(x - y) <= 1e-5f }
+    def cellsOf(idx: Similarity.IvfIndex) = idx.assignments
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((got, want) <- Seq((ivfFull, refFull), (ivf300, ref300))) {
+      assert(got.centroids.map(_._1).toSeq == want.centroids.map(_._1).toSeq)
+      assert(got.centroids.zip(want.centroids).forall {
+        case ((_, a), (_, b)) => close(a, b) }, "IVF centroids diverged")
+      assert(cellsOf(got) == cellsOf(want), "IVF assignments diverged")
+    }
+    assert(pq.m == refPq.m && pq.k == refPq.k && pq.dim == refPq.dim)
+    assert(pq.centroids.flatten.toSeq.zip(refPq.centroids.flatten.toSeq)
+      .forall { case (a, b) => close(a, b) }, "PQ codebooks diverged")
+  }
+
   test("IVF-PQ batch join: full-probe full-overscan equals exact topKJoin; serving point finds self") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") < 300)
