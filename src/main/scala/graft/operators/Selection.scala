@@ -234,17 +234,19 @@ object Selection {
     // (bucket −1), not 0 — novel vocabulary in a scored increment gets
     // the Laplace-smoothed ratio the estimator defines. Models persisted
     // before the sentinel existed degrade to the old 0.0 contribution
-    // (max over an empty filter → null → coalesce).
-    val dflt = broadcast(model.filter(col("bucket") === -1)
-      .agg(coalesce(max(col("log_ratio")), lit(0.0)).as("__dlr")))
-    val tbl = model.filter(col("bucket") =!= -1)
-      .select(col("bucket").as("__b"), col("log_ratio").as("__lr"))
-    hist.join(broadcast(tbl), Seq("__b"), "left")
-      .crossJoin(dflt)
-      .groupBy(col(idCol))
+    // (absent sentinel → 0.0 default). The ≤ B+1-row model collects ONCE
+    // and rides as a literal dense ratio vector (the r21 weightVec
+    // posture): one collect job replaces the two broadcast
+    // materializations (ratio table + sentinel aggregate) and the
+    // crossJoin — join-miss coalesce and the literal default read the
+    // same doubles, rows and aggregation order are unchanged.
+    val rows = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dlr = rows.getOrElse(-1, 0.0)
+    val lrVec = lit(Array.tabulate(buckets)(b => rows.getOrElse(b, dlr)))
+    hist.groupBy(col(idCol))
       .agg(Quantize.quantize(coalesce(sum(col("__c") *
           when(col("__b").isNull, lit(0.0)) // zero-feature doc row: no features, no default
-            .otherwise(coalesce(col("__lr"), col("__dlr")))), lit(0.0)), 6)
+            .otherwise(element_at(lrVec, col("__b") + 1))), lit(0.0)), 6)
         .as("weight"))
   }
 
@@ -613,7 +615,7 @@ object Selection {
     // null target rows label as 0.0 (non-target) — folded inside
     // logregHist, matching the oracle's CASE ... ELSE 0.0
     val hist = logregHist(docs, target, textCol, idCol, buckets)
-    scoreFromW(hist, logregTrain(hist, idCol, buckets, iters, lr), idCol)
+    scoreFromW(hist, logregTrain(hist, idCol, buckets, iters, lr), buckets, idCol)
   }
 
   /** The trained logreg model as a RELATION: (bucket, w) with the bias
@@ -651,33 +653,31 @@ object Selection {
   def logregScoreFromModel(docs: DataFrame, model: DataFrame,
       target: Column, textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = DsirBuckets): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val w = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val wDf = broadcast(w.toSeq.toDF("__b", "__w"))
     // SERVE is one scan + ONE exchange: the margin algebra
     //   m_d = Σ_b w_b·(c_db/T_d) + w_bias = (Σ_token w_b)/T_d + w_bias
     // folds per-token weights and the token count in the SAME doc-keyed
     // aggregation, so the train path's per-(doc,bucket) histogram, its
     // per-doc normalization WINDOW (a second exchange) and its eager
     // Materialize (which only the GD loop rereads) all drop out of the
-    // serving plan — they were 3 of its 7 scheduled jobs. The exchange
-    // carries one map-combined partial per doc; the broadcast model
-    // join is codegen'd.
+    // serving plan — they were 3 of its 7 scheduled jobs. The collected
+    // model rides as a literal dense weight vector ([[weightVec]] — the
+    // r21 logregMargins posture: no broadcast-relation materialization
+    // job for rows the driver already holds).
+    val wv = weightVec(w, buckets)
     docs.select(col(idCol),
         coalesce(target.cast("double"), lit(0.0)).as("__y"),
         explode(concat(
           coalesce(graft.plans.TextExpressions.md5FeatureBuckets(
             col(textCol), buckets, DsirSalt), array()),
           array(lit(buckets)))).as("__b"))
-      .join(wDf, Seq("__b"), "left")
       .groupBy(col(idCol), col("__y"))
       .agg((coalesce(
           sum(when(col("__b") =!= buckets,
-            coalesce(col("__w"), lit(0.0)))) /
+            element_at(wv, col("__b") + 1))) /
           sum(when(col("__b") =!= buckets, lit(1.0))), lit(0.0)) +
         coalesce(sum(when(col("__b") === buckets,
-          coalesce(col("__w"), lit(0.0)))), lit(0.0))).as("__m"))
+          element_at(wv, col("__b") + 1))), lit(0.0))).as("__m"))
       .select(col(idCol), col("__y").cast("long").as("is_target"),
         Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6)
           .as("score"))
@@ -721,13 +721,25 @@ object Selection {
   }
 
   private def logregMargins(hist: DataFrame, w: Map[Int, Double],
-      idCol: String): DataFrame = {
-    val spark = hist.sparkSession
-    import spark.implicits._
-    val wDf = broadcast(w.toSeq.toDF("__b", "__w"))
-    hist.join(wDf, Seq("__b"), "left")
-      .groupBy(col(idCol), col("__y"))
-      .agg(sum(col("__c") * coalesce(col("__w"), lit(0.0))).as("__m"))
+      buckets: Int, idCol: String): DataFrame =
+    // the driver already holds w — ship it as a LITERAL dense weight
+    // vector (O(1) codegen'd element_at on the in-range bucket id), not a
+    // broadcast relation: the wDf left join paid one AQE broadcast
+    // materialization job per GD iteration for ≤ B+1 rows (r21, verdict
+    // #4). Missing buckets read 0.0 exactly like the join-miss coalesce;
+    // rows, stream order and the doc-keyed aggregation are unchanged, so
+    // the sums are bit-identical.
+    hist.groupBy(col(idCol), col("__y"))
+      .agg(sum(col("__c") * element_at(weightVec(w, buckets), col("__b") + 1))
+        .as("__m"))
+
+  /** The trained weights as a dense literal array column covering every
+    * bucket id that can appear in a histogram/score row (0..buckets plus
+    * any key the model itself carries); absent buckets weigh 0.0 — the
+    * same value the old broadcast join-miss coalesced to. */
+  private def weightVec(w: Map[Int, Double], buckets: Int): Column = {
+    val n = (w.keys ++ Iterator(buckets)).max + 1
+    lit(Array.tabulate(n)(b => w.getOrElse(b, 0.0)))
   }
 
   /** The GD loop over a materialized histogram — 9dp-quantized weights
@@ -755,7 +767,7 @@ object Selection {
       row.getInt(0) -> q9(-lr * row.getDouble(1) / n)
     }.toMap
     for (_ <- 2 to iters) {
-      val r = logregMargins(hist, w, idCol).select(col(idCol),
+      val r = logregMargins(hist, w, buckets, idCol).select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__r"))
       val g = hist.join(r, Seq(idCol))
         .groupBy(col("__b"))
@@ -770,8 +782,8 @@ object Selection {
   }
 
   private def scoreFromW(hist: DataFrame, w: Map[Int, Double],
-      idCol: String): DataFrame =
-    logregMargins(hist, w, idCol)
+      buckets: Int, idCol: String): DataFrame =
+    logregMargins(hist, w, buckets, idCol)
       .select(col(idCol), col("__y").cast("long").as("is_target"),
         Quantize.quantize(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
 
