@@ -116,9 +116,12 @@ object AnnIndex {
     // cluster scale each training pass saturates the executors and the
     // overlap matters less, but concurrent submission never hurts: FIFO
     // scheduling drains the independent DAGs back-to-back.
-    // 8 threads: 2 LSH futures + the training future, whose continuation
-    // blocks while its 3 nested write futures run — sized so a child can
-    // never wait on a queue slot held by its own blocked parent.
+    // 8 threads: 2 LSH futures + the training future's continuation
+    // (which blocks holding a slot) + its 4 nested write futures
+    // (wIvfFull, wIvf300, encodeFull, wCodes300) = 7 concurrent tasks
+    // worst case — sized so a child can never wait on a queue slot held
+    // by its own blocked parent. Re-count this arithmetic before adding
+    // another nested future.
     // Every future tags its jobs with one cancellable job group: on a
     // failed Await the catch cancels the GROUP, which stops siblings'
     // in-flight Spark jobs — interrupting the submitting threads alone
@@ -724,13 +727,16 @@ object AnnIndex {
     * directory ([[logregModel]]'s contract): counts are exact longs, so
     * serving from the parquet round trip is bit-identical to folding
     * inline — which `quality_lm_ref_inc`'s shared fused oracle
-    * hash-verifies end to end. */
+    * hash-verifies end to end. Returns (cbg, uni): serving folds the
+    * left-context totals from cbg itself since the r21 window fold, so
+    * the persisted `cw` relation (still written — one model serves every
+    * reader, including external ones) is no longer loaded here. */
   def lmRefModel(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val p = s"$cacheRoot/${keyOf(sfDir, "documents")}_lmref"
     ensureDir(p)(staging => buildLmRefModel(spark, sfDir, staging).collect())
     memo(spark, s"$p/model")((spark.read.parquet(s"$p/cbg"),
-      spark.read.parquet(s"$p/cw"), spark.read.parquet(s"$p/uni")))
+      spark.read.parquet(s"$p/uni")))
   }
 
   /** Train + persist the DSIR (bucket, log_ratio) importance model —

@@ -1099,7 +1099,7 @@ object SparkEntry {
       // cost is the declared `lm_ref_model_build` step). Counts are
       // exact longs, so load -> score ≡ fused fold-in-one-plan is
       // hash-verified end to end by the shared oracle.
-      val (cbg, _, uni) = AnnIndex.lmRefModel(s, dir)
+      val (cbg, uni) = AnnIndex.lmRefModel(s, dir)
       Corpus.lmRefScoreFromModel(t(s, dir, "documents"), cbg, uni,
         lambda = LmRefLambda)
     }),
@@ -1139,11 +1139,7 @@ object SparkEntry {
           .select(col("lang"), col("text")),
         docs.select(col("doc_id"), col("lang"), col("text")), "lang",
         lambda = LmRefLambda)
-      // pin = false: the lm_ref score ends in the per-doc aggregation
-      // exchange, which AQE stage reuse shares between the threshold and
-      // filter branches — the checkpoint bought nothing (r21)
-      Corpus.dropBottomQuantileByStratum(scored, "lm_ref", 0.1, "lang",
-          pin = false)
+      Corpus.dropBottomQuantileByStratum(scored, "lm_ref", 0.1, "lang")
         .select(col("doc_id"), col("lang"), col("lm_ref"))
     }),
     "pack_sequences" -> ((s, dir) =>

@@ -1188,20 +1188,23 @@ object Corpus {
    */
   def dropBottomQuantileByStratum(scored: DataFrame, scoreCol: String,
       q: Double, strataCol: String, approx: Boolean = false,
-      checkpointDir: Option[String] = None, pin: Boolean = true): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
     // same one-pass contract as [[dropBottomQuantile]]: materialize the
     // scored frame once; thresholds and filter read the cached blocks.
-    // `pin = false` is for scores whose plan ENDS in an aggregation
-    // exchange (the lm_ref family's per-doc avg): there the exchange
-    // already captures every expensive map-side byte, AQE stage reuse
-    // shares it between the threshold branch and the filter branch of the
-    // one final plan, and a localCheckpoint would only store the same
-    // rows a second time and pay an extra action. Map-only scores
-    // (unigramLogProb's broadcast form) must keep the pin — without an
-    // exchange there is nothing for stage reuse to share and the scoring
-    // pass would genuinely run twice.
-    val mat = if (pin) Materialize(scored, checkpointDir) else scored
+    // The pin is NOT only a cost seam — it is the gate's determinism
+    // contract. An r21 experiment dropped it for scores ending in an
+    // aggregation exchange (the lm_ref per-doc avg), on the argument
+    // that AQE stage reuse shares the exchange between the threshold and
+    // filter branches. It does — but reuse shares the SHUFFLE BLOCKS,
+    // not the final aggregate above them: each branch re-merges double
+    // partials in fetch-arrival order, so the threshold could be cut on
+    // ulp-different scores than the filter reads, and the kept set would
+    // no longer be a pure function of one score snapshot (a
+    // quantize-boundary doc could flip across runs on a hash-verified
+    // query). Reverted same-round; one floor job is the wrong thing to
+    // save there.
+    val mat = Materialize(scored, checkpointDir)
     val thrCol = if (approx) approx_percentile(col(scoreCol), lit(q), lit(10000))
       else percentile(col(scoreCol), lit(q))
     val thr = mat.groupBy(col(strataCol)).agg(thrCol.as("__thr"))

@@ -240,7 +240,12 @@ object Selection {
     // materializations (ratio table + sentinel aggregate) and the
     // crossJoin — join-miss coalesce and the literal default read the
     // same doubles, rows and aggregation order are unchanged.
-    val rows = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // isNullAt guard: a model trained on an EMPTY corpus persists its
+    // sentinel as (-1, null) — the old relational path coalesced that to
+    // 0.0 weights; dropping the row reproduces exactly that degradation
+    // instead of a driver-side NPE on getDouble
+    val rows = model.collect().filter(!_.isNullAt(1))
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val dlr = rows.getOrElse(-1, 0.0)
     val lrVec = lit(Array.tabulate(buckets)(b => rows.getOrElse(b, dlr)))
     hist.groupBy(col(idCol))
@@ -653,7 +658,11 @@ object Selection {
   def logregScoreFromModel(docs: DataFrame, model: DataFrame,
       target: Column, textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = DsirBuckets): DataFrame = {
-    val w = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // null-w guard mirrors the old join's coalesce(__w, 0.0) (logreg
+    // training can't emit null weights, but a persisted relation is an
+    // open input)
+    val w = model.collect().filter(!_.isNullAt(1))
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     // SERVE is one scan + ONE exchange: the margin algebra
     //   m_d = Σ_b w_b·(c_db/T_d) + w_bias = (Σ_token w_b)/T_d + w_bias
     // folds per-token weights and the token count in the SAME doc-keyed

@@ -464,6 +464,14 @@ object Similarity {
       : (IvfIndex, IvfIndex, PqModel) = {
     require(nCells >= 1 && m >= 1 && k >= 1,
       s"nCells, m and k must be >= 1: nCells=$nCells m=$m k=$k")
+    // the driver-side seed re-sort below casts idCol to long for its
+    // (hash, id) tie-break — integral ids only (the declared builds'
+    // vec_id); a string-id caller must use the standalone trainers
+    require(Seq(eFull, e300).forall(df => df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }), s"trainAnnModels: $idCol must be integral for the seed tie-break")
     val preppedFull = withUnit(eFull.select(col(idCol), col(vecCol)), vecCol)
     val prepped300 = withUnit(e300.select(col(idCol), col(vecCol)), vecCol)
     val nSeed = math.max(nCells, k)
