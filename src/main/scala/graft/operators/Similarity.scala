@@ -86,6 +86,27 @@ object Similarity {
    * abort) and sort last under the descending route order — a vector
    * invisible at kDims dims is routed out, the MRL contract.
    */
+  /** Exact top-K rows by (`keyCol` DESC NULLS LAST, `idCol` ASC) — the
+    * shortlist selector the single-query serves share. Below the
+    * single-point-merge cap this is `orderBy.limit`
+    * (TakeOrderedAndProject: per-partition heaps, driver merge of K).
+    * Above it — the *_full bridges' corpus-covering overscan, or a
+    * fractional overscan at corpus scale — TakeOrdered PRE-ALLOCATES a
+    * 2K-slot buffer in every task regardless of input size (measured
+    * r21: the 10.5M-K `sim_topk_mrl*_full` shortlists allocated ~168 MB
+    * contiguous per task and OOM'd 2–4 GiB `local-cluster` executors),
+    * so big K routes through [[Selection.topKThresholdCut]] — the
+    * spec-pinned row-identical, bounded-memory valve (guide §5; the
+    * `value_quantiles` r20 precedent). Same (key, id) total order, same
+    * NULLS-LAST behavior (the cut's widening fallback keeps null-key
+    * rows when K outruns the non-null count). */
+  private def shortlistTopK(df: DataFrame, keyCol: String, idCol: String,
+      k: Long): DataFrame =
+    if (k <= Selection.TopKMergeCap)
+      df.orderBy(col(keyCol).desc, col(idCol)).limit(k.toInt)
+    else Selection.topKThresholdCut(df, keyCol, idCol,
+      math.min(k, Int.MaxValue.toLong).toInt)
+
   def topKMrl(embeddings: DataFrame, query: Seq[Float], k: Int,
       kDims: Int = 16, overscan: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -95,13 +116,12 @@ object Similarity {
     val qf = array(query.map(v => lit(v)): _*)
     val pre = slice(col(vecCol), 1, kDims)
     val pn = norm(pre)
-    embeddings
+    shortlistTopK(embeddings
       .select(col(idCol), col(vecCol),
         when(pn === 0d, lit(null).cast("double"))
           .otherwise(Quantize.quantize(dot(pre, qp) / (pn * lit(normOf(qPre))), 6))
-          .as("__pc"))
-      .orderBy(col("__pc").desc, col(idCol))
-      .limit(k * overscan)
+          .as("__pc")),
+      "__pc", idCol, k.toLong * overscan)
       .select(col(idCol),
         // same zero-norm guard as the prefix leg: a zero-norm vector can
         // reach the shortlist (tiny corpus, or the *_full bridge where the
@@ -943,14 +963,13 @@ object Similarity {
     val pn = norm(pre)
     val n = if (index.assignments.columns.contains("nrm")) col("nrm")
       else norm(col(vecCol))
-    index.assignments
+    shortlistTopK(index.assignments
       .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
       .select(col(idCol), col(vecCol), n.as("__n"),
         when(pn === 0d, lit(null).cast("double"))
           .otherwise(Quantize.quantize(dot(pre, qp) / (pn * lit(normOf(qPre))), 6))
-          .as("__pc"))
-      .orderBy(col("__pc").desc, col(idCol))
-      .limit(k * overscan)
+          .as("__pc")),
+      "__pc", idCol, k.toLong * overscan)
       .select(col(idCol),
         when(col("__n") === 0d, lit(null).cast("double"))
           .otherwise(Quantize.quantize(dot(col(vecCol), qf) /
@@ -1483,9 +1502,11 @@ object Similarity {
     // probe, and the HOF formulation it replaces evaluated interpreted
     // per row. Same double accumulation in subspace order → bit-identical.
     val d2 = graft.plans.VectorExpressions.pqAdc(col("codes"), tableLit)
-    encoded.select(col(idCol), Quantize.quantize(lit(1) - d2 / 2, 6).as("approx_cos"))
-      .orderBy(col("approx_cos").desc, col(idCol))
-      .limit(k)
+    // k can be a corpus-fraction shortlist size (the rescored serves pass
+    // k·overscan) — route through the cap-guarded selector
+    shortlistTopK(encoded.select(col(idCol),
+        Quantize.quantize(lit(1) - d2 / 2, 6).as("approx_cos")),
+      "approx_cos", idCol, k.toLong)
   }
 
   /**

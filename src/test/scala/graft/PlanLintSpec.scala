@@ -292,6 +292,13 @@ class PlanLintSpec extends AnyFunSuite {
     "sample_stratified" -> "per-stratum ordered allocation over bounded strata",
     "dsir_weights" -> "model fold: cumulative mass over the ≤B+1 bucket histogram",
     "dsir_sample" -> "same model fold upstream of the TakeOrdered selection",
+    // corpus-covering-overscan bridges (r21): the shortlist selection
+    // routes through Selection.topKThresholdCut above the merge cap —
+    // TakeOrdered's 2K-slot per-task buffer OOM'd bounded executors at
+    // K=10.5M — and the cut's row_number is partitioned by __pid over
+    // the range-exchanged ~K-row candidate sliver, never a global sort
+    "sim_topk_mrl_full" -> "threshold-cut rank over the candidate sliver (big-K valve)",
+    "sim_topk_mrl_ivf_full" -> "same big-K threshold-cut valve",
     // lm_ref family (r21): the left-context total c1 folds as a window
     // over the AGGREGATED bigram model relation — sum(c2) per (strata?,
     // w1) partition of the ≤|bigram types| rows — replacing the separate
